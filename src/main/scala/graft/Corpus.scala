@@ -1,0 +1,174 @@
+package graft
+
+import graft.core.IndexRule
+import graft.index.{IndexJob, TextIndex}
+import graft.query.SearchEngine
+import graft.text.Tokenize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** The canonical index configuration over the driver's testdata
+  * (`/root/testdata/sf*`, tables per TESTDATA.md), used by every
+  * declared query in [[SparkEntry]] plus the matching DuckDB oracle SQL.
+  *
+  * Shape mirrors the reference's config-as-catalog
+  * (reference dogsheep_beta/utils.py:104-112): three rules, three
+  * source "databases", each an arbitrary extraction SELECT producing a
+  * subset of the wide schema. Every rule is written twice — once in
+  * Spark SQL (executed by [[graft.index.IndexJob]]) and once in DuckDB
+  * SQL (assembled into the oracle CTE) — with semantics chosen to be
+  * bit-identical across engines (integer arithmetic, second-precision
+  * timestamps, ASCII text).
+  */
+object Corpus {
+
+  val tables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view.
+    *
+    * `events.ts` is nanosecond-precision in parquet, which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as
+    * raw nanos (`nanosAsLong`) and expose a microsecond-truncated
+    * TimestampType — DuckDB truncates identically when formatting to
+    * seconds.
+    */
+  def registerSources(spark: SparkSession, sfDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables.foreach { t =>
+      val df0 = spark.read.parquet(s"$sfDir/$t.parquet")
+      val df =
+        if (t == "events")
+          df0.selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
+            "user_id", "event_type", "value", "props")
+        else df0
+      df.createOrReplaceTempView(t)
+    }
+  }
+
+  // ---- rule 1: documents --------------------------------------------
+  // Timestamp synthesized deterministically from doc_id (documents has
+  // no time column); category/is_public derived by modulus so facet
+  // queries have stable distributions.
+  private val docsSparkSql =
+    """select cast(doc_id as string) as key,
+      |       concat('Doc ', cast(doc_id as string), ' [', lang, ']') as title,
+      |       date_format(date_add(date'2024-01-01', cast(doc_id % 365 as int)), 'yyyy-MM-dd HH:mm:ss') as timestamp,
+      |       cast(doc_id % 3 + 1 as int) as category,
+      |       cast(doc_id % 2 as int) as is_public,
+      |       text as search_1,
+      |       lang as search_2,
+      |       source as search_3
+      |from documents""".stripMargin
+
+  private val docsDuckSql =
+    """SELECT CAST(doc_id AS VARCHAR) AS "key",
+      |       'Doc ' || CAST(doc_id AS VARCHAR) || ' [' || lang || ']' AS title,
+      |       strftime(DATE '2024-01-01' + CAST(doc_id % 365 AS INTEGER), '%Y-%m-%d %H:%M:%S') AS "timestamp",
+      |       CAST(doc_id % 3 + 1 AS INTEGER) AS category,
+      |       CAST(doc_id % 2 AS INTEGER) AS is_public,
+      |       text AS search_1,
+      |       lang AS search_2,
+      |       source AS search_3
+      |FROM documents""".stripMargin
+
+  // ---- rule 2: events ------------------------------------------------
+  // Deliberately omits search_2/search_3/title-adjacent columns beyond
+  // the ones below: exercises the partial-projection contract (missing
+  // wide columns are NULL-padded; reference utils.py:68-70).
+  private val eventsSparkSql =
+    """select cast(event_id as string) as key,
+      |       concat(event_type, ' by user ', cast(user_id as string)) as title,
+      |       date_format(ts, 'yyyy-MM-dd HH:mm:ss') as timestamp,
+      |       case event_type when 'purchase' then 1 when 'signup' then 2 else 3 end as category,
+      |       cast(event_id % 2 as int) as is_public,
+      |       concat(event_type, ' ', props) as search_1
+      |from events""".stripMargin
+
+  private val eventsDuckSql =
+    """SELECT CAST(event_id AS VARCHAR) AS "key",
+      |       event_type || ' by user ' || CAST(user_id AS VARCHAR) AS title,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS "timestamp",
+      |       CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2 ELSE 3 END AS category,
+      |       CAST(event_id % 2 AS INTEGER) AS is_public,
+      |       event_type || ' ' || props AS search_1,
+      |       NULL AS search_2,
+      |       NULL AS search_3
+      |FROM events""".stripMargin
+
+  // ---- rule 3: orders ⋈ customer ------------------------------------
+  // Exercises the arbitrary-user-SQL surface (join + CASE + concat;
+  // reference README.md:30-48).
+  private val ordersSparkSql =
+    """select cast(o_orderkey as string) as key,
+      |       concat('Order ', cast(o_orderkey as string), ' by ', c_name) as title,
+      |       date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') as timestamp,
+      |       case o_orderstatus when 'F' then 1 when 'O' then 2 else 3 end as category,
+      |       case when o_totalprice > 200000 then 1 else 0 end as is_public,
+      |       concat(o_orderstatus, ' ', o_orderpriority, ' order for ', c_mktsegment, ' customer ', c_name) as search_1,
+      |       o_orderpriority as search_2,
+      |       c_mktsegment as search_3
+      |from orders join customer on o_custkey = c_custkey""".stripMargin
+
+  private val ordersDuckSql =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS "key",
+      |       'Order ' || CAST(o_orderkey AS VARCHAR) || ' by ' || c_name AS title,
+      |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS "timestamp",
+      |       CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 3 END AS category,
+      |       CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS is_public,
+      |       o_orderstatus || ' ' || o_orderpriority || ' order for ' || c_mktsegment || ' customer ' || c_name AS search_1,
+      |       o_orderpriority AS search_2,
+      |       c_mktsegment AS search_3
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  val rules: Seq[IndexRule] = Seq(
+    IndexRule("docs.db", "documents", docsSparkSql),
+    IndexRule("events.db", "events", eventsSparkSql),
+    IndexRule("tpch.db", "orders", ordersSparkSql,
+      displaySql = Some(
+        """select o_orderkey, o_totalprice, c_name, c_mktsegment
+          |from orders join customer on o_custkey = c_custkey
+          |where cast(o_orderkey as string) = :key""".stripMargin))
+  )
+
+  /** The DuckDB mirror of the full index build: same three rules, type
+    * tag injected, one UNION ALL — usable as a CTE body in any oracle
+    * query: `WITH search_index AS (<oracleIndexBody>) SELECT ...`.
+    */
+  val oracleIndexBody: String = {
+    def tag(t: String, sql: String) =
+      s"""SELECT '$t' AS "type", q.* FROM ($sql) q"""
+    Seq(
+      tag("docs.db/documents", docsDuckSql),
+      tag("events.db/events", eventsDuckSql),
+      tag("tpch.db/orders", ordersDuckSql)
+    ).mkString("\nUNION ALL\n")
+  }
+
+  def oracleWithIndex(query: String): String =
+    s"WITH search_index AS (\n$oracleIndexBody\n)\n$query"
+
+  // ---- memoized builds ----------------------------------------------
+  private val indexCache = TrieMap.empty[String, DataFrame]
+  private val textCache = TrieMap.empty[(String, Tokenize.Value), SearchEngine.TextArtifacts]
+
+  /** The built search index for one scale-factor dir, cached + persisted
+    * per JVM so the many declared queries share one build.
+    */
+  def searchIndex(spark: SparkSession, sfDir: String): DataFrame =
+    indexCache.getOrElseUpdate(sfDir, {
+      registerSources(spark, sfDir)
+      IndexJob.buildIndex(spark, rules).persist()
+    })
+
+  /** Memoized text-index artifacts (docTokens + postings) per
+    * (scale factor, tokenizer mode).
+    */
+  def textArtifacts(spark: SparkSession, sfDir: String,
+      mode: Tokenize.Value): SearchEngine.TextArtifacts =
+    textCache.getOrElseUpdate((sfDir, mode), {
+      val toks = TextIndex.docTokens(searchIndex(spark, sfDir), mode).persist()
+      SearchEngine.TextArtifacts(toks, TextIndex.postings(toks).persist())
+    })
+}

@@ -1,0 +1,463 @@
+package graft
+
+import graft.core.Schema
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.index.IndexJob
+import org.apache.spark.sql.functions._
+
+/** The 100 TB training-data-pipeline extension surface (SURVEY §7.5,
+  * BASELINE.json north_star): dedup (exact / n-gram Jaccard / MinHash
+  * LSH / SimHash / embedding), similarity search (brute-force, IVF,
+  * hyperplane LSH), text analysis (langid / quality / tokens /
+  * fingerprint), multimodal metadata, and the incremental-merge
+  * streaming equivalent.
+  *
+  * Sketch operators use the portable md5-hex hash (Dedup.portableHash)
+  * so even MinHash/SimHash signatures are bit-reproducible in DuckDB and
+  * fully oracle-checked; only the hyperplane-LSH ANN and Porter-based
+  * ops are rows-only.
+  */
+object ExtQueries {
+
+  private def ducktokens(x: String) = OracleGen.tokensSql(x)
+  private val duckHash = // mirrors Dedup.portableHash
+    (x: String) => s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  // ---- shared oracle CTEs -------------------------------------------
+
+  private val P = Dedup.MersennePrime
+  private val K = 16
+  private val BANDS = 4
+
+  private def shinglesCte(n: Int): String =
+    s"""toks AS (SELECT doc_id, ${ducktokens("text")} AS ts FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(ts) - ${n - 2}),
+       |                i -> ${(0 until n).map(j => s"ts[i+$j]").mkString(" || ' ' || ")})) AS shingle
+       |  FROM toks
+       |)""".stripMargin
+
+  private def minhashSigsCte: String = {
+    val mins = Dedup.minhashParams(K).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $P) AS mh_$i"
+    }.mkString(",\n         ")
+    s"""hashed AS (
+       |  SELECT doc_id, ${duckHash("shingle")} % $P AS h FROM sh
+       |),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM hashed GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  private def bandsCte: String = {
+    val rows = K / BANDS
+    val branches = (0 until BANDS).map { b =>
+      val key = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(" || '_' || ")
+      s"""SELECT doc_id, $b AS band, $key AS band_key FROM sigs"""
+    }
+    s"banded AS (\n${branches.mkString("\nUNION ALL\n")}\n)"
+  }
+
+  // ---- embedding helpers (unnest-with-index formulation) ------------
+
+  private val exCte =
+    """ex AS (
+      |  SELECT label, vec_id, unnest(embedding) AS v,
+      |         unnest(range(len(embedding))) AS i
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private val qxCte =
+    """qx AS (
+      |  SELECT unnest(embedding) AS qv, unnest(range(len(embedding))) AS i
+      |  FROM embeddings WHERE vec_id = 0
+      |)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- dedup -------------------------------------------------------
+
+    QueryDef("x_dedup_exact",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Dedup.exactGroups(spark.table("documents"), "text", "doc_id")
+          .orderBy("content_md5")
+      },
+      Some("""SELECT md5(text) AS content_md5, count(*) AS n_copies,
+             |       min(doc_id) AS keep_id, max(doc_id) AS max_id
+             |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin)),
+
+    QueryDef("x_dedup_ngram",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Dedup.ngramJaccardPairs(spark.table("documents"), "text", "doc_id",
+            n = 3, threshold = 0.4)
+          .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        s"""WITH ${shinglesCte(3)},
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+           |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           |       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+           |FROM pairs
+           |JOIN sizes sa ON sa.doc_id = id_a
+           |JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("x_dedup_minhash",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Dedup.minhashNearDups(spark.table("documents"), "text", "doc_id",
+            shingleN = 3, k = K, bands = BANDS, threshold = 0.4)
+          .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        s"""WITH ${shinglesCte(3)},
+           |$minhashSigsCte,
+           |$bandsCte,
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |verified AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN sh x ON x.doc_id = c.id_a
+           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+           |  GROUP BY 1, 2
+           |)
+           |SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           |       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+           |FROM verified
+           |JOIN sizes sa ON sa.doc_id = id_a
+           |JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("x_dedup_simhash",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Dedup.simhash(spark.table("documents"), "text", "doc_id", bits = 60)
+          .orderBy("doc_id")
+      },
+      Some {
+        val bitSums = (0 until 60).map(j =>
+          s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN w ELSE -w END) AS b_$j")
+          .mkString(",\n         ")
+        val sig = (0 until 60).map(j =>
+          s"(CASE WHEN b_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
+          .mkString(" | ")
+        s"""WITH tokw AS (
+           |  SELECT doc_id, token, count(*) AS w
+           |  FROM (SELECT doc_id, unnest(${ducktokens("text")}) AS token FROM documents) u
+           |  GROUP BY doc_id, token
+           |),
+           |hashed AS (SELECT doc_id, w, ${duckHash("token")} AS h FROM tokw),
+           |sums AS (
+           |  SELECT doc_id,
+           |         $bitSums
+           |  FROM hashed GROUP BY doc_id
+           |)
+           |SELECT doc_id, $sig AS simhash
+           |FROM sums ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- similarity search ------------------------------------------
+
+    QueryDef("x_sim_cosine_topk",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val vecs = spark.table("embeddings")
+        Similarity.bruteForceTopK(vecs, Similarity.vectorOf(vecs, "vec_id", 0L), 20)
+      },
+      Some(
+        s"""WITH $exCte,
+           |$qxCte,
+           |dots AS (
+           |  SELECT vec_id,
+           |         sum(CAST(v AS DOUBLE) * CAST(qv AS DOUBLE)) AS dot,
+           |         sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS na
+           |  FROM ex JOIN qx USING (i) GROUP BY vec_id
+           |),
+           |qn AS (SELECT sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq FROM qx)
+           |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 6) AS cos_sim
+           |FROM dots, qn
+           |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)),
+
+    QueryDef("x_sim_neardup_block",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.cosineNearDupPairs(spark.table("embeddings"), "label", 0.4)
+          .orderBy("blk", "id_a", "id_b")
+      },
+      Some(
+        s"""WITH $exCte,
+           |norms AS (
+           |  SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+           |  FROM ex GROUP BY vec_id
+           |),
+           |pairdots AS (
+           |  SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+           |         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+           |  FROM ex a
+           |  JOIN ex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+           |  GROUP BY 1, 2, 3
+           |)
+           |SELECT blk, id_a, id_b,
+           |       round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cos_sim
+           |FROM pairdots
+           |JOIN norms na ON na.vec_id = id_a
+           |JOIN norms nb ON nb.vec_id = id_b
+           |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.4
+           |ORDER BY blk, id_a, id_b""".stripMargin)),
+
+    QueryDef("x_sim_ivf",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val vecs = spark.table("embeddings")
+        Similarity.ivfSearch(vecs, Similarity.vectorOf(vecs, "vec_id", 0L),
+          sampleEvery = 40, nprobe = 3, k = 10)
+      },
+      Some(
+        s"""WITH $exCte,
+           |cx AS (
+           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % 40 = 0
+           |),
+           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+           |          FROM ex GROUP BY vec_id),
+           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
+           |           FROM cx GROUP BY cell_id),
+           |allsims AS (
+           |  SELECT e.vec_id, c.cell_id,
+           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
+           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
+           |  FROM ex e JOIN cx c ON e.i = c.i
+           |  JOIN norms n ON n.vec_id = e.vec_id
+           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
+           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
+           |),
+           |assigned AS (
+           |  SELECT vec_id, cell_id FROM (
+           |    SELECT vec_id, cell_id,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY sim DESC, cell_id) AS rn
+           |    FROM allsims
+           |  ) r WHERE rn = 1
+           |),
+           |qsims AS (
+           |  SELECT a.cell_id, a.sim FROM allsims a WHERE a.vec_id = 0
+           |),
+           |probes AS (
+           |  SELECT cell_id FROM qsims ORDER BY sim DESC, cell_id LIMIT 3
+           |),
+           |qx2 AS (SELECT unnest(embedding) AS qv, unnest(range(len(embedding))) AS i
+           |        FROM embeddings WHERE vec_id = 0),
+           |qn2 AS (SELECT sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq FROM qx2),
+           |cand AS (SELECT e.vec_id, a.cell_id, e.v, e.i
+           |         FROM ex e JOIN assigned a ON a.vec_id = e.vec_id
+           |         JOIN probes p ON p.cell_id = a.cell_id)
+           |SELECT c.vec_id AS vec_id, c.cell_id AS cell_id,
+           |       round(sum(CAST(c.v AS DOUBLE) * CAST(q.qv AS DOUBLE))
+           |             / (sqrt(n.nn) * sqrt(qn2.nq)), 6) AS cos_sim
+           |FROM cand c JOIN qx2 q ON q.i = c.i
+           |JOIN norms n ON n.vec_id = c.vec_id
+           |CROSS JOIN qn2
+           |GROUP BY c.vec_id, c.cell_id, n.nn, qn2.nq
+           |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin)),
+
+    // Hyperplane-LSH ANN: deterministic, but the hyperplane generation
+    // (driver-side MD5) is not practical to mirror in SQL → rows-only.
+    QueryDef("x_sim_lsh_ann",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val vecs = spark.table("embeddings")
+        Similarity.lshAnnTopK(vecs, Similarity.vectorOf(vecs, "vec_id", 0L),
+          planes = 6, k = 20)
+      },
+      None),
+
+    // ---- text analysis ----------------------------------------------
+
+    QueryDef("x_text_langid",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.languageId(spark.table("documents"), "text")
+          .selectExpr("doc_id", "lang", "predicted_lang",
+            "cast(hits_de as long) hits_de", "cast(hits_en as long) hits_en",
+            "cast(hits_es as long) hits_es", "cast(hits_fr as long) hits_fr",
+            "cast(hits_zh as long) hits_zh")
+          .orderBy("doc_id")
+      },
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val hitCols = langs.map { l =>
+          val cond = TextAnalysis.stopwords(l).map(w => s"t = '$w'").mkString(" OR ")
+          s"len(list_filter(ts, t -> $cond)) AS hits_$l"
+        }.mkString(",\n       ")
+        val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+        val caseArms = langs.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ")
+        s"""WITH toks AS (SELECT doc_id, lang, ${ducktokens("text")} AS ts FROM documents),
+           |hits AS (
+           |  SELECT doc_id, lang,
+           |       ${hitCols}
+           |  FROM toks
+           |)
+           |SELECT doc_id, lang,
+           |       CASE WHEN $g = 0 THEN 'und' $caseArms END AS predicted_lang,
+           |       hits_de, hits_en, hits_es, hits_fr, hits_zh
+           |FROM hits ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("x_text_quality",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.qualityScore(spark.table("documents"), "text")
+          .select("doc_id", "n_chars", "n_tokens", "alpha_ratio",
+            "stopword_ratio", "mean_token_len", "distinct_ratio", "quality_score")
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = TextAnalysis.stopwords("en").map(w => s"t = '$w'").mkString(" OR ")
+        s"""WITH base AS (
+           |  SELECT doc_id, ${ducktokens("text")} AS ts,
+           |         CAST(len(text) AS DOUBLE) AS n_chars,
+           |         CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+           |  FROM documents
+           |),
+           |m AS (
+           |  SELECT doc_id, n_chars,
+           |         CAST(len(ts) AS DOUBLE) AS n_tokens,
+           |         n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+           |         CAST(len(list_filter(ts, t -> $en)) AS DOUBLE)
+           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS stopword_ratio,
+           |         CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
+           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS mean_token_len,
+           |         CAST(len(list_distinct(ts)) AS DOUBLE)
+           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS distinct_ratio
+           |  FROM base
+           |)
+           |SELECT doc_id, n_chars, n_tokens, alpha_ratio, stopword_ratio,
+           |       mean_token_len, distinct_ratio,
+           |       least(n_tokens / 100.0, 1.0) * 0.25
+           |             + alpha_ratio * 0.25
+           |             + least(stopword_ratio * 5.0, 1.0) * 0.25
+           |             + distinct_ratio * 0.25 AS quality_score
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("x_text_tokens",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.tokenCounts(spark.table("documents"), "text")
+          .selectExpr("doc_id", "cast(n_ws_tokens as long) n_ws_tokens",
+            "cast(n_re_tokens as long) n_re_tokens", "cast(n_chars_col as long) n_chars_col")
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
+          |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens,
+          |       len(text) AS n_chars_col
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x_text_fingerprint",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.fingerprint(spark.table("documents"), "text")
+          .groupBy("fingerprint")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+          .orderBy("fingerprint")
+      },
+      Some(
+        s"""SELECT md5(array_to_string(list_sort(list_distinct(${ducktokens("text")})), ' ')) AS fingerprint,
+           |       count(*) AS n_docs, min(doc_id) AS keep_id
+           |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
+
+    // ---- multimodal columns -----------------------------------------
+
+    // Binary-column plumbing: payload as opaque bytes + typed metadata.
+    // The decode itself is stubbed (no image/audio libs in-container;
+    // see graft.ext.Multimodal for the mapPartitions batch plumbing);
+    // byte length / digest / deterministic fake dimensions are real.
+    QueryDef("x_mm_meta",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        spark.table("documents")
+          .withColumn("payload", col("text").cast("binary"))
+          .select(
+            col("doc_id"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            md5(col("payload")).as("content_md5"),
+            (lit(1) + pmod(Dedup.portableHash(col("text")), lit(997))).as("fake_width"),
+            (lit(1) + pmod(length(col("payload")).cast("long"), lit(743))).as("fake_height"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""SELECT doc_id,
+           |       octet_length(encode(text)) AS n_bytes,
+           |       md5(text) AS content_md5,
+           |       1 + (${duckHash("text")} % 997) AS fake_width,
+           |       1 + (CAST(octet_length(encode(text)) AS BIGINT) % 743) AS fake_height
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- streaming equivalent ---------------------------------------
+
+    // Incremental indexing as sequential REPLACE merges of time-sliced
+    // batches (the foreachBatch loop of graft.streaming.IncrementalIndexer
+    // run as a batch): final state = latest event per user.
+    QueryDef("x_stream_merge",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        def slice(lo: String, hi: String) = Schema.conform(spark.sql(
+          s"""select cast(user_id as string) as key,
+             |       concat(event_type, ' by user ', cast(user_id as string)) as title,
+             |       date_format(ts, 'yyyy-MM-dd HH:mm:ss') as timestamp,
+             |       props as search_1
+             |from events
+             |where ts >= timestamp'$lo' and ts < timestamp'$hi'""".stripMargin)
+          .withColumn("type", lit("events.db/userstate")))
+        val batches = Seq(
+          slice("2024-01-01 00:00:00", "2024-01-11 00:00:00"),
+          slice("2024-01-11 00:00:00", "2024-01-21 00:00:00"),
+          slice("2024-01-21 00:00:00", "2024-02-01 00:00:00"))
+        batches.reduce((state, b) => IndexJob.merge(state, b))
+          .select("type", "key", "title", "timestamp", "search_1")
+          .orderBy("key")
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT 'events.db/userstate' AS "type",
+          |         CAST(user_id AS VARCHAR) AS "key",
+          |         event_type || ' by user ' || CAST(user_id AS VARCHAR) AS title,
+          |         strftime(ts, '%Y-%m-%d %H:%M:%S') AS "timestamp",
+          |         props AS search_1,
+          |         CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 0
+          |              WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 1
+          |              ELSE 2 END AS batch_idx
+          |  FROM events
+          |)
+          |SELECT "type", "key", title, "timestamp", search_1 FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY "key"
+          |    ORDER BY batch_idx DESC, "timestamp" DESC, title ASC, search_1 ASC) AS rn
+          |  FROM ev
+          |) t WHERE rn = 1
+          |ORDER BY "key"""".stripMargin))
+  )
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.text.FtsQuery._
+
+/** DuckDB SQL generator for the text-search pipeline: the oracle side of
+  * [[graft.query.SearchEngine]]. Both sides consume the SAME parsed
+  * [[graft.text.FtsQuery.Node]], so the boolean-match semantics cannot
+  * drift — only the none-tokenizer pipeline is generated (Porter
+  * stemming is not expressible in DuckDB; porter queries get rows-only
+  * checks + ScalaTest golden cases instead).
+  *
+  * Numeric parity rules (see SURVEY §7.4): identical expression trees on
+  * both sides (same association order, constants written as the same
+  * literals), scores rounded to 4 decimals before both ORDER BY and
+  * output, deterministic tie-breaks (timestamp DESC, type, key).
+  */
+object OracleGen {
+
+  /** DuckDB token-array expression matching Tokenizer.tokensCol. */
+  def tokensSql(x: String): String =
+    s"list_filter(string_split_regex(lower(coalesce($x, '')), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Boolean match condition over doc_tokens columns, from the AST. */
+  def matchSql(n: Node): String = n match {
+    case Term(t) =>
+      s"(list_contains(tokens_title, '$t') OR list_contains(tokens_s1, '$t'))"
+    case Prefix(p) =>
+      s"(len(list_filter(tokens_title, t -> t LIKE '$p%')) > 0 OR " +
+        s"len(list_filter(tokens_s1, t -> t LIKE '$p%')) > 0)"
+    case Phrase(ts) =>
+      val needle = " " + ts.mkString(" ") + " "
+      def f(c: String) =
+        s"strpos(' ' || array_to_string($c, ' ') || ' ', '$needle') > 0"
+      s"(${f("tokens_title")} OR ${f("tokens_s1")})"
+    case And(ns)      => ns.map(matchSql).mkString("(", " AND ", ")")
+    case Or(ns)       => ns.map(matchSql).mkString("(", " OR ", ")")
+    case Not(pos, ng) => s"(${matchSql(pos)} AND NOT ${matchSql(ng)})"
+  }
+
+  /** Shared text-index CTEs over the canonical corpus search_index. */
+  val textCtes: String =
+    s"""doc_tokens AS (
+       |  SELECT "type", "key",
+       |         ${tokensSql("title")} AS tokens_title,
+       |         ${tokensSql("search_1")} AS tokens_s1
+       |  FROM search_index
+       |),
+       |lens AS (
+       |  SELECT "type", "key", len(tokens_title) AS dl_title, len(tokens_s1) AS dl_s1
+       |  FROM doc_tokens
+       |),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |         avg(dl_title) AS avgdl_title, avg(dl_s1) AS avgdl_s1
+       |  FROM lens
+       |),
+       |post AS (
+       |  SELECT term, "type", "key",
+       |         CAST(sum(t_title) AS DOUBLE) AS tf_title,
+       |         CAST(sum(t_s1) AS DOUBLE) AS tf_s1
+       |  FROM (
+       |    SELECT unnest(tokens_title) AS term, "type", "key", 1 AS t_title, 0 AS t_s1
+       |    FROM doc_tokens
+       |    UNION ALL
+       |    SELECT unnest(tokens_s1) AS term, "type", "key", 0 AS t_title, 1 AS t_s1
+       |    FROM doc_tokens
+       |  ) u GROUP BY term, "type", "key"
+       |),
+       |df AS (SELECT term, count(*) AS df FROM post GROUP BY term)""".stripMargin
+
+  private def fieldScoreSql(tf: String, dl: String, avgdl: String): String =
+    s"CASE WHEN $tf > 0 THEN $tf * (1.2 + 1.0) / ($tf + 1.2 * ((1.0 - 0.75) + 0.75 * $dl / $avgdl)) ELSE 0.0 END"
+
+  /** BM25 scores CTE for a positive-term list (mirrors
+    * SearchEngine.bm25Scores: idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
+    */
+  def scoresCte(terms: Seq[String]): String = {
+    val termList = terms.distinct.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""qterms AS (SELECT unnest($termList) AS term),
+       |scores AS (
+       |  SELECT p."type", p."key",
+       |         sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |              (${fieldScoreSql("p.tf_title", "l.dl_title", "s.avgdl_title")}
+       |               + ${fieldScoreSql("p.tf_s1", "l.dl_s1", "s.avgdl_s1")}) ) AS score
+       |  FROM post p
+       |  JOIN qterms q ON p.term = q.term
+       |  JOIN df d ON p.term = d.term
+       |  JOIN lens l ON p."type" = l."type" AND p."key" = l."key"
+       |  CROSS JOIN stats s
+       |  GROUP BY p."type", p."key"
+       |)""".stripMargin
+  }
+
+  /** Full relevance-search oracle: match + BM25 + top-k
+    * (reference SEARCH_SQL __init__.py:26-43; LIMIT 100).
+    */
+  def searchSql(node: Node, extraWhere: Option[String] = None,
+      limit: Int = 100): String = {
+    val terms = positiveTerms(node).distinct
+    val where = extraWhere.map(w => s"WHERE $w").getOrElse("")
+    s"""WITH search_index AS (
+       |${Corpus.oracleIndexBody}
+       |),
+       |$textCtes,
+       |${scoresCte(terms)},
+       |matched AS (
+       |  SELECT "type", "key" FROM doc_tokens WHERE ${matchSql(node)}
+       |)
+       |SELECT si."type", si."key", si.title, si."timestamp", si.category, si.is_public,
+       |       round(coalesce(sc.score, 0.0), 4) AS score
+       |FROM matched m
+       |JOIN search_index si ON m."type" = si."type" AND m."key" = si."key"
+       |LEFT JOIN scores sc ON m."type" = sc."type" AND m."key" = sc."key"
+       |$where
+       |ORDER BY score DESC, si."timestamp" DESC, si."type", si."key"
+       |LIMIT $limit""".stripMargin
+  }
+
+  /** Match-set-only oracle (no scores — exact, no float rounding). */
+  def matchSetSql(node: Node): String =
+    s"""WITH search_index AS (
+       |${Corpus.oracleIndexBody}
+       |),
+       |doc_tokens AS (
+       |  SELECT "type", "key",
+       |         ${tokensSql("title")} AS tokens_title,
+       |         ${tokensSql("search_1")} AS tokens_s1
+       |  FROM search_index
+       |)
+       |SELECT "type", "key" FROM doc_tokens
+       |WHERE ${matchSql(node)}
+       |ORDER BY "type", "key"""".stripMargin
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.query.SearchEngine
+import graft.query.SearchEngine.Request
+import graft.text.{FtsQuery, Tokenize, Tokenizer, PorterStemmer}
+import org.apache.spark.sql.functions._
+
+/** The FTS/BM25 search surface as declared queries (SURVEY §2.2 P4-P6,
+  * §2.3 J1, §2.5 O1, §2.6 F4-F6). Oracle-checked variants run the
+  * none-tokenizer pipeline (DuckDB-expressible); Porter variants are
+  * rows-only + covered by ScalaTest golden cases.
+  */
+object SearchQueries {
+
+  private def run(q: String, sort: Option[String] = None,
+      mode: Tokenize.Value = Tokenize.None_) =
+    (spark: org.apache.spark.sql.SparkSession, sfDir: String) => {
+      val index = Corpus.searchIndex(spark, sfDir)
+      val arts = Corpus.textArtifacts(spark, sfDir, mode)
+      SearchEngine.search(spark, index, Request(q = Some(q), sort = sort,
+        tokenize = mode), Some(arts))
+    }
+
+  private def matchSet(q: String) =
+    (spark: org.apache.spark.sql.SparkSession, sfDir: String) => {
+      val arts = Corpus.textArtifacts(spark, sfDir, Tokenize.None_)
+      val node = FtsQuery.parseOrEscape(q, Tokenize.None_).get
+      arts.docTokens.filter(SearchEngine.matchCondition(node))
+        .select("type", "key").orderBy("type", "key")
+    }
+
+  private def node(q: String) = FtsQuery.parseOrEscape(q, Tokenize.None_).get
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // O1 + J1 + F6: relevance search — FTS match, BM25 rank, top-100
+    // (reference SEARCH_SQL __init__.py:26-43).
+    QueryDef("o1_search_topk",
+      run("urgent building"),
+      Some(OracleGen.searchSql(node("urgent building")))),
+
+    // O3 with q: explicit sort override beats relevance
+    // (reference __init__.py:45-48,121; tests/test_plugin.py:155-230).
+    QueryDef("o1_search_sort_newest",
+      run("urgent", sort = Some("newest")),
+      Some {
+        val n = node("urgent")
+        s"""WITH search_index AS (
+           |${Corpus.oracleIndexBody}
+           |),
+           |${OracleGen.textCtes},
+           |${OracleGen.scoresCte(FtsQuery.positiveTerms(n).distinct)},
+           |matched AS (SELECT "type", "key" FROM doc_tokens WHERE ${OracleGen.matchSql(n)})
+           |SELECT si."type", si."key", si.title, si."timestamp", si.category, si.is_public,
+           |       round(coalesce(sc.score, 0.0), 4) AS score
+           |FROM matched m
+           |JOIN search_index si ON m."type" = si."type" AND m."key" = si."key"
+           |LEFT JOIN scores sc ON m."type" = sc."type" AND m."key" = sc."key"
+           |ORDER BY si."timestamp" DESC, si."type", si."key"
+           |LIMIT 100""".stripMargin
+      }),
+
+    // P4: boolean NOT (reference test `things NOT email`,
+    // tests/test_plugin.py:119-141).
+    QueryDef("p4_fts_not",
+      matchSet("urgent NOT automobile"),
+      Some(OracleGen.matchSetSql(node("urgent NOT automobile")))),
+
+    // P4: OR disjunction.
+    QueryDef("p4_fts_or",
+      matchSet("signup OR purchase"),
+      Some(OracleGen.matchSetSql(node("signup OR purchase")))),
+
+    // P4: quoted phrase — contiguous token sequence.
+    QueryDef("p4_fts_phrase",
+      matchSet("\"slow fast\""),
+      Some(OracleGen.matchSetSql(node("\"slow fast\"")))),
+
+    // P4: prefix match `urg*`.
+    QueryDef("p4_fts_prefix",
+      matchSet("urg*"),
+      Some(OracleGen.matchSetSql(node("urg*")))),
+
+    // P5: escape fallback — `1-urgent` is FTS-invalid, every token is
+    // re-quoted as a literal phrase (reference __init__.py:141-145;
+    // `#dogfest` case tests/test_plugin.py:119-152).
+    QueryDef("p5_escape_fallback",
+      matchSet("1-urgent"),
+      Some(OracleGen.matchSetSql(node("1-urgent")))),
+
+    // P6: blank/whitespace query normalizes to timeline mode
+    // (reference __init__.py:64; tests/test_plugin.py:122-124).
+    QueryDef("p6_blank_query",
+      (spark, sfDir) => {
+        val index = Corpus.searchIndex(spark, sfDir)
+        SearchEngine.search(spark, index, Request(q = Some("   ")))
+          .select("type", "key", "title", "timestamp")
+      },
+      Some(Corpus.oracleWithIndex(
+        """SELECT "type", "key", title, "timestamp"
+          |FROM search_index
+          |ORDER BY "timestamp" DESC, "type", "key" LIMIT 40""".stripMargin))),
+
+    // F4: Porter stemming (rows-only: not expressible in DuckDB;
+    // golden cases in PorterStemmerSpec).
+    QueryDef("f4_porter_stem",
+      (spark, sfDir) => {
+        import spark.implicits._
+        val arts = Corpus.textArtifacts(spark, sfDir, Tokenize.None_)
+        val stemUdf = udf((t: String) => PorterStemmer.stem(t))
+        arts.docTokens
+          .select(explode(col("tokens_s1")).as("token"))
+          .distinct()
+          .withColumn("stem", stemUdf(col("token")))
+          .orderBy("token")
+      },
+      None),
+
+    // O1 under the Porter pipeline (rows-only): `orders` stems to
+    // `order`, matching every order title — the porter-on semantics the
+    // reference defaults to (tests/test_cli.py:104-122).
+    QueryDef("o1_search_porter",
+      run("orders", mode = Tokenize.Porter),
+      None)
+  )
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The arbitrary-user-SQL analytical surface (SURVEY §2.1 S3, §2.3 J2):
+  * the reference promises to execute any extraction SELECT the user
+  * writes (reference README.md:30-48); on Spark that surface is Spark
+  * SQL itself. These queries prove it at TPC-H shape and anchor the
+  * benchmark.
+  *
+  * Float-parity rule: every money aggregate casts to DECIMAL(18,2)
+  * BEFORE summing (exact, order-independent) and to DOUBLE after — the
+  * same bits on both engines regardless of partial-aggregation order
+  * (doubles summed in different orders are NOT reproducible; decimals
+  * are).
+  */
+object TpchQueries {
+
+  private def sql(q: String) =
+    (spark: org.apache.spark.sql.SparkSession, sfDir: String) => {
+      Corpus.registerSources(spark, sfDir)
+      spark.sql(q)
+    }
+
+  // Pricing summary (TPC-H Q1 shape): wide scan, 4-group aggregation —
+  // tests map-side partial aggregation; only l_returnflag/l_linestatus/
+  // measure columns are read (column pruning to the parquet scan).
+  private val q1Spark =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // Shipping-priority top-k (TPC-H Q3 shape): 3-way join + group +
+  // TakeOrderedAndProject; the `orders`/`customer` sides are hash-joined
+  // on the shuffle-free broadcast path when small enough (AQE decides).
+  private val q3Spark =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1999-06-30'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1997-06-30'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  private val q3Duck = q3Spark.replace(
+    "date_format(o_orderdate, 'yyyy-MM-dd')",
+    "strftime(o_orderdate, '%Y-%m-%d')")
+
+  // Local-supplier revenue (TPC-H Q5 shape): 6-way join through two
+  // dimension chains; region/nation/supplier are broadcast dims.
+  private val q5Spark =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // Parts/brand rollup with CASE + string predicates (F2/F3 surface at
+  // analytical scale).
+  private val q16Spark =
+    """SELECT p_brand, p_type,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt,
+      |  count(*) AS n_items
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_size >= 20
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", sql(q1Spark), Some(q1Spark)),
+    QueryDef("q3_topk_revenue", sql(q3Spark), Some(q3Duck)),
+    QueryDef("q5_nation_revenue", sql(q5Spark), Some(q5Spark)),
+    QueryDef("q16_parts_rollup", sql(q16Spark), Some(q16Spark))
+  )
+}

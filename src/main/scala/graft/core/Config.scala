@@ -1,0 +1,290 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Indexing configuration: which SQL to run against which source to
+  * produce documents of which type.
+  *
+  * Mirrors the reference's YAML/JSON rules file
+  * `{db_name: {doc_type: {sql, display, display_sql}}}`
+  * (reference dogsheep_beta/utils.py:104-112, README.md:30-48).
+  * JSON is tried first, YAML as fallback, and an unparseable document
+  * raises [[BadMetadataError]] — same contract as `parse_metadata`.
+  */
+final case class IndexRule(
+    db: String,
+    docType: String,
+    sql: String,
+    displaySql: Option[String] = None,
+    display: Option[String] = None
+) {
+  /** `"{db}/{type}"` tag, reference utils.py:47. */
+  def typeTag: String = s"$db/$docType"
+}
+
+class BadMetadataError(msg: String) extends RuntimeException(msg)
+
+object Config {
+
+  /** Parse a config document (JSON first, YAML-subset fallback —
+    * reference utils.py:104-112). Returns rules in document order.
+    */
+  def parseMetadata(content: String): Seq[IndexRule] = {
+    val tree: Map[String, Any] =
+      try parseJsonObject(content)
+      catch {
+        case _: Exception =>
+          try MiniYaml.parse(content)
+          catch {
+            case e: Exception =>
+              throw new BadMetadataError(
+                s"Metadata is neither valid JSON nor valid YAML: ${e.getMessage}")
+          }
+      }
+    toRules(tree)
+  }
+
+  private def toRules(tree: Map[String, Any]): Seq[IndexRule] =
+    tree.toSeq.flatMap {
+      case (db, types: Map[_, _]) =>
+        types.asInstanceOf[Map[String, Any]].toSeq.map {
+          case (typ, spec: Map[_, _]) =>
+            val m = spec.asInstanceOf[Map[String, Any]]
+            IndexRule(
+              db = db,
+              docType = typ,
+              sql = m.getOrElse("sql",
+                throw new BadMetadataError(s"$db/$typ missing sql")).toString,
+              displaySql = m.get("display_sql").map(_.toString),
+              display = m.get("display").map(_.toString)
+            )
+          case (typ, other) =>
+            throw new BadMetadataError(s"$db/$typ: expected mapping, got $other")
+        }
+      case (db, other) =>
+        throw new BadMetadataError(s"$db: expected mapping, got $other")
+    }
+
+  // ---- JSON (minimal, no deps; objects/strings only is all the config
+  // shape needs, but we support the full scalar set) -------------------
+
+  def parseJsonObject(s: String): Map[String, Any] = {
+    val p = new JsonParser(s)
+    val v = p.parseValue()
+    p.skipWs()
+    if (!p.atEnd) throw new BadMetadataError("trailing JSON content")
+    v match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _            => throw new BadMetadataError("top-level JSON must be an object")
+    }
+  }
+
+  private final class JsonParser(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def fail(msg: String) =
+      throw new BadMetadataError(s"JSON parse error at $i: $msg")
+    def parseValue(): Any = {
+      skipWs()
+      if (atEnd) fail("unexpected end")
+      s.charAt(i) match {
+        case '{' => parseObject()
+        case '[' => parseArray()
+        case '"' => parseString()
+        case 't' => expect("true"); true
+        case 'f' => expect("false"); false
+        case 'n' => expect("null"); null
+        case _   => parseNumber()
+      }
+    }
+    private def expect(lit: String): Unit = {
+      if (!s.startsWith(lit, i)) fail(s"expected $lit")
+      i += lit.length
+    }
+    private def parseObject(): Map[String, Any] = {
+      i += 1; skipWs()
+      val m = mutable.LinkedHashMap.empty[String, Any]
+      if (!atEnd && s.charAt(i) == '}') { i += 1; return m.toMap }
+      while (true) {
+        skipWs()
+        val k = parseString()
+        skipWs()
+        if (atEnd || s.charAt(i) != ':') fail("expected :")
+        i += 1
+        m(k) = parseValue()
+        skipWs()
+        if (atEnd) fail("unterminated object")
+        s.charAt(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; return m.toMap
+          case c   => fail(s"unexpected '$c'")
+        }
+      }
+      m.toMap
+    }
+    private def parseArray(): Seq[Any] = {
+      i += 1; skipWs()
+      val b = mutable.ArrayBuffer.empty[Any]
+      if (!atEnd && s.charAt(i) == ']') { i += 1; return b.toSeq }
+      while (true) {
+        b += parseValue()
+        skipWs()
+        if (atEnd) fail("unterminated array")
+        s.charAt(i) match {
+          case ',' => i += 1
+          case ']' => i += 1; return b.toSeq
+          case c   => fail(s"unexpected '$c'")
+        }
+      }
+      b.toSeq
+    }
+    private def parseString(): String = {
+      if (s.charAt(i) != '"') fail("expected string")
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          i += 1
+          if (atEnd) fail("bad escape")
+          s.charAt(i) match {
+            case '"'  => sb += '"'
+            case '\\' => sb += '\\'
+            case '/'  => sb += '/'
+            case 'b'  => sb += '\b'
+            case 'f'  => sb += '\f'
+            case 'n'  => sb += '\n'
+            case 'r'  => sb += '\r'
+            case 't'  => sb += '\t'
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case e => fail(s"bad escape \\$e")
+          }
+        } else sb += c
+        i += 1
+      }
+      if (atEnd) fail("unterminated string")
+      i += 1
+      sb.toString
+    }
+    private def parseNumber(): Any = {
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      val t = s.substring(start, i)
+      if (t.isEmpty) fail("expected value")
+      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble else t.toLong
+    }
+  }
+}
+
+/** Minimal YAML-subset parser: indentation-nested mappings, scalar
+  * values, `|`/`|-` literal block scalars, `#` comments, single/double
+  * quoted strings. Covers the config shapes the reference documents
+  * (README.md:30-48) without an external YAML dependency (zero-egress
+  * build).
+  */
+object MiniYaml {
+
+  def parse(content: String): Map[String, Any] = {
+    val all = content.linesIterator.toVector
+    val (m, next) = parseMap(all, 0, 0)
+    if (m.isEmpty) throw new BadMetadataError("not a YAML mapping")
+    if (next < all.length && !all.drop(next).forall(isBlank))
+      throw new BadMetadataError(s"unparsed YAML content at line ${next + 1}")
+    m
+  }
+
+  private def indentOf(l: String): Int = l.takeWhile(_ == ' ').length
+
+  private def isBlank(l: String): Boolean = {
+    val t = l.trim
+    t.isEmpty || t.startsWith("#")
+  }
+
+  /** Parse a mapping at indentation `ind` starting at line `from`;
+    * returns (map, nextLineIndex).
+    */
+  private def parseMap(lines: Vector[String], from: Int, ind: Int): (Map[String, Any], Int) = {
+    val m = mutable.LinkedHashMap.empty[String, Any]
+    var i = from
+    while (i < lines.length) {
+      val line = lines(i)
+      if (isBlank(line)) i += 1
+      else {
+        val li = indentOf(line)
+        if (li < ind) return (m.toMap, i)
+        if (li > ind)
+          throw new BadMetadataError(s"unexpected indent at line ${i + 1}")
+        val t = line.trim
+        val ci = findColon(t)
+        if (ci < 0) throw new BadMetadataError(s"expected 'key:' at line ${i + 1}")
+        val key = unquote(t.substring(0, ci).trim)
+        val rest = t.substring(ci + 1).trim
+        if (rest.isEmpty) {
+          // nested mapping (or empty value)
+          var j = i + 1
+          while (j < lines.length && isBlank(lines(j))) j += 1
+          if (j < lines.length && indentOf(lines(j)) > ind) {
+            val (sub, next) = parseMap(lines, j, indentOf(lines(j)))
+            m(key) = sub
+            i = next
+          } else { m(key) = null; i += 1 }
+        } else if (rest == "|" || rest == "|-" || rest == "|+") {
+          val (block, next) = parseBlock(lines, i + 1, ind, rest != "|-")
+          m(key) = block
+          i = next
+        } else {
+          m(key) = unquote(rest)
+          i += 1
+        }
+      }
+    }
+    (m.toMap, i)
+  }
+
+  /** colon that terminates the key: first `: ` or line-final `:`,
+    * respecting quotes. */
+  private def findColon(t: String): Int = {
+    var i = 0
+    var inS = false; var inD = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      else if (c == ':' && !inS && !inD &&
+        (i == t.length - 1 || t.charAt(i + 1) == ' ')) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def parseBlock(lines: Vector[String], from: Int, parentInd: Int,
+      keepFinalNewline: Boolean): (String, Int) = {
+    var i = from
+    // determine block indent from first non-blank line
+    var j = i
+    while (j < lines.length && lines(j).trim.isEmpty) j += 1
+    if (j >= lines.length || indentOf(lines(j)) <= parentInd)
+      return ("", i)
+    val bi = indentOf(lines(j))
+    val sb = mutable.ArrayBuffer.empty[String]
+    while (i < lines.length &&
+        (lines(i).trim.isEmpty || indentOf(lines(i)) >= bi)) {
+      val l = lines(i)
+      sb += (if (l.length >= bi) l.substring(bi) else "")
+      i += 1
+    }
+    // drop trailing blank lines; literal style keeps inner newlines
+    while (sb.nonEmpty && sb.last.trim.isEmpty) sb.remove(sb.length - 1)
+    val text = sb.mkString("\n") + (if (keepFinalNewline) "\n" else "")
+    (text, i)
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && ((s.head == '"' && s.last == '"') ||
+        (s.head == '\'' && s.last == '\'')))
+      s.substring(1, s.length - 1)
+    else s
+}

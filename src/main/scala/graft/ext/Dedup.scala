@@ -1,0 +1,172 @@
+package graft.ext
+
+import graft.text.Tokenizer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation — the
+  * training-data-pipeline extension surface (BASELINE.json north_star;
+  * SURVEY §7.5). All operators are pure DataFrame algebra: one shuffle
+  * per groupBy/join, no driver-side loops, no UDF in the candidate-pair
+  * hot path.
+  *
+  * Scale shapes:
+  *  - exact: hash-groupBy on a digest → shuffle is (digest, doc_id)
+  *    pairs only, never the text.
+  *  - MinHash+LSH: shingle → signature (k mins) → band buckets →
+  *    candidate pairs within buckets → exact-Jaccard verify. Candidate
+  *    generation is the only quadratic step and is bounded per bucket;
+  *    at 100 TB you additionally salt oversized buckets (a bucket with
+  *    B docs yields B² pairs — cap B and spill the long tail to a
+  *    second pass).
+  *  - SimHash: 64-bit sketch, hamming-ball lookup via band equality.
+  *  - n-gram Jaccard: blocking on shared shingles, exact verify.
+  */
+object Dedup {
+
+  /** Portable 60-bit hash: int value of the first 15 hex chars of the
+    * md5 — identical in Spark (`conv(substr(md5(x),1,15),16,10)`) and
+    * DuckDB (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), so sketch
+    * queries stay oracle-checkable. xxhash64 would be faster but is
+    * engine-specific; swap in production.
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  val MersennePrime: Long = 2147483647L // 2^31-1: a*h+b stays < 2^62
+
+  /** Deterministic affine MinHash parameters (a_i, b_i), i < k. */
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = 1L + (math.abs(2654435761L * (i + 1)) % (MersennePrime - 1))
+      val b = math.abs(40503L * (i + 7) * 2654435761L) % MersennePrime
+      (a, b)
+    }
+
+  /** Exact duplicate groups by content digest. Output one row per
+    * distinct content: digest, group size, kept (min) id, max id.
+    */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("keep_id"),
+        max(col(idCol)).as("max_id"))
+
+  /** Distinct token shingles (n-grams of tokens, space-joined). */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val toks = Tokenizer.tokensCol(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array())
+    docs.select(col(idCol).as("doc_id"), explode(grams).as("shingle")).distinct()
+  }
+
+  /** MinHash signatures: k affine permutations over portable shingle
+    * hashes; one groupBy(doc) computes all k mins in a single pass.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val h = pmod(portableHash(col("shingle")), lit(MersennePrime)).as("h")
+    val withH = sh.select(col("doc_id"), h)
+    val mins = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(MersennePrime))).as(s"mh_$i")
+    }
+    withH.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: signatures split into `bands` bands of
+    * `k/bands` rows; docs sharing any full band become a candidate pair.
+    */
+  def lshCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val bandDfs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("_", cols: _*).as("band_key"))
+    }
+    val banded = bandDfs.reduce(_ unionByName _)
+    val a = banded.as("a")
+    val b2 = banded.as("b")
+    a.join(b2,
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs by n-gram Jaccard with shared-shingle blocking
+    * (no LSH; exact — the brute-force baseline). Blocking keeps it off
+    * the full cross product: only pairs sharing ≥1 shingle are scored.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash+LSH near-dup pipeline: candidates from band collisions,
+    * then exact-Jaccard verification of candidates only.
+    */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, shingleN)
+    val cands = lshCandidates(minhashSignatures(sh, k), k, bands)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = cands
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+  }
+
+  /** 60-bit SimHash from portable token hashes: per-bit majority vote of
+    * token-hash bits, computed as 60 conditional sums in one groupBy
+    * pass (no UDF, stays codegen'd).
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String,
+      bits: Int = 60): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(Tokenizer.tokensCol(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
+      .withColumn("h", portableHash(col("token")))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"b_$j")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { j =>
+      when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Keep-one winner per duplicate group (smallest id), as a filterable
+    * flag — the REPLACE-style dedup used by the indexer generalized to
+    * content identity.
+    */
+  def dedupKeepFirst(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .withColumn("is_duplicate", col("__rn") > 1)
+      .drop("__rn")
+  }
+}

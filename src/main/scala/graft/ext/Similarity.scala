@@ -1,0 +1,152 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`) —
+  * training-data-pipeline extension (SURVEY §7.5).
+  *
+  * Baseline: brute-force cosine top-k — a single codegen'd scan
+  * (`zip_with` + `aggregate` over the array; no UDF, no explode) with a
+  * TakeOrderedAndProject top-k; at 100 TB this is one pass over the
+  * vectors with the query broadcast, which is exactly what a
+  * brute-force ANN "flat index" does, sharded.
+  *
+  * Scale path: IVF (inverted-file) — k centroids partition the vectors
+  * into cells ("coarse quantizer"); a query probes only the nprobe
+  * nearest cells. Cell assignment is a one-off batch join; the search
+  * reads ~nprobe/k of the data. Centroid choice here is deterministic
+  * sampling (every m-th vector) so results are reproducible and
+  * oracle-checkable; swap in k-means|| for production without changing
+  * the query path.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * precision with built-ins only (codegen-friendly, oracle-parity with
+    * DuckDB's unnest formulation).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val da = d(a); val db = d(b)
+    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
+  }
+
+  /** The query vector for a given id (collected to the driver: one row). */
+  def vectorOf(vectors: DataFrame, idCol: String, id: Long): Seq[Float] =
+    vectors.filter(col(idCol) === id).select("embedding")
+      .collect()(0).getSeq[Float](0)
+
+  /** Brute-force cosine top-k against a literal query vector. */
+  def bruteForceTopK(vectors: DataFrame, query: Seq[Float], k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    vectors
+      .withColumn("cos_sim", round(cosine(col("embedding"), q), 6))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF cell assignment: every vector joined to its nearest centroid.
+    * Centroids = every `sampleEvery`-th vector (deterministic coarse
+    * quantizer). Returns (vec_id, cell_id, embedding).
+    */
+  def ivfAssign(vectors: DataFrame, sampleEvery: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val centroids = vectors.filter(col(idCol) % sampleEvery === 0)
+      .select(col(idCol).as("cell_id"), col("embedding").as("centroid"))
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("sim", round(cosine(col("embedding"), col("centroid")), 6))
+    // argmax sim per vector; deterministic tie-break on cell_id
+    val best = scored
+      .groupBy(col(idCol))
+      .agg(max_by(col("cell_id"), struct(col("sim"), -col("cell_id"))).as("cell_id"))
+    vectors.join(best, idCol)
+  }
+
+  /** IVF search: probe the `nprobe` cells nearest to the query, exact
+    * cosine within candidates only.
+    */
+  def ivfSearch(vectors: DataFrame, query: Seq[Float], sampleEvery: Int,
+      nprobe: Int, k: Int, idCol: String = "vec_id"): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val assigned = ivfAssign(vectors, sampleEvery, idCol)
+    val centroids = vectors.filter(col(idCol) % sampleEvery === 0)
+      .select(col(idCol).as("cell_id"), col("embedding").as("centroid"))
+    val probeCells = centroids
+      .withColumn("sim", round(cosine(col("centroid"), q), 6))
+      .orderBy(col("sim").desc, col("cell_id"))
+      .limit(nprobe)
+      .select("cell_id")
+    assigned.join(broadcast(probeCells), "cell_id")
+      .withColumn("cos_sim", round(cosine(col("embedding"), q), 6))
+      .select(col(idCol), col("cell_id"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs within label blocks: cosine above
+    * threshold, blocked to avoid the cross product (the label column
+    * stands in for any coarse bucketing — LSH band, IVF cell, shard).
+    */
+  def cosineNearDupPairs(vectors: DataFrame, blockCol: String,
+      threshold: Double, idCol: String = "vec_id"): DataFrame = {
+    val a = vectors.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = vectors.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Random-hyperplane LSH signatures (sign bits of dot products with
+    * deterministic pseudo-random hyperplanes) — the bucketed ANN
+    * variant; same-bucket = candidate. Hyperplane components are
+    * generated on the driver from a hash of (plane, dim) so the sketch
+    * is reproducible across engines and runs.
+    */
+  def hyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      (0 until dim).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hp_${p}_$i".getBytes("UTF-8"))
+        val v = java.lang.Long.parseLong(
+          h.take(7).map(b => f"$b%02x").mkString, 16)
+        (v % 2001 - 1000) / 1000.0
+      }
+    }
+
+  def lshSignature(vectors: DataFrame, planes: Seq[Seq[Double]]): DataFrame = {
+    val emb = transform(col("embedding"), x => x.cast("double"))
+    val bits = planes.zipWithIndex.map { case (hp, j) =>
+      val hpCol = array(hp.map(lit): _*)
+      val dot = aggregate(zip_with(emb, hpCol, (a, b) => a * b), lit(0.0), (s, v) => s + v)
+      when(dot > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    vectors.withColumn("lsh_bucket", bits)
+  }
+
+  /** ANN via hyperplane-LSH: exact cosine within the query's bucket. */
+  def lshAnnTopK(vectors: DataFrame, query: Seq[Float], planes: Int, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val dim = query.size
+    val hps = hyperplanes(planes, dim)
+    val signed = lshSignature(vectors, hps)
+    val qBucket = hps.zipWithIndex.map { case (hp, j) =>
+      val dot = hp.zip(query).map { case (h, v) => h * v.toDouble }.sum
+      if (dot > 0) 1L << j else 0L
+    }.sum
+    signed.filter(col("lsh_bucket") === qBucket)
+      .withColumn("cos_sim", round(cosine(col("embedding"),
+        array(query.map(lit): _*)), 6))
+      .select(col(idCol), col("lsh_bucket"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

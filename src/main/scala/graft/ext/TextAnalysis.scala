@@ -1,0 +1,103 @@
+package graft.ext
+
+import graft.text.Tokenizer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation (SURVEY §7.5): language
+  * ID, quality scoring, token counting, document fingerprinting. All
+  * pure column algebra — single narrow scan per operator, codegen'd, no
+  * UDFs — so they compose into one pass when selected together.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword signatures for the n-gram-free heuristic
+    * language detector: predicted language = argmax of signature-token
+    * hits (ties break alphabetically). Real pipelines plug in fastText;
+    * the operator shape (token join + argmax) is what scales.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "you")
+  )
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Language prediction per document. Output keeps the per-language hit
+    * counts so downstream filters can threshold on confidence.
+    */
+  def languageId(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = Tokenizer.tokensCol(col(textCol))
+    val langs = stopwords.keys.toSeq.sorted
+    val withHits = langs.foldLeft(docs.withColumn("__toks", toks)) { (df, l) =>
+      df.withColumn(s"hits_$l", hitCount(col("__toks"), stopwords(l)))
+    }
+    // argmax with alphabetical tie-break: fold over (hits, lang) pairs
+    val best = langs.map(l => struct(col(s"hits_$l").as("h"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("h") > a.getField("h"), b).otherwise(a))
+    withHits
+      .withColumn("predicted_lang",
+        when(greatest(langs.map(l => col(s"hits_$l")): _*) === 0, lit("und"))
+          .otherwise(best.getField("l")))
+      .drop("__toks")
+  }
+
+  /** Quality metrics + composite score: length, alpha ratio, stopword
+    * ratio, mean token length, repetition (distinct/total tokens).
+    * Score weights are arbitrary but fixed; the operator contract is the
+    * metric set, all computed in one scan.
+    */
+  def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = Tokenizer.tokensCol(t)
+    val nChars = length(t).cast("double")
+    val nToks = size(toks).cast("double")
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    val nStop = size(filter(toks,
+      x => x.isin(stopwords("en").map(lit): _*))).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val tokCharSum = aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double")
+    // Parity note: every metric is a single IEEE division/multiply-add of
+    // per-row integers — deterministic and bit-identical across engines,
+    // so NO rounding (round() would introduce decimal half-boundary
+    // disagreements, e.g. ratios with denominator 2^k·5^m).
+    docs
+      .withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nToks)
+      .withColumn("alpha_ratio", nAlpha / greatest(nChars, lit(1.0)))
+      .withColumn("stopword_ratio", nStop / greatest(nToks, lit(1.0)))
+      .withColumn("mean_token_len", tokCharSum / greatest(nToks, lit(1.0)))
+      .withColumn("distinct_ratio", nDistinct / greatest(nToks, lit(1.0)))
+      .withColumn("quality_score",
+        least(nToks / 100.0, lit(1.0)) * 0.25
+          + col("alpha_ratio") * 0.25
+          + least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.25
+          + col("distinct_ratio") * 0.25)
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs | digit runs | single punctuation).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_ws_tokens",
+        size(filter(split(t, "\\s+"), x => x =!= "")))
+      .withColumn("n_re_tokens",
+        size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+      .withColumn("n_chars_col", length(t))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * word-order-insensitive (catches shuffled near-copies that exact
+    * hashing misses, cheaper than Jaccard).
+    */
+  def fingerprint(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("fingerprint",
+      md5(concat_ws(" ",
+        array_sort(array_distinct(Tokenizer.tokensCol(col(textCol))))).cast("binary")))
+}

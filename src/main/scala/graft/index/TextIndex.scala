@@ -1,0 +1,72 @@
+package graft.index
+
+import graft.text.{Tokenize, Tokenizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text index artifacts, rebuilt from the document table as a batch
+  * job — exactly the reference's contract, where the FTS index is a
+  * rebuild artifact of `search_index` (`rebuild` + `optimize` after
+  * every indexing run; reference dogsheep_beta/utils.py:57-65).
+  * Indexed fields: `title` and `search_1` ONLY (utils.py:90; `search_2`
+  * / `search_3` are declared but never indexed — SURVEY §1.2).
+  *
+  * Three artifacts (all derivable in one pass over the doc table):
+  *
+  *  - '''docTokens''' (type, key, timestamp, tokens_title, tokens_s1,
+  *    dl_title, dl_s1): per-document token arrays — serves phrase
+  *    verification and doc lengths.
+  *  - '''postings''' (term, type, key, tf_title, tf_s1): the inverted
+  *    index. At 100 TB this is written bucketed/partitioned BY TERM so a
+  *    query's handful of terms prunes to a few buckets instead of
+  *    scanning the corpus; the tiny query-term list is broadcast.
+  *  - '''stats''' (n_docs, avgdl_title, avgdl_s1): corpus-level BM25
+  *    constants (a 1-row DataFrame; df per term lives on postings via a
+  *    window-free groupBy).
+  */
+object TextIndex {
+
+  /** Tokenized view of the doc table. One narrow projection + two
+    * codegen'd token splits; the Porter variant adds a UDF map.
+    */
+  def docTokens(index: DataFrame, mode: Tokenize.Value): DataFrame =
+    index.select(
+      col("type"), col("key"), col("timestamp"),
+      Tokenizer.tokens(col("title"), mode).as("tokens_title"),
+      Tokenizer.tokens(col("search_1"), mode).as("tokens_s1"))
+      .withColumn("dl_title", size(col("tokens_title")))
+      .withColumn("dl_s1", size(col("tokens_s1")))
+
+  /** Inverted postings with per-field term frequencies. Shuffle:
+    * one exchange on (term, type, key) for the groupBy — map-side
+    * partial aggregation keeps the explode from inflating the shuffle.
+    */
+  def postings(docTokens: DataFrame): DataFrame = {
+    val title = docTokens
+      .select(col("type"), col("key"), explode(col("tokens_title")).as("term"))
+      .groupBy("term", "type", "key")
+      .agg(count(lit(1)).cast("double").as("tf_title"))
+      .withColumn("tf_s1", lit(0.0))
+    val s1 = docTokens
+      .select(col("type"), col("key"), explode(col("tokens_s1")).as("term"))
+      .groupBy("term", "type", "key")
+      .agg(count(lit(1)).cast("double").as("tf_s1"))
+      .withColumn("tf_title", lit(0.0))
+    title.unionByName(s1)
+      .groupBy("term", "type", "key")
+      .agg(sum("tf_title").as("tf_title"), sum("tf_s1").as("tf_s1"))
+  }
+
+  /** Per-term document frequency (docs containing the term in either
+    * indexed field).
+    */
+  def docFreq(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** 1-row corpus stats for BM25. */
+  def stats(docTokens: DataFrame): DataFrame =
+    docTokens.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl_title")).as("avgdl_title"),
+      avg(col("dl_s1")).as("avgdl_s1"))
+}

@@ -1,0 +1,172 @@
+package graft.query
+
+import graft.index.TextIndex
+import graft.text.FtsQuery._
+import graft.text.{FtsQuery, Tokenize}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The query engine: boolean FTS match + BM25 ranking + filters +
+  * sort/top-k — the Spark re-expression of the reference's two SQL
+  * templates + FTS5 MATCH (reference dogsheep_beta/__init__.py:8-43).
+  *
+  * Execution shape (scale-first):
+  *  1. Boolean match is evaluated over per-document token arrays with
+  *     codegen'd `array_contains` / phrase-substring predicates — a
+  *     single narrow scan, no joins, no shuffle. (The postings table is
+  *     the 100 TB path for selective terms: broadcast the query's terms,
+  *     prune postings partitions by term, semi-join — [[matchedViaPostings]].)
+  *  2. BM25 scores come from the postings ⋈ (tiny, broadcast) query-term
+  *     list, aggregated per doc — one shuffle on (type, key).
+  *  3. Filters (`type`/`category`/`is_public`/date) are plain pushed-down
+  *     predicates on both legs.
+  *  4. Top-k = `ORDER BY ... LIMIT k` → Spark's TakeOrderedAndProject
+  *     (no full sort; per-partition heaps + driver merge).
+  *
+  * BM25: k1 = 1.2, b = 0.75 (SQLite FTS5's constants), field weights
+  * 1.0 (reference default). idf = ln(1 + (N - df + 0.5)/(df + 0.5)) —
+  * always-positive Lucene form rather than FTS5's negated convention;
+  * rank ORDER is what the reference exposes, not rank values
+  * (SURVEY §7.4), and ties break by (timestamp DESC, type, key).
+  */
+object SearchEngine {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  final case class Request(
+      q: Option[String] = None,
+      typeFilter: Option[String] = None,
+      category: Option[String] = None,  // string-typed, as from a query string
+      isPublic: Option[String] = None,
+      timestampDate: Option[String] = None,
+      sort: Option[String] = None,      // newest | oldest | None = default
+      tokenize: Tokenize.Value = Tokenize.Porter
+  )
+
+  /** Boolean match predicate over docTokens' token arrays. */
+  def matchCondition(n: Node): Column = n match {
+    case Term(t)    => array_contains(col("tokens_title"), t) ||
+                       array_contains(col("tokens_s1"), t)
+    case Prefix(p)  => exists(col("tokens_title"), t => t.startsWith(p)) ||
+                       exists(col("tokens_s1"), t => t.startsWith(p))
+    case Phrase(ts) =>
+      val needle = lit(" " + ts.mkString(" ") + " ")
+      def inField(f: String) = instr(
+        concat(lit(" "), concat_ws(" ", col(f)), lit(" ")), needle) > 0
+      inField("tokens_title") || inField("tokens_s1")
+    case And(ns)      => ns.map(matchCondition).reduce(_ && _)
+    case Or(ns)       => ns.map(matchCondition).reduce(_ || _)
+    case Not(pos, ng) => matchCondition(pos) && !matchCondition(ng)
+  }
+
+  /** Scale path for selective conjunctive terms: semi-join docs against
+    * term-pruned postings instead of scanning every token array. Used
+    * when the match tree is a plain AND of terms.
+    */
+  def matchedViaPostings(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    val n = terms.distinct.size
+    postings
+      .filter(col("term").isin(terms.distinct: _*)) // partition/bucket prune by term
+      .groupBy("type", "key")
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === n)
+      .select("type", "key")
+  }
+
+  /** BM25 per-doc scores for the query's positive terms.
+    * postings ⋈ broadcast(terms) ⋈ broadcast(df) — one narrow shuffle.
+    */
+  def bm25Scores(spark: SparkSession, postings: DataFrame, docTokens: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val stats = TextIndex.stats(docTokens).collect()(0)
+    val nDocs = stats.getAs[Double]("n_docs")
+    val avgTitle = stats.getAs[Double]("avgdl_title")
+    val avgS1 = stats.getAs[Double]("avgdl_s1")
+
+    val termDf = terms.distinct.toDF("term")
+    val matched = postings.join(broadcast(termDf), "term")
+    val df = TextIndex.docFreq(postings).join(broadcast(termDf), "term")
+
+    def fieldScore(tf: Column, dl: Column, avgdl: Double): Column =
+      when(tf > 0,
+        tf * (lit(K1) + 1.0) / (tf + lit(K1) * (lit(1 - B) + lit(B) * dl / lit(avgdl))))
+        .otherwise(lit(0.0))
+
+    matched
+      .join(broadcast(df), "term")
+      .join(docTokens.select("type", "key", "dl_title", "dl_s1"), Seq("type", "key"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("score_t",
+        col("idf") * (fieldScore(col("tf_title"), col("dl_title"), avgTitle) +
+          fieldScore(col("tf_s1"), col("dl_s1"), avgS1)))
+      .groupBy("type", "key")
+      .agg(sum("score_t").as("score"))
+  }
+
+  /** Precomputed text-index artifacts (see [[graft.index.TextIndex]]);
+    * pass the memoized/persisted ones so repeated queries share one
+    * tokenization + postings build (the reference equivalent: the FTS
+    * table persists between requests).
+    */
+  final case class TextArtifacts(docTokens: DataFrame, postings: DataFrame)
+
+  /** Full pipeline. Returns the reference's projection + `score` when a
+    * query term is present (reference __init__.py:27-35).
+    */
+  def search(spark: SparkSession, index: DataFrame, req: Request,
+      artifacts: Option[TextArtifacts] = None,
+      limitSearch: Int = 100, limitTimeline: Int = 40): DataFrame = {
+
+    val filtered = Seq[Option[Column]](
+      req.typeFilter.map(col("type") === _),
+      req.category.map(v => col("category") === lit(v).cast("int")),
+      req.isPublic.map(v => col("is_public") === lit(v).cast("int")),
+      req.timestampDate.map(d => substring(col("timestamp"), 1, 10) === d)
+    ).flatten.foldLeft(index)(_ filter _)
+
+    // blank-query normalize: whitespace-only == timeline (reference
+    // __init__.py:64,115; tests/test_plugin.py:122-124)
+    val parsed = req.q.flatMap(FtsQuery.parseOrEscape(_, req.tokenize))
+
+    parsed match {
+      case None =>
+        // timeline mode (reference TIMELINE_SQL __init__.py:8-24)
+        val sorted = req.sort match {
+          case Some("oldest") => filtered.orderBy(col("timestamp").asc, col("type"), col("key"))
+          case _              => filtered.orderBy(col("timestamp").desc, col("type"), col("key"))
+        }
+        sorted
+          .select("type", "key", "title", "timestamp", "category", "is_public", "search_1")
+          .limit(limitTimeline)
+
+      case Some(node) =>
+        val arts = artifacts.getOrElse {
+          val toks = TextIndex.docTokens(index, req.tokenize)
+          TextArtifacts(toks, TextIndex.postings(toks))
+        }
+        // match over the corpus; the final inner join with `filtered`
+        // applies the WHERE leg (same as the reference: MATCH hits the
+        // whole FTS index, filters land on search_index)
+        val matched = arts.docTokens.filter(matchCondition(node)).select("type", "key")
+        val terms = FtsQuery.positiveTerms(node).distinct
+        val scored =
+          if (terms.isEmpty) matched.withColumn("score", lit(0.0))
+          else matched.join(
+            bm25Scores(spark, arts.postings, arts.docTokens, terms), Seq("type", "key"), "left")
+            .withColumn("score", coalesce(col("score"), lit(0.0)))
+        val rounded = scored.withColumn("score", round(col("score"), 4))
+        val joined = rounded.join(filtered, Seq("type", "key"))
+        val sorted = req.sort match {
+          case Some("newest") => joined.orderBy(col("timestamp").desc, col("type"), col("key"))
+          case Some("oldest") => joined.orderBy(col("timestamp").asc, col("type"), col("key"))
+          case _ => joined.orderBy(col("score").desc, col("timestamp").desc, col("type"), col("key"))
+        }
+        sorted
+          .select("type", "key", "title", "timestamp", "category", "is_public", "score")
+          .limit(limitSearch)
+    }
+  }
+}

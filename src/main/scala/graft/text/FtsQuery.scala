@@ -1,0 +1,172 @@
+package graft.text
+
+/** FTS query language: implicit AND, `NOT`, `OR`, `"quoted phrase"`,
+  * `prefix*` — the FTS5 subset the reference exercises
+  * (reference dogsheep_beta/__init__.py:131; cases proven in
+  * tests/test_plugin.py:119-152: `things NOT email`, `#dogfest`,
+  * `github-to-sqlite`).
+  *
+  * Grammar (FTS5 precedence: NOT binds tighter than AND, AND tighter
+  * than OR):
+  * {{{
+  *   query   := orExpr
+  *   orExpr  := andExpr (OR andExpr)*
+  *   andExpr := notExpr ((AND)? notExpr)*     -- juxtaposition = AND
+  *   notExpr := unit (NOT unit)*
+  *   unit    := "phrase words" | term | term*
+  * }}}
+  *
+  * A token that is not bare-alphanumeric (e.g. `#dogfest`,
+  * `github-to-sqlite`) is a syntax error, matching FTS5; the caller then
+  * applies the escape fallback (reference __init__.py:141-145 +
+  * datasette's `escape_fts`): every whitespace-token is re-parsed as a
+  * quoted phrase literal — so `#dogfest` matches docs containing token
+  * `dogfest`, and `github-to-sqlite` becomes the phrase
+  * `"github to sqlite"` (which misses unless contiguous).
+  */
+object FtsQuery {
+
+  sealed trait Node
+  final case class Term(t: String) extends Node
+  final case class Prefix(p: String) extends Node
+  final case class Phrase(ts: Seq[String]) extends Node
+  final case class And(ns: Seq[Node]) extends Node
+  final case class Or(ns: Seq[Node]) extends Node
+  /** positive AND-NOT: `a NOT b` — matches `pos` minus `neg`. */
+  final case class Not(pos: Node, neg: Node) extends Node
+
+  final class FtsParseError(msg: String) extends RuntimeException(msg)
+
+  private val bareToken = "^[A-Za-z0-9]+$".r
+  private val prefixToken = "^[A-Za-z0-9]+\\*$".r
+
+  /** Parse; throws [[FtsParseError]] on any FTS5-invalid input. */
+  def parse(q: String, mode: Tokenize.Value): Node = {
+    val toks = lex(q)
+    val p = new Parser(toks, mode)
+    val n = p.parseOr()
+    if (!p.atEnd) throw new FtsParseError(s"trailing input: ${p.peek}")
+    n
+  }
+
+  /** The reference's 2-phase contract: parse as query language, else
+    * escape every whitespace token into a literal phrase, AND them
+    * (reference __init__.py:141-145). Totality: never throws on
+    * non-empty input with at least one alphanumeric char; returns None
+    * if nothing tokenizes (blank-query normalize, __init__.py:64).
+    */
+  def parseOrEscape(q: String, mode: Tokenize.Value): Option[Node] = {
+    val trimmed = q.trim
+    if (trimmed.isEmpty) return None
+    try Some(parse(trimmed, mode))
+    catch {
+      case _: FtsParseError =>
+        val phrases = trimmed.split("\\s+").toSeq
+          .map(t => Phrase(Tokenizer.tokenize(t, mode)))
+          .filter(_.ts.nonEmpty)
+        if (phrases.isEmpty) None
+        else if (phrases.size == 1) Some(phrases.head)
+        else Some(And(phrases))
+    }
+  }
+
+  /** All positive terms (for BM25 scoring) — terms under the right side
+    * of NOT are excluded.
+    */
+  def positiveTerms(n: Node): Seq[String] = n match {
+    case Term(t)       => Seq(t)
+    case Prefix(_)     => Seq.empty // scored via matched postings, not exact terms
+    case Phrase(ts)    => ts
+    case And(ns)       => ns.flatMap(positiveTerms)
+    case Or(ns)        => ns.flatMap(positiveTerms)
+    case Not(pos, _)   => positiveTerms(pos)
+  }
+
+  // ---- lexer ---------------------------------------------------------
+
+  private sealed trait Tok
+  private case object TAnd extends Tok
+  private case object TOr extends Tok
+  private case object TNot extends Tok
+  private final case class TTerm(s: String) extends Tok
+  private final case class TPrefix(s: String) extends Tok
+  private final case class TPhrase(s: String) extends Tok
+
+  private def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"') {
+        val end = q.indexOf('"', i + 1)
+        if (end < 0) throw new FtsParseError("unterminated phrase")
+        out += TPhrase(q.substring(i + 1, end))
+        i = end + 1
+      } else {
+        var j = i
+        while (j < q.length && !q.charAt(j).isWhitespace && q.charAt(j) != '"') j += 1
+        val w = q.substring(i, j)
+        w match {
+          case "AND" => out += TAnd
+          case "OR"  => out += TOr
+          case "NOT" => out += TNot
+          case _ if bareToken.matches(w)   => out += TTerm(w)
+          case _ if prefixToken.matches(w) => out += TPrefix(w.dropRight(1))
+          case _ => throw new FtsParseError(s"invalid token: $w")
+        }
+        i = j
+      }
+    }
+    out.result()
+  }
+
+  // ---- parser --------------------------------------------------------
+
+  private final class Parser(toks: Vector[Tok], mode: Tokenize.Value) {
+    private var i = 0
+    def atEnd: Boolean = i >= toks.length
+    def peek: Tok = toks(i)
+
+    def parseOr(): Node = {
+      var parts = Vector(parseAnd())
+      while (!atEnd && peek == TOr) { i += 1; parts :+= parseAnd() }
+      if (parts.size == 1) parts.head else Or(parts)
+    }
+
+    def parseAnd(): Node = {
+      var parts = Vector(parseNot())
+      var continue = true
+      while (continue && !atEnd) peek match {
+        case TAnd => i += 1; parts :+= parseNot()
+        case TTerm(_) | TPrefix(_) | TPhrase(_) => parts :+= parseNot()
+        case _ => continue = false
+      }
+      if (parts.size == 1) parts.head else And(parts)
+    }
+
+    def parseNot(): Node = {
+      var n = parseUnit()
+      while (!atEnd && peek == TNot) { i += 1; n = Not(n, parseUnit()) }
+      n
+    }
+
+    def parseUnit(): Node = {
+      if (atEnd) throw new FtsParseError("unexpected end of query")
+      val t = peek
+      i += 1
+      t match {
+        case TTerm(s) =>
+          val ts = Tokenizer.tokenize(s, mode)
+          if (ts.isEmpty) throw new FtsParseError(s"empty term: $s")
+          if (ts.size == 1) Term(ts.head) else Phrase(ts)
+        case TPrefix(s) => Prefix(s.toLowerCase(java.util.Locale.ROOT))
+        case TPhrase(s) =>
+          val ts = Tokenizer.tokenize(s, mode)
+          if (ts.isEmpty) throw new FtsParseError(s"empty phrase: $s")
+          Phrase(ts)
+        case other => throw new FtsParseError(s"unexpected: $other")
+      }
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenization for the full-text index.
+  *
+  * Two modes, mirroring the reference's tokenizer switch
+  * (reference dogsheep_beta/cli.py:22-26: `porter` by default,
+  * `--tokenize none` → SQLite unicode61):
+  *
+  *  - [[Tokenize.None_]]: lowercase + split on non-alphanumeric — the
+  *    unicode61 contract restricted to the ASCII corpus; expressed as
+  *    pure built-in column functions so it stays inside whole-stage
+  *    codegen AND is bit-reproducible in the DuckDB oracle
+  *    (`string_split_regex(lower(x), '[^a-z0-9]+')`).
+  *  - [[Tokenize.Porter]]: the same split followed by Porter stemming —
+  *    the stem step is a Scala UDF (indexing-time only).
+  */
+object Tokenize extends Enumeration {
+  val None_, Porter = Value
+}
+
+object Tokenizer {
+
+  val splitPattern = "[^a-z0-9]+"
+
+  /** Token array from a (possibly NULL) string column — codegen-friendly
+    * built-ins only.
+    */
+  def tokensCol(c: Column): Column =
+    filter(split(lower(coalesce(c, lit(""))), splitPattern), t => t =!= "")
+
+  private val stemSeqUdf =
+    udf((ts: Seq[String]) => if (ts == null) Seq.empty[String] else ts.map(PorterStemmer.stem))
+
+  def tokens(c: Column, mode: Tokenize.Value): Column = mode match {
+    case Tokenize.None_  => tokensCol(c)
+    case Tokenize.Porter => stemSeqUdf(tokensCol(c))
+  }
+
+  /** Driver-side tokenization of a query string — must agree exactly
+    * with the column-side definition above.
+    */
+  def tokenize(s: String, mode: Tokenize.Value): Seq[String] = {
+    val raw = s.toLowerCase(java.util.Locale.ROOT)
+      .split(splitPattern).filter(_.nonEmpty).toSeq
+    mode match {
+      case Tokenize.None_  => raw
+      case Tokenize.Porter => raw.map(PorterStemmer.stem)
+    }
+  }
+}
