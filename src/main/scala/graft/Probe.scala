@@ -1,11 +1,13 @@
 package graft
 
-import graft.query.SearchEngine
-import graft.query.SearchEngine.Request
+import graft.ext.Multimodal
+import graft.index.IndexJob
+import graft.streaming.IncrementalIndexer
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Scratch smoke main — drives the driver contract surface the way the
-  * driver does (entry smoke + hostile search inputs). Not library code.
+/** Scratch smoke main — drives the newest library surfaces end-to-end
+  * on real testdata (not a test harness; the package-boundary drive).
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -15,32 +17,35 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    Corpus.registerSources(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-probe").toString
 
-    // 1. driver smoke: entry rows > 0
-    val e = SparkEntry.entry(spark)
-    println(s"ENTRY rows=${e.count()}")
-    e.show(5, false)
+    // 1. incremental REPLACE merges into a parquet index: two slices,
+    // second overlaps the first (events 0-599, then 400-999 with the
+    // same doc shape) — REPLACE semantics + self-overwrite safety.
+    val docsAll = IncrementalIndexer.eventDocs(spark.table("events"))
+    val s1 = docsAll.filter(col("key").cast("long") < 600)
+    val s2 = docsAll.filter(col("key").cast("long") >= 400)
+    IndexJob.replaceInto(spark, s"$dir/index", s1)
+    println(s"AFTER-SLICE1 rows=${spark.read.parquet(s"$dir/index").count()}")
+    IndexJob.replaceInto(spark, s"$dir/index", s2)
+    val after = spark.read.parquet(s"$dir/index")
+    println(s"AFTER-SLICE2 rows=${after.count()} distinctKeys=${after.select("key").distinct().count()}")
 
-    // 2. hostile probes through the search surface
-    val idx = Corpus.searchIndex(spark, "/root/testdata/sf0.001")
-    def probe(tag: String, q: String): Unit =
-      try {
-        val n = SearchEngine.search(spark, idx, Request(q = Some(q))).count()
-        println(s"PROBE $tag -> $n rows")
-      } catch { case ex: Throwable => println(s"PROBE $tag -> EXCEPTION ${ex.getClass.getSimpleName}: ${ex.getMessage}") }
-    probe("garbage-symbols", "#!$% @@")
-    probe("unterminated-quote", "\"slow fast")
-    probe("only-operators", "AND NOT OR")
-    probe("sql-injection-ish", "'; DROP TABLE search_index; --")
-    probe("huge-token", "a" * 10000)
-    probe("empty", "")
-    probe("whitespace", "   ")
-    probe("not-only", "NOT urgent")
+    // 2. replay slice 2 — idempotent
+    IndexJob.replaceInto(spark, s"$dir/index", s2)
+    println(s"AFTER-REPLAY rows=${spark.read.parquet(s"$dir/index").count()}")
 
-    // 3. unknown filter values (string-typed loose filters)
-    val r = SearchEngine.search(spark, idx,
-      Request(q = Some("urgent"), category = Some("999"), isPublic = Some("1")))
-    println(s"FILTER-no-match rows=${r.count()}")
+    // 3. multimodal batch plumbing over real documents
+    val mm = Multimodal.extractMeta(spark,
+      Multimodal.withPayload(spark.table("documents"), "text"), "doc_id")
+    println(s"MM-META rows=${mm.count()} sample=${mm.head()}")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.withPayload(spark.table("documents").limit(10), "text"),
+      "doc_id", frames = 4, dim = 8)
+    println(s"MM-FEATS rows=${feats.count()}")
+
     spark.stop()
   }
 }

@@ -115,7 +115,12 @@ object IndexJob {
           .collect().map(_.getString(0)).toSeq
         val existing = spark.read.parquet(indexPath)
           .filter(col("type").isin(types: _*)) // partition-pruned scan
-        merge(existing, touched)
+        // The merge reads the same partitions the write below replaces —
+        // materialize it first or the overwrite truncates its own input.
+        // (Production: write to a staging dir + atomic swap, or a table
+        // format with snapshot isolation; localCheckpoint is the local
+        // equivalent.)
+        merge(existing, touched).localCheckpoint(true)
       } else dedupe(incoming)
     merged
       .repartition(col("type"))

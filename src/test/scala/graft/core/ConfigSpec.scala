@@ -1,0 +1,47 @@
+package graft.core
+
+import graft.RefFixtures
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config parsing parity with the reference's `parse_metadata`
+  * (reference dogsheep_beta/utils.py:104-112): JSON first, YAML
+  * fallback, BadMetadataError otherwise.
+  */
+class ConfigSpec extends AnyFunSuite {
+
+  test("parses the reference dogs.db YAML fixture") {
+    val rules = RefFixtures.dogsRules
+    assert(rules.size == 1)
+    val r = rules.head
+    assert(r.db == "dogs.db" && r.docType == "dogs")
+    assert(r.typeTag == "dogs.db/dogs")
+    assert(r.sql.contains("case name when 'Cleo' then 1 else 2 end as category"))
+    assert(r.sql.trim.startsWith("select"))
+  }
+
+  test("parses the reference plugin YAML fixture (2 dbs, display_sql)") {
+    val rules = RefFixtures.pluginRules
+    assert(rules.map(_.typeTag).toSet ==
+      Set("emails.db/emails", "github.db/commits"))
+    val commits = rules.find(_.db == "github.db").get
+    assert(commits.displaySql.get.contains(":q as their_query"))
+    assert(commits.display.get.contains("{{ display.repo_name }}"))
+    assert(commits.sql.contains("'Commit to ' || commits.repo_name as title"))
+  }
+
+  test("JSON config accepted (tried before YAML, utils.py:106-108)") {
+    val rules = Config.parseMetadata(
+      """{"db1.db": {"t1": {"sql": "select 1 as key", "display": "<b>x</b>"}}}""")
+    assert(rules == Seq(IndexRule("db1.db", "t1", "select 1 as key",
+      None, Some("<b>x</b>"))))
+  }
+
+  test("invalid document raises BadMetadataError") {
+    intercept[BadMetadataError](Config.parseMetadata("] this is { nothing"))
+  }
+
+  test("rule missing sql raises BadMetadataError") {
+    intercept[BadMetadataError](
+      Config.parseMetadata("""{"d": {"t": {"display": "x"}}}"""))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Extension operators over small synthetic corpora with known
+  * duplicates/neighbors.
+  */
+class ExtSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+      (3L, "the quick brown fox leaps over the lazy dog"),      // near dup of 1
+      (4L, "completely different content about spark engines"),
+      (5L, "dog lazy the over jumps fox brown quick the")       // shuffled 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter(col("n_copies") > 1).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_copies") == 2 && g(0).getAs[Long]("keep_id") == 1)
+  }
+
+  test("n-gram Jaccard finds the near-dup pair but not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("MinHash LSH surfaces exact dup as candidate with jaccard 1.0") {
+    val nd = Dedup.minhashNearDups(docs, "text", "doc_id", 3, 16, 4, 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard")))
+    assert(nd.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 1.0))
+  }
+
+  test("token-set fingerprint catches the shuffled copy; simhash of dup matches") {
+    val fp = TextAnalysis.fingerprint(docs, "text")
+      .select("doc_id", "fingerprint").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(5L) && fp(1L) == fp(2L) && fp(1L) != fp(4L))
+    val sh = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L) && sh(1L) != sh(4L))
+  }
+
+  test("brute-force cosine top-k: identical vector first, orthogonal last") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, Seq(1f, 0f, 0f), 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.take(2) == Seq(0L, 1L)) // cos=1 ties broken by id
+    assert(top.last == 3L)             // orthogonal
+  }
+
+  test("IVF search finds the same top result as brute force") {
+    import spark.implicits._
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Similarity.vectorOf(vecs, "vec_id", 7L)
+    val bf = Similarity.bruteForceTopK(vecs, q, 1).collect()(0).getLong(0)
+    val ivf = Similarity.ivfSearch(vecs, q, sampleEvery = 10, nprobe = 3, k = 1)
+      .collect()(0).getAs[Long]("vec_id")
+    assert(bf == 7L && ivf == 7L) // the vector itself, found through its cell
+  }
+
+  test("language ID prefers the language whose stopwords dominate") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat of the house and a dog"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "xyzzy qwerty plugh")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(d, "text")
+      .select("doc_id", "predicted_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("multimodal: per-partition batch meta + frame fan-out shapes") {
+    val withPayload = Multimodal.withPayload(docs, "text")
+    val meta = Multimodal.extractMeta(spark, withPayload, "doc_id").collect()
+    assert(meta.length == 5)
+    val m1 = meta.find(_.doc_id == 1L).get
+    assert(m1.n_bytes == 43L && m1.format == "stub/raw")
+    assert(meta.find(_.doc_id == 2L).get.content_md5 == m1.content_md5)
+    val feats = Multimodal.extractFeatures(spark, withPayload, "doc_id",
+      frames = 3, dim = 4).collect()
+    assert(feats.length == 15 && feats.forall(_.feature.length == 4))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.query
+
+import graft.{RefFixtures, TestSpark}
+import graft.index.{IndexJob, TextIndex}
+import graft.query.SearchEngine.Request
+import graft.text.Tokenize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Query-engine parity with the reference plugin e2e tests
+  * (reference tests/test_plugin.py): FTS cases, timeline order, sort
+  * overrides, facet counts — over the exact emails/commits fixture.
+  *
+  * Divergence (documented, SURVEY §2.5): the reference breaks ties in
+  * SQLite scan order (effectively rowid); we break ties with the
+  * deterministic (type, key). The 2020-08-01T00:05:02 tie between
+  * emails:1 and commits:a5b39c therefore orders emails first here,
+  * commits first in the reference.
+  */
+class SearchEngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val index: DataFrame = {
+    RefFixtures.registerPlugin(spark)
+    IndexJob.buildIndex(spark, RefFixtures.pluginRules).cache()
+  }
+
+  private def ids(df: DataFrame): Seq[String] =
+    df.select(concat(col("type"), lit(":"), col("key")))
+      .collect().map(_.getString(0)).toSeq
+
+  private def search(q: String, sort: Option[String] = None): DataFrame =
+    SearchEngine.search(spark, index,
+      Request(q = Some(q), sort = sort, tokenize = Tokenize.Porter))
+
+  private val emails1 = "emails.db/emails:1"
+  private val emails2 = "emails.db/emails:2"
+  private val commitA = "github.db/commits:a5b39c5049b28997528bb0eca52730ab6febabeaba54cfcba0ab5d70e7207523"
+  private val commitB = "github.db/commits:5becbf70d64951e2910314ef5227d19b11c25b0c9586934941366da8997e57cb"
+
+  test("'' and ' ' → timeline of all 4 docs, newest first (test_plugin.py:119-124)") {
+    val expected = Seq(commitB, emails2, emails1, commitA) // tie-break note above
+    assert(ids(search("")) == expected)
+    assert(ids(search(" ")) == expected)
+  }
+
+  test("q=things → 3 results (test_plugin.py facet fixture)") {
+    assert(ids(search("things")).toSet == Set(emails1, emails2, commitA))
+  }
+
+  test("things NOT email → only the commit (test_plugin.py:125-131)") {
+    assert(ids(search("things NOT email")) == Seq(commitA))
+  }
+
+  test("#dogfest → escape fallback hits emails:1 (test_plugin.py:132-135)") {
+    assert(ids(search("#dogfest")) == Seq(emails1))
+  }
+
+  test("github-to-sqlite → escaped phrase misses → [] (test_plugin.py:136-139)") {
+    assert(ids(search("github-to-sqlite")).isEmpty)
+  }
+
+  test("sort overrides with q=email (test_plugin.py:155-230)") {
+    assert(ids(search("email", sort = Some("newest"))) == Seq(emails2, emails1))
+    assert(ids(search("email", sort = Some("oldest"))) == Seq(emails1, emails2))
+  }
+
+  test("timeline oldest reverses (test_plugin.py timeline sort)") {
+    assert(ids(SearchEngine.search(spark, index,
+      Request(q = None, sort = Some("oldest")))) ==
+      Seq(emails1, commitA, emails2, commitB)) // (type,key) tie-break again
+  }
+
+  test("facet counts over q=things (test_plugin.py:45-108)") {
+    val toks = TextIndex.docTokens(index, Tokenize.Porter)
+    val node = graft.text.FtsQuery.parseOrEscape("things", Tokenize.Porter).get
+    val matched = toks.filter(SearchEngine.matchCondition(node))
+      .select("type", "key").join(index, Seq("type", "key"))
+    // type facet: emails 2, commits 1
+    val typeFacet = matched.groupBy("type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(typeFacet == Map("emails.db/emails" -> 2L, "github.db/commits" -> 1L))
+    // is_public facet: 2 private, 1 public
+    val pubFacet = matched.groupBy("is_public").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(pubFacet == Map(0 -> 2L, 1 -> 1L))
+    // date facet: 2020-08-01 ×2, 2020-08-02 ×1
+    val dateFacet = matched
+      .groupBy(substring(col("timestamp"), 1, 10).as("d")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dateFacet == Map("2020-08-01" -> 2L, "2020-08-02" -> 1L))
+  }
+
+  test("filters compose with search (string-typed, loose: __init__.py:132-135)") {
+    val r = SearchEngine.search(spark, index,
+      Request(q = Some("things"), isPublic = Some("1"), tokenize = Tokenize.Porter))
+    assert(ids(r) == Seq(commitA))
+  }
+
+  test("BM25 ranks rarer term higher (relevance order)") {
+    // 'dogfest' appears once; docs sort by score desc
+    val scored = search("things").select("score").collect().map(_.getDouble(0))
+    assert(scored.sameElements(scored.sorted(Ordering[Double].reverse)))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.text.FtsQuery._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Query-language parsing: the FTS5 subset + escape fallback the
+  * reference exercises (reference tests/test_plugin.py:119-152).
+  */
+class FtsQuerySpec extends AnyFunSuite {
+  private val M = Tokenize.None_
+
+  test("implicit AND of bare terms") {
+    assert(parse("urgent building", M) == And(Seq(Term("urgent"), Term("building"))))
+  }
+
+  test("explicit AND / OR precedence: NOT > AND > OR") {
+    assert(parse("a b OR c", M) ==
+      Or(Seq(And(Seq(Term("a"), Term("b"))), Term("c"))))
+    assert(parse("a NOT b c", M) ==
+      And(Seq(Not(Term("a"), Term("b")), Term("c"))))
+  }
+
+  test("quoted phrase and prefix") {
+    assert(parse("\"slow fast\" x*", M) ==
+      And(Seq(Phrase(Seq("slow", "fast")), Prefix("x"))))
+  }
+
+  test("terms are tokenized per index mode (porter stems query terms)") {
+    assert(parse("orders", Tokenize.Porter) == Term("order"))
+    assert(parse("running", Tokenize.Porter) == Term("run"))
+  }
+
+  test("invalid tokens are FTS syntax errors (matching FTS5)") {
+    intercept[FtsParseError](parse("#dogfest", M))
+    intercept[FtsParseError](parse("github-to-sqlite", M))
+    intercept[FtsParseError](parse("NOT alone", M))
+  }
+
+  test("escape fallback: every whitespace token becomes a literal phrase") {
+    // reference __init__.py:141-145 + escape_fts; proven cases:
+    // `#dogfest` matches docs with token `dogfest`
+    assert(parseOrEscape("#dogfest", M) == Some(Phrase(Seq("dogfest"))))
+    // `github-to-sqlite` becomes a 3-token contiguous phrase
+    assert(parseOrEscape("github-to-sqlite", M) ==
+      Some(Phrase(Seq("github", "to", "sqlite"))))
+  }
+
+  test("blank-query normalize (reference tests/test_plugin.py:122-124)") {
+    assert(parseOrEscape("", M).isEmpty)
+    assert(parseOrEscape("   ", M).isEmpty)
+    assert(parseOrEscape("#!$% @@", M).isEmpty) // nothing tokenizes
+  }
+
+  test("escape fallback is total: arbitrary garbage never throws") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab\"*-#() ANDORNOT\t'%$"
+    (0 until 2000).foreach { _ =>
+      val s = (0 until rnd.nextInt(20)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      parseOrEscape(s, M) // must not throw
+    }
+  }
+
+  test("positive terms exclude NOT operands (BM25 scoring set)") {
+    assert(positiveTerms(parse("a b NOT c OR \"d e\"", M)) ==
+      Seq("a", "b", "d", "e"))
+  }
+}
