@@ -1,13 +1,11 @@
 package graft
 
-import graft.ext.Multimodal
-import graft.index.IndexJob
-import graft.streaming.IncrementalIndexer
+import graft.ext.Similarity
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Scratch smoke main — drives the newest library surfaces end-to-end
-  * on real testdata (not a test harness; the package-boundary drive).
+/** Scratch smoke main — plan inspection + surface drive for the
+  * perf-path changes (native dot product, postings match path).
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -19,33 +17,31 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
     Corpus.registerSources(spark, sf)
-    val dir = java.nio.file.Files.createTempDirectory("graft-probe").toString
+    val vecs = spark.table("embeddings")
+    val q = Similarity.vectorOf(vecs, "vec_id", 0L)
 
-    // 1. incremental REPLACE merges into a parquet index: two slices,
-    // second overlaps the first (events 0-599, then 400-999 with the
-    // same doc shape) — REPLACE semantics + self-overwrite safety.
-    val docsAll = IncrementalIndexer.eventDocs(spark.table("events"))
-    val s1 = docsAll.filter(col("key").cast("long") < 600)
-    val s2 = docsAll.filter(col("key").cast("long") >= 400)
-    IndexJob.replaceInto(spark, s"$dir/index", s1)
-    println(s"AFTER-SLICE1 rows=${spark.read.parquet(s"$dir/index").count()}")
-    IndexJob.replaceInto(spark, s"$dir/index", s2)
-    val after = spark.read.parquet(s"$dir/index")
-    println(s"AFTER-SLICE2 rows=${after.count()} distinctKeys=${after.select("key").distinct().count()}")
+    // 1. native expression reaches the physical plan + codegen
+    val plan = Similarity.bruteForceTopK(vecs, q, 5).queryExecution.executedPlan.toString
+    println("PLAN-HAS-DOT=" + plan.contains("dot_product_f"))
+    println("PLAN-HAS-WSCG=" + (plan.contains("WholeStageCodegen") || plan.contains("*(")))
+    println("PLAN:\n" + plan.linesIterator.take(12).mkString("\n"))
+    Similarity.bruteForceTopK(vecs, q, 5).show(5, false)
 
-    // 2. replay slice 2 — idempotent
-    IndexJob.replaceInto(spark, s"$dir/index", s2)
-    println(s"AFTER-REPLAY rows=${spark.read.parquet(s"$dir/index").count()}")
+    // 2. SQL surface: registered function callable from user SQL
+    VectorFunctions.register(spark)
+    spark.sql(
+      s"""SELECT vec_id, dot_product_f(embedding, embedding) AS sq_norm
+         |FROM embeddings ORDER BY vec_id LIMIT 3""".stripMargin).show(false)
 
-    // 3. multimodal batch plumbing over real documents
-    val mm = Multimodal.extractMeta(spark,
-      Multimodal.withPayload(spark.table("documents"), "text"), "doc_id")
-    println(s"MM-META rows=${mm.count()} sample=${mm.head()}")
-    val feats = Multimodal.extractFeatures(spark,
-      Multimodal.withPayload(spark.table("documents").limit(10), "text"),
-      "doc_id", frames = 4, dim = 8)
-    println(s"MM-FEATS rows=${feats.count()}")
+    // 3. postings match path: explain o1 search (AND-of-terms)
+    val o1 = SparkEntry.queries("o1_search_topk")(spark, sf)
+    val p1 = o1.queryExecution.executedPlan.toString
+    println("O1-ROWS=" + o1.count())
+    println("O1-USES-TAKEORDERED=" + p1.contains("TakeOrderedAndProject"))
 
+    // 4. parquet scan pushdown sanity on a filtered timeline
+    val tl = SparkEntry.queries("p2_filter_eq")(spark, sf)
+    println("P2-ROWS=" + tl.count())
     spark.stop()
   }
 }

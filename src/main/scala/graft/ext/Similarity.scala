@@ -1,16 +1,22 @@
 package graft.ext
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`) —
   * training-data-pipeline extension (SURVEY §7.5).
   *
-  * Baseline: brute-force cosine top-k — a single codegen'd scan
-  * (`zip_with` + `aggregate` over the array; no UDF, no explode) with a
+  * Baseline: brute-force cosine top-k — a single codegen'd scan using
+  * the native [[graft.functions.DotProductFloat]] expression (fused
+  * primitive loop, no intermediate arrays, no UDF) with a
   * TakeOrderedAndProject top-k; at 100 TB this is one pass over the
   * vectors with the query broadcast, which is exactly what a
   * brute-force ANN "flat index" does, sharded.
+  *
+  * Pair-quadratic operators (near-dup pairs, IVF assignment) precompute
+  * each vector's squared norm ONCE and carry it through the join —
+  * one dot product per pair instead of three.
   *
   * Scale path: IVF (inverted-file) — k centroids partition the vectors
   * into cells ("coarse quantizer"); a query probes only the nprobe
@@ -22,26 +28,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double
-    * precision with built-ins only (codegen-friendly, oracle-parity with
-    * DuckDB's unnest formulation).
+  private def dot(a: Column, b: Column): Column = VectorFunctions.dot_f(a, b)
+
+  /** Cosine similarity of two float-array columns (double precision,
+    * codegen'd native expression; bit-compatible with the DuckDB
+    * oracle's unnest formulation).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def d(c: Column) = transform(c, x => x.cast("double"))
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    val da = d(a); val db = d(b)
-    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** The query vector for a given id (collected to the driver: one row). */
-  def vectorOf(vectors: DataFrame, idCol: String, id: Long): Seq[Float] =
+  def vectorOf(vectors: DataFrame, idCol: String, id: Long): Seq[Float] = {
+    VectorFunctions.register(vectors.sparkSession)
     vectors.filter(col(idCol) === id).select("embedding")
       .collect()(0).getSeq[Float](0)
+  }
 
   /** Brute-force cosine top-k against a literal query vector. */
   def bruteForceTopK(vectors: DataFrame, query: Seq[Float], k: Int,
       idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
     val q = array(query.map(v => lit(v)): _*)
     vectors
       .withColumn("cos_sim", round(cosine(col("embedding"), q), 6))
@@ -56,10 +62,15 @@ object Similarity {
     */
   def ivfAssign(vectors: DataFrame, sampleEvery: Int,
       idCol: String = "vec_id"): DataFrame = {
-    val centroids = vectors.filter(col(idCol) % sampleEvery === 0)
-      .select(col(idCol).as("cell_id"), col("embedding").as("centroid"))
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("sim", round(cosine(col("embedding"), col("centroid")), 6))
+    VectorFunctions.register(vectors.sparkSession)
+    val withNorm = vectors.withColumn("__vn", dot(col("embedding"), col("embedding")))
+    val centroids = withNorm.filter(col(idCol) % sampleEvery === 0)
+      .select(col(idCol).as("cell_id"), col("embedding").as("centroid"),
+        col("__vn").as("__cn"))
+    val scored = withNorm.crossJoin(broadcast(centroids))
+      .withColumn("sim", round(
+        dot(col("embedding"), col("centroid")) /
+          (sqrt(col("__vn")) * sqrt(col("__cn"))), 6))
     // argmax sim per vector; deterministic tie-break on cell_id
     val best = scored
       .groupBy(col(idCol))
@@ -72,11 +83,11 @@ object Similarity {
     */
   def ivfSearch(vectors: DataFrame, query: Seq[Float], sampleEvery: Int,
       nprobe: Int, k: Int, idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
     val q = array(query.map(v => lit(v)): _*)
     val assigned = ivfAssign(vectors, sampleEvery, idCol)
-    val centroids = vectors.filter(col(idCol) % sampleEvery === 0)
+    val probeCells = vectors.filter(col(idCol) % sampleEvery === 0)
       .select(col(idCol).as("cell_id"), col("embedding").as("centroid"))
-    val probeCells = centroids
       .withColumn("sim", round(cosine(col("centroid"), q), 6))
       .orderBy(col("sim").desc, col("cell_id"))
       .limit(nprobe)
@@ -91,16 +102,22 @@ object Similarity {
   /** Embedding near-duplicate pairs within label blocks: cosine above
     * threshold, blocked to avoid the cross product (the label column
     * stands in for any coarse bucketing — LSH band, IVF cell, shard).
+    * Norms are computed once per vector, not per pair.
     */
   def cosineNearDupPairs(vectors: DataFrame, blockCol: String,
       threshold: Double, idCol: String = "vec_id"): DataFrame = {
-    val a = vectors.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
-      col("embedding").as("emb_a"))
-    val b = vectors.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
-      col("embedding").as("emb_b"))
+    VectorFunctions.register(vectors.sparkSession)
+    val withNorm = vectors
+      .withColumn("__n", dot(col("embedding"), col("embedding")))
+    val a = withNorm.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      col("embedding").as("emb_a"), col("__n").as("__na"))
+    val b = withNorm.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+      col("embedding").as("emb_b"), col("__n").as("__nb"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos_sim", round(
+        dot(col("emb_a"), col("emb_b")) /
+          (sqrt(col("__na")) * sqrt(col("__nb"))), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }
@@ -126,8 +143,8 @@ object Similarity {
     val emb = transform(col("embedding"), x => x.cast("double"))
     val bits = planes.zipWithIndex.map { case (hp, j) =>
       val hpCol = array(hp.map(lit): _*)
-      val dot = aggregate(zip_with(emb, hpCol, (a, b) => a * b), lit(0.0), (s, v) => s + v)
-      when(dot > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      val d = aggregate(zip_with(emb, hpCol, (a, b) => a * b), lit(0.0), (s, v) => s + v)
+      when(d > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     vectors.withColumn("lsh_bucket", bits)
   }
@@ -135,12 +152,13 @@ object Similarity {
   /** ANN via hyperplane-LSH: exact cosine within the query's bucket. */
   def lshAnnTopK(vectors: DataFrame, query: Seq[Float], planes: Int, k: Int,
       idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
     val dim = query.size
     val hps = hyperplanes(planes, dim)
     val signed = lshSignature(vectors, hps)
     val qBucket = hps.zipWithIndex.map { case (hp, j) =>
-      val dot = hp.zip(query).map { case (h, v) => h * v.toDouble }.sum
-      if (dot > 0) 1L << j else 0L
+      val d = hp.zip(query).map { case (h, v) => h * v.toDouble }.sum
+      if (d > 0) 1L << j else 0L
     }.sum
     signed.filter(col("lsh_bucket") === qBucket)
       .withColumn("cos_sim", round(cosine(col("embedding"),

@@ -37,25 +37,22 @@ object TextIndex {
       .withColumn("dl_title", size(col("tokens_title")))
       .withColumn("dl_s1", size(col("tokens_s1")))
 
-  /** Inverted postings with per-field term frequencies. Shuffle:
-    * one exchange on (term, type, key) for the groupBy — map-side
-    * partial aggregation keeps the explode from inflating the shuffle.
+  /** Inverted postings with per-field term frequencies. ONE explode
+    * (field-tagged token structs) + ONE shuffle on (term, type, key);
+    * map-side partial aggregation keeps the explode from inflating the
+    * exchange. (A per-field union would double the shuffle volume.)
     */
-  def postings(docTokens: DataFrame): DataFrame = {
-    val title = docTokens
-      .select(col("type"), col("key"), explode(col("tokens_title")).as("term"))
-      .groupBy("term", "type", "key")
-      .agg(count(lit(1)).cast("double").as("tf_title"))
-      .withColumn("tf_s1", lit(0.0))
-    val s1 = docTokens
-      .select(col("type"), col("key"), explode(col("tokens_s1")).as("term"))
-      .groupBy("term", "type", "key")
-      .agg(count(lit(1)).cast("double").as("tf_s1"))
-      .withColumn("tf_title", lit(0.0))
-    title.unionByName(s1)
-      .groupBy("term", "type", "key")
-      .agg(sum("tf_title").as("tf_title"), sum("tf_s1").as("tf_s1"))
-  }
+  def postings(docTokens: DataFrame): DataFrame =
+    docTokens
+      .select(col("type"), col("key"),
+        explode(concat(
+          transform(col("tokens_title"), t => struct(t.as("t"), lit(0).as("f"))),
+          transform(col("tokens_s1"), t => struct(t.as("t"), lit(1).as("f")))
+        )).as("tok"))
+      .groupBy(col("tok.t").as("term"), col("type"), col("key"))
+      .agg(
+        sum(when(col("tok.f") === 0, 1.0).otherwise(0.0)).as("tf_title"),
+        sum(when(col("tok.f") === 1, 1.0).otherwise(0.0)).as("tf_s1"))
 
   /** Per-term document frequency (docs containing the term in either
     * indexed field).

@@ -77,17 +77,26 @@ object SearchEngine {
   /** BM25 per-doc scores for the query's positive terms.
     * postings ⋈ broadcast(terms) ⋈ broadcast(df) — one narrow shuffle.
     */
+  // corpus stats memoized per docTokens instance (artifacts are shared
+  // across queries, so the 1-row aggregation runs once per corpus)
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, (Double, Double, Double)]()
+
   def bm25Scores(spark: SparkSession, postings: DataFrame, docTokens: DataFrame,
       terms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val stats = TextIndex.stats(docTokens).collect()(0)
-    val nDocs = stats.getAs[Double]("n_docs")
-    val avgTitle = stats.getAs[Double]("avgdl_title")
-    val avgS1 = stats.getAs[Double]("avgdl_s1")
+    val (nDocs, avgTitle, avgS1) = statsCache.computeIfAbsent(docTokens, { dt =>
+      val s = TextIndex.stats(dt).collect()(0)
+      (s.getAs[Double]("n_docs"), s.getAs[Double]("avgdl_title"),
+        s.getAs[Double]("avgdl_s1"))
+    })
 
     val termDf = terms.distinct.toDF("term")
+    // prune postings to the query's terms FIRST (partition/bucket prune
+    // at scale), then derive df from the pruned set — never aggregate
+    // the full vocabulary for a handful of query terms
     val matched = postings.join(broadcast(termDf), "term")
-    val df = TextIndex.docFreq(postings).join(broadcast(termDf), "term")
+    val df = TextIndex.docFreq(matched)
 
     def fieldScore(tf: Column, dl: Column, avgdl: Double): Column =
       when(tf > 0,
@@ -149,8 +158,17 @@ object SearchEngine {
         }
         // match over the corpus; the final inner join with `filtered`
         // applies the WHERE leg (same as the reference: MATCH hits the
-        // whole FTS index, filters land on search_index)
-        val matched = arts.docTokens.filter(matchCondition(node)).select("type", "key")
+        // whole FTS index, filters land on search_index).
+        // Pure AND-of-terms (the common query shape) takes the postings
+        // path — term-pruned semi-join, no token-array scan; general
+        // trees (phrase/OR/NOT/prefix) fall back to the array scan.
+        val matched = node match {
+          case Term(t) => matchedViaPostings(arts.postings, Seq(t))
+          case And(ns) if ns.forall(_.isInstanceOf[Term]) =>
+            matchedViaPostings(arts.postings, ns.collect { case Term(t) => t })
+          case _ =>
+            arts.docTokens.filter(matchCondition(node)).select("type", "key")
+        }
         val terms = FtsQuery.positiveTerms(node).distinct
         val scored =
           if (terms.isEmpty) matched.withColumn("score", lit(0.0))
