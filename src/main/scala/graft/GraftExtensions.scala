@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.{DotProductFloat, PorterStem}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension entry point: registers the engine's native
+  * functions so any session started with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) can use them from SQL —
+  * which means user extraction rules (SURVEY §2.1 S3, the
+  * arbitrary-user-SQL contract) can tokenize, stem and compare
+  * embeddings without any engine-side code.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("porter_stem",
+      "porter_stem(str) - Porter-stems a lowercase token.",
+      exprs => PorterStem(exprs.head)),
+    ("dot_product_f",
+      "dot_product_f(a, b) - double-precision dot product of two float arrays.",
+      exprs => DotProductFloat(exprs(0), exprs(1)))
+  )
+
+  /** Register the same functions on an ALREADY-RUNNING session (builder
+    * extensions only apply to new sessions; `getOrCreate` on an active
+    * one silently skips them).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

@@ -1,11 +1,11 @@
 package graft
 
-import graft.ext.Similarity
-import graft.functions.VectorFunctions
+import graft.index.IndexJob
+import graft.query.Enrich
 import org.apache.spark.sql.SparkSession
 
-/** Scratch smoke main — plan inspection + surface drive for the
-  * perf-path changes (native dot product, postings match path).
+/** Scratch smoke main — drives the newest surfaces on real testdata:
+  * batched display_sql enrichment + SQL-registered native functions.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -17,31 +17,29 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
     Corpus.registerSources(spark, sf)
-    val vecs = spark.table("embeddings")
-    val q = Similarity.vectorOf(vecs, "vec_id", 0L)
 
-    // 1. native expression reaches the physical plan + codegen
-    val plan = Similarity.bruteForceTopK(vecs, q, 5).queryExecution.executedPlan.toString
-    println("PLAN-HAS-DOT=" + plan.contains("dot_product_f"))
-    println("PLAN-HAS-WSCG=" + (plan.contains("WholeStageCodegen") || plan.contains("*(")))
-    println("PLAN:\n" + plan.linesIterator.take(12).mkString("\n"))
-    Similarity.bruteForceTopK(vecs, q, 5).show(5, false)
+    // 1. enrichment through the rules' own display_sql (tpch rule)
+    val index = Corpus.searchIndex(spark, sf)
+    val rule = Corpus.rules.find(_.db == "tpch.db").get
+    val page = index.filter(org.apache.spark.sql.functions.col("type") === rule.typeTag).limit(10)
+    val enriched = Enrich.enrichType(spark, rule, page, "urgent")
+    println("ENRICH-COLS=" + enriched.columns.filter(_.startsWith("display_")).mkString(","))
+    println("ENRICH-ROWS=" + enriched.count())
+    enriched.select("key", "title", "display_o_totalprice", "display_c_name").show(3, false)
 
-    // 2. SQL surface: registered function callable from user SQL
-    VectorFunctions.register(spark)
+    // 2. hostile display_sql shapes
+    def tryRewrite(tag: String, sql: String): Unit =
+      try { Enrich.rewrite(sql, "q'); drop--"); println(s"REWRITE $tag -> ok") }
+      catch { case e: Exception => println(s"REWRITE $tag -> ${e.getClass.getSimpleName}") }
+    tryRewrite("no-where", "select 1")
+    tryRewrite("quote-in-q", "select :q as x from orders where o_orderkey = :key")
+
+    // 3. SQL functions registered on a live session
+    GraftExtensions.register(spark)
     spark.sql(
-      s"""SELECT vec_id, dot_product_f(embedding, embedding) AS sq_norm
-         |FROM embeddings ORDER BY vec_id LIMIT 3""".stripMargin).show(false)
-
-    // 3. postings match path: explain o1 search (AND-of-terms)
-    val o1 = SparkEntry.queries("o1_search_topk")(spark, sf)
-    val p1 = o1.queryExecution.executedPlan.toString
-    println("O1-ROWS=" + o1.count())
-    println("O1-USES-TAKEORDERED=" + p1.contains("TakeOrderedAndProject"))
-
-    // 4. parquet scan pushdown sanity on a filtered timeline
-    val tl = SparkEntry.queries("p2_filter_eq")(spark, sf)
-    println("P2-ROWS=" + tl.count())
+      """SELECT porter_stem('indexing') AS s,
+        |       dot_product_f(array(CAST(2.0 AS FLOAT)), array(CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .show(false)
     spark.stop()
   }
 }

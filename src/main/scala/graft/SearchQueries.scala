@@ -121,6 +121,59 @@ object SearchQueries {
     // reference defaults to (tests/test_cli.py:104-122).
     QueryDef("o1_search_porter",
       run("orders", mode = Tokenize.Porter),
-      None)
+      None),
+
+    // J1: the postings join itself — per-(term, doc) tf pairs for the
+    // query's terms (the relational form of the FTS rowid join,
+    // reference __init__.py:36-37).
+    QueryDef("j1_term_postings",
+      (spark, sfDir) => {
+        import spark.implicits._
+        val arts = Corpus.textArtifacts(spark, sfDir, Tokenize.None_)
+        arts.postings
+          .join(broadcast(Seq("urgent", "building").toDF("term")), "term")
+          .select("term", "type", "key", "tf_title", "tf_s1")
+          .orderBy("term", "type", "key")
+      },
+      Some(
+        s"""WITH search_index AS (
+           |${Corpus.oracleIndexBody}
+           |),
+           |${OracleGen.textCtes}
+           |SELECT p.term, p."type", p."key", p.tf_title, p.tf_s1
+           |FROM post p
+           |WHERE p.term IN ('urgent', 'building')
+           |ORDER BY p.term, p."type", p."key"""".stripMargin)),
+
+    // A2 over the MATCHED set: the reference computes facets with the
+    // same MATCH + filters as the results (reference __init__.py:200-223
+    // passes _search through to the facet query).
+    QueryDef("a2_facet_matched",
+      (spark, sfDir) => {
+        val arts = Corpus.textArtifacts(spark, sfDir, Tokenize.None_)
+        val matched = SearchEngine.matchedViaPostings(arts.postings, Seq("urgent"))
+        matched.join(Corpus.searchIndex(spark, sfDir), Seq("type", "key"))
+          .groupBy("category").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("category"))
+      },
+      Some(
+        s"""WITH search_index AS (
+           |${Corpus.oracleIndexBody}
+           |),
+           |doc_tokens AS (
+           |  SELECT "type", "key",
+           |         ${OracleGen.tokensSql("title")} AS tokens_title,
+           |         ${OracleGen.tokensSql("search_1")} AS tokens_s1
+           |  FROM search_index
+           |),
+           |matched AS (
+           |  SELECT "type", "key" FROM doc_tokens
+           |  WHERE ${OracleGen.matchSql(FtsQuery.parseOrEscape("urgent", Tokenize.None_).get)}
+           |)
+           |SELECT si.category, count(*) AS n
+           |FROM matched m
+           |JOIN search_index si ON si."type" = m."type" AND si."key" = m."key"
+           |GROUP BY si.category
+           |ORDER BY n DESC, si.category""".stripMargin))
   )
 }

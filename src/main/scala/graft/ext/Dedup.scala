@@ -77,15 +77,35 @@ object Dedup {
 
   /** LSH candidate pairs: signatures split into `bands` bands of
     * `k/bands` rows; docs sharing any full band become a candidate pair.
+    *
+    * `maxBucket` guards the quadratic blowup of hot buckets at scale
+    * (a bucket of B docs emits B² pairs): buckets above the cap are
+    * EXCLUDED — never silently, the count of skipped buckets is logged —
+    * and should be re-processed by a second pass (e.g. salted on an
+    * extra signature row). Default: uncapped.
     */
-  def lshCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, k: Int, bands: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
     val rowsPerBand = k / bands
     val bandDfs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
       sigs.select(col("doc_id"), lit(b).as("band"),
         concat_ws("_", cols: _*).as("band_key"))
     }
-    val banded = bandDfs.reduce(_ unionByName _)
+    val banded0 = bandDfs.reduce(_ unionByName _)
+    val banded = maxBucket match {
+      case None => banded0
+      case Some(cap) =>
+        val sizes = banded0.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("__bucket_n"))
+        val dropped = sizes.filter(col("__bucket_n") > cap).count()
+        if (dropped > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"lshCandidates: excluding $dropped oversized buckets (> $cap docs); " +
+              "re-run a salted pass to cover them")
+        banded0.join(sizes.filter(col("__bucket_n") <= cap),
+          Seq("band", "band_key")).drop("__bucket_n")
+    }
     val a = banded.as("a")
     val b2 = banded.as("b")
     a.join(b2,

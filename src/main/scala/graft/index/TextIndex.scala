@@ -66,4 +66,20 @@ object TextIndex {
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl_title")).as("avgdl_title"),
       avg(col("dl_s1")).as("avgdl_s1"))
+
+  /** Persist postings bucketed + sorted BY TERM — the 100 TB layout: a
+    * query's handful of terms prunes to a few buckets (no full-index
+    * scan), and bucket-to-bucket joins against another term-bucketed
+    * table (e.g. a term dictionary) need no shuffle. The plain
+    * parquet-path variant used in tests/bench keeps everything
+    * file-based; production would target a metastore table or a
+    * clustering table format.
+    */
+  def writePostingsBucketed(postings: DataFrame, table: String,
+      buckets: Int = 64): Unit =
+    postings.write.mode("overwrite")
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .format("parquet")
+      .saveAsTable(table)
 }

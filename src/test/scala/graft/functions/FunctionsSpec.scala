@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.text.PorterStemmer
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native expressions + session-extension registration: callable from
+  * SQL, correct against the Scala implementations they wrap.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val extSpark: SparkSession = {
+    val s = TestSpark.spark
+    // builder extensions only apply to fresh sessions; live-session path:
+    graft.GraftExtensions.register(s)
+    s
+  }
+
+  test("GraftExtensions installs into SparkSessionExtensions without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // builder-time injection path
+  }
+
+  test("dot_product_f matches a hand-computed double fold") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(0.5f, -1f, 2f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.dot_f($"a", $"b")).collect()(0).getDouble(0)
+    val want = 1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0
+    assert(got == want)
+  }
+
+  test("dot_product_f rejects non-float-array inputs at analysis") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+    intercept[Exception](df.select(VectorFunctions.dot_f($"a", $"b")).collect())
+  }
+
+  test("porter_stem usable from SQL via GraftExtensions") {
+    val got = extSpark.sql(
+      "SELECT porter_stem('running') AS s, porter_stem('relational') AS r")
+      .collect()(0)
+    assert(got.getString(0) == "run" && got.getString(1) == "relat")
+    assert(got.getString(0) == PorterStemmer.stem("running"))
+  }
+
+  test("dot_product_f usable from SQL via GraftExtensions") {
+    val got = extSpark.sql(
+      "SELECT dot_product_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(got == 11.0)
+  }
+
+  test("porter_stem composes inside transform() over token arrays") {
+    val got = extSpark.sql(
+      "SELECT transform(array('running', 'chasing'), t -> porter_stem(t)) AS ts")
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("run", "chase"))
+  }
+}

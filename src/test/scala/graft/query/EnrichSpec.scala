@@ -1,0 +1,47 @@
+package graft.query
+
+import graft.{RefFixtures, TestSpark}
+import graft.index.IndexJob
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batched display_sql enrichment: the reference's per-row `:key`/`:q`
+  * point lookups (reference __init__.py:161-168) executed as one join
+  * per type.
+  */
+class EnrichSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("rewrite splits the documented `where <expr> = :key` shape") {
+    val (body, key) = Enrich.rewrite(
+      "select * from emails where id = :key", "things")
+    assert(body == "select * from emails" && key == "id")
+  }
+
+  test(":q is substituted as an escaped literal") {
+    val (body, _) = Enrich.rewrite(
+      "select :q as their_query from commits where sha = :key", "it's")
+    assert(body.contains("select 'it''s' as their_query from commits"))
+  }
+
+  test("undocumented shapes are rejected loudly") {
+    intercept[IllegalArgumentException](
+      Enrich.rewrite("select * from emails", "q"))
+  }
+
+  test("enriches the reference fixture page with display columns") {
+    RefFixtures.registerPlugin(spark)
+    val index = IndexJob.buildIndex(spark, RefFixtures.pluginRules)
+    val emailRule = RefFixtures.pluginRules.find(_.db == "emails.db").get
+    val enriched = Enrich.enrichType(spark, emailRule, index, "things")
+    val row = enriched.filter(org.apache.spark.sql.functions.col("key") === "1")
+      .collect()(0)
+    assert(row.getAs[String]("display_subject") == "Hey there #dogfest")
+    assert(row.getAs[String]("display_from_") == "blah@example.com")
+
+    // commits rule echoes :q back (reference fixture display_sql)
+    val commitsRule = RefFixtures.pluginRules.find(_.db == "github.db").get
+    val ec = Enrich.enrichType(spark, commitsRule, index, "things").collect()
+    assert(ec.length == 2)
+    assert(ec.forall(_.getAs[String]("display_their_query") == "things"))
+  }
+}
