@@ -308,6 +308,56 @@ object CoreQueries {
           |ORDER BY f.n DESC, f.category""".stripMargin))
     ),
 
+    // W2: analytic window with an explicit frame — per-customer running
+    // order total (decimal-summed: window accumulation order differs
+    // between engines, doubles would drift; DECIMAL is exact).
+    QueryDef(
+      "w2_running_total",
+      (spark, sfDir) => withSources(spark, sfDir) {
+        spark.sql(
+          """SELECT o_custkey, o_orderkey,
+            |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            |         PARTITION BY o_custkey
+            |         ORDER BY o_orderdate, o_orderkey
+            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            |         AS running_total,
+            |       row_number() OVER (
+            |         PARTITION BY o_custkey
+            |         ORDER BY o_orderdate, o_orderkey) AS order_seq
+            |FROM orders
+            |WHERE o_custkey < 50
+            |ORDER BY o_custkey, order_seq""".stripMargin)
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |         PARTITION BY o_custkey
+          |         ORDER BY o_orderdate, o_orderkey
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |         AS running_total,
+          |       row_number() OVER (
+          |         PARTITION BY o_custkey
+          |         ORDER BY o_orderdate, o_orderkey) AS order_seq
+          |FROM orders
+          |WHERE o_custkey < 50
+          |ORDER BY o_custkey, order_seq""".stripMargin)
+    ),
+
+    // A6: sketch aggregation — HyperLogLog++ approximate distinct.
+    // Engine-specific sketch values → rows-only check; the exact
+    // distinct count is oracle-covered by q16_parts_rollup.
+    QueryDef(
+      "a6_approx_distinct",
+      (spark, sfDir) => withSources(spark, sfDir) {
+        spark.sql(
+          """SELECT l_returnflag,
+            |       approx_count_distinct(l_partkey) AS approx_parts,
+            |       count(DISTINCT l_partkey) AS exact_parts
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      None
+    ),
+
     // W1: window-function dedup — latest event per (user_id, event_type);
     // the same row_number pattern that implements REPLACE semantics
     // internally (SURVEY §1.4).

@@ -1,45 +1,30 @@
 package graft
 
-import graft.index.IndexJob
-import graft.query.Enrich
+import graft.text.Tokenize
 import org.apache.spark.sql.SparkSession
 
-/** Scratch smoke main — drives the newest surfaces on real testdata:
-  * batched display_sql enrichment + SQL-registered native functions.
-  */
+/** Scratch main: steady-state timing of the search path. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
-    Corpus.registerSources(spark, sf)
-
-    // 1. enrichment through the rules' own display_sql (tpch rule)
-    val index = Corpus.searchIndex(spark, sf)
-    val rule = Corpus.rules.find(_.db == "tpch.db").get
-    val page = index.filter(org.apache.spark.sql.functions.col("type") === rule.typeTag).limit(10)
-    val enriched = Enrich.enrichType(spark, rule, page, "urgent")
-    println("ENRICH-COLS=" + enriched.columns.filter(_.startsWith("display_")).mkString(","))
-    println("ENRICH-ROWS=" + enriched.count())
-    enriched.select("key", "title", "display_o_totalprice", "display_c_name").show(3, false)
-
-    // 2. hostile display_sql shapes
-    def tryRewrite(tag: String, sql: String): Unit =
-      try { Enrich.rewrite(sql, "q'); drop--"); println(s"REWRITE $tag -> ok") }
-      catch { case e: Exception => println(s"REWRITE $tag -> ${e.getClass.getSimpleName}") }
-    tryRewrite("no-where", "select 1")
-    tryRewrite("quote-in-q", "select :q as x from orders where o_orderkey = :key")
-
-    // 3. SQL functions registered on a live session
-    GraftExtensions.register(spark)
-    spark.sql(
-      """SELECT porter_stem('indexing') AS s,
-        |       dot_product_f(array(CAST(2.0 AS FLOAT)), array(CAST(4.0 AS FLOAT))) AS d""".stripMargin)
-      .show(false)
+    val sf = "/root/testdata/sf0.1"
+    Corpus.textArtifacts(spark, sf, Tokenize.None_).postings.count()
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries("o1_search_topk")(spark, sf).collect()
+      println(f"O1-RUN$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries("p4_fts_phrase")(spark, sf).collect()
+      println(f"PHRASE-RUN$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
     spark.stop()
   }
 }

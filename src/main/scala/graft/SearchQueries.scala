@@ -25,8 +25,7 @@ object SearchQueries {
     (spark: org.apache.spark.sql.SparkSession, sfDir: String) => {
       val arts = Corpus.textArtifacts(spark, sfDir, Tokenize.None_)
       val node = FtsQuery.parseOrEscape(q, Tokenize.None_).get
-      arts.docTokens.filter(SearchEngine.matchCondition(node))
-        .select("type", "key").orderBy("type", "key")
+      SearchEngine.matchSet(arts, node).orderBy("type", "key")
     }
 
   private def node(q: String) = FtsQuery.parseOrEscape(q, Tokenize.None_).get

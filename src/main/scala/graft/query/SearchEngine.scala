@@ -74,6 +74,44 @@ object SearchEngine {
       .select("type", "key")
   }
 
+  /** The boolean match set for a parsed query, as (type, key) rows.
+    *
+    * Pure AND-of-terms (the common query shape) resolves entirely in
+    * the postings index — term-pruned semi-join, no token-array scan.
+    * Every other tree with a non-empty necessary-term set (phrases,
+    * NOT, escape fallbacks) prefilters through postings and runs the
+    * exact array predicate only on the candidates. Pure-OR/prefix
+    * trees scan (no necessary terms to prune on).
+    */
+  def matchSet(arts: TextArtifacts, node: Node): DataFrame = node match {
+    case Term(t) => matchedViaPostings(arts.postings, Seq(t))
+    case And(ns) if ns.forall(_.isInstanceOf[Term]) =>
+      matchedViaPostings(arts.postings, ns.collect { case Term(t) => t })
+    case _ =>
+      val required = requiredTerms(node)
+      val base =
+        if (required.isEmpty) arts.docTokens
+        else arts.docTokens.join(
+          matchedViaPostings(arts.postings, required), Seq("type", "key"))
+      base.filter(matchCondition(node)).select("type", "key")
+  }
+
+  /** Terms that are NECESSARY for a match (conservative): every matched
+    * doc must contain all of them. Empty for trees whose necessity set
+    * can't be derived cheaply (pure OR branches, prefix-only).
+    * Used to prefilter general trees through the postings index before
+    * the exact token-array check runs on the (much smaller) candidate
+    * set.
+    */
+  def requiredTerms(n: Node): Seq[String] = n match {
+    case Term(t)     => Seq(t)
+    case Phrase(ts)  => ts
+    case Prefix(_)   => Seq.empty
+    case And(ns)     => ns.flatMap(requiredTerms).distinct
+    case Or(_)       => Seq.empty // a term is only necessary if in EVERY branch; skip
+    case Not(pos, _) => requiredTerms(pos)
+  }
+
   /** BM25 per-doc scores for the query's positive terms.
     * postings ⋈ broadcast(terms) ⋈ broadcast(df) — one narrow shuffle.
     */
@@ -159,16 +197,7 @@ object SearchEngine {
         // match over the corpus; the final inner join with `filtered`
         // applies the WHERE leg (same as the reference: MATCH hits the
         // whole FTS index, filters land on search_index).
-        // Pure AND-of-terms (the common query shape) takes the postings
-        // path — term-pruned semi-join, no token-array scan; general
-        // trees (phrase/OR/NOT/prefix) fall back to the array scan.
-        val matched = node match {
-          case Term(t) => matchedViaPostings(arts.postings, Seq(t))
-          case And(ns) if ns.forall(_.isInstanceOf[Term]) =>
-            matchedViaPostings(arts.postings, ns.collect { case Term(t) => t })
-          case _ =>
-            arts.docTokens.filter(matchCondition(node)).select("type", "key")
-        }
+        val matched = matchSet(arts, node)
         val terms = FtsQuery.positiveTerms(node).distinct
         val scored =
           if (terms.isEmpty) matched.withColumn("score", lit(0.0))

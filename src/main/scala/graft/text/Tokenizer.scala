@@ -31,8 +31,19 @@ object Tokenizer {
   def tokensCol(c: Column): Column =
     filter(split(lower(coalesce(c, lit(""))), splitPattern), t => t =!= "")
 
+  // per-executor stem memo: corpus vocabularies are tiny relative to
+  // token occurrences, so stemming each DISTINCT token once per JVM
+  // removes the stemmer from the indexing hot loop (bounded to guard
+  // against adversarial vocabularies)
+  @transient private lazy val stemCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedStem(t: String): String = {
+    if (stemCache.size > 1000000) stemCache.clear()
+    stemCache.computeIfAbsent(t, PorterStemmer.stem(_))
+  }
+
   private val stemSeqUdf =
-    udf((ts: Seq[String]) => if (ts == null) Seq.empty[String] else ts.map(PorterStemmer.stem))
+    udf((ts: Seq[String]) => if (ts == null) Seq.empty[String] else ts.map(cachedStem))
 
   def tokens(c: Column, mode: Tokenize.Value): Column = mode match {
     case Tokenize.None_  => tokensCol(c)

@@ -98,6 +98,26 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(ids(r) == Seq(commitA))
   }
 
+  test("search_2/search_3 are declared but never FTS-indexed (utils.py:89-90)") {
+    import spark.implicits._
+    val extra = graft.core.Schema.conform(
+      Seq(("x/t", "9", "title here", "2020-08-03T00:00:00", "only_in_s2", "only_in_s3"))
+        .toDF("type", "key", "title", "timestamp", "search_2", "search_3"))
+    val idx2 = index.unionByName(extra)
+    def hits(q: String) = ids(SearchEngine.search(spark, idx2,
+      SearchEngine.Request(q = Some(q), tokenize = Tokenize.Porter)))
+    assert(hits("only_in_s2").isEmpty && hits("only_in_s3").isEmpty)
+    assert(hits("title here") == Seq("x/t:9")) // title IS indexed
+  }
+
+  test("-d database allowlist restricts the indexer (cli.py:27-32)") {
+    RefFixtures.registerPlugin(spark)
+    val only = graft.index.IndexJob.buildIndex(spark, RefFixtures.pluginRules,
+      databases = Some(Set("emails.db")))
+    assert(only.select("type").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("emails.db/emails"))
+  }
+
   test("BM25 ranks rarer term higher (relevance order)") {
     // 'dogfest' appears once; docs sort by score desc
     val scored = search("things").select("score").collect().map(_.getDouble(0))
