@@ -21,20 +21,22 @@ object OracleGen {
     s"list_filter(string_split_regex(lower(coalesce($x, '')), '[^a-z0-9]+'), t -> t <> '')"
 
   /** Boolean match condition over doc_tokens columns, from the AST. */
-  def matchSql(n: Node): String = n match {
+  def matchSql(n: Node,
+      fields: Seq[String] = Seq("tokens_title", "tokens_s1")): String = n match {
     case Term(t) =>
-      s"(list_contains(tokens_title, '$t') OR list_contains(tokens_s1, '$t'))"
+      fields.map(f => s"list_contains($f, '$t')").mkString("(", " OR ", ")")
     case Prefix(p) =>
-      s"(len(list_filter(tokens_title, t -> t LIKE '$p%')) > 0 OR " +
-        s"len(list_filter(tokens_s1, t -> t LIKE '$p%')) > 0)"
+      fields.map(f => s"len(list_filter($f, t -> t LIKE '$p%')) > 0")
+        .mkString("(", " OR ", ")")
     case Phrase(ts) =>
       val needle = " " + ts.mkString(" ") + " "
-      def f(c: String) =
-        s"strpos(' ' || array_to_string($c, ' ') || ' ', '$needle') > 0"
-      s"(${f("tokens_title")} OR ${f("tokens_s1")})"
-    case And(ns)      => ns.map(matchSql).mkString("(", " AND ", ")")
-    case Or(ns)       => ns.map(matchSql).mkString("(", " OR ", ")")
-    case Not(pos, ng) => s"(${matchSql(pos)} AND NOT ${matchSql(ng)})"
+      fields.map(c => s"strpos(' ' || array_to_string($c, ' ') || ' ', '$needle') > 0")
+        .mkString("(", " OR ", ")")
+    case And(ns)      => ns.map(matchSql(_, fields)).mkString("(", " AND ", ")")
+    case Or(ns)       => ns.map(matchSql(_, fields)).mkString("(", " OR ", ")")
+    case Not(pos, ng) => s"(${matchSql(pos, fields)} AND NOT ${matchSql(ng, fields)})"
+    case Field(f, m) =>
+      matchSql(m, Seq(if (f == "title") "tokens_title" else "tokens_s1"))
   }
 
   /** Shared text-index CTEs over the canonical corpus search_index. */

@@ -80,6 +80,13 @@ object SearchQueries {
       matchSet("urg*"),
       Some(OracleGen.matchSetSql(node("urg*")))),
 
+    // P4: FTS5 column filter — `col:term` restricts the match to one
+    // indexed field (title vs search_1 distributions differ: `urgent`
+    // only ever appears in search_1, `doc` only in titles).
+    QueryDef("p4_fts_colfilter",
+      matchSet("search_1:urgent OR title:doc"),
+      Some(OracleGen.matchSetSql(node("search_1:urgent OR title:doc")))),
+
     // P5: escape fallback — `1-urgent` is FTS-invalid, every token is
     // re-quoted as a literal phrase (reference __init__.py:141-145;
     // `#dogfest` case tests/test_plugin.py:119-152).

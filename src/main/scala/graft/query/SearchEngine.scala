@@ -44,20 +44,24 @@ object SearchEngine {
       tokenize: Tokenize.Value = Tokenize.Porter
   )
 
-  /** Boolean match predicate over docTokens' token arrays. */
-  def matchCondition(n: Node): Column = n match {
-    case Term(t)    => array_contains(col("tokens_title"), t) ||
-                       array_contains(col("tokens_s1"), t)
-    case Prefix(p)  => exists(col("tokens_title"), t => t.startsWith(p)) ||
-                       exists(col("tokens_s1"), t => t.startsWith(p))
+  /** Boolean match predicate over docTokens' token arrays.
+    * `fields` restricts which indexed fields the leaf predicates see
+    * (the FTS5 column-filter contract).
+    */
+  def matchCondition(n: Node,
+      fields: Seq[String] = Seq("tokens_title", "tokens_s1")): Column = n match {
+    case Term(t)   => fields.map(f => array_contains(col(f), t)).reduce(_ || _)
+    case Prefix(p) => fields.map(f => exists(col(f), t => t.startsWith(p))).reduce(_ || _)
     case Phrase(ts) =>
       val needle = lit(" " + ts.mkString(" ") + " ")
       def inField(f: String) = instr(
         concat(lit(" "), concat_ws(" ", col(f)), lit(" ")), needle) > 0
-      inField("tokens_title") || inField("tokens_s1")
-    case And(ns)      => ns.map(matchCondition).reduce(_ && _)
-    case Or(ns)       => ns.map(matchCondition).reduce(_ || _)
-    case Not(pos, ng) => matchCondition(pos) && !matchCondition(ng)
+      fields.map(inField).reduce(_ || _)
+    case And(ns)      => ns.map(matchCondition(_, fields)).reduce(_ && _)
+    case Or(ns)       => ns.map(matchCondition(_, fields)).reduce(_ || _)
+    case Not(pos, ng) => matchCondition(pos, fields) && !matchCondition(ng, fields)
+    case Field(f, m) =>
+      matchCondition(m, Seq(if (f == "title") "tokens_title" else "tokens_s1"))
   }
 
   /** Scale path for selective conjunctive terms: semi-join docs against
@@ -84,6 +88,11 @@ object SearchEngine {
     * trees scan (no necessary terms to prune on).
     */
   def matchSet(arts: TextArtifacts, node: Node): DataFrame = node match {
+    case Field(f, Term(t)) =>
+      // field-filtered term: postings carry per-field tfs — no scan
+      arts.postings.filter(col("term") === t)
+        .filter((if (f == "title") col("tf_title") else col("tf_s1")) > 0)
+        .select("type", "key")
     case Term(t) => matchedViaPostings(arts.postings, Seq(t))
     case And(ns) if ns.forall(_.isInstanceOf[Term]) =>
       matchedViaPostings(arts.postings, ns.collect { case Term(t) => t })
@@ -110,6 +119,7 @@ object SearchEngine {
     case And(ns)     => ns.flatMap(requiredTerms).distinct
     case Or(_)       => Seq.empty // a term is only necessary if in EVERY branch; skip
     case Not(pos, _) => requiredTerms(pos)
+    case Field(_, m) => requiredTerms(m) // field-restricted ⊆ either-field match
   }
 
   /** BM25 per-doc scores for the query's positive terms.

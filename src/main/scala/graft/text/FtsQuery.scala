@@ -34,6 +34,14 @@ object FtsQuery {
   final case class Or(ns: Seq[Node]) extends Node
   /** positive AND-NOT: `a NOT b` — matches `pos` minus `neg`. */
   final case class Not(pos: Node, neg: Node) extends Node
+  /** FTS5 column filter `col:unit` — restrict the unit's match to one
+    * indexed field (`title` or `search_1`; unknown columns are syntax
+    * errors, as in FTS5).
+    */
+  final case class Field(field: String, n: Node) extends Node
+
+  /** The FTS-indexed columns (reference utils.py:90). */
+  val indexedFields: Set[String] = Set("title", "search_1")
 
   final class FtsParseError(msg: String) extends RuntimeException(msg)
 
@@ -80,6 +88,7 @@ object FtsQuery {
     case And(ns)       => ns.flatMap(positiveTerms)
     case Or(ns)        => ns.flatMap(positiveTerms)
     case Not(pos, _)   => positiveTerms(pos)
+    case Field(_, m)   => positiveTerms(m)
   }
 
   // ---- lexer ---------------------------------------------------------
@@ -91,6 +100,7 @@ object FtsQuery {
   private final case class TTerm(s: String) extends Tok
   private final case class TPrefix(s: String) extends Tok
   private final case class TPhrase(s: String) extends Tok
+  private final case class TField(name: String) extends Tok
 
   private def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -113,6 +123,18 @@ object FtsQuery {
           case "NOT" => out += TNot
           case _ if bareToken.matches(w)   => out += TTerm(w)
           case _ if prefixToken.matches(w) => out += TPrefix(w.dropRight(1))
+          case _ if w.count(_ == ':') == 1 =>
+            // column filter: `col:term`, `col:term*`, or `col:` + "phrase"
+            val Array(name, rest) = w.split(":", 2)
+            if (!indexedFields.contains(name))
+              throw new FtsParseError(s"no such column: $name")
+            out += TField(name)
+            rest match {
+              case "" => // unit follows as the next token (e.g. col:"phrase")
+              case r if bareToken.matches(r)   => out += TTerm(r)
+              case r if prefixToken.matches(r) => out += TPrefix(r.dropRight(1))
+              case r => throw new FtsParseError(s"invalid token: $r")
+            }
           case _ => throw new FtsParseError(s"invalid token: $w")
         }
         i = j
@@ -139,7 +161,7 @@ object FtsQuery {
       var continue = true
       while (continue && !atEnd) peek match {
         case TAnd => i += 1; parts :+= parseNot()
-        case TTerm(_) | TPrefix(_) | TPhrase(_) => parts :+= parseNot()
+        case TTerm(_) | TPrefix(_) | TPhrase(_) | TField(_) => parts :+= parseNot()
         case _ => continue = false
       }
       if (parts.size == 1) parts.head else And(parts)
@@ -165,6 +187,7 @@ object FtsQuery {
           val ts = Tokenizer.tokenize(s, mode)
           if (ts.isEmpty) throw new FtsParseError(s"empty phrase: $s")
           Phrase(ts)
+        case TField(name) => Field(name, parseUnit())
         case other => throw new FtsParseError(s"unexpected: $other")
       }
     }

@@ -1,0 +1,71 @@
+package graft.serve
+
+import graft.{RefFixtures, TestSpark}
+import graft.index.IndexJob
+import graft.query.SearchEngine.Request
+import graft.text.Tokenize
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full-page assembly parity with the reference's `/-/beta?q=things`
+  * expectations (reference tests/test_plugin.py:11-108): count, facet
+  * names/counts/labels/toggle-URLs, enriched display values.
+  */
+class SearchPageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val page: SearchPage.Page = {
+    RefFixtures.registerPlugin(spark)
+    val index = IndexJob.buildIndex(spark, RefFixtures.pluginRules).cache()
+    SearchPage.assemble(spark, index, RefFixtures.pluginRules,
+      Request(q = Some("things"), tokenize = Tokenize.Porter))
+  }
+
+  test("'Got 3 results' (test_plugin.py:19)") {
+    assert(page.count == 3L && page.results.size == 3)
+  }
+
+  test("facet JSON parity: names, counts, labels, toggle URLs (test_plugin.py:45-108)") {
+    val byName = page.facets.map(f => f.name -> f).toMap
+    assert(byName.keySet == Set("type", "category", "is_public", "timestamp"))
+
+    val t = byName("type").values
+    assert(t.map(v => (v.label, v.count, v.toggleUrl)) == Seq(
+      ("emails.db/emails", 2L, "?type=emails.db%2Femails&q=things"),
+      ("github.db/commits", 1L, "?type=github.db%2Fcommits&q=things")))
+
+    val c = byName("category").values
+    assert(c.map(v => (v.label, v.count, v.toggleUrl)) == Seq(
+      ("created", 1L, "?category=1&q=things"))) // NULL categories excluded
+
+    val p = byName("is_public").values
+    assert(p.map(v => (v.label, v.count, v.toggleUrl)) == Seq(
+      ("0", 2L, "?is_public=0&q=things"),
+      ("1", 1L, "?is_public=1&q=things")))
+
+    val d = byName("timestamp").values
+    assert(d.map(v => (v.label, v.count, v.toggleUrl)) == Seq(
+      ("2020-08-01", 2L, "?timestamp__date=2020-08-01&q=things"),
+      ("2020-08-02", 1L, "?timestamp__date=2020-08-02&q=things")))
+
+    assert(page.facets.forall(_.values.forall(!_.selected)))
+  }
+
+  test("results carry batched display_sql enrichment (:q echo, test_plugin.py:22-25)") {
+    val commit = page.results.find(_("type") == "github.db/commits").get
+    assert(commit("display_their_query") == "things")
+    assert(commit("display_repo_name") == "dogsheep/dogsheep-beta")
+    val email = page.results.find(r => r("type") == "emails.db/emails" && r("key") == "1").get
+    assert(email("display_from_") == "blah@example.com")
+    assert(email("display_subject") == "Hey there #dogfest")
+  }
+
+  test("selected flag set when a facet filter is active") {
+    RefFixtures.registerPlugin(spark)
+    val index = IndexJob.buildIndex(spark, RefFixtures.pluginRules)
+    val p2 = SearchPage.assemble(spark, index, RefFixtures.pluginRules,
+      Request(q = Some("things"), isPublic = Some("1"), tokenize = Tokenize.Porter))
+    assert(p2.count == 1)
+    val pub = p2.facets.find(_.name == "is_public").get.values
+    assert(pub == Seq(SearchPage.FacetValue("1", "1", 1L, "?is_public=1&q=things", true)))
+  }
+}

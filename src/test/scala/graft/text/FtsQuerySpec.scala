@@ -36,6 +36,16 @@ class FtsQuerySpec extends AnyFunSuite {
     intercept[FtsParseError](parse("NOT alone", M))
   }
 
+  test("column filters: col:term / col:\"phrase\"; unknown column = syntax error") {
+    assert(parse("title:foo", M) == Field("title", Term("foo")))
+    assert(parse("search_1:\"a b\" x", M) ==
+      And(Seq(Field("search_1", Phrase(Seq("a", "b"))), Term("x"))))
+    intercept[FtsParseError](parse("nosuchcol:foo", M))
+    // unknown column falls back to escaped literal phrase, like FTS5 + escape
+    assert(parseOrEscape("nosuchcol:foo", M) ==
+      Some(Phrase(Seq("nosuchcol", "foo"))))
+  }
+
   test("escape fallback: every whitespace token becomes a literal phrase") {
     // reference __init__.py:141-145 + escape_fts; proven cases:
     // `#dogfest` matches docs with token `dogfest`
