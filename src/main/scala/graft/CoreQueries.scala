@@ -54,6 +54,63 @@ object CoreQueries {
         """SELECT "type", count(*) AS n_docs FROM search_index GROUP BY "type" ORDER BY "type""""))
     ),
 
+    // S2: -d database allowlist — index only a subset of the configured
+    // sources (reference cli.py:27-32).
+    QueryDef(
+      "s2_multidb_allowlist",
+      (spark, sfDir) => withSources(spark, sfDir) {
+        IndexJob.buildIndex(spark, Corpus.rules,
+            databases = Some(Set("docs.db", "events.db")))
+          .groupBy("type").agg(count(lit(1)).as("n_docs"))
+          .orderBy("type")
+      },
+      Some(
+        """SELECT 'docs.db/documents' AS "type", count(*) AS n_docs FROM documents
+          |UNION ALL
+          |SELECT 'events.db/events', count(*) FROM events
+          |ORDER BY "type"""".stripMargin)
+    ),
+
+    // S3+J2: extraction SQL may use window functions — index each
+    // customer's LATEST order only (the user-SQL surface is full Spark
+    // SQL; reference README.md:30-48).
+    QueryDef(
+      "s3_user_sql_window",
+      (spark, sfDir) => withSources(spark, sfDir) {
+        Schema.conform(spark.sql(
+          """select cast(o_custkey as string) as key,
+            |       concat('Customer ', cast(o_custkey as string),
+            |              ' latest order ', cast(o_orderkey as string)) as title,
+            |       date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') as timestamp,
+            |       cast(1 as int) as category
+            |from (
+            |  select *, row_number() over (
+            |    partition by o_custkey
+            |    order by o_orderdate desc, o_orderkey desc) as rn
+            |  from orders
+            |) where rn = 1""".stripMargin)
+          .withColumn("type", lit("tpch.db/customer_latest")))
+          .orderBy("key")
+      },
+      Some(
+        """SELECT 'tpch.db/customer_latest' AS "type",
+          |       CAST(o_custkey AS VARCHAR) AS "key",
+          |       'Customer ' || CAST(o_custkey AS VARCHAR) ||
+          |         ' latest order ' || CAST(o_orderkey AS VARCHAR) AS title,
+          |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS "timestamp",
+          |       CAST(1 AS INTEGER) AS category, 0 AS is_public,
+          |       CAST(NULL AS VARCHAR) AS search_1,
+          |       CAST(NULL AS VARCHAR) AS search_2,
+          |       CAST(NULL AS VARCHAR) AS search_3
+          |FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY o_custkey
+          |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          |  FROM orders
+          |) t WHERE rn = 1
+          |ORDER BY "key"""".stripMargin)
+    ),
+
     // S6: REPLACE-upsert merge — batch 2 overwrites batch 1 on (type,key),
     // unmatched batch-1 rows survive (reference utils.py:50-54).
     QueryDef(

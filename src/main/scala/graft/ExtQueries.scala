@@ -361,6 +361,63 @@ object ExtQueries {
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("x_dedup_keep_first",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Dedup.dedupKeepFirst(spark.table("documents"), "text", "doc_id")
+          .select("doc_id", "is_duplicate")
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |       (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) > 1
+          |         AS is_duplicate
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x_text_langid_ngram",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.charTrigramLangId(spark.table("documents"), "text", "lang")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tri AS (
+          |  SELECT DISTINCT doc_id, lang, tg
+          |  FROM (
+          |    SELECT doc_id, lang,
+          |           unnest(CASE WHEN len(lower(text)) >= 3
+          |             THEN list_transform(range(1, len(lower(text)) - 1),
+          |                                 i -> substr(lower(text), i, 3))
+          |             ELSE [] END) AS tg
+          |    FROM documents
+          |  ) u
+          |),
+          |profile AS (
+          |  SELECT lang AS p_lang, tg FROM (
+          |    SELECT lang, tg, row_number() OVER (
+          |      PARTITION BY lang ORDER BY count(*) DESC, tg) AS rn
+          |    FROM tri GROUP BY lang, tg
+          |  ) r WHERE rn <= 40
+          |),
+          |hits AS (
+          |  SELECT t.doc_id, p.p_lang, count(*) AS n_hits
+          |  FROM (SELECT DISTINCT doc_id, tg FROM tri) t
+          |  JOIN profile p ON p.tg = t.tg
+          |  GROUP BY t.doc_id, p.p_lang
+          |),
+          |best AS (
+          |  SELECT doc_id, p_lang, n_hits FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY doc_id ORDER BY n_hits DESC, p_lang) AS rn
+          |    FROM hits
+          |  ) r WHERE rn = 1
+          |)
+          |SELECT d.doc_id, d.lang,
+          |       coalesce(b.p_lang, 'und') AS predicted_lang,
+          |       coalesce(b.n_hits, 0) AS n_hits
+          |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)),
+
     QueryDef("x_text_tokens",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)

@@ -92,6 +92,57 @@ object TextAnalysis {
       .withColumn("n_chars_col", length(t))
   }
 
+  /** Character-trigram language classifier — the "n-gram heuristic"
+    * variant: train per-language trigram profiles FROM the labeled
+    * corpus itself (top `profileSize` trigrams by document frequency),
+    * then classify each document by profile-hit count. Train + apply is
+    * one relational pipeline (two aggregations + one join), fully
+    * deterministic, oracle-checkable, and embarrassingly parallel: at
+    * 100 TB the profiles are a tiny broadcast table and classification
+    * is a map-side join over the exploded trigrams.
+    */
+  def charTrigramLangId(docs: DataFrame, textCol: String, langCol: String,
+      profileSize: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    docs.createOrReplaceTempView("__lang_docs")
+    spark.sql(
+      s"""WITH tri AS (
+         |  SELECT DISTINCT doc_id, $langCol AS lang, tg
+         |  FROM (
+         |    SELECT doc_id, $langCol,
+         |           explode(CASE WHEN char_length(lower($textCol)) >= 3
+         |             THEN transform(sequence(1, char_length(lower($textCol)) - 2),
+         |                            i -> substr(lower($textCol), i, 3))
+         |             ELSE array() END) AS tg
+         |    FROM __lang_docs
+         |  )
+         |),
+         |profile AS (
+         |  SELECT lang AS p_lang, tg FROM (
+         |    SELECT lang, tg, row_number() OVER (
+         |      PARTITION BY lang ORDER BY count(*) DESC, tg) AS rn
+         |    FROM tri GROUP BY lang, tg
+         |  ) WHERE rn <= $profileSize
+         |),
+         |hits AS (
+         |  SELECT t.doc_id, p.p_lang, count(*) AS n_hits
+         |  FROM (SELECT DISTINCT doc_id, tg FROM tri) t
+         |  JOIN profile p ON p.tg = t.tg
+         |  GROUP BY t.doc_id, p.p_lang
+         |),
+         |best AS (
+         |  SELECT doc_id, p_lang, n_hits FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY n_hits DESC, p_lang) AS rn
+         |    FROM hits
+         |  ) WHERE rn = 1
+         |)
+         |SELECT d.doc_id, d.$langCol AS lang,
+         |       coalesce(b.p_lang, 'und') AS predicted_lang,
+         |       coalesce(b.n_hits, 0) AS n_hits
+         |FROM __lang_docs d LEFT JOIN best b ON b.doc_id = d.doc_id""".stripMargin)
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * word-order-insensitive (catches shuffled near-copies that exact
     * hashing misses, cheaper than Jaccard).

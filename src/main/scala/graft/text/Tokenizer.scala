@@ -23,13 +23,32 @@ object Tokenize extends Enumeration {
 
 object Tokenizer {
 
+  /** ASCII split — the oracle-parity tokenizer (bit-identical to DuckDB
+    * `string_split_regex(lower(x), '[^a-z0-9]+')`).
+    */
   val splitPattern = "[^a-z0-9]+"
+
+  /** Unicode61-faithful split for the Porter pipeline: any Unicode
+    * letter/digit is a token character (SQLite unicode61 contract);
+    * diacritics are folded before stemming (see [[foldDiacritics]]).
+    */
+  val unicodeSplitPattern = "[^\\p{L}\\p{N}]+"
 
   /** Token array from a (possibly NULL) string column — codegen-friendly
     * built-ins only.
     */
   def tokensCol(c: Column): Column =
     filter(split(lower(coalesce(c, lit(""))), splitPattern), t => t =!= "")
+
+  private def unicodeTokensCol(c: Column): Column =
+    filter(split(lower(coalesce(c, lit(""))), unicodeSplitPattern), t => t =!= "")
+
+  /** unicode61 `remove_diacritics` equivalent: NFD-decompose and strip
+    * combining marks ("café" → "cafe").
+    */
+  def foldDiacritics(t: String): String =
+    java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
 
   // per-executor stem memo: corpus vocabularies are tiny relative to
   // token occurrences, so stemming each DISTINCT token once per JVM
@@ -39,7 +58,7 @@ object Tokenizer {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def cachedStem(t: String): String = {
     if (stemCache.size > 1000000) stemCache.clear()
-    stemCache.computeIfAbsent(t, PorterStemmer.stem(_))
+    stemCache.computeIfAbsent(t, u => PorterStemmer.stem(foldDiacritics(u)))
   }
 
   private val stemSeqUdf =
@@ -47,18 +66,19 @@ object Tokenizer {
 
   def tokens(c: Column, mode: Tokenize.Value): Column = mode match {
     case Tokenize.None_  => tokensCol(c)
-    case Tokenize.Porter => stemSeqUdf(tokensCol(c))
+    case Tokenize.Porter => stemSeqUdf(unicodeTokensCol(c))
   }
 
   /** Driver-side tokenization of a query string — must agree exactly
     * with the column-side definition above.
     */
-  def tokenize(s: String, mode: Tokenize.Value): Seq[String] = {
-    val raw = s.toLowerCase(java.util.Locale.ROOT)
-      .split(splitPattern).filter(_.nonEmpty).toSeq
-    mode match {
-      case Tokenize.None_  => raw
-      case Tokenize.Porter => raw.map(PorterStemmer.stem)
-    }
+  def tokenize(s: String, mode: Tokenize.Value): Seq[String] = mode match {
+    case Tokenize.None_ =>
+      s.toLowerCase(java.util.Locale.ROOT)
+        .split(splitPattern).filter(_.nonEmpty).toSeq
+    case Tokenize.Porter =>
+      s.toLowerCase(java.util.Locale.ROOT)
+        .split(unicodeSplitPattern).filter(_.nonEmpty).toSeq
+        .map(t => PorterStemmer.stem(foldDiacritics(t)))
   }
 }

@@ -30,6 +30,12 @@ class FtsQuerySpec extends AnyFunSuite {
     assert(parse("running", Tokenize.Porter) == Term("run"))
   }
 
+  test("porter pipeline is unicode61-faithful: letters kept, diacritics folded") {
+    assert(Tokenizer.tokenize("Café RUNNING", Tokenize.Porter) == Seq("cafe", "run"))
+    // the ASCII oracle tokenizer deliberately splits at the accent
+    assert(Tokenizer.tokenize("Café", Tokenize.None_) == Seq("caf"))
+  }
+
   test("invalid tokens are FTS syntax errors (matching FTS5)") {
     intercept[FtsParseError](parse("#dogfest", M))
     intercept[FtsParseError](parse("github-to-sqlite", M))
