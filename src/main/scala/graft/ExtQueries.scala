@@ -77,6 +77,70 @@ object ExtQueries {
       |  FROM embeddings WHERE vec_id = 0
       |)""".stripMargin
 
+  /** DuckDB mirror of Similarity.kmeansIvfSearch: the same Lloyd rounds
+    * unrolled as CTE chains (c0 → a1 → c1 → a2 → c2 → final assign +
+    * probe + exact cosine).
+    */
+  private def kmeansIvfOracle(sampleEvery: Int, iters: Int, nprobe: Int,
+      k: Int): String = {
+    def simCte(n: Int, prev: String): String =
+      s"""nc_$n AS (SELECT cell_id, sum(cv * cv) AS nc FROM $prev GROUP BY cell_id),
+         |sim_$n AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |         round(sum(e.v * c.cv) / (sqrt(n.nv) * sqrt(m.nc)), 6) AS sim
+         |  FROM exd e
+         |  JOIN $prev c ON c.i = e.i
+         |  JOIN nv n ON n.vec_id = e.vec_id
+         |  JOIN nc_$n m ON m.cell_id = c.cell_id
+         |  GROUP BY e.vec_id, c.cell_id, n.nv, m.nc
+         |),
+         |a_$n AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM sim_$n
+         |  ) r WHERE rn = 1
+         |)""".stripMargin
+    def updateCte(n: Int): String =
+      s"""c_$n AS (
+         |  SELECT a.cell_id, e.i, round(avg(e.v), 6) AS cv
+         |  FROM exd e JOIN a_$n a ON a.vec_id = e.vec_id
+         |  GROUP BY a.cell_id, e.i
+         |)""".stripMargin
+    val rounds = (1 to iters).map { n =>
+      val prev = if (n == 1) "c_0" else s"c_${n - 1}"
+      simCte(n, prev) + ",\n" + updateCte(n)
+    }.mkString(",\n")
+    val fin = iters + 1 // final assignment against the trained centroids
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         unnest(range(len(embedding))) AS i
+       |  FROM embeddings
+       |),
+       |exd AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM ex),
+       |nv AS (SELECT vec_id, sum(v * v) AS nv FROM exd GROUP BY vec_id),
+       |c_0 AS (SELECT vec_id AS cell_id, v AS cv, i FROM exd
+       |        WHERE vec_id % $sampleEvery = 0),
+       |$rounds,
+       |${simCte(fin, s"c_$iters")},
+       |qsim AS (SELECT cell_id, sim FROM sim_$fin WHERE vec_id = 0),
+       |probes AS (SELECT cell_id FROM qsim ORDER BY sim DESC, cell_id LIMIT $nprobe),
+       |cand AS (
+       |  SELECT a.vec_id, a.cell_id
+       |  FROM a_$fin a JOIN probes p ON p.cell_id = a.cell_id
+       |)
+       |SELECT c.vec_id AS vec_id, c.cell_id AS cell_id,
+       |       round(sum(e.v * q.v) / (sqrt(n.nv) * sqrt(qn.nv)), 6) AS cos_sim
+       |FROM cand c
+       |JOIN exd e ON e.vec_id = c.vec_id
+       |JOIN exd q ON q.i = e.i AND q.vec_id = 0
+       |JOIN nv n ON n.vec_id = c.vec_id
+       |JOIN nv qn ON qn.vec_id = 0
+       |GROUP BY c.vec_id, c.cell_id, n.nv, qn.nv
+       |ORDER BY cos_sim DESC, c.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- dedup -------------------------------------------------------
@@ -281,6 +345,19 @@ object ExtQueries {
            |GROUP BY c.vec_id, c.cell_id, n.nn, qn2.nq
            |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin)),
 
+    // IVF over a k-means quantizer TRAINED IN-ENGINE: deterministic
+    // seeding + 2 Lloyd rounds as pure relational algebra, centroid
+    // components rounded per round for cross-engine bit-parity. The
+    // oracle unrolls the same iterations as CTEs.
+    QueryDef("x_sim_ivf_kmeans",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val vecs = spark.table("embeddings")
+        Similarity.kmeansIvfSearch(vecs, Similarity.vectorOf(vecs, "vec_id", 0L),
+          sampleEvery = 40, iters = 2, nprobe = 3, k = 10)
+      },
+      Some(kmeansIvfOracle(sampleEvery = 40, iters = 2, nprobe = 3, k = 10))),
+
     // Hyperplane-LSH ANN: deterministic, but the hyperplane generation
     // (driver-side MD5) is not practical to mirror in SQL → rows-only.
     QueryDef("x_sim_lsh_ann",
@@ -472,6 +549,21 @@ object ExtQueries {
            |       1 + (${duckHash("text")} % 997) AS fake_width,
            |       1 + (CAST(octet_length(encode(text)) AS BIGINT) % 743) AS fake_height
            |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame fan-out plumbing (1 payload row → N feature rows through the
+    // per-partition batch decoder). Decode is the documented stub →
+    // rows-only; determinism is the check.
+    QueryDef("x_mm_features",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        graft.ext.Multimodal.extractFeatures(spark,
+            graft.ext.Multimodal.withPayload(spark.table("documents"), "text"),
+            "doc_id", frames = 2, dim = 8)
+          .toDF()
+          .selectExpr("doc_id", "frame", "round(aggregate(feature, CAST(0.0 AS DOUBLE), (a, x) -> a + x), 4) AS feat_sum")
+          .orderBy("doc_id", "frame")
+      },
+      None),
 
     // ---- streaming equivalent ---------------------------------------
 

@@ -99,6 +99,89 @@ object Similarity {
       .limit(k)
   }
 
+  /** K-means coarse quantizer trained in-engine: deterministic seeding
+    * (every `sampleEvery`-th vector) + `iters` Lloyd rounds, entirely as
+    * relational algebra — assignment is an argmax join, the centroid
+    * update is a component-wise mean (posexplode → groupBy(cell, pos) →
+    * rebuild array). Centroid components and similarities round to 6
+    * decimals each round so the training is bit-reproducible across
+    * engines (oracle-checked in `x_sim_ivf_kmeans`).
+    *
+    * Scale shape per round: one broadcast of k×dim centroids + one
+    * map-side assignment pass + one (cell, pos)-keyed aggregation —
+    * no iteration state on the driver beyond the centroid table.
+    */
+  def kmeansCentroids(vectors: DataFrame, sampleEvery: Int, iters: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val vecs = vectors.select(col(idCol).as("vec_id"), embD.as("ve"))
+      .withColumn("nv", dotD(col("ve"), col("ve")))
+    var centroids = vecs.filter(col("vec_id") % sampleEvery === 0)
+      .select(col("vec_id").as("cell_id"), col("ve").as("ce"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(vecs, centroids)
+      centroids = vecs.join(assigned, "vec_id")
+        .select(col("cell_id"), posexplode(col("ve")).as(Seq("i", "v")))
+        .groupBy("cell_id", "i")
+        .agg(round(avg(col("v")), 6).as("cv"))
+        .groupBy("cell_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("cv")))),
+          s => s.getField("cv")).as("ce"))
+    }
+    centroids
+  }
+
+  /** Argmax-cosine cell assignment of `vecs` (vec_id, ve double-array,
+    * nv) against a centroid table (cell_id, ce double-array).
+    */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val withC = centroids.withColumn("nc", dotD(col("ce"), col("ce")))
+    vecs.crossJoin(broadcast(withC))
+      .withColumn("sim", round(
+        dotD(col("ve"), col("ce")) / (sqrt(col("nv")) * sqrt(col("nc"))), 6))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell_id"), struct(col("sim"), -col("cell_id"))).as("cell_id"))
+  }
+
+  /** IVF search over the k-means quantizer: train, assign, probe the
+    * nprobe nearest cells, exact cosine within candidates.
+    */
+  def kmeansIvfSearch(vectors: DataFrame, query: Seq[Float], sampleEvery: Int,
+      iters: Int, nprobe: Int, k: Int, idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val vecs = vectors.select(col(idCol).as("vec_id"), embD.as("ve"))
+      .withColumn("nv", dotD(col("ve"), col("ve")))
+    val centroids = kmeansCentroids(vectors, sampleEvery, iters, idCol)
+    val assigned = assign(vecs, centroids)
+    val qD = array(query.map(v => lit(v.toDouble)): _*)
+    val probeCells = centroids
+      .withColumn("nc", dotD(col("ce"), col("ce")))
+      .withColumn("sim", round(
+        dotD(col("ce"), qD) / (sqrt(lit(queryNorm2(query))) * sqrt(col("nc"))), 6))
+      .orderBy(col("sim").desc, col("cell_id"))
+      .limit(nprobe)
+      .select("cell_id")
+    val q = array(query.map(lit): _*)
+    val cells = assigned.select(col("vec_id").as("__vid"), col("cell_id"))
+    vectors.join(cells, vectors(idCol) === cells("__vid"))
+      .join(broadcast(probeCells), "cell_id")
+      .withColumn("cos_sim", round(cosine(col("embedding"), q), 6))
+      .select(col(idCol).as("vec_id"), col("cell_id"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  private def queryNorm2(q: Seq[Float]): Double =
+    q.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
+
   /** Embedding near-duplicate pairs within label blocks: cosine above
     * threshold, blocked to avoid the cross product (the label column
     * stands in for any coarse bucketing — LSH band, IVF cell, shard).

@@ -91,6 +91,24 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("postings persist bucketed-by-term and prune on term lookup") {
+    import graft.index.TextIndex
+    import graft.text.Tokenize
+    val toks = TextIndex.docTokens(
+      graft.core.Schema.conform(
+        docs.selectExpr("cast(doc_id as string) as key", "text as search_1",
+          "'t' as title").selectExpr("*", "'b/t' as type")),
+      Tokenize.None_)
+    TextIndex.writePostingsBucketed(TextIndex.postings(toks), "postings_bucketed", 4)
+    val t = spark.table("postings_bucketed")
+    assert(t.filter(col("term") === "fox").count() == 4) // docs 1,2,3,5
+    // bucketed table: scan for one term reads without exchange for
+    // groupBy on the bucket column
+    val plan = t.groupBy("term").count().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed groupBy should not shuffle:\n$plan")
+    spark.sql("DROP TABLE postings_bucketed")
+  }
+
   test("multimodal: per-partition batch meta + frame fan-out shapes") {
     val withPayload = Multimodal.withPayload(docs, "text")
     val meta = Multimodal.extractMeta(spark, withPayload, "doc_id").collect()
