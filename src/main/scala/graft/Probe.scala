@@ -5,7 +5,7 @@ import graft.serve.SearchPage
 import graft.text.Tokenize
 import org.apache.spark.sql.SparkSession
 
-/** Scratch main: drive the full page assembly on real testdata. */
+/** Scratch main: drive default-JSON rendering + intcomma on real data. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -17,15 +17,12 @@ object Probe {
     val sf = "/root/testdata/sf0.001"
     val index = Corpus.searchIndex(spark, sf)
     val arts = Corpus.textArtifacts(spark, sf, Tokenize.None_)
+    // 'click' matches events docs; events rule has NO display_sql
     val page = SearchPage.assemble(spark, index, Corpus.rules,
-      Request(q = Some("urgent"), tokenize = Tokenize.None_), Some(arts))
-    println(s"PAGE count=${page.count} results=${page.results.size}")
-    page.facets.foreach(f => println(s"FACET ${f.name}: " +
-      f.values.take(3).map(v => s"${v.label}=${v.count} ${v.toggleUrl}").mkString(" | ")))
-    println("ENRICHED=" + page.results.head.keys.filter(_.startsWith("display_")).toSeq.sorted.mkString(","))
-    // empty-query page
-    val tl = SearchPage.assemble(spark, index, Corpus.rules, Request(q = None))
-    println(s"TIMELINE count=${tl.count} results=${tl.results.size}")
+      Request(q = Some("click"), tokenize = Tokenize.None_), Some(arts))
+    println("COUNT=" + SearchPage.intcomma(page.count))
+    val ev = page.results.find(_("type") == "events.db/events").get
+    println("DEFAULT-JSON=" + ev("display_json").take(120))
     spark.stop()
   }
 }

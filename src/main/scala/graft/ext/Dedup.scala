@@ -122,7 +122,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, n)
+    // consumed 3× (pair join ×2 sides + sizes): persist the explode
+    val sh = shingles(docs, textCol, idCol, n).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") &&
@@ -142,7 +143,8 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, shingleN)
+    // consumed 4× (signatures, verify join ×2 sides, sizes)
+    val sh = shingles(docs, textCol, idCol, shingleN).persist()
     val cands = lshCandidates(minhashSignatures(sh, k), k, bands)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shared = cands

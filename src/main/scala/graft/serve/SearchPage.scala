@@ -28,6 +28,31 @@ object SearchPage {
   final case class Page(q: String, count: Long, results: Seq[Map[String, String]],
       facets: Seq[Facet])
 
+  /** `intcomma` number formatting for "Got 1,234 results"
+    * (reference __init__.py:266-268).
+    */
+  def intcomma(n: Long): String = "%,d".formatLocal(java.util.Locale.US, n)
+
+  /** Default rendering for rules without a display template: the result
+    * row as JSON, sorted keys (reference __init__.py:186-189 renders a
+    * JSON `<pre>` block; the engine returns the data, not the HTML).
+    */
+  private[graft] def rowJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) =>
+      val vs = if (v == null) "null" else "\"" + escape(v) + "\""
+      "\"" + escape(k) + "\": " + vs
+    }.mkString("{", ", ", "}")
+
+  private def escape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** Datasette facet-value toggle URL: `?<param>=<value>&q=<q>` —
     * non-underscore params only, `q` re-injected
     * (reference __init__.py:248-257; expected URLs
@@ -133,7 +158,11 @@ object SearchPage {
         c -> Option(r.getAs[Any](c)).map(_.toString).orNull).toMap
       val display = enrichedByType.get(r.getAs[String]("type"))
         .flatMap(_.get(r.getAs[String]("key"))).getOrElse(Map.empty)
-      baseCols ++ display
+      // default rendering when the rule has no display template
+      val withDefault =
+        if (display.nonEmpty) display
+        else Map("display_json" -> rowJson(baseCols))
+      baseCols ++ withDefault
     }.toSeq
 
     Page(q, total, resultMaps, facets)

@@ -59,6 +59,12 @@ class SearchPageSpec extends AnyFunSuite {
     assert(email("display_subject") == "Hey there #dogfest")
   }
 
+  test("intcomma + default JSON rendering (reference __init__.py:186-189, 266-268)") {
+    assert(SearchPage.intcomma(1234567L) == "1,234,567")
+    assert(SearchPage.rowJson(Map("b" -> "x\"y", "a" -> null)) ==
+      """{"a": null, "b": "x\"y"}""")
+  }
+
   test("selected flag set when a facet filter is active") {
     RefFixtures.registerPlugin(spark)
     val index = IndexJob.buildIndex(spark, RefFixtures.pluginRules)
