@@ -141,6 +141,30 @@ object ExtQueries {
        |LIMIT $k""".stripMargin
   }
 
+  /** Shared CTE chain computing the 60-bit simhash per doc (mirrors
+    * Dedup.simhash bit-for-bit).
+    */
+  private def simhashSigCtes: String = {
+    val bitSums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN w ELSE -w END) AS b_$j")
+      .mkString(",\n         ")
+    val sig = (0 until 60).map(j =>
+      s"(CASE WHEN b_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
+      .mkString(" | ")
+    s"""tokw AS (
+       |  SELECT doc_id, token, count(*) AS w
+       |  FROM (SELECT doc_id, unnest(${ducktokens("text")}) AS token FROM documents) u
+       |  GROUP BY doc_id, token
+       |),
+       |hashed AS (SELECT doc_id, w, ${duckHash("token")} AS h FROM tokw),
+       |sums AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM hashed GROUP BY doc_id
+       |),
+       |sigs AS (SELECT doc_id, $sig AS simhash FROM sums)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- dedup -------------------------------------------------------
@@ -239,6 +263,32 @@ object ExtQueries {
            |SELECT doc_id, $sig AS simhash
            |FROM sums ORDER BY doc_id""".stripMargin
       }),
+
+    // SimHash near-dup pairs: band the sketch, collide, verify hamming.
+    QueryDef("x_dedup_simhash_pairs",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Dedup.simhashNearDups(spark.table("documents"), "text", "doc_id",
+            bits = 60, bands = 4, maxHamming = 8)
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        s"""WITH $simhashSigCtes,
+           |banded AS (
+           |${(0 until 4).map(b =>
+              s"  SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS band_key FROM sigs")
+              .mkString("\n  UNION ALL\n")}
+           |),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         a.simhash AS sh_a, b.simhash AS sh_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |)
+           |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+           |FROM cands
+           |WHERE bit_count(xor(sh_a, sh_b)) <= 8
+           |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- similarity search ------------------------------------------
 

@@ -87,6 +87,20 @@ object SearchQueries {
       matchSet("search_1:urgent OR title:doc"),
       Some(OracleGen.matchSetSql(node("search_1:urgent OR title:doc")))),
 
+    // P4 as a SQL expression: fts_match(title, search_1, q) — the
+    // reference's MATCH predicate usable in arbitrary SQL (brute-force
+    // scan form; GraftExtensions registers it). Same semantics as the
+    // indexed matchSet, proven by the shared oracle.
+    QueryDef("p4_fts_match_expr",
+      (spark, sfDir) => {
+        Corpus.searchIndex(spark, sfDir).createOrReplaceTempView("search_index_v")
+        spark.sql(
+          """SELECT type, key FROM search_index_v
+            |WHERE fts_match(title, search_1, 'urgent NOT automobile')
+            |ORDER BY type, key""".stripMargin)
+      },
+      Some(OracleGen.matchSetSql(node("urgent NOT automobile")))),
+
     // P5: escape fallback — `1-urgent` is FTS-invalid, every token is
     // re-quoted as a literal phrase (reference __init__.py:141-145;
     // `#dogfest` case tests/test_plugin.py:119-152).

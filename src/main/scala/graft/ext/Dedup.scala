@@ -181,6 +181,36 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: band the 60-bit sketch into
+    * `bands` contiguous slices; docs sharing any slice value become
+    * candidates (a doc pair within hamming distance d is guaranteed to
+    * collide on some band when d < bands); verify with
+    * `bit_count(xor) <= maxHamming`. Fully relational + portable-hash
+    * based, so oracle-checkable end to end.
+    */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      bits: Int = 60, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs, textCol, idCol, bits).persist()
+    val sliceBits = bits / bands
+    val banded = (0 until bands).map { b =>
+      sigs.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), b * sliceBits)
+          .bitwiseAND((1L << sliceBits) - 1).as("band_key"))
+    }.reduce(_ unionByName _)
+    val a = banded.as("a")
+    val b2 = banded.as("b")
+    a.join(b2,
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Keep-one winner per duplicate group (smallest id), as a filterable
     * flag — the REPLACE-style dedup used by the indexer generalized to
     * content identity.

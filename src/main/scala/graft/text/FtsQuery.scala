@@ -91,6 +91,26 @@ object FtsQuery {
     case Field(_, m)   => positiveTerms(m)
   }
 
+  /** Direct evaluation of a match tree against one document's token
+    * arrays — the expression-level MATCH used by
+    * [[graft.functions.FtsMatch]] (brute-force score-scan semantics;
+    * the indexed path lives in SearchEngine.matchSet).
+    */
+  def matches(n: Node, title: IndexedSeq[String], s1: IndexedSeq[String]): Boolean = {
+    def phraseIn(ts: Seq[String], toks: IndexedSeq[String]): Boolean =
+      ts.size <= toks.size && toks.sliding(ts.size).exists(_ == ts)
+    def ev(n: Node, fields: Seq[IndexedSeq[String]]): Boolean = n match {
+      case Term(t)      => fields.exists(_.contains(t))
+      case Prefix(p)    => fields.exists(_.exists(_.startsWith(p)))
+      case Phrase(ts)   => fields.exists(phraseIn(ts, _))
+      case And(ns)      => ns.forall(ev(_, fields))
+      case Or(ns)       => ns.exists(ev(_, fields))
+      case Not(pos, ng) => ev(pos, fields) && !ev(ng, fields)
+      case Field(f, m)  => ev(m, Seq(if (f == "title") title else s1))
+    }
+    ev(n, Seq(title, s1))
+  }
+
   // ---- lexer ---------------------------------------------------------
 
   private sealed trait Tok
