@@ -1,0 +1,72 @@
+package graft.plans
+
+import graft.functions.FtsMatch
+import graft.text.{FtsQuery, Tokenize}
+import graft.text.FtsQuery._
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Coalesce, Expression, Literal, Lower, Not => CNot, Or => COr, RLike}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: compile [[graft.functions.FtsMatch]] predicates into
+  * native, codegen-able expression trees (SURVEY §4's optional
+  * `Rule[LogicalPlan]` for the MATCH surface).
+  *
+  * `fts_match(title, search_1, 'a NOT b')` evaluates interpreted
+  * (CodegenFallback) — correct but per-row virtual calls outside
+  * whole-stage codegen. This rule rewrites it at optimization time into
+  * boundary-anchored RLIKE predicates over the raw strings:
+  *
+  * {{{ term t  ⇔  lower(col) RLIKE '(^|[^a-z0-9])t([^a-z0-9]|$)' }}}
+  *
+  * which is exactly token membership under the ASCII tokenizer (terms
+  * are parser-guaranteed alphanumeric, so no regex escaping is needed).
+  * Phrases become the same pattern with `[^a-z0-9]+` separators;
+  * prefixes drop the right anchor. Every RLIKE is null-coalesced to
+  * false so three-valued logic matches the evaluator's
+  * empty-tokens-for-null behavior exactly.
+  *
+  * Install: `GraftExtensions` (builder) or
+  * `spark.experimental.extraOptimizations ++= Seq(RewriteFtsMatch)`
+  * (live session). Sessions without it still get correct results via
+  * the interpreted eval — this is purely a plan-level speedup.
+  */
+object RewriteFtsMatch extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case fm: FtsMatch
+          if fm.third.foldable && fm.first.resolved && fm.second.resolved =>
+        val q = Option(fm.third.eval(null))
+          .map(_.asInstanceOf[UTF8String].toString).getOrElse("")
+        FtsQuery.parseOrEscape(q, Tokenize.None_) match {
+          case None       => Literal(false)
+          case Some(node) => build(node, fm.first, fm.second)
+        }
+    }
+
+  private def termPat(t: String): String = s"(^|[^a-z0-9])$t([^a-z0-9]|$$)"
+  private def phrasePat(ts: Seq[String]): String =
+    s"(^|[^a-z0-9])${ts.mkString("[^a-z0-9]+")}([^a-z0-9]|$$)"
+  private def prefixPat(p: String): String = s"(^|[^a-z0-9])$p"
+
+  /** RLIKE over the lowered column, null-safe (null text = no match). */
+  private def rlike(e: Expression, pat: String): Expression =
+    Coalesce(Seq(RLike(Lower(e), Literal(pat)), Literal(false)))
+
+  private def anyField(fields: Seq[Expression], pat: String): Expression =
+    fields.map(rlike(_, pat)).reduce(COr(_, _))
+
+  private def build(n: Node, title: Expression, s1: Expression): Expression = {
+    def go(n: Node, fields: Seq[Expression]): Expression = n match {
+      case Term(t)      => anyField(fields, termPat(t))
+      case Phrase(ts)   => anyField(fields, phrasePat(ts))
+      case Prefix(p)    => anyField(fields, prefixPat(p))
+      case And(ns)      => ns.map(go(_, fields)).reduce(CAnd(_, _))
+      case Or(ns)       => ns.map(go(_, fields)).reduce(COr(_, _))
+      case Not(pos, ng) => CAnd(go(pos, fields), CNot(go(ng, fields)))
+      case Field(f, m)  => go(m, Seq(if (f == "title") title else s1))
+    }
+    go(n, Seq(title, s1))
+  }
+}

@@ -55,6 +55,52 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == 11.0)
   }
 
+  test("fts_match predicate + RewriteFtsMatch optimizer rule agree") {
+    graft.GraftExtensions.register(extSpark)
+    import extSpark.implicits._
+    val df = Seq(
+      (1, "urgent order", "building segment"),
+      (2, "slow order", "automobile segment"),
+      (3, null.asInstanceOf[String], "urgent thing"),
+      (4, "the urgentness", null.asInstanceOf[String]) // 'urgent' is not a token here
+    ).toDF("id", "title", "search_1")
+    df.createOrReplaceTempView("fm_docs")
+    val sql =
+      """SELECT id FROM fm_docs
+        |WHERE fts_match(title, search_1, 'urgent NOT automobile')
+        |ORDER BY id""".stripMargin
+
+    val interpreted = extSpark.sql(sql).collect().map(_.getInt(0)).toSeq
+    assert(interpreted == Seq(1, 3)) // 4: 'urgentness' ≠ token 'urgent'
+
+    // install the rule on the live session and confirm both the rewrite
+    // and unchanged results. (Over a local relation Catalyst constant-
+    // folds the rewritten RLIKEs away entirely — itself proof the
+    // rewrite produced evaluable native expressions — so the plan-shape
+    // assertion uses a parquet source.)
+    extSpark.experimental.extraOptimizations =
+      extSpark.experimental.extraOptimizations :+ graft.plans.RewriteFtsMatch
+    try {
+      val opt = extSpark.sql(sql)
+      val plan = opt.queryExecution.executedPlan.toString
+      assert(!plan.contains("fts_match"), s"rule did not rewrite:\n$plan")
+      assert(opt.collect().map(_.getInt(0)).toSeq == interpreted)
+
+      val docs = extSpark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      docs.createOrReplaceTempView("fm_parquet")
+      val pq = extSpark.sql(
+        "SELECT doc_id FROM fm_parquet WHERE fts_match(text, text, 'slow fast')")
+      val pplan = pq.queryExecution.executedPlan.toString
+      assert(!pplan.contains("fts_match") && pplan.contains("RLIKE"),
+        s"expected native RLIKE scan:\n$pplan")
+      assert(pq.count() > 0)
+    } finally {
+      extSpark.experimental.extraOptimizations =
+        extSpark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.RewriteFtsMatch)
+    }
+  }
+
   test("porter_stem composes inside transform() over token arrays") {
     val got = extSpark.sql(
       "SELECT transform(array('running', 'chasing'), t -> porter_stem(t)) AS ts")
