@@ -1,0 +1,51 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The column-side tokenizer (codegen'd split in the executors) and the
+  * driver-side tokenizer (used to parse query terms) MUST agree on
+  * every input — the entire match path (query term == indexed token)
+  * rests on it. Property-checked over generated adversarial strings.
+  */
+class TokenizerParitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def genStrings(n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(1234)
+    val alphabet =
+      "abcXYZ019 \t\n-_.#@$%\"'()[]{}|\\/~`^&*+=;:<>?!,éüñÄß漢字🙂"
+    (0 until n).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    } :+ "" :+ "   " :+ "ALLCAPS" :+ "a1b2c3" :+ "--=--"
+  }
+
+  test("column tokenizer == driver tokenizer (ascii/none mode)") {
+    import spark.implicits._
+    val inputs = genStrings(500)
+    val got = inputs.toDF("s")
+      .select(col("s"), Tokenizer.tokensCol(col("s")).as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+    got.foreach { case (s, colToks) =>
+      val driverToks = Tokenizer.tokenize(s, Tokenize.None_)
+      assert(colToks == driverToks,
+        s"mismatch for ${s.map(c => f"\\u${c.toInt}%04x").mkString}: " +
+          s"column=$colToks driver=$driverToks")
+    }
+  }
+
+  test("column tokenizer == driver tokenizer (porter mode)") {
+    import spark.implicits._
+    val inputs = genStrings(300)
+    val got = inputs.toDF("s")
+      .select(col("s"), Tokenizer.tokens(col("s"), Tokenize.Porter).as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+    got.foreach { case (s, colToks) =>
+      assert(colToks == Tokenizer.tokenize(s, Tokenize.Porter))
+    }
+  }
+}
