@@ -345,6 +345,35 @@ object CoreQueries {
           |ORDER BY t."timestamp" DESC, t."key"""".stripMargin))
     ),
 
+    // J3 via the Enrich operator itself: the display_sql rewrite +
+    // broadcast-page-keys semi-join + first-row window + display_
+    // prefixing, oracle-checked end to end (reference __init__.py:161-168).
+    QueryDef(
+      "j3_enrich_display",
+      (spark, sfDir) => withSources(spark, sfDir) {
+        val page = Corpus.searchIndex(spark, sfDir)
+          .filter(col("type") === "tpch.db/orders")
+          .orderBy(col("timestamp").desc, col("key"))
+          .limit(40)
+        val rule = Corpus.rules.find(_.db == "tpch.db").get
+        graft.query.Enrich.enrichType(spark, rule, page, "urgent")
+          .select("type", "key", "title", "timestamp",
+            "display_o_totalprice", "display_c_name", "display_c_mktsegment")
+          .orderBy(col("key"))
+      },
+      Some(Corpus.oracleWithIndex(
+        """SELECT t."type", t."key", t.title, t."timestamp",
+          |       d.o_totalprice AS display_o_totalprice,
+          |       d.c_name AS display_c_name,
+          |       d.c_mktsegment AS display_c_mktsegment
+          |FROM (SELECT * FROM search_index WHERE "type" = 'tpch.db/orders'
+          |      ORDER BY "timestamp" DESC, "key" LIMIT 40) t
+          |LEFT JOIN (SELECT CAST(o_orderkey AS VARCHAR) AS "key", o_totalprice, c_name, c_mktsegment
+          |           FROM orders JOIN customer ON o_custkey = c_custkey) d
+          |  ON t."key" = d."key"
+          |ORDER BY t."key"""".stripMargin))
+    ),
+
     // J4: facet values joined to the (broadcast) category dimension for
     // display labels (reference utils.py:17,93-97).
     QueryDef(

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *  - `:q` is substituted as a string literal (it is constant for the
   *    page);
   *  - `... WHERE <expr> = :key` is rewritten to project `<expr>` as a
-  *    join column, and the detail relation is joined to the result
-  *    keys — Catalyst broadcasts the small (≤ page size) key side;
+  *    join column, and the (arbitrarily large) detail relation is
+  *    PRUNED FIRST by a semi-join against the broadcast page keys
+  *    (≤ page size), so the first-row window and the final join only
+  *    ever see ≤ pageSize·fanout rows — never the full source table;
   *  - if `display_sql` can return multiple rows per key, the
   *    reference's `.first()` semantics are reproduced with a
   *    deterministic row_number()=1 per key (SURVEY §2.3 J3).
@@ -30,16 +32,57 @@ object Enrich {
 
   /** Rewrite one display_sql into (projection SQL, join expression SQL).
     * Supports the documented shape `select ... from ... where <expr> = :key`.
+    *
+    * A keyExpr containing a top-level AND/OR (e.g. the tail of
+    * `where a = 1 and id = :key`) is NOT a key expression — it is a
+    * boolean predicate the lazy regex mis-captured. Joining on it would
+    * silently compare `key` against `"true"/"false"`, so reject loudly
+    * instead (the documented contract is a single `<expr> = :key`
+    * equality; README.md:147-160).
     */
   private[graft] def rewrite(displaySql: String, q: String): (String, String) = {
     val escapedQ = "'" + q.replace("'", "''") + "'"
     val sql = displaySql.replace(":q", escapedQ)
     sql match {
-      case whereKey(head, keyExpr) => (head.trim, keyExpr.trim)
+      case whereKey(head, keyExpr) =>
+        if (hasTopLevelBoolOp(keyExpr))
+          throw new IllegalArgumentException(
+            "display_sql WHERE must be a single `<expr> = :key` equality; " +
+              s"got a compound predicate ending in `$keyExpr = :key`: $displaySql")
+        (head.trim, keyExpr.trim)
       case _ =>
         throw new IllegalArgumentException(
           s"display_sql must end in `where <expr> = :key` (README.md:147-160): $displaySql")
     }
+  }
+
+  /** True if `expr` contains an AND/OR keyword at paren-depth 0 outside
+    * string literals — i.e. it is a boolean combination, not a scalar
+    * key expression.
+    */
+  private[graft] def hasTopLevelBoolOp(expr: String): Boolean = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    val s = expr
+    def isWordChar(ch: Char): Boolean = ch.isLetterOrDigit || ch == '_'
+    def wordAt(j: Int, w: String): Boolean =
+      s.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || !isWordChar(s.charAt(j - 1))) &&
+        (j + w.length >= s.length || !isWordChar(s.charAt(j + w.length)))
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && (wordAt(i, "and") || wordAt(i, "or"))) return true
+      }
+      i += 1
+    }
+    false
   }
 
   /** Batched enrichment for one rule: join its display_sql detail
@@ -59,19 +102,27 @@ object Enrich {
   private def enrichWith(spark: SparkSession, rule: IndexRule,
       results: DataFrame, displaySql: String, q: String): DataFrame = {
     val (body, keyExpr) = rewrite(displaySql, q)
+    val typed = results.filter(col("type") === rule.typeTag)
+    // the page's keys: ≤ pageSize rows — THE broadcast side
+    val pageKeys = typed.select(col("key").as("__join_key")).distinct()
     val detail = spark.sql(body)
       .withColumn("__join_key", expr(keyExpr).cast("string"))
-    // reference takes the FIRST row if display_sql yields several
-    val detailOne = detail
+    // prune the (full-table) detail scan down to the page's keys BEFORE
+    // any window: a BroadcastHashJoin(LeftSemi) with the tiny key side
+    // broadcast — at scale this is a selective scan, not a table copy
+    val pruned = detail.join(broadcast(pageKeys), Seq("__join_key"), "left_semi")
+    // reference takes the FIRST row if display_sql yields several;
+    // the window now runs over ≤ pageKeys·fanout rows, not the table
+    val detailOne = pruned
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__join_key"))
-          .orderBy(detail.columns.map(col): _*)))
+          .orderBy(pruned.columns.filterNot(_ == "__join_key").map(col): _*)))
       .filter(col("__rn") === 1).drop("__rn")
     val prefixed = detailOne.columns.filterNot(_ == "__join_key").foldLeft(detailOne) {
       (df, c) => df.withColumnRenamed(c, s"display_$c")
     }
-    results.filter(col("type") === rule.typeTag)
-      .join(broadcast(prefixed), col("key") === col("__join_key"), "left")
+    // detailOne is ≤ pageSize rows after pruning — safe to broadcast
+    typed.join(broadcast(prefixed), col("key") === col("__join_key"), "left")
       .drop("__join_key")
   }
 

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * templates + FTS5 MATCH (reference dogsheep_beta/__init__.py:8-43).
   *
   * Execution shape (scale-first):
-  *  1. Boolean match is evaluated over per-document token arrays with
-  *     codegen'd `array_contains` / phrase-substring predicates — a
-  *     single narrow scan, no joins, no shuffle. (The postings table is
-  *     the 100 TB path for selective terms: broadcast the query's terms,
-  *     prune postings partitions by term, semi-join — [[matchedViaPostings]].)
+  *  1. Boolean match resolves in the POSTINGS INDEX: terms and OR/AND/
+  *     NOT trees over them are isin-pruned scans + joins, `prefix*` is a
+  *     term-range prune (postings are sorted/bucketed by term), FTS5
+  *     column filters ride the per-field tfs ([[exactViaPostings]]).
+  *     Only multi-token phrases touch token arrays, and then only on a
+  *     postings-derived candidate superset ([[candidateViaPostings]]) —
+  *     there is no full docTokens scan on any path.
   *  2. BM25 scores come from the postings ⋈ (tiny, broadcast) query-term
   *     list, aggregated per doc — one shuffle on (type, key).
   *  3. Filters (`type`/`category`/`is_public`/date) are plain pushed-down
@@ -78,32 +80,133 @@ object SearchEngine {
       .select("type", "key")
   }
 
+  /** Restrict postings rows to hits in one indexed field (the FTS5
+    * column-filter contract; postings carry per-field tfs).
+    */
+  private def fieldFilter(postings: DataFrame, field: Option[String]): DataFrame =
+    field match {
+      case Some("title") => postings.filter(col("tf_title") > 0)
+      case Some(_)       => postings.filter(col("tf_s1") > 0)
+      case None          => postings
+    }
+
+  /** Docs containing ALL of `terms` (in `field` if restricted): one
+    * term-pruned scan + one (type,key) aggregation.
+    */
+  private def termsAllOf(arts: TextArtifacts, terms: Seq[String],
+      field: Option[String]): DataFrame = {
+    val distinctTerms = terms.distinct
+    fieldFilter(arts.postings.filter(col("term").isin(distinctTerms: _*)), field)
+      .groupBy("type", "key")
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === distinctTerms.size)
+      .select("type", "key")
+  }
+
+  /** Docs containing ANY of `terms` — a single isin-pruned scan. */
+  private def termsAnyOf(arts: TextArtifacts, terms: Seq[String],
+      field: Option[String]): DataFrame =
+    fieldFilter(arts.postings.filter(col("term").isin(terms.distinct: _*)), field)
+      .select("type", "key").distinct()
+
+  /** Docs with any term in `[p, p + U+FFFF)` — the indexed prefix match.
+    * Postings are written sorted/bucketed BY TERM (TextIndex), so this
+    * is a term-range prune (file/bucket skip at scale), never a
+    * token-array scan of the corpus.
+    */
+  private def prefixSet(arts: TextArtifacts, p: String,
+      field: Option[String]): DataFrame =
+    fieldFilter(
+      arts.postings.filter(col("term") >= p && col("term") < p + "\uffff"), field)
+      .select("type", "key").distinct()
+
+  /** A Term, or a Phrase that degenerates to one (single token). */
+  private def asTerm(n: Node): Option[String] = n match {
+    case Term(t)                       => Some(t)
+    case Phrase(ts) if ts.size == 1    => Some(ts.head)
+    case _                             => None
+  }
+
+  /** Fully-indexed resolution of a match tree: `Some(matchSet)` when
+    * every leaf resolves in the postings index — terms, prefixes
+    * (term-range), field filters, and arbitrary AND/OR/NOT over them.
+    * `None` when the tree needs token positions (multi-token phrases).
+    * AND = semi-join chain (all-terms conjunctions collapse to one
+    * aggregation), OR = union+distinct of per-branch posting sets,
+    * NOT = anti-join. No docTokens scan anywhere.
+    */
+  private[graft] def exactViaPostings(arts: TextArtifacts, n: Node,
+      field: Option[String] = None): Option[DataFrame] = n match {
+    case _ if asTerm(n).isDefined => Some(termsAllOf(arts, Seq(asTerm(n).get), field))
+    case Phrase(_)  => None
+    case Prefix(p)  => Some(prefixSet(arts, p, field))
+    case Field(f, m) => exactViaPostings(arts, m, Some(if (f == "title") "title" else "s1"))
+    case And(ns) =>
+      val (termBranches, rest) = ns.partition(asTerm(_).isDefined)
+      val termSet =
+        if (termBranches.isEmpty) None
+        else Some(termsAllOf(arts, termBranches.flatMap(asTerm), field))
+      val restSets = rest.map(exactViaPostings(arts, _, field))
+      if (restSets.exists(_.isEmpty)) None
+      else Some((termSet.toSeq ++ restSets.flatten)
+        .reduce((a, b) => a.join(b, Seq("type", "key"), "left_semi")))
+    case Or(ns) =>
+      val (termBranches, rest) = ns.partition(asTerm(_).isDefined)
+      val termSet =
+        if (termBranches.isEmpty) None
+        else Some(termsAnyOf(arts, termBranches.flatMap(asTerm), field))
+      val restSets = rest.map(exactViaPostings(arts, _, field))
+      if (restSets.exists(_.isEmpty)) None
+      else Some((termSet.toSeq ++ restSets.flatten)
+        .reduce(_ unionByName _).distinct())
+    case Not(pos, neg) =>
+      for {
+        p <- exactViaPostings(arts, pos, field)
+        ng <- exactViaPostings(arts, neg, field)
+      } yield p.join(ng, Seq("type", "key"), "left_anti")
+  }
+
+  /** A postings-derived SUPERSET of the match set, for trees the index
+    * can't resolve exactly (multi-token phrases): a phrase's docs must
+    * contain all its terms; NOT's matches ⊆ its positive side; AND
+    * intersects, OR unions. Always defined — every leaf has a postings
+    * superset — so the exact token-array predicate only ever runs on
+    * candidates, never the corpus.
+    */
+  private[graft] def candidateViaPostings(arts: TextArtifacts, n: Node,
+      field: Option[String] = None): DataFrame = n match {
+    case Phrase(ts)   => termsAllOf(arts, ts, field)
+    case Not(pos, _)  => candidateViaPostings(arts, pos, field)
+    case Field(f, m)  => candidateViaPostings(arts, m, Some(if (f == "title") "title" else "s1"))
+    case And(ns) =>
+      ns.map(candidateViaPostings(arts, _, field))
+        .reduce((a, b) => a.join(b, Seq("type", "key"), "left_semi"))
+    case Or(ns) =>
+      ns.map(candidateViaPostings(arts, _, field))
+        .reduce(_ unionByName _).distinct()
+    case other =>
+      exactViaPostings(arts, other, field)
+        .getOrElse(sys.error(s"unreachable: $other has no postings superset"))
+  }
+
   /** The boolean match set for a parsed query, as (type, key) rows.
     *
-    * Pure AND-of-terms (the common query shape) resolves entirely in
-    * the postings index — term-pruned semi-join, no token-array scan.
-    * Every other tree with a non-empty necessary-term set (phrases,
-    * NOT, escape fallbacks) prefilters through postings and runs the
-    * exact array predicate only on the candidates. Pure-OR/prefix
-    * trees scan (no necessary terms to prune on).
+    * Every phrase-free tree — terms, prefixes, field filters, and any
+    * AND/OR/NOT combination — resolves ENTIRELY in the postings index
+    * (term/isin/range-pruned scans + joins). Trees with multi-token
+    * phrases prefilter through the postings candidate superset and run
+    * the exact token-array predicate only on the candidates. There is
+    * no full docTokens scan on any path.
     */
-  def matchSet(arts: TextArtifacts, node: Node): DataFrame = node match {
-    case Field(f, Term(t)) =>
-      // field-filtered term: postings carry per-field tfs — no scan
-      arts.postings.filter(col("term") === t)
-        .filter((if (f == "title") col("tf_title") else col("tf_s1")) > 0)
-        .select("type", "key")
-    case Term(t) => matchedViaPostings(arts.postings, Seq(t))
-    case And(ns) if ns.forall(_.isInstanceOf[Term]) =>
-      matchedViaPostings(arts.postings, ns.collect { case Term(t) => t })
-    case _ =>
-      val required = requiredTerms(node)
-      val base =
-        if (required.isEmpty) arts.docTokens
-        else arts.docTokens.join(
-          matchedViaPostings(arts.postings, required), Seq("type", "key"))
-      base.filter(matchCondition(node)).select("type", "key")
-  }
+  def matchSet(arts: TextArtifacts, node: Node): DataFrame =
+    exactViaPostings(arts, node) match {
+      case Some(df) => df
+      case None =>
+        arts.docTokens
+          .join(candidateViaPostings(arts, node), Seq("type", "key"), "left_semi")
+          .filter(matchCondition(node))
+          .select("type", "key")
+    }
 
   /** Terms that are NECESSARY for a match (conservative): every matched
     * doc must contain all of them. Empty for trees whose necessity set

@@ -28,6 +28,34 @@ class EnrichSpec extends AnyFunSuite {
       Enrich.rewrite("select * from emails", "q"))
   }
 
+  test("compound WHERE clauses are rejected, not silently mis-joined") {
+    // the lazy regex would capture keyExpr = "a = 1 and id" — a boolean,
+    // so the join key would become "true"/"false" (VERDICT r2 #4)
+    intercept[IllegalArgumentException](
+      Enrich.rewrite("select * from t where a = 1 and id = :key", "q"))
+    intercept[IllegalArgumentException](
+      Enrich.rewrite("select * from t where a = 1 or id = :key", "q"))
+    // AND/OR inside identifiers, strings, or parens are fine
+    assert(Enrich.rewrite(
+      "select * from t where a_and_b = :key", "q")._2 == "a_and_b")
+    assert(Enrich.rewrite(
+      "select * from t where coalesce(a and b, c) = :key", "q")._2
+      == "coalesce(a and b, c)")
+    assert(Enrich.rewrite(
+      "select * from t where concat(x, ' and ') = :key", "q")._2
+      == "concat(x, ' and ')")
+  }
+
+  test("detail relation is pruned by a broadcast semi-join on page keys") {
+    RefFixtures.registerPlugin(spark)
+    val index = IndexJob.buildIndex(spark, RefFixtures.pluginRules)
+    val emailRule = RefFixtures.pluginRules.find(_.db == "emails.db").get
+    val enriched = Enrich.enrichType(spark, emailRule, index, "things")
+    val plan = enriched.queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"expected the detail scan pruned via LeftSemi before the window:\n$plan")
+  }
+
   test("enriches the reference fixture page with display columns") {
     RefFixtures.registerPlugin(spark)
     val index = IndexJob.buildIndex(spark, RefFixtures.pluginRules)

@@ -118,6 +118,45 @@ class SearchEngineSpec extends AnyFunSuite {
       Seq("emails.db/emails"))
   }
 
+  test("prefix and pure-OR queries resolve in the postings index — no token-array scan") {
+    import graft.text.FtsQuery
+    val toks = TextIndex.docTokens(index, Tokenize.Porter)
+    val arts = SearchEngine.TextArtifacts(toks, TextIndex.postings(toks))
+    def planOf(q: String): String = {
+      val node = FtsQuery.parseOrEscape(q, Tokenize.Porter).get
+      SearchEngine.matchSet(arts, node).queryExecution.optimizedPlan.toString
+    }
+    for (q <- Seq("thing*", "things OR email", "thing* OR email",
+        "things NOT email", "title:thing*")) {
+      val plan = planOf(q)
+      assert(!plan.contains("array_contains") && !plan.contains("exists("),
+        s"query `$q` still scans token arrays:\n$plan")
+    }
+    // results unchanged vs the exact array-scan predicate
+    def setOf(q: String): Set[String] = {
+      val node = FtsQuery.parseOrEscape(q, Tokenize.Porter).get
+      SearchEngine.matchSet(arts, node)
+        .collect().map(r => r.getString(0) + ":" + r.getString(1)).toSet
+    }
+    assert(setOf("thing*") == Set(emails1, emails2, commitA))
+    assert(setOf("things OR tests") == Set(emails1, emails2, commitA, commitB))
+    assert(setOf("things NOT email") == Set(commitA))
+    assert(setOf("title:thing*").isEmpty) // 'things' only in bodies
+  }
+
+  test("multi-token phrases verify on a postings candidate set, not the corpus") {
+    import graft.text.FtsQuery
+    val toks = TextIndex.docTokens(index, Tokenize.Porter)
+    val arts = SearchEngine.TextArtifacts(toks, TextIndex.postings(toks))
+    val node = FtsQuery.parseOrEscape("\"email about things\"", Tokenize.Porter).get
+    val ms = SearchEngine.matchSet(arts, node)
+    assert(ms.collect().map(r => r.getString(0) + ":" + r.getString(1)).toSet ==
+      Set(emails1, emails2))
+    // the token-array filter must sit above a semi-join with the
+    // candidate aggregation, i.e. the plan contains a LeftSemi
+    assert(ms.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  }
+
   test("BM25 ranks rarer term higher (relevance order)") {
     // 'dogfest' appears once; docs sort by score desc
     val scored = search("things").select("score").collect().map(_.getDouble(0))
