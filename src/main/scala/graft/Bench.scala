@@ -4,11 +4,15 @@ import graft.text.Tokenize
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. The one-time ETL (index build + text-index
-  * build) is timed separately as `index_build` / `text_index_build`,
-  * then each query runs against the persisted artifacts — mirroring the
-  * reference's serving model, where indexing is a batch CLI and queries
-  * hit the prebuilt index (reference dogsheep_beta/cli.py:33-41).
+  * prints one JSON line. The one-time artifact builds (search index,
+  * both tokenizer text indexes, both IVF indexes) are materialized and
+  * timed FIRST as a separate `setup` phase, then each query runs
+  * against the persisted artifacts — mirroring the reference's serving
+  * model, where indexing is a batch CLI and queries hit the prebuilt
+  * index (reference dogsheep_beta/cli.py:33-41). `value`/`queries`
+  * therefore measure QUERY latency; build cost is reported separately
+  * under `setup` so round-over-round comparisons track the serving
+  * path, not rebuild noise (VERDICT r2 item 4).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,14 +33,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val tIndex = time { Corpus.searchIndex(spark, sfDir).count() }
-    val tText = time {
+    val setup = scala.collection.mutable.LinkedHashMap[String, Double]()
+    setup("index_build") = time { Corpus.searchIndex(spark, sfDir).count() }
+    setup("text_index_build") = time {
       Corpus.textArtifacts(spark, sfDir, Tokenize.None_).postings.count()
       Corpus.textArtifacts(spark, sfDir, Tokenize.Porter).postings.count()
     }
+    setup("ivf_build") = time {
+      Corpus.ivfIndex(spark, sfDir).assigned.count()
+      Corpus.kmeansIvfIndex(spark, sfDir).assigned.count()
+    }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double](
-      "index_build" -> tIndex, "text_index_build" -> tText)
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.allDefs.foreach { d =>
       results(d.name) = time {
         try d.fn(spark, sfDir).collect()
@@ -45,10 +53,11 @@ object Bench {
         }
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def toJson(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val setupTotal = setup.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"setup":${toJson(setup)},"setup_total":$setupTotal%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -173,4 +173,33 @@ object Corpus {
       val toks = TextIndex.docTokens(searchIndex(spark, sfDir), mode).persist()
       SearchEngine.TextArtifacts(toks, TextIndex.postings(toks).persist())
     })
+
+  // ---- IVF index artifacts ------------------------------------------
+  // Quantizer parameters shared by the declared ANN queries and their
+  // oracles (ExtQueries) and the Bench setup phase.
+  val IvfSampleEvery = 40
+  val KmeansIters = 2
+
+  private val ivfCache = TrieMap.empty[String, graft.ext.Similarity.IvfIndex]
+  private val kmeansIvfCache = TrieMap.empty[String, graft.ext.Similarity.IvfIndex]
+
+  /** Memoized sampled-quantizer IVF index per scale-factor dir — built
+    * once (the TextIndex pattern), probed by every search.
+    */
+  def ivfIndex(spark: SparkSession, sfDir: String): graft.ext.Similarity.IvfIndex =
+    ivfCache.getOrElseUpdate(sfDir, {
+      registerSources(spark, sfDir)
+      val idx = graft.ext.Similarity.ivfBuild(
+        spark.table("embeddings"), IvfSampleEvery)
+      graft.ext.Similarity.IvfIndex(idx.centroids.persist(), idx.assigned.persist())
+    })
+
+  /** Memoized k-means-quantizer IVF index per scale-factor dir. */
+  def kmeansIvfIndex(spark: SparkSession, sfDir: String): graft.ext.Similarity.IvfIndex =
+    kmeansIvfCache.getOrElseUpdate(sfDir, {
+      registerSources(spark, sfDir)
+      val idx = graft.ext.Similarity.kmeansIvfBuild(
+        spark.table("embeddings"), IvfSampleEvery, KmeansIters)
+      graft.ext.Similarity.IvfIndex(idx.centroids.persist(), idx.assigned.persist())
+    })
 }

@@ -78,26 +78,56 @@ object Similarity {
     vectors.join(best, idCol)
   }
 
-  /** IVF search: probe the `nprobe` cells nearest to the query, exact
-    * cosine within candidates only.
+  /** A built IVF index: the coarse quantizer's centroid table
+    * (`cell_id` + centroid vector) and the full vector→cell assignment
+    * (`vec_id`, `cell_id`, `embedding`). Built ONCE as a batch job —
+    * the TextIndex-artifact pattern — then persisted/cached; every
+    * search probes `nprobe` cells of the prebuilt assignment and never
+    * recomputes it. At scale the assignment is written partitioned by
+    * `cell_id` so a probe reads ~nprobe/k of the data.
     */
-  def ivfSearch(vectors: DataFrame, query: Seq[Float], sampleEvery: Int,
-      nprobe: Int, k: Int, idCol: String = "vec_id"): DataFrame = {
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** One-off IVF build with the deterministic sampled quantizer:
+    * centroids = every `sampleEvery`-th vector; assignment = argmax
+    * cosine (one broadcast of k×dim centroids + one map-side pass).
+    */
+  def ivfBuild(vectors: DataFrame, sampleEvery: Int,
+      idCol: String = "vec_id"): IvfIndex = {
     VectorFunctions.register(vectors.sparkSession)
-    val q = array(query.map(v => lit(v)): _*)
-    val assigned = ivfAssign(vectors, sampleEvery, idCol)
-    val probeCells = vectors.filter(col(idCol) % sampleEvery === 0)
+    val centroids = vectors.filter(col(idCol) % sampleEvery === 0)
       .select(col(idCol).as("cell_id"), col("embedding").as("centroid"))
+    val assigned = ivfAssign(vectors, sampleEvery, idCol)
+      .select(col(idCol).as("vec_id"), col("cell_id"), col("embedding"))
+    IvfIndex(centroids, assigned)
+  }
+
+  /** IVF search over a PREBUILT index: score the (tiny) centroid table
+    * against the query, probe the `nprobe` nearest cells, exact cosine
+    * within candidates only. No assignment recompute, no training.
+    */
+  def ivfSearchIndexed(index: IvfIndex, query: Seq[Float], nprobe: Int,
+      k: Int): DataFrame = {
+    VectorFunctions.register(index.assigned.sparkSession)
+    val q = array(query.map(v => lit(v)): _*)
+    val probeCells = index.centroids
       .withColumn("sim", round(cosine(col("centroid"), q), 6))
       .orderBy(col("sim").desc, col("cell_id"))
       .limit(nprobe)
       .select("cell_id")
-    assigned.join(broadcast(probeCells), "cell_id")
+    index.assigned.join(broadcast(probeCells), "cell_id")
       .withColumn("cos_sim", round(cosine(col("embedding"), q), 6))
-      .select(col(idCol), col("cell_id"), col("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(idCol))
+      .select(col("vec_id"), col("cell_id"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Build-then-search convenience (unamortized — prefer [[ivfBuild]]
+    * once + [[ivfSearchIndexed]] per query).
+    */
+  def ivfSearch(vectors: DataFrame, query: Seq[Float], sampleEvery: Int,
+      nprobe: Int, k: Int, idCol: String = "vec_id"): DataFrame =
+    ivfSearchIndexed(ivfBuild(vectors, sampleEvery, idCol), query, nprobe, k)
 
   /** K-means coarse quantizer trained in-engine: deterministic seeding
     * (every `sampleEvery`-th vector) + `iters` Lloyd rounds, entirely as
@@ -148,11 +178,13 @@ object Similarity {
       .agg(max_by(col("cell_id"), struct(col("sim"), -col("cell_id"))).as("cell_id"))
   }
 
-  /** IVF search over the k-means quantizer: train, assign, probe the
-    * nprobe nearest cells, exact cosine within candidates.
+  /** One-off IVF build with the k-means quantizer: train `iters` Lloyd
+    * rounds, then assign every vector to its argmax-cosine cell. The
+    * returned centroid table keeps the trained double-precision `ce`
+    * arrays (probe scoring must match training precision).
     */
-  def kmeansIvfSearch(vectors: DataFrame, query: Seq[Float], sampleEvery: Int,
-      iters: Int, nprobe: Int, k: Int, idCol: String = "vec_id"): DataFrame = {
+  def kmeansIvfBuild(vectors: DataFrame, sampleEvery: Int, iters: Int,
+      idCol: String = "vec_id"): IvfIndex = {
     VectorFunctions.register(vectors.sparkSession)
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
@@ -161,8 +193,23 @@ object Similarity {
       .withColumn("nv", dotD(col("ve"), col("ve")))
     val centroids = kmeansCentroids(vectors, sampleEvery, iters, idCol)
     val assigned = assign(vecs, centroids)
+    val withEmb = vectors.select(col(idCol).as("vec_id"), col("embedding"))
+      .join(assigned, "vec_id")
+      .select("vec_id", "cell_id", "embedding")
+    IvfIndex(centroids, withEmb)
+  }
+
+  /** IVF search over a PREBUILT k-means index: probe the nprobe cells
+    * nearest the query (scored against the trained double-precision
+    * centroids), exact cosine within candidates. No per-query training.
+    */
+  def kmeansIvfSearchIndexed(index: IvfIndex, query: Seq[Float], nprobe: Int,
+      k: Int): DataFrame = {
+    VectorFunctions.register(index.assigned.sparkSession)
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
     val qD = array(query.map(v => lit(v.toDouble)): _*)
-    val probeCells = centroids
+    val probeCells = index.centroids
       .withColumn("nc", dotD(col("ce"), col("ce")))
       .withColumn("sim", round(
         dotD(col("ce"), qD) / (sqrt(lit(queryNorm2(query))) * sqrt(col("nc"))), 6))
@@ -170,14 +217,20 @@ object Similarity {
       .limit(nprobe)
       .select("cell_id")
     val q = array(query.map(lit): _*)
-    val cells = assigned.select(col("vec_id").as("__vid"), col("cell_id"))
-    vectors.join(cells, vectors(idCol) === cells("__vid"))
-      .join(broadcast(probeCells), "cell_id")
+    index.assigned.join(broadcast(probeCells), "cell_id")
       .withColumn("cos_sim", round(cosine(col("embedding"), q), 6))
-      .select(col(idCol).as("vec_id"), col("cell_id"), col("cos_sim"))
+      .select(col("vec_id"), col("cell_id"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Build-then-search convenience (unamortized — prefer
+    * [[kmeansIvfBuild]] once + [[kmeansIvfSearchIndexed]] per query).
+    */
+  def kmeansIvfSearch(vectors: DataFrame, query: Seq[Float], sampleEvery: Int,
+      iters: Int, nprobe: Int, k: Int, idCol: String = "vec_id"): DataFrame =
+    kmeansIvfSearchIndexed(
+      kmeansIvfBuild(vectors, sampleEvery, iters, idCol), query, nprobe, k)
 
   private def queryNorm2(q: Seq[Float]): Double =
     q.foldLeft(0.0)((s, v) => s + v.toDouble * v.toDouble)
