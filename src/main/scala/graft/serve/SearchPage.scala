@@ -5,37 +5,48 @@ import graft.query.{Enrich, SearchEngine}
 import graft.query.SearchEngine.{Request, TextArtifacts}
 import graft.text.FtsQuery
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import java.net.URLEncoder
 
 /** The full `/-/beta` page assembled in-engine: results + total count +
   * the four facets (with Datasette-contract toggle URLs and labels) +
-  * batched display enrichment — the whole reference request lifecycle
+  * batched display enrichment + rendered display templates + sort-link
+  * and hidden-field state — the whole reference request lifecycle
   * (reference dogsheep_beta/__init__.py:55-108 / SURVEY §3.2) as one
-  * result object. HTML rendering (Jinja templates, Leaflet maps) stays
-  * out of engine scope; the page is data.
+  * result object. HTML layout (beta.html, Leaflet maps) stays out of
+  * engine scope; the page is data.
   *
   * Where the reference makes one SQL round-trip per facet, an
   * in-process HTTP call for counts, and a point query per result row,
   * this assembly runs: one top-k job, one GROUPING SETS job for
-  * count + all four facets, and one enrichment join per result type.
+  * count + all four facets (capped per facet INSIDE the job — the
+  * driver never collects an unbounded value list), and one enrichment
+  * join per result type.
   */
 object SearchPage {
 
   final case class FacetValue(value: String, label: String, count: Long,
       toggleUrl: String, selected: Boolean)
   final case class Facet(name: String, values: Seq[FacetValue])
+  /** A sort link (reference `other_sort_orders`, __init__.py:68-80). */
+  final case class SortLink(label: String, url: String)
+  /** A hidden form field (reference `hiddens`, __init__.py:89-93). */
+  final case class Hidden(name: String, value: String)
   final case class Page(q: String, count: Long, results: Seq[Map[String, String]],
-      facets: Seq[Facet])
+      facets: Seq[Facet], sortedBy: String, otherSortOrders: Seq[SortLink],
+      hiddens: Seq[Hidden])
+
+  /** Datasette's default facet value cap (`facet_size`). */
+  val DefaultFacetSize = 30
 
   /** `intcomma` number formatting for "Got 1,234 results"
     * (reference __init__.py:266-268).
     */
   def intcomma(n: Long): String = "%,d".formatLocal(java.util.Locale.US, n)
 
-  /** Default rendering for rules without a display template: the result
-    * row as JSON, sorted keys (reference __init__.py:186-189 renders a
-    * JSON `<pre>` block; the engine returns the data, not the HTML).
+  /** The result row as JSON with sorted keys — the data part of the
+    * reference's default `<pre>` rendering (__init__.py:186-189).
     */
   private[graft] def rowJson(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -53,23 +64,68 @@ object SearchPage {
     case c => c.toString
   }
 
-  /** Datasette facet-value toggle URL: `?<param>=<value>&q=<q>` —
-    * non-underscore params only, `q` re-injected
+  private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+
+  /** The request's active filter params in canonical order — the state
+    * every page URL must preserve.
+    */
+  private def activeFilters(req: Request): Seq[(String, String)] = Seq(
+    req.typeFilter.map("type" -> _),
+    req.category.map("category" -> _),
+    req.isPublic.map("is_public" -> _),
+    req.timestampDate.map("timestamp__date" -> _)
+  ).flatten
+
+  /** Datasette facet-value toggle URL: all ACTIVE filters preserved,
+    * the toggled param added — or REMOVED when already selected (the
+    * deselect contract) — `_`-prefixed params dropped, `q` re-injected
     * (reference __init__.py:248-257; expected URLs
     * tests/test_plugin.py:45-108).
     */
-  private[graft] def toggleUrl(param: String, value: String, q: String): String = {
-    def enc(s: String) = URLEncoder.encode(s, "UTF-8")
-    val qPart = if (q.nonEmpty) s"&q=${enc(q)}" else ""
-    s"?$param=${enc(value)}$qPart"
+  private[graft] def toggleUrl(req: Request, q: String, param: String,
+      value: String, selected: Boolean): String = {
+    val actives = activeFilters(req).filterNot(_ == (param -> value))
+    val toggled = if (selected) actives else actives :+ (param -> value)
+    val qPart = if (q.nonEmpty) Seq("q" -> q) else Seq.empty
+    val pairs = toggled ++ qPart
+    if (pairs.isEmpty) "?"
+    else "?" + pairs.map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
   }
 
-  /** Assemble the page for a request. `fullFacetIndex` = the same
-    * filtered+matched set the results come from (facets reflect the
-    * current search, reference __init__.py:200-223).
+  /** A page URL carrying q + active filters (+ an optional sort) — the
+    * engine form of datasette's path_with_replaced/removed_args.
+    */
+  private def pageUrl(req: Request, q: String, sort: Option[String]): String = {
+    val pairs = (if (q.nonEmpty) Seq("q" -> q) else Seq.empty) ++
+      activeFilters(req) ++ sort.map("sort" -> _).toSeq
+    if (pairs.isEmpty) "?"
+    else "?" + pairs.map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
+  }
+
+  /** Resolved sort + the other-sort links (reference __init__.py:64-80):
+    * default is relevance with a query, newest without; `relevance`
+    * never appears as a link on timeline pages; the relevance link
+    * REMOVES the sort param, the others replace it.
+    */
+  private[graft] def sortState(req: Request, q: String): (String, Seq[SortLink]) = {
+    val default = if (q.nonEmpty) "relevance" else "newest"
+    val sortedBy = req.sort.filter(Set("newest", "oldest")).getOrElse(default)
+    val others = Seq("relevance", "newest", "oldest")
+      .filterNot(s => s == "relevance" && q.isEmpty)
+      .filterNot(_ == sortedBy)
+      .map { s =>
+        SortLink(s, pageUrl(req, q, if (s == "relevance") None else Some(s)))
+      }
+    (sortedBy, others)
+  }
+
+  /** Assemble the page for a request. `arts` = prebuilt text artifacts;
+    * facets reflect the same filtered+matched set the results come from
+    * (reference __init__.py:200-223).
     */
   def assemble(spark: SparkSession, index: DataFrame, rules: Seq[IndexRule],
-      req: Request, arts: Option[TextArtifacts] = None): Page = {
+      req: Request, arts: Option[TextArtifacts] = None,
+      facetSize: Int = DefaultFacetSize, templateDebug: Boolean = false): Page = {
 
     val q = req.q.getOrElse("").trim
     val results = SearchEngine.search(spark, index, req, arts)
@@ -92,9 +148,12 @@ object SearchPage {
         filtered.join(SearchEngine.matchSet(a, node), Seq("type", "key"))
     }
 
-    // ONE job: count + all four facets via grouping sets
+    // ONE job: count + all four facets via grouping sets, each facet
+    // capped to `facetSize` values (count desc, value asc) INSIDE the
+    // job — the driver collects ≤ 4·facetSize+1 rows, never one row per
+    // distinct date (Datasette's facet_size contract).
     base.createOrReplaceTempView("__facet_base")
-    val gs = spark.sql(
+    val gsAll = spark.sql(
       """SELECT type, category, is_public, substring(timestamp, 1, 10) AS ts_date,
         |       grouping(type) AS g_t, grouping(category) AS g_c,
         |       grouping(is_public) AS g_p, grouping(substring(timestamp, 1, 10)) AS g_d,
@@ -102,6 +161,13 @@ object SearchPage {
         |FROM __facet_base
         |GROUP BY GROUPING SETS ((type), (category), (is_public),
         |                        (substring(timestamp, 1, 10)), ())""".stripMargin)
+    val facetVal = coalesce(col("type"), col("category").cast("string"),
+      col("is_public").cast("string"), col("ts_date"))
+    val gs = gsAll
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("g_t"), col("g_c"), col("g_p"), col("g_d"))
+          .orderBy(col("n").desc, facetVal.asc_nulls_first)))
+      .filter(col("__rk") <= facetSize)
       .collect()
 
     val total = gs.find(r => r.getAs[Byte]("g_t") == 1 && r.getAs[Byte]("g_c") == 1 &&
@@ -114,8 +180,9 @@ object SearchPage {
         label: String => String, selectedVal: Option[String]): Facet = {
       val vals = gs.flatMap { r =>
         valueOf(r).map { v =>
+          val selected = selectedVal.contains(v)
           FacetValue(v, label(v), r.getAs[Long]("n"),
-            toggleUrl(param, v, q), selectedVal.contains(v))
+            toggleUrl(req, q, param, v, selected), selected)
         }
       }.sortBy(fv => (-fv.count, fv.value)).toSeq
       Facet(name, vals)
@@ -153,18 +220,35 @@ object SearchPage {
           }.toMap
         }.toMap
 
+    val rulesByType = rules.map(r => r.typeTag -> r).toMap
+
     val resultMaps = resultRows.map { r =>
+      val typeTag = r.getAs[String]("type")
       val baseCols = results.columns.map(c =>
         c -> Option(r.getAs[Any](c)).map(_.toString).orNull).toMap
-      val display = enrichedByType.get(r.getAs[String]("type"))
-        .flatMap(_.get(r.getAs[String]("key"))).getOrElse(Map.empty)
-      // default rendering when the rule has no display template
-      val withDefault =
-        if (display.nonEmpty) display
-        else Map("display_json" -> rowJson(baseCols))
-      baseCols ++ withDefault
+      val display = enrichedByType.get(typeTag)
+        .flatMap(_.get(r.getAs[String]("key"))).getOrElse(Map.empty[String, String])
+      // rendered output per row (reference __init__.py:169-189): the
+      // rule's display template over {row, display.*}, else the default
+      // escaped-JSON block
+      val displayDict: Map[String, Any] =
+        display.map { case (k, v) => k.stripPrefix("display_") -> (v: Any) }
+      val output = rulesByType.get(typeTag).flatMap(_.display) match {
+        case Some(tpl) =>
+          DisplayTemplate.render(typeTag, tpl,
+            baseCols ++ Map("display" -> displayDict), templateDebug)
+        case None => DisplayTemplate.renderDefault(baseCols)
+      }
+      baseCols ++ display + ("output" -> output)
     }.toSeq
 
-    Page(q, total, resultMaps, facets)
+    val (sortedBy, otherSorts) = sortState(req, q)
+    val hiddens = Seq(
+      req.typeFilter.map(Hidden("type", _)),
+      req.category.map(Hidden("category", _)),
+      req.isPublic.map(Hidden("is_public", _))
+    ).flatten
+
+    Page(q, total, resultMaps, facets, sortedBy, otherSorts, hiddens)
   }
 }

@@ -81,6 +81,8 @@ object RefFixtures {
       |            from commits where sha = :key
       |        display: |-
       |            <p>Commit to {{ display.repo_name }} on {{ display.committer_date }}</p>
+      |            <p>{{ display.message }} - {{ display.sha }}</p>
+      |            <p>User searched for: "{{ display.their_query }}"</p>
       |        sql: |-
       |            select
       |                sha as key,

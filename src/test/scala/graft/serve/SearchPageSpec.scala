@@ -65,13 +65,65 @@ class SearchPageSpec extends AnyFunSuite {
       """{"a": null, "b": "x\"y"}""")
   }
 
-  test("selected flag set when a facet filter is active") {
+  test("rendered display templates per result (test_plugin.py:19-26)") {
+    val outputs = page.results.map(_("output"))
+    assert(outputs.exists(_.contains(
+      "<p>Email from blah@example.com, subject Hey there #dogfest")))
+    assert(outputs.exists(_.contains(
+      "<p>Email from blah@example.com, subject What&#39;s going on")))
+    assert(outputs.exists(_.contains(
+      "<p>Commit to dogsheep/dogsheep-beta on 2020-08-01T00:05:02")))
+    assert(outputs.exists(_.contains("""<p>User searched for: "things"</p>""")))
+  }
+
+  test("selected facet value gets a DESELECT toggle URL; filters are preserved") {
     RefFixtures.registerPlugin(spark)
     val index = IndexJob.buildIndex(spark, RefFixtures.pluginRules)
     val p2 = SearchPage.assemble(spark, index, RefFixtures.pluginRules,
       Request(q = Some("things"), isPublic = Some("1"), tokenize = Tokenize.Porter))
     assert(p2.count == 1)
     val pub = p2.facets.find(_.name == "is_public").get.values
-    assert(pub == Seq(SearchPage.FacetValue("1", "1", 1L, "?is_public=1&q=things", true)))
+    // toggling the SELECTED value removes it (deselect contract)
+    assert(pub == Seq(SearchPage.FacetValue("1", "1", 1L, "?q=things", true)))
+    // toggling another facet keeps the active is_public filter
+    val types = p2.facets.find(_.name == "type").get.values
+    assert(types.map(_.toggleUrl) ==
+      Seq("?is_public=1&type=github.db%2Fcommits&q=things"))
+    // hiddens carry the active FILTER_COLS (reference __init__.py:89-93)
+    assert(p2.hiddens == Seq(SearchPage.Hidden("is_public", "1")))
+  }
+
+  test("facet_size caps values per facet inside the job") {
+    RefFixtures.registerPlugin(spark)
+    val index = IndexJob.buildIndex(spark, RefFixtures.pluginRules)
+    val p3 = SearchPage.assemble(spark, index, RefFixtures.pluginRules,
+      Request(q = Some("things"), tokenize = Tokenize.Porter), facetSize = 1)
+    assert(p3.count == 3) // count is unaffected by the cap
+    assert(p3.facets.forall(_.values.size <= 1))
+    // the kept value is the top one (count desc, value asc)
+    assert(p3.facets.find(_.name == "type").get.values.head.value == "emails.db/emails")
+    assert(p3.facets.find(_.name == "timestamp").get.values.head.value == "2020-08-01")
+  }
+
+  test("sort state: relevance default with q, newest without; links (test_plugin.py:155-230)") {
+    assert(page.sortedBy == "relevance")
+    assert(page.otherSortOrders == Seq(
+      SearchPage.SortLink("newest", "?q=things&sort=newest"),
+      SearchPage.SortLink("oldest", "?q=things&sort=oldest")))
+
+    RefFixtures.registerPlugin(spark)
+    val index = IndexJob.buildIndex(spark, RefFixtures.pluginRules)
+    // timeline: no relevance link (reference __init__.py:69-71)
+    val timeline = SearchPage.assemble(spark, index, RefFixtures.pluginRules,
+      Request(q = None, tokenize = Tokenize.Porter))
+    assert(timeline.sortedBy == "newest")
+    assert(timeline.otherSortOrders == Seq(SearchPage.SortLink("oldest", "?sort=oldest")))
+    // explicit sort with q: relevance link REMOVES the sort param
+    val oldest = SearchPage.assemble(spark, index, RefFixtures.pluginRules,
+      Request(q = Some("email"), sort = Some("oldest"), tokenize = Tokenize.Porter))
+    assert(oldest.sortedBy == "oldest")
+    assert(oldest.otherSortOrders == Seq(
+      SearchPage.SortLink("relevance", "?q=email"),
+      SearchPage.SortLink("newest", "?q=email&sort=newest")))
   }
 }
