@@ -62,6 +62,21 @@ object ExtQueries {
     s"banded AS (\n${branches.mkString("\nUNION ALL\n")}\n)"
   }
 
+  /** bandsCte + the salt row (first row of the NEXT band, wrapping) —
+    * mirrors Dedup.lshCandidates(saltOversized = true).
+    */
+  private def saltedBandsCte: String = {
+    val rows = K / BANDS
+    val branches = (0 until BANDS).map { b =>
+      val key = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(" || '_' || ")
+      val saltIdx = ((b + 1) * rows) % K
+      s"""SELECT doc_id, $b AS band, $key AS band_key,
+         |       CAST(mh_$saltIdx AS VARCHAR) AS salt FROM sigs""".stripMargin
+    }
+    s"banded AS (\n${branches.mkString("\nUNION ALL\n")}\n)"
+  }
+
   // ---- embedding helpers (unnest-with-index formulation) ------------
 
   private val exCte =
@@ -234,6 +249,33 @@ object ExtQueries {
            |JOIN sizes sa ON sa.doc_id = id_a
            |JOIN sizes sb ON sb.doc_id = id_b
            |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // LSH candidate generation with a bucket cap AND the salted second
+    // pass: oversized buckets re-keyed on an extra signature row rather
+    // than dropped (the 100 TB hot-bucket guard, VERDICT r2 #8).
+    QueryDef("x_dedup_minhash_salted",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val sh = Dedup.shingles(spark.table("documents"), "text", "doc_id", 3)
+        Dedup.lshCandidates(Dedup.minhashSignatures(sh, K), K, BANDS,
+            maxBucket = Some(3), saltOversized = true)
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        s"""WITH ${shinglesCte(3)},
+           |$minhashSigsCte,
+           |$saltedBandsCte,
+           |sizes AS (SELECT band, band_key, count(*) AS n FROM banded GROUP BY 1, 2),
+           |keyed AS (
+           |  SELECT b.doc_id, b.band,
+           |         CASE WHEN s.n <= 3 THEN b.band_key
+           |              ELSE b.band_key || '_s_' || b.salt END AS band_key
+           |  FROM banded b JOIN sizes s ON s.band = b.band AND s.band_key = b.band_key
+           |)
+           |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           |FROM keyed a JOIN keyed c
+           |  ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id
            |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("x_dedup_simhash",

@@ -74,11 +74,9 @@ object IndexCli {
           sources += v -> p
           i += 2
         case "--tokenize" =>
-          tokenize = args(i + 1) match {
-            case "none"   => Tokenize.None_
-            case "porter" => Tokenize.Porter
-            case other    => throw new IllegalArgumentException(s"unknown tokenizer: $other")
-          }
+          // any FTS5 tokenizer spec, like the reference (cli.py:22-26):
+          // porter | none | unicode61 [args...] | porter unicode61 ...
+          tokenize = Tokenize.parse(args(i + 1))
           i += 2
         case "-d" | "--database" =>
           dbs += args(i + 1)

@@ -74,14 +74,15 @@ object OracleGen {
     s"CASE WHEN $tf > 0 THEN $tf * (1.2 + 1.0) / ($tf + 1.2 * ((1.0 - 0.75) + 0.75 * $dl / $avgdl)) ELSE 0.0 END"
 
   /** BM25 scores CTE for a positive-term list (mirrors
-    * SearchEngine.bm25Scores: idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
+    * SearchEngine.bm25Scores: idf = max(ln((N - df + 0.5)/(df + 0.5)),
+    * 1e-6) — FTS5's clamped form).
     */
   def scoresCte(terms: Seq[String]): String = {
     val termList = terms.distinct.map(t => s"'$t'").mkString("[", ", ", "]")
     s"""qterms AS (SELECT unnest($termList) AS term),
        |scores AS (
        |  SELECT p."type", p."key",
-       |         sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |         sum( greatest(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5)), 1e-6) *
        |              (${fieldScoreSql("p.tf_title", "l.dl_title", "s.avgdl_title")}
        |               + ${fieldScoreSql("p.tf_s1", "l.dl_s1", "s.avgdl_s1")}) ) AS score
        |  FROM post p
@@ -109,6 +110,7 @@ object OracleGen {
        |  SELECT "type", "key" FROM doc_tokens WHERE ${matchSql(node)}
        |)
        |SELECT si."type", si."key", si.title, si."timestamp", si.category, si.is_public,
+       |       si.search_1,
        |       round(coalesce(sc.score, 0.0), 4) AS score
        |FROM matched m
        |JOIN search_index si ON m."type" = si."type" AND m."key" = si."key"

@@ -1,0 +1,59 @@
+package graft
+
+import graft.query.{Enrich, SearchEngine}
+import graft.text.{FtsQuery, Tokenize}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prints the physical plans of the scale-critical query paths — the
+  * evidence base for PLANS_r{N}.md. Run:
+  * `sbt "runMain graft.PlanDump /root/testdata/sf0.001"`.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def dump(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n===== $name =====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+
+    val index = Corpus.searchIndex(spark, sfDir)
+    val arts = Corpus.textArtifacts(spark, sfDir, Tokenize.None_)
+
+    // 1. enrichment: detail scan must be pruned by a broadcast
+    //    semi-join on the page keys BEFORE the first-row window
+    val page = index.filter(col("type") === "tpch.db/orders")
+      .orderBy(col("timestamp").desc, col("key")).limit(40)
+    dump("enrich_display (J3)")(
+      Enrich.enrichType(spark, Corpus.rules.find(_.db == "tpch.db").get, page, "q"))
+
+    // 2. prefix match: postings term-range prune, no token-array scan
+    dump("p4_fts_prefix (urg*)")(
+      SearchEngine.matchSet(arts, FtsQuery.parse("urg*", Tokenize.None_)))
+
+    // 3. pure-OR match: union of posting sets, no token-array scan
+    dump("p4_fts_or (signup OR purchase)")(
+      SearchEngine.matchSet(arts, FtsQuery.parse("signup OR purchase", Tokenize.None_)))
+
+    // 4. phrase: exact predicate over the postings candidate set only
+    dump("p4_fts_phrase (\"slow fast\")")(
+      SearchEngine.matchSet(arts, FtsQuery.parse("\"slow fast\"", Tokenize.None_)))
+
+    // 5. IVF search against the prebuilt index
+    val idx = Corpus.ivfIndex(spark, sfDir)
+    val q = graft.ext.Similarity.vectorOf(spark.table("embeddings"), "vec_id", 0L)
+    dump("x_sim_ivf (indexed search)")(
+      graft.ext.Similarity.ivfSearchIndexed(idx, q, nprobe = 3, k = 10))
+
+    spark.stop()
+  }
+}

@@ -51,6 +51,7 @@ object SearchQueries {
            |${OracleGen.scoresCte(FtsQuery.positiveTerms(n).distinct)},
            |matched AS (SELECT "type", "key" FROM doc_tokens WHERE ${OracleGen.matchSql(n)})
            |SELECT si."type", si."key", si.title, si."timestamp", si.category, si.is_public,
+           |       si.search_1,
            |       round(coalesce(sc.score, 0.0), 4) AS score
            |FROM matched m
            |JOIN search_index si ON m."type" = si."type" AND m."key" = si."key"

@@ -79,32 +79,53 @@ object Dedup {
     * `k/bands` rows; docs sharing any full band become a candidate pair.
     *
     * `maxBucket` guards the quadratic blowup of hot buckets at scale
-    * (a bucket of B docs emits B² pairs): buckets above the cap are
-    * EXCLUDED — never silently, the count of skipped buckets is logged —
-    * and should be re-processed by a second pass (e.g. salted on an
-    * extra signature row). Default: uncapped.
+    * (a bucket of B docs emits B² pairs). Buckets above the cap are:
+    *
+    *  - with `saltOversized = true` (the scale path): RE-KEYED on the
+    *    band key extended by one extra signature row (the first row of
+    *    the NEXT band, wrapping) — the promised salted second pass.
+    *    Hot-bucket docs whose salt row agrees (near-identical docs —
+    *    exactly the docs that make buckets hot) stay candidates inside
+    *    smaller refined buckets; pairs differing on the salt row are
+    *    the documented trade for bounding the quadratic step.
+    *  - with `saltOversized = false`: EXCLUDED, never silently — the
+    *    count of skipped buckets is logged.
+    *
+    * Default: uncapped.
     */
   def lshCandidates(sigs: DataFrame, k: Int, bands: Int,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None, saltOversized: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands
     val bandDfs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      val saltIdx = ((b + 1) * rowsPerBand) % k
       sigs.select(col("doc_id"), lit(b).as("band"),
-        concat_ws("_", cols: _*).as("band_key"))
+        concat_ws("_", cols: _*).as("band_key"),
+        col(s"mh_$saltIdx").cast("string").as("__salt"))
     }
     val banded0 = bandDfs.reduce(_ unionByName _)
     val banded = maxBucket match {
-      case None => banded0
+      case None => banded0.drop("__salt")
       case Some(cap) =>
         val sizes = banded0.groupBy("band", "band_key")
           .agg(count(lit(1)).as("__bucket_n"))
-        val dropped = sizes.filter(col("__bucket_n") > cap).count()
-        if (dropped > 0)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"lshCandidates: excluding $dropped oversized buckets (> $cap docs); " +
-              "re-run a salted pass to cover them")
-        banded0.join(sizes.filter(col("__bucket_n") <= cap),
-          Seq("band", "band_key")).drop("__bucket_n")
+        val withN = banded0.join(sizes, Seq("band", "band_key"))
+        val small = withN.filter(col("__bucket_n") <= cap)
+        if (saltOversized) {
+          // salted second pass: numeric band keys never contain 's', so
+          // the refined keyspace cannot collide with intact buckets
+          val hot = withN.filter(col("__bucket_n") > cap)
+            .withColumn("band_key",
+              concat_ws("_", col("band_key"), lit("s"), col("__salt")))
+          small.unionByName(hot).drop("__bucket_n", "__salt")
+        } else {
+          val dropped = sizes.filter(col("__bucket_n") > cap).count()
+          if (dropped > 0)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"lshCandidates: excluding $dropped oversized buckets (> $cap docs); " +
+                "pass saltOversized=true to refine them instead")
+          small.drop("__bucket_n", "__salt")
+        }
     }
     val a = banded.as("a")
     val b2 = banded.as("b")

@@ -38,11 +38,42 @@ object Multimodal {
       feature: Array[Float]
   )
 
-  /** STUB decoder — stands in for an image/audio codec (none available
-    * in-container). Deterministic: derives fake dimensions from the
-    * payload digest so tests are stable. Replace the body with a real
-    * codec (e.g. javax.imageio / ffmpeg JNI) in production; the
-    * per-partition initialization + iterator contract stays unchanged.
+  /** Decode one payload's metadata: REAL image decode first —
+    * width/height/format read from the image header via the JDK's
+    * `javax.imageio` (PNG/JPEG/GIF/BMP, no extra dependency, no full
+    * pixel decode) — falling back to the deterministic stub for
+    * non-image payloads (audio/video codecs are not in-container).
+    */
+  private[ext] def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val image =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Some((r.getWidth(0), r.getHeight(0),
+                r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+            } finally r.dispose()
+          } else None
+        } finally if (iis != null) iis.close()
+      } catch { case _: Exception => None }
+    image match {
+      case Some((w, h, fmt)) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        MediaMeta(id, bytes.length.toLong,
+          md.digest(bytes).map(b => f"$b%02x").mkString, w, h, s"image/$fmt")
+      case None => stubDecode(id, bytes)
+    }
+  }
+
+  /** STUB decoder for payloads no in-container codec can read —
+    * deterministic fake dimensions from the payload digest so tests are
+    * stable. The per-partition initialization + iterator contract is
+    * identical for real codecs.
     */
   private[ext] def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -71,8 +102,8 @@ object Multimodal {
     docs.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder init goes here (stub has none)
-        rows.map { case (id, bytes) => stubDecode(id, bytes) }
+        // per-partition decoder init goes here (ImageIO is stateless)
+        rows.map { case (id, bytes) => decode(id, bytes) }
       }
   }
 

@@ -26,10 +26,14 @@ import org.apache.spark.sql.functions._
   *     (no full sort; per-partition heaps + driver merge).
   *
   * BM25: k1 = 1.2, b = 0.75 (SQLite FTS5's constants), field weights
-  * 1.0 (reference default). idf = ln(1 + (N - df + 0.5)/(df + 0.5)) —
-  * always-positive Lucene form rather than FTS5's negated convention;
-  * rank ORDER is what the reference exposes, not rank values
-  * (SURVEY §7.4), and ties break by (timestamp DESC, type, key).
+  * 1.0 (reference default). idf = max(ln((N - df + 0.5)/(df + 0.5)),
+  * 1e-6) — FTS5's clamped form (fts5_aux.c), so very common terms
+  * contribute ~0 instead of a Lucene-style inflated positive weight and
+  * rank order matches the reference on common-term queries. FTS5
+  * negates the total (lower rank = better); we keep scores positive and
+  * sort DESC — same order. Rank ORDER is what the reference exposes,
+  * not rank values (SURVEY §7.4); ties break by (timestamp DESC, type,
+  * key).
   */
 object SearchEngine {
 
@@ -228,16 +232,18 @@ object SearchEngine {
   /** BM25 per-doc scores for the query's positive terms.
     * postings ⋈ broadcast(terms) ⋈ broadcast(df) — one narrow shuffle.
     */
-  // corpus stats memoized per docTokens instance (artifacts are shared
-  // across queries, so the 1-row aggregation runs once per corpus)
+  // corpus stats memoized by the docTokens plan's CANONICALIZED form —
+  // logically-equal DataFrames (same corpus, fresh object) share one
+  // 1-row aggregation; object identity would miss on every re-derive
   private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[DataFrame, (Double, Double, Double)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double, Double)]()
 
   def bm25Scores(spark: SparkSession, postings: DataFrame, docTokens: DataFrame,
       terms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val (nDocs, avgTitle, avgS1) = statsCache.computeIfAbsent(docTokens, { dt =>
-      val s = TextIndex.stats(dt).collect()(0)
+    val statsKey = docTokens.queryExecution.analyzed.canonicalized.toString
+    val (nDocs, avgTitle, avgS1) = statsCache.computeIfAbsent(statsKey, { _ =>
+      val s = TextIndex.stats(docTokens).collect()(0)
       (s.getAs[Double]("n_docs"), s.getAs[Double]("avgdl_title"),
         s.getAs[Double]("avgdl_s1"))
     })
@@ -257,8 +263,8 @@ object SearchEngine {
     matched
       .join(broadcast(df), "term")
       .join(docTokens.select("type", "key", "dl_title", "dl_s1"), Seq("type", "key"))
-      .withColumn("idf",
-        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("idf", greatest(
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)), lit(1e-6)))
       .withColumn("score_t",
         col("idf") * (fieldScore(col("tf_title"), col("dl_title"), avgTitle) +
           fieldScore(col("tf_s1"), col("dl_s1"), avgS1)))
@@ -324,8 +330,11 @@ object SearchEngine {
           case Some("oldest") => joined.orderBy(col("timestamp").asc, col("type"), col("key"))
           case _ => joined.orderBy(col("score").desc, col("timestamp").desc, col("type"), col("key"))
         }
+        // projection matches the reference SEARCH_SQL (__init__.py:27-35):
+        // search_1 included (ADVICE r2)
         sorted
-          .select("type", "key", "title", "timestamp", "category", "is_public", "score")
+          .select("type", "key", "title", "timestamp", "category", "is_public",
+            "search_1", "score")
           .limit(limitSearch)
     }
   }

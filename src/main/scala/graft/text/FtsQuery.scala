@@ -45,8 +45,12 @@ object FtsQuery {
 
   final class FtsParseError(msg: String) extends RuntimeException(msg)
 
-  private val bareToken = "^[A-Za-z0-9]+$".r
-  private val prefixToken = "^[A-Za-z0-9]+\\*$".r
+  // FTS5 bareword characters: ASCII alphanumerics, '_', and every
+  // codepoint above 0x7F (fts5 docs §3; ADVICE r2) — so `café NOT foo`
+  // and `snake_case` parse natively; `#dogfest` / `github-to-sqlite`
+  // stay syntax errors that trigger the escape fallback.
+  private val bareToken = "^[A-Za-z0-9_\\u0080-\\uffff]+$".r
+  private val prefixToken = "^[A-Za-z0-9_\\u0080-\\uffff]+\\*$".r
 
   /** Parse; throws [[FtsParseError]] on any FTS5-invalid input. */
   def parse(q: String, mode: Tokenize.Value): Node = {
@@ -202,7 +206,11 @@ object FtsQuery {
           val ts = Tokenizer.tokenize(s, mode)
           if (ts.isEmpty) throw new FtsParseError(s"empty term: $s")
           if (ts.size == 1) Term(ts.head) else Phrase(ts)
-        case TPrefix(s) => Prefix(s.toLowerCase(java.util.Locale.ROOT))
+        case TPrefix(s) =>
+          // prefixes are lowercased + diacritic-folded like indexed
+          // tokens, but NOT stemmed: a partial word is not a stemmable
+          // word (FTS5's porter would stem it — documented divergence)
+          Prefix(Tokenizer.foldDiacritics(s.toLowerCase(java.util.Locale.ROOT)))
         case TPhrase(s) =>
           val ts = Tokenizer.tokenize(s, mode)
           if (ts.isEmpty) throw new FtsParseError(s"empty phrase: $s")

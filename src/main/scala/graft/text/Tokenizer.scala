@@ -18,7 +18,23 @@ import org.apache.spark.sql.functions._
   *    the stem step is a Scala UDF (indexing-time only).
   */
 object Tokenize extends Enumeration {
-  val None_, Porter = Value
+  val None_, Porter, Unicode61 = Value
+
+  /** Parse an FTS5-style tokenizer spec. The reference CLI passes the
+    * `--tokenize` string straight into the FTS5 DDL (reference
+    * cli.py:22-26), so any FTS5 spec is legal input: `porter`,
+    * `porter unicode61`, `unicode61`, `unicode61 remove_diacritics 2`,
+    * `none`. The leading tokenizer name selects the pipeline; unknown
+    * names fail loudly — exactly when FTS5 would fail at CREATE time.
+    */
+  def parse(spec: String): Value =
+    spec.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").head match {
+      case "porter"            => Porter
+      case "none" | "ascii"    => None_
+      case "unicode61"         => Unicode61
+      case other =>
+        throw new IllegalArgumentException(s"unknown tokenizer: $other")
+    }
 }
 
 object Tokenizer {
@@ -64,9 +80,14 @@ object Tokenizer {
   private val stemSeqUdf =
     udf((ts: Seq[String]) => if (ts == null) Seq.empty[String] else ts.map(cachedStem))
 
+  private val foldSeqUdf =
+    udf((ts: Seq[String]) =>
+      if (ts == null) Seq.empty[String] else ts.map(foldDiacritics))
+
   def tokens(c: Column, mode: Tokenize.Value): Column = mode match {
-    case Tokenize.None_  => tokensCol(c)
-    case Tokenize.Porter => stemSeqUdf(unicodeTokensCol(c))
+    case Tokenize.None_     => tokensCol(c)
+    case Tokenize.Porter    => stemSeqUdf(unicodeTokensCol(c))
+    case Tokenize.Unicode61 => foldSeqUdf(unicodeTokensCol(c))
   }
 
   /** Driver-side tokenization of a query string — must agree exactly
@@ -80,5 +101,9 @@ object Tokenizer {
       s.toLowerCase(java.util.Locale.ROOT)
         .split(unicodeSplitPattern).filter(_.nonEmpty).toSeq
         .map(t => PorterStemmer.stem(foldDiacritics(t)))
+    case Tokenize.Unicode61 =>
+      s.toLowerCase(java.util.Locale.ROOT)
+        .split(unicodeSplitPattern).filter(_.nonEmpty).toSeq
+        .map(foldDiacritics)
   }
 }

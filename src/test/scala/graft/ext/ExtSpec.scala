@@ -42,6 +42,27 @@ class ExtSpec extends AnyFunSuite {
     assert(nd.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 1.0))
   }
 
+  test("salted second pass preserves hot-bucket candidate pairs (VERDICT r2 #8)") {
+    import spark.implicits._
+    // 6 identical docs → identical signatures → every band bucket holds
+    // all 6 (> cap 3); 2 unrelated docs stay in small buckets
+    val hot = (1L to 6L).map(i => (i, "the quick brown fox jumps over the lazy dog")) ++
+      Seq((7L, "completely different content about spark engines"),
+          (8L, "another unrelated document mentioning nothing shared"))
+    val d = hot.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(d, "text", "doc_id", 3), 16)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Dedup.lshCandidates(sigs, 16, 4))
+    val droppedOnly = pairs(Dedup.lshCandidates(sigs, 16, 4, maxBucket = Some(3)))
+    val salted = pairs(Dedup.lshCandidates(sigs, 16, 4, maxBucket = Some(3),
+      saltOversized = true))
+    val hotPairs = (for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)).toSet
+    assert(uncapped == hotPairs)
+    assert(droppedOnly.isEmpty)            // the cap alone loses every hot pair
+    assert(salted == hotPairs)             // the salted pass recovers them all
+  }
+
   test("token-set fingerprint catches the shuffled copy; simhash of dup matches") {
     val fp = TextAnalysis.fingerprint(docs, "text")
       .select("doc_id", "fingerprint").collect()
@@ -107,6 +128,26 @@ class ExtSpec extends AnyFunSuite {
     val plan = t.groupBy("term").count().queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"bucketed groupBy should not shuffle:\n$plan")
     spark.sql("DROP TABLE postings_bucketed")
+  }
+
+  test("multimodal: real PNG payloads decode to true dimensions via ImageIO") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val payloads = Seq((1L, png(64, 48)), (2L, png(7, 131)),
+        (3L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.extractMeta(spark, payloads, "doc_id")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 64 && meta(1L).height == 48 &&
+      meta(1L).format == "image/png")
+    assert(meta(2L).width == 7 && meta(2L).height == 131)
+    assert(meta(3L).format == "stub/raw") // non-image falls back to the stub
   }
 
   test("multimodal: per-partition batch meta + frame fan-out shapes") {

@@ -42,6 +42,20 @@ class FtsQuerySpec extends AnyFunSuite {
     intercept[FtsParseError](parse("NOT alone", M))
   }
 
+  test("FTS5 bareword set: underscore + non-ASCII parse natively (no fallback)") {
+    // `café NOT foo` must parse as a native NOT, not literalize 'NOT'
+    // through the escape fallback (ADVICE r2)
+    assert(parse("café NOT foo", Tokenize.Porter) ==
+      Not(Term("cafe"), Term("foo")))
+    // underscore is a bareword char in FTS5; none-mode tokenization
+    // then splits it into a contiguous phrase
+    assert(parse("snake_case", M) == Phrase(Seq("snake", "case")))
+    // widened prefix tokens fold like indexed tokens
+    assert(parse("café*", Tokenize.Porter) == Prefix("cafe"))
+    // ASCII symbols stay syntax errors → escape fallback still fires
+    intercept[FtsParseError](parse("c@fé", M))
+  }
+
   test("column filters: col:term / col:\"phrase\"; unknown column = syntax error") {
     assert(parse("title:foo", M) == Field("title", Term("foo")))
     assert(parse("search_1:\"a b\" x", M) ==

@@ -48,4 +48,28 @@ class TokenizerParitySpec extends AnyFunSuite {
       assert(colToks == Tokenizer.tokenize(s, Tokenize.Porter))
     }
   }
+
+  test("column tokenizer == driver tokenizer (unicode61 mode)") {
+    import spark.implicits._
+    val inputs = genStrings(300)
+    val got = inputs.toDF("s")
+      .select(col("s"), Tokenizer.tokens(col("s"), Tokenize.Unicode61).as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+    got.foreach { case (s, colToks) =>
+      assert(colToks == Tokenizer.tokenize(s, Tokenize.Unicode61))
+    }
+    // unicode61 keeps letters, folds diacritics, never stems
+    assert(Tokenizer.tokenize("Café RUNNING", Tokenize.Unicode61) ==
+      Seq("cafe", "running"))
+  }
+
+  test("FTS5 tokenizer specs parse like the reference CLI (cli.py:22-26)") {
+    assert(Tokenize.parse("porter") == Tokenize.Porter)
+    assert(Tokenize.parse("porter unicode61") == Tokenize.Porter)
+    assert(Tokenize.parse("unicode61") == Tokenize.Unicode61)
+    assert(Tokenize.parse("unicode61 remove_diacritics 2") == Tokenize.Unicode61)
+    assert(Tokenize.parse("none") == Tokenize.None_)
+    intercept[IllegalArgumentException](Tokenize.parse("trigram33"))
+  }
 }
