@@ -703,6 +703,60 @@ object ExtQueries {
           |    ORDER BY batch_idx DESC, "timestamp" DESC, title ASC, search_1 ASC) AS rn
           |  FROM ev
           |) t WHERE rn = 1
-          |ORDER BY "key"""".stripMargin))
+          |ORDER BY "key"""".stripMargin)),
+
+    // Custom per-key streaming state via mapGroupsWithState: a REAL
+    // Structured Streaming run (parquet source → AvailableNow → memory
+    // sink) evolving one state row per user; the fold is order-
+    // independent (count + argmax by (ts, event_id)), so the final
+    // state is batch-SQL-expressible and fully oracle-checked.
+    QueryDef("x_stream_user_state",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir) // sets nanosAsLong for the raw ts
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType)))
+        // the streaming file source wants a DIRECTORY; testdata ships a
+        // single parquet file → expose it through a temp-dir symlink
+        val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-ev")
+        val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+        val link = srcDir.resolve("events.parquet")
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+        val stream = spark.readStream.schema(schema)
+          .parquet(srcDir.toString)
+          .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
+            "user_id", "event_type")
+        val q = graft.streaming.IncrementalIndexer.userStates(spark, stream)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_user_state_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // final state per user = the emission with the highest count
+        // (update-mode sinks keep one row per state update per batch)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("n_events").desc)
+        spark.table("x_stream_user_state_sink")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("user_id", "n_events", "last_ts", "last_type", "last_event_id")
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH latest AS (
+          |  SELECT user_id, event_type, ts, event_id,
+          |         row_number() OVER (
+          |           PARTITION BY user_id
+          |           ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC, event_id DESC) AS rn
+          |  FROM events
+          |),
+          |counts AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+          |SELECT c.user_id, c.n_events,
+          |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+          |       l.event_type AS last_type,
+          |       l.event_id AS last_event_id
+          |FROM counts c JOIN latest l ON l.user_id = c.user_id AND l.rn = 1
+          |ORDER BY c.user_id""".stripMargin))
   )
 }

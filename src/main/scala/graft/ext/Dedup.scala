@@ -103,8 +103,11 @@ object Dedup {
         concat_ws("_", cols: _*).as("band_key"),
         col(s"mh_$saltIdx").cast("string").as("__salt"))
     }
-    val banded0 = bandDfs.reduce(_ unionByName _)
-    val banded = maxBucket match {
+    // the banded relation feeds the self-join twice (and, when capped,
+    // the bucket-size aggregation + both size branches) — persist it so
+    // the shingle→signature pipeline runs once, not 2-4×
+    val banded0 = bandDfs.reduce(_ unionByName _).persist()
+    val banded = (maxBucket match {
       case None => banded0.drop("__salt")
       case Some(cap) =>
         val sizes = banded0.groupBy("band", "band_key")
@@ -126,7 +129,7 @@ object Dedup {
                 "pass saltOversized=true to refine them instead")
           small.drop("__bucket_n", "__salt")
         }
-    }
+    }).persist()
     val a = banded.as("a")
     val b2 = banded.as("b")
     a.join(b2,

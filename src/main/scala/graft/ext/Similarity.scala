@@ -129,6 +129,49 @@ object Similarity {
       nprobe: Int, k: Int, idCol: String = "vec_id"): DataFrame =
     ivfSearchIndexed(ivfBuild(vectors, sampleEvery, idCol), query, nprobe, k)
 
+  /** Persist an IVF index with the 100 TB layout: the assignment
+    * parquet is PARTITIONED BY cell_id, so a probe of nprobe cells is
+    * partition pruning at the scan — the query reads ~nprobe/k of the
+    * data from disk, no join needed to skip the rest. Centroids are a
+    * single small file (broadcast-scored per query).
+    */
+  def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell_id")
+      .parquet(s"$dir/assigned")
+  }
+
+  /** Reopen a persisted IVF index ([[writeIvfIndex]] layout). */
+  def readIvfIndex(spark: SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assigned"))
+
+  /** Search a PERSISTED IVF index with static partition pruning: the
+    * nprobe probe-cell ids (a handful of longs, scored against the tiny
+    * centroid table) are collected and pushed as an `IN` partition
+    * filter, so the scan reads only the probed cells' files — no join,
+    * no full-assignment read.
+    */
+  def ivfSearchPersisted(spark: SparkSession, dir: String, query: Seq[Float],
+      nprobe: Int, k: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val idx = readIvfIndex(spark, dir)
+    val q = array(query.map(v => lit(v)): _*)
+    val probeCells = idx.centroids
+      .withColumn("sim", round(cosine(col("centroid"), q), 6))
+      .orderBy(col("sim").desc, col("cell_id"))
+      .limit(nprobe)
+      .select("cell_id").collect().map(_.getLong(0))
+    idx.assigned.filter(col("cell_id").isin(probeCells: _*))
+      .withColumn("cos_sim", round(cosine(col("embedding"), q), 6))
+      .select(col("vec_id"), col("cell_id"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** K-means coarse quantizer trained in-engine: deterministic seeding
     * (every `sampleEvery`-th vector) + `iters` Lloyd rounds, entirely as
     * relational algebra — assignment is an argmax join, the centroid

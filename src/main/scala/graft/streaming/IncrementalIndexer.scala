@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.core.Schema
 import graft.index.IndexJob
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
 
 /** Incremental indexing via Structured Streaming — the extension the
   * reference lacks entirely (its indexer is a full-rebuild batch CLI,
@@ -62,4 +62,43 @@ object IncrementalIndexer {
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Arbitrary per-key state, evolved with `mapGroupsWithState` — the
+    * custom-state surface (SURVEY §2.7 extension): one state row per
+    * user carrying the event count and the latest event, updated
+    * incrementally per micro-batch. The fold is ORDER-INDEPENDENT
+    * (count + argmax by (ts, event_id)), so results are deterministic
+    * under any batching/shuffling of the stream — the property that
+    * makes the operator safe under replay and lets a batch SQL oracle
+    * check it.
+    */
+  final case class UserEventState(
+      user_id: Long,
+      n_events: Long,
+      last_ts: String,
+      last_type: String,
+      last_event_id: Long
+  )
+
+  def userStates(spark: SparkSession, events: DataFrame): Dataset[UserEventState] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("event_type"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserEventState, UserEventState](
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        var s = state.getOption.getOrElse(UserEventState(uid, 0L, "", "", -1L))
+        rows.foreach { case (_, eid, ts, typ) =>
+          val newer = ts > s.last_ts || (ts == s.last_ts && eid > s.last_event_id)
+          s = UserEventState(uid, s.n_events + 1,
+            if (newer) ts else s.last_ts,
+            if (newer) typ else s.last_type,
+            if (newer) eid else s.last_event_id)
+        }
+        state.update(s)
+        s
+      }
+  }
 }

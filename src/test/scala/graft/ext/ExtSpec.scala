@@ -99,6 +99,30 @@ class ExtSpec extends AnyFunSuite {
     assert(bf == 7L && ivf == 7L) // the vector itself, found through its cell
   }
 
+  test("persisted IVF index prunes partitions on probe (100 TB layout)") {
+    import spark.implicits._
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(Similarity.ivfBuild(vecs, sampleEvery = 10), dir)
+    val q = Similarity.vectorOf(vecs, "vec_id", 7L)
+    val res = Similarity.ivfSearchPersisted(spark, dir, q, nprobe = 2, k = 3)
+    // the probe is a STATIC IN-filter on the partition column — the
+    // scan must read only the probed cells' directories
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"probe should prune by partition, plan:\n$plan")
+    assert(res.collect().head.getAs[Long]("vec_id") == 7L) // finds itself
+    // same results as the in-memory indexed search
+    val mem = Similarity.ivfSearchIndexed(
+      Similarity.ivfBuild(vecs, sampleEvery = 10), q, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val per = Similarity.ivfSearchPersisted(spark, dir, q, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(mem == per)
+  }
+
   test("language ID prefers the language whose stopwords dominate") {
     import spark.implicits._
     val d = Seq(

@@ -47,6 +47,34 @@ class IncrementalIndexerSpec extends AnyFunSuite {
     assert(row.getAs[String]("type") == "events.db/events")
   }
 
+  test("mapGroupsWithState: per-user state evolves across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = IncrementalIndexer.userStates(spark, stream.toDF())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_states_spec").start()
+    stream.addData(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      Ev(2, Timestamp.valueOf("2024-01-01 11:00:00"), 7L, "view", 1.0, "{}"),
+      Ev(3, Timestamp.valueOf("2024-01-01 09:00:00"), 8L, "signup", 1.0, "{}"))
+    q.processAllAvailable()
+    stream.addData( // second batch: user 7 gets an OLDER event — count
+      // grows, last_* stays (order-independent argmax state)
+      Ev(4, Timestamp.valueOf("2024-01-01 08:00:00"), 7L, "bounce", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    // final state per user = the emission with the max event count
+    val fin = spark.table("user_states_spec")
+      .orderBy(col("user_id"), col("n_events").desc)
+      .collect().groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.head }
+    assert(fin(7L).getAs[Long]("n_events") == 3L)
+    assert(fin(7L).getAs[String]("last_type") == "view") // 11:00 beats 08:00
+    assert(fin(7L).getAs[String]("last_ts") == "2024-01-01 11:00:00")
+    assert(fin(8L).getAs[Long]("n_events") == 1L &&
+      fin(8L).getAs[String]("last_type") == "signup")
+  }
+
   test("watermarked windowed aggregation over the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
