@@ -36,8 +36,11 @@ object Bench {
     val setup = scala.collection.mutable.LinkedHashMap[String, Double]()
     setup("index_build") = time { Corpus.searchIndex(spark, sfDir).count() }
     setup("text_index_build") = time {
-      Corpus.textArtifacts(spark, sfDir, Tokenize.None_).postings.count()
-      Corpus.textArtifacts(spark, sfDir, Tokenize.Porter).postings.count()
+      for (mode <- Seq(Tokenize.None_, Tokenize.Porter)) {
+        val arts = Corpus.textArtifacts(spark, sfDir, mode)
+        arts.postings.count()
+        arts.positions.foreach(_.count())
+      }
     }
     setup("ivf_build") = time {
       Corpus.ivfIndex(spark, sfDir).assigned.count()

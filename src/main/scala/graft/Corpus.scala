@@ -171,7 +171,8 @@ object Corpus {
       mode: Tokenize.Value): SearchEngine.TextArtifacts =
     textCache.getOrElseUpdate((sfDir, mode), {
       val toks = TextIndex.docTokens(searchIndex(spark, sfDir), mode).persist()
-      SearchEngine.TextArtifacts(toks, TextIndex.postings(toks).persist())
+      SearchEngine.TextArtifacts(toks, TextIndex.postings(toks).persist(),
+        Some(TextIndex.positions(toks).persist()))
     })
 
   // ---- IVF index artifacts ------------------------------------------

@@ -54,6 +54,22 @@ object TextIndex {
         sum(when(col("tok.f") === 0, 1.0).otherwise(0.0)).as("tf_title"),
         sum(when(col("tok.f") === 1, 1.0).otherwise(0.0)).as("tf_s1"))
 
+  /** Positional postings (term, type, key, field, pos) — the FTS5-style
+    * position lists that make PHRASE queries fully indexed: a phrase is
+    * an adjacency join of its terms' position lists (SearchEngine
+    * .exactViaPostings), no token-array scan. One row per token
+    * occurrence; at 100 TB this is written bucketed by term exactly
+    * like the tf postings.
+    */
+  def positions(docTokens: DataFrame): DataFrame = {
+    def field(fieldCol: String, tag: Int) =
+      docTokens.select(col("type"), col("key"),
+          posexplode(col(fieldCol)).as(Seq("pos", "term")))
+        .withColumn("field", lit(tag))
+    field("tokens_title", 0).unionByName(field("tokens_s1", 1))
+      .select("term", "type", "key", "field", "pos")
+  }
+
   /** Per-term document frequency (docs containing the term in either
     * indexed field).
     */

@@ -131,6 +131,27 @@ object SearchEngine {
     case _                             => None
   }
 
+  /** Fully-indexed PHRASE match over positional postings: an adjacency
+    * join of the phrase terms' position lists — occurrence of term i at
+    * position p is a candidate phrase start at `p - i`; a (doc, field,
+    * start) shared by every term is a contiguous match (the FTS5
+    * position-list design). Each leg is term-pruned; no token arrays.
+    */
+  private def phraseViaPositions(arts: TextArtifacts, ts: Seq[String],
+      field: Option[String]): DataFrame = {
+    val all = arts.positions.get
+    val pos = field match {
+      case Some("title") => all.filter(col("field") === 0)
+      case Some(_)       => all.filter(col("field") === 1)
+      case None          => all
+    }
+    ts.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("term") === t)
+        .select(col("type"), col("key"), col("field"), (col("pos") - i).as("__p0"))
+    }.reduce((a, b) => a.join(b, Seq("type", "key", "field", "__p0")))
+      .select("type", "key").distinct()
+  }
+
   /** Fully-indexed resolution of a match tree: `Some(matchSet)` when
     * every leaf resolves in the postings index — terms, prefixes
     * (term-range), field filters, and arbitrary AND/OR/NOT over them.
@@ -142,6 +163,8 @@ object SearchEngine {
   private[graft] def exactViaPostings(arts: TextArtifacts, n: Node,
       field: Option[String] = None): Option[DataFrame] = n match {
     case _ if asTerm(n).isDefined => Some(termsAllOf(arts, Seq(asTerm(n).get), field))
+    case Phrase(ts) if arts.positions.isDefined =>
+      Some(phraseViaPositions(arts, ts, field))
     case Phrase(_)  => None
     case Prefix(p)  => Some(prefixSet(arts, p, field))
     case Field(f, m) => exactViaPostings(arts, m, Some(if (f == "title") "title" else "s1"))
@@ -195,11 +218,12 @@ object SearchEngine {
 
   /** The boolean match set for a parsed query, as (type, key) rows.
     *
-    * Every phrase-free tree — terms, prefixes, field filters, and any
-    * AND/OR/NOT combination — resolves ENTIRELY in the postings index
-    * (term/isin/range-pruned scans + joins). Trees with multi-token
-    * phrases prefilter through the postings candidate superset and run
-    * the exact token-array predicate only on the candidates. There is
+    * Every tree resolves in the index when artifacts are complete:
+    * terms, prefixes, field filters, and any AND/OR/NOT combination via
+    * the tf postings (term/isin/range-pruned scans + joins), and
+    * multi-token phrases via positional-postings adjacency joins. When
+    * the positions artifact is absent, phrases fall back to the exact
+    * token-array predicate over a postings candidate superset. There is
     * no full docTokens scan on any path.
     */
   def matchSet(arts: TextArtifacts, node: Node): DataFrame =
@@ -275,9 +299,12 @@ object SearchEngine {
   /** Precomputed text-index artifacts (see [[graft.index.TextIndex]]);
     * pass the memoized/persisted ones so repeated queries share one
     * tokenization + postings build (the reference equivalent: the FTS
-    * table persists between requests).
+    * table persists between requests). `positions` (optional) holds the
+    * positional postings that make phrase queries fully indexed; when
+    * absent, phrases verify on a postings candidate superset instead.
     */
-  final case class TextArtifacts(docTokens: DataFrame, postings: DataFrame)
+  final case class TextArtifacts(docTokens: DataFrame, postings: DataFrame,
+      positions: Option[DataFrame] = None)
 
   /** Full pipeline. Returns the reference's projection + `score` when a
     * query term is present (reference __init__.py:27-35).

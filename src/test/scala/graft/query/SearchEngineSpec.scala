@@ -144,6 +144,28 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(setOf("title:thing*").isEmpty) // 'things' only in bodies
   }
 
+  test("phrases resolve via positional-postings adjacency joins when positions exist") {
+    import graft.text.FtsQuery
+    val toks = TextIndex.docTokens(index, Tokenize.Porter)
+    val arts = SearchEngine.TextArtifacts(toks, TextIndex.postings(toks),
+      Some(TextIndex.positions(toks)))
+    def setOf(q: String): Set[String] = {
+      val node = FtsQuery.parseOrEscape(q, Tokenize.Porter).get
+      SearchEngine.matchSet(arts, node)
+        .collect().map(r => r.getString(0) + ":" + r.getString(1)).toSet
+    }
+    assert(setOf("\"email about things\"") == Set(emails1, emails2))
+    assert(setOf("\"about things\" NOT another") == Set(emails1))
+    assert(setOf("\"things about\"").isEmpty) // order matters
+    assert(setOf("title:\"hey there\"") == Set(emails1)) // field-restricted phrase
+    assert(setOf("search_1:\"hey there\"").isEmpty)
+    // the plan is pure postings algebra: no token-array predicate
+    val node = FtsQuery.parseOrEscape("\"email about things\"", Tokenize.Porter).get
+    val plan = SearchEngine.matchSet(arts, node).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("instr") && !plan.contains("array_contains"),
+      s"positional phrase still scans token arrays:\n$plan")
+  }
+
   test("multi-token phrases verify on a postings candidate set, not the corpus") {
     import graft.text.FtsQuery
     val toks = TextIndex.docTokens(index, Tokenize.Porter)
