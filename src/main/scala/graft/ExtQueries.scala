@@ -251,6 +251,54 @@ object ExtQueries {
            |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Connected components over the verified near-dup pairs: the
+    // canonical-document step (transitive dup clusters labeled by min
+    // id). Spark side: hash-min label propagation to fixpoint; oracle:
+    // DuckDB recursive-CTE reachability.
+    QueryDef("x_dedup_components",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val pairs = Dedup.minhashNearDups(spark.table("documents"), "text",
+          "doc_id", shingleN = 3, k = K, bands = BANDS, threshold = 0.4)
+        Dedup.duplicateComponents(pairs.select("id_a", "id_b"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE ${shinglesCte(3)},
+           |$minhashSigsCte,
+           |$bandsCte,
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |verified AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN sh x ON x.doc_id = c.id_a
+           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+           |  GROUP BY 1, 2
+           |),
+           |pairs AS (
+           |  SELECT id_a, id_b FROM verified
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
+           |),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT id_b, id_a FROM pairs
+           |),
+           |reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+           |)
+           |SELECT src AS doc_id, least(src, min(dst)) AS component
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
     // LSH candidate generation with a bucket cap AND the salted second
     // pass: oversized buckets re-keyed on an extra signature row rather
     // than dropped (the 100 TB hot-bucket guard, VERDICT r2 #8).
@@ -622,9 +670,10 @@ object ExtQueries {
     // ---- multimodal columns -----------------------------------------
 
     // Binary-column plumbing: payload as opaque bytes + typed metadata.
-    // The decode itself is stubbed (no image/audio libs in-container;
-    // see graft.ext.Multimodal for the mapPartitions batch plumbing);
-    // byte length / digest / deterministic fake dimensions are real.
+    // Image payloads decode for real via ImageIO (Multimodal.decode,
+    // PNG-tested in ExtSpec); these TEXT payloads take the
+    // deterministic stub path, whose fake dimensions are mirrored in
+    // DuckDB so the full mapPartitions pipeline stays oracle-checked.
     QueryDef("x_mm_meta",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)

@@ -245,4 +245,51 @@ object Dedup {
       .withColumn("is_duplicate", col("__rn") > 1)
       .drop("__rn")
   }
+
+  /** Connected components over near-duplicate pairs — the canonical-doc
+    * step of a dedup pipeline: docs linked (directly or transitively)
+    * by any pair share a component labeled by the component's MINIMUM
+    * doc id; keep one doc per label, drop the rest.
+    *
+    * Algorithm: hash-min label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; repeat
+    * to fixpoint. O(graph diameter) rounds, each a join + groupBy —
+    * the standard large-scale CC shape (no driver-side graph, the only
+    * driver state is the per-round convergence count). Near-dup
+    * components are tiny in practice (dup clusters), so this converges
+    * in a handful of rounds.
+    *
+    * @param pairs near-dup pairs with `id_a < id_b` (from
+    *              [[minhashNearDups]], [[simhashNearDups]], ...)
+    * @return one row per doc appearing in any pair:
+    *         (doc_id, component) with component = min doc id reachable
+    */
+  def duplicateComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("component").as("nl")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("nl").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .persist()
+      changed = updated
+        .join(labels.select(col("doc_id"), col("component").as("old")), "doc_id")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

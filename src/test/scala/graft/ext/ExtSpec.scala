@@ -63,6 +63,15 @@ class ExtSpec extends AnyFunSuite {
     assert(salted == hotPairs)             // the salted pass recovers them all
   }
 
+  test("duplicate components: transitive pairs collapse to min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3 (2,3 never directly paired) + isolated pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = Dedup.duplicateComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("token-set fingerprint catches the shuffled copy; simhash of dup matches") {
     val fp = TextAnalysis.fingerprint(docs, "text")
       .select("doc_id", "fingerprint").collect()
