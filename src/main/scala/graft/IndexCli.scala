@@ -51,8 +51,12 @@ object IndexCli {
     val index = spark.read.parquet(s"$indexDir/search_index")
     val toks = TextIndex.docTokens(index, tokenize)
     toks.write.mode("overwrite").parquet(s"$indexDir/doc_tokens")
-    TextIndex.postings(spark.read.parquet(s"$indexDir/doc_tokens"))
+    val persistedToks = spark.read.parquet(s"$indexDir/doc_tokens")
+    TextIndex.postings(persistedToks)
       .write.mode("overwrite").parquet(s"$indexDir/postings")
+    // positional postings: makes phrase queries fully indexed
+    TextIndex.positions(persistedToks)
+      .write.mode("overwrite").parquet(s"$indexDir/positions")
     println(s"indexed ${index.count()} documents into $indexDir " +
       s"(tokenize=$tokenize${databases.fold("")(d => s", databases=${d.mkString(",")}")})")
   }

@@ -36,7 +36,7 @@ object SearchCli {
         case "--is-public" => isPublic = Some(args(i + 1)); i += 2
         case "--limit"     => limit = args(i + 1).toInt; i += 2
         case "--tokenize" =>
-          tokenize = if (args(i + 1) == "none") Tokenize.None_ else Tokenize.Porter
+          tokenize = Tokenize.parse(args(i + 1))
           i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
@@ -51,9 +51,16 @@ object SearchCli {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val index = spark.read.parquet(s"$indexDir/search_index")
+      // positions are optional (older index dirs): phrases fall back to
+      // the candidate-verify path when absent
+      val positions =
+        if (new java.io.File(s"$indexDir/positions").exists())
+          Some(spark.read.parquet(s"$indexDir/positions"))
+        else None
       val arts = TextArtifacts(
         spark.read.parquet(s"$indexDir/doc_tokens"),
-        spark.read.parquet(s"$indexDir/postings"))
+        spark.read.parquet(s"$indexDir/postings"),
+        positions)
       val out = SearchEngine.search(spark, index,
         Request(q = Some(q), sort = sort, typeFilter = typeFilter,
           isPublic = isPublic, tokenize = tokenize),

@@ -105,18 +105,21 @@ object TextAnalysis {
       profileSize: Int = 40): DataFrame = {
     val spark = docs.sparkSession
     docs.createOrReplaceTempView("__lang_docs")
+    // the distinct trigram relation feeds BOTH profile training and
+    // classification — materialize it once (CTEs are not cached)
+    val tri = spark.sql(
+      s"""SELECT DISTINCT doc_id, $langCol AS lang, tg
+         |FROM (
+         |  SELECT doc_id, $langCol,
+         |         explode(CASE WHEN char_length(lower($textCol)) >= 3
+         |           THEN transform(sequence(1, char_length(lower($textCol)) - 2),
+         |                          i -> substr(lower($textCol), i, 3))
+         |           ELSE array() END) AS tg
+         |  FROM __lang_docs
+         |)""".stripMargin).persist()
+    tri.createOrReplaceTempView("__lang_tri")
     spark.sql(
-      s"""WITH tri AS (
-         |  SELECT DISTINCT doc_id, $langCol AS lang, tg
-         |  FROM (
-         |    SELECT doc_id, $langCol,
-         |           explode(CASE WHEN char_length(lower($textCol)) >= 3
-         |             THEN transform(sequence(1, char_length(lower($textCol)) - 2),
-         |                            i -> substr(lower($textCol), i, 3))
-         |             ELSE array() END) AS tg
-         |    FROM __lang_docs
-         |  )
-         |),
+      s"""WITH tri AS (SELECT * FROM __lang_tri),
          |profile AS (
          |  SELECT lang AS p_lang, tg FROM (
          |    SELECT lang, tg, row_number() OVER (

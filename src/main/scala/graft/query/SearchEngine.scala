@@ -274,10 +274,12 @@ object SearchEngine {
 
     val termDf = terms.distinct.toDF("term")
     // prune postings to the query's terms FIRST (partition/bucket prune
-    // at scale), then derive df from the pruned set — never aggregate
-    // the full vocabulary for a handful of query terms
+    // at scale); per-term df comes from a window over the SAME pruned
+    // rows — one postings scan, never a second df-aggregation pass and
+    // never the full vocabulary
     val matched = postings.join(broadcast(termDf), "term")
-    val df = TextIndex.docFreq(matched)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
 
     def fieldScore(tf: Column, dl: Column, avgdl: Double): Column =
       when(tf > 0,
@@ -285,7 +287,6 @@ object SearchEngine {
         .otherwise(lit(0.0))
 
     matched
-      .join(broadcast(df), "term")
       .join(docTokens.select("type", "key", "dl_title", "dl_s1"), Seq("type", "key"))
       .withColumn("idf", greatest(
         log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)), lit(1e-6)))
