@@ -502,8 +502,10 @@ object ExtQueries {
       Some(kmeansIvfOracle(sampleEvery = Corpus.IvfSampleEvery,
         iters = Corpus.KmeansIters, nprobe = 3, k = 10))),
 
-    // Hyperplane-LSH ANN: deterministic, but the hyperplane generation
-    // (driver-side MD5) is not practical to mirror in SQL → rows-only.
+    // Hyperplane-LSH ANN. The hyperplanes derive from md5("hp_<p>_<i>")
+    // (Similarity.hyperplanes) — portable arithmetic, so the full
+    // pipeline (signatures → query bucket → exact cosine in-bucket) is
+    // mirrored in DuckDB and oracle-checked end to end.
     QueryDef("x_sim_lsh_ann",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
@@ -511,7 +513,44 @@ object ExtQueries {
         Similarity.lshAnnTopK(vecs, Similarity.vectorOf(vecs, "vec_id", 0L),
           planes = 6, k = 20)
       },
-      None),
+      Some(
+        """WITH ex AS (
+          |  SELECT vec_id, unnest(embedding) AS v,
+          |         unnest(range(len(embedding))) AS i
+          |  FROM embeddings
+          |),
+          |hp AS (
+          |  SELECT p, i,
+          |         ((CAST('0x' || substr(md5('hp_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 14) AS BIGINT)
+          |           % 2001) - 1000) / 1000.0 AS h
+          |  FROM range(6) t(p), (SELECT DISTINCT i FROM ex) u
+          |),
+          |dots AS (
+          |  SELECT e.vec_id, h.p, sum(CAST(e.v AS DOUBLE) * h.h) AS d
+          |  FROM ex e JOIN hp h ON h.i = e.i GROUP BY e.vec_id, h.p
+          |),
+          |buckets AS (
+          |  SELECT vec_id,
+          |         sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
+          |                  ELSE CAST(0 AS BIGINT) END) AS lsh_bucket
+          |  FROM dots GROUP BY vec_id
+          |),
+          |qb AS (SELECT lsh_bucket FROM buckets WHERE vec_id = 0),
+          |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+          |          FROM ex GROUP BY vec_id),
+          |cand AS (SELECT b.vec_id, b.lsh_bucket
+          |         FROM buckets b JOIN qb ON b.lsh_bucket = qb.lsh_bucket)
+          |SELECT c.vec_id, c.lsh_bucket,
+          |       round(sum(CAST(e.v AS DOUBLE) * CAST(q.v AS DOUBLE))
+          |             / (sqrt(n.nn) * sqrt(qn.nn)), 6) AS cos_sim
+          |FROM cand c
+          |JOIN ex e ON e.vec_id = c.vec_id
+          |JOIN ex q ON q.i = e.i AND q.vec_id = 0
+          |JOIN norms n ON n.vec_id = c.vec_id
+          |JOIN norms qn ON qn.vec_id = 0
+          |GROUP BY c.vec_id, c.lsh_bucket, n.nn, qn.nn
+          |ORDER BY cos_sim DESC, c.vec_id
+          |LIMIT 20""".stripMargin)),
 
     // ---- text analysis ----------------------------------------------
 
@@ -666,6 +705,34 @@ object ExtQueries {
         s"""SELECT md5(array_to_string(list_sort(list_distinct(${ducktokens("text")})), ' ')) AS fingerprint,
            |       count(*) AS n_docs, min(doc_id) AS keep_id
            |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
+
+    // Winnowing (rolling-hash) fingerprints — substring-level copy
+    // detection: shared substrings of length >= k+window-1 share a
+    // selected k-gram hash (Schleimer et al., SIGMOD 2003).
+    QueryDef("x_text_winnow",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.winnowFingerprints(spark.table("documents"), "text",
+            "doc_id", k = 8, window = 4)
+          .orderBy("doc_id", "fp")
+      },
+      Some(
+        s"""WITH base AS (SELECT doc_id, lower(text) AS s FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
+           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
+           |),
+           |sel AS (
+           |  SELECT doc_id, pos,
+           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
+           |           PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
+           |  FROM hashed
+           |)
+           |SELECT DISTINCT doc_id, selkey >> 31 AS fp
+           |FROM sel WHERE pos >= 4
+           |ORDER BY doc_id, fp""".stripMargin)),
 
     // ---- multimodal columns -----------------------------------------
 

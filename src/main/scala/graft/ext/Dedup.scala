@@ -265,8 +265,12 @@ object Dedup {
     *         (doc_id, component) with component = min doc id reachable
     */
   def duplicateComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // persist the pair list FIRST: the undirected edge union references
+    // it twice, and upstream pair generation (minhash verify, ...) is
+    // the expensive part
+    val p0 = pairs.select(col("id_a"), col("id_b")).persist()
+    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id")).persist()
@@ -290,6 +294,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p0.unpersist()
     labels
   }
 }

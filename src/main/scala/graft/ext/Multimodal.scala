@@ -107,6 +107,49 @@ object Multimodal {
       }
   }
 
+  /** A resized image payload. */
+  final case class ResizedImage(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      payload: Array[Byte]
+  )
+
+  /** REAL image resize: decode via ImageIO, scale to fit maxW×maxH
+    * preserving aspect ratio, re-encode as PNG — per-partition
+    * iterator-to-iterator like every media op here. Non-image payloads
+    * are dropped (a curation pipeline filters them earlier via
+    * [[extractMeta]]'s format column).
+    */
+  def resizeImages(spark: SparkSession, docs: DataFrame, idCol: String,
+      maxW: Int, maxH: Int): Dataset[ResizedImage] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img.map { src =>
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / src.getWidth, maxH.toDouble / src.getHeight))
+            val (w, h) = (math.max(1, (src.getWidth * scale).toInt),
+              math.max(1, (src.getHeight * scale).toInt))
+            val dst = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", out)
+            val b = out.toByteArray
+            ResizedImage(id, w, h, b.length.toLong, b)
+          }
+        }
+      }
+  }
+
   /** Batch feature extraction ("frame sampling"): emits `frames` fixed
     * deterministic feature vectors per payload — the fan-out shape of a
     * video/audio frame sampler (1 row in, N rows out, iterator-lazy).

@@ -105,21 +105,22 @@ object TextAnalysis {
       profileSize: Int = 40): DataFrame = {
     val spark = docs.sparkSession
     docs.createOrReplaceTempView("__lang_docs")
-    // the distinct trigram relation feeds BOTH profile training and
-    // classification — materialize it once (CTEs are not cached)
-    val tri = spark.sql(
-      s"""SELECT DISTINCT doc_id, $langCol AS lang, tg
-         |FROM (
-         |  SELECT doc_id, $langCol,
-         |         explode(CASE WHEN char_length(lower($textCol)) >= 3
-         |           THEN transform(sequence(1, char_length(lower($textCol)) - 2),
-         |                          i -> substr(lower($textCol), i, 3))
-         |           ELSE array() END) AS tg
-         |  FROM __lang_docs
-         |)""".stripMargin).persist()
-    tri.createOrReplaceTempView("__lang_tri")
+    // note: the tri CTE is evaluated by both the profile-training and
+    // classification branches; caching it was MEASURED SLOWER than the
+    // second explode (the distinct-trigram relation is wide), so the
+    // recompute stays
     spark.sql(
-      s"""WITH tri AS (SELECT * FROM __lang_tri),
+      s"""WITH tri AS (
+         |  SELECT DISTINCT doc_id, $langCol AS lang, tg
+         |  FROM (
+         |    SELECT doc_id, $langCol,
+         |           explode(CASE WHEN char_length(lower($textCol)) >= 3
+         |             THEN transform(sequence(1, char_length(lower($textCol)) - 2),
+         |                            i -> substr(lower($textCol), i, 3))
+         |             ELSE array() END) AS tg
+         |    FROM __lang_docs
+         |  )
+         |),
          |profile AS (
          |  SELECT lang AS p_lang, tg FROM (
          |    SELECT lang, tg, row_number() OVER (
@@ -154,4 +155,42 @@ object TextAnalysis {
     docs.withColumn("fingerprint",
       md5(concat_ws(" ",
         array_sort(array_distinct(Tokenizer.tokensCol(col(textCol))))).cast("binary")))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS rolling-hash sketch): hash every character k-gram, slide
+    * a window of `window` consecutive hashes, keep each window's
+    * minimum (ties → rightmost position, the paper's robust-winnowing
+    * rule), emit the distinct selected hashes. Guarantees any shared
+    * substring of length ≥ k + window - 1 contributes a shared
+    * fingerprint — substring-level (not token-set) copy detection.
+    *
+    * Pure relational: one explode (k-gram positions) + one analytic
+    * window + distinct; the hash is the portable md5-based one so the
+    * whole sketch is oracle-checkable in DuckDB.
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, window: Int = 4): DataFrame = {
+    val s = lower(col(textCol))
+    val grams = when(length(s) >= k,
+      transform(sequence(lit(1), length(s) - (k - 1)),
+        i => struct(i.as("pos"), s.substr(i, lit(k)).as("g"))))
+      .otherwise(array())
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), explode(grams).as("pg"))
+      .select(col("doc_id"), col("pg.pos").cast("long").as("pos"),
+        pmod(Dedup.portableHash(col("pg.g")), lit(Dedup.MersennePrime)).as("h"))
+    // rightmost-min over the trailing `window` rows, as ONE scalar min:
+    // key = h·2^31 + (2^31 - pos) — min key = min hash, ties resolved
+    // to the largest pos; h < 2^31 recovers as key >> 31. Scalar min is
+    // bit-identical in DuckDB (struct-min ordering is not).
+    val Two31 = 2147483648L
+    val key = col("h") * lit(Two31) + (lit(Two31) - col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(1 - window, 0)
+    hashed
+      .withColumn("selkey", min(key).over(w))
+      .filter(col("pos") >= window) // only full windows select
+      .select(col("doc_id"), shiftright(col("selkey"), 31).as("fp"))
+      .distinct()
+  }
 }

@@ -183,6 +183,44 @@ class ExtSpec extends AnyFunSuite {
     assert(meta(3L).format == "stub/raw") // non-image falls back to the stub
   }
 
+  test("winnowing: shared substrings share fingerprints, disjoint texts do not") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val d = Seq(
+      (1L, s"prefix aaa $shared suffix one"),
+      (2L, s"totally other words then $shared and more"),
+      (3L, "zzz qqq completely unrelated material with nothing in common xyz")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)  // the shared substring surfaces
+    assert((fps(1L) & fps(3L)).isEmpty)   // unrelated docs stay disjoint
+  }
+
+  test("multimodal: real resize scales to fit, preserves aspect, drops non-images") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val payloads = Seq((1L, png(200, 100)), (2L, png(10, 20)),
+        (3L, "plain text".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val resized = Multimodal.resizeImages(spark, payloads, "doc_id", 64, 64)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(resized.keySet == Set(1L, 2L)) // non-image dropped
+    assert(resized(1L).width == 64 && resized(1L).height == 32) // aspect kept
+    assert(resized(2L).width == 10 && resized(2L).height == 20) // never upscale
+    // the output payload is itself a decodable PNG with those dims
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L).payload))
+    assert(round.getWidth == 64 && round.getHeight == 32)
+  }
+
   test("multimodal: per-partition batch meta + frame fan-out shapes") {
     val withPayload = Multimodal.withPayload(docs, "text")
     val meta = Multimodal.extractMeta(spark, withPayload, "doc_id").collect()
