@@ -291,6 +291,32 @@ object CoreQueries {
            |GROUP BY 1 ORDER BY n DESC, ts_date""".stripMargin))
     ),
 
+    // A3 with Datasette's facet_size cap applied INSIDE the job (top-30
+    // values by count desc, value asc) — the bounded-facet plan the
+    // page assembly uses, as an oracle-checked query: the driver
+    // receives 30 rows, never one per distinct date.
+    QueryDef(
+      "a3_facet_date_capped",
+      (spark, sfDir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("ts_date"))
+        publicIndex(spark, sfDir)
+          .groupBy(substring(col("timestamp"), 1, 10).as("ts_date"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= 30).drop("__rk")
+          .orderBy(col("n").desc, col("ts_date"))
+      },
+      Some(Corpus.oracleWithIndex(
+        s"""SELECT ts_date, n FROM (
+           |  SELECT substr("timestamp", 1, 10) AS ts_date, count(*) AS n,
+           |         row_number() OVER (ORDER BY count(*) DESC, substr("timestamp", 1, 10)) AS rk
+           |  FROM search_index $publicOracleWhere
+           |  GROUP BY 1
+           |) t WHERE rk <= 30
+           |ORDER BY n DESC, ts_date""".stripMargin))
+    ),
+
     // A1+A2+A3 in ONE pass: grouping sets — the Spark-native collapse of
     // the reference's four separate facet queries (SURVEY §2.4). One
     // scan + one shuffle instead of 4 jobs.
