@@ -706,6 +706,67 @@ object ExtQueries {
            |       count(*) AS n_docs, min(doc_id) AS keep_id
            |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
 
+    // The composed curation pipeline — quality scoring, language ID and
+    // exact-dedup flags are all narrow column/window algebra over the
+    // same scan, so chaining them stays ONE pass + one window: the
+    // survivors of (not-duplicate AND quality >= 0.5 AND language
+    // agrees with the label).
+    QueryDef("x_pipeline_curation",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val staged = TextAnalysis.qualityScore(
+          TextAnalysis.languageId(
+            Dedup.dedupKeepFirst(spark.table("documents"), "text", "doc_id"),
+            "text"),
+          "text")
+        staged
+          .filter(!col("is_duplicate") && col("quality_score") >= 0.5 &&
+            col("predicted_lang") === col("lang"))
+          .select("doc_id", "lang", "quality_score")
+          .orderBy("doc_id")
+      },
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val hitCols = langs.map { l =>
+          val cond = TextAnalysis.stopwords(l).map(w => s"t = '$w'").mkString(" OR ")
+          s"len(list_filter(ts, t -> $cond)) AS hits_$l"
+        }.mkString(",\n       ")
+        val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+        val caseArms = langs.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ")
+        val en = TextAnalysis.stopwords("en").map(w => s"t = '$w'").mkString(" OR ")
+        s"""WITH base AS (
+           |  SELECT doc_id, lang, ${ducktokens("text")} AS ts,
+           |         CAST(len(text) AS DOUBLE) AS n_chars,
+           |         CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+           |         (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) > 1 AS is_duplicate
+           |  FROM documents
+           |),
+           |m AS (
+           |  SELECT doc_id, lang, is_duplicate,
+           |         CAST(len(ts) AS DOUBLE) AS n_tokens,
+           |         n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+           |         CAST(len(list_filter(ts, t -> $en)) AS DOUBLE)
+           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS stopword_ratio,
+           |         CAST(len(list_distinct(ts)) AS DOUBLE)
+           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS distinct_ratio,
+           |         ${hitCols}
+           |  FROM base
+           |),
+           |scored AS (
+           |  SELECT doc_id, lang, is_duplicate,
+           |         CASE WHEN $g = 0 THEN 'und' $caseArms END AS predicted_lang,
+           |         least(n_tokens / 100.0, 1.0) * 0.25
+           |               + alpha_ratio * 0.25
+           |               + least(stopword_ratio * 5.0, 1.0) * 0.25
+           |               + distinct_ratio * 0.25 AS quality_score
+           |  FROM m
+           |)
+           |SELECT doc_id, lang, quality_score
+           |FROM scored
+           |WHERE NOT is_duplicate AND quality_score >= 0.5 AND predicted_lang = lang
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // Winnowing (rolling-hash) fingerprints — substring-level copy
     // detection: shared substrings of length >= k+window-1 share a
     // selected k-gram hash (Schleimer et al., SIGMOD 2003).
