@@ -251,13 +251,14 @@ object Dedup {
     * by any pair share a component labeled by the component's MINIMUM
     * doc id; keep one doc per label, drop the rest.
     *
-    * Algorithm: hash-min label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels; repeat
-    * to fixpoint. O(graph diameter) rounds, each a join + groupBy —
-    * the standard large-scale CC shape (no driver-side graph, the only
-    * driver state is the per-round convergence count). Near-dup
-    * components are tiny in practice (dup clusters), so this converges
-    * in a handful of rounds.
+    * Algorithm: hash-min label propagation WITH pointer doubling — each
+    * round every node takes the min of its own label, its neighbors'
+    * labels, and its label's label (the shortcut step, which doubles
+    * the propagation distance), so convergence is O(log diameter)
+    * rounds instead of O(diameter) — long dup CHAINS would otherwise
+    * need one round per hop. Each round is two joins + a groupBy; no
+    * driver-side graph, the only driver state is the per-round
+    * convergence count.
     *
     * @param pairs near-dup pairs with `id_a < id_b` (from
     *              [[minhashNearDups]], [[simhashNearDups]], ...)
@@ -265,36 +266,55 @@ object Dedup {
     *         (doc_id, component) with component = min doc id reachable
     */
   def duplicateComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    // persist the pair list FIRST: the undirected edge union references
-    // it twice, and upstream pair generation (minhash verify, ...) is
-    // the expensive part
+    // LINEAGE DISCIPLINE: every iteration's frame is localCheckpoint'ed
+    // (eager). Iterative self-referencing DataFrames otherwise grow
+    // their LOGICAL plan geometrically (persist truncates execution,
+    // not analysis), and planning time explodes after a few rounds.
+    // The checkpoint also bounds executor lineage for fault recovery.
     val p0 = pairs.select(col("id_a"), col("id_b")).persist()
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint(true)
+    p0.unpersist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id")).persist()
-    var changed = 1L
+      .withColumn("component", col("doc_id")).localCheckpoint(true)
+    // convergence check: labels only ever DECREASE, so the label sum is
+    // strictly monotone until fixpoint — one scalar aggregate per round
+    // instead of a compare-join against the previous labels
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component")).cast("decimal(38,0)")).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    var converged = false
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    while (!converged && iter < maxIters) {
+      val tRound = System.nanoTime()
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("component").as("nl")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("nl").as("nmin"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
-        .persist()
-      changed = updated
-        .join(labels.select(col("doc_id"), col("component").as("old")), "doc_id")
-        .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
+      // pointer doubling: follow the label's own label (components point
+      // at doc ids that are themselves labeled rows) — O(log diameter)
+      val updated = stepped
+        .join(stepped.select(col("doc_id").as("__lid"), col("component").as("__lcomp")),
+          col("component") === col("__lid"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("__lcomp"), col("component")))
+            .as("component"))
+        .localCheckpoint(true) // truncate: next round plans from a leaf
+      val s = labelSum(updated)
       labels = updated
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
+      log.info(f"duplicateComponents: round $iter labelSum=$s " +
+        f"converged=$converged (${(System.nanoTime() - tRound) / 1e9}%.2f s)")
     }
-    edges.unpersist()
-    p0.unpersist()
     labels
   }
 }
