@@ -203,6 +203,10 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("i"), col("cv")))),
           s => s.getField("cv")).as("ce"))
+        // iterative self-reference: truncate the logical plan per round
+        // (the Dedup.duplicateComponents lesson — persist alone leaves
+        // the analysis-time plan doubling with the round count)
+        .localCheckpoint(true)
     }
     centroids
   }
