@@ -46,6 +46,9 @@ object Bench {
       Corpus.ivfIndex(spark, sfDir).assigned.count()
       Corpus.kmeansIvfIndex(spark, sfDir).assigned.count()
     }
+    setup("lsh_build") = time {
+      Corpus.lshIndex(spark, sfDir).signatures.count()
+    }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.allDefs.foreach { d =>

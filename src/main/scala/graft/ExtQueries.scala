@@ -103,6 +103,57 @@ object ExtQueries {
       |  FROM embeddings WHERE vec_id = 0
       |)""".stripMargin
 
+  /** Shared LSH oracle CTEs: hyperplanes as ORDERED lists, each dot an
+    * ordered list_sum fold (bit-identical to Spark's sequential
+    * aggregate — sum order matters, IEEE addition is not associative),
+    * rounded to 6 decimals before the sign test (mirrors
+    * Similarity.lshSignature).
+    */
+  private val lshOracleCtes =
+    """hp AS (
+      |  SELECT p,
+      |         list_transform(range(0, (SELECT len(embedding) FROM embeddings WHERE vec_id = 0)),
+      |           i -> ((CAST('0x' || substr(md5('hp_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 14) AS BIGINT)
+      |                 % 2001) - 1000) / 1000.0) AS hs
+      |  FROM range(6) t(p)
+      |),
+      |dots AS (
+      |  SELECT e.vec_id, h.p,
+      |         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |               i -> CAST(e.embedding[i] AS DOUBLE) * h.hs[i])), 6) AS d
+      |  FROM embeddings e CROSS JOIN hp h
+      |),
+      |buckets AS (
+      |  SELECT vec_id,
+      |         sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
+      |                  ELSE CAST(0 AS BIGINT) END) AS lsh_bucket
+      |  FROM dots GROUP BY vec_id
+      |),
+      |qb AS (SELECT lsh_bucket FROM buckets WHERE vec_id = 0),
+      |norms AS (
+      |  SELECT vec_id,
+      |         list_sum(list_transform(embedding,
+      |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nn
+      |  FROM embeddings
+      |),
+      |qe AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)""".stripMargin
+
+  /** Final SELECT of the LSH oracles: exact cosine over `cand`, every
+    * sum an ordered list fold.
+    */
+  private def lshOracleSelect(k: Int): String =
+    s"""SELECT c.vec_id, c.lsh_bucket,
+       |       round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qemb[i] AS DOUBLE)))
+       |             / (sqrt(n.nn) * sqrt(qn.nn)), 6) AS cos_sim
+       |FROM cand c
+       |JOIN embeddings e ON e.vec_id = c.vec_id
+       |CROSS JOIN qe q
+       |JOIN norms n ON n.vec_id = c.vec_id
+       |JOIN norms qn ON qn.vec_id = 0
+       |ORDER BY cos_sim DESC, c.vec_id
+       |LIMIT $k""".stripMargin
+
   /** DuckDB mirror of Similarity.kmeansIvfSearch: the same Lloyd rounds
     * unrolled as CTE chains (c0 → a1 → c1 → a2 → c2 → final assign +
     * probe + exact cosine).
@@ -205,20 +256,36 @@ object ExtQueries {
              |       min(doc_id) AS keep_id, max(doc_id) AS max_id
              |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin)),
 
+    // df-capped blocking (VERDICT r3 #3): shingles with document
+    // frequency > 50 are excluded from candidate generation (a df-F
+    // shingle emits F² join rows — one stop-shingle makes the operator
+    // quadratic), while the Jaccard verify still counts over the FULL
+    // shingle sets, so values are exact. The oracle mirrors the cap.
     QueryDef("x_dedup_ngram",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
         Dedup.ngramJaccardPairs(spark.table("documents"), "text", "doc_id",
-            n = 3, threshold = 0.4)
+            n = 3, threshold = 0.4, maxShingleDf = Some(50))
           .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
           .orderBy("id_a", "id_b")
       },
       Some(
         s"""WITH ${shinglesCte(3)},
+           |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+           |bsh AS (
+           |  SELECT s.doc_id, s.shingle
+           |  FROM sh s JOIN dfs d ON d.shingle = s.shingle AND d.df <= 50
+           |),
+           |cands AS (
+           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM bsh x JOIN bsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           |),
            |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
            |pairs AS (
-           |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
-           |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           |  SELECT c.id_a, c.id_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN sh x ON x.doc_id = c.id_a
+           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
            |  GROUP BY 1, 2
            |)
            |SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
@@ -511,55 +578,50 @@ object ExtQueries {
       Some(kmeansIvfOracle(sampleEvery = Corpus.IvfSampleEvery,
         iters = Corpus.KmeansIters, nprobe = 3, k = 10))),
 
-    // Hyperplane-LSH ANN. The hyperplanes derive from md5("hp_<p>_<i>")
-    // (Similarity.hyperplanes) — portable arithmetic, so the full
-    // pipeline (signatures → query bucket → exact cosine in-bucket) is
-    // mirrored in DuckDB and oracle-checked end to end.
+    // Hyperplane-LSH ANN over the PREBUILT signature index (build/search
+    // split — VERDICT r3 #1/#2). The hyperplanes derive from
+    // md5("hp_<p>_<i>") (Similarity.hyperplanes) — portable arithmetic.
+    // Float-sum order-determinism (the r3 hash-mismatch): every dot in
+    // the oracle is an ORDERED list_sum(list_transform(...)) over the
+    // embedding list — the exact left fold Spark's sequential
+    // `aggregate`/DotProductFloat computes — and both engines round the
+    // hyperplane dot to 6 decimals BEFORE the sign test, so a
+    // near-boundary dot can't flip a bucket bit on one side only.
     QueryDef("x_sim_lsh_ann",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        val vecs = spark.table("embeddings")
-        Similarity.lshAnnTopK(vecs, Similarity.vectorOf(vecs, "vec_id", 0L),
-          planes = 6, k = 20)
+        val idx = Corpus.lshIndex(spark, sfDir)
+        val q = Similarity.vectorOf(spark.table("embeddings"), "vec_id", 0L)
+        Similarity.lshSearchIndexed(idx, q, k = 20, probes = 1)
       },
-      Some(
-        """WITH ex AS (
-          |  SELECT vec_id, unnest(embedding) AS v,
-          |         unnest(range(len(embedding))) AS i
-          |  FROM embeddings
-          |),
-          |hp AS (
-          |  SELECT p, i,
-          |         ((CAST('0x' || substr(md5('hp_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 14) AS BIGINT)
-          |           % 2001) - 1000) / 1000.0 AS h
-          |  FROM range(6) t(p), (SELECT DISTINCT i FROM ex) u
-          |),
-          |dots AS (
-          |  SELECT e.vec_id, h.p, sum(CAST(e.v AS DOUBLE) * h.h) AS d
-          |  FROM ex e JOIN hp h ON h.i = e.i GROUP BY e.vec_id, h.p
-          |),
-          |buckets AS (
-          |  SELECT vec_id,
-          |         sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
-          |                  ELSE CAST(0 AS BIGINT) END) AS lsh_bucket
-          |  FROM dots GROUP BY vec_id
-          |),
-          |qb AS (SELECT lsh_bucket FROM buckets WHERE vec_id = 0),
-          |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
-          |          FROM ex GROUP BY vec_id),
-          |cand AS (SELECT b.vec_id, b.lsh_bucket
+      Some(s"WITH $lshOracleCtes,\n" +
+        """cand AS (SELECT b.vec_id, b.lsh_bucket
           |         FROM buckets b JOIN qb ON b.lsh_bucket = qb.lsh_bucket)
-          |SELECT c.vec_id, c.lsh_bucket,
-          |       round(sum(CAST(e.v AS DOUBLE) * CAST(q.v AS DOUBLE))
-          |             / (sqrt(n.nn) * sqrt(qn.nn)), 6) AS cos_sim
-          |FROM cand c
-          |JOIN ex e ON e.vec_id = c.vec_id
-          |JOIN ex q ON q.i = e.i AND q.vec_id = 0
-          |JOIN norms n ON n.vec_id = c.vec_id
-          |JOIN norms qn ON qn.vec_id = 0
-          |GROUP BY c.vec_id, c.lsh_bucket, n.nn, qn.nn
-          |ORDER BY cos_sim DESC, c.vec_id
-          |LIMIT 20""".stripMargin)),
+          |""".stripMargin + lshOracleSelect(20))),
+
+    // Multi-probe LSH ANN: primary bucket + the buckets reached by
+    // flipping the sign bits nearest a hyperplane boundary (smallest
+    // |dot|) — recovers the recall a single-bucket probe loses as the
+    // plane count grows, still reading ~probes/2^planes of the corpus.
+    QueryDef("x_sim_lsh_multiprobe",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val idx = Corpus.lshIndex(spark, sfDir)
+        val q = Similarity.vectorOf(spark.table("embeddings"), "vec_id", 0L)
+        Similarity.lshSearchIndexed(idx, q, k = 20, probes = 3)
+      },
+      Some(s"WITH $lshOracleCtes,\n" +
+        """qdots AS (SELECT p, d FROM dots WHERE vec_id = 0),
+          |flips AS (SELECT p FROM qdots ORDER BY abs(d) ASC, p LIMIT 2),
+          |probes AS (
+          |  SELECT lsh_bucket AS bucket FROM qb
+          |  UNION ALL
+          |  SELECT xor(qb.lsh_bucket, CAST(1 AS BIGINT) << f.p)
+          |  FROM qb, flips f
+          |),
+          |cand AS (SELECT DISTINCT b.vec_id, b.lsh_bucket
+          |         FROM buckets b JOIN probes p ON b.lsh_bucket = p.bucket)
+          |""".stripMargin + lshOracleSelect(20))),
 
     // ---- text analysis ----------------------------------------------
 

@@ -141,19 +141,56 @@ object Dedup {
   }
 
   /** Near-duplicate pairs by n-gram Jaccard with shared-shingle blocking
-    * (no LSH; exact — the brute-force baseline). Blocking keeps it off
-    * the full cross product: only pairs sharing ≥1 shingle are scored.
+    * (no LSH; exact verify — the brute-force baseline). Blocking keeps
+    * it off the full cross product: only pairs sharing ≥1 shingle are
+    * scored.
+    *
+    * `maxShingleDf` caps the quadratic step: a shingle appearing in F
+    * docs emits F² candidate rows in the blocking self-join, so one
+    * stop-shingle ("of the and") makes the operator quadratic on a
+    * skewed corpus. With the cap, shingles with document frequency
+    * above it are excluded from BLOCKING ONLY (the skipped count is
+    * logged, the `lshCandidates` pattern) — the Jaccard verify still
+    * runs over the FULL shingle sets of each surviving candidate pair,
+    * so reported jaccard values are exact. The documented trade: a pair
+    * sharing exclusively hot shingles is missed — at threshold-grade
+    * similarity such pairs share many shingles, nearly all rare, so the
+    * cap costs ~no recall while bounding the join at df²·cap.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    // consumed 3× (pair join ×2 sides + sizes): persist the explode
+      n: Int, threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+    // consumed 3-4× (pair join ×2 sides + sizes [+ df]): persist the explode
     val sh = shingles(docs, textCol, idCol, n).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
+    val pairs = maxShingleDf match {
+      case None =>
+        // uncapped: count shared shingles directly in the blocking join
+        sh.as("x").join(sh.as("y"),
+            col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("shared"))
+      case Some(cap) =>
+        val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("__df")).persist()
+        val hot = dfs.filter(col("__df") > cap).count()
+        if (hot > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ngramJaccardPairs: excluding $hot shingles with df > $cap from " +
+              "blocking (verify still uses full shingle sets)")
+        val blockSh = sh.join(dfs.filter(col("__df") <= cap), "shingle")
+          .select("doc_id", "shingle")
+        val cands = blockSh.as("x").join(blockSh.as("y"),
+            col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        // exact shared-shingle count over the FULL sets, candidates only
+        cands
+          .join(sh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+            Seq("id_b", "shingle"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    }
     pairs
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")

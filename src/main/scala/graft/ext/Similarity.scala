@@ -322,32 +322,128 @@ object Similarity {
       }
     }
 
+  /** Bucket bits: sign of each hyperplane dot, with the dot ROUNDED to
+    * 6 decimals before the sign test. The rounding makes the bit
+    * assignment reproducible across engines even when the other engine
+    * sums the dot in a different float order (IEEE addition is not
+    * associative; an unrounded near-zero dot flips the bit — the
+    * r3 `x_sim_lsh_ann` hash-mismatch). The sequential `aggregate` fold
+    * here matches the oracle's ordered `list_sum(list_transform(...))`.
+    */
   def lshSignature(vectors: DataFrame, planes: Seq[Seq[Double]]): DataFrame = {
     val emb = transform(col("embedding"), x => x.cast("double"))
     val bits = planes.zipWithIndex.map { case (hp, j) =>
       val hpCol = array(hp.map(lit): _*)
       val d = aggregate(zip_with(emb, hpCol, (a, b) => a * b), lit(0.0), (s, v) => s + v)
-      when(d > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      when(round(d, 6) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     vectors.withColumn("lsh_bucket", bits)
   }
 
-  /** ANN via hyperplane-LSH: exact cosine within the query's bucket. */
-  def lshAnnTopK(vectors: DataFrame, query: Seq[Float], planes: Int, k: Int,
-      idCol: String = "vec_id"): DataFrame = {
+  /** A built hyperplane-LSH index: every vector's bucket signature plus
+    * the hyperplane table that produced it — the build/search split
+    * (TextIndex / IvfIndex pattern). Built ONCE as a batch job; every
+    * search probes bucket(s) of the prebuilt signatures and never
+    * recomputes them (the r3 per-query-corpus-scan fix).
+    */
+  final case class LshIndex(signatures: DataFrame, planes: Seq[Seq[Double]])
+
+  /** One-off LSH build: derive the deterministic hyperplanes from the
+    * corpus dimensionality and sign every vector once.
+    */
+  def lshBuild(vectors: DataFrame, planes: Int,
+      idCol: String = "vec_id"): LshIndex = {
     VectorFunctions.register(vectors.sparkSession)
-    val dim = query.size
+    val dim = vectors.select("embedding").head().getSeq[Float](0).size
     val hps = hyperplanes(planes, dim)
-    val signed = lshSignature(vectors, hps)
-    val qBucket = hps.zipWithIndex.map { case (hp, j) =>
-      val d = hp.zip(query).map { case (h, v) => h * v.toDouble }.sum
+    LshIndex(
+      lshSignature(vectors, hps)
+        .select(col(idCol).as("vec_id"), col("lsh_bucket"), col("embedding")),
+      hps)
+  }
+
+  /** Spark's `round(double, 6)`: HALF_UP at scale 6 (BigDecimal) —
+    * driver-side mirror so the query bucket uses the same sign test as
+    * the corpus signatures.
+    */
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Buckets to probe for a query: the primary bucket first, then
+    * multi-probe variants flipping the sign bits nearest a hyperplane
+    * boundary (smallest |dot|, tie on plane index) — near-boundary bits
+    * are exactly the ones most likely to disagree between a vector and
+    * its near neighbors, so flipping them recovers the recall a
+    * single-bucket probe loses as the plane count grows.
+    */
+  def probeBuckets(planes: Seq[Seq[Double]], query: Seq[Float],
+      probes: Int): Seq[Long] = {
+    val dots = planes.map(hp =>
+      round6(hp.zip(query).foldLeft(0.0) { case (s, (h, v)) => s + h * v.toDouble }))
+    val primary = dots.zipWithIndex.map { case (d, j) =>
       if (d > 0) 1L << j else 0L
     }.sum
-    signed.filter(col("lsh_bucket") === qBucket)
+    val flips = dots.zipWithIndex
+      .sortBy { case (d, j) => (math.abs(d), j) }
+      .take(math.max(0, probes - 1))
+      .map { case (_, j) => primary ^ (1L << j) }
+    primary +: flips
+  }
+
+  /** ANN search over a PREBUILT LSH index: probe `probes` buckets of
+    * the signed corpus (primary + nearest-boundary flips), exact cosine
+    * within candidates only. No signature recompute.
+    */
+  def lshSearchIndexed(index: LshIndex, query: Seq[Float], k: Int,
+      probes: Int = 1, idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(index.signatures.sparkSession)
+    val buckets = probeBuckets(index.planes, query, probes)
+    index.signatures.filter(col("lsh_bucket").isin(buckets: _*))
       .withColumn("cos_sim", round(cosine(col("embedding"),
         array(query.map(lit): _*)), 6))
-      .select(col(idCol), col("lsh_bucket"), col("cos_sim"))
+      .select(col("vec_id").as(idCol), col("lsh_bucket"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** Persist an LSH index with the 100 TB layout: signatures PARTITIONED
+    * BY lsh_bucket (a probe is partition pruning at the scan — reads
+    * ~probes/2^planes of the data), hyperplanes as one tiny file.
+    */
+  def writeLshIndex(index: LshIndex, dir: String): Unit = {
+    index.signatures.write.mode("overwrite")
+      .partitionBy("lsh_bucket")
+      .parquet(s"$dir/signatures")
+    val sp = index.signatures.sparkSession
+    import sp.implicits._
+    index.planes.zipWithIndex
+      .flatMap { case (hp, p) => hp.zipWithIndex.map { case (h, i) => (p, i, h) } }
+      .toDF("p", "i", "h")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/planes")
+  }
+
+  /** Reopen a persisted LSH index ([[writeLshIndex]] layout). */
+  def readLshIndex(spark: SparkSession, dir: String): LshIndex = {
+    val planes = spark.read.parquet(s"$dir/planes")
+      .collect()
+      .map(r => (r.getAs[Int]("p"), r.getAs[Int]("i"), r.getAs[Double]("h")))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    LshIndex(spark.read.parquet(s"$dir/signatures"), planes)
+  }
+
+  /** Search a PERSISTED LSH index: the probe buckets (computed on the
+    * driver from the tiny hyperplane table) push down as a partition
+    * `IN` filter, so the scan reads only the probed buckets' files.
+    */
+  def lshSearchPersisted(spark: SparkSession, dir: String, query: Seq[Float],
+      k: Int, probes: Int = 1): DataFrame =
+    lshSearchIndexed(readLshIndex(spark, dir), query, k, probes)
+
+  /** Build-then-search convenience (unamortized — prefer [[lshBuild]]
+    * once + [[lshSearchIndexed]] per query).
+    */
+  def lshAnnTopK(vectors: DataFrame, query: Seq[Float], planes: Int, k: Int,
+      idCol: String = "vec_id"): DataFrame =
+    lshSearchIndexed(lshBuild(vectors, planes, idCol), query, k, probes = 1, idCol)
 }

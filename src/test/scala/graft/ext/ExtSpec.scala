@@ -35,6 +35,29 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("shingle-df cap: hot shingles leave blocking, jaccard stays exact") {
+    import spark.implicits._
+    // "aa bb cc" appears in EVERY doc (hot, df=6 > cap 2); each near-dup
+    // pair also shares rare shingles, so capping must not lose the pair
+    // and must not change its jaccard (verify runs over full sets)
+    val d = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "aa bb cc dd ee ff hh"),
+      (3L, "aa bb cc xx yy zz ww"),
+      (4L, "aa bb cc xx yy zz vv"),
+      (5L, "aa bb cc mm nn oo pp"),
+      (6L, "aa bb cc qq rr ss tt")
+    ).toDF("doc_id", "text")
+    def run(cap: Option[Int]) =
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.3, cap)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+    val uncapped = run(None)
+    val capped = run(Some(2))
+    assert(uncapped.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(capped == uncapped) // same pairs, bit-identical jaccard
+  }
+
   test("MinHash LSH surfaces exact dup as candidate with jaccard 1.0") {
     val nd = Dedup.minhashNearDups(docs, "text", "doc_id", 3, 16, 4, 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
@@ -129,6 +152,46 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     val per = Similarity.ivfSearchPersisted(spark, dir, q, nprobe = 2, k = 3)
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(mem == per)
+  }
+
+  test("LSH index: build once, search finds itself, multi-probe widens candidates") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.lshBuild(vecs, planes = 4)
+    val q = Similarity.vectorOf(vecs, "vec_id", 7L)
+    val single = Similarity.lshSearchIndexed(idx, q, k = 5, probes = 1).collect()
+    assert(single.head.getAs[Long]("vec_id") == 7L) // finds itself in its bucket
+    // multi-probe is a superset search: primary + 2 flipped-bit buckets
+    val buckets = Similarity.probeBuckets(idx.planes, q, probes = 3)
+    assert(buckets.size == 3 && buckets.distinct.size == 3)
+    assert(buckets.tail.forall(b => java.lang.Long.bitCount(b ^ buckets.head) == 1))
+    val multi = Similarity.lshSearchIndexed(idx, q, k = 60, probes = 3)
+    val singleAll = Similarity.lshSearchIndexed(idx, q, k = 60, probes = 1)
+    assert(multi.count() >= singleAll.count())
+  }
+
+  test("persisted LSH index prunes partitions on bucket probe (100 TB layout)") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    val idx = Similarity.lshBuild(vecs, planes = 4)
+    Similarity.writeLshIndex(idx, dir)
+    val q = Similarity.vectorOf(vecs, "vec_id", 7L)
+    val res = Similarity.lshSearchPersisted(spark, dir, q, k = 5, probes = 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*lsh_bucket[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"probe should prune by partition, plan:\n$plan")
+    // planes survive the round-trip bit-exactly; results match in-memory
+    val re = Similarity.readLshIndex(spark, dir)
+    assert(re.planes == idx.planes)
+    val mem = Similarity.lshSearchIndexed(idx, q, k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val per = res.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(mem == per)
   }
 
