@@ -152,6 +152,15 @@ object Corpus {
     s"WITH search_index AS (\n$oracleIndexBody\n)\n$query"
 
   // ---- memoized builds ----------------------------------------------
+  // LIFECYCLE (VERDICT r3 #5): all Corpus caches are per-JVM and keyed
+  // by scale-factor dir (+ tokenizer mode) — the bench/verify harness
+  // touches at most a handful of keys, each holding persisted
+  // DataFrames for the process lifetime (the serving model: artifacts
+  // live as long as the server). An embedding service cycling many
+  // corpora should call `DataFrame.unpersist()` on evicted entries or
+  // scope one JVM per corpus; no automatic eviction is attempted here
+  // because dropping a persisted artifact mid-query would recompute it
+  // from scratch inside the query.
   private val indexCache = TrieMap.empty[String, DataFrame]
   private val textCache = TrieMap.empty[(String, Tokenize.Value), SearchEngine.TextArtifacts]
 
@@ -168,12 +177,21 @@ object Corpus {
     * (scale factor, tokenizer mode).
     */
   def textArtifacts(spark: SparkSession, sfDir: String,
-      mode: Tokenize.Value): SearchEngine.TextArtifacts =
+      mode: Tokenize.Value): SearchEngine.TextArtifacts = {
+    // postings/positions are CLUSTERED BY TERM before persist: cached
+    // batches then carry tight min/max term stats, so every per-term
+    // probe (match, BM25, phrase adjacency legs) prunes batches instead
+    // of scanning the whole cached relation — the in-memory analogue of
+    // the on-disk term-partitioned layout (TextIndex.writeTermPartitioned)
+    def byTerm(df: org.apache.spark.sql.DataFrame) =
+      df.repartition(org.apache.spark.sql.functions.col("term"))
+        .sortWithinPartitions("term").persist()
     textCache.getOrElseUpdate((sfDir, mode), {
       val toks = TextIndex.docTokens(searchIndex(spark, sfDir), mode).persist()
-      SearchEngine.TextArtifacts(toks, TextIndex.postings(toks).persist(),
-        Some(TextIndex.positions(toks).persist()))
+      SearchEngine.TextArtifacts(toks, byTerm(TextIndex.postings(toks)),
+        Some(byTerm(TextIndex.positions(toks))))
     })
+  }
 
   // ---- IVF index artifacts ------------------------------------------
   // Quantizer parameters shared by the declared ANN queries and their

@@ -31,7 +31,9 @@ object ExtQueries {
 
   // verified near-dup pairs memoized per sfDir: the dedup stage's output
   // is the clustering stage's input — one materialization feeds both
-  // x_dedup_minhash and x_dedup_components (the artifact pattern)
+  // x_dedup_minhash and x_dedup_components (the artifact pattern).
+  // LIFECYCLE: per-JVM, one persisted frame per scale dir — same
+  // serving-lifetime contract as the Corpus caches (see Corpus.scala)
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def minhashPairs(spark: org.apache.spark.sql.SparkSession,

@@ -52,11 +52,14 @@ object IndexCli {
     val toks = TextIndex.docTokens(index, tokenize)
     toks.write.mode("overwrite").parquet(s"$indexDir/doc_tokens")
     val persistedToks = spark.read.parquet(s"$indexDir/doc_tokens")
-    TextIndex.postings(persistedToks)
-      .write.mode("overwrite").parquet(s"$indexDir/postings")
+    // both term-keyed artifacts land in the term-bucket-PARTITIONED
+    // layout: a query's terms become a static partition IN-filter
+    // (SearchEngine.termPrune), so searches read only their buckets
+    TextIndex.writeTermPartitioned(
+      TextIndex.postings(persistedToks), s"$indexDir/postings")
     // positional postings: makes phrase queries fully indexed
-    TextIndex.positions(persistedToks)
-      .write.mode("overwrite").parquet(s"$indexDir/positions")
+    TextIndex.writeTermPartitioned(
+      TextIndex.positions(persistedToks), s"$indexDir/positions")
     println(s"indexed ${index.count()} documents into $indexDir " +
       s"(tokenize=$tokenize${databases.fold("")(d => s", databases=${d.mkString(",")}")})")
   }

@@ -180,10 +180,13 @@ object Config {
 }
 
 /** Minimal YAML-subset parser: indentation-nested mappings, scalar
-  * values, `|`/`|-` literal block scalars, `#` comments, single/double
-  * quoted strings. Covers the config shapes the reference documents
-  * (README.md:30-48) without an external YAML dependency (zero-egress
-  * build).
+  * values, `|`/`|-` literal block scalars, block sequences (`- item`,
+  * including compact `- key: val` mappings), flow sequences
+  * (`[a, b, c]`, nestable), `#` comments, single/double quoted
+  * strings. Covers the config shapes the reference documents
+  * (README.md:30-48) — which PyYAML accepts via `yaml.safe_load`
+  * (reference utils.py:104-112) — without an external YAML dependency
+  * (zero-egress build). Sequences surface as `Seq[Any]`.
   */
 object MiniYaml {
 
@@ -223,18 +226,28 @@ object MiniYaml {
         val key = unquote(t.substring(0, ci).trim)
         val rest = t.substring(ci + 1).trim
         if (rest.isEmpty) {
-          // nested mapping (or empty value)
+          // nested mapping, block sequence, or empty value
           var j = i + 1
           while (j < lines.length && isBlank(lines(j))) j += 1
           if (j < lines.length && indentOf(lines(j)) > ind) {
-            val (sub, next) = parseMap(lines, j, indentOf(lines(j)))
-            m(key) = sub
-            i = next
+            val subInd = indentOf(lines(j))
+            if (isSeqItem(lines(j))) {
+              val (seq, next) = parseSeq(lines, j, subInd)
+              m(key) = seq
+              i = next
+            } else {
+              val (sub, next) = parseMap(lines, j, subInd)
+              m(key) = sub
+              i = next
+            }
           } else { m(key) = null; i += 1 }
         } else if (rest == "|" || rest == "|-" || rest == "|+") {
           val (block, next) = parseBlock(lines, i + 1, ind, rest != "|-")
           m(key) = block
           i = next
+        } else if (rest.startsWith("[")) {
+          m(key) = parseFlowSeq(rest, i + 1)
+          i += 1
         } else {
           m(key) = unquote(rest)
           i += 1
@@ -280,6 +293,93 @@ object MiniYaml {
     while (sb.nonEmpty && sb.last.trim.isEmpty) sb.remove(sb.length - 1)
     val text = sb.mkString("\n") + (if (keepFinalNewline) "\n" else "")
     (text, i)
+  }
+
+  private def isSeqItem(l: String): Boolean = {
+    val t = l.trim
+    t == "-" || t.startsWith("- ")
+  }
+
+  /** Parse a block sequence at indentation `ind` starting at `from`;
+    * items are scalars, flow sequences, nested block structures, or
+    * compact `- key: val` mappings (handled by re-parsing the item line
+    * with the dash blanked out — the mapping then sits at indent
+    * `ind + 2`, where its continuation lines already are).
+    */
+  private def parseSeq(lines: Vector[String], from: Int, ind: Int): (Seq[Any], Int) = {
+    val out = mutable.ArrayBuffer.empty[Any]
+    var i = from
+    while (i < lines.length) {
+      val line = lines(i)
+      if (isBlank(line)) i += 1
+      else {
+        val li = indentOf(line)
+        if (li < ind) return (out.toSeq, i)
+        if (li > ind || !isSeqItem(line))
+          throw new BadMetadataError(s"expected '- item' at line ${i + 1}")
+        val item = line.trim.drop(1).trim
+        if (item.isEmpty) {
+          // nested structure under a bare dash
+          var j = i + 1
+          while (j < lines.length && isBlank(lines(j))) j += 1
+          if (j < lines.length && indentOf(lines(j)) > ind) {
+            val subInd = indentOf(lines(j))
+            val (v, next) =
+              if (isSeqItem(lines(j))) parseSeq(lines, j, subInd)
+              else parseMap(lines, j, subInd)
+            out += v
+            i = next
+          } else { out += null; i += 1 }
+        } else if (item.startsWith("[")) {
+          out += parseFlowSeq(item, i + 1)
+          i += 1
+        } else if (findColon(item) >= 0) {
+          // compact mapping: blank the dash, re-parse as a mapping whose
+          // first line sits at the item indent
+          val itemInd = li + (line.trim.length - item.length)
+          val patched = lines.updated(i, (" " * itemInd) + item)
+          val (sub, next) = parseMap(patched, i, itemInd)
+          out += sub
+          i = next
+        } else {
+          out += unquote(item)
+          i += 1
+        }
+      }
+    }
+    (out.toSeq, i)
+  }
+
+  /** Parse a single-line flow sequence `[a, b, [c, d], 'e, f']`;
+    * `lineNo` only feeds error messages.
+    */
+  private def parseFlowSeq(s: String, lineNo: Int): Seq[Any] = {
+    def fail(msg: String) =
+      throw new BadMetadataError(s"bad flow sequence at line $lineNo: $msg")
+    val t = s.trim
+    if (!t.startsWith("[") || !t.endsWith("]")) fail("expected [...]")
+    val inner = t.substring(1, t.length - 1)
+    // split on commas at bracket depth 0, outside quotes
+    val parts = mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0; var inS = false; var inD = false
+    inner.foreach { c =>
+      if (c == '\'' && !inD) { inS = !inS; sb += c }
+      else if (c == '"' && !inS) { inD = !inD; sb += c }
+      else if (!inS && !inD && c == '[') { depth += 1; sb += c }
+      else if (!inS && !inD && c == ']') {
+        depth -= 1; if (depth < 0) fail("unbalanced ]"); sb += c
+      }
+      else if (!inS && !inD && depth == 0 && c == ',') {
+        parts += sb.toString; sb.clear()
+      }
+      else sb += c
+    }
+    if (depth != 0 || inS || inD) fail("unterminated nesting or quote")
+    if (sb.toString.trim.nonEmpty || parts.nonEmpty) parts += sb.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+      if (p.startsWith("[")) parseFlowSeq(p, lineNo) else unquote(p)
+    }
   }
 
   private def unquote(s: String): String =

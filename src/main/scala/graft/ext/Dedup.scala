@@ -105,7 +105,11 @@ object Dedup {
     }
     // the banded relation feeds the self-join twice (and, when capped,
     // the bucket-size aggregation + both size branches) — persist it so
-    // the shingle→signature pipeline runs once, not 2-4×
+    // the shingle→signature pipeline runs once, not 2-4×. Both persists
+    // are RELEASED before returning (ADVICE r3): the candidate-pair
+    // output is eagerly localCheckpoint'ed (tiny — pairs only), so the
+    // banded blocks aren't needed afterwards and repeated calls don't
+    // accumulate cached corpus-sized relations.
     val banded0 = bandDfs.reduce(_ unionByName _).persist()
     val banded = (maxBucket match {
       case None => banded0.drop("__salt")
@@ -130,14 +134,20 @@ object Dedup {
           small.drop("__bucket_n", "__salt")
         }
     }).persist()
-    val a = banded.as("a")
-    val b2 = banded.as("b")
-    a.join(b2,
-        col("a.band") === col("b.band") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    try {
+      val a = banded.as("a")
+      val b2 = banded.as("b")
+      a.join(b2,
+          col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .localCheckpoint(true)
+    } finally {
+      banded.unpersist()
+      banded0.unpersist()
+    }
   }
 
   /** Near-duplicate pairs by n-gram Jaccard with shared-shingle blocking
@@ -302,12 +312,25 @@ object Dedup {
     * @return one row per doc appearing in any pair:
     *         (doc_id, component) with component = min doc id reachable
     */
-  def duplicateComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def duplicateComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    duplicateComponentsChecked(pairs, maxIters)._1
+
+  /** [[duplicateComponents]] plus the convergence flag (ADVICE r3):
+    * `false` means maxIters was exhausted before the fixpoint and the
+    * labels may still be mid-propagation — callers doing canonical-doc
+    * selection should treat that as an error. Non-convergence also
+    * logs a WARN.
+    */
+  def duplicateComponentsChecked(pairs: DataFrame,
+      maxIters: Int = 50): (DataFrame, Boolean) = {
     // LINEAGE DISCIPLINE: every iteration's frame is localCheckpoint'ed
     // (eager). Iterative self-referencing DataFrames otherwise grow
     // their LOGICAL plan geometrically (persist truncates execution,
     // not analysis), and planning time explodes after a few rounds.
     // The checkpoint also bounds executor lineage for fault recovery.
+    // Each round RELEASES the previous round's checkpoint blocks once
+    // the new frame is materialized (ADVICE r3) — long runs hold at
+    // most two rounds' label frames, not the whole history.
     val p0 = pairs.select(col("id_a"), col("id_b")).persist()
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -344,7 +367,8 @@ object Dedup {
           least(col("component"), coalesce(col("__lcomp"), col("component")))
             .as("component"))
         .localCheckpoint(true) // truncate: next round plans from a leaf
-      val s = labelSum(updated)
+      val s = labelSum(updated) // materializes `updated`
+      releaseCheckpoint(labels) // previous round's blocks: no longer referenced
       labels = updated
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -352,6 +376,23 @@ object Dedup {
       log.info(f"duplicateComponents: round $iter labelSum=$s " +
         f"converged=$converged (${(System.nanoTime() - tRound) / 1e9}%.2f s)")
     }
-    labels
+    releaseCheckpoint(edges)
+    if (!converged)
+      log.warn(s"duplicateComponents: NOT converged after $maxIters rounds — " +
+        "labels may be mid-propagation; use duplicateComponentsChecked and " +
+        "treat converged=false as an error for canonical-doc selection")
+    (labels, converged)
   }
+
+  /** Best-effort release of an eager localCheckpoint's blocks: the
+    * checkpointed frame wraps a LogicalRDD whose RDD holds the blocks.
+    * Only call on frames nothing references anymore (a localCheckpoint
+    * cannot be recomputed once its blocks are gone).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

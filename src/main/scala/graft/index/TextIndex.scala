@@ -98,4 +98,50 @@ object TextIndex {
       .sortBy("term")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Bucket count of the term-partitioned on-disk layout
+    * ([[writeTermPartitioned]]). A layout constant: the writer derives
+    * the partition value and the query side derives the prune filter
+    * from the same number.
+    */
+  val TermBuckets = 64
+
+  /** Term→bucket as a Column (write side). md5-derived (the portable-
+    * hash formula), so the driver-side mirror [[termBucket]] computes
+    * identical values without a Spark job.
+    */
+  def termBucketCol(term: org.apache.spark.sql.Column,
+      n: Int = TermBuckets): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(term.cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(n))
+
+  /** Term→bucket on the driver (query side): first 15 hex chars of the
+    * md5 (60 bits, always positive) mod n — bit-identical to
+    * [[termBucketCol]].
+    */
+  def termBucket(term: String, n: Int = TermBuckets): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % n
+  }
+
+  /** Write a term-keyed artifact (tf postings or positional postings)
+    * PARTITIONED BY term bucket and sorted by term within files — the
+    * cross-session 100 TB layout: a query's terms map to bucket ids on
+    * the driver ([[termBucket]]) and push down as a static partition
+    * `IN` filter, so the scan reads only those buckets' files; the
+    * in-file term sort tightens parquet row-group stats for the
+    * residual term predicate. (The metastore-bucketed variant above
+    * needs a catalog; this one is plain parquet — any session that can
+    * list the directory gets the pruning.)
+    */
+  def writeTermPartitioned(df: DataFrame, dir: String,
+      n: Int = TermBuckets): Unit =
+    df.withColumn("tb", termBucketCol(col("term"), n))
+      .repartition(col("tb"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite")
+      .partitionBy("tb")
+      .parquet(dir)
 }

@@ -57,12 +57,14 @@ object Enrich {
   }
 
   /** True if `expr` contains an AND/OR keyword at paren-depth 0 outside
-    * string literals — i.e. it is a boolean combination, not a scalar
-    * key expression.
+    * string literals AND quoted identifiers — i.e. it is a boolean
+    * combination, not a scalar key expression. Tracks single-quoted
+    * strings plus double-quoted and backtick-quoted identifiers
+    * (ADVICE r3: `where "a and b" = :key` is a legal scalar key).
     */
   private[graft] def hasTopLevelBoolOp(expr: String): Boolean = {
     var depth = 0
-    var inStr = false
+    var quote: Char = 0 // 0 = outside any quoting; else the closing char
     var i = 0
     val s = expr
     def isWordChar(ch: Char): Boolean = ch.isLetterOrDigit || ch == '_'
@@ -72,9 +74,9 @@ object Enrich {
         (j + w.length >= s.length || !isWordChar(s.charAt(j + w.length)))
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (quote != 0) { if (c == quote) quote = 0 }
       else c match {
-        case '\'' => inStr = true
+        case '\'' | '"' | '`' => quote = c
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>

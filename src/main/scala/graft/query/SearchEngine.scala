@@ -70,14 +70,32 @@ object SearchEngine {
       matchCondition(m, Seq(if (f == "title") "tokens_title" else "tokens_s1"))
   }
 
+  /** Prune a term-keyed relation (tf postings or positional postings)
+    * to `terms`: the `isin` on `term` plus — when the relation carries
+    * the on-disk term-bucket partition column `tb`
+    * ([[graft.index.TextIndex.writeTermPartitioned]] layout) — a STATIC
+    * partition filter on the terms' bucket ids, computed on the driver.
+    * With the partitioned layout the scan reads only the probed
+    * buckets' files; with memory-persisted artifacts the isin prunes
+    * cached batches via their min/max term stats (artifacts are
+    * clustered by term at persist time).
+    */
+  private def termPrune(rel: DataFrame, terms: Seq[String]): DataFrame = {
+    val t = terms.distinct
+    val base = rel.filter(col("term").isin(t: _*))
+    if (rel.columns.contains("tb"))
+      base.filter(col("tb").isin(
+        t.map(TextIndex.termBucket(_)).distinct: _*))
+    else base
+  }
+
   /** Scale path for selective conjunctive terms: semi-join docs against
     * term-pruned postings instead of scanning every token array. Used
     * when the match tree is a plain AND of terms.
     */
   def matchedViaPostings(postings: DataFrame, terms: Seq[String]): DataFrame = {
     val n = terms.distinct.size
-    postings
-      .filter(col("term").isin(terms.distinct: _*)) // partition/bucket prune by term
+    termPrune(postings, terms) // partition/bucket prune by term
       .groupBy("type", "key")
       .agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") === n)
@@ -100,7 +118,7 @@ object SearchEngine {
   private def termsAllOf(arts: TextArtifacts, terms: Seq[String],
       field: Option[String]): DataFrame = {
     val distinctTerms = terms.distinct
-    fieldFilter(arts.postings.filter(col("term").isin(distinctTerms: _*)), field)
+    fieldFilter(termPrune(arts.postings, distinctTerms), field)
       .groupBy("type", "key")
       .agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") === distinctTerms.size)
@@ -110,7 +128,7 @@ object SearchEngine {
   /** Docs containing ANY of `terms` — a single isin-pruned scan. */
   private def termsAnyOf(arts: TextArtifacts, terms: Seq[String],
       field: Option[String]): DataFrame =
-    fieldFilter(arts.postings.filter(col("term").isin(terms.distinct: _*)), field)
+    fieldFilter(termPrune(arts.postings, terms), field)
       .select("type", "key").distinct()
 
   /** Docs with any term in `[p, p + U+FFFF)` — the indexed prefix match.
@@ -146,7 +164,7 @@ object SearchEngine {
       case None          => all
     }
     ts.zipWithIndex.map { case (t, i) =>
-      pos.filter(col("term") === t)
+      termPrune(pos, Seq(t))
         .select(col("type"), col("key"), col("field"), (col("pos") - i).as("__p0"))
     }.reduce((a, b) => a.join(b, Seq("type", "key", "field", "__p0")))
       .select("type", "key").distinct()
@@ -258,26 +276,30 @@ object SearchEngine {
     */
   // corpus stats memoized by the docTokens plan's CANONICALIZED form —
   // logically-equal DataFrames (same corpus, fresh object) share one
-  // 1-row aggregation; object identity would miss on every re-derive
+  // 1-row aggregation; object identity would miss on every re-derive.
+  // LIFECYCLE: per-JVM; entries are 3 doubles keyed by a plan string, so
+  // the map only grows when new corpora are queried — bounded by a
+  // clear-at-cap guard so a long-lived service embedding the engine
+  // cannot leak plan strings without bound (ADVICE/VERDICT r3 #5)
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Double, Double, Double)]()
+  private val StatsCacheCap = 512
 
   def bm25Scores(spark: SparkSession, postings: DataFrame, docTokens: DataFrame,
       terms: Seq[String]): DataFrame = {
-    import spark.implicits._
     val statsKey = docTokens.queryExecution.analyzed.canonicalized.toString
+    if (statsCache.size > StatsCacheCap) statsCache.clear()
     val (nDocs, avgTitle, avgS1) = statsCache.computeIfAbsent(statsKey, { _ =>
       val s = TextIndex.stats(docTokens).collect()(0)
       (s.getAs[Double]("n_docs"), s.getAs[Double]("avgdl_title"),
         s.getAs[Double]("avgdl_s1"))
     })
 
-    val termDf = terms.distinct.toDF("term")
     // prune postings to the query's terms FIRST (partition/bucket prune
     // at scale); per-term df comes from a window over the SAME pruned
     // rows — one postings scan, never a second df-aggregation pass and
     // never the full vocabulary
-    val matched = postings.join(broadcast(termDf), "term")
+    val matched = termPrune(postings, terms)
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("term")))
 

@@ -86,10 +86,11 @@ object SearchPage {
       value: String, selected: Boolean): String = {
     val actives = activeFilters(req).filterNot(_ == (param -> value))
     val toggled = if (selected) actives else actives :+ (param -> value)
-    val qPart = if (q.nonEmpty) Seq("q" -> q) else Seq.empty
-    val pairs = toggled ++ qPart
-    if (pairs.isEmpty) "?"
-    else "?" + pairs.map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
+    // q is ALWAYS re-injected, even when empty — the reference sets
+    // qs_bits["q"] = q unconditionally (__init__.py:256), so timeline
+    // toggle URLs end in `&q=` (ADVICE r3)
+    val pairs = toggled :+ ("q" -> q)
+    "?" + pairs.map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
   }
 
   /** A page URL carrying q + active filters (+ an optional sort) — the

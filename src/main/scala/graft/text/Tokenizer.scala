@@ -18,20 +18,28 @@ import org.apache.spark.sql.functions._
   *    the stem step is a Scala UDF (indexing-time only).
   */
 object Tokenize extends Enumeration {
-  val None_, Porter, Unicode61 = Value
+  val None_, Porter, Unicode61, Ascii = Value
 
   /** Parse an FTS5-style tokenizer spec. The reference CLI passes the
     * `--tokenize` string straight into the FTS5 DDL (reference
     * cli.py:22-26), so any FTS5 spec is legal input: `porter`,
     * `porter unicode61`, `unicode61`, `unicode61 remove_diacritics 2`,
-    * `none`. The leading tokenizer name selects the pipeline; unknown
-    * names fail loudly — exactly when FTS5 would fail at CREATE time.
+    * `none`, `ascii`. The leading tokenizer name selects the pipeline;
+    * unknown names fail loudly — exactly when FTS5 would fail at
+    * CREATE time.
+    *
+    * `--tokenize none` drops the porter wrapper and leaves FTS5's
+    * DEFAULT tokenizer, which is unicode61 (reference cli.py:33-38 +
+    * fts5 docs) — NOT the ASCII-split pipeline; [[None_]] is the
+    * internal oracle-parity mode (ASCII corpora only) used by declared
+    * queries, reachable only programmatically.
     */
   def parse(spec: String): Value =
     spec.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").head match {
-      case "porter"            => Porter
-      case "none" | "ascii"    => None_
-      case "unicode61"         => Unicode61
+      case "porter"    => Porter
+      case "none"      => Unicode61
+      case "ascii"     => Ascii
+      case "unicode61" => Unicode61
       case other =>
         throw new IllegalArgumentException(s"unknown tokenizer: $other")
     }
@@ -49,6 +57,18 @@ object Tokenizer {
     * diacritics are folded before stemming (see [[foldDiacritics]]).
     */
   val unicodeSplitPattern = "[^\\p{L}\\p{N}]+"
+
+  /** FTS5 `ascii` tokenizer split: separators are ASCII non-alnum ONLY
+    * — every codepoint > 0x7F is a token character (fts5 docs), so
+    * "café" stays one token with its 'é' intact.
+    */
+  val asciiSplitPattern = "[\\x00-\\x7F&&[^a-zA-Z0-9]]+"
+
+  /** FTS5 `ascii` case folding: A-Z only; non-ASCII codepoints keep
+    * their case (unlike `lower()`, which folds 'É' → 'é').
+    */
+  def asciiLower(t: String): String =
+    t.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
 
   /** Token array from a (possibly NULL) string column — codegen-friendly
     * built-ins only.
@@ -84,10 +104,19 @@ object Tokenizer {
     udf((ts: Seq[String]) =>
       if (ts == null) Seq.empty[String] else ts.map(foldDiacritics))
 
+  private val asciiLowerSeqUdf =
+    udf((ts: Seq[String]) =>
+      if (ts == null) Seq.empty[String] else ts.map(asciiLower))
+
+  private def asciiTokensCol(c: Column): Column =
+    asciiLowerSeqUdf(
+      filter(split(coalesce(c, lit("")), asciiSplitPattern), t => t =!= ""))
+
   def tokens(c: Column, mode: Tokenize.Value): Column = mode match {
     case Tokenize.None_     => tokensCol(c)
     case Tokenize.Porter    => stemSeqUdf(unicodeTokensCol(c))
     case Tokenize.Unicode61 => foldSeqUdf(unicodeTokensCol(c))
+    case Tokenize.Ascii     => asciiTokensCol(c)
   }
 
   /** Driver-side tokenization of a query string — must agree exactly
@@ -105,5 +134,7 @@ object Tokenizer {
       s.toLowerCase(java.util.Locale.ROOT)
         .split(unicodeSplitPattern).filter(_.nonEmpty).toSeq
         .map(foldDiacritics)
+    case Tokenize.Ascii =>
+      s.split(asciiSplitPattern).filter(_.nonEmpty).toSeq.map(asciiLower)
   }
 }

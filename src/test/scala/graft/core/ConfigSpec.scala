@@ -40,6 +40,44 @@ class ConfigSpec extends AnyFunSuite {
     intercept[BadMetadataError](Config.parseMetadata("] this is { nothing"))
   }
 
+  test("MiniYaml: flow and block sequences parse as Seq values") {
+    val m = MiniYaml.parse(
+      """plain: value
+        |flow: [a, b, 'c, d', [x, y]]
+        |empty_flow: []
+        |block:
+        |  - one
+        |  - "two three"
+        |  - [i, j]
+        |maps:
+        |  - name: alpha
+        |    sql: select 1
+        |  - name: beta
+        |nested:
+        |  inner:
+        |    - deep
+        |""".stripMargin)
+    assert(m("plain") == "value")
+    assert(m("flow") == Seq("a", "b", "c, d", Seq("x", "y")))
+    assert(m("empty_flow") == Seq.empty)
+    assert(m("block") == Seq("one", "two three", Seq("i", "j")))
+    assert(m("maps") == Seq(
+      Map("name" -> "alpha", "sql" -> "select 1"),
+      Map("name" -> "beta")))
+    assert(m("nested").asInstanceOf[Map[String, Any]]("inner") == Seq("deep"))
+  }
+
+  test("list value where a rule mapping is required still raises BadMetadataError") {
+    // PyYAML parses this fine; the RULES contract then rejects it — same
+    // split as the reference (parse succeeds, schema validation fails)
+    intercept[BadMetadataError](Config.parseMetadata(
+      """db1.db:
+        |  - not
+        |  - a
+        |  - mapping
+        |""".stripMargin))
+  }
+
   test("rule missing sql raises BadMetadataError") {
     intercept[BadMetadataError](
       Config.parseMetadata("""{"d": {"t": {"display": "x"}}}"""))

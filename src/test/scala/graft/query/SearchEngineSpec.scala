@@ -72,6 +72,49 @@ class SearchEngineSpec extends AnyFunSuite {
       Seq(emails1, commitA, emails2, commitB)) // (type,key) tie-break again
   }
 
+  test("term-partitioned postings/positions prune partitions end-to-end") {
+    // driver-side bucket mirror must equal the write-side Column hash
+    val terms = Seq("things", "email", "dogfest", "café", "x")
+    val colBuckets = {
+      import spark.implicits._
+      terms.toDF("term")
+        .select(col("term"), TextIndex.termBucketCol(col("term")).as("tb"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    terms.foreach(t => assert(TextIndex.termBucket(t) == colBuckets(t),
+      s"driver/Column bucket mismatch for '$t'"))
+
+    val toks = TextIndex.docTokens(index, Tokenize.Porter)
+    val dir = java.nio.file.Files.createTempDirectory("graft-postings").toString
+    TextIndex.writeTermPartitioned(TextIndex.postings(toks), s"$dir/postings")
+    TextIndex.writeTermPartitioned(TextIndex.positions(toks), s"$dir/positions")
+    val arts = SearchEngine.TextArtifacts(toks,
+      spark.read.parquet(s"$dir/postings"),
+      Some(spark.read.parquet(s"$dir/positions")))
+    val memArts = SearchEngine.TextArtifacts(toks,
+      TextIndex.postings(toks), Some(TextIndex.positions(toks)))
+
+    // term + boolean + phrase paths: same results as in-memory postings,
+    // and the scan carries a static tb partition filter
+    for (q <- Seq("things", "things NOT email", "\"about things\"")) {
+      val node = graft.text.FtsQuery.parseOrEscape(q, Tokenize.Porter).get
+      val onDisk = SearchEngine.matchSet(arts, node)
+      val plan = onDisk.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*tb[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+        s"'$q' should prune postings partitions, plan:\n$plan")
+      assert(ids(onDisk.orderBy("type", "key")) ==
+        ids(SearchEngine.matchSet(memArts, node).orderBy("type", "key")))
+    }
+    // BM25 over the partitioned layout matches the in-memory scores
+    val scored = SearchEngine.bm25Scores(spark, arts.postings, toks, Seq("things"))
+      .orderBy("type", "key").collect().map(r => (r.getString(0), r.getString(1),
+        math.round(r.getDouble(2) * 1e4))).toSeq
+    val memScored = SearchEngine.bm25Scores(spark, memArts.postings, toks, Seq("things"))
+      .orderBy("type", "key").collect().map(r => (r.getString(0), r.getString(1),
+        math.round(r.getDouble(2) * 1e4))).toSeq
+    assert(scored == memScored)
+  }
+
   test("facet counts over q=things (test_plugin.py:45-108)") {
     val toks = TextIndex.docTokens(index, Tokenize.Porter)
     val node = graft.text.FtsQuery.parseOrEscape("things", Tokenize.Porter).get

@@ -93,6 +93,17 @@ class SearchPageSpec extends AnyFunSuite {
     assert(p2.hiddens == Seq(SearchPage.Hidden("is_public", "1")))
   }
 
+  test("timeline toggle URLs still re-inject the (empty) q param (ADVICE r3)") {
+    RefFixtures.registerPlugin(spark)
+    val index = IndexJob.buildIndex(spark, RefFixtures.pluginRules)
+    val p4 = SearchPage.assemble(spark, index, RefFixtures.pluginRules,
+      Request(q = None, tokenize = Tokenize.Porter))
+    // the reference sets qs_bits["q"] = q unconditionally
+    // (__init__.py:256): '?type=x&q=', never '?type=x'
+    val types = p4.facets.find(_.name == "type").get.values
+    assert(types.nonEmpty && types.forall(_.toggleUrl.endsWith("&q=")))
+  }
+
   test("facet_size caps values per facet inside the job") {
     RefFixtures.registerPlugin(spark)
     val index = IndexJob.buildIndex(spark, RefFixtures.pluginRules)

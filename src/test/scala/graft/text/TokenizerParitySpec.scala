@@ -64,12 +64,32 @@ class TokenizerParitySpec extends AnyFunSuite {
       Seq("cafe", "running"))
   }
 
+  test("column tokenizer == driver tokenizer (fts5 ascii mode)") {
+    import spark.implicits._
+    val inputs = genStrings(300)
+    val got = inputs.toDF("s")
+      .select(col("s"), Tokenizer.tokens(col("s"), Tokenize.Ascii).as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+    got.foreach { case (s, colToks) =>
+      assert(colToks == Tokenizer.tokenize(s, Tokenize.Ascii))
+    }
+    // fts5 ascii: >0x7F are token chars (kept verbatim, case preserved),
+    // ASCII folds, ASCII punctuation separates
+    assert(Tokenizer.tokenize("Café-BAR É漢字 x", Tokenize.Ascii) ==
+      Seq("café", "bar", "É漢字", "x"))
+  }
+
   test("FTS5 tokenizer specs parse like the reference CLI (cli.py:22-26)") {
     assert(Tokenize.parse("porter") == Tokenize.Porter)
     assert(Tokenize.parse("porter unicode61") == Tokenize.Porter)
     assert(Tokenize.parse("unicode61") == Tokenize.Unicode61)
     assert(Tokenize.parse("unicode61 remove_diacritics 2") == Tokenize.Unicode61)
-    assert(Tokenize.parse("none") == Tokenize.None_)
+    // --tokenize none drops the porter wrapper → FTS5's DEFAULT
+    // tokenizer, which is unicode61 (ADVICE r3)
+    assert(Tokenize.parse("none") == Tokenize.Unicode61)
+    // fts5 ascii is its own pipeline: >0x7F kept as token chars
+    assert(Tokenize.parse("ascii") == Tokenize.Ascii)
     intercept[IllegalArgumentException](Tokenize.parse("trigram33"))
   }
 }
