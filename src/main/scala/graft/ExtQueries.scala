@@ -896,20 +896,32 @@ object ExtQueries {
            |       1 + (CAST(octet_length(encode(text)) AS BIGINT) % 743) AS fake_height
            |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Frame fan-out plumbing (1 payload row → N feature rows through the
-    // per-partition batch decoder). Decode is the documented stub →
-    // rows-only; determinism is the check.
+    // Frame fan-out through a REAL codec (VERDICT r3 #5): each doc
+    // renders as a grayscale PNG whose pixels follow a portable md5
+    // formula, gets ENCODED + DECODED with ImageIO in the partition
+    // iterator, and each image row ("frame") emits mean(decoded
+    // pixels). PNG is lossless ⇒ the oracle computes the exact same
+    // values from the pixel formula with no codec — decode defects
+    // break value parity. The mean divides an exact integer sum, so
+    // there is no float-order sensitivity and no rounding.
     QueryDef("x_mm_features",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        graft.ext.Multimodal.extractFeatures(spark,
-            graft.ext.Multimodal.withPayload(spark.table("documents"), "text"),
-            "doc_id", frames = 2, dim = 8)
+        graft.ext.Multimodal.frameFeatures(spark, spark.table("documents"),
+            "doc_id", "text", w = 8, h = 4)
           .toDF()
-          .selectExpr("doc_id", "frame", "round(aggregate(feature, CAST(0.0 AS DOUBLE), (a, x) -> a + x), 4) AS feat_sum")
           .orderBy("doc_id", "frame")
       },
-      None),
+      Some(
+        s"""WITH px AS (
+           |  SELECT d.doc_id, y.y, x.x,
+           |         ${duckHash("d.text || '_' || CAST(y.y AS VARCHAR) || '_' || CAST(x.x AS VARCHAR)")} % 256 AS p
+           |  FROM documents d, range(4) y(y), range(8) x(x)
+           |)
+           |SELECT doc_id, CAST(y AS INTEGER) AS frame,
+           |       sum(p) / (8 * 255.0) AS feature_mean
+           |FROM px GROUP BY doc_id, y
+           |ORDER BY doc_id, frame""".stripMargin)),
 
     // ---- streaming equivalent ---------------------------------------
 

@@ -153,6 +153,11 @@ object Multimodal {
   /** Batch feature extraction ("frame sampling"): emits `frames` fixed
     * deterministic feature vectors per payload — the fan-out shape of a
     * video/audio frame sampler (1 row in, N rows out, iterator-lazy).
+    *
+    * STUB (documented descope): real audio/video codecs are not in this
+    * container, so the per-frame decode derives a deterministic
+    * pseudo-feature from byte stats. For the REAL-codec, oracle-checked
+    * variant of the same fan-out shape see [[frameFeatures]].
     */
   def extractFeatures(spark: SparkSession, docs: DataFrame, idCol: String,
       frames: Int, dim: Int): Dataset[MediaFeature] = {
@@ -161,12 +166,56 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          // STUB: real impl decodes + samples frames; this derives a
-          // deterministic pseudo-feature from (id, frame, byte stats)
           val s = if (bytes.isEmpty) 0f else bytes.map(_.toInt & 0xff).sum.toFloat / bytes.length
           (0 until frames).iterator.map { f =>
             MediaFeature(id, f,
               Array.tabulate(dim)(i => (s + f * 31 + i) % 97 / 97.0f))
+          }
+        }
+      }
+  }
+
+  /** One frame's decoded-pixel feature. */
+  final case class FrameFeature(doc_id: Long, frame: Int, feature_mean: Double)
+
+  /** REAL-codec frame features, oracle-checkable end to end: each doc
+    * is rendered as a w×h 8-bit grayscale image whose pixel (x, y) is a
+    * PORTABLE hash of (text, y, x) — `md5` arithmetic both engines
+    * share — then PNG-ENCODED and PNG-DECODED with ImageIO inside the
+    * partition iterator (one encoder/decoder per executor partition,
+    * iterator-to-iterator). Each image row y is a "frame"; its feature
+    * is mean(decoded pixels). PNG is lossless, so the decoded sum must
+    * equal the arithmetic the DuckDB oracle computes from the same
+    * pixel formula WITHOUT any codec — a decode defect (stride, color
+    * model, bit depth) breaks value parity, not just row counts. The
+    * mean divides an exact integer sum, so no float-order issues.
+    */
+  def frameFeatures(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, w: Int, h: Int): Dataset[FrameFeature] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def pixel(text: String, y: Int, x: Int): Int = {
+          val hex = md.digest(s"${text}_${y}_$x".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          (java.lang.Long.parseLong(hex.take(15), 16) % 256).toInt
+        }
+        rows.flatMap { case (id, text) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          for (y <- 0 until h; x <- 0 until w)
+            raster.setSample(x, y, 0, pixel(text, y, x))
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          val decoded = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(out.toByteArray)).getRaster
+          (0 until h).iterator.map { y =>
+            var s = 0
+            var x = 0
+            while (x < w) { s += decoded.getSample(x, y, 0); x += 1 }
+            FrameFeature(id, y, s / (w * 255.0))
           }
         }
       }

@@ -338,8 +338,11 @@ object SearchEngine {
 
     val filtered = Seq[Option[Column]](
       req.typeFilter.map(col("type") === _),
-      req.category.map(v => col("category") === lit(v).cast("int")),
-      req.isPublic.map(v => col("is_public") === lit(v).cast("int")),
+      // try_cast: a malformed querystring value ("banana") must filter
+      // to empty, not raise — SQLite's loose parameter comparison never
+      // errors (reference binds filters as parameters, __init__.py:57-62)
+      req.category.map(v => col("category") === lit(v).try_cast("int")),
+      req.isPublic.map(v => col("is_public") === lit(v).try_cast("int")),
       req.timestampDate.map(d => substring(col("timestamp"), 1, 10) === d)
     ).flatten.foldLeft(index)(_ filter _)
 

@@ -295,4 +295,26 @@ class ExtSpec extends AnyFunSuite {
       frames = 3, dim = 4).collect()
     assert(feats.length == 15 && feats.forall(_.feature.length == 4))
   }
+
+  test("multimodal: real-codec frame features round-trip exactly") {
+    // frameFeatures ENCODES each doc as a PNG and DECODES it with
+    // ImageIO before summing pixels; PNG is lossless, so the decoded
+    // mean must equal the codec-free arithmetic on the pixel formula.
+    val w = 8; val h = 4
+    val out = Multimodal.frameFeatures(spark, docs, "doc_id", "text", w, h)
+      .collect().map(f => (f.doc_id, f.frame) -> f.feature_mean).toMap
+    assert(out.size == 5 * h)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pixel(text: String, y: Int, x: Int): Int = {
+      val hex = md.digest(s"${text}_${y}_$x".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % 256).toInt
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    for ((id, text) <- texts; y <- 0 until h) {
+      val expect = (0 until w).map(pixel(text, y, _)).sum / (w * 255.0)
+      assert(out((id, y)) == expect, s"doc $id frame $y")
+    }
+  }
 }

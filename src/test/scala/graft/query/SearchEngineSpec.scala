@@ -141,6 +141,19 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(ids(r) == Seq(commitA))
   }
 
+  test("malformed filter values filter to empty, never raise (querystring contract)") {
+    // the reference binds filters as SQLite parameters: 'banana' = 1 is
+    // simply false, never an error — try_cast gives the same totality
+    for (bad <- Seq("banana", "", "1.5.2")) {
+      val r = SearchEngine.search(spark, index,
+        Request(q = Some("things"), isPublic = Some(bad), tokenize = Tokenize.Porter))
+      assert(r.count() == 0, s"is_public=$bad")
+      val c = SearchEngine.search(spark, index,
+        Request(q = None, category = Some(bad), tokenize = Tokenize.Porter))
+      assert(c.count() == 0, s"category=$bad")
+    }
+  }
+
   test("search_2/search_3 are declared but never FTS-indexed (utils.py:89-90)") {
     import spark.implicits._
     val extra = graft.core.Schema.conform(
