@@ -868,6 +868,34 @@ object ExtQueries {
            |FROM sel WHERE pos >= 4
            |ORDER BY doc_id, fp""".stripMargin)),
 
+    // The zero-shuffle winnowing variant (pure map stage — the cluster
+    // shape; see TextAnalysis.winnowFingerprintsInRow + WinnowProbe for
+    // the measured local crossover). Identical values, same oracle.
+    QueryDef("x_text_winnow_inrow",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.winnowFingerprintsInRow(spark.table("documents"),
+            "text", "doc_id", k = 8, window = 4)
+          .orderBy("doc_id", "fp")
+      },
+      Some(
+        s"""WITH base AS (SELECT doc_id, lower(text) AS s FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
+           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
+           |),
+           |sel AS (
+           |  SELECT doc_id, pos,
+           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
+           |           PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
+           |  FROM hashed
+           |)
+           |SELECT DISTINCT doc_id, selkey >> 31 AS fp
+           |FROM sel WHERE pos >= 4
+           |ORDER BY doc_id, fp""".stripMargin)),
+
     // ---- multimodal columns -----------------------------------------
 
     // Binary-column plumbing: payload as opaque bytes + typed metadata.

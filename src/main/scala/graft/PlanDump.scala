@@ -54,6 +54,45 @@ object PlanDump {
     dump("x_sim_ivf (indexed search)")(
       graft.ext.Similarity.ivfSearchIndexed(idx, q, nprobe = 3, k = 10))
 
+    // ---- round-4 evidence ------------------------------------------
+
+    // 6. LSH ANN against the prebuilt in-memory index: bucket-isin
+    //    filter over prebuilt signatures, NO signature recompute
+    val lsh = Corpus.lshIndex(spark, sfDir)
+    val qv = q
+    dump("x_sim_lsh_ann (indexed probe)")(
+      graft.ext.Similarity.lshSearchIndexed(lsh, qv, k = 10, probes = 3))
+
+    // 7. LSH ANN against the PERSISTED bucket-partitioned layout:
+    //    probe buckets must appear as PartitionFilters on lsh_bucket
+    val lshDir = "target/plandump/lsh_index"
+    graft.ext.Similarity.writeLshIndex(lsh, lshDir)
+    dump("x_sim_lsh_ann (persisted, partition-pruned)")(
+      graft.ext.Similarity.lshSearchPersisted(spark, lshDir, qv, k = 10, probes = 3))
+
+    // 8. term-partitioned postings: a query's terms must appear as a
+    //    static PartitionFilters IN on tb (the term-bucket column)
+    val postDir = "target/plandump/postings"
+    graft.index.TextIndex.writeTermPartitioned(
+      graft.index.TextIndex.postings(arts.docTokens), postDir)
+    val partArts = SearchEngine.TextArtifacts(
+      arts.docTokens, spark.read.parquet(postDir), arts.positions)
+    dump("p4 match on term-partitioned postings")(
+      SearchEngine.matchSet(partArts, FtsQuery.parse("signup OR purchase", Tokenize.None_)))
+
+    // 9. df-capped n-gram Jaccard: hot shingles leave the blocking join
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    dump("x_dedup_ngram (df-capped blocking join)")(
+      graft.ext.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.4, maxShingleDf = Some(50)))
+
+    // 10. in-row winnowing: must be a single map-side stage (no
+    //     Exchange, no Window) — compare with the explode+window plan
+    dump("x_text_winnow_inrow (zero-shuffle variant)")(
+      graft.ext.TextAnalysis.winnowFingerprintsInRow(docs, "text", "doc_id"))
+    dump("x_text_winnow (explode+window variant)")(
+      graft.ext.TextAnalysis.winnowFingerprints(docs, "text", "doc_id"))
+
     spark.stop()
   }
 }

@@ -194,4 +194,45 @@ object TextAnalysis {
       .select(col("doc_id"), shiftright(col("selkey"), 31).as("fp"))
       .distinct()
   }
+
+  /** Shuffle-free winnowing: the same sketch (identical values — same
+    * portable hash, same rightmost-min rule) computed as array algebra
+    * INSIDE each row: hash the k-grams into one array, take each
+    * sliding window's min as a scalar key, `array_distinct`, and emit
+    * one map-side explode of the already-doc-unique selections. A pure
+    * map stage — zero exchange.
+    *
+    * Crossover (MEASURED, WinnowProbe on sf0.1 replicated ×1/×4/×10 ≈
+    * sf1, local[32]): explode+window wins ~2× at every local scale
+    * (6.8 vs 12.9 s, 24.9 vs 51.7 s, 61.2 vs 129.0 s) — the ratio is
+    * flat, so there is NO local crossover: a 32-thread in-memory
+    * shuffle is cheaper than the per-window slice/array_min allocation.
+    * The tradeoff only flips on a real cluster where the explode
+    * variant shuffles ~corpus-chars rows across the NETWORK while this
+    * variant ships nothing; prefer this one there, and
+    * [[winnowFingerprints]] on single-node/local data.
+    */
+  def winnowFingerprintsInRow(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, window: Int = 4): DataFrame = {
+    val s = lower(col(textCol))
+    val Two31 = 2147483648L
+    val grams = when(length(s) >= k,
+      transform(sequence(lit(1), length(s) - (k - 1)),
+        i => s.substr(i, lit(k))))
+      .otherwise(array())
+    val keys = zip_with(grams,
+      sequence(lit(1L), greatest(size(grams).cast("long"), lit(1L))),
+      (g, pos) =>
+        pmod(Dedup.portableHash(g), lit(Dedup.MersennePrime)) * Two31
+          + (lit(Two31) - pos))
+    val withKeys = docs.select(col(idCol).as("doc_id"),
+      size(grams).as("__n"), keys.as("__keys"))
+    val sel = when(col("__n") >= window,
+      array_distinct(transform(
+        sequence(lit(window), col("__n")),
+        i => shiftright(
+          array_min(slice(col("__keys"), i - (window - 1), lit(window))), 31))))
+      .otherwise(array())
+    withKeys.select(col("doc_id"), explode(sel).as("fp"))
+  }
 }
