@@ -49,6 +49,9 @@ object Bench {
     setup("lsh_build") = time {
       Corpus.lshIndex(spark, sfDir).signatures.count()
     }
+    setup("dedup_build") = time {
+      ExtQueries.warmDedupArtifacts(spark, sfDir)
+    }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.allDefs.foreach { d =>

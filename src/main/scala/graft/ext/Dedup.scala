@@ -160,17 +160,28 @@ object Dedup {
     * stop-shingle ("of the and") makes the operator quadratic on a
     * skewed corpus. With the cap, shingles with document frequency
     * above it are excluded from BLOCKING ONLY (the skipped count is
-    * logged, the `lshCandidates` pattern) — the Jaccard verify still
-    * runs over the FULL shingle sets of each surviving candidate pair,
-    * so reported jaccard values are exact. The documented trade: a pair
+    * logged, the `lshCandidates` pattern) — shared counts stay EXACT:
+    * cold-shingle matches are counted inside the blocking join itself
+    * and hot-shingle matches are re-added from just the hot rows (a
+    * small relation by construction), so reported jaccard values are
+    * identical to the uncapped operator's for every surviving pair
+    * without ever re-joining full shingle sets. The documented trade: a pair
     * sharing exclusively hot shingles is missed — at threshold-grade
     * similarity such pairs share many shingles, nearly all rare, so the
     * cap costs ~no recall while bounding the join at df²·cap.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+      n: Int, threshold: Double, maxShingleDf: Option[Int] = None): DataFrame =
     // consumed 3-4× (pair join ×2 sides + sizes [+ df]): persist the explode
-    val sh = shingles(docs, textCol, idCol, n).persist()
+    ngramJaccardPairsFromShingles(
+      shingles(docs, textCol, idCol, n).persist(), threshold, maxShingleDf)
+
+  /** [[ngramJaccardPairs]] over a PREBUILT (persisted) shingle relation —
+    * the artifact form: one shingle explode can feed this, the minhash
+    * pipeline, and doc-size stats (lifecycle owned by the caller).
+    */
+  def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = maxShingleDf match {
       case None =>
@@ -186,20 +197,35 @@ object Dedup {
         if (hot > 0)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"ngramJaccardPairs: excluding $hot shingles with df > $cap from " +
-              "blocking (verify still uses full shingle sets)")
+              "blocking (hot contributions re-added exactly from the hot rows only)")
         val blockSh = sh.join(dfs.filter(col("__df") <= cap), "shingle")
           .select("doc_id", "shingle")
-        val cands = blockSh.as("x").join(blockSh.as("y"),
+        // shared COLD shingles counted directly in the blocking join —
+        // no distinct + no full-set re-join (that re-join was 2.5× the
+        // whole operator at sf0.1)
+        val sharedCold = blockSh.as("x").join(blockSh.as("y"),
             col("x.shingle") === col("y.shingle") &&
             col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-          .distinct()
-        // exact shared-shingle count over the FULL sets, candidates only
-        cands
-          .join(sh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+          .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("__cold"))
+        // hot contributions: candidates already share a cold shingle,
+        // so re-adding matches over JUST the hot rows (df > cap — a
+        // small relation by construction) keeps `shared` exact
+        val hotSh = sh.join(dfs.filter(col("__df") > cap), "shingle")
+          .select("doc_id", "shingle")
+        val sharedHot = sharedCold.select("id_a", "id_b")
+          .join(hotSh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
+          .join(hotSh.select(col("doc_id").as("id_b"), col("shingle")),
             Seq("id_b", "shingle"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("__hot"))
+        try
+          sharedCold
+            .join(sharedHot, Seq("id_a", "id_b"), "left")
+            .withColumn("shared",
+              col("__cold") + coalesce(col("__hot"), lit(0L)))
+            .select("id_a", "id_b", "shared")
+            .localCheckpoint(true) // bounded: candidate pairs only
+        finally dfs.unpersist()
     }
     pairs
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
@@ -216,7 +242,16 @@ object Dedup {
       shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     // consumed 4× (signatures, verify join ×2 sides, sizes)
     val sh = shingles(docs, textCol, idCol, shingleN).persist()
-    val cands = lshCandidates(minhashSignatures(sh, k), k, bands)
+    minhashNearDupsFromArtifacts(sh, minhashSignatures(sh, k), k, bands, threshold)
+  }
+
+  /** [[minhashNearDups]] over PREBUILT shingle + signature artifacts
+    * (both persisted by the caller): candidates from the signatures,
+    * exact-Jaccard verify from the shingles — neither pipeline reruns.
+    */
+  def minhashNearDupsFromArtifacts(sh: DataFrame, sigs: DataFrame,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
+    val cands = lshCandidates(sigs, k, bands)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shared = cands
       .join(sh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")

@@ -193,24 +193,54 @@ object Multimodal {
   def frameFeatures(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, w: Int, h: Int): Dataset[FrameFeature] = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    val narrow = docs.select(col(idCol).cast("long"), col(textCol))
+    // codec work is CPU-bound per row: when the input arrives in fewer
+    // partitions than cores (a small parquet file is ONE split), spread
+    // it — the shuffle ships only (id, text) and is a no-op at scale,
+    // where the scan already yields >= parallelism splits
+    val target = spark.sparkContext.defaultParallelism
+    val spread =
+      if (narrow.rdd.getNumPartitions < target) narrow.repartition(target)
+      else narrow
+    spread.as[(Long, String)]
       .mapPartitions { rows =>
+        // ONE codec instance per partition: the static ImageIO.write/
+        // read entry points do a plugin-registry scan and may spill
+        // through a disk-backed cache stream on EVERY call — at corpus
+        // scale that registry+IO overhead dwarfs the actual encode
+        // (measured 20×: BENCH r4 first cut vs this)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
         val md = java.security.MessageDigest.getInstance("MD5")
-        def pixel(text: String, y: Int, x: Int): Int = {
-          val hex = md.digest(s"${text}_${y}_$x".getBytes("UTF-8"))
-            .map(b => f"$b%02x").mkString
-          (java.lang.Long.parseLong(hex.take(15), 16) % 256).toInt
-        }
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
         rows.flatMap { case (id, text) =>
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          for (y <- 0 until h; x <- 0 until w)
-            raster.setSample(x, y, 0, pixel(text, y, x))
+          // md5("<text>_<y>_<x>") per pixel, but the doc text (the bulk
+          // of the input) is absorbed into the digest state ONCE and
+          // clone()d per pixel — identical bytes, so identical hashes.
+          // pixel = first 15 hex chars parsed as a number, mod 256 ≡
+          // its last two nibbles = (low nibble of byte 6 << 4) | (high
+          // nibble of byte 7) — the exact value the oracle computes
+          // from substr(md5(..), 1, 15), no hex-string round trip
+          md.reset()
+          md.update(s"${text}_".getBytes("UTF-8"))
+          for (y <- 0 until h; x <- 0 until w) {
+            val m = md.clone().asInstanceOf[java.security.MessageDigest]
+            val d = m.digest(s"${y}_$x".getBytes("UTF-8"))
+            raster.setSample(x, y, 0, ((d(6) & 0x0F) << 4) | ((d(7) >> 4) & 0x0F))
+          }
           val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          val decoded = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(out.toByteArray)).getRaster
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.flush()
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(out.toByteArray))
+          reader.setInput(iis)
+          val decoded = reader.read(0).getRaster
           (0 until h).iterator.map { y =>
             var s = 0
             var x = 0
