@@ -895,13 +895,15 @@ object ExtQueries {
            |FROM sel WHERE pos >= 4
            |ORDER BY doc_id, fp""".stripMargin)),
 
-    // The zero-shuffle winnowing variant (pure map stage — the cluster
-    // shape; see TextAnalysis.winnowFingerprintsInRow + WinnowProbe for
-    // the measured local crossover). Identical values, same oracle.
+    // The zero-shuffle winnowing path, compiled: the custom codegen'd
+    // winnow_fps Expression (one static JVM call per row — no shuffle,
+    // no interpreted HOF lambdas; the pure-relational in-row variant
+    // stays in TextAnalysis as the reference implementation, with the
+    // measured crossover in PLANS_r4.md). Identical values, same oracle.
     QueryDef("x_text_winnow_inrow",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        TextAnalysis.winnowFingerprintsInRow(spark.table("documents"),
+        TextAnalysis.winnowFingerprintsNative(spark.table("documents"),
             "text", "doc_id", k = 8, window = 4)
           .orderBy("doc_id", "fp")
       },

@@ -88,7 +88,9 @@ object PlanDump {
 
     // 10. in-row winnowing: must be a single map-side stage (no
     //     Exchange, no Window) — compare with the explode+window plan
-    dump("x_text_winnow_inrow (zero-shuffle variant)")(
+    dump("x_text_winnow_native (compiled kernel, zero-shuffle)")(
+      graft.ext.TextAnalysis.winnowFingerprintsNative(docs, "text", "doc_id"))
+    dump("x_text_winnow_inrow (relational zero-shuffle variant)")(
       graft.ext.TextAnalysis.winnowFingerprintsInRow(docs, "text", "doc_id"))
     dump("x_text_winnow (explode+window variant)")(
       graft.ext.TextAnalysis.winnowFingerprints(docs, "text", "doc_id"))

@@ -205,12 +205,15 @@ object TextAnalysis {
     * Crossover (MEASURED, WinnowProbe on sf0.1 replicated ×1/×4/×10 ≈
     * sf1, local[32]): explode+window wins ~2× at every local scale
     * (6.8 vs 12.9 s, 24.9 vs 51.7 s, 61.2 vs 129.0 s) — the ratio is
-    * flat, so there is NO local crossover: a 32-thread in-memory
-    * shuffle is cheaper than the per-window slice/array_min allocation.
-    * The tradeoff only flips on a real cluster where the explode
-    * variant shuffles ~corpus-chars rows across the NETWORK while this
-    * variant ships nothing; prefer this one there, and
-    * [[winnowFingerprints]] on single-node/local data.
+    * flat, so there is NO local crossover. Root cause: lambda bodies in
+    * `transform`/`zip_with` evaluate INTERPRETED (outside whole-stage
+    * codegen), so the per-k-gram md5 here runs ~2-3× slower than the
+    * explode plan's codegen'd hash — a 32-thread in-memory shuffle is
+    * cheaper than that interpretation tax. The tradeoff only flips on
+    * a real cluster where the explode variant shuffles ~corpus-chars
+    * rows across the NETWORK while this variant ships nothing; prefer
+    * this one there, and [[winnowFingerprints]] on single-node/local
+    * data.
     */
   def winnowFingerprintsInRow(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, window: Int = 4): DataFrame = {
@@ -227,12 +230,38 @@ object TextAnalysis {
           + (lit(Two31) - pos))
     val withKeys = docs.select(col(idCol).as("doc_id"),
       size(grams).as("__n"), keys.as("__keys"))
+    // window-min as least() over `window` O(1) element_at lookups
+    // rather than slice+array_min (one less allocation per window;
+    // MEASURED equivalent — the variant's real cost is that lambda
+    // bodies in transform/zip_with evaluate INTERPRETED, outside
+    // whole-stage codegen, so the per-k-gram md5 runs ~3× slower than
+    // the explode plan's codegen'd hash; the explode plan pays a
+    // shuffle instead. Local: explode wins. Network-bound: this wins.
+    def winMin(i: Column): Column =
+      (0 until window).map(j => element_at(col("__keys"), (i - j).cast("int")))
+        .reduce(least(_, _))
     val sel = when(col("__n") >= window,
       array_distinct(transform(
         sequence(lit(window), col("__n")),
-        i => shiftright(
-          array_min(slice(col("__keys"), i - (window - 1), lit(window))), 31))))
+        i => shiftright(winMin(i), 31))))
       .otherwise(array())
     withKeys.select(col("doc_id"), explode(sel).as("fp"))
+  }
+
+  /** The compiled winnowing kernel ([[graft.functions.WinnowImpl]]):
+    * zero shuffle AND codegen'd hashing — one static JVM call per row
+    * computes the doc's whole distinct-fingerprint set. Identical
+    * values to both relational variants (same portable hash, same
+    * rightmost-min rule; `lower` is applied HERE with Spark's own
+    * function so case folding cannot diverge). Preferred everywhere;
+    * the relational forms remain as the oracle-shaped reference
+    * implementations.
+    */
+  def winnowFingerprintsNative(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, window: Int = 4): DataFrame = {
+    graft.functions.WinnowFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WinnowFunctions.winnow_fps(
+        lower(col(textCol)), k, window)).as("fp"))
   }
 }

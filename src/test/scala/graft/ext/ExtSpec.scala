@@ -259,16 +259,21 @@ class ExtSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert((fps(1L) & fps(2L)).nonEmpty)  // the shared substring surfaces
     assert((fps(1L) & fps(3L)).isEmpty)   // unrelated docs stay disjoint
-    // the zero-shuffle variant selects the exact same fingerprints
+    // the zero-shuffle variants select the exact same fingerprints
+    val asSet = fps.toSeq.flatMap { case (id, s) => s.map(id -> _) }.toSet
     val inRow = TextAnalysis.winnowFingerprintsInRow(d, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val asSet = fps.toSeq.flatMap { case (id, s) => s.map(id -> _) }.toSet
     assert(inRow == asSet)
+    val native = TextAnalysis.winnowFingerprintsNative(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == asSet)
     // edge cases: text shorter than k, and shorter than k+window-1
     val short = Seq((10L, "tiny"), (11L, "elevenchars")).toDF("doc_id", "text")
-    val a = TextAnalysis.winnowFingerprints(short, "text", "doc_id").collect().toSet
-    val b = TextAnalysis.winnowFingerprintsInRow(short, "text", "doc_id").collect().toSet
-    assert(a.map(r => (r.getLong(0), r.getLong(1))) == b.map(r => (r.getLong(0), r.getLong(1))))
+    def setOf(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = setOf(TextAnalysis.winnowFingerprints(short, "text", "doc_id"))
+    assert(a == setOf(TextAnalysis.winnowFingerprintsInRow(short, "text", "doc_id")))
+    assert(a == setOf(TextAnalysis.winnowFingerprintsNative(short, "text", "doc_id")))
   }
 
   test("multimodal: real resize scales to fit, preserves aspect, drops non-images") {
