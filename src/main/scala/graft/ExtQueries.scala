@@ -133,55 +133,69 @@ object ExtQueries {
       |  FROM embeddings WHERE vec_id = 0
       |)""".stripMargin
 
-  /** Shared LSH oracle CTEs: hyperplanes as ORDERED lists, each dot an
-    * ordered list_sum fold (bit-identical to Spark's sequential
-    * aggregate — sum order matters, IEEE addition is not associative),
-    * rounded to 6 decimals before the sign test (mirrors
-    * Similarity.lshSignature).
+  /** Shared LSH oracle CTEs — INTEGER FIXED-POINT (r4 verdict #1):
+    * embeddings quantized ONCE to BIGINT micro-units
+    * (floor(v·1e6 + 0.5) — floor is a single exact IEEE op; round()'s
+    * tie mode varies by engine), hyperplane components kept as the raw
+    * md5-derived integers in [-1000, 1000] (Similarity.hyperplanes).
+    * Every dot/norm is then an integer-product sum — associative, so no
+    * fold order, DuckDB version, or rounding mode can change it. This
+    * replaces the r3/r4 ordered-list_sum-of-doubles contract that the
+    * driver's DuckDB build broke while the local one passed.
     */
   private val lshOracleCtes =
     """hp AS (
       |  SELECT p,
       |         list_transform(range(0, (SELECT len(embedding) FROM embeddings WHERE vec_id = 0)),
-      |           i -> ((CAST('0x' || substr(md5('hp_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 14) AS BIGINT)
-      |                 % 2001) - 1000) / 1000.0) AS hs
+      |           i -> (CAST('0x' || substr(md5('hp_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 14) AS BIGINT)
+      |                 % 2001) - 1000) AS hs
       |  FROM range(6) t(p)
+      |),
+      |qemb AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e
+      |  FROM embeddings
       |),
       |dots AS (
       |  SELECT e.vec_id, h.p,
-      |         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
-      |               i -> CAST(e.embedding[i] AS DOUBLE) * h.hs[i])), 6) AS d
-      |  FROM embeddings e CROSS JOIN hp h
+      |         CAST(list_sum(list_transform(range(1, len(e.e) + 1),
+      |               i -> e.e[i] * h.hs[i])) AS BIGINT) AS d
+      |  FROM qemb e CROSS JOIN hp h
       |),
       |buckets AS (
       |  SELECT vec_id,
-      |         sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
-      |                  ELSE CAST(0 AS BIGINT) END) AS lsh_bucket
+      |         CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
+      |                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS lsh_bucket
       |  FROM dots GROUP BY vec_id
       |),
       |qb AS (SELECT lsh_bucket FROM buckets WHERE vec_id = 0),
       |norms AS (
       |  SELECT vec_id,
-      |         list_sum(list_transform(embedding,
-      |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nn
-      |  FROM embeddings
+      |         CAST(list_sum(list_transform(e, v -> v * v)) AS BIGINT) AS nn
+      |  FROM qemb
       |),
-      |qe AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)""".stripMargin
+      |qe AS (SELECT e AS qemb FROM qemb WHERE vec_id = 0)""".stripMargin
 
-  /** Final SELECT of the LSH oracles: exact cosine over `cand`, every
-    * sum an ordered list fold.
+  /** Final SELECT of the LSH oracles: exact integer cosine numerator
+    * and norms over `cand`; the single double-precision step
+    * (num / (√na·√nq) · 1e6, floor(+0.5)) is a chain of correctly-
+    * rounded IEEE ops on identical integers in any engine, and the
+    * emitted `cos_sim_e6` BIGINT hashes identically under any
+    * float-formatting scheme.
     */
   private def lshOracleSelect(k: Int): String =
     s"""SELECT c.vec_id, c.lsh_bucket,
-       |       round(list_sum(list_transform(range(1, len(e.embedding) + 1),
-       |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qemb[i] AS DOUBLE)))
-       |             / (sqrt(n.nn) * sqrt(qn.nn)), 6) AS cos_sim
+       |       CAST(floor(CAST(list_sum(list_transform(range(1, len(e.e) + 1),
+       |                i -> e.e[i] * q.qemb[i])) AS DOUBLE)
+       |             / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(qn.nn AS DOUBLE)))
+       |             * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
        |FROM cand c
-       |JOIN embeddings e ON e.vec_id = c.vec_id
+       |JOIN qemb e ON e.vec_id = c.vec_id
        |CROSS JOIN qe q
        |JOIN norms n ON n.vec_id = c.vec_id
        |JOIN norms qn ON qn.vec_id = 0
-       |ORDER BY cos_sim DESC, c.vec_id
+       |ORDER BY cos_sim_e6 DESC, c.vec_id
        |LIMIT $k""".stripMargin
 
   /** DuckDB mirror of Similarity.kmeansIvfSearch: the same Lloyd rounds
@@ -610,12 +624,11 @@ object ExtQueries {
     // Hyperplane-LSH ANN over the PREBUILT signature index (build/search
     // split — VERDICT r3 #1/#2). The hyperplanes derive from
     // md5("hp_<p>_<i>") (Similarity.hyperplanes) — portable arithmetic.
-    // Float-sum order-determinism (the r3 hash-mismatch): every dot in
-    // the oracle is an ORDERED list_sum(list_transform(...)) over the
-    // embedding list — the exact left fold Spark's sequential
-    // `aggregate`/DotProductFloat computes — and both engines round the
-    // hyperplane dot to 6 decimals BEFORE the sign test, so a
-    // near-boundary dot can't flip a bucket bit on one side only.
+    // Cross-engine determinism (r4 verdict #1): ALL dots, norms, and
+    // bucket sign tests are integer fixed-point (embedding e6 × plane
+    // e3 BIGINT products) — associative, so no fold order, engine
+    // version, or round() tie mode can diverge; the emitted similarity
+    // is `cos_sim_e6 BIGINT`, immune to float formatting/hashing too.
     QueryDef("x_sim_lsh_ann",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)

@@ -190,8 +190,8 @@ class ExtSpec extends AnyFunSuite {
     val re = Similarity.readLshIndex(spark, dir)
     assert(re.planes == idx.planes)
     val mem = Similarity.lshSearchIndexed(idx, q, k = 5, probes = 2)
-      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
-    val per = res.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val per = res.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(mem == per)
   }
 
