@@ -18,12 +18,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    new java.io.File(s"$outDir/_csv").mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumpCsv(spark, s"$outDir/$name", s"$outDir/_csv/$name.csv")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -43,5 +46,46 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** Canonical cross-engine-diffable dump of one query result: columns
+    * sorted by name, rows formatted then sorted lexicographically,
+    * doubles as raw IEEE-754 bit hex (EXACT — and identical when
+    * produced from any language, unlike printf %g/%e whose digit
+    * generation differs between Java and Python). A driver-vs-local
+    * disagreement then leaves a diffable per-value trail against
+    * `tools/check.py --dump`'s identically-formatted oracle rows,
+    * instead of a bare hash boolean.
+    */
+  private def dumpCsv(spark: SparkSession, parquetDir: String,
+      outFile: String): Unit = {
+    val df = spark.read.parquet(parquetDir)
+    val cols = df.columns.sorted
+    val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+      .map(r => (0 until r.length).map(i => fmtVal(r.get(i))).mkString("\t"))
+      .sorted
+    Files.writeString(Paths.get(outFile),
+      (cols.mkString("\t") +: rows).mkString("", "\n", "\n"))
+  }
+
+  private def fmtVal(v: Any): String = v match {
+    case null => "NULL"
+    case d: java.lang.Double =>
+      if (d.isNaN) "NaN" else if (d.isInfinite) (if (d > 0) "Inf" else "-Inf")
+      else f"0x${java.lang.Double.doubleToLongBits(d)}%016x"
+    case f: java.lang.Float => fmtVal(java.lang.Double.valueOf(f.toDouble))
+    case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+    case s: String => s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
+    case bd: java.math.BigDecimal => bd.toPlainString
+    case t: java.sql.Timestamp =>
+      t.toString.replaceAll("(\\.\\d*?)0+$", "$1").stripSuffix(".")
+    case seq: scala.collection.Seq[_] =>
+      seq.map(x => fmtVal(x)).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => s"${fmtVal(k)}:${fmtVal(x)}" }
+        .sorted.mkString("{", ",", "}")
+    case other => other.toString
   }
 }
