@@ -911,9 +911,12 @@ object ExtQueries {
     // The zero-shuffle winnowing path, compiled: the custom codegen'd
     // winnow_fps Expression (one static JVM call per row — no shuffle,
     // no interpreted HOF lambdas; the pure-relational in-row variant
-    // stays in TextAnalysis as the reference implementation, with the
-    // measured crossover in PLANS_r4.md). Identical values, same oracle.
-    QueryDef("x_text_winnow_inrow",
+    // stays in TextAnalysis as the reference implementation, value-
+    // pinned to this one in ExtSpec, with the measured crossover in
+    // PLANS_r4.md). Identical values, same oracle. Named _native for
+    // what it runs (r4 verdict #3); the r4 bench row for this entry
+    // was `x_text_winnow_inrow`.
+    QueryDef("x_text_winnow_native",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
         TextAnalysis.winnowFingerprintsNative(spark.table("documents"),
