@@ -754,8 +754,11 @@ object ExtQueries {
           .orderBy("doc_id")
       },
       Some(
-        """WITH tri AS (
-          |  SELECT DISTINCT doc_id, lang, tg
+        s"""WITH tri AS (
+          |  SELECT DISTINCT doc_id, lang,
+          |         CAST(ascii(tg) AS BIGINT) * 4398046511104 +
+          |         CAST(ascii(substr(tg, 2, 1)) AS BIGINT) * 2097152 +
+          |         CAST(ascii(substr(tg, 3, 1)) AS BIGINT) AS h
           |  FROM (
           |    SELECT doc_id, lang,
           |           unnest(CASE WHEN len(lower(text)) >= 3
@@ -766,16 +769,16 @@ object ExtQueries {
           |  ) u
           |),
           |profile AS (
-          |  SELECT lang AS p_lang, tg FROM (
-          |    SELECT lang, tg, row_number() OVER (
-          |      PARTITION BY lang ORDER BY count(*) DESC, tg) AS rn
-          |    FROM tri GROUP BY lang, tg
+          |  SELECT lang AS p_lang, h FROM (
+          |    SELECT lang, h, row_number() OVER (
+          |      PARTITION BY lang ORDER BY count(*) DESC, h) AS rn
+          |    FROM tri GROUP BY lang, h
           |  ) r WHERE rn <= 40
           |),
           |hits AS (
           |  SELECT t.doc_id, p.p_lang, count(*) AS n_hits
-          |  FROM (SELECT DISTINCT doc_id, tg FROM tri) t
-          |  JOIN profile p ON p.tg = t.tg
+          |  FROM (SELECT DISTINCT doc_id, h FROM tri) t
+          |  JOIN profile p ON p.h = t.h
           |  GROUP BY t.doc_id, p.p_lang
           |),
           |best AS (

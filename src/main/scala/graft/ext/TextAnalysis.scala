@@ -105,33 +105,46 @@ object TextAnalysis {
       profileSize: Int = 40): DataFrame = {
     val spark = docs.sparkSession
     docs.createOrReplaceTempView("__lang_docs")
-    // note: the tri CTE is evaluated by both the profile-training and
-    // classification branches; caching it was MEASURED SLOWER than the
-    // second explode (the distinct-trigram relation is wide), so the
-    // recompute stays
+    // The distinct-trigram relation is needed by BOTH the profile-
+    // training and classification branches. r3 measured caching it
+    // SLOWER — but that cache held the WIDE (doc_id, lang, tg-string)
+    // rows. Encoding each trigram as a collision-FREE BIGINT
+    // (codepoint1·2^42 + codepoint2·2^21 + codepoint3 — ascii()
+    // returns identical full codepoints in Spark and DuckDB, so the
+    // pipeline stays oracle-checkable with no hash at all; an md5
+    // variant was MEASURED slower, the per-occurrence digest eats the
+    // narrow-row win) makes the materialized rows narrow, the profile
+    // aggregation key an integer, and the profile-hit join an integer
+    // join (r4 verdict #5; measurements in PLANS_r5.md). Profile ties
+    // break on the encoding, mirrored in the oracle. localCheckpoint
+    // truncates lineage; blocks release when the frame is GC'd.
+    val tri = spark.sql(
+      s"""SELECT DISTINCT doc_id, $langCol AS lang,
+         |  CAST(ascii(tg) AS BIGINT) * 4398046511104 +
+         |  CAST(ascii(substr(tg, 2, 1)) AS BIGINT) * 2097152 +
+         |  CAST(ascii(substr(tg, 3, 1)) AS BIGINT) AS h
+         |FROM (
+         |  SELECT doc_id, $langCol,
+         |         explode(CASE WHEN char_length(lower($textCol)) >= 3
+         |           THEN transform(sequence(1, char_length(lower($textCol)) - 2),
+         |                          i -> substr(lower($textCol), i, 3))
+         |           ELSE array() END) AS tg
+         |  FROM __lang_docs
+         |)""".stripMargin)
+      .localCheckpoint(true)
+    tri.createOrReplaceTempView("__lang_tri")
     spark.sql(
-      s"""WITH tri AS (
-         |  SELECT DISTINCT doc_id, $langCol AS lang, tg
-         |  FROM (
-         |    SELECT doc_id, $langCol,
-         |           explode(CASE WHEN char_length(lower($textCol)) >= 3
-         |             THEN transform(sequence(1, char_length(lower($textCol)) - 2),
-         |                            i -> substr(lower($textCol), i, 3))
-         |             ELSE array() END) AS tg
-         |    FROM __lang_docs
-         |  )
-         |),
-         |profile AS (
-         |  SELECT lang AS p_lang, tg FROM (
-         |    SELECT lang, tg, row_number() OVER (
-         |      PARTITION BY lang ORDER BY count(*) DESC, tg) AS rn
-         |    FROM tri GROUP BY lang, tg
+      s"""WITH profile AS (
+         |  SELECT lang AS p_lang, h FROM (
+         |    SELECT lang, h, row_number() OVER (
+         |      PARTITION BY lang ORDER BY count(*) DESC, h) AS rn
+         |    FROM __lang_tri GROUP BY lang, h
          |  ) WHERE rn <= $profileSize
          |),
          |hits AS (
          |  SELECT t.doc_id, p.p_lang, count(*) AS n_hits
-         |  FROM (SELECT DISTINCT doc_id, tg FROM tri) t
-         |  JOIN profile p ON p.tg = t.tg
+         |  FROM (SELECT DISTINCT doc_id, h FROM __lang_tri) t
+         |  JOIN profile p ON p.h = t.h
          |  GROUP BY t.doc_id, p.p_lang
          |),
          |best AS (
