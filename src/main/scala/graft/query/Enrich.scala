@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   *    ever see ≤ pageSize·fanout rows — never the full source table;
   *  - if `display_sql` can return multiple rows per key, the
   *    reference's `.first()` semantics are reproduced with a
-  *    deterministic row_number()=1 per key (SURVEY §2.3 J3).
+  *    deterministic row_number()=1 per key (SURVEY §2.3 J3);
+  *  - `:key` in any OTHER position (compound WHERE, non-terminal
+  *    predicate, select list — the reference binds it as a parameter
+  *    anywhere) runs as a LATERAL correlated subquery over the
+  *    broadcast page keys, which Catalyst decorrelates into one
+  *    batched plan (see [[lateralDetail]]).
   */
 object Enrich {
 
@@ -49,6 +54,10 @@ object Enrich {
           throw new IllegalArgumentException(
             "display_sql WHERE must be a single `<expr> = :key` equality; " +
               s"got a compound predicate ending in `$keyExpr = :key`: $displaySql")
+        if (head.contains(":key") || keyExpr.contains(":key"))
+          throw new IllegalArgumentException(
+            "display_sql uses :key outside the trailing `<expr> = :key` " +
+              s"equality (general-path shape): $displaySql")
         (head.trim, keyExpr.trim)
       case _ =>
         throw new IllegalArgumentException(
@@ -101,18 +110,28 @@ object Enrich {
     case Some(displaySql) => enrichWith(spark, rule, results, displaySql, q)
   }
 
+  private val lateralViewId = new java.util.concurrent.atomic.AtomicLong()
+
   private def enrichWith(spark: SparkSession, rule: IndexRule,
       results: DataFrame, displaySql: String, q: String): DataFrame = {
-    val (body, keyExpr) = rewrite(displaySql, q)
     val typed = results.filter(col("type") === rule.typeTag)
     // the page's keys: ≤ pageSize rows — THE broadcast side
     val pageKeys = typed.select(col("key").as("__join_key")).distinct()
-    val detail = spark.sql(body)
-      .withColumn("__join_key", expr(keyExpr).cast("string"))
-    // prune the (full-table) detail scan down to the page's keys BEFORE
-    // any window: a BroadcastHashJoin(LeftSemi) with the tiny key side
-    // broadcast — at scale this is a selective scan, not a table copy
-    val pruned = detail.join(broadcast(pageKeys), Seq("__join_key"), "left_semi")
+    val pruned =
+      try {
+        val (body, keyExpr) = rewrite(displaySql, q)
+        // fast path (the documented `... where <expr> = :key` shape):
+        // project the key expr and prune the (full-table) detail scan
+        // down to the page's keys BEFORE any window — a
+        // BroadcastHashJoin(LeftSemi) with the tiny key side broadcast;
+        // at scale this is a selective scan, not a table copy
+        spark.sql(body)
+          .withColumn("__join_key", expr(keyExpr).cast("string"))
+          .join(broadcast(pageKeys), Seq("__join_key"), "left_semi")
+      } catch {
+        case _: IllegalArgumentException if displaySql.contains(":key") =>
+          lateralDetail(spark, pageKeys, displaySql, q)
+      }
     // reference takes the FIRST row if display_sql yields several;
     // the window now runs over ≤ pageKeys·fanout rows, not the table
     val detailOne = pruned
@@ -126,6 +145,30 @@ object Enrich {
     // detailOne is ≤ pageSize rows after pruning — safe to broadcast
     typed.join(broadcast(prefixed), col("key") === col("__join_key"), "left")
       .drop("__join_key")
+  }
+
+  /** General path for display_sql with `:key` in ANY predicate or
+    * expression position (the reference binds `:key` as a parameter
+    * anywhere; __init__.py:161-168): run the statement as a LATERAL
+    * correlated subquery against the (tiny, ≤ pageSize) page-key
+    * relation, substituting the outer key column for `:key`. Catalyst
+    * decorrelates the inner query — an equality correlation becomes an
+    * ordinary join on the detail table (one scan, not one per key),
+    * and non-equi / multi-use correlations become join conditions —
+    * so the reference's per-row point query executes as one batched
+    * plan here too, just without the semi-join prune the single-
+    * equality fast path gets.
+    */
+  private def lateralDetail(spark: SparkSession, pageKeys: DataFrame,
+      displaySql: String, q: String): DataFrame = {
+    val escapedQ = "'" + q.replace("'", "''") + "'"
+    val sql = displaySql.replace(":q", escapedQ)
+      .replace(":key", "__pk.__join_key")
+    val view = s"__graft_page_keys_${lateralViewId.incrementAndGet()}"
+    pageKeys.createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT __pk.__join_key, __d.*
+         |FROM $view __pk JOIN LATERAL ($sql) __d""".stripMargin)
   }
 
   /** Enrich a full page: one batched join per type present in the

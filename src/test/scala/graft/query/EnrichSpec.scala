@@ -28,6 +28,43 @@ class EnrichSpec extends AnyFunSuite {
       Enrich.rewrite("select * from emails", "q"))
   }
 
+  test(":key in any predicate position runs via the LATERAL path") {
+    import org.apache.spark.sql.functions.col
+    RefFixtures.registerPlugin(spark)
+    val index = IndexJob.buildIndex(spark, RefFixtures.pluginRules)
+    val emailRule = RefFixtures.pluginRules.find(_.db == "emails.db").get
+    // the fast-path answer to diff against
+    val fast = Enrich.enrichType(spark, emailRule, index, "things")
+      .select("key", "display_subject", "display_from_")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    def viaSql(displaySql: String): Set[(String, String, String)] =
+      Enrich.enrichType(spark,
+          emailRule.copy(displaySql = Some(displaySql)), index, "things")
+        .select("key", "display_subject", "display_from_")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    // compound WHERE (the shape the fast path rejects)
+    assert(viaSql("select * from emails where 1 = 1 and id = :key") == fast)
+    // :key in a NON-terminal predicate position
+    assert(viaSql("select * from emails where id = :key and from_ like '%example%'") == fast)
+    // :key used twice, including in the select list
+    val twice = Enrich.enrichType(spark,
+        emailRule.copy(displaySql =
+          Some("select subject, from_, :key as k2 from emails where id = :key")),
+        index, "things")
+      .select("key", "display_k2").collect()
+    assert(twice.nonEmpty && twice.forall(r => r.getString(0) == r.getString(1)))
+    // :q still substitutes inside the lateral path
+    val withQ = Enrich.enrichType(spark,
+        emailRule.copy(displaySql =
+          Some("select subject, from_, :q as their_query from emails where 1 = 1 and id = :key")),
+        index, "it's")
+      .filter(col("display_their_query").isNotNull).collect()
+    assert(withQ.nonEmpty &&
+      withQ.forall(_.getAs[String]("display_their_query") == "it's"))
+  }
+
   test("compound WHERE clauses are rejected, not silently mis-joined") {
     // the lazy regex would capture keyExpr = "a = 1 and id" — a boolean,
     // so the join key would become "true"/"false" (VERDICT r2 #4)
