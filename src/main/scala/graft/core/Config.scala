@@ -183,21 +183,42 @@ object Config {
   * values, `|`/`|-` literal block scalars, block sequences (`- item`,
   * including compact `- key: val` mappings), flow sequences
   * (`[a, b, c]`, nestable), `#` comments, single/double quoted
-  * strings. Covers the config shapes the reference documents
-  * (README.md:30-48) — which PyYAML accepts via `yaml.safe_load`
-  * (reference utils.py:104-112) — without an external YAML dependency
-  * (zero-egress build). Sequences surface as `Seq[Any]`.
+  * strings, and anchors/aliases/merge keys (`&a` / `*a` / `<<:` —
+  * the remaining `yaml.safe_load` surface; r4 verdict #7). Covers the
+  * config shapes the reference documents (README.md:30-48) — which
+  * PyYAML accepts via `yaml.safe_load` (reference utils.py:104-112) —
+  * without an external YAML dependency (zero-egress build). Sequences
+  * surface as `Seq[Any]`. Unknown aliases and non-mapping merge
+  * values fail with `BadMetadataError`, never silently.
   */
 object MiniYaml {
 
   def parse(content: String): Map[String, Any] = {
     val all = content.linesIterator.toVector
-    val (m, next) = parseMap(all, 0, 0)
+    val anchors = mutable.Map.empty[String, Any]
+    val (m, next) = parseMap(all, 0, 0, anchors)
     if (m.isEmpty) throw new BadMetadataError("not a YAML mapping")
     if (next < all.length && !all.drop(next).forall(isBlank))
       throw new BadMetadataError(s"unparsed YAML content at line ${next + 1}")
     m
   }
+
+  private val anchorRe = """&([\w-]+)\s*(.*)""".r
+  private val aliasRe = """\*([\w-]+)\s*""".r
+
+  /** Split a leading `&name` off a value, returning (anchor?, rest). */
+  private def splitAnchor(v: String, lineNo: Int): (Option[String], String) =
+    v match {
+      case anchorRe(name, rest) => (Some(name), rest)
+      case _ if v.startsWith("&") =>
+        throw new BadMetadataError(s"malformed anchor at line $lineNo: $v")
+      case _ => (None, v)
+    }
+
+  private def resolveAlias(name: String, anchors: mutable.Map[String, Any],
+      lineNo: Int): Any =
+    anchors.getOrElse(name,
+      throw new BadMetadataError(s"unknown YAML alias '*$name' at line $lineNo"))
 
   private def indentOf(l: String): Int = l.takeWhile(_ == ' ').length
 
@@ -207,24 +228,43 @@ object MiniYaml {
   }
 
   /** Parse a mapping at indentation `ind` starting at line `from`;
-    * returns (map, nextLineIndex).
+    * returns (map, nextLineIndex). `<<:` merge keys supply DEFAULTS:
+    * explicit keys in this mapping win over merged ones (YAML merge
+    * semantics), and with several merge sources the first wins.
     */
-  private def parseMap(lines: Vector[String], from: Int, ind: Int): (Map[String, Any], Int) = {
+  private def parseMap(lines: Vector[String], from: Int, ind: Int,
+      anchors: mutable.Map[String, Any]): (Map[String, Any], Int) = {
     val m = mutable.LinkedHashMap.empty[String, Any]
+    val merged = mutable.LinkedHashMap.empty[String, Any]
+    def mergeIn(v: Any, lineNo: Int): Unit = v match {
+      case sub: Map[_, _] =>
+        sub.asInstanceOf[Map[String, Any]].foreach { case (k, x) =>
+          if (!merged.contains(k)) merged(k) = x
+        }
+      case seq: Seq[_] => seq.foreach(x => mergeIn(x, lineNo))
+      case _ => throw new BadMetadataError(
+        s"'<<' merge value must be a mapping at line $lineNo")
+    }
+    def put(key: String, v: Any, lineNo: Int): Unit =
+      if (key == "<<") mergeIn(v, lineNo) else m(key) = v
     var i = from
     while (i < lines.length) {
       val line = lines(i)
       if (isBlank(line)) i += 1
       else {
         val li = indentOf(line)
-        if (li < ind) return (m.toMap, i)
+        if (li < ind) return ((merged ++ m).toMap, i)
         if (li > ind)
           throw new BadMetadataError(s"unexpected indent at line ${i + 1}")
         val t = line.trim
         val ci = findColon(t)
         if (ci < 0) throw new BadMetadataError(s"expected 'key:' at line ${i + 1}")
         val key = unquote(t.substring(0, ci).trim)
-        val rest = t.substring(ci + 1).trim
+        val (anchor, rest) = splitAnchor(t.substring(ci + 1).trim, i + 1)
+        def record(v: Any): Unit = {
+          anchor.foreach(a => anchors(a) = v)
+          put(key, v, i + 1)
+        }
         if (rest.isEmpty) {
           // nested mapping, block sequence, or empty value
           var j = i + 1
@@ -232,30 +272,48 @@ object MiniYaml {
           if (j < lines.length && indentOf(lines(j)) > ind) {
             val subInd = indentOf(lines(j))
             if (isSeqItem(lines(j))) {
-              val (seq, next) = parseSeq(lines, j, subInd)
-              m(key) = seq
+              val (seq, next) = parseSeq(lines, j, subInd, anchors)
+              record(seq)
               i = next
             } else {
-              val (sub, next) = parseMap(lines, j, subInd)
-              m(key) = sub
+              val (sub, next) = parseMap(lines, j, subInd, anchors)
+              record(sub)
               i = next
             }
-          } else { m(key) = null; i += 1 }
+          } else { record(null); i += 1 }
         } else if (rest == "|" || rest == "|-" || rest == "|+") {
           val (block, next) = parseBlock(lines, i + 1, ind, rest != "|-")
-          m(key) = block
+          record(block)
           i = next
         } else if (rest.startsWith("[")) {
-          m(key) = parseFlowSeq(rest, i + 1)
+          record(resolveFlowAliases(parseFlowSeq(rest, i + 1), anchors, i + 1))
           i += 1
-        } else {
-          m(key) = unquote(rest)
-          i += 1
+        } else rest match {
+          case aliasRe(name) =>
+            record(resolveAlias(name, anchors, i + 1))
+            i += 1
+          case _ =>
+            record(unquote(rest))
+            i += 1
         }
       }
     }
-    (m.toMap, i)
+    ((merged ++ m).toMap, i)
   }
+
+  /** Resolve `*alias` items inside an already-parsed flow sequence
+    * (parseFlowSeq yields them as plain strings).
+    */
+  private def resolveFlowAliases(seq: Seq[Any],
+      anchors: mutable.Map[String, Any], lineNo: Int): Seq[Any] =
+    seq.map {
+      case s: String => s.trim match {
+        case aliasRe(name) => resolveAlias(name, anchors, lineNo)
+        case _ => s
+      }
+      case sub: Seq[_] => resolveFlowAliases(sub, anchors, lineNo)
+      case other => other
+    }
 
   /** colon that terminates the key: first `: ` or line-final `:`,
     * respecting quotes. */
@@ -306,7 +364,8 @@ object MiniYaml {
     * with the dash blanked out — the mapping then sits at indent
     * `ind + 2`, where its continuation lines already are).
     */
-  private def parseSeq(lines: Vector[String], from: Int, ind: Int): (Seq[Any], Int) = {
+  private def parseSeq(lines: Vector[String], from: Int, ind: Int,
+      anchors: mutable.Map[String, Any]): (Seq[Any], Int) = {
     val out = mutable.ArrayBuffer.empty[Any]
     var i = from
     while (i < lines.length) {
@@ -317,33 +376,41 @@ object MiniYaml {
         if (li < ind) return (out.toSeq, i)
         if (li > ind || !isSeqItem(line))
           throw new BadMetadataError(s"expected '- item' at line ${i + 1}")
-        val item = line.trim.drop(1).trim
+        val rawItem = line.trim.drop(1).trim
+        val (anchor, item) =
+          if (findColon(rawItem) >= 0) (None, rawItem) // compact mapping keeps its own line
+          else splitAnchor(rawItem, i + 1)
+        def record(v: Any): Unit = { anchor.foreach(a => anchors(a) = v); out += v }
         if (item.isEmpty) {
-          // nested structure under a bare dash
+          // nested structure under a bare dash (or a bare `- &anchor`)
           var j = i + 1
           while (j < lines.length && isBlank(lines(j))) j += 1
           if (j < lines.length && indentOf(lines(j)) > ind) {
             val subInd = indentOf(lines(j))
             val (v, next) =
-              if (isSeqItem(lines(j))) parseSeq(lines, j, subInd)
-              else parseMap(lines, j, subInd)
-            out += v
+              if (isSeqItem(lines(j))) parseSeq(lines, j, subInd, anchors)
+              else parseMap(lines, j, subInd, anchors)
+            record(v)
             i = next
-          } else { out += null; i += 1 }
+          } else { record(null); i += 1 }
         } else if (item.startsWith("[")) {
-          out += parseFlowSeq(item, i + 1)
+          record(resolveFlowAliases(parseFlowSeq(item, i + 1), anchors, i + 1))
           i += 1
         } else if (findColon(item) >= 0) {
           // compact mapping: blank the dash, re-parse as a mapping whose
           // first line sits at the item indent
           val itemInd = li + (line.trim.length - item.length)
           val patched = lines.updated(i, (" " * itemInd) + item)
-          val (sub, next) = parseMap(patched, i, itemInd)
+          val (sub, next) = parseMap(patched, i, itemInd, anchors)
           out += sub
           i = next
-        } else {
-          out += unquote(item)
-          i += 1
+        } else item match {
+          case aliasRe(name) =>
+            record(resolveAlias(name, anchors, i + 1))
+            i += 1
+          case _ =>
+            record(unquote(item))
+            i += 1
         }
       }
     }

@@ -67,6 +67,43 @@ class ConfigSpec extends AnyFunSuite {
     assert(m("nested").asInstanceOf[Map[String, Any]]("inner") == Seq("deep"))
   }
 
+  test("MiniYaml: anchors, aliases, and merge keys (yaml.safe_load surface)") {
+    val m = MiniYaml.parse(
+      """base: &defaults
+        |    timeout: 30
+        |    retries: 2
+        |svc:
+        |    <<: *defaults
+        |    retries: 5
+        |copy: *defaults
+        |greeting: &g hello
+        |again: *g
+        |list:
+        |    - &first one
+        |    - *first
+        |    - two
+        |flow: [*g, plain]
+        |""".stripMargin)
+    val base = m("base").asInstanceOf[Map[String, Any]]
+    assert(base == Map("timeout" -> "30", "retries" -> "2"))
+    // merge supplies defaults; explicit keys win
+    assert(m("svc").asInstanceOf[Map[String, Any]] ==
+      Map("timeout" -> "30", "retries" -> "5"))
+    assert(m("copy") == base)
+    assert(m("greeting") == "hello" && m("again") == "hello")
+    assert(m("list") == Seq("one", "one", "two"))
+    assert(m("flow") == Seq("hello", "plain"))
+    // quoted scalars that merely LOOK like anchors/aliases stay literal
+    val lit = MiniYaml.parse("a: '&x'\nb: \"*y\"\n")
+    assert(lit == Map("a" -> "&x", "b" -> "*y"))
+  }
+
+  test("MiniYaml: unknown alias and non-mapping merge fail loudly") {
+    intercept[BadMetadataError](MiniYaml.parse("a: *nope\n"))
+    intercept[BadMetadataError](
+      MiniYaml.parse("x: &s scalar\ny:\n    <<: *s\n"))
+  }
+
   test("list value where a rule mapping is required still raises BadMetadataError") {
     // PyYAML parses this fine; the RULES contract then rejects it — same
     // split as the reference (parse succeeds, schema validation fails)
