@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Schema
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Pipeline, Similarity, TextAnalysis}
 import graft.index.IndexJob
 import org.apache.spark.sql.functions._
 
@@ -1095,6 +1095,158 @@ object ExtQueries {
           |       l.event_type AS last_type,
           |       l.event_id AS last_event_id
           |FROM counts c JOIN latest l ON l.user_id = c.user_id AND l.rn = 1
-          |ORDER BY c.user_id""".stripMargin))
+          |ORDER BY c.user_id""".stripMargin)),
+
+    // ---- corpus pipeline operators (Pipeline.scala) -----------------
+
+    // Deterministic hash-split: reshuffle-proof train/val/test
+    // assignment (survives re-ingestion and repartitioning, unlike
+    // rand()). Pure map-side at any scale.
+    QueryDef("x_pipe_split",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.split(spark.table("documents")).orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |       CASE WHEN b < 800 THEN 'train'
+          |            WHEN b < 900 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM (SELECT doc_id,
+          |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS b
+          |      FROM documents) q
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Overlapping token-window chunking (context-window prep): one
+    // chunk per stride offset; zero shuffle.
+    QueryDef("x_pipe_chunk",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.chunk(spark.table("documents"), "text", size = 64, stride = 48)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts
+          |  FROM documents
+          |),
+          |chunks AS (
+          |  SELECT doc_id, o // 48 AS chunk_idx, ts[o + 1 : o + 64] AS chunk
+          |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts), 48)) AS o
+          |        FROM toks WHERE len(ts) > 0) q
+          |)
+          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+          |       array_to_string(chunk, ' ') AS chunk_text
+          |FROM chunks
+          |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Corpus vocabulary: top-100 tokens by occurrence count with
+    // deterministic tie-break; the result is vocabulary-sized — the
+    // broadcast side of downstream joins.
+    QueryDef("x_pipe_vocab",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.vocabulary(spark.table("documents"), "text", vocabSize = 100)
+          .withColumnRenamed("rank", "vocab_rank")
+          .orderBy("vocab_rank")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+          |  FROM documents
+          |),
+          |counts AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
+          |ranked AS (
+          |  SELECT token, n_occurrences,
+          |         row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_rank
+          |  FROM counts
+          |)
+          |SELECT token, n_occurrences, CAST(vocab_rank AS BIGINT) AS vocab_rank
+          |FROM ranked WHERE vocab_rank <= 100
+          |ORDER BY vocab_rank""".stripMargin)),
+
+    // Per-document OOV profile against the top-100 vocabulary: one
+    // explode + broadcast join + re-aggregation.
+    QueryDef("x_pipe_oov",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.oovProfile(spark.table("documents"), "text", vocabSize = 100)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+          |  FROM documents
+          |),
+          |counts AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
+          |ranked AS (
+          |  SELECT token,
+          |         row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_rank
+          |  FROM counts
+          |),
+          |vocab AS (SELECT token FROM ranked WHERE vocab_rank <= 100)
+          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+          |FROM tok t LEFT JOIN vocab v ON v.token = t.token
+          |GROUP BY t.doc_id
+          |ORDER BY t.doc_id""".stripMargin)),
+
+    // Benchmark-contamination screen: corpus docs sharing >= 5 winnow
+    // fingerprints with the benchmark set (doc_id % 97 = 0 stands in
+    // for a held-out eval suite). Benchmark fp set is broadcast; one
+    // corpus fingerprint scan, no pair join.
+    QueryDef("x_pipe_contam",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val docs = spark.table("documents")
+        Pipeline.contamination(docs, docs.filter(col("doc_id") % 97 === 0),
+            "text", minShared = 5)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH base AS (SELECT doc_id, lower(text) AS s FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
+           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
+           |),
+           |sel AS (
+           |  SELECT doc_id, pos,
+           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
+           |           PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
+           |  FROM hashed
+           |),
+           |fps AS (SELECT DISTINCT doc_id, selkey >> 31 AS fp FROM sel WHERE pos >= 4),
+           |bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0)
+           |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+           |FROM fps f JOIN bench b ON b.fp = f.fp
+           |GROUP BY f.doc_id
+           |HAVING count(*) >= 5
+           |ORDER BY f.doc_id""".stripMargin)),
+
+    // Greedy-by-position sequence packing per source shard: pack_id =
+    // starting-token-offset / 2048 via an integer window cumsum.
+    QueryDef("x_pipe_pack",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.pack(spark.table("documents"), "text", "source", seqLen = 2048)
+          .orderBy("source", "doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT source, doc_id,
+          |         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents
+          |)
+          |SELECT source, doc_id, n_tokens,
+          |       CAST((sum(n_tokens) OVER (
+          |              PARTITION BY source ORDER BY doc_id
+          |              ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS pack_id
+          |FROM t
+          |ORDER BY source, doc_id""".stripMargin))
   )
 }

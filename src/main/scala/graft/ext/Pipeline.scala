@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond per-document analysis
+  * (SURVEY §7.5 extension surface): corpus splitting, context-window
+  * chunking, vocabulary/OOV profiling, benchmark-contamination
+  * screening, and sequence packing. Every operator is a declared,
+  * DuckDB-oracle-checked query; every shape is map-side or
+  * key-partitioned — nothing global, nothing driver-side.
+  */
+object Pipeline {
+
+  /** Deterministic train/val/test assignment by content-independent
+    * key hash: pmod(portableHash(doc_id-as-string), 1000) bucketed at
+    * permille thresholds. Hash-based splitting is the standard
+    * reshuffle-proof recipe (the split survives re-ingestion, appends,
+    * and repartitioning, unlike rand()); the md5-based portable hash
+    * makes it engine-reproducible. Pure map — zero shuffle at any
+    * scale.
+    */
+  def split(docs: DataFrame, idCol: String = "doc_id",
+      trainPermille: Int = 800, valPermille: Int = 900): DataFrame = {
+    val bucket = pmod(Dedup.portableHash(col(idCol).cast("string")), lit(1000))
+    docs.select(col(idCol),
+      when(bucket < trainPermille, "train")
+        .when(bucket < valPermille, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Overlapping token-window chunking (context-window preparation for
+    * LLM training): whitespace-tokenize, then emit one chunk per
+    * stride offset — tokens[o, o+size) for o = 0, stride, 2·stride, …
+    * < n_tokens. The final chunks may be shorter than `size` (they
+    * carry the document tail). One explode per chunk, no shuffle —
+    * embarrassingly parallel at any corpus size.
+    */
+  def chunk(docs: DataFrame, textCol: String, idCol: String = "doc_id",
+      size: Int = 64, stride: Int = 48): DataFrame = {
+    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
+    val withToks = docs.select(col(idCol), toks.as("__toks"),
+      size_long(toks).as("__n"))
+    val offsets =
+      sequence(lit(0L), greatest(col("__n") - 1, lit(0L)), lit(stride.toLong))
+    withToks
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(offsets).as(Seq("chunk_idx", "__o")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("__toks"), (col("__o") + 1).cast("int"), lit(size)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size_long(col("__chunk")).as("n_chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  private def split_part_tokens(c: Column): Column =
+    org.apache.spark.sql.functions.split(coalesce(c, lit("")), "\\s+")
+
+  private def size_long(c: Column): Column = size(c).cast("long")
+
+  /** Corpus vocabulary: the top `vocabSize` tokens by total occurrence
+    * count (ties broken on the token string — deterministic across
+    * engines). Two aggregations; the result is tiny by construction
+    * (vocabSize rows) — THE broadcast side of any downstream join.
+    */
+  def vocabulary(docs: DataFrame, textCol: String,
+      vocabSize: Int = 100): DataFrame = {
+    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
+    docs.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("token"))))
+      .filter(col("rank") <= vocabSize)
+      .select(col("token"), col("n_occurrences"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Per-document out-of-vocabulary profile against [[vocabulary]]:
+    * token occurrences found in / missing from the top-`vocabSize`
+    * vocab. The vocab side is `vocabSize` rows — broadcast — so this
+    * is one explode + one map-side join + one re-aggregation however
+    * large the corpus; the single window in vocabulary() runs over
+    * distinct TOKENS (vocabulary-sized, not corpus-sized).
+    */
+  def oovProfile(docs: DataFrame, textCol: String, idCol: String = "doc_id",
+      vocabSize: Int = 100): DataFrame = {
+    val vocab = vocabulary(docs, textCol, vocabSize).select("token")
+    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
+    val exploded = docs.select(col(idCol), explode(toks).as("token"))
+    exploded
+      .join(broadcast(vocab.withColumn("__in_vocab", lit(1L))), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNotNull, 0L).otherwise(1L)).as("n_oov"))
+  }
+
+  /** Benchmark-contamination screen: flag corpus documents sharing at
+    * least `minShared` winnowing fingerprints with any benchmark
+    * document (substring-level overlap — shared runs of
+    * ≥ k+window-1 chars — not token-set similarity, so paraphrase-
+    * resistant within winnowing's guarantee). The benchmark
+    * fingerprint set is distinct-fp-small and BROADCAST; the corpus
+    * side is one fingerprint scan — no pair join, no quadratic term,
+    * which is what makes this runnable against 100 TB of training
+    * data with a benchmark suite on the other side.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String = "doc_id", minShared: Int = 5): DataFrame = {
+    val corpusFps = TextAnalysis.winnowFingerprintsNative(docs, textCol, idCol)
+    val benchFps = TextAnalysis.winnowFingerprintsNative(benchmark, textCol, idCol)
+      .select(col("fp")).distinct()
+    corpusFps
+      .join(broadcast(benchFps), Seq("fp"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
+  /** Greedy-by-position sequence packing: within each `byCol` shard
+    * (documents pack within their shard — the cluster-friendly
+    * contract; a global order would serialize the corpus), documents
+    * are taken in `idCol` order and assigned to the pack their
+    * STARTING token offset falls in: pack_id = floor(cumulative-start
+    * / seqLen). Pure integer window arithmetic — deterministic in any
+    * engine — and each shard's window is independent, so the operator
+    * scales with the shard count.
+    */
+  def pack(docs: DataFrame, textCol: String, byCol: String,
+      idCol: String = "doc_id", seqLen: Int = 2048): DataFrame = {
+    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
+    val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(byCol), col(idCol), size_long(toks).as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(byCol), col(idCol), col("n_tokens"),
+        floor((col("__cum") - col("n_tokens")) / seqLen).as("pack_id"))
+  }
+}

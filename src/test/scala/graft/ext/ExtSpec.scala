@@ -332,4 +332,73 @@ class ExtSpec extends AnyFunSuite {
       assert(out((id, y)) == expect, s"doc $id frame $y")
     }
   }
+
+  test("pipeline split: deterministic, content-independent, roughly proportional") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val s1 = Pipeline.split(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Pipeline.split(d.orderBy(col("doc_id").desc)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2) // row order can never change an assignment
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("test") > 50)
+  }
+
+  test("pipeline chunk: stride windows cover every token, tail chunks shorten") {
+    import spark.implicits._
+    val text = (1 to 150).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, text), (2L, "only three tokens here"), (3L, "")).toDF("doc_id", "text")
+    val rows = Pipeline.chunk(d, "text", size = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val c1 = rows.filter(_.getLong(0) == 1L)
+    // offsets 0, 48, 96, 144 → sizes 64, 64, 54, 6
+    assert(c1.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(64L, 64L, 54L, 6L))
+    assert(c1(0).getAs[String]("chunk_text").startsWith("w1 w2 ") &&
+      c1(3).getAs[String]("chunk_text") == "w145 w146 w147 w148 w149 w150")
+    // short doc = one chunk; empty doc = none
+    assert(rows.count(_.getLong(0) == 2L) == 1)
+    assert(!rows.exists(_.getLong(0) == 3L))
+  }
+
+  test("pipeline vocabulary + OOV: top-k by count, ties on token; oov counted") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b b c rare1"),
+      (2L, "a b c c rare2 rare2")
+    ).toDF("doc_id", "text")
+    val v = Pipeline.vocabulary(d, "text", vocabSize = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.toSeq == Seq(("a", 4L, 1L), ("b", 3L, 2L), ("c", 3L, 3L)))
+    val oov = Pipeline.oovProfile(d, "text", vocabSize = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(oov.toSeq == Seq((1L, 7L, 1L), (2L, 6L, 2L)))
+  }
+
+  test("pipeline contamination: planted benchmark copy flagged, disjoint doc not") {
+    import spark.implicits._
+    val bench = Seq((100L, "the secret benchmark passage that must not leak into training"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix text then the secret benchmark passage that must not leak into training and more"),
+      (2L, "entirely unrelated words with zero shared substrings whatsoever")
+    ).toDF("doc_id", "text")
+    val hits = Pipeline.contamination(corpus, bench, "text", minShared = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L))
+  }
+
+  test("pipeline pack: per-shard integer cumsum; packs bounded by start offset") {
+    import spark.implicits._
+    val d = Seq(
+      ("s1", 1L, (1 to 1000).map(_ => "t").mkString(" ")),  // starts at 0    → pack 0
+      ("s1", 2L, (1 to 1500).map(_ => "t").mkString(" ")),  // starts at 1000 → pack 0
+      ("s1", 3L, (1 to 10).map(_ => "t").mkString(" ")),    // starts at 2500 → pack 1
+      ("s2", 9L, (1 to 5).map(_ => "t").mkString(" "))      // own shard      → pack 0
+    ).toDF("source", "doc_id", "text")
+    val p = Pipeline.pack(d, "text", "source", seqLen = 2048)
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(p.toSeq == Seq(("s1", 1L, 0L), ("s1", 2L, 0L), ("s1", 3L, 1L), ("s2", 9L, 0L)))
+  }
 }
