@@ -95,6 +95,26 @@ object PlanDump {
     dump("x_text_winnow (explode+window variant)")(
       graft.ext.TextAnalysis.winnowFingerprints(docs, "text", "doc_id"))
 
+    // ---- round-5 evidence: corpus pipeline operators ----------------
+
+    // 11. split must be a bare map over the scan (no exchange at all)
+    dump("x_pipe_split (pure map)")(
+      graft.ext.Pipeline.split(docs))
+
+    // 12. chunk: scan → generate (posexplode) → project; no exchange
+    dump("x_pipe_chunk (zero-shuffle explode)")(
+      graft.ext.Pipeline.chunk(docs, "text"))
+
+    // 13. OOV: the vocab side must broadcast (vocabSize rows)
+    dump("x_pipe_oov (broadcast vocab join)")(
+      graft.ext.Pipeline.oovProfile(docs, "text"))
+
+    // 14. contamination: benchmark fp set broadcast; corpus side one
+    //     fingerprint scan + LeftSemi + agg, no pair join
+    dump("x_pipe_contam (broadcast benchmark fps)")(
+      graft.ext.Pipeline.contamination(docs,
+        docs.filter(col("doc_id") % 97 === 0), "text"))
+
     spark.stop()
   }
 }
