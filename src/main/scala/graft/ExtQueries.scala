@@ -1228,6 +1228,49 @@ object ExtQueries {
            |HAVING count(*) >= 5
            |ORDER BY f.doc_id""".stripMargin)),
 
+    // Deterministic stratified sample: 20 docs per language by
+    // (portable id hash, id) order — unbiased, reshuffle-proof.
+    QueryDef("x_pipe_stratified",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.stratifiedSample(spark.table("documents"), "lang", perGroup = 20)
+          .orderBy("lang", "sample_rank")
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT lang, doc_id,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS hh
+          |  FROM documents
+          |),
+          |ranked AS (
+          |  SELECT lang, doc_id,
+          |         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS sample_rank
+          |  FROM h
+          |)
+          |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+          |FROM ranked WHERE sample_rank <= 20
+          |ORDER BY lang, sample_rank""".stripMargin)),
+
+    // Blocklist screen: in-row token filter against an inlined term
+    // set — pure map, no join, no shuffle.
+    QueryDef("x_pipe_blocklist",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.blocklist(spark.table("documents"), "text",
+            Seq("slow", "crash"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |       CAST(len(list_filter(
+          |         list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+          |         t -> list_contains(['slow', 'crash'], t))) AS BIGINT) AS n_blocked
+          |FROM documents
+          |WHERE len(list_filter(
+          |        list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+          |        t -> list_contains(['slow', 'crash'], t))) > 0
+          |ORDER BY doc_id""".stripMargin)),
+
     // Greedy-by-position sequence packing per source shard: pack_id =
     // starting-token-offset / 2048 via an integer window cumsum.
     QueryDef("x_pipe_pack",

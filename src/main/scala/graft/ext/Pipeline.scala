@@ -117,6 +117,40 @@ object Pipeline {
       .filter(col("n_shared_fp") >= minShared)
   }
 
+  /** Deterministic stratified sample: the `perGroup` docs per `byCol`
+    * group that sort first by (portable id hash, id) — an unbiased,
+    * content-independent, reshuffle-proof per-stratum pick (the
+    * grouped analogue of [[split]]). One hash-partitioned window per
+    * group; groups are independent, so parallelism = stratum count
+    * and no stratum ever sees another's rows.
+    */
+  def stratifiedSample(docs: DataFrame, byCol: String,
+      idCol: String = "doc_id", perGroup: Int = 20): DataFrame = {
+    val h = pmod(Dedup.portableHash(col(idCol).cast("string")), lit(1000000))
+    docs
+      .select(col(byCol), col(idCol), h.as("__h"))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col(byCol)).orderBy(col("__h"), col(idCol))))
+      .filter(col("sample_rank") <= perGroup)
+      .select(col(byCol), col(idCol), col("sample_rank").cast("long").as("sample_rank"))
+  }
+
+  /** Blocklist screen: per-document count of tokens in a (small) bad-
+    * term set, computed entirely in-row — `filter(tokens, contains)`
+    * against an inlined literal array — so the operator is a pure map
+    * with zero shuffle and no join at any corpus size. Emits only
+    * documents with at least one hit (the review/drop candidates).
+    */
+  def blocklist(docs: DataFrame, textCol: String, terms: Seq[String],
+      idCol: String = "doc_id"): DataFrame = {
+    val bad = array(terms.map(lit): _*)
+    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
+    docs
+      .select(col(idCol),
+        size_long(filter(toks, t => array_contains(bad, t))).as("n_blocked"))
+      .filter(col("n_blocked") > 0)
+  }
+
   /** Greedy-by-position sequence packing: within each `byCol` shard
     * (documents pack within their shard — the cluster-friendly
     * contract; a global order would serialize the corpus), documents

@@ -388,6 +388,32 @@ class ExtSpec extends AnyFunSuite {
     assert(hits == Set(1L))
   }
 
+  test("pipeline stratified sample: per-group cap, deterministic under reordering") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s1 = Pipeline.stratifiedSample(d, "lang", perGroup = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val s2 = Pipeline.stratifiedSample(d.orderBy(col("doc_id").desc), "lang",
+        perGroup = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s1 == s2)
+    assert(s1.count(_._1 == "en") == 10 && s1.count(_._1 == "de") == 10)
+    assert(s1.forall(_._3 <= 10))
+  }
+
+  test("pipeline blocklist: in-row hit counts, clean docs absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "clean words only here"),
+      (2L, "bad bad word inside"),
+      (3L, "one bad token")
+    ).toDF("doc_id", "text")
+    val hits = Pipeline.blocklist(d, "text", Seq("bad", "worse")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(2L -> 2L, 3L -> 1L))
+  }
+
   test("pipeline pack: per-shard integer cumsum; packs bounded by start offset") {
     import spark.implicits._
     val d = Seq(
