@@ -108,29 +108,23 @@ object TextAnalysis {
     // The distinct-trigram relation is needed by BOTH the profile-
     // training and classification branches. r3 measured caching it
     // SLOWER — but that cache held the WIDE (doc_id, lang, tg-string)
-    // rows. Encoding each trigram as a collision-FREE BIGINT
-    // (codepoint1·2^42 + codepoint2·2^21 + codepoint3 — ascii()
+    // rows. Two changes fix that (r4 verdict #5; measurements in
+    // PLANS_r5.md): (1) each trigram is a collision-FREE BIGINT
+    // (codepoint1·2^42 + codepoint2·2^21 + codepoint3 — `ascii()`
     // returns identical full codepoints in Spark and DuckDB, so the
     // pipeline stays oracle-checkable with no hash at all; an md5
-    // variant was MEASURED slower, the per-occurrence digest eats the
-    // narrow-row win) makes the materialized rows narrow, the profile
-    // aggregation key an integer, and the profile-hit join an integer
-    // join (r4 verdict #5; measurements in PLANS_r5.md). Profile ties
+    // variant MEASURED slower, the per-occurrence digest eats the
+    // narrow-row win); (2) the compiled `char_trigrams_e` kernel emits
+    // each doc's DISTINCT encoded trigrams in one codegen'd call — no
+    // interpreted transform/substr lambda, and the corpus-wide
+    // DISTINCT shuffle disappears (dedup happens in-row). Profile ties
     // break on the encoding, mirrored in the oracle. localCheckpoint
     // truncates lineage; blocks release when the frame is GC'd.
+    graft.functions.TrigramFunctions.register(spark)
     val tri = spark.sql(
-      s"""SELECT DISTINCT doc_id, $langCol AS lang,
-         |  CAST(ascii(tg) AS BIGINT) * 4398046511104 +
-         |  CAST(ascii(substr(tg, 2, 1)) AS BIGINT) * 2097152 +
-         |  CAST(ascii(substr(tg, 3, 1)) AS BIGINT) AS h
-         |FROM (
-         |  SELECT doc_id, $langCol,
-         |         explode(CASE WHEN char_length(lower($textCol)) >= 3
-         |           THEN transform(sequence(1, char_length(lower($textCol)) - 2),
-         |                          i -> substr(lower($textCol), i, 3))
-         |           ELSE array() END) AS tg
-         |  FROM __lang_docs
-         |)""".stripMargin)
+      s"""SELECT doc_id, $langCol AS lang,
+         |       explode(char_trigrams_e(lower($textCol))) AS h
+         |FROM __lang_docs""".stripMargin)
       .localCheckpoint(true)
     tri.createOrReplaceTempView("__lang_tri")
     spark.sql(

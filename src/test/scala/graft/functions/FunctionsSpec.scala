@@ -107,4 +107,31 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](0)
     assert(got == Seq("run", "chase"))
   }
+
+  test("char_trigrams_e: distinct codepoint-encoded trigrams, ascii-formula parity") {
+    graft.functions.TrigramFunctions.register(extSpark)
+    // kernel output must equal the relational ascii()-encoding formula
+    // (the DuckDB oracle's formulation), minus duplicates, in first-
+    // occurrence order — including CJK and supplementary codepoints
+    for (s <- Seq("abcab", "abcabc", "中文字中文", "a😀b😀c", "ab", "")) {
+      val kernel = extSpark.sql(
+        s"SELECT char_trigrams_e('$s') AS t").collect()(0).getSeq[Long](0)
+      val cps = s.codePoints().toArray
+      val expected = cps.sliding(3).filter(_.length == 3)
+        .map(w => w(0).toLong * 4398046511104L + w(1).toLong * 2097152L + w(2).toLong)
+        .toSeq.distinct
+      assert(kernel == expected, s"input '$s'")
+    }
+    // parity with SQL ascii()/substr() on a multibyte string
+    val viaSql = extSpark.sql(
+      """SELECT CAST(ascii(tg) AS BIGINT) * 4398046511104 +
+        |       CAST(ascii(substr(tg, 2, 1)) AS BIGINT) * 2097152 +
+        |       CAST(ascii(substr(tg, 3, 1)) AS BIGINT) AS h
+        |FROM (SELECT explode(transform(sequence(1, char_length('中文字中') - 2),
+        |                     i -> substr('中文字中', i, 3))) AS tg)""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq.distinct
+    val kernel = extSpark.sql("SELECT char_trigrams_e('中文字中') AS t")
+      .collect()(0).getSeq[Long](0)
+    assert(kernel == viaSql)
+  }
 }
