@@ -52,13 +52,14 @@ object ExtQueries {
   private def docShingles(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
     shCache.getOrElseUpdate(sfDir,
-      Dedup.shingles(spark.table("documents"), "text", "doc_id", 3).persist())
+      // narrow form: (doc_id, shingle BIGINT) from the compiled kernel
+      Dedup.shingleHashes(spark.table("documents"), "text", "doc_id", 3).persist())
   private val sigsCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def minhashSigs(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
     sigsCache.getOrElseUpdate(sfDir,
-      Dedup.minhashSignatures(docShingles(spark, sfDir), K).persist())
+      Dedup.minhashSignatures(docShingles(spark, sfDir), K, preHashed = true).persist())
 
   /** Bench setup hook: materialize the shared dedup artifacts so query
     * timings measure probes, not builds (the TextIndex/IvfIndex model).
@@ -70,13 +71,21 @@ object ExtQueries {
     minhashSigs(spark, sfDir).count()
   }
 
+  /** The sh relation mirrors Dedup.shingleHashes: DISTINCT portable
+    * hashes of the space-joined token n-grams (BIGINT — the engine
+    * never materializes shingle strings either).
+    */
   private def shinglesCte(n: Int): String =
     s"""toks AS (SELECT doc_id, ${ducktokens("text")} AS ts FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id,
-       |         unnest(list_transform(range(1, len(ts) - ${n - 2}),
-       |                i -> ${(0 until n).map(j => s"ts[i+$j]").mkString(" || ' ' || ")})) AS shingle
-       |  FROM toks
+       |         ${duckHash("shingle_str")} AS shingle
+       |  FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(ts) - ${n - 2}),
+       |                  i -> ${(0 until n).map(j => s"ts[i+$j]").mkString(" || ' ' || ")})) AS shingle_str
+       |    FROM toks
+       |  ) raw
        |)""".stripMargin
 
   private def minhashSigsCte: String = {
@@ -84,7 +93,7 @@ object ExtQueries {
       s"min(($a * h + $b) % $P) AS mh_$i"
     }.mkString(",\n         ")
     s"""hashed AS (
-       |  SELECT doc_id, ${duckHash("shingle")} % $P AS h FROM sh
+       |  SELECT doc_id, shingle % $P AS h FROM sh
        |),
        |sigs AS (
        |  SELECT doc_id,

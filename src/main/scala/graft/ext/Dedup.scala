@@ -63,11 +63,35 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"), explode(grams).as("shingle")).distinct()
   }
 
+  /** The shingle artifact in its NARROW form: (doc_id, shingle BIGINT)
+    * where the value is the raw portable hash of the space-joined
+    * token n-gram, computed by the compiled `shingle_hashes_e` kernel
+    * (one codegen'd call per doc, distinct in-row — no interpreted
+    * shingle-string lambda, no corpus-wide string DISTINCT). Drop-in
+    * replacement for [[shingles]] everywhere downstream: the column
+    * keeps the name `shingle`, and every consumer only ever joins,
+    * groups, or permutes it — with 8-byte keys instead of strings
+    * through the blocking self-join (the dedup family's dominant
+    * shuffle at scale). Pass `preHashed = true` to
+    * [[minhashSignatures]] over this form.
+    */
+  def shingleHashes(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    graft.functions.ShingleFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.ShingleFunctions.shingle_hashes_e(
+        lower(col(textCol)), n)).as("shingle"))
+  }
+
   /** MinHash signatures: k affine permutations over portable shingle
     * hashes; one groupBy(doc) computes all k mins in a single pass.
+    * `preHashed = true` means `sh.shingle` already IS the portable
+    * hash ([[shingleHashes]]) — skip the md5.
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val h = pmod(portableHash(col("shingle")), lit(MersennePrime)).as("h")
+  def minhashSignatures(sh: DataFrame, k: Int,
+      preHashed: Boolean = false): DataFrame = {
+    val raw = if (preHashed) col("shingle") else portableHash(col("shingle"))
+    val h = pmod(raw, lit(MersennePrime)).as("h")
     val withH = sh.select(col("doc_id"), h)
     val mins = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(MersennePrime))).as(s"mh_$i")

@@ -388,6 +388,29 @@ class ExtSpec extends AnyFunSuite {
     assert(hits == Set(1L))
   }
 
+  test("shingle-hash kernel matches portableHash over relational string shingles") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "The quick BROWN fox—jumps over 2 lazy dogs!"),
+      (2L, "short one"),
+      (3L, ""),
+      (4L, "répété café naïve unicode Space   runs")
+    ).toDF("doc_id", "text")
+    val relational = Dedup.shingles(d, "text", "doc_id", 3)
+      .select(col("doc_id"), Dedup.portableHash(col("shingle")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kernel = Dedup.shingleHashes(d, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel == relational && kernel.nonEmpty)
+    // minhash over the narrow form equals minhash over the string form
+    val a = Dedup.minhashSignatures(Dedup.shingles(d, "text", "doc_id", 3), 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Dedup.minhashSignatures(Dedup.shingleHashes(d, "text", "doc_id", 3),
+        8, preHashed = true)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("pipeline stratified sample: per-group cap, deterministic under reordering") {
     import spark.implicits._
     val d = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
