@@ -437,6 +437,20 @@ class ExtSpec extends AnyFunSuite {
     assert(hits == Map(2L -> 2L, 3L -> 1L))
   }
 
+  test("pipeline operators tolerate NULL and empty text") {
+    import spark.implicits._
+    val d = Seq((1L, null: String, "s"), (2L, "", "s"), (3L, "some ok text", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(Pipeline.chunk(d, "text").collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(Pipeline.blocklist(d, "text", Seq("bad")).count() == 0)
+    assert(Pipeline.oovProfile(d, "text", vocabSize = 2).count() == 1)
+    val packs = Pipeline.pack(d, "text", "source").collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 0L)) // zero-token docs pack harmlessly
+    assert(Pipeline.contamination(d, d.filter(col("doc_id") === 3L), "text",
+      minShared = 1).collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("pipeline pack: per-shard integer cumsum; packs bounded by start offset") {
     import spark.implicits._
     val d = Seq(
