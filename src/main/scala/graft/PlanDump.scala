@@ -109,6 +109,14 @@ object PlanDump {
     dump("x_pipe_oov (broadcast vocab join)")(
       graft.ext.Pipeline.oovProfile(docs, "text"))
 
+    // 13b. vocabulary: top-k must be TakeOrderedAndProject (per-
+    //      partition heap + tiny merge), NOT a single-partition window
+    //      over ALL distinct corpus tokens; the rank window then runs
+    //      over the ≤ vocabSize-row take result, whose SinglePartition
+    //      sorted output needs no further Exchange
+    dump("x_pipe_vocab (TakeOrderedAndProject top-k)")(
+      graft.ext.Pipeline.vocabulary(docs, "text"))
+
     // 14. contamination: benchmark fp set broadcast; corpus side one
     //     fingerprint scan + LeftSemi + agg, no pair join
     dump("x_pipe_contam (broadcast benchmark fps)")(

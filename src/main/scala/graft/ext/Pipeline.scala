@@ -68,26 +68,43 @@ object Pipeline {
   def vocabulary(docs: DataFrame, textCol: String,
       vocabSize: Int = 100): DataFrame = {
     val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
-    docs.select(explode(toks).as("token"))
+    vocabularyFromTokens(docs.select(explode(toks).as("token")), vocabSize)
+  }
+
+  /** Top-k selection as orderBy + limit — Catalyst compiles this to
+    * TakeOrderedAndProject (per-partition heap top-k, then a merge of
+    * k·partitions rows), NOT a global sort: no partition of the
+    * distinct-token relation is ever exchanged whole. Ranking then
+    * runs over the ≤ vocabSize-row result, whose SinglePartition,
+    * already-sorted output satisfies the window's requirements without
+    * a new Exchange — the window that used to pull EVERY distinct
+    * corpus token through one partition now touches vocabSize rows.
+    */
+  private[ext] def vocabularyFromTokens(tokens: DataFrame,
+      vocabSize: Int): DataFrame =
+    tokens
       .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(vocabSize)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_occurrences").desc, col("token"))))
-      .filter(col("rank") <= vocabSize)
       .select(col("token"), col("n_occurrences"), col("rank").cast("long").as("rank"))
-  }
 
   /** Per-document out-of-vocabulary profile against [[vocabulary]]:
     * token occurrences found in / missing from the top-`vocabSize`
     * vocab. The vocab side is `vocabSize` rows — broadcast — so this
     * is one explode + one map-side join + one re-aggregation however
-    * large the corpus; the single window in vocabulary() runs over
-    * distinct TOKENS (vocabulary-sized, not corpus-sized).
+    * large the corpus. Both branches derive from ONE token-exploded
+    * relation (the vocab branch projects `token` out of it), and the
+    * vocab top-k is TakeOrderedAndProject — nothing corpus-sized
+    * crosses a single partition anywhere in the operator.
     */
   def oovProfile(docs: DataFrame, textCol: String, idCol: String = "doc_id",
       vocabSize: Int = 100): DataFrame = {
-    val vocab = vocabulary(docs, textCol, vocabSize).select("token")
     val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
     val exploded = docs.select(col(idCol), explode(toks).as("token"))
+    val vocab = vocabularyFromTokens(exploded.select("token"), vocabSize)
+      .select("token")
     exploded
       .join(broadcast(vocab.withColumn("__in_vocab", lit(1L))), Seq("token"), "left")
       .groupBy(col(idCol))
