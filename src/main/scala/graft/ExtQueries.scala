@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Schema
-import graft.ext.{Dedup, Pipeline, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Pipeline, Quality, Similarity, TextAnalysis}
 import graft.index.IndexJob
 import org.apache.spark.sql.functions._
 
@@ -1299,6 +1299,211 @@ object ExtQueries {
           |              PARTITION BY source ORDER BY doc_id
           |              ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS pack_id
           |FROM t
-          |ORDER BY source, doc_id""".stripMargin))
+          |ORDER BY source, doc_id""".stripMargin)),
+
+    // ---- corpus-quality + compliance screens (round 6) --------------
+
+    // Gopher-style repetition/boilerplate profile: entirely in-row
+    // (scan → project, zero shuffle). Line metrics are degenerate on
+    // this single-line corpus (n_lines=1, dup/bullet/ellipsis 0) but
+    // the token metrics and the pass flag are live signal.
+    QueryDef("x_quality_gopher",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.gopherProfile(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, coalesce(text, '') AS t,
+          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS ts,
+          |         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), x -> trim(x)), x -> x <> '') AS ls
+          |  FROM documents
+          |),
+          |m AS (
+          |  SELECT doc_id, t, ls,
+          |         CAST(len(ts) AS BIGINT) AS n_tokens,
+          |         CAST(len(ls) AS BIGINT) AS n_lines,
+          |         CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+          |         list_filter(ls, x -> len(list_filter(ls, y -> y = x)) > 1) AS dls
+          |  FROM base
+          |),
+          |m2 AS (
+          |  SELECT doc_id, n_tokens, n_lines, n_distinct,
+          |         CAST(len(dls) AS BIGINT) AS n_dup_lines,
+          |         CAST(coalesce(list_sum(list_transform(ls, x -> len(x))), 0) AS BIGINT) AS line_chars,
+          |         CAST(coalesce(list_sum(list_transform(dls, x -> len(x))), 0) AS BIGINT) AS dup_line_chars,
+          |         CAST(len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS BIGINT) AS n_bullet,
+          |         CAST(len(list_filter(ls, x -> ends_with(x, '...'))) AS BIGINT) AS n_ellipsis,
+          |         CAST(len(t) - len(replace(t, '#', '')) AS BIGINT) AS n_hash,
+          |         CAST((len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT) AS n_dots
+          |  FROM m
+          |)
+          |SELECT doc_id, n_tokens, n_lines,
+          |       1.0 - CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) AS dup_token_frac,
+          |       CAST(n_dup_lines AS DOUBLE) / greatest(n_lines, 1) AS dup_line_frac,
+          |       CAST(dup_line_chars AS DOUBLE) / greatest(line_chars, 1) AS dup_line_char_frac,
+          |       CAST(n_bullet AS DOUBLE) / greatest(n_lines, 1) AS bullet_line_frac,
+          |       CAST(n_ellipsis AS DOUBLE) / greatest(n_lines, 1) AS ellipsis_line_frac,
+          |       CAST(n_hash + n_dots AS DOUBLE) / greatest(n_tokens, 1) AS symbol_token_ratio,
+          |       (n_tokens >= 50 AND n_tokens <= 100000
+          |        AND 1.0 - CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) <= 0.6
+          |        AND CAST(n_hash + n_dots AS DOUBLE) / greatest(n_tokens, 1) <= 0.1
+          |        AND CAST(n_bullet AS DOUBLE) / greatest(n_lines, 1) <= 0.9
+          |        AND CAST(n_ellipsis AS DOUBLE) / greatest(n_lines, 1) <= 0.3
+          |        AND CAST(dup_line_chars AS DOUBLE) / greatest(line_chars, 1) <= 0.2) AS gopher_pass
+          |FROM m2
+          |ORDER BY doc_id""".stripMargin)),
+
+    // N-gram repetition stats — the relational Gopher half: top-bigram
+    // coverage + repeated-trigram coverage, keyed on (doc, gram).
+    QueryDef("x_quality_ngram_rep",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.ngramRepetition(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS ts
+          |  FROM documents
+          |),
+          |bi AS (
+          |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+          |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+          |        FROM toks WHERE len(ts) >= 2) q
+          |),
+          |bic AS (SELECT doc_id, gram, count(*) AS cnt FROM bi GROUP BY 1, 2),
+          |bitop AS (
+          |  SELECT doc_id, CAST(cnt AS BIGINT) AS top_bigram_count
+          |  FROM (SELECT doc_id, cnt, row_number() OVER (
+          |          PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+          |        FROM bic) q WHERE rn = 1
+          |),
+          |bisum AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams FROM bic GROUP BY 1),
+          |tri AS (
+          |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+          |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+          |        FROM toks WHERE len(ts) >= 3) q
+          |),
+          |tric AS (SELECT doc_id, gram, count(*) AS cnt FROM tri GROUP BY 1, 2),
+          |tris AS (
+          |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+          |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS rep
+          |  FROM tric GROUP BY 1
+          |)
+          |SELECT b.doc_id, b.n_bigrams, p.top_bigram_count,
+          |       CAST(p.top_bigram_count AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+          |       t.n_trigrams,
+          |       CAST(t.rep AS DOUBLE) / t.n_trigrams AS rep_trigram_frac
+          |FROM bisum b JOIN bitop p USING (doc_id) LEFT JOIN tris t USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // PII screen over deterministically PII-augmented text (the corpus
+    // is PII-free word soup, so every 7th doc gets a synthetic email +
+    // IP + phone appended IN THE QUERY on both engines — the
+    // contamination-benchmark trick — making extraction live signal).
+    QueryDef("x_text_pii",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val aug = spark.table("documents").withColumn("text",
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com 10.0."), (col("doc_id") % 200).cast("string"),
+                lit(".1 call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))))
+        Quality.piiScreen(aug, "text").orderBy("doc_id")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') ||
+          |         CASE WHEN doc_id % 7 = 0
+          |              THEN ' contact user' || doc_id || '@example.com 10.0.' ||
+          |                   (doc_id % 200) || '.1 call 555-' ||
+          |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |              ELSE '' END AS t
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |       CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+          |       CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+          |       (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |        + len(regexp_extract_all(t, '\b\d{3}[-. ]\d{4}\b'))
+          |        + len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) > 0) AS has_pii
+          |FROM aug
+          |ORDER BY doc_id""".stripMargin)),
+
+    // URL-host profile over deterministically URL-augmented text (every
+    // 3rd doc links two synthetic hosts): extract → host-keyed agg →
+    // TakeOrderedAndProject top-k. 16 distinct hosts < k=20, so the
+    // limit boundary is never tie-ambiguous.
+    QueryDef("x_text_urlhosts",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val aug = spark.table("documents").withColumn("text",
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" see https://www.site"), (col("doc_id") % 11).cast("string"),
+                lit(".example.com/page/"), col("doc_id").cast("string"),
+                lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
+                lit(".example.net/x")))
+              .otherwise(lit(""))))
+        Quality.urlHostProfile(aug, "text", k = 20)
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') ||
+          |         CASE WHEN doc_id % 3 = 0
+          |              THEN ' see https://www.site' || (doc_id % 11) ||
+          |                   '.example.com/page/' || doc_id ||
+          |                   ' and http://cdn' || (doc_id % 5) || '.example.net/x'
+          |              ELSE '' END AS t
+          |  FROM documents
+          |),
+          |hosts AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(regexp_extract_all(t, 'https?://[^\s]+'),
+          |                u -> regexp_extract(u, '^https?://([^/\s]+)', 1))) AS host
+          |  FROM aug
+          |)
+          |SELECT host, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |       CAST(count(*) AS BIGINT) AS n_urls
+          |FROM hosts GROUP BY host
+          |ORDER BY n_docs DESC, n_urls DESC, host
+          |LIMIT 20""".stripMargin)),
+
+    // Per-doc top-5 characteristic terms by linearized tf-idf (N/df,
+    // not log — monotone-identical ranking, and the score stays one
+    // exact-integer division so it hashes identically cross-engine).
+    QueryDef("x_text_tfidf",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.tfidfTopTerms(spark.table("documents"), "text", k = 5)
+          .orderBy("doc_id", "term_rank")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS token
+          |  FROM documents
+          |),
+          |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+          |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT t.doc_id, t.token, t.tf, d.df,
+          |         CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS tfidf
+          |  FROM tf t JOIN df d USING (token) CROSS JOIN n
+          |),
+          |r AS (SELECT *, row_number() OVER (
+          |        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS term_rank
+          |      FROM scored)
+          |SELECT doc_id, token, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
+          |FROM r WHERE term_rank <= 5
+          |ORDER BY doc_id, term_rank""".stripMargin))
   )
 }

@@ -123,6 +123,30 @@ object PlanDump {
       graft.ext.Pipeline.contamination(docs,
         docs.filter(col("doc_id") % 97 === 0), "text"))
 
+    // ---- round-6 evidence: quality + compliance screens -------------
+
+    // 15. gopher profile and PII screen: pure maps (scan → project,
+    //     zero Exchange at any corpus size)
+    dump("x_quality_gopher (zero-shuffle map)")(
+      graft.ext.Quality.gopherProfile(docs, "text"))
+    dump("x_text_pii (zero-shuffle map)")(
+      graft.ext.Quality.piiScreen(docs, "text"))
+
+    // 16. ngram repetition: (doc, gram)-keyed aggregation tree — the
+    //     only exchanges are hash-partitioned on doc/gram keys
+    dump("x_quality_ngram_rep (keyed agg tree)")(
+      graft.ext.Quality.ngramRepetition(docs, "text"))
+
+    // 17. url hosts: host-keyed agg + TakeOrderedAndProject top-k (no
+    //     global sort, no single-partition window)
+    dump("x_text_urlhosts (TakeOrderedAndProject top-k)")(
+      graft.ext.Quality.urlHostProfile(docs, "text"))
+
+    // 18. tfidf: tf/df keyed aggs, corpus count broadcast (1 row),
+    //     top-k per doc via doc-partitioned window
+    dump("x_text_tfidf (keyed aggs + broadcast count)")(
+      graft.ext.Quality.tfidfTopTerms(docs, "text"))
+
     spark.stop()
   }
 }

@@ -1,0 +1,230 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality filters in the Gopher/C4 tradition (repetition
+  * profiles, symbol ratios, boilerplate-line detection) plus the
+  * compliance screens every training-data pipeline runs before a crawl
+  * shard ships: PII detection/redaction and URL-host profiling.
+  *
+  * Scale contract (same as [[Pipeline]]): the per-document profiles are
+  * pure maps — zero shuffle at any corpus size; the n-gram repetition
+  * stats shuffle only on (doc, n-gram) keys; the host profile is a
+  * host-keyed aggregation with a TakeOrderedAndProject top-k. Nothing
+  * global, nothing driver-side.
+  *
+  * Parity note (repo-wide rule): every emitted ratio is ONE IEEE
+  * division of exact per-row integers — deterministic and bit-identical
+  * across engines, never rounded.
+  */
+object Quality {
+
+  private def wsTokens(c: Column): Column =
+    filter(split(coalesce(c, lit("")), "\\s+"), t => t =!= "")
+
+  /** Per-document Gopher-style repetition/boilerplate profile, entirely
+    * in-row (scan → project; no Exchange):
+    *
+    *  - `dup_token_frac`  — 1 − distinct/total whitespace tokens (the
+    *    token-level repetition signal);
+    *  - `dup_line_frac` / `dup_line_char_frac` — fraction of non-empty
+    *    trimmed lines (and of their characters) whose line value occurs
+    *    more than once in the document;
+    *  - `bullet_line_frac` / `ellipsis_line_frac` — boilerplate-shaped
+    *    lines (bullet-led, ellipsis-terminated);
+    *  - `symbol_token_ratio` — '#' and '…'-as-"..." occurrences per
+    *    token;
+    *  - `gopher_pass` — the fixed-threshold conjunction (50 ≤ tokens ≤
+    *    100000, dup_token_frac ≤ 0.6, symbol ratio ≤ 0.1, bullet ≤ 0.9,
+    *    ellipsis ≤ 0.3, dup-line chars ≤ 0.2).
+    *
+    * The line scans are O(L²) per document in the number of LINES (not
+    * characters) — bounded and in-row, the shape that beats a corpus-
+    * wide line explode+join at every scale.
+    */
+  def gopherProfile(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = wsTokens(col(textCol))
+    val lines = filter(transform(split(t, "\n"), x => trim(x)), x => x =!= "")
+    val nToks = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val nLines = size(lines).cast("long")
+    val dupLines = filter(lines,
+      x => size(filter(lines, y => y === x)) > 1)
+    val nDupLines = size(dupLines).cast("long")
+    val lineChars = aggregate(lines, lit(0L), (acc, x) => acc + length(x))
+    val dupLineChars = aggregate(dupLines, lit(0L), (acc, x) => acc + length(x))
+    val nBullet = size(filter(lines, x =>
+      startswith(x, lit("-")) || startswith(x, lit("*")) ||
+        startswith(x, lit("•")))).cast("long")
+    val nEllipsis = size(filter(lines, x => endswith(x, lit("...")))).cast("long")
+    val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val nDots = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+      .cast("long") // (len diff) is a multiple of 3 — exact
+    val d = (c: Column) => c.cast("double")
+    docs.select(
+        col(idCol),
+        nToks.as("n_tokens"),
+        nLines.as("n_lines"),
+        (lit(1.0) - d(nDistinct) / d(greatest(nToks, lit(1L)))).as("dup_token_frac"),
+        (d(nDupLines) / d(greatest(nLines, lit(1L)))).as("dup_line_frac"),
+        (d(dupLineChars) / d(greatest(lineChars, lit(1L)))).as("dup_line_char_frac"),
+        (d(nBullet) / d(greatest(nLines, lit(1L)))).as("bullet_line_frac"),
+        (d(nEllipsis) / d(greatest(nLines, lit(1L)))).as("ellipsis_line_frac"),
+        (d(nHash + nDots) / d(greatest(nToks, lit(1L)))).as("symbol_token_ratio"))
+      .withColumn("gopher_pass",
+        col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
+          col("dup_token_frac") <= 0.6 &&
+          col("symbol_token_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("dup_line_char_frac") <= 0.2)
+  }
+
+  /** N-gram arrays over the whitespace tokens: positions i..i+n-1 for
+    * i in [0, len-n], space-joined. Empty when the document has fewer
+    * than n tokens (guarded — Spark's sequence() would count DOWN on a
+    * negative stop and explode garbage n-grams).
+    */
+  private def ngramsCol(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document n-gram repetition statistics — the relational half of
+    * the Gopher repetition profile (the half that genuinely needs a
+    * shuffle, keyed on (doc, n-gram) so it scales with the corpus):
+    *
+    *  - `top_bigram_frac` — occurrences of the most frequent token
+    *    2-gram over all 2-gram occurrences (count ties broken on the
+    *    greatest gram string — deterministic across engines);
+    *  - `rep_trigram_frac` — fraction of 3-gram occurrences whose gram
+    *    occurs more than once.
+    *
+    * One explode per n; aggregation tree is (doc, gram) → doc, both
+    * hash-partitioned. Docs shorter than n tokens are absent from that
+    * n's stats (LEFT join from the bigram side; such docs get NULL
+    * rep_trigram_frac).
+    */
+  def ngramRepetition(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    def gramCounts(n: Int): DataFrame =
+      docs.select(col(idCol), explode(ngramsCol(toks, n)).as("gram"))
+        .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+    val bi = gramCounts(2)
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_bigrams"),
+        max(struct(col("cnt"), col("gram"))).as("__top"))
+      .select(col(idCol), col("n_bigrams"),
+        col("__top.cnt").as("top_bigram_count"),
+        (col("__top.cnt").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"))
+    val tri = gramCounts(3)
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_trigrams"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("rep"))
+      .select(col(idCol), col("n_trigrams"),
+        (col("rep").cast("double") / col("n_trigrams").cast("double"))
+          .as("rep_trigram_frac"))
+    bi.join(tri, Seq(idCol), "left")
+      .select(col(idCol), col("n_bigrams"), col("top_bigram_count"),
+        col("top_bigram_frac"), col("n_trigrams"), col("rep_trigram_frac"))
+  }
+
+  /** The three PII shapes screened, as (pattern, replacement-tag)
+    * pairs. Patterns are deliberately RE2-compatible (no backrefs, no
+    * lookaround) so the same pattern string runs in Spark's Java regex
+    * AND DuckDB's RE2 — the cross-engine-parity constraint.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{3}[-. ]\\d{4}\\b", "<PHONE>"),
+    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+
+  /** Per-document PII screen: counts of email-, phone-, and IPv4-shaped
+    * matches plus a `has_pii` flag. Pure map (regexp_extract_all in
+    * codegen) — zero shuffle at any corpus size.
+    */
+  def piiScreen(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    // IP before phone: "10.0.31.1" contains a phone-shaped suffix, so
+    // counts are taken on the raw text per pattern (independent scans,
+    // no masking between categories)
+    val Seq(email, phone, ip) = piiPatterns.map { case (p, _) =>
+      size(regexp_extract_all(t, lit(p), lit(0))).cast("long")
+    }
+    docs.select(col(idCol),
+      email.as("n_emails"), phone.as("n_phones"), ip.as("n_ips"),
+      (email + phone + ip > 0).as("has_pii"))
+  }
+
+  /** Redacted text: every [[piiPatterns]] match replaced by its tag, in
+    * declaration order. Email first (its host part would otherwise be
+    * eaten by the IP pattern when numeric). Pure map.
+    */
+  def redactPii(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn(textCol,
+      piiPatterns.foldLeft(col(textCol)) { case (c, (p, tag)) =>
+        regexp_replace(c, p, tag)
+      })
+
+  /** URL-host profile: extract `http(s)://` URLs, key on the host part,
+    * and return the top `k` hosts by (document reach, total URLs). The
+    * extraction is in-row; the aggregation is host-keyed; the top-k is
+    * orderBy+limit — TakeOrderedAndProject, never a global sort or a
+    * single-partition window (the [[Pipeline.vocabulary]] lesson).
+    */
+  def urlHostProfile(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id", k: Int = 20): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val urls = regexp_extract_all(t, lit("https?://[^\\s]+"), lit(0))
+    val hosts = transform(urls,
+      u => regexp_extract(u, "^https?://([^/\\s]+)", 1))
+    docs.select(col(idCol).as("__doc"), explode(hosts).as("host"))
+      .groupBy("host")
+      .agg(count_distinct(col("__doc")).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+      .orderBy(col("n_docs").desc, col("n_urls").desc, col("host"))
+      .limit(k)
+  }
+
+  /** Per-document top-`k` characteristic terms by linearized tf-idf.
+    * The idf factor is N/df (NOT log(N/df)): rank order per document is
+    * identical (log is monotone) and the score stays ONE division of
+    * exact integers — `log()`'s last-ULP behavior differs between libm
+    * and the JVM, which would break cross-engine hashing; N/df cannot.
+    *
+    * Shape: one token explode; tf = (doc, token) agg; df = token agg of
+    * the tf relation (already distinct per doc — count(*) IS document
+    * frequency, no count_distinct shuffle); corpus size joins in as a
+    * broadcast 1-row aggregate; top-k per doc is a doc-partitioned
+    * window — every stage keyed, nothing global.
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id", k: Int = 5): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val tf = docs.select(col(idCol), explode(toks).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+    scored
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("term_rank").cast("long").as("term_rank"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality/compliance operators over crafted documents that exercise
+  * the paths the synthetic corpus can't (multi-line text, real dup
+  * lines, PII, URLs).
+  */
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("gopherProfile: line metrics on a boilerplate-shaped doc") {
+    import spark.implicits._
+    // 6 non-empty lines: "same" ×3 (12 of 30 line chars duplicated),
+    // two bullet lines, one line ending in "..."
+    val text = "same\nsame\nsame\n- bullet one\n* bullet two\nwait for it...\n\n"
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Quality.gopherProfile(d, "text").collect()(0)
+    assert(r.getAs[Long]("n_lines") == 6L)
+    assert(r.getAs[Double]("dup_line_frac") == 3.0 / 6)
+    val lineChars = 4 * 3 + 12 + 12 + 14
+    assert(r.getAs[Double]("dup_line_char_frac") == 12.0 / lineChars)
+    assert(r.getAs[Double]("bullet_line_frac") == 2.0 / 6)
+    assert(r.getAs[Double]("ellipsis_line_frac") == 1.0 / 6)
+    assert(!r.getAs[Boolean]("gopher_pass")) // < 50 tokens
+  }
+
+  test("gopherProfile: symbol ratio counts # and ... per token") {
+    import spark.implicits._
+    val d = Seq((1L, "a # b ... c #")).toDF("doc_id", "text")
+    val r = Quality.gopherProfile(d, "text").collect()(0)
+    // tokens: a # b ... c #  (6); symbols: two '#' + one '...'
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Double]("symbol_token_ratio") == 3.0 / 6)
+  }
+
+  test("gopherProfile: dup_token_frac and null/empty text") {
+    import spark.implicits._
+    val d = Seq((1L, "x x x y"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val rs = Quality.gopherProfile(d, "text").orderBy("doc_id").collect()
+    assert(rs(0).getAs[Double]("dup_token_frac") == 1.0 - 2.0 / 4)
+    // null/empty: zero tokens/lines, every ratio 0 (guarded), no NaN
+    for (i <- Seq(1, 2)) {
+      assert(rs(i).getAs[Long]("n_tokens") == 0L)
+      assert(rs(i).getAs[Double]("dup_token_frac") == 1.0) // 1 - 0/1
+      assert(rs(i).getAs[Double]("dup_line_char_frac") == 0.0)
+      assert(!rs(i).getAs[Boolean]("gopher_pass"))
+    }
+  }
+
+  test("ngramRepetition: known top bigram and repeated trigrams") {
+    import spark.implicits._
+    // "a b a b a b": bigrams [a b, b a, a b, b a, a b] → top "a b"×3/5;
+    // trigrams [a b a, b a b, a b a, b a b] → both repeated → rep 4/4
+    val d = Seq((1L, "a b a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val rs = Quality.ngramRepetition(d, "text").orderBy("doc_id").collect()
+    assert(rs(0).getAs[Long]("n_bigrams") == 5L)
+    assert(rs(0).getAs[Long]("top_bigram_count") == 3L)
+    assert(rs(0).getAs[Double]("top_bigram_frac") == 3.0 / 5)
+    assert(rs(0).getAs[Long]("n_trigrams") == 4L)
+    assert(rs(0).getAs[Double]("rep_trigram_frac") == 1.0)
+    // doc 2: one bigram, no trigrams → NULL trigram stats (left join)
+    assert(rs(1).getAs[Long]("n_bigrams") == 1L)
+    assert(rs(1).isNullAt(rs(1).fieldIndex("rep_trigram_frac")))
+  }
+
+  test("ngramRepetition: docs under 2 tokens are absent") {
+    import spark.implicits._
+    val d = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(Quality.ngramRepetition(d, "text").count() == 0L)
+  }
+
+  test("piiScreen counts and redactPii masks all three shapes") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a.b+c@ex-ample.org or x@y.io, ip 192.168.0.1, call 555-0199"),
+      (2L, "clean text, version 1.2 section 3.4.5 at 12:30")
+    ).toDF("doc_id", "text")
+    val rs = Quality.piiScreen(d, "text").orderBy("doc_id").collect()
+    assert(rs(0).getAs[Long]("n_emails") == 2L)
+    assert(rs(0).getAs[Long]("n_phones") == 1L)
+    assert(rs(0).getAs[Long]("n_ips") == 1L)
+    assert(rs(0).getAs[Boolean]("has_pii"))
+    assert(rs(1).getAs[Long]("n_emails") == 0L &&
+      rs(1).getAs[Long]("n_phones") == 0L && rs(1).getAs[Long]("n_ips") == 0L &&
+      !rs(1).getAs[Boolean]("has_pii"))
+    val red = Quality.redactPii(d, "text").orderBy("doc_id")
+      .collect()(0).getAs[String]("text")
+    assert(red == "mail <EMAIL> or <EMAIL>, ip <IP>, call <PHONE>")
+  }
+
+  test("urlHostProfile extracts hosts, aggregates reach, caps at k") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "see https://a.com/x and http://b.net/y?z=1"),
+      (2L, "again https://a.com/other"),
+      (3L, "https://a.com/x https://a.com/x2 and https://c.org")
+    ).toDF("doc_id", "text")
+    val rs = Quality.urlHostProfile(d, "text", k = 2).collect()
+    assert(rs.length == 2)
+    assert(rs(0).getAs[String]("host") == "a.com")
+    assert(rs(0).getAs[Long]("n_docs") == 3L && rs(0).getAs[Long]("n_urls") == 4L)
+    // b.net and c.org tie on (1 doc, 1 url); host asc → b.net takes slot 2
+    assert(rs(1).getAs[String]("host") == "b.net")
+  }
+
+  test("tfidfTopTerms ranks rare-but-frequent terms first") {
+    import spark.implicits._
+    // "rare" occurs twice in doc 1 and nowhere else → tf·N/df = 2·3/1 = 6
+    // beats "common" (df 3): tf·N/df = 3·3/3 = 3
+    val d = Seq(
+      (1L, "rare rare common common common"),
+      (2L, "common other other"),
+      (3L, "common misc")
+    ).toDF("doc_id", "text")
+    val top = Quality.tfidfTopTerms(d, "text", k = 1).orderBy("doc_id").collect()
+    assert(top(0).getAs[String]("token") == "rare")
+    assert(top(0).getAs[Double]("tfidf") == 6.0)
+    assert(top(1).getAs[String]("token") == "other") // 2·3/1 = 6 beats common 3·3/3
+    assert(top(2).getAs[String]("token") == "misc")
+    assert(top.forall(_.getAs[Long]("term_rank") == 1L))
+  }
+}
