@@ -1504,6 +1504,71 @@ object ExtQueries {
           |      FROM scored)
           |SELECT doc_id, token, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
           |FROM r WHERE term_rank <= 5
-          |ORDER BY doc_id, term_rank""".stripMargin))
+          |ORDER BY doc_id, term_rank""".stripMargin)),
+
+    // Deterministic domain-mix sampler: per-source keep-rates in
+    // permille over a salted id hash — content-independent,
+    // reshuffle-proof, monotone under rate increases. Pure map.
+    QueryDef("x_pipe_mix",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.mixSample(spark.table("documents"), "source",
+            Map("src0" -> 250, "src1" -> 500, "src2" -> 750))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT source, doc_id,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT) % 1000 AS mix_bucket
+          |  FROM documents
+          |)
+          |SELECT source, doc_id, mix_bucket
+          |FROM b
+          |WHERE mix_bucket < CASE source WHEN 'src0' THEN 250
+          |                               WHEN 'src1' THEN 500
+          |                               WHEN 'src2' THEN 750
+          |                               ELSE 1000 END
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Streaming exact-dedup screen: a REAL Structured Streaming run
+    // (parquet source → AvailableNow → flatMapGroupsWithState keyed on
+    // content digest → memory sink). The per-digest fold is order-
+    // independent (min id, total count), so the final state equals the
+    // batch keep-first answer and is fully oracle-checked.
+    QueryDef("x_stream_dedup",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-doc")
+        val target = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
+        val link = srcDir.resolve("documents.parquet")
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+        val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+        val q = graft.streaming.IncrementalIndexer.dedupStream(spark, stream)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_dedup_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // final state per digest = the emission with the highest count
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("digest").orderBy(col("n_copies").desc)
+        spark.table("x_stream_dedup_sink")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("digest", "keep_id", "n_copies")
+          .orderBy("digest")
+      },
+      Some(
+        """SELECT md5(coalesce(text, '')) AS digest,
+          |       CAST(min(doc_id) AS BIGINT) AS keep_id,
+          |       CAST(count(*) AS BIGINT) AS n_copies
+          |FROM documents
+          |GROUP BY 1
+          |ORDER BY digest""".stripMargin))
   )
 }

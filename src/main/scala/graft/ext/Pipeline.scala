@@ -30,6 +30,29 @@ object Pipeline {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic domain-mixing sampler: per-`byCol` keep-rates in
+    * permille (e.g. web 300‰, code 1000‰, forums 100‰ — the data-mix
+    * dial every pretraining pipeline has). A doc is kept iff its salted
+    * permille hash falls under its group's rate, so the sample is
+    * content-independent, reshuffle-proof, and any rate INCREASE is a
+    * superset of the previous sample (monotone — re-mixing never churns
+    * already-selected docs). The ":mix" salt makes the decision
+    * independent of [[split]]'s (an unsalted reuse would correlate the
+    * two: every dropped doc would also be a test doc). Pure map — zero
+    * shuffle at any scale.
+    */
+  def mixSample(docs: DataFrame, byCol: String, permille: Map[String, Int],
+      defaultPermille: Int = 1000, idCol: String = "doc_id"): DataFrame = {
+    val bucket = pmod(Dedup.portableHash(
+      concat(col(idCol).cast("string"), lit(":mix"))), lit(1000))
+    val rate = permille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (k, v)) => when(col(byCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.select(col(byCol), col(idCol), bucket.as("mix_bucket"), rate.as("keep_permille"))
+      .filter(col("mix_bucket") < col("keep_permille"))
+      .select(col(byCol), col(idCol), col("mix_bucket"))
+  }
+
   /** Overlapping token-window chunking (context-window preparation for
     * LLM training): whitespace-tokenize, then emit one chunk per
     * stride offset — tokens[o, o+size) for o = 0, stride, 2·stride, …

@@ -80,6 +80,41 @@ object IncrementalIndexer {
       last_event_id: Long
   )
 
+  /** Streaming exact-dedup screen: one state row per content digest,
+    * evolved with `flatMapGroupsWithState` — the streaming equivalent
+    * of keep-first exact dedup (an arriving document is a duplicate iff
+    * its digest was ever seen). The fold is ORDER-INDEPENDENT
+    * (keep_id = min doc_id seen, n_copies = total seen), so any
+    * batching/replay of the stream converges to the batch answer and a
+    * batch SQL oracle checks it. State is one (digest, long, long) row
+    * per DISTINCT content — bounded by unique-content count, the same
+    * bound the batch digest-groupBy shuffles.
+    */
+  final case class DedupState(digest: String, keep_id: Long, n_copies: Long)
+
+  def dedupStream(spark: SparkSession, docs: DataFrame): Dataset[DedupState] = {
+    import spark.implicits._
+    docs
+      .select(md5(coalesce(col("text"), lit("")).cast("binary")).as("digest"),
+        col("doc_id").cast("long").as("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DedupState, DedupState](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { case (dig, rows, state) =>
+        val ids = rows.map(_._2)
+        var minId = Long.MaxValue
+        var n = 0L
+        ids.foreach { id => if (id < minId) minId = id; n += 1 }
+        val prev = state.getOption
+        val s = DedupState(dig,
+          math.min(prev.map(_.keep_id).getOrElse(Long.MaxValue), minId),
+          prev.map(_.n_copies).getOrElse(0L) + n)
+        state.update(s)
+        Iterator.single(s)
+      }
+  }
+
   def userStates(spark: SparkSession, events: DataFrame): Dataset[UserEventState] = {
     import spark.implicits._
     events.select(col("user_id").cast("long"), col("event_id").cast("long"),

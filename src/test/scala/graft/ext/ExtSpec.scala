@@ -345,6 +345,29 @@ class ExtSpec extends AnyFunSuite {
     assert(counts("val") > 50 && counts("test") > 50)
   }
 
+  test("pipeline mixSample: per-group rates, monotone increase, split-independent") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i => (i, s"src${i % 4}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    def keep(w: Map[String, Int]) =
+      Pipeline.mixSample(d, "source", w).collect().map(_.getLong(1)).toSet
+    val half = keep(Map("src0" -> 500, "src1" -> 500, "src2" -> 500, "src3" -> 500))
+    assert(half.size > 400 && half.size < 600) // ~500 of 1000
+    // monotone: raising every rate only ADDS docs
+    val more = keep(Map("src0" -> 800, "src1" -> 800, "src2" -> 800, "src3" -> 800))
+    assert(half.subsetOf(more))
+    // zero-rate group vanishes; unlisted groups default to keep-all
+    val zeroed = Pipeline.mixSample(d, "source", Map("src0" -> 0))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!zeroed.contains("src0") && zeroed("src1") == 250L)
+    // the salted hash decorrelates from split: among kept docs at 50%,
+    // the train fraction stays near split's 80%
+    val splits = Pipeline.split(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainFrac = half.count(id => splits(id) == "train").toDouble / half.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9)
+  }
+
   test("pipeline chunk: stride windows cover every token, tail chunks shorten") {
     import spark.implicits._
     val text = (1 to 150).map(i => s"w$i").mkString(" ")

@@ -75,6 +75,33 @@ class IncrementalIndexerSpec extends AnyFunSuite {
       fin(8L).getAs[String]("last_type") == "signup")
   }
 
+  test("flatMapGroupsWithState dedup: cross-batch suppression, min-id fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = IncrementalIndexer.dedupStream(spark,
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("dedup_stream_spec").start()
+    // batch 1: two copies of A (ids 5, 2 — min wins), one B
+    stream.addData((5L, "content A"), (2L, "content A"), (7L, "content B"))
+    q.processAllAvailable()
+    // batch 2: a LATER copy of A — state remembers, keep_id stays 2
+    stream.addData((9L, "content A"), (1L, "content C"))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("dedup_stream_spec")
+      .orderBy(col("digest"), col("n_copies").desc)
+      .collect().groupBy(_.getString(0)).map { case (d, rs) => d -> rs.head }
+    val byKeep = fin.values.map(r =>
+      r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(byKeep == Map(2L -> 3L, 7L -> 1L, 1L -> 1L))
+    // digest matches Spark's md5 of the utf8 bytes (oracle contract)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("content A".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fin.keySet.contains(expect))
+  }
+
   test("watermarked windowed aggregation over the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
