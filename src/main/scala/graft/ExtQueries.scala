@@ -1506,6 +1506,38 @@ object ExtQueries {
           |FROM r WHERE term_rank <= 5
           |ORDER BY doc_id, term_rank""".stripMargin)),
 
+    // Exact per-source token-length quantiles via the cumulative
+    // histogram: corpus-sized work is one (source, len) count agg; the
+    // running-sum window covers DISTINCT lengths only (domain-bounded).
+    QueryDef("x_stats_length_quantiles",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.lengthQuantiles(spark.table("documents"), "text")
+          .orderBy("source")
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT source,
+          |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS BIGINT) AS len
+          |  FROM documents
+          |),
+          |hist AS (SELECT source, len, count(*) AS cnt FROM h GROUP BY 1, 2),
+          |c AS (
+          |  SELECT source, len,
+          |         sum(cnt) OVER (PARTITION BY source ORDER BY len
+          |                        ROWS UNBOUNDED PRECEDING) AS cum,
+          |         sum(cnt) OVER (PARTITION BY source) AS total
+          |  FROM hist
+          |)
+          |SELECT source,
+          |       CAST(min(CASE WHEN cum >= ceil(0.25 * total) THEN len END) AS BIGINT) AS p25,
+          |       CAST(min(CASE WHEN cum >= ceil(0.5 * total) THEN len END) AS BIGINT) AS p50,
+          |       CAST(min(CASE WHEN cum >= ceil(0.75 * total) THEN len END) AS BIGINT) AS p75,
+          |       CAST(min(CASE WHEN cum >= ceil(0.9 * total) THEN len END) AS BIGINT) AS p90,
+          |       CAST(min(CASE WHEN cum >= ceil(0.99 * total) THEN len END) AS BIGINT) AS p99
+          |FROM c GROUP BY source
+          |ORDER BY source""".stripMargin)),
+
     // Deterministic domain-mix sampler: per-source keep-rates in
     // permille over a salted id hash — content-independent,
     // reshuffle-proof, monotone under rate increases. Pure map.

@@ -195,6 +195,37 @@ object Quality {
       .limit(k)
   }
 
+  /** Exact per-group token-length quantiles via the cumulative
+    * histogram — the scale-correct exact-quantile shape: the only
+    * corpus-sized operation is the (group, length) count aggregation;
+    * the running-sum window then runs over DISTINCT lengths within each
+    * group (domain-bounded — thousands of rows, not billions), never
+    * over the corpus. Quantile q = the smallest length whose running
+    * count reaches ceil(q·N) — an integer rank selection with no
+    * interpolation, so engines can't disagree.
+    *
+    * Contrast with the naive shapes: a global row_number sort is the
+    * single-partition scale-killer; percentile_approx is fast but not
+    * oracle-exact. This is both exact AND partition-parallel.
+    */
+  def lengthQuantiles(docs: DataFrame, textCol: String,
+      byCol: String = "source",
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    val n = size(wsTokens(col(textCol))).cast("long")
+    val hist = docs.select(col(byCol), n.as("len"))
+      .groupBy(col(byCol), col("len")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col(byCol)).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(Window.partitionBy(col(byCol))))
+    val aggs = qs.map { q =>
+      min(when(col("cum") >= ceil(lit(q) * col("total")), col("len")))
+        .as(s"p${(q * 100).round}")
+    }
+    cum.groupBy(col(byCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-document top-`k` characteristic terms by linearized tf-idf.
     * The idf factor is N/df (NOT log(N/df)): rank order per document is
     * identical (log is monotone) and the score stays ONE division of

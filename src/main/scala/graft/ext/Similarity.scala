@@ -372,12 +372,16 @@ object Similarity {
   final case class LshIndex(signatures: DataFrame, planes: Seq[Seq[Long]])
 
   /** One-off LSH build: derive the deterministic hyperplanes from the
-    * corpus dimensionality and sign every vector once.
+    * corpus dimensionality and sign every vector once. Pass `dim` when
+    * the embedding dimensionality is known (it usually is — the model
+    * card says so) to skip the one-row probe job; omitted, it costs one
+    * limit-1 scan of the first file's first row group, once per build.
     */
   def lshBuild(vectors: DataFrame, planes: Int,
-      idCol: String = "vec_id"): LshIndex = {
+      idCol: String = "vec_id", dim0: Option[Int] = None): LshIndex = {
     VectorFunctions.register(vectors.sparkSession)
-    val dim = vectors.select("embedding").head().getSeq[Float](0).size
+    val dim = dim0.getOrElse(
+      vectors.select("embedding").head().getSeq[Float](0).size)
     val hps = hyperplanes(planes, dim)
     LshIndex(
       lshSignature(vectors, hps)

@@ -107,6 +107,20 @@ class QualitySpec extends AnyFunSuite {
     assert(rs(1).getAs[String]("host") == "b.net")
   }
 
+  test("lengthQuantiles: exact rank selection on a known histogram") {
+    import spark.implicits._
+    // group g: lengths 1..10 (one doc each) → N=10; rank(q) = ceil(q·10)
+    // p25 → rank 3 → len 3; p50 → 5; p75 → 8; p90 → 9; p99 → 10
+    val d = (1 to 10).map(i => (s"g", i.toLong, ("w " * i).trim))
+      .toDF("source", "doc_id", "text")
+    val r = Quality.lengthQuantiles(d, "text").collect()(0)
+    assert(r.getAs[Long]("p25") == 3L)
+    assert(r.getAs[Long]("p50") == 5L)
+    assert(r.getAs[Long]("p75") == 8L)
+    assert(r.getAs[Long]("p90") == 9L)
+    assert(r.getAs[Long]("p99") == 10L)
+  }
+
   test("tfidfTopTerms ranks rare-but-frequent terms first") {
     import spark.implicits._
     // "rare" occurs twice in doc 1 and nowhere else → tf·N/df = 2·3/1 = 6
