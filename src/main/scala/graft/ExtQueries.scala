@@ -1538,6 +1538,52 @@ object ExtQueries {
           |FROM c GROUP BY source
           |ORDER BY source""".stripMargin)),
 
+    // Per-source corpus report card: one group-keyed agg; text reduced
+    // to a digest before the exchange (hashes on the wire, not docs).
+    QueryDef("x_stats_corpus",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.corpusStats(spark.table("documents"), "text")
+          .orderBy("source")
+      },
+      Some(
+        """SELECT source,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+          |       CAST(sum(len(coalesce(text, ''))) AS BIGINT) AS n_chars,
+          |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |       CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_distinct_texts,
+          |       CAST(count(*) - count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_exact_dups
+          |FROM documents GROUP BY source
+          |ORDER BY source""".stripMargin)),
+
+    // Token-budget sampler: greedy fill per source in salted-hash
+    // order; kept iff the starting offset is under budget (overshoot
+    // bounded by one doc). Window state = one running BIGINT per group.
+    QueryDef("x_pipe_budget",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.budgetSample(spark.table("documents"), "text", "source",
+            budgetTokens = 600L)
+          .orderBy("source", "doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT source, doc_id,
+          |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 15) AS BIGINT) % 1000000 AS hh
+          |  FROM documents
+          |),
+          |c AS (
+          |  SELECT source, doc_id, n_tokens,
+          |         sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id
+          |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS token_offset
+          |  FROM t
+          |)
+          |SELECT source, doc_id, n_tokens, CAST(token_offset AS BIGINT) AS token_offset
+          |FROM c WHERE token_offset < 600
+          |ORDER BY source, doc_id""".stripMargin)),
+
     // Deterministic domain-mix sampler: per-source keep-rates in
     // permille over a salted id hash — content-independent,
     // reshuffle-proof, monotone under rate increases. Pure map.

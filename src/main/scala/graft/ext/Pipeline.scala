@@ -191,6 +191,31 @@ object Pipeline {
       .filter(col("n_blocked") > 0)
   }
 
+  /** Token-budget sampler: within each `byCol` group, take documents in
+    * deterministic salted-hash order until the group's token budget is
+    * reached. A document is kept iff its STARTING cumulative offset is
+    * under the budget, so overshoot is bounded by one document — the
+    * standard greedy-fill contract. The ":budget" salt decorrelates the
+    * pick order from [[split]]/[[mixSample]]; the order is
+    * content-independent and reshuffle-proof. One hash-partitioned
+    * window per group — groups are independent, parallelism = group
+    * count, and the window state is one running BIGINT.
+    */
+  def budgetSample(docs: DataFrame, textCol: String, byCol: String,
+      idCol: String = "doc_id", budgetTokens: Long = 4000L): DataFrame = {
+    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
+    val h = pmod(Dedup.portableHash(
+      concat(col(idCol).cast("string"), lit(":budget"))), lit(1000000))
+    val w = Window.partitionBy(col(byCol)).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(byCol), col(idCol), size_long(toks).as("n_tokens"), h.as("__h"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .filter(col("__cum") - col("n_tokens") < budgetTokens)
+      .select(col(byCol), col(idCol), col("n_tokens"),
+        (col("__cum") - col("n_tokens")).as("token_offset"))
+  }
+
   /** Greedy-by-position sequence packing: within each `byCol` shard
     * (documents pack within their shard — the cluster-friendly
     * contract; a global order would serialize the corpus), documents

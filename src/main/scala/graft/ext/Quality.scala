@@ -258,4 +258,30 @@ object Quality {
       .select(col(idCol), col("token"), col("tf"), col("df"),
         col("tfidf"), col("term_rank").cast("long").as("term_rank"))
   }
+
+  /** Per-group corpus report card — the summary every shard ships with:
+    * document/token/char counts, language spread, and the exact-dup
+    * rate (docs minus distinct content digests). ONE group-keyed
+    * aggregation pass; the two distincts share the same shuffle via
+    * Spark's expand-based multi-distinct planning, and text itself is
+    * reduced to a digest before it ever reaches the exchange (bytes on
+    * the wire = 32-char hashes, not documents).
+    */
+  def corpusStats(docs: DataFrame, textCol: String,
+      byCol: String = "source"): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    docs
+      .select(col(byCol), col("lang"),
+        size(toks).cast("long").as("__n_toks"),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("__n_chars"),
+        md5(coalesce(col(textCol), lit("")).cast("binary")).as("__digest"))
+      .groupBy(col(byCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n_toks")).as("n_tokens"),
+        sum(col("__n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("__digest")).as("n_distinct_texts"))
+      .withColumn("n_exact_dups", col("n_docs") - col("n_distinct_texts"))
+  }
 }

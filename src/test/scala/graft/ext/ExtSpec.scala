@@ -345,6 +345,27 @@ class ExtSpec extends AnyFunSuite {
     assert(counts("val") > 50 && counts("test") > 50)
   }
 
+  test("pipeline budgetSample: greedy fill stops at the budget, overshoot ≤ 1 doc") {
+    import spark.implicits._
+    // every doc is 10 tokens; budget 35 → kept docs start at offsets
+    // 0,10,20,30 (4 docs, 40 tokens — one-doc overshoot), per group
+    val d = (0L until 40L).map(i => (i, s"g${i % 2}", ("w " * 10).trim))
+      .toDF("doc_id", "source", "text")
+    val r = Pipeline.budgetSample(d, "text", "source", budgetTokens = 35L)
+      .collect()
+    val byGroup = r.groupBy(_.getString(0))
+    assert(byGroup.keySet == Set("g0", "g1"))
+    byGroup.values.foreach { rows =>
+      assert(rows.length == 4)
+      assert(rows.map(_.getAs[Long]("token_offset")).sorted.toSeq ==
+        Seq(0L, 10L, 20L, 30L))
+    }
+    // reshuffle-proof: row order never changes the pick
+    val r2 = Pipeline.budgetSample(d.orderBy(col("doc_id").desc), "text",
+      "source", budgetTokens = 35L).collect()
+    assert(r.map(_.getLong(1)).sorted.toSeq == r2.map(_.getLong(1)).sorted.toSeq)
+  }
+
   test("pipeline mixSample: per-group rates, monotone increase, split-independent") {
     import spark.implicits._
     val d = (0L until 1000L).map(i => (i, s"src${i % 4}", s"text $i"))

@@ -107,6 +107,25 @@ class QualitySpec extends AnyFunSuite {
     assert(rs(1).getAs[String]("host") == "b.net")
   }
 
+  test("corpusStats: counts, language spread, exact-dup rate per group") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"), // exact dup pair
+      (3L, "d e", "fr", "s1"),
+      (4L, "x", "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Quality.corpusStats(d, "text").collect()
+      .map(x => x.getString(0) -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getAs[Long]("n_docs") == 3L)
+    assert(s1.getAs[Long]("n_tokens") == 8L)
+    assert(s1.getAs[Long]("n_chars") == 13L)
+    assert(s1.getAs[Long]("n_langs") == 2L)
+    assert(s1.getAs[Long]("n_distinct_texts") == 2L)
+    assert(s1.getAs[Long]("n_exact_dups") == 1L)
+    assert(r("s2").getAs[Long]("n_exact_dups") == 0L)
+  }
+
   test("lengthQuantiles: exact rank selection on a known histogram") {
     import spark.implicits._
     // group g: lengths 1..10 (one doc each) → N=10; rank(q) = ceil(q·10)
