@@ -1557,6 +1557,134 @@ object ExtQueries {
           |FROM documents GROUP BY source
           |ORDER BY source""".stripMargin)),
 
+    // URL canonicalization dedup: every 3rd doc links the SAME page
+    // under four spellings (https+WWW+trailing slash, http+query,
+    // https+fragment, uppercase host) — all four collapse to one
+    // canonical key with n_urls=4, proving the canonicalizer; the only
+    // shuffle is the canonical-keyed agg.
+    QueryDef("x_text_url_dedup",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val id = col("doc_id").cast("string")
+        val aug = spark.table("documents").withColumn("text",
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 3 === 0, concat(
+              lit(" https://WWW.site"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com/p/"), id, lit("/"),
+              lit(" http://site"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com/p/"), id, lit("?utm_source=feed"),
+              lit(" https://site"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com/p/"), id, lit("#sec"),
+              lit(" https://SITE"), (col("doc_id") % 7).cast("string"),
+              lit(".EXAMPLE.com/p/"), id)).otherwise(lit(""))))
+        Quality.urlDedup(aug, "text").orderBy("canonical_url")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') ||
+          |         CASE WHEN doc_id % 3 = 0 THEN
+          |           ' https://WWW.site' || (doc_id % 7) || '.example.com/p/' || doc_id || '/' ||
+          |           ' http://site' || (doc_id % 7) || '.example.com/p/' || doc_id || '?utm_source=feed' ||
+          |           ' https://site' || (doc_id % 7) || '.example.com/p/' || doc_id || '#sec' ||
+          |           ' https://SITE' || (doc_id % 7) || '.EXAMPLE.com/p/' || doc_id
+          |         ELSE '' END AS t
+          |  FROM documents
+          |),
+          |u AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
+          |  FROM aug
+          |),
+          |c AS (
+          |  SELECT doc_id,
+          |         regexp_replace(lower(regexp_extract(url, '^https?://([^/?#\s]+)', 1)), '^www\.', '') ||
+          |         rtrim(regexp_extract(url, '^https?://[^/?#\s]+([^?#\s]*)', 1), '/') AS canonical_url
+          |  FROM u
+          |)
+          |SELECT canonical_url,
+          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |       CAST(count(*) AS BIGINT) AS n_urls,
+          |       CAST(min(doc_id) AS BIGINT) AS first_doc
+          |FROM c GROUP BY canonical_url
+          |ORDER BY canonical_url""".stripMargin)),
+
+    // Unigram commonness: log-free perplexity surrogate — mean corpus
+    // token frequency in ppb; BIGINT end-to-end with ONE integer
+    // division, so the value hashes identically cross-engine.
+    QueryDef("x_quality_commonness",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.unigramCommonness(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS token
+          |  FROM documents
+          |),
+          |cnts AS (SELECT token, count(*) AS cnt FROM e GROUP BY token),
+          |tot AS (SELECT sum(cnt) AS total FROM cnts),
+          |d AS (
+          |  SELECT e.doc_id, count(*) AS n_tokens, sum(cnt) AS sum_cnt
+          |  FROM e JOIN cnts USING (token) GROUP BY e.doc_id
+          |)
+          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |       CAST(sum_cnt AS BIGINT) AS sum_cnt,
+          |       CAST(1000000000 * sum_cnt // (n_tokens * total) AS BIGINT) AS commonness_e9
+          |FROM d CROSS JOIN tot
+          |ORDER BY doc_id""".stripMargin)),
+
+    // C4-style boilerplate removal over deterministically line-augmented
+    // text (the corpus is single-line): every doc gains a unique
+    // 'uid N' line (never hot), even docs a copyright footer, %3 docs a
+    // generated-footer line — both cross the minDocs=100 threshold at
+    // sf0.01 and are stripped; the unique lines and original text stay.
+    QueryDef("x_quality_boilerplate",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val aug = spark.table("documents").withColumn("text",
+          concat(coalesce(col("text"), lit("")),
+            lit("\nuid "), col("doc_id").cast("string"),
+            when(col("doc_id") % 2 === 0,
+              lit("\n(c) example corp all rights reserved")).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0,
+              lit("\ngenerated page footer")).otherwise(lit(""))))
+        Quality.removeBoilerplate(aug, "text", minDocs = 100)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') || chr(10) || 'uid ' || doc_id ||
+          |         CASE WHEN doc_id % 2 = 0
+          |              THEN chr(10) || '(c) example corp all rights reserved'
+          |              ELSE '' END ||
+          |         CASE WHEN doc_id % 3 = 0
+          |              THEN chr(10) || 'generated page footer'
+          |              ELSE '' END AS t
+          |  FROM documents
+          |),
+          |dl AS (
+          |  SELECT doc_id, unnest(list_distinct(list_filter(
+          |           list_transform(string_split(t, chr(10)), x -> trim(x)),
+          |           x -> x <> ''))) AS line
+          |  FROM aug
+          |),
+          |hot AS (
+          |  SELECT line FROM (
+          |    SELECT line, count(*) AS n FROM dl GROUP BY line
+          |  ) WHERE n >= 100 ORDER BY n DESC, line LIMIT 10000
+          |),
+          |h AS (SELECT coalesce(list(line), []) AS hotset FROM hot)
+          |SELECT a.doc_id,
+          |       CAST(len(string_split(a.t, chr(10))) AS BIGINT) AS n_lines,
+          |       CAST(len(string_split(a.t, chr(10))) -
+          |            len(list_filter(string_split(a.t, chr(10)),
+          |                x -> NOT list_contains(h.hotset, trim(x)))) AS BIGINT) AS n_removed,
+          |       array_to_string(list_filter(string_split(a.t, chr(10)),
+          |           x -> NOT list_contains(h.hotset, trim(x))), chr(10)) AS clean_text
+          |FROM aug a CROSS JOIN h
+          |ORDER BY a.doc_id""".stripMargin)),
+
     // Token-budget sampler: greedy fill per source in salted-hash
     // order; kept iff the starting offset is under budget (overshoot
     // bounded by one doc). Window state = one running BIGINT per group.

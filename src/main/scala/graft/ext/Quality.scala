@@ -259,6 +259,113 @@ object Quality {
         col("tfidf"), col("term_rank").cast("long").as("term_rank"))
   }
 
+  /** Cross-document boilerplate lines — trimmed non-empty lines
+    * occurring in at least `minDocs` DISTINCT documents (nav bars,
+    * cookie banners, copyright footers), capped at the `maxLines` most
+    * frequent. The corpus-sized work is one explode of per-doc DISTINCT
+    * lines + one line-keyed count agg; the cap compiles to
+    * TakeOrderedAndProject (per-partition heap, never a global sort).
+    * Result is ≤ maxLines rows by construction — THE broadcast/collect
+    * side of the removal pass.
+    */
+  def boilerplateLines(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id", minDocs: Int = 100,
+      maxLines: Int = 10000): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = array_distinct(
+      filter(transform(split(t, "\n"), x => trim(x)), x => x =!= ""))
+    docs.select(explode(lines).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("line"))
+      .limit(maxLines)
+  }
+
+  /** C4/RefinedWeb-style boilerplate removal: strip every line whose
+    * trimmed value is in [[boilerplateLines]]' hot set; whitespace-only
+    * lines and everything else pass through untouched, in original
+    * order. Two jobs: the hot set (≤ maxLines rows — a bounded driver
+    * collect, same contract as IVF's nprobe cell ids) is inlined as a
+    * literal array, making the clean pass a PURE MAP — zero shuffle,
+    * no join, whatever the corpus size. That is the shape that wins at
+    * 100 TB: the alternative (explode lines → anti-join → re-assemble)
+    * shuffles every byte of corpus text twice.
+    */
+  def removeBoilerplate(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id", minDocs: Int = 100,
+      maxLines: Int = 10000): DataFrame = {
+    val hot = boilerplateLines(docs, textCol, idCol, minDocs, maxLines)
+      .collect().map(_.getString(0)).sorted
+    val hotLit = array(hot.map(lit).toSeq: _*)
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    val kept =
+      if (hot.isEmpty) lines
+      else filter(lines, l => !array_contains(hotLit, trim(l)))
+    docs.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(kept)).cast("long").as("n_removed"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
+  /** URL canonicalization + dedup profile: extract every URL, reduce it
+    * to a canonical form — scheme dropped (http ≡ https), host
+    * lowercased and `www.`-stripped, query string and fragment dropped,
+    * trailing slashes trimmed — then one canonical-keyed aggregation:
+    * distinct referencing docs, raw occurrence count, first (min) doc.
+    * The extraction/canonicalization is a PURE MAP (RE2-compatible
+    * patterns, so Spark and DuckDB run literally the same regexes); the
+    * only shuffle is the final canonical-URL agg. This is the
+    * crawl-frontier dedup every web-scale pipeline runs: the same page
+    * crawled as http/https/www/?utm=… collapses to one key.
+    */
+  def urlDedup(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val urls = regexp_extract_all(t, lit("https?://[^\\s]+"), lit(0))
+    val u = col("url")
+    val host = lower(regexp_extract(u, "^https?://([^/?#\\s]+)", 1))
+    val path = regexp_extract(u, "^https?://[^/?#\\s]+([^?#\\s]*)", 1)
+    val canonical = concat(
+      regexp_replace(host, "^www\\.", ""), rtrim(path, "/"))
+    docs.select(col(idCol), explode(urls).as("url"))
+      .select(col(idCol), canonical.as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_urls"),
+        min(col(idCol)).as("first_doc"))
+  }
+
+  /** Per-document unigram commonness score — the log-free perplexity
+    * surrogate: mean corpus frequency of the document's tokens, in
+    * parts per billion. score_e9 = ⌊1e9 · Σ cnt(tok) / (n_tokens ·
+    * total_tokens)⌋ — monotone in mean token probability (gibberish /
+    * OCR noise scores low, boilerplate scores high), and every step is
+    * BIGINT arithmetic ending in ONE integer division, so two engines
+    * cannot disagree (a mean-log-prob formulation would hinge on libm
+    * vs JVM `log` last-ULP behavior). At larger-than-local scale the
+    * product `1e9·Σcnt` needs DECIMAL(38,0) headroom; the shape is
+    * unchanged. Shape: one explode, a token-keyed count agg, a
+    * token-keyed join back (AQE broadcasts the counts side when it
+    * fits), a doc-keyed re-agg; the 1-row total broadcasts. Emits one
+    * row per document with ≥ 1 token.
+    */
+  def unigramCommonness(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val exploded = docs.select(col(idCol), explode(toks).as("token"))
+    val counts = exploded.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    exploded
+      .join(counts, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"), col("sum_cnt"),
+        expr("1000000000 * sum_cnt DIV (n_tokens * total)").as("commonness_e9"))
+  }
+
   /** Per-group corpus report card — the summary every shard ships with:
     * document/token/char counts, language spread, and the exact-dup
     * rate (docs minus distinct content digests). ONE group-keyed

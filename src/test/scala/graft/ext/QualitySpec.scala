@@ -107,6 +107,60 @@ class QualitySpec extends AnyFunSuite {
     assert(rs(1).getAs[String]("host") == "b.net")
   }
 
+  test("removeBoilerplate: strips hot lines, keeps order/blank/unique lines") {
+    import spark.implicits._
+    // "footer" appears (trimmed) in 3 docs → hot at minDocs=3; the
+    // indented variant in doc 1 matches via trim; blank lines and
+    // unique content survive in original order and form
+    val d = Seq(
+      (1L, "alpha\n  footer \n\nbeta"),
+      (2L, "footer\ngamma"),
+      (3L, "delta\nfooter")
+    ).toDF("doc_id", "text")
+    val hot = Quality.boilerplateLines(d, "text", minDocs = 3).collect()
+    assert(hot.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("footer", 3L)))
+    val r = Quality.removeBoilerplate(d, "text", minDocs = 3).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[String]("clean_text") == "alpha\n\nbeta")
+    assert(r(1L).getAs[Long]("n_lines") == 4L)
+    assert(r(1L).getAs[Long]("n_removed") == 1L)
+    assert(r(2L).getAs[String]("clean_text") == "gamma")
+    // below threshold → nothing removed
+    val none = Quality.removeBoilerplate(d, "text", minDocs = 4).collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("n_removed")).toMap
+    assert(none.values.forall(_ == 0L))
+  }
+
+  test("urlDedup: scheme/www/case/query/fragment/slash variants collapse") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "see https://WWW.Site.Example.com/A/b/ and more"),
+      (2L, "ref http://site.example.com/A/b?utm_source=x"),
+      (3L, "ref https://site.example.com/A/b#frag"),
+      (4L, "other https://site.example.com/other")
+    ).toDF("doc_id", "text")
+    val r = Quality.urlDedup(d, "text").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("site.example.com/A/b", "site.example.com/other"))
+    val c = r("site.example.com/A/b")
+    assert(c.getAs[Long]("n_docs") == 3L)
+    assert(c.getAs[Long]("n_urls") == 3L)
+    assert(c.getAs[Long]("first_doc") == 1L)
+  }
+
+  test("unigramCommonness: integer-exact mean token frequency") {
+    import spark.implicits._
+    // corpus: a a a b → cnt(a)=3, cnt(b)=1, total=4
+    // doc 1 = "a a a": sum_cnt=9, n=3 → 1e9·9/(3·4) = 750000000
+    // doc 2 = "b":     sum_cnt=1, n=1 → 1e9·1/(1·4) = 250000000
+    val d = Seq((1L, "a a a"), (2L, "b"), (3L, "")).toDF("doc_id", "text")
+    val r = Quality.unigramCommonness(d, "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L)) // empty doc emits no row
+    assert(r(1L).getAs[Long]("commonness_e9") == 750000000L)
+    assert(r(2L).getAs[Long]("commonness_e9") == 250000000L)
+  }
+
   test("corpusStats: counts, language spread, exact-dup rate per group") {
     import spark.implicits._
     val d = Seq(
