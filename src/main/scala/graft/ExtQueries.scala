@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Schema
-import graft.ext.{Dedup, Pipeline, Quality, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Events, Pipeline, Quality, Similarity, TextAnalysis}
 import graft.index.IndexJob
 import org.apache.spark.sql.functions._
 
@@ -1556,6 +1556,76 @@ object ExtQueries {
           |       CAST(count(*) - count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_exact_dups
           |FROM documents GROUP BY source
           |ORDER BY source""".stripMargin)),
+
+    // As-of join: every click matched to the user's most recent view at
+    // or before it. Union+window shape — one shuffle on user_id, zero
+    // joins, no pair explosion; the oracle is an independent LATERAL
+    // formulation, so parity proves semantics, not the algorithm.
+    QueryDef("x_evt_asof",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us", "value")
+        val views = ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts_us", "value")
+        Events.asofJoin(clicks, views).orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, event_type
+          |  FROM events
+          |),
+          |q AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'click'),
+          |r AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'view')
+          |SELECT q.event_id, q.user_id, q.ts_us, q.value,
+          |       l.ref_event_id, l.ref_ts_us, l.ref_value
+          |FROM q LEFT JOIN LATERAL (
+          |  SELECT r.event_id AS ref_event_id, r.ts_us AS ref_ts_us,
+          |         r.value AS ref_value
+          |  FROM r WHERE r.user_id = q.user_id AND r.ts_us <= q.ts_us
+          |  ORDER BY r.ts_us DESC, r.event_id DESC LIMIT 1
+          |) l ON TRUE
+          |ORDER BY q.event_id""".stripMargin)),
+
+    // Gap sessionization (4 h gap — the corpus' median per-user gap is
+    // ~7 h, so sessions are non-degenerate): one key-partitioned sort;
+    // integer window arithmetic end to end.
+    QueryDef("x_evt_sessions",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us")
+        Events.sessions(ev, gapUs = 4L * 3600 * 1000000)
+          .orderBy("user_id", "session_seq")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          |),
+          |s AS (
+          |  SELECT user_id, event_id, ts_us,
+          |         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+          |                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+          |                   > 14400000000
+          |              THEN 1 ELSE 0 END AS st
+          |  FROM e
+          |),
+          |g AS (
+          |  SELECT user_id, ts_us,
+          |         sum(st) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |                       ROWS UNBOUNDED PRECEDING) AS session_seq
+          |  FROM s
+          |)
+          |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(min(ts_us) AS BIGINT) AS start_us,
+          |       CAST(max(ts_us) AS BIGINT) AS end_us,
+          |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+          |FROM g GROUP BY user_id, session_seq
+          |ORDER BY user_id, session_seq""".stripMargin)),
 
     // URL canonicalization dedup: every 3rd doc links the SAME page
     // under four spellings (https+WWW+trailing slash, http+query,

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators: as-of join and gap sessionization — the two
+  * temporal primitives every event/metrics pipeline needs and vanilla
+  * Spark SQL lacks as operators.
+  *
+  * Scale contract: both operators are ONE hash-partition-by-key + sort
+  * — no range-condition join anywhere. The naive as-of formulation
+  * (`JOIN ON key = key AND r.ts <= q.ts` + windowed pick) makes Spark
+  * build every (query, earlier-ref) pair before discarding all but one
+  * — quadratic per key; the union+window shape below is O(n log n) per
+  * key and never materializes a pair.
+  */
+object Events {
+
+  /** As-of join: attach to each row of `queries` the single most recent
+    * `refs` row with the same `keyCol` and `ref.tsCol <= query.tsCol`
+    * (ties on ts: highest `idCol` wins; a ref exactly at the query's
+    * timestamp matches). Null ref columns when no ref precedes.
+    *
+    * Shape: tag both sides, union, ONE window per key ordered by
+    * (ts, side, id) carrying the last non-null ref row as a packed
+    * struct — the whole ref row travels in one column, so the matched
+    * id/ts/payload can never mix rows. One shuffle on `keyCol`, one
+    * sort, zero joins: the as-of shape that survives 100× key skew
+    * better than any range join (AQE can split a hot key's sort, but
+    * not a hot key's pair explosion).
+    *
+    * Both inputs need (`keyCol`, `tsCol` BIGINT, `idCol`); `payload`
+    * names the ref columns to carry (emitted as `ref_<name>`, plus
+    * `ref_<idCol>` / `ref_<tsCol>`).
+    */
+  def asofJoin(queries: DataFrame, refs: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts_us",
+      idCol: String = "event_id", payload: Seq[String] = Seq("value")): DataFrame = {
+    val qCols = queries.columns
+    val refStruct = struct(
+      (Seq(idCol, tsCol) ++ payload).map(c => col(c).as(c)): _*)
+    val qTagged = queries
+      .withColumn("__side", lit(1))
+      .withColumn("__ref", lit(null).cast(
+        refs.select(refStruct).schema.head.dataType))
+    val rTagged = refs
+      .select((Seq(col(keyCol), col(tsCol), col(idCol)) :+
+        refStruct.as("__ref")): _*)
+      .withColumn("__side", lit(0))
+    val unioned = qTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = unioned
+      .withColumn("__m", last(col("__ref"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    out.select(
+      qCols.map(col) ++
+        Seq(col(s"__m.$idCol").as(s"ref_$idCol"),
+          col(s"__m.$tsCol").as(s"ref_$tsCol")) ++
+        payload.map(c => col(s"__m.$c").as(s"ref_$c")): _*)
+  }
+
+  /** Gap sessionization: per `keyCol`, events ordered by (`tsCol`,
+    * `idCol`) start a new session when the gap from the previous event
+    * exceeds `gapUs`. Adds `session_seq` (1-based per key) and
+    * `event_seq` (1-based within session). Pure integer window
+    * arithmetic over ONE key-partitioned sort — deterministic in any
+    * engine, parallelism = key count.
+    */
+  def sessionize(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", idCol: String = "event_id",
+      gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(wOrd))
+      .withColumn("__start",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__start")).over(wRun))
+      .withColumn("event_seq", row_number().over(
+        Window.partitionBy(col(keyCol), col("session_seq"))
+          .orderBy(col(tsCol), col(idCol))).cast("long"))
+      .drop("__prev", "__start")
+  }
+
+  /** Per-session rollup of [[sessionize]]: bounds, size, duration.
+    * The session window runs inside the same key partitioning — at
+    * scale the sessionize sort and this agg share one shuffle.
+    */
+  def sessions(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", idCol: String = "event_id",
+      gapUs: Long = 30L * 60 * 1000000): DataFrame =
+    sessionize(events, keyCol, tsCol, idCol, gapUs)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_us"),
+        max(col(tsCol)).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+}

@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge semantics of the temporal operators: as-of tie-breaks and
+  * session gap boundaries — the cases the corpus oracle can't pin.
+  */
+class EventsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("asofJoin: latest-at-or-before, equal-ts tie → highest id, no-ref → null") {
+    import spark.implicits._
+    val refs = Seq(
+      (10L, 1L, 100L, 1.0), // user 1, ts 100
+      (11L, 1L, 100L, 2.0), // same ts — higher id wins ties
+      (12L, 1L, 200L, 3.0)
+    ).toDF("event_id", "user_id", "ts_us", "value")
+    val queries = Seq(
+      (20L, 1L, 100L, 0.0), // ref exactly at query ts matches (≤)
+      (21L, 1L, 150L, 0.0), // between refs → ts-100 pair, id 11
+      (22L, 1L, 250L, 0.0), // after all → id 12
+      (23L, 1L, 50L, 0.0),  // before all → null
+      (24L, 2L, 500L, 0.0)  // other user, no refs → null
+    ).toDF("event_id", "user_id", "ts_us", "value")
+    val r = Events.asofJoin(queries, refs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(20L).getAs[Long]("ref_event_id") == 11L)
+    assert(r(21L).getAs[Long]("ref_event_id") == 11L)
+    assert(r(21L).getAs[Double]("ref_value") == 2.0)
+    assert(r(22L).getAs[Long]("ref_event_id") == 12L)
+    assert(r(23L).isNullAt(r(23L).fieldIndex("ref_event_id")))
+    assert(r(24L).isNullAt(r(24L).fieldIndex("ref_event_id")))
+  }
+
+  test("sessionize: gap strictly greater than gapUs starts a session") {
+    import spark.implicits._
+    // gaps: 10 (continue), exactly 100 (continue — rule is >), 101 (new)
+    val ev = Seq(
+      (1L, 1L, 1000L), (2L, 1L, 1010L), (3L, 1L, 1110L), (4L, 1L, 1211L),
+      (5L, 2L, 9999L)
+    ).toDF("event_id", "user_id", "ts_us")
+    val r = Events.sessionize(ev, gapUs = 100L).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("session_seq") == 1L)
+    assert(r(2L).getAs[Long]("session_seq") == 1L)
+    assert(r(3L).getAs[Long]("session_seq") == 1L) // gap == 100 continues
+    assert(r(4L).getAs[Long]("session_seq") == 2L) // gap 101 splits
+    assert(r(4L).getAs[Long]("event_seq") == 1L)
+    assert(r(5L).getAs[Long]("session_seq") == 1L) // keys are independent
+    val s = Events.sessions(ev, gapUs = 100L).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    assert(s((1L, 1L)).getAs[Long]("n_events") == 3L)
+    assert(s((1L, 1L)).getAs[Long]("duration_us") == 110L)
+    assert(s((1L, 2L)).getAs[Long]("duration_us") == 0L)
+  }
+}
