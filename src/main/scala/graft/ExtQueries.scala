@@ -1627,6 +1627,59 @@ object ExtQueries {
           |FROM g GROUP BY user_id, session_seq
           |ORDER BY user_id, session_seq""".stripMargin)),
 
+    // Cohort retention: first-seen-week cohorts × active-week offsets.
+    // Engine uses the distinct-first + window shape; the oracle is the
+    // independent join-back formulation.
+    QueryDef("x_evt_retention",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        Events.retention(ev).orderBy("cohort_week", "week_offset")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+          |),
+          |d AS (SELECT DISTINCT user_id, week FROM e),
+          |c AS (SELECT user_id, min(week) AS cohort_week FROM d GROUP BY user_id)
+          |SELECT c.cohort_week, d.week - c.cohort_week AS week_offset,
+          |       CAST(count(*) AS BIGINT) AS n_users
+          |FROM d JOIN c USING (user_id)
+          |GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin)),
+
+    // Ordered funnel view → click → purchase within 7 days: chained
+    // conditional-min windows over ONE user exchange; the oracle is the
+    // independent per-step aggregate-and-join chain.
+    QueryDef("x_evt_funnel",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us", "event_type")
+        Events.funnel(ev, Seq("view", "click", "purchase"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+          |),
+          |u AS (SELECT DISTINCT user_id FROM e),
+          |s0 AS (SELECT user_id, min(ts_us) AS t0 FROM e
+          |       WHERE event_type = 'view' GROUP BY user_id),
+          |s1 AS (SELECT e.user_id, min(ts_us) AS t1 FROM e JOIN s0 USING (user_id)
+          |       WHERE event_type = 'click' AND ts_us >= t0 GROUP BY e.user_id),
+          |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+          |       WHERE event_type = 'purchase' AND ts_us >= t1 GROUP BY e.user_id)
+          |SELECT u.user_id, s0.t0, s1.t1, s2.t2,
+          |       coalesce(s2.t2 - s0.t0 <= 604800000000, FALSE) AS converted
+          |FROM u
+          |LEFT JOIN s0 USING (user_id)
+          |LEFT JOIN s1 USING (user_id)
+          |LEFT JOIN s2 USING (user_id)
+          |ORDER BY u.user_id""".stripMargin)),
+
     // URL canonicalization dedup: every 3rd doc links the SAME page
     // under four spellings (https+WWW+trailing slash, http+query,
     // https+fragment, uppercase host) — all four collapse to one

@@ -99,4 +99,61 @@ object Events {
         min(col(tsCol)).as("start_us"),
         max(col(tsCol)).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
+
+  private val WeekUs = 7L * 86400 * 1000000
+
+  /** Cohort retention: users grouped by first-seen week, counted as
+    * retained in every later week they are active. Epoch weeks are
+    * integer floor-divisions of µs — exact in any engine. Shape:
+    * (user, week) distinct FIRST — map-side combined, so raw events
+    * collapse before anything is sorted — then the cohort week as a
+    * min window over the distinct relation, then the tiny (cohort,
+    * offset) agg. No self-join — the classic formulation joins a
+    * first-seen relation back to activity; the window form does it in
+    * the distinct relation's own exchange.
+    */
+  def retention(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val wk = floor(col(tsCol) / WeekUs).cast("long")
+    events
+      .select(col(keyCol), wk.as("week")).distinct()
+      .withColumn("cohort_week", min(col("week")).over(w))
+      .select(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Ordered funnel: for each user, the earliest completion of
+    * `steps` in sequence — t₁ = first step-1 event, tₖ = first step-k
+    * event at or after tₖ₋₁ — plus a conversion flag requiring the
+    * whole chain inside `windowUs`. One shuffle: every tₖ is a
+    * conditional-min window over the SAME user partitioning (k chained
+    * Window projections, one Exchange; the sort is reused), then one
+    * row per user via the same-keyed agg. The naive per-step
+    * aggregate-and-self-join plan shuffles k + 1 times.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts_us",
+      typeCol: String = "event_type",
+      windowUs: Long = 7L * 86400 * 1000000): DataFrame = {
+    require(steps.nonEmpty)
+    val w = Window.partitionBy(col(keyCol))
+    val stepped = steps.zipWithIndex.foldLeft(events) { case (df, (s, i)) =>
+      val cond =
+        if (i == 0) when(col(typeCol) === s, col(tsCol))
+        else when(col(typeCol) === s &&
+          col(tsCol) >= col(s"t${i - 1}"), col(tsCol))
+      df.withColumn(s"t$i", min(cond).over(w))
+    }
+    val tCols = steps.indices.map(i => s"t$i")
+    stepped
+      .groupBy(col(keyCol))
+      .agg(min(col(tCols.head)).as(tCols.head),
+        tCols.tail.map(c => min(col(c)).as(c)): _*)
+      .withColumn("converted",
+        col(tCols.last).isNotNull &&
+          col(tCols.last) - col(tCols.head) <= windowUs)
+  }
 }

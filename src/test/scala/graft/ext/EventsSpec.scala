@@ -33,6 +33,50 @@ class EventsSpec extends AnyFunSuite {
     assert(r(24L).isNullAt(r(24L).fieldIndex("ref_event_id")))
   }
 
+  test("retention: first-seen cohort, distinct user-weeks, offsets") {
+    import spark.implicits._
+    val wk = 7L * 86400 * 1000000
+    // user 1: weeks 0, 0, 2 → cohort 0, offsets {0, 2}
+    // user 2: weeks 1, 2    → cohort 1, offsets {0, 1}
+    val ev = Seq(
+      (1L, 10L), (1L, 20L), (1L, 2 * wk + 5),
+      (2L, wk + 1), (2L, 2 * wk + 1)
+    ).toDF("user_id", "ts_us")
+    val r = Events.retention(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map((0L, 0L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
+  test("funnel: ordered chain, out-of-order steps don't count, window gate") {
+    import spark.implicits._
+    val day = 86400L * 1000000
+    val ev = Seq(
+      // user 1: view@1d, click@2d, purchase@3d → converted
+      (1L, 1L, 1 * day, "view"), (2L, 1L, 2 * day, "click"),
+      (3L, 1L, 3 * day, "purchase"),
+      // user 2: click BEFORE first view — that click can't count;
+      // no later click → chain stops at t0
+      (4L, 2L, 1 * day, "click"), (5L, 2L, 2 * day, "view"),
+      (6L, 2L, 3 * day, "purchase"), // purchase needs a click first
+      // user 3: full chain but purchase lands past the 7-day window
+      (7L, 3L, 1 * day, "view"), (8L, 3L, 2 * day, "click"),
+      (9L, 3L, 10 * day, "purchase"),
+      // user 4: no funnel events at all → all null, not converted
+      (10L, 4L, 1 * day, "error")
+    ).toDF("event_id", "user_id", "ts_us", "event_type")
+    val r = Events.funnel(ev, Seq("view", "click", "purchase")).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("converted"))
+    assert(r(1L).getAs[Long]("t2") == 3 * day)
+    assert(!r(2L).getAs[Boolean]("converted"))
+    assert(r(2L).isNullAt(r(2L).fieldIndex("t1"))) // pre-view click ignored
+    assert(!r(3L).getAs[Boolean]("converted")) // chain complete, window missed
+    assert(r(3L).getAs[Long]("t2") == 10 * day)
+    assert(!r(4L).getAs[Boolean]("converted"))
+    assert(r(4L).isNullAt(r(4L).fieldIndex("t0")))
+  }
+
   test("sessionize: gap strictly greater than gapUs starts a session") {
     import spark.implicits._
     // gaps: 10 (continue), exactly 100 (continue — rule is >), 101 (new)
