@@ -295,6 +295,45 @@ object ExtQueries {
        |sigs AS (SELECT doc_id, $sig AS simhash FROM sums)""".stripMargin
   }
 
+  /** Shared by the relational and compiled-kernel n-gram repetition
+    * entries — identical contract, two physical shapes. */
+  private val NgramRepOracle: String =
+    """WITH toks AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS ts
+          |  FROM documents
+          |),
+          |bi AS (
+          |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+          |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+          |        FROM toks WHERE len(ts) >= 2) q
+          |),
+          |bic AS (SELECT doc_id, gram, count(*) AS cnt FROM bi GROUP BY 1, 2),
+          |bitop AS (
+          |  SELECT doc_id, CAST(cnt AS BIGINT) AS top_bigram_count
+          |  FROM (SELECT doc_id, cnt, row_number() OVER (
+          |          PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+          |        FROM bic) q WHERE rn = 1
+          |),
+          |bisum AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams FROM bic GROUP BY 1),
+          |tri AS (
+          |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+          |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+          |        FROM toks WHERE len(ts) >= 3) q
+          |),
+          |tric AS (SELECT doc_id, gram, count(*) AS cnt FROM tri GROUP BY 1, 2),
+          |tris AS (
+          |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+          |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS rep
+          |  FROM tric GROUP BY 1
+          |)
+          |SELECT b.doc_id, b.n_bigrams, p.top_bigram_count,
+          |       CAST(p.top_bigram_count AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+          |       t.n_trigrams,
+          |       CAST(t.rep AS DOUBLE) / t.n_trigrams AS rep_trigram_frac
+          |FROM bisum b JOIN bitop p USING (doc_id) LEFT JOIN tris t USING (doc_id)
+          |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- dedup -------------------------------------------------------
@@ -1364,41 +1403,17 @@ object ExtQueries {
           .orderBy("doc_id")
       },
       Some(
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS ts
-          |  FROM documents
-          |),
-          |bi AS (
-          |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
-          |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
-          |        FROM toks WHERE len(ts) >= 2) q
-          |),
-          |bic AS (SELECT doc_id, gram, count(*) AS cnt FROM bi GROUP BY 1, 2),
-          |bitop AS (
-          |  SELECT doc_id, CAST(cnt AS BIGINT) AS top_bigram_count
-          |  FROM (SELECT doc_id, cnt, row_number() OVER (
-          |          PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
-          |        FROM bic) q WHERE rn = 1
-          |),
-          |bisum AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams FROM bic GROUP BY 1),
-          |tri AS (
-          |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-          |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
-          |        FROM toks WHERE len(ts) >= 3) q
-          |),
-          |tric AS (SELECT doc_id, gram, count(*) AS cnt FROM tri GROUP BY 1, 2),
-          |tris AS (
-          |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
-          |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS rep
-          |  FROM tric GROUP BY 1
-          |)
-          |SELECT b.doc_id, b.n_bigrams, p.top_bigram_count,
-          |       CAST(p.top_bigram_count AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
-          |       t.n_trigrams,
-          |       CAST(t.rep AS DOUBLE) / t.n_trigrams AS rep_trigram_frac
-          |FROM bisum b JOIN bitop p USING (doc_id) LEFT JOIN tris t USING (doc_id)
-          |ORDER BY doc_id""".stripMargin)),
+        NgramRepOracle)),
+
+    // Same stats via the compiled in-row kernel (ngram_rep_e): zero
+    // Exchange — the (doc, gram) shuffles above disappear. Same oracle.
+    QueryDef("x_quality_ngram_rep_native",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.ngramRepetitionNative(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(NgramRepOracle)),
 
     // PII screen over deterministically PII-augmented text (the corpus
     // is PII-free word soup, so every 7th doc gets a synthetic email +

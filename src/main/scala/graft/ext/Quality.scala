@@ -137,6 +137,35 @@ object Quality {
         col("top_bigram_frac"), col("n_trigrams"), col("rep_trigram_frac"))
   }
 
+  /** [[ngramRepetition]] as one compiled pass — identical output, zero
+    * Exchange. The relational shape above shuffles every bigram AND
+    * trigram on corpus-wide (doc, gram) string keys; both metrics are
+    * per-document, so the kernel
+    * ([[graft.functions.NgramRepExpression]]) computes all four
+    * counters in-row and the operator collapses to Scan → Project.
+    * Same oracle as the relational entry; same null contract (docs
+    * with < 2 tokens dropped, trigram columns NULL when < 3 tokens).
+    */
+  def ngramRepetitionNative(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.NgramRepFunctions.register(docs.sparkSession)
+    val s = graft.functions.NgramRepFunctions.ngram_rep_e(
+      coalesce(col(textCol), lit("")))
+    docs.select(col(idCol), s.as("__s"))
+      .filter(col("__s.n_bigrams") > 0)
+      .select(col(idCol),
+        col("__s.n_bigrams").as("n_bigrams"),
+        col("__s.top_bigram_count").as("top_bigram_count"),
+        (col("__s.top_bigram_count").cast("double") /
+          col("__s.n_bigrams").cast("double")).as("top_bigram_frac"),
+        when(col("__s.n_trigrams") > 0, col("__s.n_trigrams"))
+          .as("n_trigrams"),
+        when(col("__s.n_trigrams") > 0,
+          col("__s.rep_trigrams").cast("double") /
+            col("__s.n_trigrams").cast("double"))
+          .as("rep_trigram_frac"))
+  }
+
   /** The three PII shapes screened, as (pattern, replacement-tag)
     * pairs. Patterns are deliberately RE2-compatible (no backrefs, no
     * lookaround) so the same pattern string runs in Spark's Java regex

@@ -131,6 +131,27 @@ class QualitySpec extends AnyFunSuite {
     assert(none.values.forall(_ == 0L))
   }
 
+  test("ngramRepetitionNative ≡ ngramRepetition on edge and repeat docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a"),         // top bigram "a b" ×2 of 4; trigrams: "a b a"×2, "b a b" → rep 2/3
+      (2L, "x y"),               // bigrams but no trigrams → NULL trigram cols
+      (3L, "solo"),              // 1 token → dropped
+      (4L, ""),                  // empty → dropped
+      (5L, null.asInstanceOf[String]), // null → dropped
+      (6L, "  p  q\tr \n s ")    // messy whitespace
+    ).toDF("doc_id", "text")
+    val rel = Quality.ngramRepetition(d, "text").orderBy("doc_id").collect()
+    val nat = Quality.ngramRepetitionNative(d, "text").orderBy("doc_id").collect()
+    assert(rel.map(_.toSeq).toSeq == nat.map(_.toSeq).toSeq)
+    val m = nat.map(x => x.getLong(0) -> x).toMap
+    assert(m.keySet == Set(1L, 2L, 6L))
+    assert(m(1L).getAs[Long]("top_bigram_count") == 2L)
+    assert(m(1L).getAs[Double]("rep_trigram_frac") == 2.0 / 3)
+    assert(m(2L).isNullAt(m(2L).fieldIndex("n_trigrams")))
+    assert(m(6L).getAs[Long]("n_bigrams") == 3L)
+  }
+
   test("urlDedup: scheme/www/case/query/fragment/slash variants collapse") {
     import spark.implicits._
     val d = Seq(
