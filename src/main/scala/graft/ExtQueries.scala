@@ -878,12 +878,21 @@ object ExtQueries {
     QueryDef("x_pipeline_curation",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        val staged = TextAnalysis.qualityScore(
-          TextAnalysis.languageId(
-            Dedup.dedupKeepFirst(spark.table("documents"), "text", "doc_id"),
-            "text"),
-          "text")
-        staged
+        // Score and language-ID in-row FIRST, then drop text before the
+        // dedup window: the exchange carries (digest, id, two scores),
+        // never the corpus text — the composition order that matters at
+        // 100 TB. Same semantics as scoring after the window: the
+        // metrics are per-row and is_duplicate is corpus-wide either way.
+        val scored = TextAnalysis.qualityScore(
+            TextAnalysis.languageId(spark.table("documents"), "text"),
+            "text")
+          .select(col("doc_id"), col("lang"), col("quality_score"),
+            col("predicted_lang"),
+            md5(col("text").cast("binary")).as("__digest"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__digest")).orderBy(col("doc_id"))
+        scored
+          .withColumn("is_duplicate", row_number().over(w) > 1)
           .filter(!col("is_duplicate") && col("quality_score") >= 0.5 &&
             col("predicted_lang") === col("lang"))
           .select("doc_id", "lang", "quality_score")
@@ -1616,31 +1625,7 @@ object ExtQueries {
         Events.sessions(ev, gapUs = 4L * 3600 * 1000000)
           .orderBy("user_id", "session_seq")
       },
-      Some(
-        """WITH e AS (
-          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
-          |),
-          |s AS (
-          |  SELECT user_id, event_id, ts_us,
-          |         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
-          |                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
-          |                   > 14400000000
-          |              THEN 1 ELSE 0 END AS st
-          |  FROM e
-          |),
-          |g AS (
-          |  SELECT user_id, ts_us,
-          |         sum(st) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-          |                       ROWS UNBOUNDED PRECEDING) AS session_seq
-          |  FROM s
-          |)
-          |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-          |       CAST(count(*) AS BIGINT) AS n_events,
-          |       CAST(min(ts_us) AS BIGINT) AS start_us,
-          |       CAST(max(ts_us) AS BIGINT) AS end_us,
-          |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
-          |FROM g GROUP BY user_id, session_seq
-          |ORDER BY user_id, session_seq""".stripMargin)),
+      defsSessionOracle),
 
     // Cohort retention: first-seen-week cohorts × active-week offsets.
     // Engine uses the distinct-first + window shape; the oracle is the
@@ -1913,6 +1898,75 @@ object ExtQueries {
           |       CAST(count(*) AS BIGINT) AS n_copies
           |FROM documents
           |GROUP BY 1
-          |ORDER BY digest""".stripMargin))
+          |ORDER BY digest""".stripMargin)),
+
+    // Streaming gap sessionization: a REAL Structured Streaming run
+    // (parquet source → AvailableNow → flatMapGroupsWithState keyed on
+    // user → memory sink), checked against the BATCH sessionization
+    // oracle — state is one open-session carry per user, completed
+    // sessions leave state. Same 4 h gap as x_evt_sessions.
+    QueryDef("x_stream_sessions",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-evt")
+        val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+        val link = srcDir.resolve("events.parquet")
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+        val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
+        val q = graft.streaming.IncrementalIndexer
+          .sessionStream(spark, stream, gapUs = 4L * 3600 * 1000000)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_sessions_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // final value of a session = its emission with the most events
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "session_seq").orderBy(col("n_events").desc)
+        spark.table("x_stream_sessions_sink")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("user_id", "session_seq", "n_events", "start_us", "end_us",
+            "duration_us")
+          .orderBy("user_id", "session_seq")
+      },
+      defsSessionOracle)
   )
+
+  /** The batch-sessionization oracle, shared by the batch and streaming
+    * entries — the streaming operator's contract IS batch equivalence.
+    * A `def` (not a val): it is referenced from the `defs` initializer.
+    */
+  private def defsSessionOracle: Option[String] = Some(
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |),
+      |s AS (
+      |  SELECT user_id, event_id, ts_us,
+      |         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+      |                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |                   > 14400000000
+      |              THEN 1 ELSE 0 END AS st
+      |  FROM e
+      |),
+      |g AS (
+      |  SELECT user_id, ts_us,
+      |         sum(st) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                       ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM s
+      |)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(min(ts_us) AS BIGINT) AS start_us,
+      |       CAST(max(ts_us) AS BIGINT) AS end_us,
+      |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+      |FROM g GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin)
 }

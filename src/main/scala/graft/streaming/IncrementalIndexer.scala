@@ -115,6 +115,55 @@ object IncrementalIndexer {
       }
   }
 
+  /** Streaming gap sessionization — [[graft.ext.Events.sessions]] as
+    * incremental state. State per user is ONE open-session carry
+    * (last ts, seq, size, start): completed sessions are emitted and
+    * leave state, so memory is bounded by active users, not history.
+    * Each batch's events are sorted in-group by (ts, id) — in-batch
+    * arrival order never matters; across batches the output equals the
+    * batch operator whenever batches respect event-time order per key
+    * (the standard streaming-sessionization contract — a watermark
+    * bounds the violation window in production). Update-mode sinks see
+    * one row per session per batch it changed in; the final value of a
+    * session is its emission with the highest n_events.
+    */
+  final case class SessionRow(user_id: Long, session_seq: Long,
+      n_events: Long, start_us: Long, end_us: Long, duration_us: Long)
+  final case class SessionCarry(last_ts: Long, seq: Long,
+      n: Long, start: Long)
+
+  def sessionStream(spark: SparkSession, events: DataFrame,
+      gapUs: Long): Dataset[SessionRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_us").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionCarry, SessionRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+        var s = state.getOption.orNull
+        sorted.foreach { case (_, _, ts) =>
+          if (s == null) s = SessionCarry(ts, 1L, 1L, ts)
+          else if (ts - s.last_ts > gapUs) {
+            out += SessionRow(uid, s.seq, s.n, s.start, s.last_ts,
+              s.last_ts - s.start) // close the previous session
+            s = SessionCarry(ts, s.seq + 1, 1L, ts)
+          } else s = SessionCarry(ts, s.seq, s.n + 1, s.start)
+        }
+        if (s != null) {
+          state.update(s)
+          // provisional row for the still-open session
+          out += SessionRow(uid, s.seq, s.n, s.start, s.last_ts,
+            s.last_ts - s.start)
+        }
+        out.iterator
+      }
+  }
+
   def userStates(spark: SparkSession, events: DataFrame): Dataset[UserEventState] = {
     import spark.implicits._
     events.select(col("user_id").cast("long"), col("event_id").cast("long"),

@@ -102,6 +102,35 @@ class IncrementalIndexerSpec extends AnyFunSuite {
     assert(fin.keySet.contains(expect))
   }
 
+  test("sessionStream: open session extends, closes, and reopens across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long)] // (user_id, event_id, ts_us)
+    val q = IncrementalIndexer.sessionStream(spark,
+        stream.toDF().toDF("user_id", "event_id", "ts_us"), gapUs = 100L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("session_stream_spec").start()
+    // batch 1 arrives OUT of event-time order in-batch: sorted in-group
+    stream.addData((1L, 2L, 1050L), (1L, 1L, 1000L))
+    q.processAllAvailable()
+    // batch 2: extends the open session (gap 50 ≤ 100), then a 500-gap
+    // event opens session 2
+    stream.addData((1L, 3L, 1100L), (1L, 4L, 1600L))
+    q.processAllAvailable()
+    q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "session_seq").orderBy(col("n_events").desc)
+    val fin = spark.table("session_stream_spec")
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(fin((1L, 1L)).getAs[Long]("n_events") == 3L)
+    assert(fin((1L, 1L)).getAs[Long]("start_us") == 1000L)
+    assert(fin((1L, 1L)).getAs[Long]("end_us") == 1100L)
+    assert(fin((1L, 2L)).getAs[Long]("n_events") == 1L)
+    assert(fin((1L, 2L)).getAs[Long]("duration_us") == 0L)
+  }
+
   test("watermarked windowed aggregation over the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
