@@ -147,6 +147,52 @@ object PlanDump {
     dump("x_text_tfidf (keyed aggs + broadcast count)")(
       graft.ext.Quality.tfidfTopTerms(docs, "text"))
 
+    // ---- round-6 evidence ------------------------------------------
+
+    // 15. exact quantiles: corpus work = one (group, len) count agg;
+    //     the rank-selection window sees distinct lengths only
+    dump("x_stats_length_quantiles (histogram ranks)")(
+      graft.ext.Quality.lengthQuantiles(docs, "text"))
+
+    // 16. boilerplate strip: hot set is a TakeOrderedAndProject capped
+    //     agg; the clean pass is Scan → Project — text never exchanged
+    dump("x_quality_boilerplate (pure-map clean pass)")(
+      graft.ext.Quality.removeBoilerplate(docs, "text", minDocs = 2))
+
+    // 17. compiled n-gram repetition kernel vs the keyed agg tree:
+    //     zero Exchange, one Project
+    dump("x_quality_ngram_rep_native (compiled kernel)")(
+      graft.ext.Quality.ngramRepetitionNative(docs, "text"))
+
+    // 18. as-of join: ONE user_id Exchange + sort, no join operator in
+    //     the plan at all
+    Corpus.registerSources(spark, sfDir)
+    val ev = spark.table("events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts_us", "value")
+    dump("x_evt_asof (union+window, zero joins)")(
+      graft.ext.Events.asofJoin(clicks, views))
+
+    // 19. funnel: k chained conditional-min windows sharing ONE
+    //     exchange (consecutive Window nodes, single Exchange below)
+    dump("x_evt_funnel (chained windows, one exchange)")(
+      graft.ext.Events.funnel(
+        ev.select("event_id", "user_id", "ts_us", "event_type"),
+        Seq("view", "click", "purchase")))
+
+    // 20. retention: distinct-first (partial-agg map side), min window
+    //     in the distinct relation's exchange
+    dump("x_evt_retention (distinct-first)")(
+      graft.ext.Events.retention(ev))
+
+    // 21. curation pipeline: scores computed BELOW the dedup window's
+    //     exchange; exchanged row = (digest, id, scores), not text
+    dump("x_pipeline_curation (narrow-shuffle composition)")(
+      SparkEntry.queries("x_pipeline_curation")(spark, sfDir))
+
     spark.stop()
   }
 }
