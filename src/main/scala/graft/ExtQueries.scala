@@ -596,6 +596,78 @@ object ExtQueries {
            |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.4
            |ORDER BY blk, id_a, id_b""".stripMargin)),
 
+    // Per-label embedding centroids in e6 fixed point: quantize once,
+    // integer sums, one truncating division per dim — fold-order-proof.
+    QueryDef("x_sim_centroids",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.centroids(spark.table("embeddings"), "label")
+          .orderBy("label")
+      },
+      Some(
+        """WITH x AS (
+          |  SELECT label, unnest(range(len(embedding))) AS dim,
+          |         unnest(embedding) AS v
+          |  FROM embeddings
+          |),
+          |m AS (
+          |  SELECT label, dim, count(*) AS cnt,
+          |         sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
+          |  FROM x GROUP BY 1, 2
+          |)
+          |SELECT label, CAST(max(cnt) AS BIGINT) AS n_vectors,
+          |       list(s // cnt ORDER BY dim) AS centroid_e6
+          |FROM m GROUP BY label
+          |ORDER BY label""".stripMargin)),
+
+    // Semantic dedup composition: blocked embedding near-dup pairs →
+    // connected components → canonical (min-id) doc per cluster. The
+    // components step is the pointer-doubling propagation; the oracle
+    // recomputes reachability with a recursive CTE.
+    QueryDef("x_pipeline_semantic_dedup",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val pairs = Similarity
+          .cosineNearDupPairs(spark.table("embeddings"), "label", 0.4)
+          .select(col("id_a"), col("id_b"))
+        Dedup.duplicateComponents(pairs)
+          .withColumn("is_canonical", col("doc_id") === col("component"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $exCte,
+           |norms AS (
+           |  SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+           |  FROM ex GROUP BY vec_id
+           |),
+           |pairdots AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+           |  FROM ex a
+           |  JOIN ex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+           |  GROUP BY 1, 2
+           |),
+           |pairs AS (
+           |  SELECT id_a, id_b
+           |  FROM pairdots
+           |  JOIN norms na ON na.vec_id = id_a
+           |  JOIN norms nb ON nb.vec_id = id_b
+           |  WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.4
+           |),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT id_b, id_a FROM pairs
+           |),
+           |reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+           |)
+           |SELECT src AS doc_id, least(src, min(dst)) AS component,
+           |       src = least(src, min(dst)) AS is_canonical
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
     QueryDef("x_sim_ivf",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)

@@ -305,6 +305,34 @@ object Similarity {
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Per-group embedding centroids in e6 fixed point — the cluster-
+    * profile / class-prototype aggregate an embedding pipeline reports
+    * per source or label. Components quantize ONCE to BIGINT e6
+    * (`floor(v·1e6 + 0.5)` — one exact IEEE op, the repo's LSH parity
+    * recipe) and every later step is integer arithmetic ending in one
+    * truncating division per dimension, so the result hashes
+    * identically in any engine and under any fold order. Shape:
+    * posexplode to (group, dim, v_e6) — 24-byte rows — partial-agg
+    * map-side combine into (groups × dims) cells, then the per-group
+    * array reassembles with a deterministic `sort_array` over ≤ dim
+    * structs. Nothing wider than a scalar crosses the exchange.
+    */
+  def centroids(vectors: DataFrame, byCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val vE6 = floor(col("v").cast("double") * 1e6 + 0.5).cast("long")
+    vectors
+      .select(col(byCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col(byCol), col("dim").cast("long").as("dim"), vE6.as("v_e6"))
+      .groupBy(col(byCol), col("dim"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v_e6")).as("s"))
+      .withColumn("mean_e6", expr("s DIV cnt"))
+      .groupBy(col(byCol))
+      .agg(max(col("cnt")).as("n_vectors"),
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("mean_e6")))),
+          x => x.getField("mean_e6")).as("centroid_e6"))
+  }
+
   /** Random-hyperplane LSH components as INTEGERS in [-1000, 1000]
     * (the real hyperplane is this over 1000 — a shared scale factor
     * never changes a dot's sign, so the integer IS the sign test).

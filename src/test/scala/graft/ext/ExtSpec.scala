@@ -345,6 +345,25 @@ class ExtSpec extends AnyFunSuite {
     assert(counts("val") > 50 && counts("test") > 50)
   }
 
+  test("similarity centroids: e6 fixed point, truncating mean, dim order") {
+    import spark.implicits._
+    // label 1: (1.0, -0.5) and (0.0, -0.6) → sums (1e6, -11e5)
+    //   means: 1e6/2 = 500000; -1100000/2 = -550000
+    // label 2: dim-0 quantizes to -3 and -4 → odd negative sum -7 over
+    //   2 vectors → -7 DIV 2 = -3 (truncation toward zero, not floor)
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f), 1),
+      (2L, Seq(0.0f, -0.6f), 1),
+      (3L, Seq(-0.000003f, 0.25f), 2),
+      (4L, Seq(-0.000004f, 0.25f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroids(vecs, "label").collect()
+      .map(x => x.getInt(0) -> x).toMap
+    assert(r(1).getAs[Long]("n_vectors") == 2L)
+    assert(r(1).getSeq[Long](r(1).fieldIndex("centroid_e6")).toSeq == Seq(500000L, -550000L))
+    assert(r(2).getSeq[Long](r(2).fieldIndex("centroid_e6")).toSeq == Seq(-3L, 250000L))
+  }
+
   test("pipeline budgetSample: greedy fill stops at the budget, overshoot ≤ 1 doc") {
     import spark.implicits._
     // every doc is 10 tokens; budget 35 → kept docs start at offsets
