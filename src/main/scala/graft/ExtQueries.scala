@@ -1699,6 +1699,32 @@ object ExtQueries {
       },
       defsSessionOracle),
 
+    // Rolling 24 h per-user event rate: time-RANGE frame over BIGINT µs
+    // (bursts bounded by time, not row offsets); money-rule decimal sum.
+    QueryDef("x_evt_rolling",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us", "value")
+        Events.rollingCounts(ev, windowUs = 86400L * 1000000)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("n_trailing"),
+            col("sum_trailing").cast("decimal(18,2)").as("sum_trailing"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+          |)
+          |SELECT event_id, user_id, ts_us,
+          |       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS sum_trailing
+          |FROM e
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+          |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)),
+
     // Cohort retention: first-seen-week cohorts × active-week offsets.
     // Engine uses the distinct-first + window shape; the oracle is the
     // independent join-back formulation.
@@ -1751,6 +1777,42 @@ object ExtQueries {
           |LEFT JOIN s1 USING (user_id)
           |LEFT JOIN s2 USING (user_id)
           |ORDER BY u.user_id""".stripMargin)),
+
+    // Text normalization screen over deterministically dirtied text:
+    // every 4th doc gains a decomposed-accent word (NFC recomposes), a
+    // bell control char, and tab/space runs — both engines dirty and
+    // clean identically; NFC via the codegen'd nfc_e vs DuckDB's
+    // nfc_normalize.
+    QueryDef("x_text_normalize",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val aug = spark.table("documents").withColumn("text",
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("  café drink"), lit("\t\t x ")))
+              .otherwise(lit(""))))
+        Quality.normalizeText(aug, "text").orderBy("doc_id")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') ||
+          |         CASE WHEN doc_id % 4 = 0
+          |              THEN '  cafe' || chr(769) || ' ' || chr(7) || 'drink' ||
+          |                   chr(9) || chr(9) || ' x '
+          |              ELSE '' END AS t
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |       trim(regexp_replace(
+          |         regexp_replace(nfc_normalize(t),
+          |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          |         '[ \t]+', ' ', 'g')) AS norm_text,
+          |       trim(regexp_replace(
+          |         regexp_replace(nfc_normalize(t),
+          |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          |         '[ \t]+', ' ', 'g')) <> t AS changed
+          |FROM aug
+          |ORDER BY doc_id""".stripMargin)),
 
     // URL canonicalization dedup: every 3rd doc links the SAME page
     // under four spellings (https+WWW+trailing slash, http+query,

@@ -102,6 +102,28 @@ object Events {
 
   private val WeekUs = 7L * 86400 * 1000000
 
+  /** Rolling event-rate features: for every event, the count and value
+    * sum of the SAME user's events in the trailing `windowUs` (event
+    * included) — the per-entity rate/velocity feature every abuse or
+    * engagement model starts with. A time-RANGE frame over the µs
+    * BIGINT (not ROWS): gaps and bursts are handled by the frame
+    * bound, not row offsets. One key-partitioned sort; the running
+    * frame is O(1) memory per key (Spark maintains a sliding
+    * aggregate, never materializing the frame). The value sum is
+    * `DECIMAL(18,2)`-cast before summing — the repo's money-aggregate
+    * rule, so the fold order cannot move a ULP.
+    */
+  def rollingCounts(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", valueCol: String = "value",
+      windowUs: Long = 3600L * 1000000): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rangeBetween(-windowUs, 0)
+    events
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("sum_trailing",
+        sum(col(valueCol).cast("decimal(18,2)")).over(w))
+  }
+
   /** Cohort retention: users grouped by first-seen week, counted as
     * retained in every later week they are active. Epoch weeks are
     * integer floor-divisions of µs — exact in any engine. Shape:

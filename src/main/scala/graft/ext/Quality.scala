@@ -395,6 +395,28 @@ object Quality {
         expr("1000000000 * sum_cnt DIV (n_tokens * total)").as("commonness_e9"))
   }
 
+  /** Text normalization screen — the canonical first pass of any crawl
+    * pipeline: Unicode NFC (composed/decomposed spellings unify —
+    * codegen'd [[graft.functions.NfcExpression]]; DuckDB's
+    * `nfc_normalize` is the oracle twin), control characters stripped
+    * (C0 minus \t \n \r, plus DEL), horizontal runs collapsed to one
+    * space (newlines preserved — line structure feeds the boilerplate
+    * screen), outer whitespace trimmed. Every step is a pure in-row
+    * map with RE2-compatible patterns: zero shuffle at any corpus
+    * size, identical regex semantics in both engines.
+    */
+  def normalizeText(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.NfcFunctions.register(docs.sparkSession)
+    val t = coalesce(col(textCol), lit(""))
+    val nfc = graft.functions.NfcFunctions.nfc_e(t)
+    val stripped = regexp_replace(nfc,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = trim(regexp_replace(stripped, "[ \\t]+", " "))
+    docs.select(col(idCol), collapsed.as("norm_text"),
+      (collapsed =!= t).as("changed"))
+  }
+
   /** Per-group corpus report card — the summary every shard ships with:
     * document/token/char counts, language spread, and the exact-dup
     * rate (docs minus distinct content digests). ONE group-keyed

@@ -152,6 +152,26 @@ class QualitySpec extends AnyFunSuite {
     assert(m(6L).getAs[Long]("n_bigrams") == 3L)
   }
 
+  test("normalizeText: NFC composes, controls strip, runs collapse, newlines live") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "café  x"),          // decomposed é + double space
+      (2L, "ab\tc"),            // bell stripped, tab collapsed
+      (3L, " line1 \nline2\t "),      // newline PRESERVED, outer trim
+      (4L, "clean"),                   // untouched
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = Quality.normalizeText(d, "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[String]("norm_text") == "café x")
+    assert(r(1L).getAs[Boolean]("changed"))
+    assert(r(2L).getAs[String]("norm_text") == "ab c")
+    assert(r(3L).getAs[String]("norm_text") == "line1 \nline2")
+    assert(r(4L).getAs[String]("norm_text") == "clean")
+    assert(!r(4L).getAs[Boolean]("changed"))
+    assert(r(5L).getAs[String]("norm_text") == "")
+  }
+
   test("urlDedup: scheme/www/case/query/fragment/slash variants collapse") {
     import spark.implicits._
     val d = Seq(
