@@ -1040,6 +1040,45 @@ object ExtQueries {
            |FROM sel WHERE pos >= 4
            |ORDER BY doc_id, fp""".stripMargin)),
 
+    // Source-overlap matrix: winnow fingerprints per source (compiled
+    // kernel, group carried in-projection), DISTINCT (source, fp), then
+    // an fp-keyed pair count whose fanout is bounded by sources² per
+    // fingerprint — never by docs.
+    QueryDef("x_text_source_overlap",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.sourceOverlap(spark.table("documents"), "text",
+            "source", k = 8, window = 4)
+          .orderBy("source_a", "source_b")
+      },
+      Some(
+        s"""WITH base AS (SELECT doc_id, source, lower(text) AS s FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
+           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
+           |),
+           |sel AS (
+           |  SELECT doc_id, pos,
+           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
+           |           PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
+           |  FROM hashed
+           |),
+           |fps AS (
+           |  SELECT DISTINCT doc_id, selkey >> 31 AS fp
+           |  FROM sel WHERE pos >= 4
+           |),
+           |gfp AS (
+           |  SELECT DISTINCT b.source, f.fp
+           |  FROM fps f JOIN base b USING (doc_id)
+           |)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |       CAST(count(*) AS BIGINT) AS n_shared_fp
+           |FROM gfp a JOIN gfp b ON a.fp = b.fp AND a.source < b.source
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin)),
+
     // The zero-shuffle winnowing path, compiled: the custom codegen'd
     // winnow_fps Expression (one static JVM call per row — no shuffle,
     // no interpreted HOF lambdas; the pure-relational in-row variant

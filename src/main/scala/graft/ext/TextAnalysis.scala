@@ -271,4 +271,30 @@ object TextAnalysis {
       explode(graft.functions.WinnowFunctions.winnow_fps(
         lower(col(textCol)), k, window)).as("fp"))
   }
+
+  /** Source-overlap matrix — which corpus slices duplicate each other:
+    * for every source pair, the number of winnow fingerprints present
+    * in BOTH (substring-level overlap, the corpus-procurement dedup
+    * signal). Shape: fingerprints come from the compiled kernel with
+    * the group column carried in the SAME projection (no corpus join
+    * to reattach it), collapse to DISTINCT (group, fp) — map-side
+    * combined, the corpus-sized step — then the fp-keyed self-join's
+    * fanout is bounded by groups² PER FINGERPRINT, never by docs: a
+    * ubiquitous fingerprint contributes one count to each of ≤ g²/2
+    * pairs regardless of how many billion docs contain it.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String,
+      byCol: String = "source", k: Int = 8, window: Int = 4): DataFrame = {
+    graft.functions.WinnowFunctions.register(docs.sparkSession)
+    val gfp = docs.select(col(byCol).as("grp"),
+        explode(graft.functions.WinnowFunctions.winnow_fps(
+          lower(col(textCol)), k, window)).as("fp"))
+      .distinct()
+    val a = gfp.select(col("grp").as("source_a"), col("fp"))
+    val b = gfp.select(col("grp").as("source_b"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+  }
 }

@@ -276,6 +276,27 @@ class ExtSpec extends AnyFunSuite {
     assert(a == setOf(TextAnalysis.winnowFingerprintsNative(short, "text", "doc_id")))
   }
 
+  test("sourceOverlap: shared substrings count once per pair, disjoint pairs absent") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val d = Seq(
+      (1L, s"prefix aaa $shared suffix one", "s1"),
+      (2L, s"totally other words then $shared and more", "s2"),
+      (3L, s"dup in same source $shared again", "s2"), // same-source dup: no double count
+      (4L, "zzz qqq completely unrelated material with nothing in common xyz", "s3")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceOverlap(d, "text").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r.contains(("s1", "s2")))
+    assert(!r.keySet.exists { case (a, b) => a == "s3" || b == "s3" })
+    // the (s1, s2) count equals the DISTINCT shared-fp count — the
+    // duplicate doc in s2 must not inflate it
+    val fp = (src: String) => TextAnalysis.winnowFingerprintsNative(
+        d.filter(col("source") === src), "text", "doc_id")
+      .collect().map(_.getLong(1)).toSet
+    assert(r(("s1", "s2")) == (fp("s1") & fp("s2")).size.toLong)
+  }
+
   test("multimodal: real resize scales to fit, preserves aspect, drops non-images") {
     import spark.implicits._
     def png(w: Int, h: Int): Array[Byte] = {
