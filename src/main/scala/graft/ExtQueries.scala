@@ -1738,6 +1738,35 @@ object ExtQueries {
       },
       defsSessionOracle),
 
+    // Semi-structured props: JSON path extraction feeding a relational
+    // agg — get_json_object is a pure in-row map (Jackson in Spark,
+    // yyjson in DuckDB — both strict JSON, same value); integer stats
+    // so engines can't disagree.
+    QueryDef("x_evt_props_json",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        spark.table("events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+          |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+          |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)),
+
     // Rolling 24 h per-user event rate: time-RANGE frame over BIGINT µs
     // (bursts bounded by time, not row offsets); money-rule decimal sum.
     QueryDef("x_evt_rolling",
