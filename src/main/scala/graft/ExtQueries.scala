@@ -467,6 +467,43 @@ object ExtQueries {
            |SELECT src AS doc_id, least(src, min(dst)) AS component
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
 
+    // Exact duplicated-substring spans (Lee et al. 2021 relationalized):
+    // cross-doc duplicated token 8-grams merged into maximal spans via
+    // gaps-and-islands. Linear in corpus tokens — no pair join; the
+    // gram key on the wire is the 8-byte portable hash.
+    QueryDef("x_dedup_spans",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Dedup.duplicateSpans(spark.table("documents"), "text", "doc_id",
+            k = 8, minDf = 2)
+          .orderBy("doc_id", "span_start")
+      },
+      Some(
+        s"""WITH toks AS (SELECT doc_id, ${ducktokens("text")} AS ts FROM documents),
+           |pos AS (
+           |  SELECT doc_id, i - 1 AS pos,
+           |         ${duckHash("ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]")} AS gh
+           |  FROM toks, UNNEST(range(1, len(ts) - 6)) AS u(i)
+           |),
+           |dfr AS (
+           |  SELECT gh, count(DISTINCT doc_id) AS gram_df FROM pos GROUP BY gh
+           |),
+           |dup AS (
+           |  SELECT p.doc_id, p.pos
+           |  FROM pos p JOIN dfr d ON d.gh = p.gh AND d.gram_df >= 2
+           |),
+           |g AS (
+           |  SELECT doc_id, pos,
+           |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |  FROM dup
+           |)
+           |SELECT doc_id,
+           |       CAST(min(pos) AS BIGINT) AS span_start,
+           |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
+           |FROM g GROUP BY doc_id, grp
+           |ORDER BY doc_id, span_start""".stripMargin)),
+
     // LSH candidate generation with a bucket cap AND the salted second
     // pass: oversized buckets re-keyed on an extra signature row rather
     // than dropped (the 100 TB hot-bucket guard, VERDICT r2 #8).
@@ -1640,6 +1677,39 @@ object ExtQueries {
           |SELECT doc_id, token, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
           |FROM r WHERE term_rank <= 5
           |ORDER BY doc_id, term_rank""".stripMargin)),
+
+    // More-like-this: top-k similar docs for one query doc via a
+    // tf-idf-weighted dot product over shared terms — a broadcast
+    // posting-list probe + doc-keyed agg + TakeOrderedAndProject, the
+    // inverted-index "similar documents" query. Integer e6 idf weights
+    // keep the score an associative BIGINT sum (fixed-point rule).
+    QueryDef("x_text_mlt",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.moreLikeThis(spark.table("documents"), "text",
+            queryId = 1L, k = 10, maxDfPermille = 800)
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS token
+          |  FROM documents
+          |),
+          |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+          |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          |q AS (
+          |  SELECT t.token, t.tf AS q_tf,
+          |         CAST(n.n_docs * 1000000 // d.df AS BIGINT) AS w
+          |  FROM tf t JOIN df d USING (token) CROSS JOIN n
+          |  WHERE t.doc_id = 1 AND d.df * 1000 <= n.n_docs * 800
+          |)
+          |SELECT t.doc_id, CAST(sum(t.tf * q.q_tf * q.w) AS BIGINT) AS score
+          |FROM tf t JOIN q USING (token)
+          |WHERE t.doc_id <> 1
+          |GROUP BY t.doc_id
+          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
     // Exact per-source token-length quantiles via the cumulative
     // histogram: corpus-sized work is one (source, len) count agg; the

@@ -193,6 +193,18 @@ object PlanDump {
     dump("x_pipeline_curation (narrow-shuffle composition)")(
       SparkEntry.queries("x_pipeline_curation")(spark, sfDir))
 
+    // ---- round-7 evidence ------------------------------------------
+
+    // 22. duplicate spans: gram-keyed agg + join on the 8-byte hash,
+    //     doc-keyed window — NO pair join anywhere in the plan
+    dump("x_dedup_spans (gram-keyed, no pair join)")(
+      graft.ext.Dedup.duplicateSpans(docs, "text", "doc_id"))
+
+    // 23. more-like-this: query vector broadcast (posting-list probe),
+    //     doc-keyed agg, TakeOrderedAndProject top-k
+    dump("x_text_mlt (broadcast posting probe)")(
+      graft.ext.Quality.moreLikeThis(docs, "text", queryId = 1L))
+
     spark.stop()
   }
 }

@@ -352,6 +352,55 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Exact duplicated-substring spans — the span-granular member of the
+    * dedup family (the idea behind suffix-array substring dedup in Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): a token k-gram occurring in
+    * ≥ `minDf` DISTINCT documents marks its start position as
+    * duplicated; runs of consecutive duplicated start positions merge
+    * (gaps-and-islands) into maximal spans covering tokens
+    * `[span_start, span_end]` (0-based, inclusive). Doc-level dedup
+    * keeps or drops whole documents; this finds the shared boilerplate
+    * REGIONS inside otherwise-distinct documents, the input to
+    * span-level cutting.
+    *
+    * Scale shape: corpus-sized work is (1) one positional k-gram
+    * explode (8-byte portable hashes — gram strings never leave the
+    * row), (2) a gram-keyed distinct-doc count, (3) a shuffle join back
+    * on the 8-byte key, (4) a per-doc window bounded by document
+    * length. No pair join anywhere — cost is linear in corpus token
+    * count regardless of how many documents share a gram (contrast the
+    * pair-explosion of candidate-based near-dup, bounded only by
+    * salting). Within-doc repeats alone do NOT mark a span (`minDf`
+    * counts distinct docs) — self-repetition is [[graft.ext.Quality]]'s
+    * `ngramRepetition` signal, not duplication.
+    */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minDf: Int = 2): DataFrame = {
+    val toks = Tokenizer.tokensCol(col(textCol))
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => struct(i.as("pos"),
+          portableHash(concat_ws(" ", slice(toks, i + 1, lit(k)))).as("gh"))))
+      .otherwise(array())
+    val pos = docs.select(col(idCol).as("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val dup = pos.join(
+      pos.select("doc_id", "gh").distinct()
+        .groupBy("gh").agg(count(lit(1)).as("gram_df"))
+        .filter(col("gram_df") >= minDf),
+      Seq("gh"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dup.select(col("doc_id"), col("pos"))
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "__grp")
+      .agg(min("pos").as("span_start"), (max("pos") + lit(k) - 1).as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
+  }
+
   /** Connected components over near-duplicate pairs — the canonical-doc
     * step of a dedup pipeline: docs linked (directly or transitively)
     * by any pair share a component labeled by the component's MINIMUM

@@ -288,6 +288,53 @@ object Quality {
         col("tfidf"), col("term_rank").cast("long").as("term_rank"))
   }
 
+  /** More-like-this: the top-k documents most similar to `queryId`,
+    * scored by a tf-idf-weighted dot product over SHARED terms — the
+    * inverted-index query a search engine runs for "similar documents"
+    * (Lucene's MoreLikeThis contract), expressed relationally.
+    *
+    * score(d) = Σ_{t ∈ d ∩ q} tf_d(t) · tf_q(t) · w(t), with the
+    * integer idf weight w(t) = ⌊N · 1e6 / df(t)⌋ — a BIGINT, so the
+    * score is an associative integer-product sum: no float fold-order
+    * or libm-log dependence can diverge across engines (the repo-wide
+    * fixed-point rule). `maxDfPermille` drops terms present in more
+    * than that fraction of the corpus BEFORE the candidate join
+    * (Lucene MoreLikeThis's maxDocFreqPct contract, in integer
+    * permille) — the stopword prune that bounds the hottest posting
+    * lists, which is what makes the probe cheap at corpus scale, and
+    * fraction-of-corpus so the same query means the same thing at
+    * every scale factor.
+    *
+    * Scale shape: the query vector (one document's terms ⋈ df ⋈ N) is
+    * tiny and broadcast; candidate generation is ONE broadcast-hash
+    * join against the (doc, term, tf) relation — i.e. a posting-list
+    * probe, not a corpus pair join; then a doc-keyed partial agg and a
+    * TakeOrderedAndProject top-k. Adding documents grows only the
+    * probe's scan side.
+    */
+  def moreLikeThis(docs: DataFrame, textCol: String, queryId: Long,
+      idCol: String = "doc_id", k: Int = 10,
+      maxDfPermille: Int = 1000): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val tf = docs.select(col(idCol).as("doc_id"), explode(toks).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val qvec = tf.filter(col("doc_id") === queryId)
+      .select(col("token"), col("tf").as("q_tf"))
+      .join(df, "token")
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 1000 <= col("n_docs") * maxDfPermille)
+      .select(col("token"), col("q_tf"),
+        expr("n_docs * 1000000 DIV df").as("w"))
+    tf.filter(col("doc_id") =!= queryId)
+      .join(broadcast(qvec), "token")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("q_tf") * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Cross-document boilerplate lines — trimmed non-empty lines
     * occurring in at least `minDocs` DISTINCT documents (nav bars,
     * cookie banners, copyright footers), capped at the `maxLines` most

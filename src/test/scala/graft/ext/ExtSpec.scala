@@ -95,6 +95,29 @@ class ExtSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("duplicate spans: cross-doc runs merge to maximal spans; self-repeats don't count") {
+    import spark.implicits._
+    val d = Seq(
+      // docs 1/2 share the 9-token run alpha..iota at different offsets
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota u1 u2 u3"),
+      (2L, "p1 p2 alpha beta gamma delta epsilon zeta eta theta iota t1"),
+      // doc 3 repeats a 4-gram WITHIN itself only — not duplication
+      (3L, "x y z w x y z w x y z w"),
+      // docs 4/5 share two runs split by a differing middle token → two islands
+      (4L, "one two three four m4 five six seven eight"),
+      (5L, "one two three four m5 five six seven eight")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "text", "doc_id", k = 4, minDf = 2)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (1L, 0L, 8L, 9L),            // alpha..iota
+      (2L, 2L, 10L, 9L),           // same run, shifted
+      (4L, 0L, 3L, 4L), (4L, 5L, 8L, 4L),  // two islands
+      (5L, 0L, 3L, 4L), (5L, 5L, 8L, 4L)))
+    assert(!spans.exists(_._1 == 3L))
+  }
+
   test("token-set fingerprint catches the shuffled copy; simhash of dup matches") {
     val fp = TextAnalysis.fingerprint(docs, "text")
       .select("doc_id", "fingerprint").collect()

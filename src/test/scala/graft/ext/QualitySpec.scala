@@ -251,4 +251,21 @@ class QualitySpec extends AnyFunSuite {
     assert(top(2).getAs[String]("token") == "misc")
     assert(top.forall(_.getAs[Long]("term_rank") == 1L))
   }
+
+  test("moreLikeThis: shared rare terms score, stopwords pruned, self excluded") {
+    import spark.implicits._
+    // "common" is in all 5 docs (df·1000 = 5000 > n·800 = 4000 → pruned);
+    // doc 1's remaining terms: rare (df 2, w = 5e6/2), alpha (df 2, same w)
+    val d = Seq(
+      (1L, "common rare alpha"),
+      (2L, "common rare rare"),   // rare tf 2 → score 2·1·2500000
+      (3L, "common solo"),        // shares only the pruned stopword → absent
+      (4L, "common beta"),
+      (5L, "common gamma alpha")  // alpha tf 1 → score 2500000
+    ).toDF("doc_id", "text")
+    val r = Quality.moreLikeThis(d, "text", queryId = 1L, k = 10,
+        maxDfPermille = 800)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((2L, 5000000L), (5L, 2500000L)))
+  }
 }
