@@ -13,6 +13,14 @@ import org.apache.spark.sql.SparkSession
   * therefore measure QUERY latency; build cost is reported separately
   * under `setup` so round-over-round comparisons track the serving
   * path, not rebuild noise (VERDICT r2 item 4).
+  *
+  * Each query runs TWICE and reports the MIN (VERDICT r5 item 3): the
+  * r5 driver artifact showed 15 entries >2× slower on byte-identical
+  * code paths — single-shot timings in a contended sandbox measure the
+  * sandbox, not the plan. Min-of-2 rejects one-off contention spikes
+  * while still timing the real warm path; `setup` entries stay
+  * single-run (they materialize state, a second run would measure the
+  * cache) and are labeled as such via `setup_runs`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -55,18 +63,19 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.allDefs.foreach { d =>
-      results(d.name) = time {
+      def once: Double = time {
         try d.fn(spark, sfDir).collect()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
         }
       }
+      results(d.name) = math.min(once, once)
     }
     def toJson(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
     val setupTotal = setup.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"setup":${toJson(setup)},"setup_total":$setupTotal%.3f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"runs_per_query":2,"agg":"min","setup":${toJson(setup)},"setup_runs":1,"setup_total":$setupTotal%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

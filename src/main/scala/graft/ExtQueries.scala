@@ -468,9 +468,12 @@ object ExtQueries {
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
 
     // Exact duplicated-substring spans (Lee et al. 2021 relationalized):
-    // cross-doc duplicated token 8-grams merged into maximal spans via
-    // gaps-and-islands. Linear in corpus tokens — no pair join; the
-    // gram key on the wire is the 8-byte portable hash.
+    // cross-doc duplicated token 8-grams merged into maximal
+    // NON-OVERLAPPING spans — islands break when successive duplicated
+    // starts are > k apart (gap ≤ k means the k-token intervals overlap
+    // or touch), so span_tokens is exact coverage. Linear in corpus
+    // tokens — no pair join; the gram key on the wire is the 8-byte
+    // portable hash.
     QueryDef("x_dedup_spans",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
@@ -492,10 +495,17 @@ object ExtQueries {
            |  SELECT p.doc_id, p.pos
            |  FROM pos p JOIN dfr d ON d.gh = p.gh AND d.gram_df >= 2
            |),
+           |brk AS (
+           |  SELECT doc_id, pos,
+           |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+           |              THEN 1 ELSE 0 END AS b
+           |  FROM dup
+           |),
            |g AS (
            |  SELECT doc_id, pos,
-           |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-           |  FROM dup
+           |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+           |                      ROWS UNBOUNDED PRECEDING) AS grp
+           |  FROM brk
            |)
            |SELECT doc_id,
            |       CAST(min(pos) AS BIGINT) AS span_start,
@@ -635,27 +645,27 @@ object ExtQueries {
 
     // Per-label embedding centroids in e6 fixed point: quantize once,
     // integer sums, one truncating division per dim — fold-order-proof.
+    // Declared in the SCALAR (label, dim, mean_e6) shape — the array
+    // form (Similarity.centroids, still the API) crashed the driver's
+    // pandas sort in r5 (SURVEY §8: scalar columns only).
     QueryDef("x_sim_centroids",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        Similarity.centroids(spark.table("embeddings"), "label")
-          .orderBy("label")
+        Similarity.centroidMeans(spark.table("embeddings"), "label")
+          .select(col("label"), col("dim"), col("n_vectors"), col("mean_e6"))
+          .orderBy("label", "dim")
       },
       Some(
         """WITH x AS (
           |  SELECT label, unnest(range(len(embedding))) AS dim,
           |         unnest(embedding) AS v
           |  FROM embeddings
-          |),
-          |m AS (
-          |  SELECT label, dim, count(*) AS cnt,
-          |         sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
-          |  FROM x GROUP BY 1, 2
           |)
-          |SELECT label, CAST(max(cnt) AS BIGINT) AS n_vectors,
-          |       list(s // cnt ORDER BY dim) AS centroid_e6
-          |FROM m GROUP BY label
-          |ORDER BY label""".stripMargin)),
+          |SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vectors,
+          |       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+          |            // count(*) AS BIGINT) AS mean_e6
+          |FROM x GROUP BY label, dim
+          |ORDER BY label, dim""".stripMargin)),
 
     // Semantic dedup composition: blocked embedding near-dup pairs →
     // connected components → canonical (min-id) doc per cluster. The
@@ -1681,8 +1691,10 @@ object ExtQueries {
     // More-like-this: top-k similar docs for one query doc via a
     // tf-idf-weighted dot product over shared terms — a broadcast
     // posting-list probe + doc-keyed agg + TakeOrderedAndProject, the
-    // inverted-index "similar documents" query. Integer e6 idf weights
-    // keep the score an associative BIGINT sum (fixed-point rule).
+    // inverted-index "similar documents" query. The integer idf weight
+    // 1e8 DIV max(1, df·1e6 DIV N) depends only on the df/N ratio —
+    // bounded ≤ 1e8 at ANY corpus size (fixed-point rule; the old
+    // N-proportional weight overflowed BIGINT at N ~ 1e9, r5 advice).
     QueryDef("x_text_mlt",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
@@ -1701,7 +1713,7 @@ object ExtQueries {
           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
           |q AS (
           |  SELECT t.token, t.tf AS q_tf,
-          |         CAST(n.n_docs * 1000000 // d.df AS BIGINT) AS w
+          |         CAST(100000000 // greatest(1, d.df * 1000000 // n.n_docs) AS BIGINT) AS w
           |  FROM tf t JOIN df d USING (token) CROSS JOIN n
           |  WHERE t.doc_id = 1 AND d.df * 1000 <= n.n_docs * 800
           |)
@@ -1838,7 +1850,11 @@ object ExtQueries {
           |ORDER BY event_type""".stripMargin)),
 
     // Rolling 24 h per-user event rate: time-RANGE frame over BIGINT µs
-    // (bursts bounded by time, not row offsets); money-rule decimal sum.
+    // (bursts bounded by time, not row offsets). Value quantized ONCE to
+    // integer cents on BOTH engines — floor(v*100+0.5) is one exact IEEE
+    // op and BIGINT sums are associative, so no decimal tie-rounding or
+    // fold order can diverge (the r5 driver hash failure was the per-row
+    // DOUBLE→DECIMAL(18,2) cast rounding ties engine-dependently).
     QueryDef("x_evt_rolling",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
@@ -1847,17 +1863,18 @@ object ExtQueries {
           .select("event_id", "user_id", "ts_us", "value")
         Events.rollingCounts(ev, windowUs = 86400L * 1000000)
           .select(col("event_id"), col("user_id"), col("ts_us"),
-            col("n_trailing"),
-            col("sum_trailing").cast("decimal(18,2)").as("sum_trailing"))
+            col("n_trailing"), col("sum_trailing_cents"))
           .orderBy("event_id")
       },
       Some(
         """WITH e AS (
-          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          |         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events
           |)
           |SELECT event_id, user_id, ts_us,
           |       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
-          |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS sum_trailing
+          |       CAST(sum(cents) OVER w AS BIGINT) AS sum_trailing_cents
           |FROM e
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
           |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)

@@ -18,14 +18,37 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    new java.io.File(s"$outDir/_csv").mkdirs()
+    // Diagnostic CSVs live in a SIBLING dir, not inside outDir: the
+    // driver treats every outDir subdirectory as a query's parquet dump,
+    // so the r5 `_csv/` dir produced a spurious unreadable "_csv" row in
+    // CORRECTNESS_r05.
+    val csvDir = s"${outDir.stripSuffix("/")}_csv"
+    new java.io.File(csvDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        dumpCsv(spark, s"$outDir/$name", s"$outDir/_csv/$name.csv")
+        val df = fn(spark, sfDir)
+        // SURVEY §8 lint: declared (oracle-checked) queries emit scalar
+        // columns ONLY — an array/map/struct column crashes the driver's
+        // pandas sort (r5: x_sim_centroids), so fail HERE, loudly, where
+        // the local gate sees it a round earlier.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val nested = df.schema.fields.filter(f => f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType => true
+            case _ => false
+          })
+          if (nested.nonEmpty)
+            throw new IllegalStateException(
+              s"SCHEMA LINT: declared query emits non-scalar column(s) " +
+                nested.map(f => s"${f.name}: ${f.dataType.simpleString}")
+                  .mkString(", ") +
+                " — the driver comparator cannot sort these (SURVEY §8)")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        dumpCsv(spark, s"$outDir/$name", s"$csvDir/$name.csv")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

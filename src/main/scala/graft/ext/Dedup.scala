@@ -357,12 +357,15 @@ object Dedup {
     * et al. 2021, "Deduplicating Training Data Makes Language Models
     * Better", re-expressed relationally): a token k-gram occurring in
     * ≥ `minDf` DISTINCT documents marks its start position as
-    * duplicated; runs of consecutive duplicated start positions merge
-    * (gaps-and-islands) into maximal spans covering tokens
-    * `[span_start, span_end]` (0-based, inclusive). Doc-level dedup
-    * keeps or drops whole documents; this finds the shared boilerplate
-    * REGIONS inside otherwise-distinct documents, the input to
-    * span-level cutting.
+    * duplicated; duplicated start positions whose k-token intervals
+    * overlap or touch (successive starts ≤ k apart) merge into maximal
+    * NON-OVERLAPPING spans covering tokens `[span_start, span_end]`
+    * (0-based, inclusive) — so `span_tokens` sums to exactly the
+    * duplicated-token coverage, never double-counting (the r5 advisor
+    * case: starts {0, 2} at k=8 are ONE span [0, 9], not overlapping
+    * [0,7] + [2,9]). Doc-level dedup keeps or drops whole documents;
+    * this finds the shared boilerplate REGIONS inside otherwise-distinct
+    * documents, the input to span-level cutting.
     *
     * Scale shape: corpus-sized work is (1) one positional k-gram
     * explode (8-byte portable hashes — gram strings never leave the
@@ -390,9 +393,16 @@ object Dedup {
         .groupBy("gh").agg(count(lit(1)).as("gram_df"))
         .filter(col("gram_df") >= minDf),
       Seq("gh"))
+    // Island break = start-position gap > k (intervals disjoint AND not
+    // adjacent); a plain pos - row_number() group would split only on
+    // gap > 1 and emit overlapping spans for gaps in 2..k. The lag and
+    // the running sum share one (doc_id, pos) sort.
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dup.select(col("doc_id"), col("pos"))
-      .withColumn("__grp", col("pos") - row_number().over(w))
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("__grp", sum("__brk").over(wRun))
       .groupBy("doc_id", "__grp")
       .agg(min("pos").as("span_start"), (max("pos") + lit(k) - 1).as("span_end"))
       .select(col("doc_id"),

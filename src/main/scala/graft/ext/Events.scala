@@ -109,19 +109,23 @@ object Events {
     * BIGINT (not ROWS): gaps and bursts are handled by the frame
     * bound, not row offsets. One key-partitioned sort; the running
     * frame is O(1) memory per key (Spark maintains a sliding
-    * aggregate, never materializing the frame). The value sum is
-    * `DECIMAL(18,2)`-cast before summing — the repo's money-aggregate
-    * rule, so the fold order cannot move a ULP.
+    * aggregate, never materializing the frame). The value is quantized
+    * ONCE to integer cents (`floor(v·100 + 0.5)` — one exact IEEE op,
+    * the repo's fixed-point parity recipe, [[graft.ext.Similarity]])
+    * and the window sums BIGINTs: associative, so no fold order,
+    * engine version, or decimal-rounding mode can move the result —
+    * the per-row DOUBLE→DECIMAL cast this replaces rounded ties
+    * engine-dependently and failed the r5 driver hash.
     */
   def rollingCounts(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts_us", valueCol: String = "value",
       windowUs: Long = 3600L * 1000000): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
       .rangeBetween(-windowUs, 0)
+    val cents = floor(col(valueCol).cast("double") * 100 + 0.5).cast("long")
     events
       .withColumn("n_trailing", count(lit(1)).over(w))
-      .withColumn("sum_trailing",
-        sum(col(valueCol).cast("decimal(18,2)")).over(w))
+      .withColumn("sum_trailing_cents", sum(cents).over(w))
   }
 
   /** Cohort retention: users grouped by first-seen week, counted as

@@ -294,23 +294,32 @@ object Quality {
     * (Lucene's MoreLikeThis contract), expressed relationally.
     *
     * score(d) = Σ_{t ∈ d ∩ q} tf_d(t) · tf_q(t) · w(t), with the
-    * integer idf weight w(t) = ⌊N · 1e6 / df(t)⌋ — a BIGINT, so the
-    * score is an associative integer-product sum: no float fold-order
-    * or libm-log dependence can diverge across engines (the repo-wide
-    * fixed-point rule). `maxDfPermille` drops terms present in more
-    * than that fraction of the corpus BEFORE the candidate join
-    * (Lucene MoreLikeThis's maxDocFreqPct contract, in integer
-    * permille) — the stopword prune that bounds the hottest posting
-    * lists, which is what makes the probe cheap at corpus scale, and
+    * integer idf weight w(t) = ⌊1e8 / max(1, ⌊df(t) · 1e6 / N⌋)⌋ — a
+    * BIGINT in [100, 1e8] that depends only on the df/N RATIO (the
+    * actual idf semantics), never on N itself, so the score is an
+    * associative integer-product sum bounded at ANY corpus size: with
+    * documents up to ~10⁵ tokens the per-candidate sum stays under
+    * 10⁸ · 10¹⁰ = 10¹⁸ < 2⁶³ (the r5 advisor case — the previous
+    * N·1e6/df weight overflowed at N ~ 1e9+, where Spark wraps
+    * silently and DuckDB raises). No float fold-order or libm-log
+    * dependence can diverge across engines (the repo-wide fixed-point
+    * rule). `maxDfPermille` drops terms present in more than that
+    * fraction of the corpus BEFORE the candidate join (Lucene
+    * MoreLikeThis's maxDocFreqPct contract, in integer permille) — the
+    * stopword prune that bounds the hottest posting lists, and
     * fraction-of-corpus so the same query means the same thing at
     * every scale factor.
     *
-    * Scale shape: the query vector (one document's terms ⋈ df ⋈ N) is
-    * tiny and broadcast; candidate generation is ONE broadcast-hash
-    * join against the (doc, term, tf) relation — i.e. a posting-list
-    * probe, not a corpus pair join; then a doc-keyed partial agg and a
-    * TakeOrderedAndProject top-k. Adding documents grows only the
-    * probe's scan side.
+    * Scale shape: candidate generation is ONE broadcast-hash join of
+    * the tiny query vector against the (doc, term, tf) relation — a
+    * posting-list probe, not a corpus pair join — then a doc-keyed
+    * partial agg and a TakeOrderedAndProject top-k. Honest cost note
+    * (r5 advisor): unlike Lucene, which probes a PREBUILT index, this
+    * convenience form derives tf and df from the corpus per call — two
+    * corpus-sized aggregations. At scale, precompute the tf relation
+    * once (e.g. persist it or reuse [[TextAnalysis]] artifacts) and
+    * call [[moreLikeThisFromTf]], which shares one tf input across its
+    * qvec and probe branches and adds only the df aggregation.
     */
   def moreLikeThis(docs: DataFrame, textCol: String, queryId: Long,
       idCol: String = "doc_id", k: Int = 10,
@@ -318,15 +327,32 @@ object Quality {
     val toks = wsTokens(col(textCol))
     val tf = docs.select(col(idCol).as("doc_id"), explode(toks).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    moreLikeThisFromTf(tf, queryId, k, maxDfPermille,
+      nDocs = Some(docs.agg(count(lit(1)).as("n_docs"))))
+  }
+
+  /** [[moreLikeThis]] over a PRECOMPUTED (doc_id, token, tf) relation —
+    * the production entry point: pass a persisted/bucketed tf table and
+    * the per-query cost is the df agg + one broadcast probe, with the
+    * corpus tokenization paid once, not per query.
+    *
+    * @param nDocs optional 1-row `(n_docs BIGINT)` relation giving the
+    *              corpus size for the df ratio; defaults to the tf
+    *              relation's distinct doc count (= total docs unless
+    *              some documents tokenize to nothing)
+    */
+  def moreLikeThisFromTf(tf: DataFrame, queryId: Long, k: Int = 10,
+      maxDfPermille: Int = 1000, nDocs: Option[DataFrame] = None): DataFrame = {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val n = nDocs.getOrElse(
+      tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs")))
     val qvec = tf.filter(col("doc_id") === queryId)
       .select(col("token"), col("tf").as("q_tf"))
       .join(df, "token")
       .crossJoin(broadcast(n))
       .filter(col("df") * 1000 <= col("n_docs") * maxDfPermille)
       .select(col("token"), col("q_tf"),
-        expr("n_docs * 1000000 DIV df").as("w"))
+        expr("100000000 DIV greatest(1, df * 1000000 DIV n_docs)").as("w"))
     tf.filter(col("doc_id") =!= queryId)
       .join(broadcast(qvec), "token")
       .groupBy("doc_id")

@@ -318,19 +318,30 @@ object Similarity {
     * structs. Nothing wider than a scalar crosses the exchange.
     */
   def centroids(vectors: DataFrame, byCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    centroidMeans(vectors, byCol, vecCol)
+      .groupBy(col(byCol))
+      .agg(max(col("n_vectors")).as("n_vectors"),
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("mean_e6")))),
+          x => x.getField("mean_e6")).as("centroid_e6"))
+
+  /** The scalar (exploded) form of [[centroids]]: one row per
+    * (group, dim) with the e6 fixed-point mean — the shape the
+    * correctness gate declares (SURVEY §8: declared queries emit
+    * scalar columns only; array-valued results crash the driver's
+    * pandas sort). [[centroids]] reassembles the array from this.
+    */
+  def centroidMeans(vectors: DataFrame, byCol: String = "label",
       vecCol: String = "embedding"): DataFrame = {
     val vE6 = floor(col("v").cast("double") * 1e6 + 0.5).cast("long")
     vectors
       .select(col(byCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col(byCol), col("dim").cast("long").as("dim"), vE6.as("v_e6"))
       .groupBy(col(byCol), col("dim"))
-      .agg(count(lit(1)).as("cnt"), sum(col("v_e6")).as("s"))
-      .withColumn("mean_e6", expr("s DIV cnt"))
-      .groupBy(col(byCol))
-      .agg(max(col("cnt")).as("n_vectors"),
-        transform(
-          sort_array(collect_list(struct(col("dim"), col("mean_e6")))),
-          x => x.getField("mean_e6")).as("centroid_e6"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("v_e6")).as("s"))
+      .withColumn("mean_e6", expr("s DIV n_vectors"))
+      .select(col(byCol), col("dim"), col("n_vectors"), col("mean_e6"))
   }
 
   /** Random-hyperplane LSH components as INTEGERS in [-1000, 1000]

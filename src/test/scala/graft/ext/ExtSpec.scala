@@ -105,7 +105,13 @@ class ExtSpec extends AnyFunSuite {
       (3L, "x y z w x y z w x y z w"),
       // docs 4/5 share two runs split by a differing middle token → two islands
       (4L, "one two three four m4 five six seven eight"),
-      (5L, "one two three four m5 five six seven eight")
+      (5L, "one two three four m5 five six seven eight"),
+      // doc 6's duplicated starts are {0, 2} (gap 2 ≤ k): overlapping
+      // intervals [0,3] and [2,5] MUST merge to one span [0,5] — the
+      // advisor's double-count case; doc 7's are {0, 5} (gap 5 > k):
+      // disjoint, two spans
+      (6L, "a b c d e f"),
+      (7L, "a b c d q c d e f")
     ).toDF("doc_id", "text")
     val spans = Dedup.duplicateSpans(d, "text", "doc_id", k = 4, minDf = 2)
       .orderBy("doc_id", "span_start")
@@ -114,8 +120,17 @@ class ExtSpec extends AnyFunSuite {
       (1L, 0L, 8L, 9L),            // alpha..iota
       (2L, 2L, 10L, 9L),           // same run, shifted
       (4L, 0L, 3L, 4L), (4L, 5L, 8L, 4L),  // two islands
-      (5L, 0L, 3L, 4L), (5L, 5L, 8L, 4L)))
+      (5L, 0L, 3L, 4L), (5L, 5L, 8L, 4L),
+      (6L, 0L, 5L, 6L),                    // merged, non-overlapping
+      (7L, 0L, 3L, 4L), (7L, 5L, 8L, 4L)))
     assert(!spans.exists(_._1 == 3L))
+    // spans never overlap within a doc
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3)
+        case _ =>
+      }
+    }
   }
 
   test("token-set fingerprint catches the shuffled copy; simhash of dup matches") {

@@ -255,17 +255,19 @@ class QualitySpec extends AnyFunSuite {
   test("moreLikeThis: shared rare terms score, stopwords pruned, self excluded") {
     import spark.implicits._
     // "common" is in all 5 docs (df·1000 = 5000 > n·800 = 4000 → pruned);
-    // doc 1's remaining terms: rare (df 2, w = 5e6/2), alpha (df 2, same w)
+    // doc 1's remaining terms rare/alpha have df 2 of N 5 → rel ppm
+    // = 2e6 DIV 5 = 400000 → w = 1e8 DIV 400000 = 250 (ratio-bounded
+    // weight: never proportional to N, so no BIGINT overflow at scale)
     val d = Seq(
       (1L, "common rare alpha"),
-      (2L, "common rare rare"),   // rare tf 2 → score 2·1·2500000
+      (2L, "common rare rare"),   // rare tf 2 → score 2·1·250 = 500
       (3L, "common solo"),        // shares only the pruned stopword → absent
       (4L, "common beta"),
-      (5L, "common gamma alpha")  // alpha tf 1 → score 2500000
+      (5L, "common gamma alpha")  // alpha tf 1 → score 250
     ).toDF("doc_id", "text")
     val r = Quality.moreLikeThis(d, "text", queryId = 1L, k = 10,
         maxDfPermille = 800)
       .collect().map(x => (x.getLong(0), x.getLong(1)))
-    assert(r.toSeq == Seq((2L, 5000000L), (5L, 2500000L)))
+    assert(r.toSeq == Seq((2L, 500L), (5L, 250L)))
   }
 }

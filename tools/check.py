@@ -4,15 +4,30 @@ parquet dump from Verify, run its oracle SQL in DuckDB over the same
 testdata tables, compare columns (sorted by name), row counts, and
 values. Usage: python tools/check.py [--dump] <sfDir> <verifyOutDir> [query...]
 
+Strictness contract (VERDICT r5 item 6): this gate must be AT LEAST as
+strict as the driver's comparator — three rounds were lost to queries
+that passed here and failed there. Concretely:
+  1. every oracle query's parquet is ALSO loaded through the driver's
+     own path (pandas read_parquet → sort_values over all columns) —
+     if that crashes (e.g. ndarray cells from an array column), the
+     query FAILS here even if the DuckDB compare would pass;
+  2. nested (list/struct/map) output columns in oracle-checked queries
+     are rejected outright (SURVEY §8: declared queries emit scalar
+     columns only);
+  3. rows are compared SORTED (by canonical value repr), like the
+     driver, not in declared-ORDER-BY order — a non-total ORDER BY
+     then cannot pass locally by luck of matching tie order.
+
 --dump (or any FAIL) writes canonical CSVs to <verifyOutDir>/_dump/:
 <name>.mine.csv + <name>.oracle.csv — columns sorted by name, rows
 sorted lexicographically, doubles as raw IEEE-754 bit hex. The format
-is byte-identical to Verify's own <verifyOutDir>/_csv/<name>.csv, so a
-driver-vs-local disagreement leaves a three-way diffable trail
+is byte-identical to Verify's own <verifyOutDir>_csv/<name>.csv (a
+SIBLING dir — anything inside outDir reads as a query to the driver),
+so a driver-vs-local disagreement leaves a three-way diffable trail
 (driver engine rows vs local engine rows vs local oracle rows) instead
 of a bare hash boolean.
 """
-import json, math, os, struct, sys
+import glob, json, math, os, struct, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -53,12 +68,37 @@ def fmt_val(v):
         return re.sub(r"(\.\d*?)0+$", r"\1", s).rstrip(".")
     return str(v)
 
+def row_key(r):
+    return tuple(fmt_val(v) for v in r)
+
 def dump_rows(path, cols, rows):
     lines = sorted("\t".join(fmt_val(v) for v in r) for r in rows)
     with open(path, "w") as f:
         f.write("\t".join(cols) + "\n")
         for ln in lines:
             f.write(ln + "\n")
+
+def driver_path_check(parquet_dir):
+    """Replicate the DRIVER's load path: pandas + sort_values over every
+    column. Returns an error string if the driver would crash (r5:
+    TypeError on ndarray cells), else None. Also rejects nested parquet
+    types outright — even where pandas happens to cope, the driver's
+    hash of object cells is not trustworthy cross-engine."""
+    import pyarrow.dataset as ds
+    import pyarrow as pa
+    schema = ds.dataset(parquet_dir).schema
+    nested = [f"{n}: {schema.field(n).type}" for n in schema.names
+              if pa.types.is_nested(schema.field(n).type)]
+    if nested:
+        return f"nested output column(s) {nested} (SURVEY §8: scalars only)"
+    try:
+        import pandas as pd
+        df = pd.read_parquet(parquet_dir)
+        cols = sorted(df.columns)
+        df[cols].sort_values(by=cols, kind="mergesort")
+    except Exception as e:
+        return f"driver comparator would crash: {type(e).__name__}: {e}"
+    return None
 
 def main():
     args = [a for a in sys.argv[1:] if a != "--dump"]
@@ -83,6 +123,11 @@ def main():
             print(f"FAIL {name}: cannot read my output: {e}")
             n_fail += 1
             continue
+        drv_err = driver_path_check(f"{out_dir}/{name}")
+        if drv_err:
+            print(f"FAIL {name}: {drv_err}")
+            n_fail += 1
+            continue
         try:
             ora = con.sql(sql)
             ora_cols = sorted(ora.columns)
@@ -98,10 +143,14 @@ def main():
         elif len(mine_rows) != len(ora_rows):
             failed = f"rows {len(mine_rows)} != {len(ora_rows)}"
         else:
-            for i, (a, b) in enumerate(zip(mine_rows, ora_rows)):
+            # compare rows SORTED by canonical repr — the driver sorts
+            # before hashing, so declared ORDER BY must not be load-bearing
+            mine_sorted = sorted(mine_rows, key=row_key)
+            ora_sorted = sorted(ora_rows, key=row_key)
+            for i, (a, b) in enumerate(zip(mine_sorted, ora_sorted)):
                 na, nb = tuple(map(norm, a)), tuple(map(norm, b))
                 if na != nb:
-                    failed = f"row {i}:\n  mine  : {na}\n  oracle: {nb}"
+                    failed = f"row {i} (sorted):\n  mine  : {na}\n  oracle: {nb}"
                     break
         if dump_all or failed:
             os.makedirs(dump_dir, exist_ok=True)
