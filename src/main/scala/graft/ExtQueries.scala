@@ -61,6 +61,18 @@ object ExtQueries {
     sigsCache.getOrElseUpdate(sfDir,
       Dedup.minhashSignatures(docShingles(spark, sfDir), K, preHashed = true).persist())
 
+  // Duplicated-span artifact (k=8, minDf=2 over documents): span
+  // detection is the corpus-sized term; the span LIST and the per-doc
+  // cut budgets both derive from it, so compute once per scale dir and
+  // persist — same lifecycle as pairsCache.
+  private val spansCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def dupSpans(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    spansCache.getOrElseUpdate(sfDir,
+      Dedup.duplicateSpans(spark.table("documents"), "text", "doc_id",
+        k = 8, minDf = 2).persist())
+
   /** Bench setup hook: materialize the shared dedup artifacts so query
     * timings measure probes, not builds (the TextIndex/IvfIndex model).
     */
@@ -69,6 +81,7 @@ object ExtQueries {
     Corpus.registerSources(spark, sfDir)
     docShingles(spark, sfDir).count()
     minhashSigs(spark, sfDir).count()
+    dupSpans(spark, sfDir).count()
   }
 
   /** The sh relation mirrors Dedup.shingleHashes: DISTINCT portable
@@ -274,25 +287,31 @@ object ExtQueries {
   /** Shared CTE chain computing the 60-bit simhash per doc (mirrors
     * Dedup.simhash bit-for-bit).
     */
-  private def simhashSigCtes: String = {
+  private def simhashSigCtes: String = simhashSigCtesPrefixed("")
+
+  /** The simhash CTE chain with a name prefix, so it can coexist with
+    * the minhash chain (whose `hashed`/`sigs` names collide) inside one
+    * oracle — used by the method-overlap query.
+    */
+  private def simhashSigCtesPrefixed(pre: String): String = {
     val bitSums = (0 until 60).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN w ELSE -w END) AS b_$j")
       .mkString(",\n         ")
     val sig = (0 until 60).map(j =>
       s"(CASE WHEN b_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
       .mkString(" | ")
-    s"""tokw AS (
+    s"""${pre}tokw AS (
        |  SELECT doc_id, token, count(*) AS w
        |  FROM (SELECT doc_id, unnest(${ducktokens("text")}) AS token FROM documents) u
        |  GROUP BY doc_id, token
        |),
-       |hashed AS (SELECT doc_id, w, ${duckHash("token")} AS h FROM tokw),
-       |sums AS (
+       |${pre}hashed AS (SELECT doc_id, w, ${duckHash("token")} AS h FROM ${pre}tokw),
+       |${pre}sums AS (
        |  SELECT doc_id,
        |         $bitSums
-       |  FROM hashed GROUP BY doc_id
+       |  FROM ${pre}hashed GROUP BY doc_id
        |),
-       |sigs AS (SELECT doc_id, $sig AS simhash FROM sums)""".stripMargin
+       |${pre}sigs AS (SELECT doc_id, $sig AS simhash FROM ${pre}sums)""".stripMargin
   }
 
   /** Shared by the relational and compiled-kernel n-gram repetition
@@ -477,8 +496,7 @@ object ExtQueries {
     QueryDef("x_dedup_spans",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        Dedup.duplicateSpans(spark.table("documents"), "text", "doc_id",
-            k = 8, minDf = 2)
+        dupSpans(spark, sfDir)
           .orderBy("doc_id", "span_start")
       },
       Some(
@@ -513,6 +531,59 @@ object ExtQueries {
            |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
            |FROM g GROUP BY doc_id, grp
            |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // The CUTTING step over duplicate spans (Lee et al. cut, not drop):
+    // per-doc duplicated-token coverage vs kept tokens — exact because
+    // spans never overlap. Every doc appears (zero-span docs cut 0).
+    QueryDef("x_dedup_spans_cut",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Dedup.spanCutStatsFromSpans(dupSpans(spark, sfDir),
+            spark.table("documents"), "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH toks AS (SELECT doc_id, ${ducktokens("text")} AS ts FROM documents),
+           |pos AS (
+           |  SELECT doc_id, i - 1 AS pos,
+           |         ${duckHash("ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]")} AS gh
+           |  FROM toks, UNNEST(range(1, len(ts) - 6)) AS u(i)
+           |),
+           |dfr AS (
+           |  SELECT gh, count(DISTINCT doc_id) AS gram_df FROM pos GROUP BY gh
+           |),
+           |dup AS (
+           |  SELECT p.doc_id, p.pos
+           |  FROM pos p JOIN dfr d ON d.gh = p.gh AND d.gram_df >= 2
+           |),
+           |brk AS (
+           |  SELECT doc_id, pos,
+           |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+           |              THEN 1 ELSE 0 END AS b
+           |  FROM dup
+           |),
+           |g AS (
+           |  SELECT doc_id, pos,
+           |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+           |                      ROWS UNBOUNDED PRECEDING) AS grp
+           |  FROM brk
+           |),
+           |spans AS (
+           |  SELECT doc_id, grp, max(pos) + 7 - min(pos) + 1 AS span_tokens
+           |  FROM g GROUP BY doc_id, grp
+           |),
+           |cover AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |         CAST(sum(span_tokens) AS BIGINT) AS cut_tokens
+           |  FROM spans GROUP BY doc_id
+           |)
+           |SELECT t.doc_id,
+           |       CAST(len(t.ts) AS BIGINT) AS total_tokens,
+           |       CAST(coalesce(c.n_spans, 0) AS BIGINT) AS n_spans,
+           |       CAST(coalesce(c.cut_tokens, 0) AS BIGINT) AS cut_tokens,
+           |       CAST(len(t.ts) - coalesce(c.cut_tokens, 0) AS BIGINT) AS kept_tokens
+           |FROM toks t LEFT JOIN cover c USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)),
 
     // LSH candidate generation with a bucket cap AND the salted second
     // pass: oversized buckets re-keyed on an extra signature row rather
@@ -593,6 +664,75 @@ object ExtQueries {
            |FROM cands
            |WHERE bit_count(xor(sh_a, sh_b)) <= 8
            |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Dedup-method agreement matrix — the eval table a pipeline tunes
+    // thresholds with: pairs flagged by verified MinHash-LSH (jaccard ≥
+    // 0.4) vs SimHash (hamming ≤ 8), counted by membership combination.
+    // Scale: both inputs are the methods' own bounded candidate outputs;
+    // the overlap adds ONE pair-keyed full-outer join — no new
+    // quadratic term, cost bounded by the dedup outputs themselves.
+    QueryDef("x_dedup_method_overlap",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val mh = minhashPairs(spark, sfDir)
+          .select("id_a", "id_b").withColumn("m", lit(1))
+        val sh = Dedup.simhashNearDups(spark.table("documents"), "text",
+            "doc_id", bits = 60, bands = 4, maxHamming = 8)
+          .select("id_a", "id_b").withColumn("s", lit(1))
+        mh.join(sh, Seq("id_a", "id_b"), "full_outer")
+          .select(
+            coalesce(col("m"), lit(0)).cast("long").as("in_minhash"),
+            coalesce(col("s"), lit(0)).cast("long").as("in_simhash"))
+          .groupBy("in_minhash", "in_simhash")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("in_minhash").desc, col("in_simhash").desc)
+      },
+      Some(
+        s"""WITH ${shinglesCte(3)},
+           |$minhashSigsCte,
+           |$bandsCte,
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |verified AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN sh x ON x.doc_id = c.id_a
+           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+           |  GROUP BY 1, 2
+           |),
+           |mhp AS (
+           |  SELECT id_a, id_b FROM verified
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
+           |),
+           |${simhashSigCtesPrefixed("s_")},
+           |s_banded AS (
+           |${(0 until 4).map(b =>
+              s"  SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS band_key FROM s_sigs")
+              .mkString("\n  UNION ALL\n")}
+           |),
+           |shp AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM s_banded a JOIN s_banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+           |),
+           |joined AS (
+           |  SELECT CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_minhash,
+           |         CASE WHEN b.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_simhash
+           |  FROM mhp a FULL OUTER JOIN shp b
+           |    ON a.id_a = b.id_a AND a.id_b = b.id_b
+           |)
+           |SELECT CAST(in_minhash AS BIGINT) AS in_minhash,
+           |       CAST(in_simhash AS BIGINT) AS in_simhash,
+           |       CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM joined GROUP BY in_minhash, in_simhash
+           |ORDER BY in_minhash DESC, in_simhash DESC""".stripMargin)),
 
     // ---- similarity search ------------------------------------------
 
@@ -772,6 +912,122 @@ object ExtQueries {
            |CROSS JOIN qn2
            |GROUP BY c.vec_id, c.cell_id, n.nn, qn2.nq
            |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin)),
+
+    // ANN recall@10 eval — the accuracy/cost dial every approximate
+    // index ships with: IVF(nprobe=3) top-10 vs brute-force ground
+    // truth for a 5-query probe set, as integer membership counts.
+    // The probe set is bounded (5 single-row vector lookups against the
+    // memoized index — the nprobe-style bounded-collect contract); each
+    // side's top-10 is a TakeOrderedAndProject; the overlap join is
+    // 10 rows per query. Ranking ties are deterministic on both
+    // engines: (round(cos, 6) DESC, vec_id).
+    QueryDef("x_sim_ivf_recall",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val vecs = spark.table("embeddings")
+        val idx = Corpus.ivfIndex(spark, sfDir)
+        val parts = Seq(0L, 7L, 13L, 21L, 34L).map { qid =>
+          val q = Similarity.vectorOf(vecs, "vec_id", qid)
+          val bf = Similarity.bruteForceTopK(vecs, q, 10)
+            .select(col("vec_id")).withColumn("qid", lit(qid))
+            .withColumn("bf", lit(1))
+          val iv = Similarity.ivfSearchIndexed(idx, q, nprobe = 3, k = 10)
+            .select(col("vec_id")).withColumn("qid", lit(qid))
+            .withColumn("iv", lit(1))
+          bf.join(iv, Seq("qid", "vec_id"), "full_outer")
+        }
+        parts.reduce(_.unionByName(_))
+          .groupBy(col("qid").as("query_id"))
+          .agg(sum(coalesce(col("bf"), lit(0))).as("n_bf"),
+            sum(coalesce(col("iv"), lit(0))).as("n_ivf"),
+            sum(coalesce(col("bf"), lit(0)) * coalesce(col("iv"), lit(0)))
+              .as("n_common"))
+          .select(col("query_id"),
+            col("n_bf").cast("long").as("n_bf"),
+            col("n_ivf").cast("long").as("n_ivf"),
+            col("n_common").cast("long").as("n_common"),
+            expr("n_common * 1000 DIV n_bf").cast("long").as("recall_permille"))
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH $exCte,
+           |qs AS (SELECT unnest([0, 7, 13, 21, 34]) AS qid),
+           |qx AS (SELECT q.qid, e.v AS qv, e.i FROM ex e JOIN qs q ON e.vec_id = q.qid),
+           |cx AS (
+           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % 40 = 0
+           |),
+           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+           |          FROM ex GROUP BY vec_id),
+           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
+           |           FROM cx GROUP BY cell_id),
+           |allsims AS (
+           |  SELECT e.vec_id, c.cell_id,
+           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
+           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
+           |  FROM ex e JOIN cx c ON e.i = c.i
+           |  JOIN norms n ON n.vec_id = e.vec_id
+           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
+           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
+           |),
+           |assigned AS (
+           |  SELECT vec_id, cell_id FROM (
+           |    SELECT vec_id, cell_id,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY sim DESC, cell_id) AS rn
+           |    FROM allsims
+           |  ) r WHERE rn = 1
+           |),
+           |probes AS (
+           |  SELECT qid, cell_id FROM (
+           |    SELECT q.qid, a.cell_id,
+           |           row_number() OVER (PARTITION BY q.qid
+           |                              ORDER BY a.sim DESC, a.cell_id) AS rn
+           |    FROM allsims a JOIN qs q ON a.vec_id = q.qid
+           |  ) r WHERE rn <= 3
+           |),
+           |qn AS (SELECT qid, sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq
+           |       FROM qx GROUP BY qid),
+           |sims AS (
+           |  SELECT d.qid, d.vec_id, round(d.dot / (sqrt(n.nn) * sqrt(q.nq)), 6) AS cos
+           |  FROM (
+           |    SELECT x.qid, e.vec_id, sum(CAST(e.v AS DOUBLE) * CAST(x.qv AS DOUBLE)) AS dot
+           |    FROM ex e JOIN qx x ON x.i = e.i GROUP BY x.qid, e.vec_id
+           |  ) d
+           |  JOIN norms n ON n.vec_id = d.vec_id
+           |  JOIN qn q ON q.qid = d.qid
+           |),
+           |bf AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+           |    FROM sims
+           |  ) r WHERE rn <= 10
+           |),
+           |ivf AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT s.qid, s.vec_id,
+           |           row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.vec_id) AS rn
+           |    FROM sims s
+           |    JOIN assigned a ON a.vec_id = s.vec_id
+           |    JOIN probes p ON p.qid = s.qid AND p.cell_id = a.cell_id
+           |  ) r WHERE rn <= 10
+           |),
+           |j AS (
+           |  SELECT coalesce(b.qid, i.qid) AS qid,
+           |         CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS bf,
+           |         CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END AS iv
+           |  FROM bf b FULL OUTER JOIN ivf i
+           |    ON b.qid = i.qid AND b.vec_id = i.vec_id
+           |)
+           |SELECT CAST(qid AS BIGINT) AS query_id,
+           |       CAST(sum(bf) AS BIGINT) AS n_bf,
+           |       CAST(sum(iv) AS BIGINT) AS n_ivf,
+           |       CAST(sum(bf * iv) AS BIGINT) AS n_common,
+           |       CAST(sum(bf * iv) * 1000 // sum(bf) AS BIGINT) AS recall_permille
+           |FROM j GROUP BY qid
+           |ORDER BY query_id""".stripMargin)),
 
     // IVF over a k-means quantizer TRAINED IN-ENGINE: deterministic
     // seeding + 2 Lloyd rounds as pure relational algebra, centroid
@@ -1561,6 +1817,48 @@ object ExtQueries {
           |FROM m2
           |ORDER BY doc_id""".stripMargin)),
 
+    // Paragraph self-duplication (C4/RefinedWeb dedup_para signal at doc
+    // granularity): blank-line-delimited blocks, distinct vs total —
+    // pure in-row map, integer permille. The corpus is single-line, so
+    // the query augments deterministically on BOTH engines: appends a
+    // shared footer and, for doc_id % 3 = 0, repeats the body paragraph.
+    QueryDef("x_quality_para_dup",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val body = coalesce(col("text"), lit(""))
+        val aug = spark.table("documents").withColumn("text",
+          concat(body,
+            lit("\n\nshared footer "), (col("doc_id") % 5).cast("string"),
+            lit("\n\n"),
+            when(col("doc_id") % 3 === 0, body)
+              .otherwise(concat(lit("unique tail "),
+                col("doc_id").cast("string")))))
+        Quality.paragraphDupStats(aug, "text").orderBy("doc_id")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id,
+          |         coalesce(text, '') || chr(10) || chr(10) ||
+          |         'shared footer ' || (doc_id % 5) || chr(10) || chr(10) ||
+          |         CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '')
+          |              ELSE 'unique tail ' || doc_id END AS t
+          |  FROM documents
+          |),
+          |p AS (
+          |  SELECT doc_id,
+          |         list_filter(list_transform(string_split_regex(t, '\n{2,}'),
+          |             x -> trim(x)), x -> x <> '') AS ps
+          |  FROM aug
+          |)
+          |SELECT doc_id,
+          |       CAST(len(ps) AS BIGINT) AS n_paras,
+          |       CAST(len(list_distinct(ps)) AS BIGINT) AS n_distinct_paras,
+          |       CAST(CASE WHEN len(ps) > 0
+          |                 THEN (len(ps) - len(list_distinct(ps))) * 1000 // len(ps)
+          |                 ELSE 0 END AS BIGINT) AS dup_para_permille
+          |FROM p
+          |ORDER BY doc_id""".stripMargin)),
+
     // N-gram repetition stats — the relational Gopher half: top-bigram
     // coverage + repeated-trigram coverage, keyed on (doc, gram).
     QueryDef("x_quality_ngram_rep",
@@ -1866,19 +2164,7 @@ object ExtQueries {
             col("n_trailing"), col("sum_trailing_cents"))
           .orderBy("event_id")
       },
-      Some(
-        """WITH e AS (
-          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-          |         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
-          |  FROM events
-          |)
-          |SELECT event_id, user_id, ts_us,
-          |       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
-          |       CAST(sum(cents) OVER w AS BIGINT) AS sum_trailing_cents
-          |FROM e
-          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
-          |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
-          |ORDER BY event_id""".stripMargin)),
+      defsRollingOracle),
 
     // Cohort retention: first-seen-week cohorts × active-week offsets.
     // Engine uses the distinct-first + window shape; the oracle is the
@@ -2226,8 +2512,63 @@ object ExtQueries {
             "duration_us")
           .orderBy("user_id", "session_seq")
       },
-      defsSessionOracle)
+      defsSessionOracle),
+
+    // Streaming rolling 24 h event rates: a REAL Structured Streaming
+    // run (parquet source → AvailableNow → flatMapGroupsWithState keyed
+    // on user → memory sink), checked against the BATCH rolling oracle.
+    // State = the in-window (ts, cents) buffer + running sum per user —
+    // bounded by window span, not history; ts-tie groups buffered
+    // together to match the RANGE frame's all-peers semantics.
+    QueryDef("x_stream_rolling",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-roll")
+        val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+        val link = srcDir.resolve("events.parquet")
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+        val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
+        val q = graft.streaming.IncrementalIndexer
+          .rollingStream(spark, stream, windowUs = 86400L * 1000000)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_rolling_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // every event emits exactly once; order for readability only
+        spark.table("x_stream_rolling_sink")
+          .select("event_id", "user_id", "ts_us", "n_trailing",
+            "sum_trailing_cents")
+          .orderBy("event_id")
+      },
+      defsRollingOracle)
   )
+
+  /** The batch rolling-rate oracle, shared by `x_evt_rolling` and
+    * `x_stream_rolling` — the streaming operator's contract IS batch
+    * equivalence. A `def` (not a val): referenced from `defs`.
+    */
+  private def defsRollingOracle: Option[String] = Some(
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, ts_us,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+      |       CAST(sum(cents) OVER w AS BIGINT) AS sum_trailing_cents
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin)
 
   /** The batch-sessionization oracle, shared by the batch and streaming
     * entries — the streaming operator's contract IS batch equivalence.

@@ -411,6 +411,47 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
   }
 
+  /** The CUTTING step over [[duplicateSpans]] (Lee et al. 2021 cut
+    * duplicated substrings rather than dropping documents): per-doc
+    * totals of tokens covered by cross-corpus duplicated spans vs
+    * tokens kept. Because spans are maximal and NON-overlapping (the
+    * island merge breaks only on start-gap > k), `cut_tokens` is the
+    * exact covered-token count — summing spans cannot double-count.
+    * Every doc appears, zero-span docs with cut_tokens = 0: the output
+    * is the per-document budget table a span-cutting rewrite pass (or
+    * a keep/drop policy on dup fraction) consumes.
+    *
+    * Scale shape: [[duplicateSpans]]'s linear pipeline + one span
+    * rollup already keyed by doc + a doc-keyed LEFT join against the
+    * in-row token counts — no new corpus-sized term beyond the span
+    * detection itself; text never crosses an exchange.
+    */
+  def spanCutStats(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minDf: Int = 2): DataFrame =
+    spanCutStatsFromSpans(duplicateSpans(docs, textCol, idCol, k, minDf),
+      docs, textCol, idCol)
+
+  /** [[spanCutStats]] over PRECOMPUTED spans — the artifact form: span
+    * detection is the corpus-sized term, so a pipeline computes
+    * [[duplicateSpans]] once (persisted) and derives both the span list
+    * and the per-doc cut budgets from it.
+    */
+  def spanCutStatsFromSpans(spans: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val cover = spans
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_tokens").as("cut_tokens"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(Tokenizer.tokensCol(col(textCol))).cast("long").as("total_tokens"))
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_tokens"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("cut_tokens"), lit(0L)).cast("long").as("cut_tokens"),
+        (col("total_tokens") -
+          coalesce(col("cut_tokens"), lit(0L))).cast("long").as("kept_tokens"))
+  }
+
   /** Connected components over near-duplicate pairs — the canonical-doc
     * step of a dedup pipeline: docs linked (directly or transitively)
     * by any pair share a component labeled by the component's MINIMUM

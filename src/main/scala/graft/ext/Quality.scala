@@ -490,6 +490,31 @@ object Quality {
       (collapsed =!= t).as("changed"))
   }
 
+  /** Per-document paragraph self-duplication stats — the C4/RefinedWeb
+    * "dedup_para" signal at document granularity: how much of a doc is
+    * its own paragraphs repeated (listings, scraped templates, chat
+    * transcripts echo-quoting). Distinct from cross-doc span dedup
+    * ([[Dedup.duplicateSpans]] needs ≥ minDf DOCS) and from
+    * [[gopherProfile]]'s line-level fractions — paragraphs are
+    * blank-line-delimited blocks, the unit C4 filters on. Entirely
+    * in-row (scan → project, zero Exchange at any corpus size);
+    * `dup_para_permille` is integer arithmetic, cross-engine exact.
+    */
+  def paragraphDupStats(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val paras = filter(
+      transform(split(coalesce(col(textCol), lit("")), "\\n{2,}"),
+        x => trim(x)),
+      x => x =!= "")
+    docs.select(col(idCol),
+        size(paras).cast("long").as("n_paras"),
+        size(array_distinct(paras)).cast("long").as("n_distinct_paras"))
+      .withColumn("dup_para_permille",
+        when(col("n_paras") > 0,
+          expr("(n_paras - n_distinct_paras) * 1000 DIV n_paras"))
+          .otherwise(lit(0L)))
+  }
+
   /** Per-group corpus report card — the summary every shard ships with:
     * document/token/char counts, language spread, and the exact-dup
     * rate (docs minus distinct content digests). ONE group-keyed

@@ -164,6 +164,67 @@ object IncrementalIndexer {
       }
   }
 
+  /** Streaming rolling event rates — [[graft.ext.Events.rollingCounts]]
+    * as incremental state: for every event, the count and integer-cents
+    * value sum of the SAME user's events in the trailing `windowUs`
+    * (event included). State per user is the in-window event buffer
+    * (ts, cents) plus its running sum — bounded by window span × peak
+    * per-user event rate, NOT history: everything older than
+    * `max_ts - windowUs` is evicted as events arrive. Each batch's
+    * group is sorted by (ts, id) and processed in TS-TIE GROUPS: the
+    * batch operator's RANGE frame counts all equal-ts peers in every
+    * peer's frame, so tied events are buffered together before any of
+    * them emits. Equals the batch operator whenever batches respect
+    * event-time order per key (same contract as [[sessionStream]]).
+    */
+  final case class RollingRow(event_id: Long, user_id: Long, ts_us: Long,
+      n_trailing: Long, sum_trailing_cents: Long)
+  final case class RollingCarry(ts: Array[Long], cents: Array[Long],
+      running: Long)
+
+  def rollingStream(spark: SparkSession, events: DataFrame,
+      windowUs: Long): Dataset[RollingRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_us").cast("long"),
+        floor(col("value").cast("double") * 100 + 0.5).cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RollingCarry, RollingRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+        val buf = scala.collection.mutable.ArrayDeque.empty[(Long, Long)]
+        var running = 0L
+        state.getOption.foreach { s =>
+          var i = 0
+          while (i < s.ts.length) { buf += ((s.ts(i), s.cents(i))); i += 1 }
+          running = s.running
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[RollingRow]
+        var i = 0
+        while (i < sorted.length) {
+          // tie group: all events sharing this ts enter the frame together
+          val ts = sorted(i)._3
+          var j = i
+          while (j < sorted.length && sorted(j)._3 == ts) {
+            buf += ((ts, sorted(j)._4)); running += sorted(j)._4; j += 1
+          }
+          while (buf.nonEmpty && buf.head._1 < ts - windowUs) {
+            running -= buf.head._2; buf.removeHead()
+          }
+          while (i < j) {
+            out += RollingRow(sorted(i)._2, uid, ts, buf.length, running)
+            i += 1
+          }
+        }
+        state.update(RollingCarry(buf.map(_._1).toArray,
+          buf.map(_._2).toArray, running))
+        out.iterator
+      }
+  }
+
   def userStates(spark: SparkSession, events: DataFrame): Dataset[UserEventState] = {
     import spark.implicits._
     events.select(col("user_id").cast("long"), col("event_id").cast("long"),

@@ -131,6 +131,17 @@ class ExtSpec extends AnyFunSuite {
         case _ =>
       }
     }
+
+    // the cutting step: exact coverage, every doc present, kept = total - cut
+    val cut = Dedup.spanCutStats(d, "text", "doc_id", k = 4, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(cut(1L) == ((12L, 1L, 9L, 3L)))  // 9 of 12 tokens cut
+    assert(cut(3L) == ((12L, 0L, 0L, 12L))) // self-repeats cut nothing
+    assert(cut(6L) == ((6L, 1L, 6L, 0L)))   // merged span covers the doc
+    assert(cut(7L) == ((9L, 2L, 8L, 1L)))   // two disjoint spans, 1 kept
+    assert(cut.values.forall { case (t, _, c, kept) => kept == t - c })
   }
 
   test("token-set fingerprint catches the shuffled copy; simhash of dup matches") {

@@ -27,6 +27,23 @@ class QualitySpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("gopher_pass")) // < 50 tokens
   }
 
+  test("paragraphDupStats: blank-line blocks, repeats, empty/null text") {
+    import spark.implicits._
+    val d = Seq(
+      // 4 paragraphs, "dup" twice → 4 total, 3 distinct, 250‰
+      (1L, "dup\n\nmiddle one\n\ndup\n\nlast"),
+      // multi-blank-line separators and surrounding whitespace trim
+      (2L, "a\n\n\n  a  \n\n\nb"),      // [a, a, b] → 3/2, 333‰
+      (3L, "only one paragraph"),       // 1/1, 0‰
+      (4L, ""),                         // 0 paras → permille 0, not ÷0
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = Quality.paragraphDupStats(d, "text").orderBy("doc_id")
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (4L, 3L, 250L), (3L, 2L, 333L), (1L, 1L, 0L), (0L, 0L, 0L), (0L, 0L, 0L)))
+  }
+
   test("gopherProfile: symbol ratio counts # and ... per token") {
     import spark.implicits._
     val d = Seq((1L, "a # b ... c #")).toDF("doc_id", "text")

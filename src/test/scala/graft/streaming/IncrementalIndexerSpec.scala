@@ -131,6 +131,31 @@ class IncrementalIndexerSpec extends AnyFunSuite {
     assert(fin((1L, 2L)).getAs[Long]("duration_us") == 0L)
   }
 
+  test("rollingStream: eviction across batches, ts-tie peers count each other") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (user_id, event_id, ts_us, value); window 100 µs
+    val stream = MemoryStream[(Long, Long, Long, Double)]
+    val q = IncrementalIndexer.rollingStream(spark,
+        stream.toDF().toDF("user_id", "event_id", "ts_us", "value"),
+        windowUs = 100L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rolling_stream_spec").start()
+    // batch 1: two TIED events (ts 1000) + one at 1050, out of order
+    stream.addData((1L, 3L, 1050L, 2.0), (1L, 1L, 1000L, 1.5), (1L, 2L, 1000L, 1.0))
+    q.processAllAvailable()
+    // batch 2: 1101 evicts the ts-1000 pair (1101-100=1001 > 1000)
+    stream.addData((1L, 4L, 1101L, 0.25))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rolling_stream_spec").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(rows(1L) == ((2L, 250L))) // both ts-1000 peers see each other
+    assert(rows(2L) == ((2L, 250L)))
+    assert(rows(3L) == ((3L, 450L))) // 1000 ≥ 1050-100 → all three
+    assert(rows(4L) == ((2L, 225L))) // ts-1000 pair evicted, 1050 stays
+  }
+
   test("watermarked windowed aggregation over the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
