@@ -61,6 +61,17 @@ object ExtQueries {
     sigsCache.getOrElseUpdate(sfDir,
       Dedup.minhashSignatures(docShingles(spark, sfDir), K, preHashed = true).persist())
 
+  // SimHash near-dup pair artifact (60-bit, 4 bands, hamming ≤ 8):
+  // consumed by both the pair listing and the method-overlap matrix —
+  // one signature build + banded candidate pass per scale dir.
+  private val simhashPairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def simhashPairs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    simhashPairsCache.getOrElseUpdate(sfDir,
+      Dedup.simhashNearDups(spark.table("documents"), "text", "doc_id",
+        bits = 60, bands = 4, maxHamming = 8).persist())
+
   // Duplicated-span artifact (k=8, minDf=2 over documents): span
   // detection is the corpus-sized term; the span LIST and the per-doc
   // cut budgets both derive from it, so compute once per scale dir and
@@ -82,6 +93,7 @@ object ExtQueries {
     docShingles(spark, sfDir).count()
     minhashSigs(spark, sfDir).count()
     dupSpans(spark, sfDir).count()
+    simhashPairs(spark, sfDir).count()
   }
 
   /** The sh relation mirrors Dedup.shingleHashes: DISTINCT portable
@@ -643,8 +655,7 @@ object ExtQueries {
     QueryDef("x_dedup_simhash_pairs",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        Dedup.simhashNearDups(spark.table("documents"), "text", "doc_id",
-            bits = 60, bands = 4, maxHamming = 8)
+        simhashPairs(spark, sfDir)
           .orderBy("id_a", "id_b")
       },
       Some(
@@ -676,8 +687,7 @@ object ExtQueries {
         Corpus.registerSources(spark, sfDir)
         val mh = minhashPairs(spark, sfDir)
           .select("id_a", "id_b").withColumn("m", lit(1))
-        val sh = Dedup.simhashNearDups(spark.table("documents"), "text",
-            "doc_id", bits = 60, bands = 4, maxHamming = 8)
+        val sh = simhashPairs(spark, sfDir)
           .select("id_a", "id_b").withColumn("s", lit(1))
         mh.join(sh, Seq("id_a", "id_b"), "full_outer")
           .select(

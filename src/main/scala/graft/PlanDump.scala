@@ -205,6 +205,40 @@ object PlanDump {
     dump("x_text_mlt (broadcast posting probe)")(
       graft.ext.Quality.moreLikeThis(docs, "text", queryId = 1L))
 
+    // 24. span cutting: span rollup (already doc-keyed) + ONE doc-keyed
+    //     LEFT join against in-row token counts — no corpus-sized term
+    //     beyond span detection itself
+    val spans = graft.ext.Dedup.duplicateSpans(docs, "text", "doc_id")
+    dump("x_dedup_spans_cut (doc-keyed rollup + left join)")(
+      graft.ext.Dedup.spanCutStatsFromSpans(spans, docs, "text", "doc_id"))
+
+    // 25. paragraph self-dup: pure in-row map — Scan → Project, zero
+    //     Exchange at any corpus size
+    dump("x_quality_para_dup (zero-shuffle map)")(
+      graft.ext.Quality.paragraphDupStats(docs, "text"))
+
+    // 26. rolling rates: ONE user_id Exchange + sort; the RANGE-frame
+    //     window maintains a sliding aggregate (O(1) state per key);
+    //     integer-cents quantization is a Project below the window
+    dump("x_evt_rolling (one exchange, sliding RANGE frame)")(
+      graft.ext.Events.rollingCounts(
+        ev.select("event_id", "user_id", "ts_us", "value")))
+
+    // 27. dedup-method overlap: both inputs are the methods' own
+    //     bounded pair outputs; the overlap adds one pair-keyed
+    //     full-outer join + a tiny agg — no new quadratic term
+    val mhPairs = graft.ext.Dedup.minhashNearDups(docs, "text", "doc_id",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.4)
+    val shPairs = graft.ext.Dedup.simhashNearDups(docs, "text", "doc_id",
+      bits = 60, bands = 4, maxHamming = 8)
+    dump("x_dedup_method_overlap (pair-keyed full-outer)")(
+      mhPairs.select(col("id_a"), col("id_b")).withColumn("m", lit(1))
+        .join(shPairs.select(col("id_a"), col("id_b")).withColumn("s", lit(1)),
+          Seq("id_a", "id_b"), "full_outer")
+        .select(coalesce(col("m"), lit(0)).cast("long").as("in_minhash"),
+          coalesce(col("s"), lit(0)).cast("long").as("in_simhash"))
+        .groupBy("in_minhash", "in_simhash").agg(count(lit(1)).as("n_pairs")))
+
     spark.stop()
   }
 }

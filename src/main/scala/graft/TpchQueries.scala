@@ -73,6 +73,38 @@ object TpchQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // Forecasting-revenue-change (TPC-H Q6 shape): single wide scan with
+  // three pushable predicates and NO join/group key — the pure
+  // filter-pushdown + map-side-aggregate showcase: the parquet scan
+  // must read only 4 columns and the plan is Scan → Filter → partial
+  // agg → 1-row final agg.
+  private val q6Spark =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // Returned-item reporting (TPC-H Q10 shape): selective flag filter on
+  // the fact side, two broadcastable dims, top-20 customers by lost
+  // revenue via TakeOrderedAndProject.
+  private val q10Spark =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   // Parts/brand rollup with CASE + string predicates (F2/F3 surface at
   // analytical scale).
   private val q16Spark =
@@ -88,6 +120,8 @@ object TpchQueries {
     QueryDef("q1_pricing_summary", sql(q1Spark), Some(q1Spark)),
     QueryDef("q3_topk_revenue", sql(q3Spark), Some(q3Duck)),
     QueryDef("q5_nation_revenue", sql(q5Spark), Some(q5Spark)),
+    QueryDef("q6_forecast_revenue", sql(q6Spark), Some(q6Spark)),
+    QueryDef("q10_returned_items", sql(q10Spark), Some(q10Spark)),
     QueryDef("q16_parts_rollup", sql(q16Spark), Some(q16Spark))
   )
 }

@@ -123,9 +123,11 @@ object Events {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
       .rangeBetween(-windowUs, 0)
     val cents = floor(col(valueCol).cast("double") * 100 + 0.5).cast("long")
-    events
-      .withColumn("n_trailing", count(lit(1)).over(w))
-      .withColumn("sum_trailing_cents", sum(cents).over(w))
+    // both aggregates in ONE projection → a single Window node sharing
+    // the frame scan (two withColumns would stack two Window passes)
+    events.select(col("*"),
+      count(lit(1)).over(w).as("n_trailing"),
+      sum(cents).over(w).as("sum_trailing_cents"))
   }
 
   /** Cohort retention: users grouped by first-seen week, counted as
