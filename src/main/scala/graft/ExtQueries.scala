@@ -744,6 +744,36 @@ object ExtQueries {
            |FROM joined GROUP BY in_minhash, in_simhash
            |ORDER BY in_minhash DESC, in_simhash DESC""".stripMargin)),
 
+    // Hamming-distance histogram over the SimHash candidate pairs — the
+    // distribution a pipeline reads before picking maxHamming: a tiny
+    // group agg over the persisted pair artifact (≤ 9 rows out).
+    QueryDef("x_dedup_hamming_hist",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        simhashPairs(spark, sfDir)
+          .groupBy(col("hamming").cast("long").as("hamming"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("hamming")
+      },
+      Some(
+        s"""WITH $simhashSigCtes,
+           |banded AS (
+           |${(0 until 4).map(b =>
+              s"  SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS band_key FROM sigs")
+              .mkString("\n  UNION ALL\n")}
+           |),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         a.simhash AS sh_a, b.simhash AS sh_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |)
+           |SELECT CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming,
+           |       CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM cands
+           |WHERE bit_count(xor(sh_a, sh_b)) <= 8
+           |GROUP BY 1 ORDER BY hamming""".stripMargin)),
+
     // ---- similarity search ------------------------------------------
 
     QueryDef("x_sim_cosine_topk",
@@ -816,6 +846,32 @@ object ExtQueries {
           |            // count(*) AS BIGINT) AS mean_e6
           |FROM x GROUP BY label, dim
           |ORDER BY label, dim""".stripMargin)),
+
+    // Embedding-norm QA screen: per-label L2-norm² min/max/mean in e6
+    // fixed point — catches unnormalized batches, zero vectors, and
+    // encoder scale drift. In-row integer aggregate (no explode), one
+    // label-keyed agg.
+    QueryDef("x_sim_norm_stats",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.normStats(spark.table("embeddings"), "label")
+          .orderBy("label")
+      },
+      Some(
+        s"""WITH $exCte,
+           |pv AS (
+           |  SELECT label, vec_id,
+           |         sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           |             * CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           |           // 1000000 AS norm2_e6
+           |  FROM ex GROUP BY label, vec_id
+           |)
+           |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           |       CAST(min(norm2_e6) AS BIGINT) AS min_norm2_e6,
+           |       CAST(max(norm2_e6) AS BIGINT) AS max_norm2_e6,
+           |       CAST(sum(norm2_e6) // count(*) AS BIGINT) AS mean_norm2_e6
+           |FROM pv GROUP BY label
+           |ORDER BY label""".stripMargin)),
 
     // Semantic dedup composition: blocked embedding near-dup pairs →
     // connected components → canonical (min-id) doc per cluster. The
@@ -1128,6 +1184,46 @@ object ExtQueries {
            |       CASE WHEN $g = 0 THEN 'und' $caseArms END AS predicted_lang,
            |       hits_de, hits_en, hits_es, hits_fr, hits_zh
            |FROM hits ORDER BY doc_id""".stripMargin
+      }),
+
+    // Language confusion matrix: declared `lang` vs predicted — the QA
+    // table that decides whether to trust the metadata or the detector
+    // (and which languages need a better model). Tiny group agg over
+    // the langid map — langs² rows at any corpus size.
+    QueryDef("x_text_lang_mismatch",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.languageId(spark.table("documents"), "text")
+          .groupBy("lang", "predicted_lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("is_mismatch",
+            (col("lang") =!= col("predicted_lang")).cast("boolean"))
+          .select("lang", "predicted_lang", "n_docs", "is_mismatch")
+          .orderBy("lang", "predicted_lang")
+      },
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val hitCols = langs.map { l =>
+          val cond = TextAnalysis.stopwords(l).map(w => s"t = '$w'").mkString(" OR ")
+          s"len(list_filter(ts, t -> $cond)) AS hits_$l"
+        }.mkString(",\n       ")
+        val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+        val caseArms = langs.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ")
+        s"""WITH toks AS (SELECT doc_id, lang, ${ducktokens("text")} AS ts FROM documents),
+           |hits AS (
+           |  SELECT doc_id, lang,
+           |       ${hitCols}
+           |  FROM toks
+           |),
+           |pred AS (
+           |  SELECT doc_id, lang,
+           |         CASE WHEN $g = 0 THEN 'und' $caseArms END AS predicted_lang
+           |  FROM hits
+           |)
+           |SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       lang <> predicted_lang AS is_mismatch
+           |FROM pred GROUP BY lang, predicted_lang
+           |ORDER BY lang, predicted_lang""".stripMargin
       }),
 
     QueryDef("x_text_quality",
@@ -2210,24 +2306,49 @@ object ExtQueries {
         Events.funnel(ev, Seq("view", "click", "purchase"))
           .orderBy("user_id")
       },
-      Some(
-        """WITH e AS (
-          |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
-          |),
-          |u AS (SELECT DISTINCT user_id FROM e),
-          |s0 AS (SELECT user_id, min(ts_us) AS t0 FROM e
-          |       WHERE event_type = 'view' GROUP BY user_id),
-          |s1 AS (SELECT e.user_id, min(ts_us) AS t1 FROM e JOIN s0 USING (user_id)
-          |       WHERE event_type = 'click' AND ts_us >= t0 GROUP BY e.user_id),
-          |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
-          |       WHERE event_type = 'purchase' AND ts_us >= t1 GROUP BY e.user_id)
-          |SELECT u.user_id, s0.t0, s1.t1, s2.t2,
-          |       coalesce(s2.t2 - s0.t0 <= 604800000000, FALSE) AS converted
-          |FROM u
-          |LEFT JOIN s0 USING (user_id)
-          |LEFT JOIN s1 USING (user_id)
-          |LEFT JOIN s2 USING (user_id)
-          |ORDER BY u.user_id""".stripMargin)),
+      defsFunnelOracle),
+
+    // Streaming ordered funnel: a REAL Structured Streaming run checked
+    // against the BATCH funnel oracle — state is ONE k-slot timestamp
+    // array per user; ts-tie groups apply steps in order so same-ts
+    // chains match the batch `>=` window conditions.
+    QueryDef("x_stream_funnel",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-fnl")
+        val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+        val link = srcDir.resolve("events.parquet")
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+        val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
+        val q = graft.streaming.IncrementalIndexer
+          .funnelStream(spark, stream, Seq("view", "click", "purchase"))
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_funnel_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // emissions only refine (a set tₛ never changes): final value =
+        // per-column max, -1 sentinel → NULL, then the conversion gate
+        def tCol(i: Int) = {
+          val m = max(element_at(col("steps"), i + 1))
+          when(m === -1L, lit(null).cast("long")).otherwise(m)
+        }
+        spark.table("x_stream_funnel_sink")
+          .groupBy("user_id")
+          .agg(tCol(0).as("t0"), tCol(1).as("t1"), tCol(2).as("t2"))
+          .withColumn("converted",
+            col("t2").isNotNull && col("t2") - col("t0") <= 604800000000L)
+          .orderBy("user_id")
+      },
+      defsFunnelOracle),
 
     // Text normalization screen over deterministically dirtied text:
     // every 4th doc gains a decomposed-accent word (NFC recomposes), a
@@ -2579,6 +2700,29 @@ object ExtQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
       |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin)
+
+  /** The batch funnel oracle, shared by `x_evt_funnel` and
+    * `x_stream_funnel` — the streaming operator's contract IS batch
+    * equivalence. A `def` (not a val): referenced from `defs`.
+    */
+  private def defsFunnelOracle: Option[String] = Some(
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      |),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |s0 AS (SELECT user_id, min(ts_us) AS t0 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s1 AS (SELECT e.user_id, min(ts_us) AS t1 FROM e JOIN s0 USING (user_id)
+      |       WHERE event_type = 'click' AND ts_us >= t0 GROUP BY e.user_id),
+      |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_us >= t1 GROUP BY e.user_id)
+      |SELECT u.user_id, s0.t0, s1.t1, s2.t2,
+      |       coalesce(s2.t2 - s0.t0 <= 604800000000, FALSE) AS converted
+      |FROM u
+      |LEFT JOIN s0 USING (user_id)
+      |LEFT JOIN s1 USING (user_id)
+      |LEFT JOIN s2 USING (user_id)
+      |ORDER BY u.user_id""".stripMargin)
 
   /** The batch-sessionization oracle, shared by the batch and streaming
     * entries — the streaming operator's contract IS batch equivalence.

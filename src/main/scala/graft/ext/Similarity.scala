@@ -344,6 +344,32 @@ object Similarity {
       .select(col(byCol), col("dim"), col("n_vectors"), col("mean_e6"))
   }
 
+  /** Per-group embedding L2-norm² statistics in fixed point — the
+    * embedding-QA screen that catches unnormalized batches, dead
+    * (all-zero) vectors, and scale drift between encoder versions
+    * before they poison similarity search. Components quantize once to
+    * e6 (the repo recipe); each vector's norm² is an in-row integer
+    * `aggregate` over the array (NO explode — zero rows added), scaled
+    * back to e6 before the group sum so the per-group total stays
+    * BIGINT-safe to ~7·10¹⁰ vectors. One label-keyed agg; everything
+    * exact, any engine.
+    */
+  def normStats(vectors: DataFrame, byCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val vE6 = transform(col(vecCol),
+      x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+    val norm2E6 = expr(
+      "aggregate(__v_e6, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) DIV 1000000")
+    vectors
+      .withColumn("__v_e6", vE6)
+      .select(col(byCol), norm2E6.as("norm2_e6"))
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("norm2_e6")).as("min_norm2_e6"),
+        max(col("norm2_e6")).as("max_norm2_e6"),
+        expr("sum(norm2_e6) DIV count(1)").as("mean_norm2_e6"))
+  }
+
   /** Random-hyperplane LSH components as INTEGERS in [-1000, 1000]
     * (the real hyperplane is this over 1000 — a shared scale factor
     * never changes a dot's sign, so the integer IS the sign test).

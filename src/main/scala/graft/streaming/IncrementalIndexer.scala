@@ -225,6 +225,63 @@ object IncrementalIndexer {
       }
   }
 
+  /** Streaming ordered funnel — [[graft.ext.Events.funnel]] as
+    * incremental state: per user, the earliest in-sequence completion
+    * timestamps of `steps` (t₀ = first step-0 event; tₛ = first step-s
+    * event at or after tₛ₋₁). State is ONE fixed-size array of k
+    * timestamps per user (-1 = not reached) — O(k) regardless of
+    * history. Each batch's group is processed sorted by (ts, id) in
+    * TS-TIE GROUPS with steps applied in order inside a group, so a
+    * step-s and step-(s+1) event at the SAME timestamp chain exactly
+    * like the batch operator's `>=` window conditions. Once set, a tₛ
+    * never changes (first-qualifying = min under event-time-ordered
+    * arrival — the same per-key ordering contract as [[sessionStream]]
+    * / [[rollingStream]]). Emissions only refine: the final value per
+    * user is the per-column max over its emissions (-1 sentinel sorts
+    * below every real timestamp).
+    */
+  final case class FunnelEmit(user_id: Long, steps: Array[Long])
+
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      steps: Seq[String]): Dataset[FunnelEmit] = {
+    import spark.implicits._
+    val k = steps.size
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_us").cast("long"), col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelEmit, FunnelEmit](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        val t = state.getOption.map(_.steps.clone())
+          .getOrElse(Array.fill(k)(-1L))
+        val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+        var i = 0
+        while (i < sorted.length) {
+          val ts = sorted(i)._3
+          var j = i
+          while (j < sorted.length && sorted(j)._3 == ts) j += 1
+          var s = 0
+          while (s < k) {
+            if (t(s) == -1L && (s == 0 || (t(s - 1) != -1L && ts >= t(s - 1)))) {
+              var m = i
+              while (m < j && t(s) == -1L) {
+                if (stepIdx.getOrElse(sorted(m)._4, -1) == s) t(s) = ts
+                m += 1
+              }
+            }
+            s += 1
+          }
+          i = j
+        }
+        val e = FunnelEmit(uid, t)
+        state.update(e)
+        Iterator.single(e)
+      }
+  }
+
   def userStates(spark: SparkSession, events: DataFrame): Dataset[UserEventState] = {
     import spark.implicits._
     events.select(col("user_id").cast("long"), col("event_id").cast("long"),

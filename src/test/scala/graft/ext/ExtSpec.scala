@@ -434,6 +434,22 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2).getSeq[Long](r(2).fieldIndex("centroid_e6")).toSeq == Seq(-3L, 250000L))
   }
 
+  test("similarity normStats: unit vs zero vs scaled vectors, integer e6") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"),   // norm² = 1.0  → 1_000_000 e6
+      (2L, Seq(0.0f, 0.0f), "a"),   // dead vector → 0
+      (3L, Seq(2.0f, 0.0f), "b")    // scale drift → 4_000_000 e6
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.normStats(vecs, "label").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Long]("n_vectors") == 2L)
+    assert(r("a").getAs[Long]("min_norm2_e6") == 0L)      // catches dead
+    assert(r("a").getAs[Long]("max_norm2_e6") == 1000000L)
+    assert(r("a").getAs[Long]("mean_norm2_e6") == 500000L)
+    assert(r("b").getAs[Long]("max_norm2_e6") == 4000000L) // catches drift
+  }
+
   test("pipeline budgetSample: greedy fill stops at the budget, overshoot ≤ 1 doc") {
     import spark.implicits._
     // every doc is 10 tokens; budget 35 → kept docs start at offsets

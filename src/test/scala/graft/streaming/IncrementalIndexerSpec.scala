@@ -156,6 +156,39 @@ class IncrementalIndexerSpec extends AnyFunSuite {
     assert(rows(4L) == ((2L, 225L))) // ts-1000 pair evicted, 1050 stays
   }
 
+  test("funnelStream: steps chain across batches; same-ts chain; no regression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (user_id, event_id, ts_us, event_type)
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val q = IncrementalIndexer.funnelStream(spark,
+        stream.toDF().toDF("user_id", "event_id", "ts_us", "event_type"),
+        Seq("view", "click", "purchase"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream_spec").start()
+    // user 1: click BEFORE any view is not step 2; view later that batch
+    // user 2: view+click at the SAME ts chain in one tie group
+    stream.addData((1L, 1L, 100L, "click"), (1L, 2L, 200L, "view"),
+      (2L, 3L, 500L, "view"), (2L, 4L, 500L, "click"))
+    q.processAllAvailable()
+    // batch 2: user 1 clicks after its view (t1 = 300); a second view at
+    // 250 must NOT lower t0 (in-order contract: arrival is event-time
+    // ordered; 250 > 200 anyway) and a purchase completes user 2
+    stream.addData((1L, 5L, 250L, "view"), (1L, 6L, 300L, "click"),
+      (2L, 7L, 600L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("funnel_stream_spec")
+      .groupBy("user_id")
+      .agg(max(element_at(col("steps"), 1)).as("t0"),
+        max(element_at(col("steps"), 2)).as("t1"),
+        max(element_at(col("steps"), 3)).as("t2"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fin(1L) == ((200L, 300L, -1L))) // pre-view click ignored
+    assert(fin(2L) == ((500L, 500L, 600L))) // same-ts view→click chained
+  }
+
   test("watermarked windowed aggregation over the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
