@@ -380,14 +380,16 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, minDf: Int = 2): DataFrame = {
-    val toks = Tokenizer.tokensCol(col(textCol))
-    val grams = when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => struct(i.as("pos"),
-          portableHash(concat_ws(" ", slice(toks, i + 1, lit(k)))).as("gh"))))
-      .otherwise(array())
-    val pos = docs.select(col(idCol).as("doc_id"), explode(grams).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    // positional gram hashes from the compiled kernel (same token +
+    // portable-hash contract as shingle_hashes_e, value-pinned by the
+    // oracle): element i IS the gram at start position i, so posexplode
+    // yields (pos, gh) with no interpreted transform/concat_ws/md5
+    // expression chain per gram — the same kernel-vs-relational win as
+    // winnow/ngram_rep, on the dedup family's heaviest entry
+    graft.functions.ShingleFunctions.register(docs.sparkSession)
+    val pos = docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.ShingleFunctions.shingle_pos_hashes_e(
+        lower(coalesce(col(textCol), lit(""))), k)).as(Seq("pos", "gh")))
     val dup = pos.join(
       pos.select("doc_id", "gh").distinct()
         .groupBy("gh").agg(count(lit(1)).as("gram_df"))

@@ -41,6 +41,51 @@ object ShingleImpl {
   private def isTokenChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
 
+  /** Ordered, NON-distinct gram hashes — element i is the hash of the
+    * gram STARTING at token position i, so `posexplode` over the result
+    * yields (pos, gh) directly. The positional form backs
+    * [[graft.ext.Dedup.duplicateSpans]], where position identity (not
+    * the distinct set) is the payload. Same token/hash contract as
+    * [[compute]].
+    */
+  def computeAll(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      if (isTokenChar(str.charAt(i))) {
+        val start = i
+        while (i < len && isTokenChar(str.charAt(i))) i += 1
+        toks += str.substring(start, i)
+      } else i += 1
+    }
+    val nToks = toks.length
+    if (nToks < n) return new GenericArrayData(Array.empty[Long])
+    val md = mdLocal.get()
+    val out = new Array[Long](nToks - n + 1)
+    val sb = new java.lang.StringBuilder
+    var t = 0
+    while (t <= nToks - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(t + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) >> 4) & 0x0fL)
+      out(t) = v
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def compute(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
     // tokenize: maximal runs of [a-z0-9] (== split on [^a-z0-9]+ and
@@ -109,24 +154,57 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `shingle_pos_hashes_e(lowered_text, n)` → array<bigint> of the doc's
+  * gram hashes IN POSITION ORDER (element i = gram starting at token
+  * i, repeats kept) — posexplode yields (pos, gh) directly.
+  */
+case class ShinglePosHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_pos_hashes_e expects a string column, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_pos_hashes_e"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleImpl.computeAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleImpl.computeAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglePosHashes =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
 
-  def register(spark: SparkSession): Unit =
+  private def litN(e: Expression, name: String): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name: n must be an integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes_e",
-      exprs => {
-        val n = exprs(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"shingle_hashes_e: n must be an integer literal, got $other")
-        }
-        ShingleHashes(exprs(0), n)
-      },
+      exprs => ShingleHashes(exprs(0), litN(exprs(1), "shingle_hashes_e")),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_pos_hashes_e",
+      exprs => ShinglePosHashes(exprs(0), litN(exprs(1), "shingle_pos_hashes_e")),
+      "built-in")
+  }
 
   /** Column API (requires [[register]] on the session). */
   def shingle_hashes_e(lowered: Column, n: Int): Column =
     call_function("shingle_hashes_e", lowered,
+      org.apache.spark.sql.functions.lit(n))
+
+  def shingle_pos_hashes_e(lowered: Column, n: Int): Column =
+    call_function("shingle_pos_hashes_e", lowered,
       org.apache.spark.sql.functions.lit(n))
 }
