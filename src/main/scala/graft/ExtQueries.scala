@@ -2193,22 +2193,43 @@ object ExtQueries {
           .select("event_id", "user_id", "ts_us", "value")
         Events.asofJoin(clicks, views).orderBy("event_id")
       },
-      Some(
-        """WITH e AS (
-          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, event_type
-          |  FROM events
-          |),
-          |q AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'click'),
-          |r AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'view')
-          |SELECT q.event_id, q.user_id, q.ts_us, q.value,
-          |       l.ref_event_id, l.ref_ts_us, l.ref_value
-          |FROM q LEFT JOIN LATERAL (
-          |  SELECT r.event_id AS ref_event_id, r.ts_us AS ref_ts_us,
-          |         r.value AS ref_value
-          |  FROM r WHERE r.user_id = q.user_id AND r.ts_us <= q.ts_us
-          |  ORDER BY r.ts_us DESC, r.event_id DESC LIMIT 1
-          |) l ON TRUE
-          |ORDER BY q.event_id""".stripMargin)),
+      defsAsofOracle),
+
+    // Streaming as-of join: the stream-enrichment twin — each click is
+    // joined to the user's latest preceding view from ONE ref row of
+    // state per user; refs sort before queries at the same ts so the
+    // batch tie rule (ref at query ts matches) holds. Checked against
+    // the BATCH as-of oracle.
+    QueryDef("x_stream_asof",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-asof")
+        val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+        val link = srcDir.resolve("events.parquet")
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+        val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
+        val q = graft.streaming.IncrementalIndexer
+          .asofStream(spark, stream, refType = "view", queryType = "click")
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_asof_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // every query-side event emits exactly once
+        spark.table("x_stream_asof_sink")
+          .select("event_id", "user_id", "ts_us", "value",
+            "ref_event_id", "ref_ts_us", "ref_value")
+          .orderBy("event_id")
+      },
+      defsAsofOracle),
 
     // Gap sessionization (4 h gap — the corpus' median per-user gap is
     // ~7 h, so sessions are non-degenerate): one key-partitioned sort;
@@ -2700,6 +2721,27 @@ object ExtQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
       |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin)
+
+  /** The batch as-of oracle, shared by `x_evt_asof` and
+    * `x_stream_asof` — the streaming operator's contract IS batch
+    * equivalence. A `def` (not a val): referenced from `defs`.
+    */
+  private def defsAsofOracle: Option[String] = Some(
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, event_type
+      |  FROM events
+      |),
+      |q AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'click'),
+      |r AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'view')
+      |SELECT q.event_id, q.user_id, q.ts_us, q.value,
+      |       l.ref_event_id, l.ref_ts_us, l.ref_value
+      |FROM q LEFT JOIN LATERAL (
+      |  SELECT r.event_id AS ref_event_id, r.ts_us AS ref_ts_us,
+      |         r.value AS ref_value
+      |  FROM r WHERE r.user_id = q.user_id AND r.ts_us <= q.ts_us
+      |  ORDER BY r.ts_us DESC, r.event_id DESC LIMIT 1
+      |) l ON TRUE
+      |ORDER BY q.event_id""".stripMargin)
 
   /** The batch funnel oracle, shared by `x_evt_funnel` and
     * `x_stream_funnel` — the streaming operator's contract IS batch

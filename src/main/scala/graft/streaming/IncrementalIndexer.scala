@@ -282,6 +282,59 @@ object IncrementalIndexer {
       }
   }
 
+  /** Streaming as-of join — [[graft.ext.Events.asofJoin]] as
+    * incremental state: each query-side event is enriched with the most
+    * recent ref-side event of the same user (`ref.ts <= query.ts`, ties
+    * on ts → highest id). State per user is ONE ref row — the classic
+    * stream-enrichment state (latest profile/price/location), O(1)
+    * regardless of history. Each batch's group is sorted by
+    * (ts, side, id) with refs BEFORE queries at the same timestamp, so
+    * a ref exactly at the query's timestamp matches — the batch
+    * operator's tie rule. The ref carry updates by (ts, id) max-compare,
+    * so in-batch arrival order never matters; across batches the
+    * contract is per-key event-time order, as with the other streams.
+    */
+  final case class AsofRow(event_id: Long, user_id: Long, ts_us: Long,
+      value: Double, ref_event_id: Option[Long], ref_ts_us: Option[Long],
+      ref_value: Option[Double])
+  final case class AsofCarry(ref_id: Long, ref_ts: Long, ref_value: Double)
+
+  def asofStream(spark: SparkSession, events: DataFrame,
+      refType: String, queryType: String): Dataset[AsofRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_us").cast("long"), col("value").cast("double"),
+        col("event_type").cast("string"))
+      .filter(col("event_type").isin(refType, queryType))
+      .as[(Long, Long, Long, Double, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofCarry, AsofRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        // refs sort before queries at the same ts (side 0 < 1)
+        val sorted = rows.toArray.sortBy(r =>
+          (r._3, if (r._5 == refType) 0 else 1, r._2))
+        var carry = state.getOption.orNull
+        val out = scala.collection.mutable.ArrayBuffer.empty[AsofRow]
+        sorted.foreach { case (_, eid, ts, v, typ) =>
+          if (typ == refType) {
+            if (carry == null || ts > carry.ref_ts ||
+                (ts == carry.ref_ts && eid > carry.ref_id))
+              carry = AsofCarry(eid, ts, v)
+          } else {
+            out += (if (carry == null)
+              AsofRow(eid, uid, ts, v, None, None, None)
+            else
+              AsofRow(eid, uid, ts, v, Some(carry.ref_id),
+                Some(carry.ref_ts), Some(carry.ref_value)))
+          }
+        }
+        if (carry != null) state.update(carry)
+        out.iterator
+      }
+  }
+
   def userStates(spark: SparkSession, events: DataFrame): Dataset[UserEventState] = {
     import spark.implicits._
     events.select(col("user_id").cast("long"), col("event_id").cast("long"),

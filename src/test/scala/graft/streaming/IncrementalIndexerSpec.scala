@@ -189,6 +189,38 @@ class IncrementalIndexerSpec extends AnyFunSuite {
     assert(fin(2L) == ((500L, 500L, 600L))) // same-ts view→click chained
   }
 
+  test("asofStream: latest-ref carry across batches; same-ts ref matches; ref ties") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (user_id, event_id, ts_us, value, event_type)
+    val stream = MemoryStream[(Long, Long, Long, Double, String)]
+    val q = IncrementalIndexer.asofStream(spark,
+        stream.toDF().toDF("user_id", "event_id", "ts_us", "value", "event_type"),
+        refType = "view", queryType = "click")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("asof_stream_spec").start()
+    // batch 1: click before any view → null ref; two views at the SAME
+    // ts (higher id wins); a click exactly at the ref ts matches it
+    stream.addData(
+      (1L, 1L, 100L, 1.0, "click"),
+      (1L, 2L, 200L, 2.0, "view"), (1L, 3L, 200L, 3.0, "view"),
+      (1L, 4L, 200L, 4.0, "click"))
+    q.processAllAvailable()
+    // batch 2: the carry (view id 3) survives; a newer view replaces it
+    stream.addData((1L, 5L, 300L, 5.0, "click"),
+      (1L, 6L, 400L, 6.0, "view"), (1L, 7L, 500L, 7.0, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("asof_stream_spec").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Double]))).toMap
+    assert(rows(1L) == ((None, None)))            // no preceding view
+    assert(rows(4L) == ((Some(3L), Some(3.0))))   // same-ts ref, max id
+    assert(rows(5L) == ((Some(3L), Some(3.0))))   // carry across batches
+    assert(rows(7L) == ((Some(6L), Some(6.0))))   // newer ref replaces
+  }
+
   test("watermarked windowed aggregation over the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
