@@ -2293,6 +2293,43 @@ object ExtQueries {
       },
       defsRollingOracle),
 
+    // Per-user inter-arrival gap stats (burstiness features): exact
+    // integer µs gaps; the median is rank-selected INSIDE the user
+    // partitioning (lower median on even counts — deterministic), the
+    // mean one truncating division. No global sort at any scale.
+    QueryDef("x_evt_interarrival",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us")
+        Events.interArrival(ev).orderBy("user_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          |),
+          |g AS (
+          |  SELECT user_id, event_id,
+          |         ts_us - lag(ts_us) OVER (PARTITION BY user_id
+          |                                  ORDER BY ts_us, event_id) AS gap
+          |  FROM e
+          |),
+          |gg AS (
+          |  SELECT user_id, gap,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY gap, event_id) AS rn,
+          |         count(*) OVER (PARTITION BY user_id) AS n
+          |  FROM g WHERE gap IS NOT NULL
+          |)
+          |SELECT user_id,
+          |       CAST(max(n) AS BIGINT) AS n_gaps,
+          |       CAST(min(gap) AS BIGINT) AS min_gap_us,
+          |       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT) AS median_gap_us,
+          |       CAST(max(gap) AS BIGINT) AS max_gap_us,
+          |       CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us
+          |FROM gg GROUP BY user_id
+          |ORDER BY user_id""".stripMargin)),
+
     // Cohort retention: first-seen-week cohorts × active-week offsets.
     // Engine uses the distinct-first + window shape; the oracle is the
     // independent join-back formulation.

@@ -130,6 +130,38 @@ object Events {
       sum(cents).over(w).as("sum_trailing_cents"))
   }
 
+  /** Per-key inter-arrival gap statistics — the burstiness features
+    * (min/median/max/mean gap between consecutive events) abuse and
+    * engagement models consume next to [[rollingCounts]]. Gaps are
+    * BIGINT µs differences over one (key, ts, id)-sorted pass; the
+    * median is EXACT via rank selection inside the same key
+    * partitioning (per-key gap counts are bounded by per-key event
+    * counts — there is no global sort anywhere), lower-median on even
+    * counts so selection is integer-deterministic; the mean is one
+    * truncating integer division. Same-ts events contribute gap 0.
+    * Two sorts (arrival order, then gap order) share ONE key exchange.
+    */
+  def interArrival(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", idCol: String = "event_id"): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .withColumn("__gap", col(tsCol) - lag(col(tsCol), 1).over(wOrd))
+      .filter(col("__gap").isNotNull)
+    val wGap = Window.partitionBy(col(keyCol))
+      .orderBy(col("__gap"), col(idCol))
+    gaps
+      .withColumn("__rn", row_number().over(wGap))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).cast("long").as("n_gaps"),
+        min(col("__gap")).cast("long").as("min_gap_us"),
+        max(when(col("__rn") === expr("(__n + 1) DIV 2"), col("__gap")))
+          .cast("long").as("median_gap_us"),
+        max(col("__gap")).cast("long").as("max_gap_us"),
+        expr("sum(__gap) DIV count(1)").as("mean_gap_us"))
+  }
+
   /** Cohort retention: users grouped by first-seen week, counted as
     * retained in every later week they are active. Epoch weeks are
     * integer floor-divisions of µs — exact in any engine. Shape:

@@ -98,4 +98,28 @@ class EventsSpec extends AnyFunSuite {
     assert(s((1L, 1L)).getAs[Long]("duration_us") == 110L)
     assert(s((1L, 2L)).getAs[Long]("duration_us") == 0L)
   }
+
+  test("interArrival: exact gaps, lower median on even counts, same-ts gap 0") {
+    import spark.implicits._
+    // user 1 ts: 0, 100, 100, 400 → gaps 100, 0, 300:
+    //   median (n=3) = 100, mean = 400 DIV 3 = 133
+    // user 2 ts: 0, 10, 30, 60 → gaps 10, 20, 30... wait n=3 → median 20;
+    //   use 5 events for the even case: 0,10,30,60,100 → gaps
+    //   10,20,30,40 (n=4) → lower median = 20, mean = 100 DIV 4 = 25
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 100L), (1L, 3L, 100L), (1L, 4L, 400L),
+      (2L, 5L, 0L), (2L, 6L, 10L), (2L, 7L, 30L), (2L, 8L, 60L), (2L, 9L, 100L)
+    ).map { case (u, e, t) => (e, u, t) }
+      .toDF("event_id", "user_id", "ts_us")
+    val r = Events.interArrival(ev).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_gaps") == 3L)
+    assert(r(1L).getAs[Long]("min_gap_us") == 0L)      // same-ts pair
+    assert(r(1L).getAs[Long]("median_gap_us") == 100L)
+    assert(r(1L).getAs[Long]("max_gap_us") == 300L)
+    assert(r(1L).getAs[Long]("mean_gap_us") == 133L)   // truncating
+    assert(r(2L).getAs[Long]("n_gaps") == 4L)
+    assert(r(2L).getAs[Long]("median_gap_us") == 20L)  // lower median
+    assert(r(2L).getAs[Long]("mean_gap_us") == 25L)
+  }
 }
