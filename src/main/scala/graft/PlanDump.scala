@@ -239,6 +239,12 @@ object PlanDump {
           coalesce(col("s"), lit(0)).cast("long").as("in_simhash"))
         .groupBy("in_minhash", "in_simhash").agg(count(lit(1)).as("n_pairs")))
 
+    // 28. inter-arrival stats: two sorts (arrival order, then gap
+    //     order for the median rank-selection) over ONE user exchange
+    dump("x_evt_interarrival (two sorts, one exchange)")(
+      graft.ext.Events.interArrival(
+        ev.select("event_id", "user_id", "ts_us")))
+
     spark.stop()
   }
 }
