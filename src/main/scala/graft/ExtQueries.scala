@@ -2223,8 +2223,14 @@ object ExtQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        // every query-side event emits exactly once
+        // emissions only improve (a tie-split ref re-emits its queries):
+        // final row per query = max (ref_ts, ref_id), nulls last
+        val wa = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_id")
+          .orderBy(col("ref_ts_us").desc_nulls_last,
+            col("ref_event_id").desc_nulls_last)
         spark.table("x_stream_asof_sink")
+          .withColumn("__rn", row_number().over(wa)).filter(col("__rn") === 1)
           .select("event_id", "user_id", "ts_us", "value",
             "ref_event_id", "ref_ts_us", "ref_value")
           .orderBy("event_id")
@@ -2732,8 +2738,13 @@ object ExtQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        // every event emits exactly once; order for readability only
+        // emissions only refine (tie peers arriving in later batches
+        // re-emit with a larger frame): final value per event = the
+        // emission with max n_trailing
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_id").orderBy(col("n_trailing").desc)
         spark.table("x_stream_rolling_sink")
+          .withColumn("__rn", row_number().over(wr)).filter(col("__rn") === 1)
           .select("event_id", "user_id", "ts_us", "n_trailing",
             "sum_trailing_cents")
           .orderBy("event_id")

@@ -174,13 +174,20 @@ object IncrementalIndexer {
     * group is sorted by (ts, id) and processed in TS-TIE GROUPS: the
     * batch operator's RANGE frame counts all equal-ts peers in every
     * peer's frame, so tied events are buffered together before any of
-    * them emits. Equals the batch operator whenever batches respect
-    * event-time order per key (same contract as [[sessionStream]]).
+    * them emits. Tie groups SPLIT ACROSS BATCHES (equal-ts events in
+    * consecutive micro-batches — routine in real streams) are handled
+    * by re-emission: state remembers the event ids at the newest
+    * buffered instant, and when more peers arrive at that same ts the
+    * earlier peers re-emit with the corrected frame. Counts only grow
+    * for a given event, so the FINAL value per event is its emission
+    * with max n_trailing (the declared query's pick). Equals the batch
+    * operator whenever batches respect per-key event-time order, ties
+    * allowed to straddle boundaries.
     */
   final case class RollingRow(event_id: Long, user_id: Long, ts_us: Long,
       n_trailing: Long, sum_trailing_cents: Long)
   final case class RollingCarry(ts: Array[Long], cents: Array[Long],
-      running: Long)
+      running: Long, tieTs: Long, tieIds: Array[Long])
 
   def rollingStream(spark: SparkSession, events: DataFrame,
       windowUs: Long): Dataset[RollingRow] = {
@@ -197,10 +204,12 @@ object IncrementalIndexer {
         val sorted = rows.toArray.sortBy(r => (r._3, r._2))
         val buf = scala.collection.mutable.ArrayDeque.empty[(Long, Long)]
         var running = 0L
+        var tieTs = Long.MinValue
+        var tieIds = Array.empty[Long]
         state.getOption.foreach { s =>
           var i = 0
           while (i < s.ts.length) { buf += ((s.ts(i), s.cents(i))); i += 1 }
-          running = s.running
+          running = s.running; tieTs = s.tieTs; tieIds = s.tieIds
         }
         val out = scala.collection.mutable.ArrayBuffer.empty[RollingRow]
         var i = 0
@@ -214,13 +223,24 @@ object IncrementalIndexer {
           while (buf.nonEmpty && buf.head._1 < ts - windowUs) {
             running -= buf.head._2; buf.removeHead()
           }
+          if (ts == tieTs) {
+            // earlier batches' peers at this instant gain new frame
+            // members: re-emit them corrected (n only grows)
+            tieIds.foreach { id =>
+              out += RollingRow(id, uid, ts, buf.length, running)
+            }
+            tieIds = tieIds ++ sorted.slice(i, j).map(_._2)
+          } else {
+            tieTs = ts
+            tieIds = sorted.slice(i, j).map(_._2)
+          }
           while (i < j) {
             out += RollingRow(sorted(i)._2, uid, ts, buf.length, running)
             i += 1
           }
         }
         state.update(RollingCarry(buf.map(_._1).toArray,
-          buf.map(_._2).toArray, running))
+          buf.map(_._2).toArray, running, tieTs, tieIds))
         out.iterator
       }
   }
@@ -233,14 +253,19 @@ object IncrementalIndexer {
     * history. Each batch's group is processed sorted by (ts, id) in
     * TS-TIE GROUPS with steps applied in order inside a group, so a
     * step-s and step-(s+1) event at the SAME timestamp chain exactly
-    * like the batch operator's `>=` window conditions. Once set, a tₛ
-    * never changes (first-qualifying = min under event-time-ordered
-    * arrival — the same per-key ordering contract as [[sessionStream]]
-    * / [[rollingStream]]). Emissions only refine: the final value per
-    * user is the per-column max over its emissions (-1 sentinel sorts
-    * below every real timestamp).
+    * like the batch operator's `>=` window conditions. Tie groups
+    * SPLIT ACROSS BATCHES are handled by remembering the step set seen
+    * at the newest instant: when more events arrive at that same ts,
+    * the chain re-evaluates over the merged set (a click@t in batch n
+    * chains behind a view@t arriving in batch n+1, as in batch). Once
+    * set, a tₛ never changes (first-qualifying = min under per-key
+    * event-time-ordered arrival, ties allowed to straddle boundaries).
+    * Emissions only refine: the final value per user is the per-column
+    * max over its emissions (-1 sentinel sorts below every real ts).
     */
   final case class FunnelEmit(user_id: Long, steps: Array[Long])
+  final case class FunnelCarry(steps: Array[Long], tieTs: Long,
+      tieSteps: Array[Int])
 
   def funnelStream(spark: SparkSession, events: DataFrame,
       steps: Seq[String]): Dataset[FunnelEmit] = {
@@ -252,33 +277,37 @@ object IncrementalIndexer {
         col("ts_us").cast("long"), col("event_type").cast("string"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[FunnelEmit, FunnelEmit](
+      .flatMapGroupsWithState[FunnelCarry, FunnelEmit](
         org.apache.spark.sql.streaming.OutputMode.Update(),
         GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
-        val t = state.getOption.map(_.steps.clone())
-          .getOrElse(Array.fill(k)(-1L))
+        val carry = state.getOption
+        val t = carry.map(_.steps.clone()).getOrElse(Array.fill(k)(-1L))
+        var tieTs = carry.map(_.tieTs).getOrElse(Long.MinValue)
+        var tieSteps = carry.map(_.tieSteps).getOrElse(Array.empty[Int])
         val sorted = rows.toArray.sortBy(r => (r._3, r._2))
         var i = 0
         while (i < sorted.length) {
           val ts = sorted(i)._3
           var j = i
           while (j < sorted.length && sorted(j)._3 == ts) j += 1
+          val groupSteps = sorted.slice(i, j)
+            .flatMap(r => stepIdx.get(r._4))
+          // merge with remembered same-instant steps from prior batches
+          val present: Set[Int] =
+            if (ts == tieTs) (tieSteps ++ groupSteps).toSet
+            else groupSteps.toSet
           var s = 0
           while (s < k) {
-            if (t(s) == -1L && (s == 0 || (t(s - 1) != -1L && ts >= t(s - 1)))) {
-              var m = i
-              while (m < j && t(s) == -1L) {
-                if (stepIdx.getOrElse(sorted(m)._4, -1) == s) t(s) = ts
-                m += 1
-              }
-            }
+            if (t(s) == -1L && present.contains(s) &&
+                (s == 0 || (t(s - 1) != -1L && ts >= t(s - 1)))) t(s) = ts
             s += 1
           }
+          if (ts == tieTs) tieSteps = present.toArray
+          else { tieTs = ts; tieSteps = present.toArray }
           i = j
         }
-        val e = FunnelEmit(uid, t)
-        state.update(e)
-        Iterator.single(e)
+        state.update(FunnelCarry(t, tieTs, tieSteps))
+        Iterator.single(FunnelEmit(uid, t))
       }
   }
 
@@ -286,18 +315,27 @@ object IncrementalIndexer {
     * incremental state: each query-side event is enriched with the most
     * recent ref-side event of the same user (`ref.ts <= query.ts`, ties
     * on ts → highest id). State per user is ONE ref row — the classic
-    * stream-enrichment state (latest profile/price/location), O(1)
-    * regardless of history. Each batch's group is sorted by
-    * (ts, side, id) with refs BEFORE queries at the same timestamp, so
-    * a ref exactly at the query's timestamp matches — the batch
-    * operator's tie rule. The ref carry updates by (ts, id) max-compare,
-    * so in-batch arrival order never matters; across batches the
-    * contract is per-key event-time order, as with the other streams.
+    * stream-enrichment state (latest profile/price/location) — plus the
+    * query ids at the newest instant, O(1 + ties) regardless of
+    * history. Each batch's group is sorted by (ts, side, id) with refs
+    * BEFORE queries at the same timestamp, so a ref exactly at the
+    * query's timestamp matches — the batch operator's tie rule. Tie
+    * groups SPLIT ACROSS BATCHES are handled by re-emission: a ref
+    * arriving at the SAME instant as already-emitted queries (from an
+    * earlier batch) re-emits those queries with the better ref.
+    * Emissions only improve (null → ref, or a same-ts higher-id ref),
+    * so the FINAL row per query is its emission with the max
+    * (ref_ts, ref_id), nulls last — the declared query's pick. The ref
+    * carry updates by (ts, id) max-compare, so in-batch arrival order
+    * never matters; across batches the contract is per-key event-time
+    * order, ties allowed to straddle boundaries.
     */
   final case class AsofRow(event_id: Long, user_id: Long, ts_us: Long,
       value: Double, ref_event_id: Option[Long], ref_ts_us: Option[Long],
       ref_value: Option[Double])
-  final case class AsofCarry(ref_id: Long, ref_ts: Long, ref_value: Double)
+  final case class AsofCarry(ref_id: Long, ref_ts: Long, ref_value: Double,
+      hasRef: Boolean, tieTs: Long, tieQIds: Array[Long],
+      tieQVals: Array[Double])
 
   def asofStream(spark: SparkSession, events: DataFrame,
       refType: String, queryType: String): Dataset[AsofRow] = {
@@ -315,22 +353,43 @@ object IncrementalIndexer {
         // refs sort before queries at the same ts (side 0 < 1)
         val sorted = rows.toArray.sortBy(r =>
           (r._3, if (r._5 == refType) 0 else 1, r._2))
-        var carry = state.getOption.orNull
+        var carry = state.getOption.getOrElse(
+          AsofCarry(0L, 0L, 0.0, hasRef = false, Long.MinValue,
+            Array.empty, Array.empty))
         val out = scala.collection.mutable.ArrayBuffer.empty[AsofRow]
+        def emit(eid: Long, ts: Long, v: Double): Unit =
+          out += (if (!carry.hasRef)
+            AsofRow(eid, uid, ts, v, None, None, None)
+          else
+            AsofRow(eid, uid, ts, v, Some(carry.ref_id),
+              Some(carry.ref_ts), Some(carry.ref_value)))
         sorted.foreach { case (_, eid, ts, v, typ) =>
           if (typ == refType) {
-            if (carry == null || ts > carry.ref_ts ||
-                (ts == carry.ref_ts && eid > carry.ref_id))
-              carry = AsofCarry(eid, ts, v)
+            if (!carry.hasRef || ts > carry.ref_ts ||
+                (ts == carry.ref_ts && eid > carry.ref_id)) {
+              carry = carry.copy(ref_id = eid, ref_ts = ts, ref_value = v,
+                hasRef = true)
+              // tie split across batches: queries already emitted at
+              // this SAME instant gain this ref — re-emit them improved
+              if (ts == carry.tieTs && carry.tieQIds.nonEmpty) {
+                var q = 0
+                while (q < carry.tieQIds.length) {
+                  emit(carry.tieQIds(q), ts, carry.tieQVals(q)); q += 1
+                }
+              }
+            }
           } else {
-            out += (if (carry == null)
-              AsofRow(eid, uid, ts, v, None, None, None)
-            else
-              AsofRow(eid, uid, ts, v, Some(carry.ref_id),
-                Some(carry.ref_ts), Some(carry.ref_value)))
+            emit(eid, ts, v)
+            carry =
+              if (ts == carry.tieTs)
+                carry.copy(tieQIds = carry.tieQIds :+ eid,
+                  tieQVals = carry.tieQVals :+ v)
+              else
+                carry.copy(tieTs = ts, tieQIds = Array(eid),
+                  tieQVals = Array(v))
           }
         }
-        if (carry != null) state.update(carry)
+        state.update(carry)
         out.iterator
       }
   }

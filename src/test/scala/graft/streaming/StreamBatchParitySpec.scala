@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.ext.Events
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-vs-batch parity on GENERATED event data for all four
+  * temporal streaming twins (sessions, rolling, funnel, as-of): random
+  * events — with deliberate timestamp ties — are fed through a
+  * MemoryStream in three event-time-ordered batches, and each
+  * streaming operator's final output must equal its batch twin run
+  * over the full data. This generalizes the declared-query oracle
+  * checks (which see only the fixed sf corpus) to arbitrary inputs,
+  * including same-ts tie groups and cross-batch boundaries landing
+  * mid-session / mid-window / mid-funnel.
+  */
+class StreamBatchParitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val rnd = new scala.util.Random(11)
+
+  // (user_id, event_id, ts_us, value, event_type) — ts ties are common
+  // by construction (coarse grid), types cycle through the funnel set
+  private lazy val events: Seq[(Long, Long, Long, Double, String)] = {
+    val types = Vector("view", "click", "purchase")
+    (1L to 240L).map { eid =>
+      val u = 1L + rnd.nextInt(8)
+      val ts = (rnd.nextInt(40) * 50L) // 0..1950 on a 50µs grid → ties
+      val v = math.round(rnd.nextDouble() * 100) / 10.0
+      (u, eid, ts, v, types(rnd.nextInt(3)))
+    }
+  }
+
+  private def batchDf: DataFrame = {
+    import spark.implicits._
+    events.toDF("user_id", "event_id", "ts_us", "value", "event_type")
+  }
+
+  /** Feed through a MemoryStream in 3 batches split in global ts order
+    * (⇒ per-key event-time order), run `op` on the stream, return the
+    * named memory sink's content.
+    */
+  private def runStream(name: String)(
+      op: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, Double, String)]
+    val q = op(stream.toDF()
+        .toDF("user_id", "event_id", "ts_us", "value", "event_type"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    val sorted = events.sortBy(e => (e._3, e._2))
+    sorted.grouped((sorted.size + 2) / 3).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name)
+  }
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("sessionStream == batch sessions on random tied data") {
+    val gap = 120L
+    val batch = Events.sessions(batchDf, gapUs = gap)
+      .select("user_id", "session_seq", "n_events", "start_us", "end_us")
+    val streamed = runStream("parity_sessions")(
+      IncrementalIndexer.sessionStream(spark, _, gapUs = gap))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "session_seq").orderBy(col("n_events").desc)
+    val fin = streamed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("user_id", "session_seq", "n_events", "start_us", "end_us")
+    assert(rows(fin) == rows(batch))
+  }
+
+  test("rollingStream == batch rollingCounts on random tied data") {
+    val win = 300L
+    val batch = Events.rollingCounts(batchDf, windowUs = win)
+      .select("event_id", "user_id", "ts_us", "n_trailing", "sum_trailing_cents")
+    // emissions refine when tie groups split across batches: final
+    // value per event = max n_trailing (the declared query's pick)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id").orderBy(col("n_trailing").desc)
+    val streamed = runStream("parity_rolling")(
+      IncrementalIndexer.rollingStream(spark, _, windowUs = win))
+      .withColumn("__rn", row_number().over(wr)).filter(col("__rn") === 1)
+      .select("event_id", "user_id", "ts_us", "n_trailing", "sum_trailing_cents")
+    assert(rows(streamed) == rows(batch))
+  }
+
+  test("funnelStream == batch funnel on random tied data") {
+    val steps = Seq("view", "click", "purchase")
+    val batch = Events.funnel(batchDf, steps, windowUs = 1000L)
+      .select("user_id", "t0", "t1", "t2")
+    def tCol(i: Int) = {
+      val m = max(element_at(col("steps"), i + 1))
+      when(m === -1L, lit(null).cast("long")).otherwise(m)
+    }
+    val streamed = runStream("parity_funnel")(
+      IncrementalIndexer.funnelStream(spark, _, steps))
+      .groupBy("user_id")
+      .agg(tCol(0).as("t0"), tCol(1).as("t1"), tCol(2).as("t2"))
+    assert(rows(streamed) == rows(batch))
+  }
+
+  test("asofStream == batch asofJoin on random tied data") {
+    val clicks = batchDf.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us", "value")
+    val views = batchDf.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts_us", "value")
+    val batch = Events.asofJoin(clicks, views)
+      .select("event_id", "user_id", "ts_us", "value",
+        "ref_event_id", "ref_ts_us", "ref_value")
+    // a tie-split ref re-emits its queries: final row per query = the
+    // emission with max (ref_ts, ref_id), nulls last
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id")
+      .orderBy(col("ref_ts_us").desc_nulls_last,
+        col("ref_event_id").desc_nulls_last)
+    val streamed = runStream("parity_asof")(
+      IncrementalIndexer.asofStream(spark, _, refType = "view",
+        queryType = "click"))
+      .withColumn("__rn", row_number().over(wa)).filter(col("__rn") === 1)
+      .select("event_id", "user_id", "ts_us", "value",
+        "ref_event_id", "ref_ts_us", "ref_value")
+    assert(rows(streamed) == rows(batch))
+  }
+}
