@@ -61,21 +61,33 @@ object Bench {
       ExtQueries.warmDedupArtifacts(spark, sfDir)
     }
 
+    // Per-run success is tracked so the min is taken over SUCCESSFUL runs
+    // only (ADVICE r6): a fast transient failure must not report as the
+    // query's latency. Queries whose every run failed are listed under
+    // "errors" in the JSON instead of contributing a bogus timing.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.allDefs.foreach { d =>
-      def once: Double = time {
-        try d.fn(spark, sfDir).collect()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
-        }
+      def once: (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { d.fn(spark, sfDir).collect(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      results(d.name) = math.min(once, once)
+      val good = Seq(once, once).collect { case (t, true) => t }
+      if (good.isEmpty) errors += d.name
+      else results(d.name) = good.min
     }
     def toJson(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
     val setupTotal = setup.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"runs_per_query":2,"agg":"min","setup":${toJson(setup)},"setup_runs":1,"setup_total":$setupTotal%.3f,"sf":"$sfDir"}""")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"runs_per_query":2,"agg":"min","errors":$errJson,"setup":${toJson(setup)},"setup_runs":1,"setup_total":$setupTotal%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

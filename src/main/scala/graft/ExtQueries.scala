@@ -84,6 +84,25 @@ object ExtQueries {
       Dedup.duplicateSpans(spark.table("documents"), "text", "doc_id",
         k = 8, minDf = 2).persist())
 
+  // The streaming parquet source wants a DIRECTORY; testdata ships one
+  // file per table — expose it through a symlink dir. Memoized per
+  // (sfDir, file) with deleteOnExit (ADVICE r6): previously every
+  // x_stream_* execution created a fresh never-deleted temp dir (two
+  // per query under the min-of-2 bench).
+  private val streamSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private[graft] def streamSourceDir(sfDir: String, file: String): String =
+    streamSrcCache.getOrElseUpdate((sfDir, file), {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      dir.toFile.deleteOnExit() // registered first → deleted last
+      val target = java.nio.file.Paths.get(s"$sfDir/$file")
+      val link = dir.resolve(file)
+      try java.nio.file.Files.createSymbolicLink(link, target)
+      catch { case _: Exception => java.nio.file.Files.copy(target, link): Unit }
+      link.toFile.deleteOnExit()
+      dir.toString
+    })
+
   /** Bench setup hook: materialize the shared dedup artifacts so query
     * timings measure probes, not builds (the TextIndex/IvfIndex model).
     */
@@ -935,7 +954,7 @@ object ExtQueries {
            |cx AS (
            |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
            |         unnest(range(len(embedding))) AS i
-           |  FROM embeddings WHERE vec_id % 40 = 0
+           |  FROM embeddings WHERE vec_id % ${Corpus.IvfSampleEvery} = 0
            |),
            |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
            |          FROM ex GROUP BY vec_id),
@@ -1022,7 +1041,7 @@ object ExtQueries {
            |cx AS (
            |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
            |         unnest(range(len(embedding))) AS i
-           |  FROM embeddings WHERE vec_id % 40 = 0
+           |  FROM embeddings WHERE vec_id % ${Corpus.IvfSampleEvery} = 0
            |),
            |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
            |          FROM ex GROUP BY vec_id),
@@ -1634,13 +1653,9 @@ object ExtQueries {
           StructField("user_id", LongType), StructField("event_type", StringType)))
         // the streaming file source wants a DIRECTORY; testdata ships a
         // single parquet file → expose it through a temp-dir symlink
-        val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-ev")
-        val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-        val link = srcDir.resolve("events.parquet")
-        try java.nio.file.Files.createSymbolicLink(link, target)
-        catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+        val srcDir = streamSourceDir(sfDir, "events.parquet")
         val stream = spark.readStream.schema(schema)
-          .parquet(srcDir.toString)
+          .parquet(srcDir)
           .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
             "user_id", "event_type")
         val q = graft.streaming.IncrementalIndexer.userStates(spark, stream)
@@ -2209,12 +2224,8 @@ object ExtQueries {
           StructField("user_id", LongType),
           StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
-        val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-asof")
-        val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-        val link = srcDir.resolve("events.parquet")
-        try java.nio.file.Files.createSymbolicLink(link, target)
-        catch { case _: Exception => java.nio.file.Files.copy(target, link) }
-        val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+        val srcDir = streamSourceDir(sfDir, "events.parquet")
+        val stream = spark.readStream.schema(schema).parquet(srcDir)
           .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
         val q = graft.streaming.IncrementalIndexer
           .asofStream(spark, stream, refType = "view", queryType = "click")
@@ -2385,12 +2396,8 @@ object ExtQueries {
           StructField("user_id", LongType),
           StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
-        val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-fnl")
-        val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-        val link = srcDir.resolve("events.parquet")
-        try java.nio.file.Files.createSymbolicLink(link, target)
-        catch { case _: Exception => java.nio.file.Files.copy(target, link) }
-        val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+        val srcDir = streamSourceDir(sfDir, "events.parquet")
+        val stream = spark.readStream.schema(schema).parquet(srcDir)
           .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
         val q = graft.streaming.IncrementalIndexer
           .funnelStream(spark, stream, Seq("view", "click", "purchase"))
@@ -2642,12 +2649,8 @@ object ExtQueries {
           StructField("doc_id", LongType), StructField("text", StringType),
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType)))
-        val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-doc")
-        val target = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
-        val link = srcDir.resolve("documents.parquet")
-        try java.nio.file.Files.createSymbolicLink(link, target)
-        catch { case _: Exception => java.nio.file.Files.copy(target, link) }
-        val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+        val srcDir = streamSourceDir(sfDir, "documents.parquet")
+        val stream = spark.readStream.schema(schema).parquet(srcDir)
         val q = graft.streaming.IncrementalIndexer.dedupStream(spark, stream)
           .writeStream.outputMode("update")
           .format("memory").queryName("x_stream_dedup_sink")
@@ -2684,12 +2687,8 @@ object ExtQueries {
           StructField("user_id", LongType),
           StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
-        val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-evt")
-        val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-        val link = srcDir.resolve("events.parquet")
-        try java.nio.file.Files.createSymbolicLink(link, target)
-        catch { case _: Exception => java.nio.file.Files.copy(target, link) }
-        val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+        val srcDir = streamSourceDir(sfDir, "events.parquet")
+        val stream = spark.readStream.schema(schema).parquet(srcDir)
           .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
         val q = graft.streaming.IncrementalIndexer
           .sessionStream(spark, stream, gapUs = 4L * 3600 * 1000000)
@@ -2724,12 +2723,8 @@ object ExtQueries {
           StructField("user_id", LongType),
           StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
-        val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-roll")
-        val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-        val link = srcDir.resolve("events.parquet")
-        try java.nio.file.Files.createSymbolicLink(link, target)
-        catch { case _: Exception => java.nio.file.Files.copy(target, link) }
-        val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+        val srcDir = streamSourceDir(sfDir, "events.parquet")
+        val stream = spark.readStream.schema(schema).parquet(srcDir)
           .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
         val q = graft.streaming.IncrementalIndexer
           .rollingStream(spark, stream, windowUs = 86400L * 1000000)

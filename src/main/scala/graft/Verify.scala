@@ -27,6 +27,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // Delete any previous dump FIRST (ADVICE r6): if this query now
+      // fails (lint or execution), a stale parquet from an earlier run
+      // must not survive to be compared as a passing result.
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try {
         val df = fn(spark, sfDir)
         // SURVEY §8 lint: declared (oracle-checked) queries emit scalar
@@ -69,6 +73,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Canonical cross-engine-diffable dump of one query result: columns
