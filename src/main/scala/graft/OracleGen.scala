@@ -37,6 +37,36 @@ object OracleGen {
     case Not(pos, ng) => s"(${matchSql(pos, fields)} AND NOT ${matchSql(ng, fields)})"
     case Field(f, m) =>
       matchSql(m, Seq(if (f == "title") "tokens_title" else "tokens_s1"))
+    case First(ts) =>
+      fields.map { f =>
+        (s"len($f) >= ${ts.size}" +:
+          ts.zipWithIndex.map { case (t, j) => s"$f[${j + 1}] = '$t'" })
+          .mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+    case Near(ps, n) => fields.map(nearSql(_, ps, n)).mkString("(", " OR ", ")")
+  }
+
+  /** 1-based start positions of a phrase in one token-array column. */
+  private def startsSql(f: String, ts: Seq[String]): String = {
+    val cond = ts.zipWithIndex.map { case (t, j) => s"$f[i+$j] = '$t'" }
+      .mkString(" AND ")
+    s"list_filter(range(1, len($f) - ${ts.size - 1} + 1), i -> $cond)"
+  }
+
+  /** NEAR over one field: ∃ anchor end m (of any phrase instance) such
+    * that every phrase has an instance with end ≥ m and start ≤ m + n —
+    * the polynomial reformulation of "∃ per-phrase instances with
+    * max(start) − min(end) ≤ n" (take m = the minimum chosen end);
+    * mirrors FtsQuery.matches and SearchEngine.matchCondition exactly.
+    */
+  private def nearSql(f: String, ps: Seq[Seq[String]], n: Int): String = {
+    val ends = ps
+      .map(ts => s"list_transform(${startsSql(f, ts)}, s -> s + ${ts.size - 1})")
+      .reduce((a, b) => s"list_concat($a, $b)")
+    val condAll = ps.map(ts =>
+      s"len(list_filter(${startsSql(f, ts)}, a -> a + ${ts.size - 1} >= m AND a <= m + $n)) > 0")
+      .mkString(" AND ")
+    s"len(list_filter($ends, m -> $condAll)) > 0"
   }
 
   /** Shared text-index CTEs over the canonical corpus search_index. */

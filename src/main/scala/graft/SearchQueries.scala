@@ -88,6 +88,37 @@ object SearchQueries {
       matchSet("search_1:urgent OR title:doc"),
       Some(OracleGen.matchSetSql(node("search_1:urgent OR title:doc")))),
 
+    // P4: parenthesized grouping — `(a OR b) c` (VERDICT r6 item 2: the
+    // one query-language gap; previously this fell to the escape
+    // fallback and silently returned literal-token matches). Both
+    // branches of the OR resolve in the postings index; the AND is a
+    // semi-join.
+    QueryDef("p4_fts_group",
+      matchSet("(urgent OR automobile) building"),
+      Some(OracleGen.matchSetSql(node("(urgent OR automobile) building")))),
+
+    // P4: NEAR proximity — resolved ENTIRELY in the positional-postings
+    // index (the same adjacency machinery phrases use): per-phrase
+    // occurrence sets joined per (doc, field), kept when some instance
+    // combination has max(start) - min(end) <= N (the FTS5 rule).
+    // `urgent`..`customer` sit 4 tokens apart in order rows.
+    QueryDef("p4_fts_near",
+      matchSet("NEAR(urgent customer, 4)"),
+      Some(OracleGen.matchSetSql(node("NEAR(urgent customer, 4)")))),
+
+    // P4: NEAR with a multi-token phrase member + a tighter distance
+    // that excludes part of the corpus ("order for"..building are 1
+    // apart in order rows; urgent rows only).
+    QueryDef("p4_fts_near_phrase",
+      matchSet("NEAR(\"order for\" building, 1) urgent"),
+      Some(OracleGen.matchSetSql(node("NEAR(\"order for\" building, 1) urgent")))),
+
+    // P4: `^` first-token anchor — indexed as a position-0 filter over
+    // the same positional postings.
+    QueryDef("p4_fts_first",
+      matchSet("^view"),
+      Some(OracleGen.matchSetSql(node("^view")))),
+
     // P4 as a SQL expression: fts_match(title, search_1, q) — the
     // reference's MATCH predicate usable in arbitrary SQL (brute-force
     // scan form; GraftExtensions registers it). Same semantics as the

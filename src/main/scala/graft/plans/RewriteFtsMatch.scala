@@ -36,7 +36,11 @@ object RewriteFtsMatch extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case fm: FtsMatch
-          if fm.third.foldable && fm.first.resolved && fm.second.resolved =>
+          if fm.third.foldable && fm.first.resolved && fm.second.resolved &&
+            FtsQuery.parseOrEscape(
+              Option(fm.third.eval(null))
+                .map(_.asInstanceOf[UTF8String].toString).getOrElse(""),
+              Tokenize.None_).forall(!containsNear(_)) =>
         val q = Option(fm.third.eval(null))
           .map(_.asInstanceOf[UTF8String].toString).getOrElse("")
         FtsQuery.parseOrEscape(q, Tokenize.None_) match {
@@ -44,6 +48,19 @@ object RewriteFtsMatch extends Rule[LogicalPlan] {
           case Some(node) => build(node, fm.first, fm.second)
         }
     }
+
+  /** NEAR needs token-distance counting — not a regex; trees containing
+    * it keep the interpreted FtsMatch eval (correct, just not
+    * compiled). Everything else compiles.
+    */
+  private def containsNear(n: Node): Boolean = n match {
+    case Near(_, _)   => true
+    case And(ns)      => ns.exists(containsNear)
+    case Or(ns)       => ns.exists(containsNear)
+    case Not(pos, ng) => containsNear(pos) || containsNear(ng)
+    case Field(_, m)  => containsNear(m)
+    case _            => false
+  }
 
   private def termPat(t: String): String = s"(^|[^a-z0-9])$t([^a-z0-9]|$$)"
   private def phrasePat(ts: Seq[String]): String =
@@ -66,6 +83,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan] {
       case Or(ns)       => ns.map(go(_, fields)).reduce(COr(_, _))
       case Not(pos, ng) => CAnd(go(pos, fields), CNot(go(ng, fields)))
       case Field(f, m)  => go(m, Seq(if (f == "title") title else s1))
+      // ^phrase: the first maximal alnum run must start the phrase —
+      // anchor at string start, allowing only non-token chars before
+      case First(ts) =>
+        anyField(fields,
+          s"^[^a-z0-9]*${ts.mkString("[^a-z0-9]+")}([^a-z0-9]|$$)")
+      case Near(_, _) =>
+        sys.error("unreachable: NEAR trees are excluded by containsNear")
     }
     go(n, Seq(title, s1))
   }

@@ -68,6 +68,43 @@ object SearchEngine {
     case Not(pos, ng) => matchCondition(pos, fields) && !matchCondition(ng, fields)
     case Field(f, m) =>
       matchCondition(m, Seq(if (f == "title") "tokens_title" else "tokens_s1"))
+    case First(ts) =>
+      fields.map { f =>
+        size(col(f)) >= ts.size &&
+          slice(col(f), 1, ts.size) === array(ts.map(lit): _*)
+      }.reduce(_ || _)
+    case Near(ps, n) => fields.map(nearCondition(_, ps, n)).reduce(_ || _)
+  }
+
+  /** 0-based start positions of a phrase within one token-array column
+    * (codegen'd higher-order functions — no UDF). Guarded so the
+    * sequence never runs descending when the array is shorter than the
+    * phrase.
+    */
+  private def phraseStartsCol(f: String, ts: Seq[String]): Column = {
+    val k = ts.size
+    when(size(col(f)) >= k,
+      filter(sequence(lit(0), size(col(f)) - lit(k)), i =>
+        ts.zipWithIndex.map { case (t, j) =>
+          element_at(col(f), (i + lit(j + 1)).cast("int")) === t
+        }.reduce(_ && _)))
+      .otherwise(array().cast("array<int>"))
+  }
+
+  /** NEAR over one field: ∃ anchor end m (of any phrase instance) with
+    * every phrase having an instance of end ≥ m and start ≤ m + n — the
+    * polynomial form of "∃ instances with max(start) − min(end) ≤ n"
+    * (take m = the minimum chosen end). Same shape as OracleGen.nearSql
+    * and FtsQuery.matches.
+    */
+  private def nearCondition(f: String, ps: Seq[Seq[String]], n: Int): Column = {
+    val ends = ps
+      .map(ts => transform(phraseStartsCol(f, ts), s => s + lit(ts.size - 1)))
+      .reduce(concat(_, _))
+    exists(ends, m => ps.map(ts =>
+      exists(phraseStartsCol(f, ts), a =>
+        a + lit(ts.size - 1) >= m && a <= m + lit(n))
+    ).reduce(_ && _))
   }
 
   /** Prune a term-keyed relation (tf postings or positional postings)
@@ -156,6 +193,14 @@ object SearchEngine {
     * position-list design). Each leg is term-pruned; no token arrays.
     */
   private def phraseViaPositions(arts: TextArtifacts, ts: Seq[String],
+      field: Option[String]): DataFrame =
+    phraseOccurrences(arts, ts, field).select("type", "key").distinct()
+
+  /** All occurrences of a phrase as (type, key, field, __p0) start rows
+    * — the adjacency join over positional postings that phrase, `^`,
+    * and NEAR resolution all share. Each leg is term-pruned.
+    */
+  private def phraseOccurrences(arts: TextArtifacts, ts: Seq[String],
       field: Option[String]): DataFrame = {
     val all = arts.positions.get
     val pos = field match {
@@ -167,7 +212,35 @@ object SearchEngine {
       termPrune(pos, Seq(t))
         .select(col("type"), col("key"), col("field"), (col("pos") - i).as("__p0"))
     }.reduce((a, b) => a.join(b, Seq("type", "key", "field", "__p0")))
+  }
+
+  /** `^phrase`: occurrences anchored at the field's first token. */
+  private def firstViaPositions(arts: TextArtifacts, ts: Seq[String],
+      field: Option[String]): DataFrame =
+    phraseOccurrences(arts, ts, field).filter(col("__p0") === 0)
       .select("type", "key").distinct()
+
+  /** Indexed NEAR: join each phrase's occurrence set on (doc, field) and
+    * keep docs where some instance combination has max(start) −
+    * min(end) ≤ n (the FTS5 rule). The per-doc-per-field occurrence
+    * cross-product is bounded by per-document phrase frequency, never
+    * corpus size, and every leg is term-pruned — no token-array scan.
+    */
+  private def nearViaPositions(arts: TextArtifacts, ps: Seq[Seq[String]],
+      n: Int, field: Option[String]): DataFrame = {
+    val occs = ps.zipWithIndex.map { case (ts, i) =>
+      phraseOccurrences(arts, ts, field)
+        .select(col("type"), col("key"), col("field"),
+          col("__p0").as(s"__s$i"),
+          (col("__p0") + lit(ts.size - 1)).as(s"__e$i"))
+    }
+    val joined = occs.reduce((a, b) => a.join(b, Seq("type", "key", "field")))
+    val starts = ps.indices.map(i => col(s"__s$i"))
+    val ends = ps.indices.map(i => col(s"__e$i"))
+    val cond =
+      if (ps.size == 1) lit(true) // one phrase: NEAR degenerates to presence
+      else greatest(starts: _*) - least(ends: _*) <= n
+    joined.filter(cond).select("type", "key").distinct()
   }
 
   /** Fully-indexed resolution of a match tree: `Some(matchSet)` when
@@ -184,6 +257,12 @@ object SearchEngine {
     case Phrase(ts) if arts.positions.isDefined =>
       Some(phraseViaPositions(arts, ts, field))
     case Phrase(_)  => None
+    case First(ts) if arts.positions.isDefined =>
+      Some(firstViaPositions(arts, ts, field))
+    case First(_)   => None
+    case Near(ps, k) if arts.positions.isDefined =>
+      Some(nearViaPositions(arts, ps, k, field))
+    case Near(_, _) => None
     case Prefix(p)  => Some(prefixSet(arts, p, field))
     case Field(f, m) => exactViaPostings(arts, m, Some(if (f == "title") "title" else "s1"))
     case And(ns) =>
@@ -221,6 +300,8 @@ object SearchEngine {
   private[graft] def candidateViaPostings(arts: TextArtifacts, n: Node,
       field: Option[String] = None): DataFrame = n match {
     case Phrase(ts)   => termsAllOf(arts, ts, field)
+    case First(ts)    => termsAllOf(arts, ts, field)
+    case Near(ps, _)  => termsAllOf(arts, ps.flatten, field)
     case Not(pos, _)  => candidateViaPostings(arts, pos, field)
     case Field(f, m)  => candidateViaPostings(arts, m, Some(if (f == "title") "title" else "s1"))
     case And(ns) =>
@@ -269,6 +350,8 @@ object SearchEngine {
     case Or(_)       => Seq.empty // a term is only necessary if in EVERY branch; skip
     case Not(pos, _) => requiredTerms(pos)
     case Field(_, m) => requiredTerms(m) // field-restricted ⊆ either-field match
+    case Near(ps, _) => ps.flatten.distinct // every phrase must appear
+    case First(ts)   => ts
   }
 
   /** BM25 per-doc scores for the query's positive terms.

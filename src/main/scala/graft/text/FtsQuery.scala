@@ -1,7 +1,8 @@
 package graft.text
 
 /** FTS query language: implicit AND, `NOT`, `OR`, `"quoted phrase"`,
-  * `prefix*` — the FTS5 subset the reference exercises
+  * `prefix*`, parenthesized grouping, `NEAR(...)`, and `^` first-token
+  * anchors — the FTS5 surface the reference passes through to MATCH
   * (reference dogsheep_beta/__init__.py:131; cases proven in
   * tests/test_plugin.py:119-152: `things NOT email`, `#dogfest`,
   * `github-to-sqlite`).
@@ -13,8 +14,17 @@ package graft.text
   *   orExpr  := andExpr (OR andExpr)*
   *   andExpr := notExpr ((AND)? notExpr)*     -- juxtaposition = AND
   *   notExpr := unit (NOT unit)*
-  *   unit    := "phrase words" | term | term*
+  *   unit    := "phrase words" | term | term* | ^anchor
+  *            | '(' orExpr ')' | NEAR '(' anchor+ (',' N)? ')'
+  *   anchor  := "phrase words" | term
   * }}}
+  *
+  * Documented divergences from SQLite FTS5 (all strict supersets —
+  * every FTS5-valid query parses identically; fts5parse.y's `exprlist`
+  * only juxtaposes phrases): juxtaposition means AND uniformly, so
+  * `(a OR b) c` parses here where FTS5 proper wants `(a OR b) AND c`;
+  * prefix tokens inside NEAR groups and `col:^anchor` are not
+  * supported (they fall to the escape fallback).
   *
   * A token that is not bare-alphanumeric (e.g. `#dogfest`,
   * `github-to-sqlite`) is a syntax error, matching FTS5; the caller then
@@ -39,6 +49,16 @@ object FtsQuery {
     * errors, as in FTS5).
     */
   final case class Field(field: String, n: Node) extends Node
+  /** FTS5 `NEAR(p1 p2 ..., N)`: all phrases occur in ONE field with
+    * instances such that max(start) - min(end) <= N (fts5 docs §3;
+    * default N = 10). Each element is a phrase's token list.
+    */
+  final case class Near(ps: Seq[Seq[String]], n: Int) extends Node
+  /** FTS5 `^phrase`: the phrase must start at the field's first token. */
+  final case class First(ts: Seq[String]) extends Node
+
+  /** FTS5's NEAR default distance. */
+  val NearDefault = 10
 
   /** The FTS-indexed columns (reference utils.py:90). */
   val indexedFields: Set[String] = Set("title", "search_1")
@@ -93,6 +113,8 @@ object FtsQuery {
     case Or(ns)        => ns.flatMap(positiveTerms)
     case Not(pos, _)   => positiveTerms(pos)
     case Field(_, m)   => positiveTerms(m)
+    case Near(ps, _)   => ps.flatten
+    case First(ts)     => ts
   }
 
   /** Direct evaluation of a match tree against one document's token
@@ -103,6 +125,20 @@ object FtsQuery {
   def matches(n: Node, title: IndexedSeq[String], s1: IndexedSeq[String]): Boolean = {
     def phraseIn(ts: Seq[String], toks: IndexedSeq[String]): Boolean =
       ts.size <= toks.size && toks.sliding(ts.size).exists(_ == ts)
+    // 0-based start positions of a phrase in one field's token array
+    def starts(ts: Seq[String], toks: IndexedSeq[String]): Seq[Int] =
+      if (ts.size > toks.size) Seq.empty
+      else (0 to toks.size - ts.size)
+        .filter(s => ts.indices.forall(j => toks(s + j) == ts(j)))
+    // NEAR: ∃ per-phrase instances with max(start) - min(end) ≤ n ⟺
+    // ∃ anchor end m (of any instance) s.t. every phrase has an
+    // instance with end ≥ m and start ≤ m + n — polynomial, no
+    // cross-product of instance choices (proof: take m = min chosen end)
+    def nearIn(ps: Seq[Seq[String]], n: Int, toks: IndexedSeq[String]): Boolean = {
+      val occ = ps.map(ts => starts(ts, toks).map(s => (s, s + ts.size - 1)))
+      occ.forall(_.nonEmpty) && occ.flatten.map(_._2).exists(m =>
+        occ.forall(_.exists { case (s, e) => e >= m && s <= m + n }))
+    }
     def ev(n: Node, fields: Seq[IndexedSeq[String]]): Boolean = n match {
       case Term(t)      => fields.exists(_.contains(t))
       case Prefix(p)    => fields.exists(_.exists(_.startsWith(p)))
@@ -111,6 +147,8 @@ object FtsQuery {
       case Or(ns)       => ns.exists(ev(_, fields))
       case Not(pos, ng) => ev(pos, fields) && !ev(ng, fields)
       case Field(f, m)  => ev(m, Seq(if (f == "title") title else s1))
+      case Near(ps, k)  => fields.exists(nearIn(ps, k, _))
+      case First(ts)    => fields.exists(f => starts(ts, f).contains(0))
     }
     ev(n, Seq(title, s1))
   }
@@ -121,10 +159,21 @@ object FtsQuery {
   private case object TAnd extends Tok
   private case object TOr extends Tok
   private case object TNot extends Tok
+  private case object TLParen extends Tok
+  private case object TRParen extends Tok
+  private case object TComma extends Tok
+  private case object TCaret extends Tok
+  private case object TNear extends Tok
   private final case class TTerm(s: String) extends Tok
   private final case class TPrefix(s: String) extends Tok
   private final case class TPhrase(s: String) extends Tok
   private final case class TField(name: String) extends Tok
+
+  // structural delimiter chars end a bareword; '^' deliberately does
+  // NOT (a mid-word caret like `a^b` is an FTS5 syntax error → escape
+  // fallback, while a word-initial caret lexes as TCaret below)
+  private def isDelim(c: Char): Boolean =
+    c.isWhitespace || c == '"' || c == '(' || c == ')' || c == ','
 
   private def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -132,6 +181,10 @@ object FtsQuery {
     while (i < q.length) {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
+      else if (c == '(') { out += TLParen; i += 1 }
+      else if (c == ')') { out += TRParen; i += 1 }
+      else if (c == ',') { out += TComma; i += 1 }
+      else if (c == '^') { out += TCaret; i += 1 }
       else if (c == '"') {
         val end = q.indexOf('"', i + 1)
         if (end < 0) throw new FtsParseError("unterminated phrase")
@@ -139,12 +192,13 @@ object FtsQuery {
         i = end + 1
       } else {
         var j = i
-        while (j < q.length && !q.charAt(j).isWhitespace && q.charAt(j) != '"') j += 1
+        while (j < q.length && !isDelim(q.charAt(j))) j += 1
         val w = q.substring(i, j)
         w match {
           case "AND" => out += TAnd
           case "OR"  => out += TOr
           case "NOT" => out += TNot
+          case "NEAR" if j < q.length && q.charAt(j) == '(' => out += TNear
           case _ if bareToken.matches(w)   => out += TTerm(w)
           case _ if prefixToken.matches(w) => out += TPrefix(w.dropRight(1))
           case _ if w.count(_ == ':') == 1 =>
@@ -185,7 +239,8 @@ object FtsQuery {
       var continue = true
       while (continue && !atEnd) peek match {
         case TAnd => i += 1; parts :+= parseNot()
-        case TTerm(_) | TPrefix(_) | TPhrase(_) | TField(_) => parts :+= parseNot()
+        case TTerm(_) | TPrefix(_) | TPhrase(_) | TField(_) | TLParen |
+             TCaret | TNear => parts :+= parseNot()
         case _ => continue = false
       }
       if (parts.size == 1) parts.head else And(parts)
@@ -216,7 +271,53 @@ object FtsQuery {
           if (ts.isEmpty) throw new FtsParseError(s"empty phrase: $s")
           Phrase(ts)
         case TField(name) => Field(name, parseUnit())
+        case TLParen =>
+          val n = parseOr()
+          if (atEnd || peek != TRParen) throw new FtsParseError("expected )")
+          i += 1
+          n
+        case TCaret => First(parseAnchor())
+        case TNear =>
+          if (atEnd || peek != TLParen) throw new FtsParseError("expected ( after NEAR")
+          i += 1
+          var ps = Vector.empty[Seq[String]]
+          while (!atEnd && (peek match {
+            case TTerm(_) | TPhrase(_) => true; case _ => false
+          })) ps :+= parseAnchor()
+          if (ps.isEmpty) throw new FtsParseError("empty NEAR group")
+          val dist =
+            if (!atEnd && peek == TComma) {
+              i += 1
+              peek match {
+                case TTerm(d) if d.forall(_.isDigit) && d.nonEmpty =>
+                  i += 1; d.toInt
+                case other => throw new FtsParseError(s"bad NEAR distance: $other")
+              }
+            } else NearDefault
+          if (atEnd || peek != TRParen) throw new FtsParseError("expected ) to close NEAR")
+          i += 1
+          Near(ps, dist)
         case other => throw new FtsParseError(s"unexpected: $other")
+      }
+    }
+
+    /** A phrase anchor (the operand of `^` and the members of NEAR):
+      * a bareword or quoted phrase, tokenized.
+      */
+    private def parseAnchor(): Seq[String] = {
+      if (atEnd) throw new FtsParseError("unexpected end of query")
+      val t = peek
+      i += 1
+      t match {
+        case TTerm(s) =>
+          val ts = Tokenizer.tokenize(s, mode)
+          if (ts.isEmpty) throw new FtsParseError(s"empty term: $s")
+          ts
+        case TPhrase(s) =>
+          val ts = Tokenizer.tokenize(s, mode)
+          if (ts.isEmpty) throw new FtsParseError(s"empty phrase: $s")
+          ts
+        case other => throw new FtsParseError(s"expected phrase, got: $other")
       }
     }
   }

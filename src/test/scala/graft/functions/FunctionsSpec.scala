@@ -101,6 +101,49 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("fts_match: group/^ compile to RLIKE; NEAR stays interpreted but correct") {
+    graft.GraftExtensions.register(extSpark)
+    import extSpark.implicits._
+    Seq(
+      (1, "urgent order", "f 1 urgent order for building customer"),
+      (2, "slow order", "p 5 low order for automobile customer"),
+      (3, "view by user", "view k 91")
+    ).toDF("id", "title", "search_1").createOrReplaceTempView("fm_near")
+    def run(q: String): Seq[Int] = extSpark.sql(
+      s"SELECT id FROM fm_near WHERE fts_match(title, search_1, '$q') ORDER BY id"
+    ).collect().map(_.getInt(0)).toSeq
+
+    assert(run("(urgent OR automobile) order") == Seq(1, 2))
+    assert(run("^view") == Seq(3))
+    // urgent@2..2, building@5..5 in doc 1's search_1: distance 3
+    assert(run("NEAR(urgent building, 3)") == Seq(1))
+    assert(run("NEAR(urgent building, 2)") == Seq.empty)
+
+    extSpark.experimental.extraOptimizations =
+      extSpark.experimental.extraOptimizations :+ graft.plans.RewriteFtsMatch
+    try {
+      val docs = extSpark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      docs.createOrReplaceTempView("fm_near_pq")
+      // group + caret rewrite away from the interpreted predicate...
+      val g = extSpark.sql(
+        "SELECT doc_id FROM fm_near_pq WHERE fts_match(text, text, '(slow OR fast) ^the')")
+      assert(!g.queryExecution.executedPlan.toString.contains("fts_match"))
+      g.collect()
+      // ...NEAR trees are deliberately NOT rewritten (token-distance
+      // counting is not a regex) and still evaluate
+      val nr = extSpark.sql(
+        "SELECT doc_id FROM fm_near_pq WHERE fts_match(text, text, 'NEAR(slow fast, 4)')")
+      assert(nr.queryExecution.executedPlan.toString.contains("fts_match"))
+      assert(nr.count() >= 0)
+      // rule-on NEAR results equal rule-off results
+      assert(run("NEAR(urgent building, 3)") == Seq(1))
+    } finally {
+      extSpark.experimental.extraOptimizations =
+        extSpark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.RewriteFtsMatch)
+    }
+  }
+
   test("porter_stem composes inside transform() over token arrays") {
     val got = extSpark.sql(
       "SELECT transform(array('running', 'chasing'), t -> porter_stem(t)) AS ts")

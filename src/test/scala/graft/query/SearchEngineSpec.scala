@@ -235,6 +235,40 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(ms.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
   }
 
+  test("group/NEAR/^ match sets: indexed path agrees with token-array fallback") {
+    import graft.text.FtsQuery
+    val toks = TextIndex.docTokens(index, Tokenize.Porter)
+    val post = TextIndex.postings(toks)
+    val posArts = SearchEngine.TextArtifacts(toks, post, Some(TextIndex.positions(toks)))
+    val noPos = SearchEngine.TextArtifacts(toks, post)
+    def setOf(arts: SearchEngine.TextArtifacts, q: String): Set[String] = {
+      val node = FtsQuery.parseOrEscape(q, Tokenize.Porter).get
+      SearchEngine.matchSet(arts, node)
+        .collect().map(r => r.getString(0) + ":" + r.getString(1)).toSet
+    }
+    val queries = Seq(
+      "(things OR dogfest) NOT another",
+      "(email OR commit) things",
+      "NEAR(email things, 3)",
+      "NEAR(\"about things\" email, 2)",
+      "^hey",
+      "title:(hey OR another)")
+    for (q <- queries)
+      assert(setOf(posArts, q) == setOf(noPos, q),
+        s"indexed vs fallback disagree for: $q")
+    // pinned: ^hey anchors to emails:1's 'hey there...' title only
+    assert(setOf(posArts, "^hey") == Set(emails1))
+    // NEAR/^ indexed plans are pure postings algebra — no token arrays
+    for (q <- Seq("NEAR(email things, 3)", "^hey")) {
+      val node = FtsQuery.parseOrEscape(q, Tokenize.Porter).get
+      val plan = SearchEngine.matchSet(posArts, node)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("instr") && !plan.contains("array_contains") &&
+        !plan.contains("exists("),
+        s"$q still scans token arrays:\n$plan")
+    }
+  }
+
   test("BM25 ranks rarer term higher (relevance order)") {
     // 'dogfest' appears once; docs sort by score desc
     val scored = search("things").select("score").collect().map(_.getDouble(0))

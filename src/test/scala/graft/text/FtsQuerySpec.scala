@@ -95,4 +95,81 @@ class FtsQuerySpec extends AnyFunSuite {
     assert(positiveTerms(parse("a b NOT c OR \"d e\"", M)) ==
       Seq("a", "b", "d", "e"))
   }
+
+  // ---- r7: parenthesized grouping, NEAR, ^ (VERDICT r6 item 2) -------
+
+  test("parens group subexpressions; juxtaposition ANDs the group") {
+    assert(parse("(a OR b) c", M) ==
+      And(Seq(Or(Seq(Term("a"), Term("b"))), Term("c"))))
+    assert(parse("a OR (b c)", M) ==
+      Or(Seq(Term("a"), And(Seq(Term("b"), Term("c"))))))
+    // explicit AND next to a group — the FTS5-proper spelling
+    assert(parse("(a OR b) AND c", M) == parse("(a OR b) c", M))
+    // NOT over a group; nested groups
+    assert(parse("a NOT (b OR c)", M) ==
+      Not(Term("a"), Or(Seq(Term("b"), Term("c")))))
+    assert(parse("((a))", M) == Term("a"))
+    // unbalanced parens are syntax errors → escape fallback
+    intercept[FtsParseError](parse("(a OR b", M))
+    intercept[FtsParseError](parse("a)", M))
+    intercept[FtsParseError](parse("()", M))
+  }
+
+  test("column filter applies to a whole group: col:(a OR b)") {
+    assert(parse("title:(a OR b)", M) ==
+      Field("title", Or(Seq(Term("a"), Term("b")))))
+  }
+
+  test("NEAR: phrases + optional distance, default 10") {
+    assert(parse("NEAR(a b)", M) ==
+      Near(Seq(Seq("a"), Seq("b")), NearDefault))
+    assert(parse("NEAR(a \"b c\", 5)", M) ==
+      Near(Seq(Seq("a"), Seq("b", "c")), 5))
+    // NEAR is only special immediately before '(' — else a plain term
+    assert(parse("NEAR", M) == Term("near"))
+    assert(parse("near (a)", M) == And(Seq(Term("near"), Term("a"))))
+    intercept[FtsParseError](parse("NEAR()", M))
+    intercept[FtsParseError](parse("NEAR(a, x)", M))
+    intercept[FtsParseError](parse("NEAR(a b", M))
+  }
+
+  test("NEAR matching: max(start) - min(end) <= N, per single field") {
+    val doc = "f 1 urgent order for building customer c91".split(" ").toIndexedSeq
+    def near(q: String) = matches(parse(q, M), IndexedSeq.empty, doc)
+    // urgent@2..2, building@5..5: 5 - 2 = 3
+    assert(near("NEAR(urgent building, 3)"))
+    assert(!near("NEAR(urgent building, 2)"))
+    // order matters not: same distance either way
+    assert(near("NEAR(building urgent, 3)"))
+    // phrase member: "order for"@3..4, building@5..5: 5 - 4 = 1
+    assert(near("NEAR(\"order for\" building, 1)"))
+    assert(!near("NEAR(\"order for\" building, 0)"))
+    // all phrases must be in ONE field — split across fields is no match
+    assert(!matches(parse("NEAR(x y, 10)", M),
+      IndexedSeq("x"), IndexedSeq("y")))
+    // overlapping instances: negative gap always matches
+    assert(matches(parse("NEAR(\"a b\" \"b c\", 0)", M),
+      IndexedSeq("a", "b", "c"), IndexedSeq.empty))
+  }
+
+  test("^ anchors the phrase to the field's first token") {
+    assert(parse("^view", M) == First(Seq("view")))
+    assert(parse("^\"order 10\"", M) == First(Seq("order", "10")))
+    assert(parse("a ^b", M) == And(Seq(Term("a"), First(Seq("b")))))
+    val t = IndexedSeq("view", "by", "user")
+    assert(matches(parse("^view", M), t, IndexedSeq.empty))
+    assert(matches(parse("^view", M), IndexedSeq.empty, t)) // either field
+    assert(!matches(parse("^by", M), t, IndexedSeq.empty))
+    // mid-word caret is a syntax error → escape fallback literalizes
+    intercept[FtsParseError](parse("a^b", M))
+    assert(parseOrEscape("a^b", M) == Some(Phrase(Seq("a", "b"))))
+  }
+
+  test("group/NEAR/^ queries still fall back safely when malformed") {
+    assert(parseOrEscape("(((", M).isEmpty)
+    assert(parseOrEscape("NEAR(a b", M) ==
+      Some(And(Seq(Phrase(Seq("near", "a")), Phrase(Seq("b"))))))
+    assert(positiveTerms(parse("NEAR(a \"b c\") ^d", M)) ==
+      Seq("a", "b", "c", "d"))
+  }
 }
