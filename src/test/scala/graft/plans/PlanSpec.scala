@@ -1,0 +1,115 @@
+package graft.plans
+
+import graft.{Corpus, SparkEntry, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression tests (VERDICT r6 item 3): the physical-plan
+  * invariants that five rounds of plan audits established, asserted so
+  * a future edit cannot silently re-introduce a shuffle, a window, or a
+  * cartesian product that the audits removed. Each assertion mirrors a
+  * PLANS_r{N} claim; the evidence dumps live in PlanDump.
+  *
+  * Counting is string-based over the physical plan tree (stable across
+  * AQE wrapping: the printed initial plan carries the same operator
+  * lines).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Shuffle exchanges only — broadcast exchanges are free-ish by
+    * design (small sides) and deliberately not counted.
+    */
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(planOf(df)).length
+
+  private def windowNodes(df: DataFrame): Int =
+    "(?m)^[\\s:+*-]*(?:\\([0-9]+\\) )?Window(?:Exec)? ".r
+      .findAllIn(planOf(df)).length
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private lazy val events = {
+    Corpus.registerSources(spark, sfDir)
+    spark.table("events").withColumn("ts_us", unix_micros(col("ts")))
+  }
+
+  // ---- in-row kernels: Scan → Project, zero Exchange -----------------
+
+  test("in-row kernels shuffle nothing (PLANS r5-r7: pure maps)") {
+    val pureMaps = Seq(
+      "x_quality_para_dup" ->
+        graft.ext.Quality.paragraphDupStats(docs, "text"),
+      "x_quality_gopher" -> graft.ext.Quality.gopherProfile(docs, "text"),
+      "x_text_pii" -> graft.ext.Quality.piiScreen(docs, "text"),
+      "x_text_winnow_native" ->
+        graft.ext.TextAnalysis.winnowFingerprintsNative(docs, "text", "doc_id"),
+      "x_pipe_split" -> graft.ext.Pipeline.split(docs),
+      "x_pipe_chunk" -> graft.ext.Pipeline.chunk(docs, "text"))
+    for ((name, df) <- pureMaps)
+      assert(shuffles(df) == 0,
+        s"$name grew a shuffle:\n${planOf(df)}")
+  }
+
+  // ---- temporal operators: ONE key exchange --------------------------
+
+  test("rolling rates: ONE Window over ONE Exchange (PLANS r7 §26)") {
+    val df = graft.ext.Events.rollingCounts(
+      events.select("event_id", "user_id", "ts_us", "value"))
+    assert(shuffles(df) == 1, s"rolling shuffle count:\n${planOf(df)}")
+    assert(windowNodes(df) == 1, s"rolling window count:\n${planOf(df)}")
+  }
+
+  test("funnel: chained windows share ONE user exchange (PLANS r6 §19)") {
+    val df = graft.ext.Events.funnel(
+      events.select("event_id", "user_id", "ts_us", "event_type"),
+      Seq("view", "click", "purchase"))
+    assert(shuffles(df) == 1, s"funnel shuffle count:\n${planOf(df)}")
+  }
+
+  test("sessionization: ONE user exchange (PLANS r6)") {
+    val df = graft.ext.Events.sessions(
+      events.select("event_id", "user_id", "ts_us"),
+      gapUs = 4L * 3600 * 1000000)
+    assert(shuffles(df) == 1, s"sessions shuffle count:\n${planOf(df)}")
+  }
+
+  test("as-of join: union+window form — ONE exchange, ZERO join operators (PLANS r6 §18)") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us", "value")
+    val views = events.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts_us", "value")
+    val df = graft.ext.Events.asofJoin(clicks, views)
+    assert(shuffles(df) == 1, s"asof shuffle count:\n${planOf(df)}")
+    val p = planOf(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      s"asof re-grew a join operator:\n$p")
+  }
+
+  // ---- global: no cartesian product anywhere -------------------------
+
+  test("no CartesianProduct in any declared query plan") {
+    // Every crossJoin in the library is against a broadcast 1-row or
+    // dimension-sized side (plans show BroadcastNestedLoopJoin);
+    // a CartesianProduct node means someone lost the broadcast.
+    // Streaming queries are skipped: their fn executes a real streaming
+    // job and the returned frame reads a memory sink (trivial plan).
+    val skip = Set("x_stream_merge", "x_stream_dedup", "x_stream_sessions",
+      "x_stream_rolling", "x_stream_funnel", "x_stream_asof",
+      "x_stream_user_state")
+    Corpus.registerSources(spark, sfDir)
+    for (d <- SparkEntry.allDefs if !skip.contains(d.name)) {
+      val plan = planOf(d.fn(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"),
+        s"${d.name} plans a CartesianProduct:\n$plan")
+    }
+  }
+}
