@@ -1,0 +1,167 @@
+package graft
+
+import graft.core.Schema
+import graft.ext.{Dedup, Events, Pipeline, Quality, Similarity, TextAnalysis}
+import graft.index.IndexJob
+import org.apache.spark.sql.functions._
+/** Event-analytics family: as-of join, sessionization, JSON props, rolling rates, inter-arrival stats, retention, funnel.
+  * Oracle-checked via CORRECTNESS_r* (see SURVEY §7.5).
+  */
+private[graft] object ExtEventQueries {
+  import ExtShared._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // As-of join: every click matched to the user's most recent view at
+    // or before it. Union+window shape — one shuffle on user_id, zero
+    // joins, no pair explosion; the oracle is an independent LATERAL
+    // formulation, so parity proves semantics, not the algorithm.
+    QueryDef("x_evt_asof",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us", "value")
+        val views = ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts_us", "value")
+        Events.asofJoin(clicks, views).orderBy("event_id")
+      },
+      defsAsofOracle),
+
+    // Gap sessionization (4 h gap — the corpus' median per-user gap is
+    // ~7 h, so sessions are non-degenerate): one key-partitioned sort;
+    // integer window arithmetic end to end.
+    QueryDef("x_evt_sessions",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us")
+        Events.sessions(ev, gapUs = 4L * 3600 * 1000000)
+          .orderBy("user_id", "session_seq")
+      },
+      defsSessionOracle),
+
+    // Semi-structured props: JSON path extraction feeding a relational
+    // agg — get_json_object is a pure in-row map (Jackson in Spark,
+    // yyjson in DuckDB — both strict JSON, same value); integer stats
+    // so engines can't disagree.
+    QueryDef("x_evt_props_json",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        spark.table("events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+          |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+          |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)),
+
+    // Rolling 24 h per-user event rate: time-RANGE frame over BIGINT µs
+    // (bursts bounded by time, not row offsets). Value quantized ONCE to
+    // integer cents on BOTH engines — floor(v*100+0.5) is one exact IEEE
+    // op and BIGINT sums are associative, so no decimal tie-rounding or
+    // fold order can diverge (the r5 driver hash failure was the per-row
+    // DOUBLE→DECIMAL(18,2) cast rounding ties engine-dependently).
+    QueryDef("x_evt_rolling",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us", "value")
+        Events.rollingCounts(ev, windowUs = 86400L * 1000000)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("n_trailing"), col("sum_trailing_cents"))
+          .orderBy("event_id")
+      },
+      defsRollingOracle),
+
+    // Per-user inter-arrival gap stats (burstiness features): exact
+    // integer µs gaps; the median is rank-selected INSIDE the user
+    // partitioning (lower median on even counts — deterministic), the
+    // mean one truncating division. No global sort at any scale.
+    QueryDef("x_evt_interarrival",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us")
+        Events.interArrival(ev).orderBy("user_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          |),
+          |g AS (
+          |  SELECT user_id, event_id,
+          |         ts_us - lag(ts_us) OVER (PARTITION BY user_id
+          |                                  ORDER BY ts_us, event_id) AS gap
+          |  FROM e
+          |),
+          |gg AS (
+          |  SELECT user_id, gap,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY gap, event_id) AS rn,
+          |         count(*) OVER (PARTITION BY user_id) AS n
+          |  FROM g WHERE gap IS NOT NULL
+          |)
+          |SELECT user_id,
+          |       CAST(max(n) AS BIGINT) AS n_gaps,
+          |       CAST(min(gap) AS BIGINT) AS min_gap_us,
+          |       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT) AS median_gap_us,
+          |       CAST(max(gap) AS BIGINT) AS max_gap_us,
+          |       CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us
+          |FROM gg GROUP BY user_id
+          |ORDER BY user_id""".stripMargin)),
+
+    // Cohort retention: first-seen-week cohorts × active-week offsets.
+    // Engine uses the distinct-first + window shape; the oracle is the
+    // independent join-back formulation.
+    QueryDef("x_evt_retention",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        Events.retention(ev).orderBy("cohort_week", "week_offset")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+          |),
+          |d AS (SELECT DISTINCT user_id, week FROM e),
+          |c AS (SELECT user_id, min(week) AS cohort_week FROM d GROUP BY user_id)
+          |SELECT c.cohort_week, d.week - c.cohort_week AS week_offset,
+          |       CAST(count(*) AS BIGINT) AS n_users
+          |FROM d JOIN c USING (user_id)
+          |GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin)),
+
+    // Ordered funnel view → click → purchase within 7 days: chained
+    // conditional-min windows over ONE user exchange; the oracle is the
+    // independent per-step aggregate-and-join chain.
+    QueryDef("x_evt_funnel",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us", "event_type")
+        Events.funnel(ev, Seq("view", "click", "purchase"))
+          .orderBy("user_id")
+      },
+      defsFunnelOracle)
+  )
+}

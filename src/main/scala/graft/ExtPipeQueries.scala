@@ -1,0 +1,329 @@
+package graft
+
+import graft.core.Schema
+import graft.ext.{Dedup, Events, Pipeline, Quality, Similarity, TextAnalysis}
+import graft.index.IndexJob
+import org.apache.spark.sql.functions._
+/** Pipeline family: split/chunk/vocab/OOV/contamination/stratified/blocklist/pack/budget/mix and the end-to-end curation pipeline.
+  * Oracle-checked via CORRECTNESS_r* (see SURVEY §7.5).
+  */
+private[graft] object ExtPipeQueries {
+  import ExtShared._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // The composed curation pipeline — quality scoring, language ID and
+    // exact-dedup flags are all narrow column/window algebra over the
+    // same scan, so chaining them stays ONE pass + one window: the
+    // survivors of (not-duplicate AND quality >= 0.5 AND language
+    // agrees with the label).
+    QueryDef("x_pipeline_curation",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        // Score and language-ID in-row FIRST, then drop text before the
+        // dedup window: the exchange carries (digest, id, two scores),
+        // never the corpus text — the composition order that matters at
+        // 100 TB. Same semantics as scoring after the window: the
+        // metrics are per-row and is_duplicate is corpus-wide either way.
+        val scored = TextAnalysis.qualityScore(
+            TextAnalysis.languageId(spark.table("documents"), "text"),
+            "text")
+          .select(col("doc_id"), col("lang"), col("quality_score"),
+            col("predicted_lang"),
+            md5(col("text").cast("binary")).as("__digest"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__digest")).orderBy(col("doc_id"))
+        scored
+          .withColumn("is_duplicate", row_number().over(w) > 1)
+          .filter(!col("is_duplicate") && col("quality_score") >= 0.5 &&
+            col("predicted_lang") === col("lang"))
+          .select("doc_id", "lang", "quality_score")
+          .orderBy("doc_id")
+      },
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val hitCols = langs.map { l =>
+          val cond = TextAnalysis.stopwords(l).map(w => s"t = '$w'").mkString(" OR ")
+          s"len(list_filter(ts, t -> $cond)) AS hits_$l"
+        }.mkString(",\n       ")
+        val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+        val caseArms = langs.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ")
+        val en = TextAnalysis.stopwords("en").map(w => s"t = '$w'").mkString(" OR ")
+        s"""WITH base AS (
+           |  SELECT doc_id, lang, ${ducktokens("text")} AS ts,
+           |         CAST(len(text) AS DOUBLE) AS n_chars,
+           |         CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+           |         (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) > 1 AS is_duplicate
+           |  FROM documents
+           |),
+           |m AS (
+           |  SELECT doc_id, lang, is_duplicate,
+           |         CAST(len(ts) AS DOUBLE) AS n_tokens,
+           |         n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+           |         CAST(len(list_filter(ts, t -> $en)) AS DOUBLE)
+           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS stopword_ratio,
+           |         CAST(len(list_distinct(ts)) AS DOUBLE)
+           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS distinct_ratio,
+           |         ${hitCols}
+           |  FROM base
+           |),
+           |scored AS (
+           |  SELECT doc_id, lang, is_duplicate,
+           |         CASE WHEN $g = 0 THEN 'und' $caseArms END AS predicted_lang,
+           |         least(n_tokens / 100.0, 1.0) * 0.25
+           |               + alpha_ratio * 0.25
+           |               + least(stopword_ratio * 5.0, 1.0) * 0.25
+           |               + distinct_ratio * 0.25 AS quality_score
+           |  FROM m
+           |)
+           |SELECT doc_id, lang, quality_score
+           |FROM scored
+           |WHERE NOT is_duplicate AND quality_score >= 0.5 AND predicted_lang = lang
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Deterministic hash-split: reshuffle-proof train/val/test
+    // assignment (survives re-ingestion and repartitioning, unlike
+    // rand()). Pure map-side at any scale.
+    QueryDef("x_pipe_split",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.split(spark.table("documents")).orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |       CASE WHEN b < 800 THEN 'train'
+          |            WHEN b < 900 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM (SELECT doc_id,
+          |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS b
+          |      FROM documents) q
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Overlapping token-window chunking (context-window prep): one
+    // chunk per stride offset; zero shuffle.
+    QueryDef("x_pipe_chunk",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.chunk(spark.table("documents"), "text", size = 64, stride = 48)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts
+          |  FROM documents
+          |),
+          |chunks AS (
+          |  SELECT doc_id, o // 48 AS chunk_idx, ts[o + 1 : o + 64] AS chunk
+          |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts), 48)) AS o
+          |        FROM toks WHERE len(ts) > 0) q
+          |)
+          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+          |       array_to_string(chunk, ' ') AS chunk_text
+          |FROM chunks
+          |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Corpus vocabulary: top-100 tokens by occurrence count with
+    // deterministic tie-break; the result is vocabulary-sized — the
+    // broadcast side of downstream joins.
+    QueryDef("x_pipe_vocab",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.vocabulary(spark.table("documents"), "text", vocabSize = 100)
+          .withColumnRenamed("rank", "vocab_rank")
+          .orderBy("vocab_rank")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+          |  FROM documents
+          |),
+          |counts AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
+          |ranked AS (
+          |  SELECT token, n_occurrences,
+          |         row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_rank
+          |  FROM counts
+          |)
+          |SELECT token, n_occurrences, CAST(vocab_rank AS BIGINT) AS vocab_rank
+          |FROM ranked WHERE vocab_rank <= 100
+          |ORDER BY vocab_rank""".stripMargin)),
+
+    // Per-document OOV profile against the top-100 vocabulary: one
+    // explode + broadcast join + re-aggregation.
+    QueryDef("x_pipe_oov",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.oovProfile(spark.table("documents"), "text", vocabSize = 100)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+          |  FROM documents
+          |),
+          |counts AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
+          |ranked AS (
+          |  SELECT token,
+          |         row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_rank
+          |  FROM counts
+          |),
+          |vocab AS (SELECT token FROM ranked WHERE vocab_rank <= 100)
+          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+          |FROM tok t LEFT JOIN vocab v ON v.token = t.token
+          |GROUP BY t.doc_id
+          |ORDER BY t.doc_id""".stripMargin)),
+
+    // Benchmark-contamination screen: corpus docs sharing >= 5 winnow
+    // fingerprints with the benchmark set (doc_id % 97 = 0 stands in
+    // for a held-out eval suite). Benchmark fp set is broadcast; one
+    // corpus fingerprint scan, no pair join.
+    QueryDef("x_pipe_contam",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val docs = spark.table("documents")
+        Pipeline.contamination(docs, docs.filter(col("doc_id") % 97 === 0),
+            "text", minShared = 5)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH base AS (SELECT doc_id, lower(text) AS s FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
+           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
+           |),
+           |sel AS (
+           |  SELECT doc_id, pos,
+           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
+           |           PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
+           |  FROM hashed
+           |),
+           |fps AS (SELECT DISTINCT doc_id, selkey >> 31 AS fp FROM sel WHERE pos >= 4),
+           |bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0)
+           |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+           |FROM fps f JOIN bench b ON b.fp = f.fp
+           |GROUP BY f.doc_id
+           |HAVING count(*) >= 5
+           |ORDER BY f.doc_id""".stripMargin)),
+
+    // Deterministic stratified sample: 20 docs per language by
+    // (portable id hash, id) order — unbiased, reshuffle-proof.
+    QueryDef("x_pipe_stratified",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.stratifiedSample(spark.table("documents"), "lang", perGroup = 20)
+          .orderBy("lang", "sample_rank")
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT lang, doc_id,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS hh
+          |  FROM documents
+          |),
+          |ranked AS (
+          |  SELECT lang, doc_id,
+          |         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS sample_rank
+          |  FROM h
+          |)
+          |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+          |FROM ranked WHERE sample_rank <= 20
+          |ORDER BY lang, sample_rank""".stripMargin)),
+
+    // Blocklist screen: in-row token filter against an inlined term
+    // set — pure map, no join, no shuffle.
+    QueryDef("x_pipe_blocklist",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.blocklist(spark.table("documents"), "text",
+            Seq("slow", "crash"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |       CAST(len(list_filter(
+          |         list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+          |         t -> list_contains(['slow', 'crash'], t))) AS BIGINT) AS n_blocked
+          |FROM documents
+          |WHERE len(list_filter(
+          |        list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+          |        t -> list_contains(['slow', 'crash'], t))) > 0
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Greedy-by-position sequence packing per source shard: pack_id =
+    // starting-token-offset / 2048 via an integer window cumsum.
+    QueryDef("x_pipe_pack",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.pack(spark.table("documents"), "text", "source", seqLen = 2048)
+          .orderBy("source", "doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT source, doc_id,
+          |         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents
+          |)
+          |SELECT source, doc_id, n_tokens,
+          |       CAST((sum(n_tokens) OVER (
+          |              PARTITION BY source ORDER BY doc_id
+          |              ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS pack_id
+          |FROM t
+          |ORDER BY source, doc_id""".stripMargin)),
+
+    // Token-budget sampler: greedy fill per source in salted-hash
+    // order; kept iff the starting offset is under budget (overshoot
+    // bounded by one doc). Window state = one running BIGINT per group.
+    QueryDef("x_pipe_budget",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.budgetSample(spark.table("documents"), "text", "source",
+            budgetTokens = 600L)
+          .orderBy("source", "doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT source, doc_id,
+          |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 15) AS BIGINT) % 1000000 AS hh
+          |  FROM documents
+          |),
+          |c AS (
+          |  SELECT source, doc_id, n_tokens,
+          |         sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id
+          |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS token_offset
+          |  FROM t
+          |)
+          |SELECT source, doc_id, n_tokens, CAST(token_offset AS BIGINT) AS token_offset
+          |FROM c WHERE token_offset < 600
+          |ORDER BY source, doc_id""".stripMargin)),
+
+    // Deterministic domain-mix sampler: per-source keep-rates in
+    // permille over a salted id hash — content-independent,
+    // reshuffle-proof, monotone under rate increases. Pure map.
+    QueryDef("x_pipe_mix",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.mixSample(spark.table("documents"), "source",
+            Map("src0" -> 250, "src1" -> 500, "src2" -> 750))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT source, doc_id,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT) % 1000 AS mix_bucket
+          |  FROM documents
+          |)
+          |SELECT source, doc_id, mix_bucket
+          |FROM b
+          |WHERE mix_bucket < CASE source WHEN 'src0' THEN 250
+          |                               WHEN 'src1' THEN 500
+          |                               WHEN 'src2' THEN 750
+          |                               ELSE 1000 END
+          |ORDER BY doc_id""".stripMargin))
+  )
+}

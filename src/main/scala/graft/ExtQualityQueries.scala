@@ -1,0 +1,259 @@
+package graft
+
+import graft.core.Schema
+import graft.ext.{Dedup, Events, Pipeline, Quality, Similarity, TextAnalysis}
+import graft.index.IndexJob
+import org.apache.spark.sql.functions._
+/** Corpus-quality family: Gopher screens, paragraph self-dup, n-gram repetition (+native kernel), commonness, boilerplate, corpus stats and exact length quantiles.
+  * Oracle-checked via CORRECTNESS_r* (see SURVEY §7.5).
+  */
+private[graft] object ExtQualityQueries {
+  import ExtShared._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Gopher-style repetition/boilerplate profile: entirely in-row
+    // (scan → project, zero shuffle). Line metrics are degenerate on
+    // this single-line corpus (n_lines=1, dup/bullet/ellipsis 0) but
+    // the token metrics and the pass flag are live signal.
+    QueryDef("x_quality_gopher",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.gopherProfile(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, coalesce(text, '') AS t,
+          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS ts,
+          |         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), x -> trim(x)), x -> x <> '') AS ls
+          |  FROM documents
+          |),
+          |m AS (
+          |  SELECT doc_id, t, ls,
+          |         CAST(len(ts) AS BIGINT) AS n_tokens,
+          |         CAST(len(ls) AS BIGINT) AS n_lines,
+          |         CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+          |         list_filter(ls, x -> len(list_filter(ls, y -> y = x)) > 1) AS dls
+          |  FROM base
+          |),
+          |m2 AS (
+          |  SELECT doc_id, n_tokens, n_lines, n_distinct,
+          |         CAST(len(dls) AS BIGINT) AS n_dup_lines,
+          |         CAST(coalesce(list_sum(list_transform(ls, x -> len(x))), 0) AS BIGINT) AS line_chars,
+          |         CAST(coalesce(list_sum(list_transform(dls, x -> len(x))), 0) AS BIGINT) AS dup_line_chars,
+          |         CAST(len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS BIGINT) AS n_bullet,
+          |         CAST(len(list_filter(ls, x -> ends_with(x, '...'))) AS BIGINT) AS n_ellipsis,
+          |         CAST(len(t) - len(replace(t, '#', '')) AS BIGINT) AS n_hash,
+          |         CAST((len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT) AS n_dots
+          |  FROM m
+          |)
+          |SELECT doc_id, n_tokens, n_lines,
+          |       1.0 - CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) AS dup_token_frac,
+          |       CAST(n_dup_lines AS DOUBLE) / greatest(n_lines, 1) AS dup_line_frac,
+          |       CAST(dup_line_chars AS DOUBLE) / greatest(line_chars, 1) AS dup_line_char_frac,
+          |       CAST(n_bullet AS DOUBLE) / greatest(n_lines, 1) AS bullet_line_frac,
+          |       CAST(n_ellipsis AS DOUBLE) / greatest(n_lines, 1) AS ellipsis_line_frac,
+          |       CAST(n_hash + n_dots AS DOUBLE) / greatest(n_tokens, 1) AS symbol_token_ratio,
+          |       (n_tokens >= 50 AND n_tokens <= 100000
+          |        AND 1.0 - CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) <= 0.6
+          |        AND CAST(n_hash + n_dots AS DOUBLE) / greatest(n_tokens, 1) <= 0.1
+          |        AND CAST(n_bullet AS DOUBLE) / greatest(n_lines, 1) <= 0.9
+          |        AND CAST(n_ellipsis AS DOUBLE) / greatest(n_lines, 1) <= 0.3
+          |        AND CAST(dup_line_chars AS DOUBLE) / greatest(line_chars, 1) <= 0.2) AS gopher_pass
+          |FROM m2
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Paragraph self-duplication (C4/RefinedWeb dedup_para signal at doc
+    // granularity): blank-line-delimited blocks, distinct vs total —
+    // pure in-row map, integer permille. The corpus is single-line, so
+    // the query augments deterministically on BOTH engines: appends a
+    // shared footer and, for doc_id % 3 = 0, repeats the body paragraph.
+    QueryDef("x_quality_para_dup",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val body = coalesce(col("text"), lit(""))
+        val aug = spark.table("documents").withColumn("text",
+          concat(body,
+            lit("\n\nshared footer "), (col("doc_id") % 5).cast("string"),
+            lit("\n\n"),
+            when(col("doc_id") % 3 === 0, body)
+              .otherwise(concat(lit("unique tail "),
+                col("doc_id").cast("string")))))
+        Quality.paragraphDupStats(aug, "text").orderBy("doc_id")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id,
+          |         coalesce(text, '') || chr(10) || chr(10) ||
+          |         'shared footer ' || (doc_id % 5) || chr(10) || chr(10) ||
+          |         CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '')
+          |              ELSE 'unique tail ' || doc_id END AS t
+          |  FROM documents
+          |),
+          |p AS (
+          |  SELECT doc_id,
+          |         list_filter(list_transform(string_split_regex(t, '\n{2,}'),
+          |             x -> trim(x)), x -> x <> '') AS ps
+          |  FROM aug
+          |)
+          |SELECT doc_id,
+          |       CAST(len(ps) AS BIGINT) AS n_paras,
+          |       CAST(len(list_distinct(ps)) AS BIGINT) AS n_distinct_paras,
+          |       CAST(CASE WHEN len(ps) > 0
+          |                 THEN (len(ps) - len(list_distinct(ps))) * 1000 // len(ps)
+          |                 ELSE 0 END AS BIGINT) AS dup_para_permille
+          |FROM p
+          |ORDER BY doc_id""".stripMargin)),
+
+    // N-gram repetition stats — the relational Gopher half: top-bigram
+    // coverage + repeated-trigram coverage, keyed on (doc, gram).
+    QueryDef("x_quality_ngram_rep",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.ngramRepetition(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        NgramRepOracle)),
+
+    // Same stats via the compiled in-row kernel (ngram_rep_e): zero
+    // Exchange — the (doc, gram) shuffles above disappear. Same oracle.
+    QueryDef("x_quality_ngram_rep_native",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.ngramRepetitionNative(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(NgramRepOracle)),
+
+    // Exact per-source token-length quantiles via the cumulative
+    // histogram: corpus-sized work is one (source, len) count agg; the
+    // running-sum window covers DISTINCT lengths only (domain-bounded).
+    QueryDef("x_stats_length_quantiles",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.lengthQuantiles(spark.table("documents"), "text")
+          .orderBy("source")
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT source,
+          |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS BIGINT) AS len
+          |  FROM documents
+          |),
+          |hist AS (SELECT source, len, count(*) AS cnt FROM h GROUP BY 1, 2),
+          |c AS (
+          |  SELECT source, len,
+          |         sum(cnt) OVER (PARTITION BY source ORDER BY len
+          |                        ROWS UNBOUNDED PRECEDING) AS cum,
+          |         sum(cnt) OVER (PARTITION BY source) AS total
+          |  FROM hist
+          |)
+          |SELECT source,
+          |       CAST(min(CASE WHEN cum >= ceil(0.25 * total) THEN len END) AS BIGINT) AS p25,
+          |       CAST(min(CASE WHEN cum >= ceil(0.5 * total) THEN len END) AS BIGINT) AS p50,
+          |       CAST(min(CASE WHEN cum >= ceil(0.75 * total) THEN len END) AS BIGINT) AS p75,
+          |       CAST(min(CASE WHEN cum >= ceil(0.9 * total) THEN len END) AS BIGINT) AS p90,
+          |       CAST(min(CASE WHEN cum >= ceil(0.99 * total) THEN len END) AS BIGINT) AS p99
+          |FROM c GROUP BY source
+          |ORDER BY source""".stripMargin)),
+
+    // Per-source corpus report card: one group-keyed agg; text reduced
+    // to a digest before the exchange (hashes on the wire, not docs).
+    QueryDef("x_stats_corpus",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.corpusStats(spark.table("documents"), "text")
+          .orderBy("source")
+      },
+      Some(
+        """SELECT source,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+          |       CAST(sum(len(coalesce(text, ''))) AS BIGINT) AS n_chars,
+          |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |       CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_distinct_texts,
+          |       CAST(count(*) - count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_exact_dups
+          |FROM documents GROUP BY source
+          |ORDER BY source""".stripMargin)),
+
+    // Unigram commonness: log-free perplexity surrogate — mean corpus
+    // token frequency in ppb; BIGINT end-to-end with ONE integer
+    // division, so the value hashes identically cross-engine.
+    QueryDef("x_quality_commonness",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.unigramCommonness(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS token
+          |  FROM documents
+          |),
+          |cnts AS (SELECT token, count(*) AS cnt FROM e GROUP BY token),
+          |tot AS (SELECT sum(cnt) AS total FROM cnts),
+          |d AS (
+          |  SELECT e.doc_id, count(*) AS n_tokens, sum(cnt) AS sum_cnt
+          |  FROM e JOIN cnts USING (token) GROUP BY e.doc_id
+          |)
+          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |       CAST(sum_cnt AS BIGINT) AS sum_cnt,
+          |       CAST(1000000000 * sum_cnt // (n_tokens * total) AS BIGINT) AS commonness_e9
+          |FROM d CROSS JOIN tot
+          |ORDER BY doc_id""".stripMargin)),
+
+    // C4-style boilerplate removal over deterministically line-augmented
+    // text (the corpus is single-line): every doc gains a unique
+    // 'uid N' line (never hot), even docs a copyright footer, %3 docs a
+    // generated-footer line — both cross the minDocs=100 threshold at
+    // sf0.01 and are stripped; the unique lines and original text stay.
+    QueryDef("x_quality_boilerplate",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val aug = spark.table("documents").withColumn("text",
+          concat(coalesce(col("text"), lit("")),
+            lit("\nuid "), col("doc_id").cast("string"),
+            when(col("doc_id") % 2 === 0,
+              lit("\n(c) example corp all rights reserved")).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0,
+              lit("\ngenerated page footer")).otherwise(lit(""))))
+        Quality.removeBoilerplate(aug, "text", minDocs = 100)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') || chr(10) || 'uid ' || doc_id ||
+          |         CASE WHEN doc_id % 2 = 0
+          |              THEN chr(10) || '(c) example corp all rights reserved'
+          |              ELSE '' END ||
+          |         CASE WHEN doc_id % 3 = 0
+          |              THEN chr(10) || 'generated page footer'
+          |              ELSE '' END AS t
+          |  FROM documents
+          |),
+          |dl AS (
+          |  SELECT doc_id, unnest(list_distinct(list_filter(
+          |           list_transform(string_split(t, chr(10)), x -> trim(x)),
+          |           x -> x <> ''))) AS line
+          |  FROM aug
+          |),
+          |hot AS (
+          |  SELECT line FROM (
+          |    SELECT line, count(*) AS n FROM dl GROUP BY line
+          |  ) WHERE n >= 100 ORDER BY n DESC, line LIMIT 10000
+          |),
+          |h AS (SELECT coalesce(list(line), []) AS hotset FROM hot)
+          |SELECT a.doc_id,
+          |       CAST(len(string_split(a.t, chr(10))) AS BIGINT) AS n_lines,
+          |       CAST(len(string_split(a.t, chr(10))) -
+          |            len(list_filter(string_split(a.t, chr(10)),
+          |                x -> NOT list_contains(h.hotset, trim(x)))) AS BIGINT) AS n_removed,
+          |       array_to_string(list_filter(string_split(a.t, chr(10)),
+          |           x -> NOT list_contains(h.hotset, trim(x))), chr(10)) AS clean_text
+          |FROM aug a CROSS JOIN h
+          |ORDER BY a.doc_id""".stripMargin))
+  )
+}

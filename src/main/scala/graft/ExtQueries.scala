@@ -19,2823 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object ExtQueries {
 
-  private def ducktokens(x: String) = OracleGen.tokensSql(x)
-  private val duckHash = // mirrors Dedup.portableHash
-    (x: String) => s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
-
-  // ---- shared oracle CTEs -------------------------------------------
-
-  private val P = Dedup.MersennePrime
-  private val K = 16
-  private val BANDS = 4
-
-  // verified near-dup pairs memoized per sfDir: the dedup stage's output
-  // is the clustering stage's input — one materialization feeds both
-  // x_dedup_minhash and x_dedup_components (the artifact pattern).
-  // LIFECYCLE: per-JVM, one persisted frame per scale dir — same
-  // serving-lifetime contract as the Corpus caches (see Corpus.scala)
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-  private def minhashPairs(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): org.apache.spark.sql.DataFrame =
-    pairsCache.getOrElseUpdate(sfDir,
-      Dedup.minhashNearDupsFromArtifacts(docShingles(spark, sfDir),
-        minhashSigs(spark, sfDir), k = K, bands = BANDS, threshold = 0.4).persist())
-
-  // the dedup artifact pair (VERDICT r3: deliberate sharing, not the
-  // accidental cache-manager reuse the r3 persists leaked into): ONE
-  // 3-shingle explode and ONE minhash-signature build per scale dir,
-  // persisted, feeding x_dedup_ngram, x_dedup_minhash{,_salted} and
-  // x_dedup_components. Same per-JVM lifecycle as pairsCache.
-  private val shCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-  private def docShingles(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): org.apache.spark.sql.DataFrame =
-    shCache.getOrElseUpdate(sfDir,
-      // narrow form: (doc_id, shingle BIGINT) from the compiled kernel
-      Dedup.shingleHashes(spark.table("documents"), "text", "doc_id", 3).persist())
-  private val sigsCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-  private def minhashSigs(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): org.apache.spark.sql.DataFrame =
-    sigsCache.getOrElseUpdate(sfDir,
-      Dedup.minhashSignatures(docShingles(spark, sfDir), K, preHashed = true).persist())
-
-  // SimHash near-dup pair artifact (60-bit, 4 bands, hamming ≤ 8):
-  // consumed by both the pair listing and the method-overlap matrix —
-  // one signature build + banded candidate pass per scale dir.
-  private val simhashPairsCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-  private def simhashPairs(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): org.apache.spark.sql.DataFrame =
-    simhashPairsCache.getOrElseUpdate(sfDir,
-      Dedup.simhashNearDups(spark.table("documents"), "text", "doc_id",
-        bits = 60, bands = 4, maxHamming = 8).persist())
-
-  // Duplicated-span artifact (k=8, minDf=2 over documents): span
-  // detection is the corpus-sized term; the span LIST and the per-doc
-  // cut budgets both derive from it, so compute once per scale dir and
-  // persist — same lifecycle as pairsCache.
-  private val spansCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-  private def dupSpans(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): org.apache.spark.sql.DataFrame =
-    spansCache.getOrElseUpdate(sfDir,
-      Dedup.duplicateSpans(spark.table("documents"), "text", "doc_id",
-        k = 8, minDf = 2).persist())
-
-  // The streaming parquet source wants a DIRECTORY; testdata ships one
-  // file per table — expose it through a symlink dir. Memoized per
-  // (sfDir, file) with deleteOnExit (ADVICE r6): previously every
-  // x_stream_* execution created a fresh never-deleted temp dir (two
-  // per query under the min-of-2 bench).
-  private val streamSrcCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-  private[graft] def streamSourceDir(sfDir: String, file: String): String =
-    streamSrcCache.getOrElseUpdate((sfDir, file), {
-      val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
-      dir.toFile.deleteOnExit() // registered first → deleted last
-      val target = java.nio.file.Paths.get(s"$sfDir/$file")
-      val link = dir.resolve(file)
-      try java.nio.file.Files.createSymbolicLink(link, target)
-      catch { case _: Exception => java.nio.file.Files.copy(target, link): Unit }
-      link.toFile.deleteOnExit()
-      dir.toString
-    })
+  /** All extension queries — family files concatenated (split in r7;
+    * shared artifact caches live in [[ExtShared]]).
+    */
+  val defs: Seq[QueryDef] =
+    ExtDedupQueries.defs ++ ExtSimQueries.defs ++ ExtTextQueries.defs ++
+      ExtQualityQueries.defs ++ ExtPipeQueries.defs ++
+      ExtMmQueries.defs ++ ExtEventQueries.defs ++ ExtStreamQueries.defs
 
   /** Bench setup hook: materialize the shared dedup artifacts so query
     * timings measure probes, not builds (the TextIndex/IvfIndex model).
     */
   def warmDedupArtifacts(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): Unit = {
-    Corpus.registerSources(spark, sfDir)
-    docShingles(spark, sfDir).count()
-    minhashSigs(spark, sfDir).count()
-    dupSpans(spark, sfDir).count()
-    simhashPairs(spark, sfDir).count()
-  }
-
-  /** The sh relation mirrors Dedup.shingleHashes: DISTINCT portable
-    * hashes of the space-joined token n-grams (BIGINT — the engine
-    * never materializes shingle strings either).
-    */
-  private def shinglesCte(n: Int): String =
-    s"""toks AS (SELECT doc_id, ${ducktokens("text")} AS ts FROM documents),
-       |sh AS (
-       |  SELECT DISTINCT doc_id,
-       |         ${duckHash("shingle_str")} AS shingle
-       |  FROM (
-       |    SELECT doc_id,
-       |           unnest(list_transform(range(1, len(ts) - ${n - 2}),
-       |                  i -> ${(0 until n).map(j => s"ts[i+$j]").mkString(" || ' ' || ")})) AS shingle_str
-       |    FROM toks
-       |  ) raw
-       |)""".stripMargin
-
-  private def minhashSigsCte: String = {
-    val mins = Dedup.minhashParams(K).zipWithIndex.map { case ((a, b), i) =>
-      s"min(($a * h + $b) % $P) AS mh_$i"
-    }.mkString(",\n         ")
-    s"""hashed AS (
-       |  SELECT doc_id, shingle % $P AS h FROM sh
-       |),
-       |sigs AS (
-       |  SELECT doc_id,
-       |         $mins
-       |  FROM hashed GROUP BY doc_id
-       |)""".stripMargin
-  }
-
-  private def bandsCte: String = {
-    val rows = K / BANDS
-    val branches = (0 until BANDS).map { b =>
-      val key = (b * rows until (b + 1) * rows)
-        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(" || '_' || ")
-      s"""SELECT doc_id, $b AS band, $key AS band_key FROM sigs"""
-    }
-    s"banded AS (\n${branches.mkString("\nUNION ALL\n")}\n)"
-  }
-
-  /** bandsCte + the salt row (first row of the NEXT band, wrapping) —
-    * mirrors Dedup.lshCandidates(saltOversized = true).
-    */
-  private def saltedBandsCte: String = {
-    val rows = K / BANDS
-    val branches = (0 until BANDS).map { b =>
-      val key = (b * rows until (b + 1) * rows)
-        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(" || '_' || ")
-      val saltIdx = ((b + 1) * rows) % K
-      s"""SELECT doc_id, $b AS band, $key AS band_key,
-         |       CAST(mh_$saltIdx AS VARCHAR) AS salt FROM sigs""".stripMargin
-    }
-    s"banded AS (\n${branches.mkString("\nUNION ALL\n")}\n)"
-  }
-
-  // ---- embedding helpers (unnest-with-index formulation) ------------
-
-  private val exCte =
-    """ex AS (
-      |  SELECT label, vec_id, unnest(embedding) AS v,
-      |         unnest(range(len(embedding))) AS i
-      |  FROM embeddings
-      |)""".stripMargin
-
-  private val qxCte =
-    """qx AS (
-      |  SELECT unnest(embedding) AS qv, unnest(range(len(embedding))) AS i
-      |  FROM embeddings WHERE vec_id = 0
-      |)""".stripMargin
-
-  /** Shared LSH oracle CTEs — INTEGER FIXED-POINT (r4 verdict #1):
-    * embeddings quantized ONCE to BIGINT micro-units
-    * (floor(v·1e6 + 0.5) — floor is a single exact IEEE op; round()'s
-    * tie mode varies by engine), hyperplane components kept as the raw
-    * md5-derived integers in [-1000, 1000] (Similarity.hyperplanes).
-    * Every dot/norm is then an integer-product sum — associative, so no
-    * fold order, DuckDB version, or rounding mode can change it. This
-    * replaces the r3/r4 ordered-list_sum-of-doubles contract that the
-    * driver's DuckDB build broke while the local one passed.
-    */
-  private val lshOracleCtes =
-    """hp AS (
-      |  SELECT p,
-      |         list_transform(range(0, (SELECT len(embedding) FROM embeddings WHERE vec_id = 0)),
-      |           i -> (CAST('0x' || substr(md5('hp_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 14) AS BIGINT)
-      |                 % 2001) - 1000) AS hs
-      |  FROM range(6) t(p)
-      |),
-      |qemb AS (
-      |  SELECT vec_id,
-      |         list_transform(embedding,
-      |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e
-      |  FROM embeddings
-      |),
-      |dots AS (
-      |  SELECT e.vec_id, h.p,
-      |         CAST(list_sum(list_transform(range(1, len(e.e) + 1),
-      |               i -> e.e[i] * h.hs[i])) AS BIGINT) AS d
-      |  FROM qemb e CROSS JOIN hp h
-      |),
-      |buckets AS (
-      |  SELECT vec_id,
-      |         CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
-      |                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS lsh_bucket
-      |  FROM dots GROUP BY vec_id
-      |),
-      |qb AS (SELECT lsh_bucket FROM buckets WHERE vec_id = 0),
-      |norms AS (
-      |  SELECT vec_id,
-      |         CAST(list_sum(list_transform(e, v -> v * v)) AS BIGINT) AS nn
-      |  FROM qemb
-      |),
-      |qe AS (SELECT e AS qemb FROM qemb WHERE vec_id = 0)""".stripMargin
-
-  /** Final SELECT of the LSH oracles: exact integer cosine numerator
-    * and norms over `cand`; the single double-precision step
-    * (num / (√na·√nq) · 1e6, floor(+0.5)) is a chain of correctly-
-    * rounded IEEE ops on identical integers in any engine, and the
-    * emitted `cos_sim_e6` BIGINT hashes identically under any
-    * float-formatting scheme.
-    */
-  private def lshOracleSelect(k: Int): String =
-    s"""SELECT c.vec_id, c.lsh_bucket,
-       |       CAST(floor(CAST(list_sum(list_transform(range(1, len(e.e) + 1),
-       |                i -> e.e[i] * q.qemb[i])) AS DOUBLE)
-       |             / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(qn.nn AS DOUBLE)))
-       |             * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
-       |FROM cand c
-       |JOIN qemb e ON e.vec_id = c.vec_id
-       |CROSS JOIN qe q
-       |JOIN norms n ON n.vec_id = c.vec_id
-       |JOIN norms qn ON qn.vec_id = 0
-       |ORDER BY cos_sim_e6 DESC, c.vec_id
-       |LIMIT $k""".stripMargin
-
-  /** DuckDB mirror of Similarity.kmeansIvfSearch: the same Lloyd rounds
-    * unrolled as CTE chains (c0 → a1 → c1 → a2 → c2 → final assign +
-    * probe + exact cosine).
-    */
-  private def kmeansIvfOracle(sampleEvery: Int, iters: Int, nprobe: Int,
-      k: Int): String = {
-    def simCte(n: Int, prev: String): String =
-      s"""nc_$n AS (SELECT cell_id, sum(cv * cv) AS nc FROM $prev GROUP BY cell_id),
-         |sim_$n AS (
-         |  SELECT e.vec_id, c.cell_id,
-         |         round(sum(e.v * c.cv) / (sqrt(n.nv) * sqrt(m.nc)), 6) AS sim
-         |  FROM exd e
-         |  JOIN $prev c ON c.i = e.i
-         |  JOIN nv n ON n.vec_id = e.vec_id
-         |  JOIN nc_$n m ON m.cell_id = c.cell_id
-         |  GROUP BY e.vec_id, c.cell_id, n.nv, m.nc
-         |),
-         |a_$n AS (
-         |  SELECT vec_id, cell_id FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
-         |    FROM sim_$n
-         |  ) r WHERE rn = 1
-         |)""".stripMargin
-    def updateCte(n: Int): String =
-      s"""c_$n AS (
-         |  SELECT a.cell_id, e.i, round(avg(e.v), 6) AS cv
-         |  FROM exd e JOIN a_$n a ON a.vec_id = e.vec_id
-         |  GROUP BY a.cell_id, e.i
-         |)""".stripMargin
-    val rounds = (1 to iters).map { n =>
-      val prev = if (n == 1) "c_0" else s"c_${n - 1}"
-      simCte(n, prev) + ",\n" + updateCte(n)
-    }.mkString(",\n")
-    val fin = iters + 1 // final assignment against the trained centroids
-    s"""WITH ex AS (
-       |  SELECT vec_id, unnest(embedding) AS v,
-       |         unnest(range(len(embedding))) AS i
-       |  FROM embeddings
-       |),
-       |exd AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM ex),
-       |nv AS (SELECT vec_id, sum(v * v) AS nv FROM exd GROUP BY vec_id),
-       |c_0 AS (SELECT vec_id AS cell_id, v AS cv, i FROM exd
-       |        WHERE vec_id % $sampleEvery = 0),
-       |$rounds,
-       |${simCte(fin, s"c_$iters")},
-       |qsim AS (SELECT cell_id, sim FROM sim_$fin WHERE vec_id = 0),
-       |probes AS (SELECT cell_id FROM qsim ORDER BY sim DESC, cell_id LIMIT $nprobe),
-       |cand AS (
-       |  SELECT a.vec_id, a.cell_id
-       |  FROM a_$fin a JOIN probes p ON p.cell_id = a.cell_id
-       |)
-       |SELECT c.vec_id AS vec_id, c.cell_id AS cell_id,
-       |       round(sum(e.v * q.v) / (sqrt(n.nv) * sqrt(qn.nv)), 6) AS cos_sim
-       |FROM cand c
-       |JOIN exd e ON e.vec_id = c.vec_id
-       |JOIN exd q ON q.i = e.i AND q.vec_id = 0
-       |JOIN nv n ON n.vec_id = c.vec_id
-       |JOIN nv qn ON qn.vec_id = 0
-       |GROUP BY c.vec_id, c.cell_id, n.nv, qn.nv
-       |ORDER BY cos_sim DESC, c.vec_id
-       |LIMIT $k""".stripMargin
-  }
-
-  /** Shared CTE chain computing the 60-bit simhash per doc (mirrors
-    * Dedup.simhash bit-for-bit).
-    */
-  private def simhashSigCtes: String = simhashSigCtesPrefixed("")
-
-  /** The simhash CTE chain with a name prefix, so it can coexist with
-    * the minhash chain (whose `hashed`/`sigs` names collide) inside one
-    * oracle — used by the method-overlap query.
-    */
-  private def simhashSigCtesPrefixed(pre: String): String = {
-    val bitSums = (0 until 60).map(j =>
-      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN w ELSE -w END) AS b_$j")
-      .mkString(",\n         ")
-    val sig = (0 until 60).map(j =>
-      s"(CASE WHEN b_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
-      .mkString(" | ")
-    s"""${pre}tokw AS (
-       |  SELECT doc_id, token, count(*) AS w
-       |  FROM (SELECT doc_id, unnest(${ducktokens("text")}) AS token FROM documents) u
-       |  GROUP BY doc_id, token
-       |),
-       |${pre}hashed AS (SELECT doc_id, w, ${duckHash("token")} AS h FROM ${pre}tokw),
-       |${pre}sums AS (
-       |  SELECT doc_id,
-       |         $bitSums
-       |  FROM ${pre}hashed GROUP BY doc_id
-       |),
-       |${pre}sigs AS (SELECT doc_id, $sig AS simhash FROM ${pre}sums)""".stripMargin
-  }
-
-  /** Shared by the relational and compiled-kernel n-gram repetition
-    * entries — identical contract, two physical shapes. */
-  private val NgramRepOracle: String =
-    """WITH toks AS (
-          |  SELECT doc_id,
-          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS ts
-          |  FROM documents
-          |),
-          |bi AS (
-          |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
-          |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
-          |        FROM toks WHERE len(ts) >= 2) q
-          |),
-          |bic AS (SELECT doc_id, gram, count(*) AS cnt FROM bi GROUP BY 1, 2),
-          |bitop AS (
-          |  SELECT doc_id, CAST(cnt AS BIGINT) AS top_bigram_count
-          |  FROM (SELECT doc_id, cnt, row_number() OVER (
-          |          PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
-          |        FROM bic) q WHERE rn = 1
-          |),
-          |bisum AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams FROM bic GROUP BY 1),
-          |tri AS (
-          |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-          |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
-          |        FROM toks WHERE len(ts) >= 3) q
-          |),
-          |tric AS (SELECT doc_id, gram, count(*) AS cnt FROM tri GROUP BY 1, 2),
-          |tris AS (
-          |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
-          |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS rep
-          |  FROM tric GROUP BY 1
-          |)
-          |SELECT b.doc_id, b.n_bigrams, p.top_bigram_count,
-          |       CAST(p.top_bigram_count AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
-          |       t.n_trigrams,
-          |       CAST(t.rep AS DOUBLE) / t.n_trigrams AS rep_trigram_frac
-          |FROM bisum b JOIN bitop p USING (doc_id) LEFT JOIN tris t USING (doc_id)
-          |ORDER BY doc_id""".stripMargin
-
-  val defs: Seq[QueryDef] = Seq(
-
-    // ---- dedup -------------------------------------------------------
-
-    QueryDef("x_dedup_exact",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Dedup.exactGroups(spark.table("documents"), "text", "doc_id")
-          .orderBy("content_md5")
-      },
-      Some("""SELECT md5(text) AS content_md5, count(*) AS n_copies,
-             |       min(doc_id) AS keep_id, max(doc_id) AS max_id
-             |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin)),
-
-    // df-capped blocking (VERDICT r3 #3): shingles with document
-    // frequency > 50 are excluded from candidate generation (a df-F
-    // shingle emits F² join rows — one stop-shingle makes the operator
-    // quadratic), while the Jaccard verify still counts over the FULL
-    // shingle sets, so values are exact. The oracle mirrors the cap.
-    QueryDef("x_dedup_ngram",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Dedup.ngramJaccardPairsFromShingles(docShingles(spark, sfDir),
-            threshold = 0.4, maxShingleDf = Some(50))
-          .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
-          .orderBy("id_a", "id_b")
-      },
-      Some(
-        s"""WITH ${shinglesCte(3)},
-           |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-           |bsh AS (
-           |  SELECT s.doc_id, s.shingle
-           |  FROM sh s JOIN dfs d ON d.shingle = s.shingle AND d.df <= 50
-           |),
-           |cands AS (
-           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           |  FROM bsh x JOIN bsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-           |),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-           |pairs AS (
-           |  SELECT c.id_a, c.id_b, count(*) AS shared
-           |  FROM cands c
-           |  JOIN sh x ON x.doc_id = c.id_a
-           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-           |  GROUP BY 1, 2
-           |)
-           |SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
-           |       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
-           |FROM pairs
-           |JOIN sizes sa ON sa.doc_id = id_a
-           |JOIN sizes sb ON sb.doc_id = id_b
-           |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
-           |ORDER BY id_a, id_b""".stripMargin)),
-
-    QueryDef("x_dedup_minhash",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        minhashPairs(spark, sfDir)
-          .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
-          .orderBy("id_a", "id_b")
-      },
-      Some(
-        s"""WITH ${shinglesCte(3)},
-           |$minhashSigsCte,
-           |$bandsCte,
-           |cands AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM banded a JOIN banded b
-           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-           |verified AS (
-           |  SELECT c.id_a, c.id_b, count(*) AS shared
-           |  FROM cands c
-           |  JOIN sh x ON x.doc_id = c.id_a
-           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-           |  GROUP BY 1, 2
-           |)
-           |SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
-           |       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
-           |FROM verified
-           |JOIN sizes sa ON sa.doc_id = id_a
-           |JOIN sizes sb ON sb.doc_id = id_b
-           |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
-           |ORDER BY id_a, id_b""".stripMargin)),
-
-    // Connected components over the verified near-dup pairs: the
-    // canonical-document step (transitive dup clusters labeled by min
-    // id). Spark side: hash-min label propagation to fixpoint; oracle:
-    // DuckDB recursive-CTE reachability.
-    QueryDef("x_dedup_components",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Dedup.duplicateComponents(
-            minhashPairs(spark, sfDir).select("id_a", "id_b"))
-          .orderBy("doc_id")
-      },
-      Some(
-        s"""WITH RECURSIVE ${shinglesCte(3)},
-           |$minhashSigsCte,
-           |$bandsCte,
-           |cands AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM banded a JOIN banded b
-           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-           |verified AS (
-           |  SELECT c.id_a, c.id_b, count(*) AS shared
-           |  FROM cands c
-           |  JOIN sh x ON x.doc_id = c.id_a
-           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-           |  GROUP BY 1, 2
-           |),
-           |pairs AS (
-           |  SELECT id_a, id_b FROM verified
-           |  JOIN sizes sa ON sa.doc_id = id_a
-           |  JOIN sizes sb ON sb.doc_id = id_b
-           |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
-           |),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM pairs
-           |  UNION ALL
-           |  SELECT id_b, id_a FROM pairs
-           |),
-           |reach AS (
-           |  SELECT src, dst FROM edges
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
-           |)
-           |SELECT src AS doc_id, least(src, min(dst)) AS component
-           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
-
-    // Exact duplicated-substring spans (Lee et al. 2021 relationalized):
-    // cross-doc duplicated token 8-grams merged into maximal
-    // NON-OVERLAPPING spans — islands break when successive duplicated
-    // starts are > k apart (gap ≤ k means the k-token intervals overlap
-    // or touch), so span_tokens is exact coverage. Linear in corpus
-    // tokens — no pair join; the gram key on the wire is the 8-byte
-    // portable hash.
-    QueryDef("x_dedup_spans",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        dupSpans(spark, sfDir)
-          .orderBy("doc_id", "span_start")
-      },
-      Some(
-        s"""WITH toks AS (SELECT doc_id, ${ducktokens("text")} AS ts FROM documents),
-           |pos AS (
-           |  SELECT doc_id, i - 1 AS pos,
-           |         ${duckHash("ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]")} AS gh
-           |  FROM toks, UNNEST(range(1, len(ts) - 6)) AS u(i)
-           |),
-           |dfr AS (
-           |  SELECT gh, count(DISTINCT doc_id) AS gram_df FROM pos GROUP BY gh
-           |),
-           |dup AS (
-           |  SELECT p.doc_id, p.pos
-           |  FROM pos p JOIN dfr d ON d.gh = p.gh AND d.gram_df >= 2
-           |),
-           |brk AS (
-           |  SELECT doc_id, pos,
-           |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
-           |              THEN 1 ELSE 0 END AS b
-           |  FROM dup
-           |),
-           |g AS (
-           |  SELECT doc_id, pos,
-           |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-           |                      ROWS UNBOUNDED PRECEDING) AS grp
-           |  FROM brk
-           |)
-           |SELECT doc_id,
-           |       CAST(min(pos) AS BIGINT) AS span_start,
-           |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
-           |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
-           |FROM g GROUP BY doc_id, grp
-           |ORDER BY doc_id, span_start""".stripMargin)),
-
-    // The CUTTING step over duplicate spans (Lee et al. cut, not drop):
-    // per-doc duplicated-token coverage vs kept tokens — exact because
-    // spans never overlap. Every doc appears (zero-span docs cut 0).
-    QueryDef("x_dedup_spans_cut",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Dedup.spanCutStatsFromSpans(dupSpans(spark, sfDir),
-            spark.table("documents"), "text", "doc_id")
-          .orderBy("doc_id")
-      },
-      Some(
-        s"""WITH toks AS (SELECT doc_id, ${ducktokens("text")} AS ts FROM documents),
-           |pos AS (
-           |  SELECT doc_id, i - 1 AS pos,
-           |         ${duckHash("ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]")} AS gh
-           |  FROM toks, UNNEST(range(1, len(ts) - 6)) AS u(i)
-           |),
-           |dfr AS (
-           |  SELECT gh, count(DISTINCT doc_id) AS gram_df FROM pos GROUP BY gh
-           |),
-           |dup AS (
-           |  SELECT p.doc_id, p.pos
-           |  FROM pos p JOIN dfr d ON d.gh = p.gh AND d.gram_df >= 2
-           |),
-           |brk AS (
-           |  SELECT doc_id, pos,
-           |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
-           |              THEN 1 ELSE 0 END AS b
-           |  FROM dup
-           |),
-           |g AS (
-           |  SELECT doc_id, pos,
-           |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-           |                      ROWS UNBOUNDED PRECEDING) AS grp
-           |  FROM brk
-           |),
-           |spans AS (
-           |  SELECT doc_id, grp, max(pos) + 7 - min(pos) + 1 AS span_tokens
-           |  FROM g GROUP BY doc_id, grp
-           |),
-           |cover AS (
-           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-           |         CAST(sum(span_tokens) AS BIGINT) AS cut_tokens
-           |  FROM spans GROUP BY doc_id
-           |)
-           |SELECT t.doc_id,
-           |       CAST(len(t.ts) AS BIGINT) AS total_tokens,
-           |       CAST(coalesce(c.n_spans, 0) AS BIGINT) AS n_spans,
-           |       CAST(coalesce(c.cut_tokens, 0) AS BIGINT) AS cut_tokens,
-           |       CAST(len(t.ts) - coalesce(c.cut_tokens, 0) AS BIGINT) AS kept_tokens
-           |FROM toks t LEFT JOIN cover c USING (doc_id)
-           |ORDER BY doc_id""".stripMargin)),
-
-    // LSH candidate generation with a bucket cap AND the salted second
-    // pass: oversized buckets re-keyed on an extra signature row rather
-    // than dropped (the 100 TB hot-bucket guard, VERDICT r2 #8).
-    QueryDef("x_dedup_minhash_salted",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Dedup.lshCandidates(minhashSigs(spark, sfDir), K, BANDS,
-            maxBucket = Some(3), saltOversized = true)
-          .orderBy("id_a", "id_b")
-      },
-      Some(
-        s"""WITH ${shinglesCte(3)},
-           |$minhashSigsCte,
-           |$saltedBandsCte,
-           |sizes AS (SELECT band, band_key, count(*) AS n FROM banded GROUP BY 1, 2),
-           |keyed AS (
-           |  SELECT b.doc_id, b.band,
-           |         CASE WHEN s.n <= 3 THEN b.band_key
-           |              ELSE b.band_key || '_s_' || b.salt END AS band_key
-           |  FROM banded b JOIN sizes s ON s.band = b.band AND s.band_key = b.band_key
-           |)
-           |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-           |FROM keyed a JOIN keyed c
-           |  ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id
-           |ORDER BY id_a, id_b""".stripMargin)),
-
-    QueryDef("x_dedup_simhash",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Dedup.simhash(spark.table("documents"), "text", "doc_id", bits = 60)
-          .orderBy("doc_id")
-      },
-      Some {
-        val bitSums = (0 until 60).map(j =>
-          s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN w ELSE -w END) AS b_$j")
-          .mkString(",\n         ")
-        val sig = (0 until 60).map(j =>
-          s"(CASE WHEN b_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
-          .mkString(" | ")
-        s"""WITH tokw AS (
-           |  SELECT doc_id, token, count(*) AS w
-           |  FROM (SELECT doc_id, unnest(${ducktokens("text")}) AS token FROM documents) u
-           |  GROUP BY doc_id, token
-           |),
-           |hashed AS (SELECT doc_id, w, ${duckHash("token")} AS h FROM tokw),
-           |sums AS (
-           |  SELECT doc_id,
-           |         $bitSums
-           |  FROM hashed GROUP BY doc_id
-           |)
-           |SELECT doc_id, $sig AS simhash
-           |FROM sums ORDER BY doc_id""".stripMargin
-      }),
-
-    // SimHash near-dup pairs: band the sketch, collide, verify hamming.
-    QueryDef("x_dedup_simhash_pairs",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        simhashPairs(spark, sfDir)
-          .orderBy("id_a", "id_b")
-      },
-      Some(
-        s"""WITH $simhashSigCtes,
-           |banded AS (
-           |${(0 until 4).map(b =>
-              s"  SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS band_key FROM sigs")
-              .mkString("\n  UNION ALL\n")}
-           |),
-           |cands AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           |         a.simhash AS sh_a, b.simhash AS sh_b
-           |  FROM banded a JOIN banded b
-           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |)
-           |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
-           |FROM cands
-           |WHERE bit_count(xor(sh_a, sh_b)) <= 8
-           |ORDER BY id_a, id_b""".stripMargin)),
-
-    // Dedup-method agreement matrix — the eval table a pipeline tunes
-    // thresholds with: pairs flagged by verified MinHash-LSH (jaccard ≥
-    // 0.4) vs SimHash (hamming ≤ 8), counted by membership combination.
-    // Scale: both inputs are the methods' own bounded candidate outputs;
-    // the overlap adds ONE pair-keyed full-outer join — no new
-    // quadratic term, cost bounded by the dedup outputs themselves.
-    QueryDef("x_dedup_method_overlap",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val mh = minhashPairs(spark, sfDir)
-          .select("id_a", "id_b").withColumn("m", lit(1))
-        val sh = simhashPairs(spark, sfDir)
-          .select("id_a", "id_b").withColumn("s", lit(1))
-        mh.join(sh, Seq("id_a", "id_b"), "full_outer")
-          .select(
-            coalesce(col("m"), lit(0)).cast("long").as("in_minhash"),
-            coalesce(col("s"), lit(0)).cast("long").as("in_simhash"))
-          .groupBy("in_minhash", "in_simhash")
-          .agg(count(lit(1)).as("n_pairs"))
-          .orderBy(col("in_minhash").desc, col("in_simhash").desc)
-      },
-      Some(
-        s"""WITH ${shinglesCte(3)},
-           |$minhashSigsCte,
-           |$bandsCte,
-           |cands AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM banded a JOIN banded b
-           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-           |verified AS (
-           |  SELECT c.id_a, c.id_b, count(*) AS shared
-           |  FROM cands c
-           |  JOIN sh x ON x.doc_id = c.id_a
-           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-           |  GROUP BY 1, 2
-           |),
-           |mhp AS (
-           |  SELECT id_a, id_b FROM verified
-           |  JOIN sizes sa ON sa.doc_id = id_a
-           |  JOIN sizes sb ON sb.doc_id = id_b
-           |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
-           |),
-           |${simhashSigCtesPrefixed("s_")},
-           |s_banded AS (
-           |${(0 until 4).map(b =>
-              s"  SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS band_key FROM s_sigs")
-              .mkString("\n  UNION ALL\n")}
-           |),
-           |shp AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM s_banded a JOIN s_banded b
-           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-           |),
-           |joined AS (
-           |  SELECT CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_minhash,
-           |         CASE WHEN b.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_simhash
-           |  FROM mhp a FULL OUTER JOIN shp b
-           |    ON a.id_a = b.id_a AND a.id_b = b.id_b
-           |)
-           |SELECT CAST(in_minhash AS BIGINT) AS in_minhash,
-           |       CAST(in_simhash AS BIGINT) AS in_simhash,
-           |       CAST(count(*) AS BIGINT) AS n_pairs
-           |FROM joined GROUP BY in_minhash, in_simhash
-           |ORDER BY in_minhash DESC, in_simhash DESC""".stripMargin)),
-
-    // Hamming-distance histogram over the SimHash candidate pairs — the
-    // distribution a pipeline reads before picking maxHamming: a tiny
-    // group agg over the persisted pair artifact (≤ 9 rows out).
-    QueryDef("x_dedup_hamming_hist",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        simhashPairs(spark, sfDir)
-          .groupBy(col("hamming").cast("long").as("hamming"))
-          .agg(count(lit(1)).as("n_pairs"))
-          .orderBy("hamming")
-      },
-      Some(
-        s"""WITH $simhashSigCtes,
-           |banded AS (
-           |${(0 until 4).map(b =>
-              s"  SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS band_key FROM sigs")
-              .mkString("\n  UNION ALL\n")}
-           |),
-           |cands AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           |         a.simhash AS sh_a, b.simhash AS sh_b
-           |  FROM banded a JOIN banded b
-           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |)
-           |SELECT CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming,
-           |       CAST(count(*) AS BIGINT) AS n_pairs
-           |FROM cands
-           |WHERE bit_count(xor(sh_a, sh_b)) <= 8
-           |GROUP BY 1 ORDER BY hamming""".stripMargin)),
-
-    // ---- similarity search ------------------------------------------
-
-    QueryDef("x_sim_cosine_topk",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val vecs = spark.table("embeddings")
-        Similarity.bruteForceTopK(vecs, Similarity.vectorOf(vecs, "vec_id", 0L), 20)
-      },
-      Some(
-        s"""WITH $exCte,
-           |$qxCte,
-           |dots AS (
-           |  SELECT vec_id,
-           |         sum(CAST(v AS DOUBLE) * CAST(qv AS DOUBLE)) AS dot,
-           |         sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS na
-           |  FROM ex JOIN qx USING (i) GROUP BY vec_id
-           |),
-           |qn AS (SELECT sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq FROM qx)
-           |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 6) AS cos_sim
-           |FROM dots, qn
-           |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)),
-
-    QueryDef("x_sim_neardup_block",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Similarity.cosineNearDupPairs(spark.table("embeddings"), "label", 0.4)
-          .orderBy("blk", "id_a", "id_b")
-      },
-      Some(
-        s"""WITH $exCte,
-           |norms AS (
-           |  SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
-           |  FROM ex GROUP BY vec_id
-           |),
-           |pairdots AS (
-           |  SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
-           |         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
-           |  FROM ex a
-           |  JOIN ex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
-           |  GROUP BY 1, 2, 3
-           |)
-           |SELECT blk, id_a, id_b,
-           |       round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cos_sim
-           |FROM pairdots
-           |JOIN norms na ON na.vec_id = id_a
-           |JOIN norms nb ON nb.vec_id = id_b
-           |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.4
-           |ORDER BY blk, id_a, id_b""".stripMargin)),
-
-    // Per-label embedding centroids in e6 fixed point: quantize once,
-    // integer sums, one truncating division per dim — fold-order-proof.
-    // Declared in the SCALAR (label, dim, mean_e6) shape — the array
-    // form (Similarity.centroids, still the API) crashed the driver's
-    // pandas sort in r5 (SURVEY §8: scalar columns only).
-    QueryDef("x_sim_centroids",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Similarity.centroidMeans(spark.table("embeddings"), "label")
-          .select(col("label"), col("dim"), col("n_vectors"), col("mean_e6"))
-          .orderBy("label", "dim")
-      },
-      Some(
-        """WITH x AS (
-          |  SELECT label, unnest(range(len(embedding))) AS dim,
-          |         unnest(embedding) AS v
-          |  FROM embeddings
-          |)
-          |SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vectors,
-          |       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
-          |            // count(*) AS BIGINT) AS mean_e6
-          |FROM x GROUP BY label, dim
-          |ORDER BY label, dim""".stripMargin)),
-
-    // Embedding-norm QA screen: per-label L2-norm² min/max/mean in e6
-    // fixed point — catches unnormalized batches, zero vectors, and
-    // encoder scale drift. In-row integer aggregate (no explode), one
-    // label-keyed agg.
-    QueryDef("x_sim_norm_stats",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Similarity.normStats(spark.table("embeddings"), "label")
-          .orderBy("label")
-      },
-      Some(
-        s"""WITH $exCte,
-           |pv AS (
-           |  SELECT label, vec_id,
-           |         sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
-           |             * CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
-           |           // 1000000 AS norm2_e6
-           |  FROM ex GROUP BY label, vec_id
-           |)
-           |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
-           |       CAST(min(norm2_e6) AS BIGINT) AS min_norm2_e6,
-           |       CAST(max(norm2_e6) AS BIGINT) AS max_norm2_e6,
-           |       CAST(sum(norm2_e6) // count(*) AS BIGINT) AS mean_norm2_e6
-           |FROM pv GROUP BY label
-           |ORDER BY label""".stripMargin)),
-
-    // Semantic dedup composition: blocked embedding near-dup pairs →
-    // connected components → canonical (min-id) doc per cluster. The
-    // components step is the pointer-doubling propagation; the oracle
-    // recomputes reachability with a recursive CTE.
-    QueryDef("x_pipeline_semantic_dedup",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val pairs = Similarity
-          .cosineNearDupPairs(spark.table("embeddings"), "label", 0.4)
-          .select(col("id_a"), col("id_b"))
-        Dedup.duplicateComponents(pairs)
-          .withColumn("is_canonical", col("doc_id") === col("component"))
-          .orderBy("doc_id")
-      },
-      Some(
-        s"""WITH RECURSIVE $exCte,
-           |norms AS (
-           |  SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
-           |  FROM ex GROUP BY vec_id
-           |),
-           |pairdots AS (
-           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
-           |  FROM ex a
-           |  JOIN ex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
-           |  GROUP BY 1, 2
-           |),
-           |pairs AS (
-           |  SELECT id_a, id_b
-           |  FROM pairdots
-           |  JOIN norms na ON na.vec_id = id_a
-           |  JOIN norms nb ON nb.vec_id = id_b
-           |  WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.4
-           |),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM pairs
-           |  UNION ALL
-           |  SELECT id_b, id_a FROM pairs
-           |),
-           |reach AS (
-           |  SELECT src, dst FROM edges
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
-           |)
-           |SELECT src AS doc_id, least(src, min(dst)) AS component,
-           |       src = least(src, min(dst)) AS is_canonical
-           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
-
-    QueryDef("x_sim_ivf",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        // search against the PREBUILT (memoized/persisted) index — the
-        // assignment is never recomputed per query (VERDICT r2 #3)
-        val idx = Corpus.ivfIndex(spark, sfDir)
-        val q = Similarity.vectorOf(spark.table("embeddings"), "vec_id", 0L)
-        Similarity.ivfSearchIndexed(idx, q, nprobe = 3, k = 10)
-      },
-      Some(
-        s"""WITH $exCte,
-           |cx AS (
-           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
-           |         unnest(range(len(embedding))) AS i
-           |  FROM embeddings WHERE vec_id % ${Corpus.IvfSampleEvery} = 0
-           |),
-           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
-           |          FROM ex GROUP BY vec_id),
-           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
-           |           FROM cx GROUP BY cell_id),
-           |allsims AS (
-           |  SELECT e.vec_id, c.cell_id,
-           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
-           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
-           |  FROM ex e JOIN cx c ON e.i = c.i
-           |  JOIN norms n ON n.vec_id = e.vec_id
-           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
-           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
-           |),
-           |assigned AS (
-           |  SELECT vec_id, cell_id FROM (
-           |    SELECT vec_id, cell_id,
-           |           row_number() OVER (PARTITION BY vec_id
-           |                              ORDER BY sim DESC, cell_id) AS rn
-           |    FROM allsims
-           |  ) r WHERE rn = 1
-           |),
-           |qsims AS (
-           |  SELECT a.cell_id, a.sim FROM allsims a WHERE a.vec_id = 0
-           |),
-           |probes AS (
-           |  SELECT cell_id FROM qsims ORDER BY sim DESC, cell_id LIMIT 3
-           |),
-           |qx2 AS (SELECT unnest(embedding) AS qv, unnest(range(len(embedding))) AS i
-           |        FROM embeddings WHERE vec_id = 0),
-           |qn2 AS (SELECT sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq FROM qx2),
-           |cand AS (SELECT e.vec_id, a.cell_id, e.v, e.i
-           |         FROM ex e JOIN assigned a ON a.vec_id = e.vec_id
-           |         JOIN probes p ON p.cell_id = a.cell_id)
-           |SELECT c.vec_id AS vec_id, c.cell_id AS cell_id,
-           |       round(sum(CAST(c.v AS DOUBLE) * CAST(q.qv AS DOUBLE))
-           |             / (sqrt(n.nn) * sqrt(qn2.nq)), 6) AS cos_sim
-           |FROM cand c JOIN qx2 q ON q.i = c.i
-           |JOIN norms n ON n.vec_id = c.vec_id
-           |CROSS JOIN qn2
-           |GROUP BY c.vec_id, c.cell_id, n.nn, qn2.nq
-           |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin)),
-
-    // ANN recall@10 eval — the accuracy/cost dial every approximate
-    // index ships with: IVF(nprobe=3) top-10 vs brute-force ground
-    // truth for a 5-query probe set, as integer membership counts.
-    // The probe set is bounded (5 single-row vector lookups against the
-    // memoized index — the nprobe-style bounded-collect contract); each
-    // side's top-10 is a TakeOrderedAndProject; the overlap join is
-    // 10 rows per query. Ranking ties are deterministic on both
-    // engines: (round(cos, 6) DESC, vec_id).
-    QueryDef("x_sim_ivf_recall",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val vecs = spark.table("embeddings")
-        val idx = Corpus.ivfIndex(spark, sfDir)
-        val parts = Seq(0L, 7L, 13L, 21L, 34L).map { qid =>
-          val q = Similarity.vectorOf(vecs, "vec_id", qid)
-          val bf = Similarity.bruteForceTopK(vecs, q, 10)
-            .select(col("vec_id")).withColumn("qid", lit(qid))
-            .withColumn("bf", lit(1))
-          val iv = Similarity.ivfSearchIndexed(idx, q, nprobe = 3, k = 10)
-            .select(col("vec_id")).withColumn("qid", lit(qid))
-            .withColumn("iv", lit(1))
-          bf.join(iv, Seq("qid", "vec_id"), "full_outer")
-        }
-        parts.reduce(_.unionByName(_))
-          .groupBy(col("qid").as("query_id"))
-          .agg(sum(coalesce(col("bf"), lit(0))).as("n_bf"),
-            sum(coalesce(col("iv"), lit(0))).as("n_ivf"),
-            sum(coalesce(col("bf"), lit(0)) * coalesce(col("iv"), lit(0)))
-              .as("n_common"))
-          .select(col("query_id"),
-            col("n_bf").cast("long").as("n_bf"),
-            col("n_ivf").cast("long").as("n_ivf"),
-            col("n_common").cast("long").as("n_common"),
-            expr("n_common * 1000 DIV n_bf").cast("long").as("recall_permille"))
-          .orderBy("query_id")
-      },
-      Some(
-        s"""WITH $exCte,
-           |qs AS (SELECT unnest([0, 7, 13, 21, 34]) AS qid),
-           |qx AS (SELECT q.qid, e.v AS qv, e.i FROM ex e JOIN qs q ON e.vec_id = q.qid),
-           |cx AS (
-           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
-           |         unnest(range(len(embedding))) AS i
-           |  FROM embeddings WHERE vec_id % ${Corpus.IvfSampleEvery} = 0
-           |),
-           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
-           |          FROM ex GROUP BY vec_id),
-           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
-           |           FROM cx GROUP BY cell_id),
-           |allsims AS (
-           |  SELECT e.vec_id, c.cell_id,
-           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
-           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
-           |  FROM ex e JOIN cx c ON e.i = c.i
-           |  JOIN norms n ON n.vec_id = e.vec_id
-           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
-           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
-           |),
-           |assigned AS (
-           |  SELECT vec_id, cell_id FROM (
-           |    SELECT vec_id, cell_id,
-           |           row_number() OVER (PARTITION BY vec_id
-           |                              ORDER BY sim DESC, cell_id) AS rn
-           |    FROM allsims
-           |  ) r WHERE rn = 1
-           |),
-           |probes AS (
-           |  SELECT qid, cell_id FROM (
-           |    SELECT q.qid, a.cell_id,
-           |           row_number() OVER (PARTITION BY q.qid
-           |                              ORDER BY a.sim DESC, a.cell_id) AS rn
-           |    FROM allsims a JOIN qs q ON a.vec_id = q.qid
-           |  ) r WHERE rn <= 3
-           |),
-           |qn AS (SELECT qid, sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq
-           |       FROM qx GROUP BY qid),
-           |sims AS (
-           |  SELECT d.qid, d.vec_id, round(d.dot / (sqrt(n.nn) * sqrt(q.nq)), 6) AS cos
-           |  FROM (
-           |    SELECT x.qid, e.vec_id, sum(CAST(e.v AS DOUBLE) * CAST(x.qv AS DOUBLE)) AS dot
-           |    FROM ex e JOIN qx x ON x.i = e.i GROUP BY x.qid, e.vec_id
-           |  ) d
-           |  JOIN norms n ON n.vec_id = d.vec_id
-           |  JOIN qn q ON q.qid = d.qid
-           |),
-           |bf AS (
-           |  SELECT qid, vec_id FROM (
-           |    SELECT qid, vec_id,
-           |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-           |    FROM sims
-           |  ) r WHERE rn <= 10
-           |),
-           |ivf AS (
-           |  SELECT qid, vec_id FROM (
-           |    SELECT s.qid, s.vec_id,
-           |           row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.vec_id) AS rn
-           |    FROM sims s
-           |    JOIN assigned a ON a.vec_id = s.vec_id
-           |    JOIN probes p ON p.qid = s.qid AND p.cell_id = a.cell_id
-           |  ) r WHERE rn <= 10
-           |),
-           |j AS (
-           |  SELECT coalesce(b.qid, i.qid) AS qid,
-           |         CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS bf,
-           |         CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END AS iv
-           |  FROM bf b FULL OUTER JOIN ivf i
-           |    ON b.qid = i.qid AND b.vec_id = i.vec_id
-           |)
-           |SELECT CAST(qid AS BIGINT) AS query_id,
-           |       CAST(sum(bf) AS BIGINT) AS n_bf,
-           |       CAST(sum(iv) AS BIGINT) AS n_ivf,
-           |       CAST(sum(bf * iv) AS BIGINT) AS n_common,
-           |       CAST(sum(bf * iv) * 1000 // sum(bf) AS BIGINT) AS recall_permille
-           |FROM j GROUP BY qid
-           |ORDER BY query_id""".stripMargin)),
-
-    // IVF over a k-means quantizer TRAINED IN-ENGINE: deterministic
-    // seeding + 2 Lloyd rounds as pure relational algebra, centroid
-    // components rounded per round for cross-engine bit-parity. The
-    // oracle unrolls the same iterations as CTEs.
-    QueryDef("x_sim_ivf_kmeans",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        // quantizer trained ONCE in the memoized build, not per query
-        val idx = Corpus.kmeansIvfIndex(spark, sfDir)
-        val q = Similarity.vectorOf(spark.table("embeddings"), "vec_id", 0L)
-        Similarity.kmeansIvfSearchIndexed(idx, q, nprobe = 3, k = 10)
-      },
-      Some(kmeansIvfOracle(sampleEvery = Corpus.IvfSampleEvery,
-        iters = Corpus.KmeansIters, nprobe = 3, k = 10))),
-
-    // Hyperplane-LSH ANN over the PREBUILT signature index (build/search
-    // split — VERDICT r3 #1/#2). The hyperplanes derive from
-    // md5("hp_<p>_<i>") (Similarity.hyperplanes) — portable arithmetic.
-    // Cross-engine determinism (r4 verdict #1): ALL dots, norms, and
-    // bucket sign tests are integer fixed-point (embedding e6 × plane
-    // e3 BIGINT products) — associative, so no fold order, engine
-    // version, or round() tie mode can diverge; the emitted similarity
-    // is `cos_sim_e6 BIGINT`, immune to float formatting/hashing too.
-    QueryDef("x_sim_lsh_ann",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val idx = Corpus.lshIndex(spark, sfDir)
-        val q = Similarity.vectorOf(spark.table("embeddings"), "vec_id", 0L)
-        Similarity.lshSearchIndexed(idx, q, k = 20, probes = 1)
-      },
-      Some(s"WITH $lshOracleCtes,\n" +
-        """cand AS (SELECT b.vec_id, b.lsh_bucket
-          |         FROM buckets b JOIN qb ON b.lsh_bucket = qb.lsh_bucket)
-          |""".stripMargin + lshOracleSelect(20))),
-
-    // Multi-probe LSH ANN: primary bucket + the buckets reached by
-    // flipping the sign bits nearest a hyperplane boundary (smallest
-    // |dot|) — recovers the recall a single-bucket probe loses as the
-    // plane count grows, still reading ~probes/2^planes of the corpus.
-    QueryDef("x_sim_lsh_multiprobe",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val idx = Corpus.lshIndex(spark, sfDir)
-        val q = Similarity.vectorOf(spark.table("embeddings"), "vec_id", 0L)
-        Similarity.lshSearchIndexed(idx, q, k = 20, probes = 3)
-      },
-      Some(s"WITH $lshOracleCtes,\n" +
-        """qdots AS (SELECT p, d FROM dots WHERE vec_id = 0),
-          |flips AS (SELECT p FROM qdots ORDER BY abs(d) ASC, p LIMIT 2),
-          |probes AS (
-          |  SELECT lsh_bucket AS bucket FROM qb
-          |  UNION ALL
-          |  SELECT xor(qb.lsh_bucket, CAST(1 AS BIGINT) << f.p)
-          |  FROM qb, flips f
-          |),
-          |cand AS (SELECT DISTINCT b.vec_id, b.lsh_bucket
-          |         FROM buckets b JOIN probes p ON b.lsh_bucket = p.bucket)
-          |""".stripMargin + lshOracleSelect(20))),
-
-    // ---- text analysis ----------------------------------------------
-
-    QueryDef("x_text_langid",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        TextAnalysis.languageId(spark.table("documents"), "text")
-          .selectExpr("doc_id", "lang", "predicted_lang",
-            "cast(hits_de as long) hits_de", "cast(hits_en as long) hits_en",
-            "cast(hits_es as long) hits_es", "cast(hits_fr as long) hits_fr",
-            "cast(hits_zh as long) hits_zh")
-          .orderBy("doc_id")
-      },
-      Some {
-        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
-        val hitCols = langs.map { l =>
-          val cond = TextAnalysis.stopwords(l).map(w => s"t = '$w'").mkString(" OR ")
-          s"len(list_filter(ts, t -> $cond)) AS hits_$l"
-        }.mkString(",\n       ")
-        val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
-        val caseArms = langs.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ")
-        s"""WITH toks AS (SELECT doc_id, lang, ${ducktokens("text")} AS ts FROM documents),
-           |hits AS (
-           |  SELECT doc_id, lang,
-           |       ${hitCols}
-           |  FROM toks
-           |)
-           |SELECT doc_id, lang,
-           |       CASE WHEN $g = 0 THEN 'und' $caseArms END AS predicted_lang,
-           |       hits_de, hits_en, hits_es, hits_fr, hits_zh
-           |FROM hits ORDER BY doc_id""".stripMargin
-      }),
-
-    // Language confusion matrix: declared `lang` vs predicted — the QA
-    // table that decides whether to trust the metadata or the detector
-    // (and which languages need a better model). Tiny group agg over
-    // the langid map — langs² rows at any corpus size.
-    QueryDef("x_text_lang_mismatch",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        TextAnalysis.languageId(spark.table("documents"), "text")
-          .groupBy("lang", "predicted_lang")
-          .agg(count(lit(1)).as("n_docs"))
-          .withColumn("is_mismatch",
-            (col("lang") =!= col("predicted_lang")).cast("boolean"))
-          .select("lang", "predicted_lang", "n_docs", "is_mismatch")
-          .orderBy("lang", "predicted_lang")
-      },
-      Some {
-        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
-        val hitCols = langs.map { l =>
-          val cond = TextAnalysis.stopwords(l).map(w => s"t = '$w'").mkString(" OR ")
-          s"len(list_filter(ts, t -> $cond)) AS hits_$l"
-        }.mkString(",\n       ")
-        val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
-        val caseArms = langs.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ")
-        s"""WITH toks AS (SELECT doc_id, lang, ${ducktokens("text")} AS ts FROM documents),
-           |hits AS (
-           |  SELECT doc_id, lang,
-           |       ${hitCols}
-           |  FROM toks
-           |),
-           |pred AS (
-           |  SELECT doc_id, lang,
-           |         CASE WHEN $g = 0 THEN 'und' $caseArms END AS predicted_lang
-           |  FROM hits
-           |)
-           |SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs,
-           |       lang <> predicted_lang AS is_mismatch
-           |FROM pred GROUP BY lang, predicted_lang
-           |ORDER BY lang, predicted_lang""".stripMargin
-      }),
-
-    QueryDef("x_text_quality",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        TextAnalysis.qualityScore(spark.table("documents"), "text")
-          .select("doc_id", "n_chars", "n_tokens", "alpha_ratio",
-            "stopword_ratio", "mean_token_len", "distinct_ratio", "quality_score")
-          .orderBy("doc_id")
-      },
-      Some {
-        val en = TextAnalysis.stopwords("en").map(w => s"t = '$w'").mkString(" OR ")
-        s"""WITH base AS (
-           |  SELECT doc_id, ${ducktokens("text")} AS ts,
-           |         CAST(len(text) AS DOUBLE) AS n_chars,
-           |         CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
-           |  FROM documents
-           |),
-           |m AS (
-           |  SELECT doc_id, n_chars,
-           |         CAST(len(ts) AS DOUBLE) AS n_tokens,
-           |         n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
-           |         CAST(len(list_filter(ts, t -> $en)) AS DOUBLE)
-           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS stopword_ratio,
-           |         CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
-           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS mean_token_len,
-           |         CAST(len(list_distinct(ts)) AS DOUBLE)
-           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS distinct_ratio
-           |  FROM base
-           |)
-           |SELECT doc_id, n_chars, n_tokens, alpha_ratio, stopword_ratio,
-           |       mean_token_len, distinct_ratio,
-           |       least(n_tokens / 100.0, 1.0) * 0.25
-           |             + alpha_ratio * 0.25
-           |             + least(stopword_ratio * 5.0, 1.0) * 0.25
-           |             + distinct_ratio * 0.25 AS quality_score
-           |FROM m ORDER BY doc_id""".stripMargin
-      }),
-
-    QueryDef("x_dedup_keep_first",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Dedup.dedupKeepFirst(spark.table("documents"), "text", "doc_id")
-          .select("doc_id", "is_duplicate")
-          .orderBy("doc_id")
-      },
-      Some(
-        """SELECT doc_id,
-          |       (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) > 1
-          |         AS is_duplicate
-          |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    QueryDef("x_text_langid_ngram",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        TextAnalysis.charTrigramLangId(spark.table("documents"), "text", "lang")
-          .orderBy("doc_id")
-      },
-      Some(
-        s"""WITH tri AS (
-          |  SELECT DISTINCT doc_id, lang,
-          |         CAST(ascii(tg) AS BIGINT) * 4398046511104 +
-          |         CAST(ascii(substr(tg, 2, 1)) AS BIGINT) * 2097152 +
-          |         CAST(ascii(substr(tg, 3, 1)) AS BIGINT) AS h
-          |  FROM (
-          |    SELECT doc_id, lang,
-          |           unnest(CASE WHEN len(lower(text)) >= 3
-          |             THEN list_transform(range(1, len(lower(text)) - 1),
-          |                                 i -> substr(lower(text), i, 3))
-          |             ELSE [] END) AS tg
-          |    FROM documents
-          |  ) u
-          |),
-          |profile AS (
-          |  SELECT lang AS p_lang, h FROM (
-          |    SELECT lang, h, row_number() OVER (
-          |      PARTITION BY lang ORDER BY count(*) DESC, h) AS rn
-          |    FROM tri GROUP BY lang, h
-          |  ) r WHERE rn <= 40
-          |),
-          |hits AS (
-          |  SELECT t.doc_id, p.p_lang, count(*) AS n_hits
-          |  FROM (SELECT DISTINCT doc_id, h FROM tri) t
-          |  JOIN profile p ON p.h = t.h
-          |  GROUP BY t.doc_id, p.p_lang
-          |),
-          |best AS (
-          |  SELECT doc_id, p_lang, n_hits FROM (
-          |    SELECT *, row_number() OVER (
-          |      PARTITION BY doc_id ORDER BY n_hits DESC, p_lang) AS rn
-          |    FROM hits
-          |  ) r WHERE rn = 1
-          |)
-          |SELECT d.doc_id, d.lang,
-          |       coalesce(b.p_lang, 'und') AS predicted_lang,
-          |       coalesce(b.n_hits, 0) AS n_hits
-          |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
-          |ORDER BY d.doc_id""".stripMargin)),
-
-    QueryDef("x_text_tokens",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        TextAnalysis.tokenCounts(spark.table("documents"), "text")
-          .selectExpr("doc_id", "cast(n_ws_tokens as long) n_ws_tokens",
-            "cast(n_re_tokens as long) n_re_tokens", "cast(n_chars_col as long) n_chars_col")
-          .orderBy("doc_id")
-      },
-      Some(
-        """SELECT doc_id,
-          |       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
-          |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens,
-          |       len(text) AS n_chars_col
-          |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    QueryDef("x_text_fingerprint",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        TextAnalysis.fingerprint(spark.table("documents"), "text")
-          .groupBy("fingerprint")
-          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
-          .orderBy("fingerprint")
-      },
-      Some(
-        s"""SELECT md5(array_to_string(list_sort(list_distinct(${ducktokens("text")})), ' ')) AS fingerprint,
-           |       count(*) AS n_docs, min(doc_id) AS keep_id
-           |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
-
-    // The composed curation pipeline — quality scoring, language ID and
-    // exact-dedup flags are all narrow column/window algebra over the
-    // same scan, so chaining them stays ONE pass + one window: the
-    // survivors of (not-duplicate AND quality >= 0.5 AND language
-    // agrees with the label).
-    QueryDef("x_pipeline_curation",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        // Score and language-ID in-row FIRST, then drop text before the
-        // dedup window: the exchange carries (digest, id, two scores),
-        // never the corpus text — the composition order that matters at
-        // 100 TB. Same semantics as scoring after the window: the
-        // metrics are per-row and is_duplicate is corpus-wide either way.
-        val scored = TextAnalysis.qualityScore(
-            TextAnalysis.languageId(spark.table("documents"), "text"),
-            "text")
-          .select(col("doc_id"), col("lang"), col("quality_score"),
-            col("predicted_lang"),
-            md5(col("text").cast("binary")).as("__digest"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__digest")).orderBy(col("doc_id"))
-        scored
-          .withColumn("is_duplicate", row_number().over(w) > 1)
-          .filter(!col("is_duplicate") && col("quality_score") >= 0.5 &&
-            col("predicted_lang") === col("lang"))
-          .select("doc_id", "lang", "quality_score")
-          .orderBy("doc_id")
-      },
-      Some {
-        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
-        val hitCols = langs.map { l =>
-          val cond = TextAnalysis.stopwords(l).map(w => s"t = '$w'").mkString(" OR ")
-          s"len(list_filter(ts, t -> $cond)) AS hits_$l"
-        }.mkString(",\n       ")
-        val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
-        val caseArms = langs.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ")
-        val en = TextAnalysis.stopwords("en").map(w => s"t = '$w'").mkString(" OR ")
-        s"""WITH base AS (
-           |  SELECT doc_id, lang, ${ducktokens("text")} AS ts,
-           |         CAST(len(text) AS DOUBLE) AS n_chars,
-           |         CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-           |         (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) > 1 AS is_duplicate
-           |  FROM documents
-           |),
-           |m AS (
-           |  SELECT doc_id, lang, is_duplicate,
-           |         CAST(len(ts) AS DOUBLE) AS n_tokens,
-           |         n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
-           |         CAST(len(list_filter(ts, t -> $en)) AS DOUBLE)
-           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS stopword_ratio,
-           |         CAST(len(list_distinct(ts)) AS DOUBLE)
-           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS distinct_ratio,
-           |         ${hitCols}
-           |  FROM base
-           |),
-           |scored AS (
-           |  SELECT doc_id, lang, is_duplicate,
-           |         CASE WHEN $g = 0 THEN 'und' $caseArms END AS predicted_lang,
-           |         least(n_tokens / 100.0, 1.0) * 0.25
-           |               + alpha_ratio * 0.25
-           |               + least(stopword_ratio * 5.0, 1.0) * 0.25
-           |               + distinct_ratio * 0.25 AS quality_score
-           |  FROM m
-           |)
-           |SELECT doc_id, lang, quality_score
-           |FROM scored
-           |WHERE NOT is_duplicate AND quality_score >= 0.5 AND predicted_lang = lang
-           |ORDER BY doc_id""".stripMargin
-      }),
-
-    // Winnowing (rolling-hash) fingerprints — substring-level copy
-    // detection: shared substrings of length >= k+window-1 share a
-    // selected k-gram hash (Schleimer et al., SIGMOD 2003).
-    QueryDef("x_text_winnow",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        TextAnalysis.winnowFingerprints(spark.table("documents"), "text",
-            "doc_id", k = 8, window = 4)
-          .orderBy("doc_id", "fp")
-      },
-      Some(
-        s"""WITH base AS (SELECT doc_id, lower(text) AS s FROM documents),
-           |hashed AS (
-           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
-           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
-           |),
-           |sel AS (
-           |  SELECT doc_id, pos,
-           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
-           |           PARTITION BY doc_id ORDER BY pos
-           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
-           |  FROM hashed
-           |)
-           |SELECT DISTINCT doc_id, selkey >> 31 AS fp
-           |FROM sel WHERE pos >= 4
-           |ORDER BY doc_id, fp""".stripMargin)),
-
-    // Source-overlap matrix: winnow fingerprints per source (compiled
-    // kernel, group carried in-projection), DISTINCT (source, fp), then
-    // an fp-keyed pair count whose fanout is bounded by sources² per
-    // fingerprint — never by docs.
-    QueryDef("x_text_source_overlap",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        TextAnalysis.sourceOverlap(spark.table("documents"), "text",
-            "source", k = 8, window = 4)
-          .orderBy("source_a", "source_b")
-      },
-      Some(
-        s"""WITH base AS (SELECT doc_id, source, lower(text) AS s FROM documents),
-           |hashed AS (
-           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
-           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
-           |),
-           |sel AS (
-           |  SELECT doc_id, pos,
-           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
-           |           PARTITION BY doc_id ORDER BY pos
-           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
-           |  FROM hashed
-           |),
-           |fps AS (
-           |  SELECT DISTINCT doc_id, selkey >> 31 AS fp
-           |  FROM sel WHERE pos >= 4
-           |),
-           |gfp AS (
-           |  SELECT DISTINCT b.source, f.fp
-           |  FROM fps f JOIN base b USING (doc_id)
-           |)
-           |SELECT a.source AS source_a, b.source AS source_b,
-           |       CAST(count(*) AS BIGINT) AS n_shared_fp
-           |FROM gfp a JOIN gfp b ON a.fp = b.fp AND a.source < b.source
-           |GROUP BY 1, 2
-           |ORDER BY 1, 2""".stripMargin)),
-
-    // The zero-shuffle winnowing path, compiled: the custom codegen'd
-    // winnow_fps Expression (one static JVM call per row — no shuffle,
-    // no interpreted HOF lambdas; the pure-relational in-row variant
-    // stays in TextAnalysis as the reference implementation, value-
-    // pinned to this one in ExtSpec, with the measured crossover in
-    // PLANS_r4.md). Identical values, same oracle. Named _native for
-    // what it runs (r4 verdict #3); the r4 bench row for this entry
-    // was `x_text_winnow_inrow`.
-    QueryDef("x_text_winnow_native",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        TextAnalysis.winnowFingerprintsNative(spark.table("documents"),
-            "text", "doc_id", k = 8, window = 4)
-          .orderBy("doc_id", "fp")
-      },
-      Some(
-        s"""WITH base AS (SELECT doc_id, lower(text) AS s FROM documents),
-           |hashed AS (
-           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
-           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
-           |),
-           |sel AS (
-           |  SELECT doc_id, pos,
-           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
-           |           PARTITION BY doc_id ORDER BY pos
-           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
-           |  FROM hashed
-           |)
-           |SELECT DISTINCT doc_id, selkey >> 31 AS fp
-           |FROM sel WHERE pos >= 4
-           |ORDER BY doc_id, fp""".stripMargin)),
-
-    // ---- multimodal columns -----------------------------------------
-
-    // Binary-column plumbing: payload as opaque bytes + typed metadata.
-    // Image payloads decode for real via ImageIO (Multimodal.decode,
-    // PNG-tested in ExtSpec); these TEXT payloads take the
-    // deterministic stub path, whose fake dimensions are mirrored in
-    // DuckDB so the full mapPartitions pipeline stays oracle-checked.
-    QueryDef("x_mm_meta",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        spark.table("documents")
-          .withColumn("payload", col("text").cast("binary"))
-          .select(
-            col("doc_id"),
-            length(col("payload")).cast("long").as("n_bytes"),
-            md5(col("payload")).as("content_md5"),
-            (lit(1) + pmod(Dedup.portableHash(col("text")), lit(997))).as("fake_width"),
-            (lit(1) + pmod(length(col("payload")).cast("long"), lit(743))).as("fake_height"))
-          .orderBy("doc_id")
-      },
-      Some(
-        s"""SELECT doc_id,
-           |       octet_length(encode(text)) AS n_bytes,
-           |       md5(text) AS content_md5,
-           |       1 + (${duckHash("text")} % 997) AS fake_width,
-           |       1 + (CAST(octet_length(encode(text)) AS BIGINT) % 743) AS fake_height
-           |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // Frame fan-out through a REAL codec (VERDICT r3 #5): each doc
-    // renders as a grayscale PNG whose pixels follow a portable md5
-    // formula, gets ENCODED + DECODED with ImageIO in the partition
-    // iterator, and each image row ("frame") emits mean(decoded
-    // pixels). PNG is lossless ⇒ the oracle computes the exact same
-    // values from the pixel formula with no codec — decode defects
-    // break value parity. The mean divides an exact integer sum, so
-    // there is no float-order sensitivity and no rounding.
-    QueryDef("x_mm_features",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        graft.ext.Multimodal.frameFeatures(spark, spark.table("documents"),
-            "doc_id", "text", w = 8, h = 4)
-          .toDF()
-          .orderBy("doc_id", "frame")
-      },
-      Some(
-        s"""WITH px AS (
-           |  SELECT d.doc_id, y.y, x.x,
-           |         ${duckHash("d.text || '_' || CAST(y.y AS VARCHAR) || '_' || CAST(x.x AS VARCHAR)")} % 256 AS p
-           |  FROM documents d, range(4) y(y), range(8) x(x)
-           |)
-           |SELECT doc_id, CAST(y AS INTEGER) AS frame,
-           |       sum(p) / (8 * 255.0) AS feature_mean
-           |FROM px GROUP BY doc_id, y
-           |ORDER BY doc_id, frame""".stripMargin)),
-
-    // ---- streaming equivalent ---------------------------------------
-
-    // Incremental indexing as sequential REPLACE merges of time-sliced
-    // batches (the foreachBatch loop of graft.streaming.IncrementalIndexer
-    // run as a batch): final state = latest event per user.
-    QueryDef("x_stream_merge",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        def slice(lo: String, hi: String) = Schema.conform(spark.sql(
-          s"""select cast(user_id as string) as key,
-             |       concat(event_type, ' by user ', cast(user_id as string)) as title,
-             |       date_format(ts, 'yyyy-MM-dd HH:mm:ss') as timestamp,
-             |       props as search_1
-             |from events
-             |where ts >= timestamp'$lo' and ts < timestamp'$hi'""".stripMargin)
-          .withColumn("type", lit("events.db/userstate")))
-        val batches = Seq(
-          slice("2024-01-01 00:00:00", "2024-01-11 00:00:00"),
-          slice("2024-01-11 00:00:00", "2024-01-21 00:00:00"),
-          slice("2024-01-21 00:00:00", "2024-02-01 00:00:00"))
-        batches.reduce((state, b) => IndexJob.merge(state, b))
-          .select("type", "key", "title", "timestamp", "search_1")
-          .orderBy("key")
-      },
-      Some(
-        """WITH ev AS (
-          |  SELECT 'events.db/userstate' AS "type",
-          |         CAST(user_id AS VARCHAR) AS "key",
-          |         event_type || ' by user ' || CAST(user_id AS VARCHAR) AS title,
-          |         strftime(ts, '%Y-%m-%d %H:%M:%S') AS "timestamp",
-          |         props AS search_1,
-          |         CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 0
-          |              WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 1
-          |              ELSE 2 END AS batch_idx
-          |  FROM events
-          |)
-          |SELECT "type", "key", title, "timestamp", search_1 FROM (
-          |  SELECT *, row_number() OVER (
-          |    PARTITION BY "key"
-          |    ORDER BY batch_idx DESC, "timestamp" DESC, title ASC, search_1 ASC) AS rn
-          |  FROM ev
-          |) t WHERE rn = 1
-          |ORDER BY "key"""".stripMargin)),
-
-    // Custom per-key streaming state via mapGroupsWithState: a REAL
-    // Structured Streaming run (parquet source → AvailableNow → memory
-    // sink) evolving one state row per user; the fold is order-
-    // independent (count + argmax by (ts, event_id)), so the final
-    // state is batch-SQL-expressible and fully oracle-checked.
-    QueryDef("x_stream_user_state",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir) // sets nanosAsLong for the raw ts
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType)))
-        // the streaming file source wants a DIRECTORY; testdata ships a
-        // single parquet file → expose it through a temp-dir symlink
-        val srcDir = streamSourceDir(sfDir, "events.parquet")
-        val stream = spark.readStream.schema(schema)
-          .parquet(srcDir)
-          .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
-            "user_id", "event_type")
-        val q = graft.streaming.IncrementalIndexer.userStates(spark, stream)
-          .writeStream.outputMode("update")
-          .format("memory").queryName("x_stream_user_state_sink")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        // final state per user = the emission with the highest count
-        // (update-mode sinks keep one row per state update per batch)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy(col("n_events").desc)
-        spark.table("x_stream_user_state_sink")
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-          .select("user_id", "n_events", "last_ts", "last_type", "last_event_id")
-          .orderBy("user_id")
-      },
-      Some(
-        """WITH latest AS (
-          |  SELECT user_id, event_type, ts, event_id,
-          |         row_number() OVER (
-          |           PARTITION BY user_id
-          |           ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC, event_id DESC) AS rn
-          |  FROM events
-          |),
-          |counts AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
-          |SELECT c.user_id, c.n_events,
-          |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
-          |       l.event_type AS last_type,
-          |       l.event_id AS last_event_id
-          |FROM counts c JOIN latest l ON l.user_id = c.user_id AND l.rn = 1
-          |ORDER BY c.user_id""".stripMargin)),
-
-    // ---- corpus pipeline operators (Pipeline.scala) -----------------
-
-    // Deterministic hash-split: reshuffle-proof train/val/test
-    // assignment (survives re-ingestion and repartitioning, unlike
-    // rand()). Pure map-side at any scale.
-    QueryDef("x_pipe_split",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Pipeline.split(spark.table("documents")).orderBy("doc_id")
-      },
-      Some(
-        """SELECT doc_id,
-          |       CASE WHEN b < 800 THEN 'train'
-          |            WHEN b < 900 THEN 'val'
-          |            ELSE 'test' END AS split
-          |FROM (SELECT doc_id,
-          |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS b
-          |      FROM documents) q
-          |ORDER BY doc_id""".stripMargin)),
-
-    // Overlapping token-window chunking (context-window prep): one
-    // chunk per stride offset; zero shuffle.
-    QueryDef("x_pipe_chunk",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Pipeline.chunk(spark.table("documents"), "text", size = 64, stride = 48)
-          .orderBy("doc_id", "chunk_idx")
-      },
-      Some(
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts
-          |  FROM documents
-          |),
-          |chunks AS (
-          |  SELECT doc_id, o // 48 AS chunk_idx, ts[o + 1 : o + 64] AS chunk
-          |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts), 48)) AS o
-          |        FROM toks WHERE len(ts) > 0) q
-          |)
-          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-          |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
-          |       array_to_string(chunk, ' ') AS chunk_text
-          |FROM chunks
-          |ORDER BY doc_id, chunk_idx""".stripMargin)),
-
-    // Corpus vocabulary: top-100 tokens by occurrence count with
-    // deterministic tie-break; the result is vocabulary-sized — the
-    // broadcast side of downstream joins.
-    QueryDef("x_pipe_vocab",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Pipeline.vocabulary(spark.table("documents"), "text", vocabSize = 100)
-          .withColumnRenamed("rank", "vocab_rank")
-          .orderBy("vocab_rank")
-      },
-      Some(
-        """WITH tok AS (
-          |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
-          |  FROM documents
-          |),
-          |counts AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
-          |ranked AS (
-          |  SELECT token, n_occurrences,
-          |         row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_rank
-          |  FROM counts
-          |)
-          |SELECT token, n_occurrences, CAST(vocab_rank AS BIGINT) AS vocab_rank
-          |FROM ranked WHERE vocab_rank <= 100
-          |ORDER BY vocab_rank""".stripMargin)),
-
-    // Per-document OOV profile against the top-100 vocabulary: one
-    // explode + broadcast join + re-aggregation.
-    QueryDef("x_pipe_oov",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Pipeline.oovProfile(spark.table("documents"), "text", vocabSize = 100)
-          .orderBy("doc_id")
-      },
-      Some(
-        """WITH tok AS (
-          |  SELECT doc_id,
-          |         unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
-          |  FROM documents
-          |),
-          |counts AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
-          |ranked AS (
-          |  SELECT token,
-          |         row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_rank
-          |  FROM counts
-          |),
-          |vocab AS (SELECT token FROM ranked WHERE vocab_rank <= 100)
-          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-          |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-          |FROM tok t LEFT JOIN vocab v ON v.token = t.token
-          |GROUP BY t.doc_id
-          |ORDER BY t.doc_id""".stripMargin)),
-
-    // Benchmark-contamination screen: corpus docs sharing >= 5 winnow
-    // fingerprints with the benchmark set (doc_id % 97 = 0 stands in
-    // for a held-out eval suite). Benchmark fp set is broadcast; one
-    // corpus fingerprint scan, no pair join.
-    QueryDef("x_pipe_contam",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val docs = spark.table("documents")
-        Pipeline.contamination(docs, docs.filter(col("doc_id") % 97 === 0),
-            "text", minShared = 5)
-          .orderBy("doc_id")
-      },
-      Some(
-        s"""WITH base AS (SELECT doc_id, lower(text) AS s FROM documents),
-           |hashed AS (
-           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
-           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
-           |),
-           |sel AS (
-           |  SELECT doc_id, pos,
-           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
-           |           PARTITION BY doc_id ORDER BY pos
-           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
-           |  FROM hashed
-           |),
-           |fps AS (SELECT DISTINCT doc_id, selkey >> 31 AS fp FROM sel WHERE pos >= 4),
-           |bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0)
-           |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
-           |FROM fps f JOIN bench b ON b.fp = f.fp
-           |GROUP BY f.doc_id
-           |HAVING count(*) >= 5
-           |ORDER BY f.doc_id""".stripMargin)),
-
-    // Deterministic stratified sample: 20 docs per language by
-    // (portable id hash, id) order — unbiased, reshuffle-proof.
-    QueryDef("x_pipe_stratified",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Pipeline.stratifiedSample(spark.table("documents"), "lang", perGroup = 20)
-          .orderBy("lang", "sample_rank")
-      },
-      Some(
-        """WITH h AS (
-          |  SELECT lang, doc_id,
-          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS hh
-          |  FROM documents
-          |),
-          |ranked AS (
-          |  SELECT lang, doc_id,
-          |         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS sample_rank
-          |  FROM h
-          |)
-          |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
-          |FROM ranked WHERE sample_rank <= 20
-          |ORDER BY lang, sample_rank""".stripMargin)),
-
-    // Blocklist screen: in-row token filter against an inlined term
-    // set — pure map, no join, no shuffle.
-    QueryDef("x_pipe_blocklist",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Pipeline.blocklist(spark.table("documents"), "text",
-            Seq("slow", "crash"))
-          .orderBy("doc_id")
-      },
-      Some(
-        """SELECT doc_id,
-          |       CAST(len(list_filter(
-          |         list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
-          |         t -> list_contains(['slow', 'crash'], t))) AS BIGINT) AS n_blocked
-          |FROM documents
-          |WHERE len(list_filter(
-          |        list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
-          |        t -> list_contains(['slow', 'crash'], t))) > 0
-          |ORDER BY doc_id""".stripMargin)),
-
-    // Greedy-by-position sequence packing per source shard: pack_id =
-    // starting-token-offset / 2048 via an integer window cumsum.
-    QueryDef("x_pipe_pack",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Pipeline.pack(spark.table("documents"), "text", "source", seqLen = 2048)
-          .orderBy("source", "doc_id")
-      },
-      Some(
-        """WITH t AS (
-          |  SELECT source, doc_id,
-          |         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
-          |  FROM documents
-          |)
-          |SELECT source, doc_id, n_tokens,
-          |       CAST((sum(n_tokens) OVER (
-          |              PARTITION BY source ORDER BY doc_id
-          |              ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS pack_id
-          |FROM t
-          |ORDER BY source, doc_id""".stripMargin)),
-
-    // ---- corpus-quality + compliance screens (round 6) --------------
-
-    // Gopher-style repetition/boilerplate profile: entirely in-row
-    // (scan → project, zero shuffle). Line metrics are degenerate on
-    // this single-line corpus (n_lines=1, dup/bullet/ellipsis 0) but
-    // the token metrics and the pass flag are live signal.
-    QueryDef("x_quality_gopher",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Quality.gopherProfile(spark.table("documents"), "text")
-          .orderBy("doc_id")
-      },
-      Some(
-        """WITH base AS (
-          |  SELECT doc_id, coalesce(text, '') AS t,
-          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS ts,
-          |         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), x -> trim(x)), x -> x <> '') AS ls
-          |  FROM documents
-          |),
-          |m AS (
-          |  SELECT doc_id, t, ls,
-          |         CAST(len(ts) AS BIGINT) AS n_tokens,
-          |         CAST(len(ls) AS BIGINT) AS n_lines,
-          |         CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
-          |         list_filter(ls, x -> len(list_filter(ls, y -> y = x)) > 1) AS dls
-          |  FROM base
-          |),
-          |m2 AS (
-          |  SELECT doc_id, n_tokens, n_lines, n_distinct,
-          |         CAST(len(dls) AS BIGINT) AS n_dup_lines,
-          |         CAST(coalesce(list_sum(list_transform(ls, x -> len(x))), 0) AS BIGINT) AS line_chars,
-          |         CAST(coalesce(list_sum(list_transform(dls, x -> len(x))), 0) AS BIGINT) AS dup_line_chars,
-          |         CAST(len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS BIGINT) AS n_bullet,
-          |         CAST(len(list_filter(ls, x -> ends_with(x, '...'))) AS BIGINT) AS n_ellipsis,
-          |         CAST(len(t) - len(replace(t, '#', '')) AS BIGINT) AS n_hash,
-          |         CAST((len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT) AS n_dots
-          |  FROM m
-          |)
-          |SELECT doc_id, n_tokens, n_lines,
-          |       1.0 - CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) AS dup_token_frac,
-          |       CAST(n_dup_lines AS DOUBLE) / greatest(n_lines, 1) AS dup_line_frac,
-          |       CAST(dup_line_chars AS DOUBLE) / greatest(line_chars, 1) AS dup_line_char_frac,
-          |       CAST(n_bullet AS DOUBLE) / greatest(n_lines, 1) AS bullet_line_frac,
-          |       CAST(n_ellipsis AS DOUBLE) / greatest(n_lines, 1) AS ellipsis_line_frac,
-          |       CAST(n_hash + n_dots AS DOUBLE) / greatest(n_tokens, 1) AS symbol_token_ratio,
-          |       (n_tokens >= 50 AND n_tokens <= 100000
-          |        AND 1.0 - CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) <= 0.6
-          |        AND CAST(n_hash + n_dots AS DOUBLE) / greatest(n_tokens, 1) <= 0.1
-          |        AND CAST(n_bullet AS DOUBLE) / greatest(n_lines, 1) <= 0.9
-          |        AND CAST(n_ellipsis AS DOUBLE) / greatest(n_lines, 1) <= 0.3
-          |        AND CAST(dup_line_chars AS DOUBLE) / greatest(line_chars, 1) <= 0.2) AS gopher_pass
-          |FROM m2
-          |ORDER BY doc_id""".stripMargin)),
-
-    // Paragraph self-duplication (C4/RefinedWeb dedup_para signal at doc
-    // granularity): blank-line-delimited blocks, distinct vs total —
-    // pure in-row map, integer permille. The corpus is single-line, so
-    // the query augments deterministically on BOTH engines: appends a
-    // shared footer and, for doc_id % 3 = 0, repeats the body paragraph.
-    QueryDef("x_quality_para_dup",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val body = coalesce(col("text"), lit(""))
-        val aug = spark.table("documents").withColumn("text",
-          concat(body,
-            lit("\n\nshared footer "), (col("doc_id") % 5).cast("string"),
-            lit("\n\n"),
-            when(col("doc_id") % 3 === 0, body)
-              .otherwise(concat(lit("unique tail "),
-                col("doc_id").cast("string")))))
-        Quality.paragraphDupStats(aug, "text").orderBy("doc_id")
-      },
-      Some(
-        """WITH aug AS (
-          |  SELECT doc_id,
-          |         coalesce(text, '') || chr(10) || chr(10) ||
-          |         'shared footer ' || (doc_id % 5) || chr(10) || chr(10) ||
-          |         CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '')
-          |              ELSE 'unique tail ' || doc_id END AS t
-          |  FROM documents
-          |),
-          |p AS (
-          |  SELECT doc_id,
-          |         list_filter(list_transform(string_split_regex(t, '\n{2,}'),
-          |             x -> trim(x)), x -> x <> '') AS ps
-          |  FROM aug
-          |)
-          |SELECT doc_id,
-          |       CAST(len(ps) AS BIGINT) AS n_paras,
-          |       CAST(len(list_distinct(ps)) AS BIGINT) AS n_distinct_paras,
-          |       CAST(CASE WHEN len(ps) > 0
-          |                 THEN (len(ps) - len(list_distinct(ps))) * 1000 // len(ps)
-          |                 ELSE 0 END AS BIGINT) AS dup_para_permille
-          |FROM p
-          |ORDER BY doc_id""".stripMargin)),
-
-    // N-gram repetition stats — the relational Gopher half: top-bigram
-    // coverage + repeated-trigram coverage, keyed on (doc, gram).
-    QueryDef("x_quality_ngram_rep",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Quality.ngramRepetition(spark.table("documents"), "text")
-          .orderBy("doc_id")
-      },
-      Some(
-        NgramRepOracle)),
-
-    // Same stats via the compiled in-row kernel (ngram_rep_e): zero
-    // Exchange — the (doc, gram) shuffles above disappear. Same oracle.
-    QueryDef("x_quality_ngram_rep_native",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Quality.ngramRepetitionNative(spark.table("documents"), "text")
-          .orderBy("doc_id")
-      },
-      Some(NgramRepOracle)),
-
-    // PII screen over deterministically PII-augmented text (the corpus
-    // is PII-free word soup, so every 7th doc gets a synthetic email +
-    // IP + phone appended IN THE QUERY on both engines — the
-    // contamination-benchmark trick — making extraction live signal).
-    QueryDef("x_text_pii",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val aug = spark.table("documents").withColumn("text",
-          concat(coalesce(col("text"), lit("")),
-            when(col("doc_id") % 7 === 0,
-              concat(lit(" contact user"), col("doc_id").cast("string"),
-                lit("@example.com 10.0."), (col("doc_id") % 200).cast("string"),
-                lit(".1 call 555-"),
-                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-              .otherwise(lit(""))))
-        Quality.piiScreen(aug, "text").orderBy("doc_id")
-      },
-      Some(
-        """WITH aug AS (
-          |  SELECT doc_id, coalesce(text, '') ||
-          |         CASE WHEN doc_id % 7 = 0
-          |              THEN ' contact user' || doc_id || '@example.com 10.0.' ||
-          |                   (doc_id % 200) || '.1 call 555-' ||
-          |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-          |              ELSE '' END AS t
-          |  FROM documents
-          |)
-          |SELECT doc_id,
-          |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-          |       CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
-          |       CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
-          |       (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-          |        + len(regexp_extract_all(t, '\b\d{3}[-. ]\d{4}\b'))
-          |        + len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) > 0) AS has_pii
-          |FROM aug
-          |ORDER BY doc_id""".stripMargin)),
-
-    // URL-host profile over deterministically URL-augmented text (every
-    // 3rd doc links two synthetic hosts): extract → host-keyed agg →
-    // TakeOrderedAndProject top-k. 16 distinct hosts < k=20, so the
-    // limit boundary is never tie-ambiguous.
-    QueryDef("x_text_urlhosts",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val aug = spark.table("documents").withColumn("text",
-          concat(coalesce(col("text"), lit("")),
-            when(col("doc_id") % 3 === 0,
-              concat(lit(" see https://www.site"), (col("doc_id") % 11).cast("string"),
-                lit(".example.com/page/"), col("doc_id").cast("string"),
-                lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
-                lit(".example.net/x")))
-              .otherwise(lit(""))))
-        Quality.urlHostProfile(aug, "text", k = 20)
-      },
-      Some(
-        """WITH aug AS (
-          |  SELECT doc_id, coalesce(text, '') ||
-          |         CASE WHEN doc_id % 3 = 0
-          |              THEN ' see https://www.site' || (doc_id % 11) ||
-          |                   '.example.com/page/' || doc_id ||
-          |                   ' and http://cdn' || (doc_id % 5) || '.example.net/x'
-          |              ELSE '' END AS t
-          |  FROM documents
-          |),
-          |hosts AS (
-          |  SELECT doc_id,
-          |         unnest(list_transform(regexp_extract_all(t, 'https?://[^\s]+'),
-          |                u -> regexp_extract(u, '^https?://([^/\s]+)', 1))) AS host
-          |  FROM aug
-          |)
-          |SELECT host, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-          |       CAST(count(*) AS BIGINT) AS n_urls
-          |FROM hosts GROUP BY host
-          |ORDER BY n_docs DESC, n_urls DESC, host
-          |LIMIT 20""".stripMargin)),
-
-    // Per-doc top-5 characteristic terms by linearized tf-idf (N/df,
-    // not log — monotone-identical ranking, and the score stays one
-    // exact-integer division so it hashes identically cross-engine).
-    QueryDef("x_text_tfidf",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Quality.tfidfTopTerms(spark.table("documents"), "text", k = 5)
-          .orderBy("doc_id", "term_rank")
-      },
-      Some(
-        """WITH tok AS (
-          |  SELECT doc_id,
-          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS token
-          |  FROM documents
-          |),
-          |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
-          |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-          |scored AS (
-          |  SELECT t.doc_id, t.token, t.tf, d.df,
-          |         CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS tfidf
-          |  FROM tf t JOIN df d USING (token) CROSS JOIN n
-          |),
-          |r AS (SELECT *, row_number() OVER (
-          |        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS term_rank
-          |      FROM scored)
-          |SELECT doc_id, token, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
-          |FROM r WHERE term_rank <= 5
-          |ORDER BY doc_id, term_rank""".stripMargin)),
-
-    // More-like-this: top-k similar docs for one query doc via a
-    // tf-idf-weighted dot product over shared terms — a broadcast
-    // posting-list probe + doc-keyed agg + TakeOrderedAndProject, the
-    // inverted-index "similar documents" query. The integer idf weight
-    // 1e8 DIV max(1, df·1e6 DIV N) depends only on the df/N ratio —
-    // bounded ≤ 1e8 at ANY corpus size (fixed-point rule; the old
-    // N-proportional weight overflowed BIGINT at N ~ 1e9, r5 advice).
-    QueryDef("x_text_mlt",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Quality.moreLikeThis(spark.table("documents"), "text",
-            queryId = 1L, k = 10, maxDfPermille = 800)
-          .orderBy(col("score").desc, col("doc_id"))
-      },
-      Some(
-        """WITH tok AS (
-          |  SELECT doc_id,
-          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS token
-          |  FROM documents
-          |),
-          |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
-          |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-          |q AS (
-          |  SELECT t.token, t.tf AS q_tf,
-          |         CAST(100000000 // greatest(1, d.df * 1000000 // n.n_docs) AS BIGINT) AS w
-          |  FROM tf t JOIN df d USING (token) CROSS JOIN n
-          |  WHERE t.doc_id = 1 AND d.df * 1000 <= n.n_docs * 800
-          |)
-          |SELECT t.doc_id, CAST(sum(t.tf * q.q_tf * q.w) AS BIGINT) AS score
-          |FROM tf t JOIN q USING (token)
-          |WHERE t.doc_id <> 1
-          |GROUP BY t.doc_id
-          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
-
-    // Exact per-source token-length quantiles via the cumulative
-    // histogram: corpus-sized work is one (source, len) count agg; the
-    // running-sum window covers DISTINCT lengths only (domain-bounded).
-    QueryDef("x_stats_length_quantiles",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Quality.lengthQuantiles(spark.table("documents"), "text")
-          .orderBy("source")
-      },
-      Some(
-        """WITH h AS (
-          |  SELECT source,
-          |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS BIGINT) AS len
-          |  FROM documents
-          |),
-          |hist AS (SELECT source, len, count(*) AS cnt FROM h GROUP BY 1, 2),
-          |c AS (
-          |  SELECT source, len,
-          |         sum(cnt) OVER (PARTITION BY source ORDER BY len
-          |                        ROWS UNBOUNDED PRECEDING) AS cum,
-          |         sum(cnt) OVER (PARTITION BY source) AS total
-          |  FROM hist
-          |)
-          |SELECT source,
-          |       CAST(min(CASE WHEN cum >= ceil(0.25 * total) THEN len END) AS BIGINT) AS p25,
-          |       CAST(min(CASE WHEN cum >= ceil(0.5 * total) THEN len END) AS BIGINT) AS p50,
-          |       CAST(min(CASE WHEN cum >= ceil(0.75 * total) THEN len END) AS BIGINT) AS p75,
-          |       CAST(min(CASE WHEN cum >= ceil(0.9 * total) THEN len END) AS BIGINT) AS p90,
-          |       CAST(min(CASE WHEN cum >= ceil(0.99 * total) THEN len END) AS BIGINT) AS p99
-          |FROM c GROUP BY source
-          |ORDER BY source""".stripMargin)),
-
-    // Per-source corpus report card: one group-keyed agg; text reduced
-    // to a digest before the exchange (hashes on the wire, not docs).
-    QueryDef("x_stats_corpus",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Quality.corpusStats(spark.table("documents"), "text")
-          .orderBy("source")
-      },
-      Some(
-        """SELECT source,
-          |       CAST(count(*) AS BIGINT) AS n_docs,
-          |       CAST(sum(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
-          |       CAST(sum(len(coalesce(text, ''))) AS BIGINT) AS n_chars,
-          |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-          |       CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_distinct_texts,
-          |       CAST(count(*) - count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_exact_dups
-          |FROM documents GROUP BY source
-          |ORDER BY source""".stripMargin)),
-
-    // As-of join: every click matched to the user's most recent view at
-    // or before it. Union+window shape — one shuffle on user_id, zero
-    // joins, no pair explosion; the oracle is an independent LATERAL
-    // formulation, so parity proves semantics, not the algorithm.
-    QueryDef("x_evt_asof",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val ev = spark.table("events")
-          .withColumn("ts_us", unix_micros(col("ts")))
-        val clicks = ev.filter(col("event_type") === "click")
-          .select("event_id", "user_id", "ts_us", "value")
-        val views = ev.filter(col("event_type") === "view")
-          .select("event_id", "user_id", "ts_us", "value")
-        Events.asofJoin(clicks, views).orderBy("event_id")
-      },
-      defsAsofOracle),
-
-    // Streaming as-of join: the stream-enrichment twin — each click is
-    // joined to the user's latest preceding view from ONE ref row of
-    // state per user; refs sort before queries at the same ts so the
-    // batch tie rule (ref at query ts matches) holds. Checked against
-    // the BATCH as-of oracle.
-    QueryDef("x_stream_asof",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        val srcDir = streamSourceDir(sfDir, "events.parquet")
-        val stream = spark.readStream.schema(schema).parquet(srcDir)
-          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
-        val q = graft.streaming.IncrementalIndexer
-          .asofStream(spark, stream, refType = "view", queryType = "click")
-          .writeStream.outputMode("update")
-          .format("memory").queryName("x_stream_asof_sink")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        // emissions only improve (a tie-split ref re-emits its queries):
-        // final row per query = max (ref_ts, ref_id), nulls last
-        val wa = org.apache.spark.sql.expressions.Window
-          .partitionBy("event_id")
-          .orderBy(col("ref_ts_us").desc_nulls_last,
-            col("ref_event_id").desc_nulls_last)
-        spark.table("x_stream_asof_sink")
-          .withColumn("__rn", row_number().over(wa)).filter(col("__rn") === 1)
-          .select("event_id", "user_id", "ts_us", "value",
-            "ref_event_id", "ref_ts_us", "ref_value")
-          .orderBy("event_id")
-      },
-      defsAsofOracle),
-
-    // Gap sessionization (4 h gap — the corpus' median per-user gap is
-    // ~7 h, so sessions are non-degenerate): one key-partitioned sort;
-    // integer window arithmetic end to end.
-    QueryDef("x_evt_sessions",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val ev = spark.table("events")
-          .withColumn("ts_us", unix_micros(col("ts")))
-          .select("event_id", "user_id", "ts_us")
-        Events.sessions(ev, gapUs = 4L * 3600 * 1000000)
-          .orderBy("user_id", "session_seq")
-      },
-      defsSessionOracle),
-
-    // Semi-structured props: JSON path extraction feeding a relational
-    // agg — get_json_object is a pure in-row map (Jackson in Spark,
-    // yyjson in DuckDB — both strict JSON, same value); integer stats
-    // so engines can't disagree.
-    QueryDef("x_evt_props_json",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        spark.table("events")
-          .select(col("event_type"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_events"),
-            count(col("k")).as("n_with_k"),
-            sum(col("k")).as("sum_k"),
-            min(col("k")).as("min_k"),
-            max(col("k")).as("max_k"))
-          .orderBy("event_type")
-      },
-      Some(
-        """SELECT event_type,
-          |       CAST(count(*) AS BIGINT) AS n_events,
-          |       CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
-          |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-          |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-          |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-          |FROM events
-          |GROUP BY event_type
-          |ORDER BY event_type""".stripMargin)),
-
-    // Rolling 24 h per-user event rate: time-RANGE frame over BIGINT µs
-    // (bursts bounded by time, not row offsets). Value quantized ONCE to
-    // integer cents on BOTH engines — floor(v*100+0.5) is one exact IEEE
-    // op and BIGINT sums are associative, so no decimal tie-rounding or
-    // fold order can diverge (the r5 driver hash failure was the per-row
-    // DOUBLE→DECIMAL(18,2) cast rounding ties engine-dependently).
-    QueryDef("x_evt_rolling",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val ev = spark.table("events")
-          .withColumn("ts_us", unix_micros(col("ts")))
-          .select("event_id", "user_id", "ts_us", "value")
-        Events.rollingCounts(ev, windowUs = 86400L * 1000000)
-          .select(col("event_id"), col("user_id"), col("ts_us"),
-            col("n_trailing"), col("sum_trailing_cents"))
-          .orderBy("event_id")
-      },
-      defsRollingOracle),
-
-    // Per-user inter-arrival gap stats (burstiness features): exact
-    // integer µs gaps; the median is rank-selected INSIDE the user
-    // partitioning (lower median on even counts — deterministic), the
-    // mean one truncating division. No global sort at any scale.
-    QueryDef("x_evt_interarrival",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val ev = spark.table("events")
-          .withColumn("ts_us", unix_micros(col("ts")))
-          .select("event_id", "user_id", "ts_us")
-        Events.interArrival(ev).orderBy("user_id")
-      },
-      Some(
-        """WITH e AS (
-          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
-          |),
-          |g AS (
-          |  SELECT user_id, event_id,
-          |         ts_us - lag(ts_us) OVER (PARTITION BY user_id
-          |                                  ORDER BY ts_us, event_id) AS gap
-          |  FROM e
-          |),
-          |gg AS (
-          |  SELECT user_id, gap,
-          |         row_number() OVER (PARTITION BY user_id ORDER BY gap, event_id) AS rn,
-          |         count(*) OVER (PARTITION BY user_id) AS n
-          |  FROM g WHERE gap IS NOT NULL
-          |)
-          |SELECT user_id,
-          |       CAST(max(n) AS BIGINT) AS n_gaps,
-          |       CAST(min(gap) AS BIGINT) AS min_gap_us,
-          |       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT) AS median_gap_us,
-          |       CAST(max(gap) AS BIGINT) AS max_gap_us,
-          |       CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us
-          |FROM gg GROUP BY user_id
-          |ORDER BY user_id""".stripMargin)),
-
-    // Cohort retention: first-seen-week cohorts × active-week offsets.
-    // Engine uses the distinct-first + window shape; the oracle is the
-    // independent join-back formulation.
-    QueryDef("x_evt_retention",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val ev = spark.table("events")
-          .withColumn("ts_us", unix_micros(col("ts")))
-        Events.retention(ev).orderBy("cohort_week", "week_offset")
-      },
-      Some(
-        """WITH e AS (
-          |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events
-          |),
-          |d AS (SELECT DISTINCT user_id, week FROM e),
-          |c AS (SELECT user_id, min(week) AS cohort_week FROM d GROUP BY user_id)
-          |SELECT c.cohort_week, d.week - c.cohort_week AS week_offset,
-          |       CAST(count(*) AS BIGINT) AS n_users
-          |FROM d JOIN c USING (user_id)
-          |GROUP BY 1, 2
-          |ORDER BY 1, 2""".stripMargin)),
-
-    // Ordered funnel view → click → purchase within 7 days: chained
-    // conditional-min windows over ONE user exchange; the oracle is the
-    // independent per-step aggregate-and-join chain.
-    QueryDef("x_evt_funnel",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val ev = spark.table("events")
-          .withColumn("ts_us", unix_micros(col("ts")))
-          .select("event_id", "user_id", "ts_us", "event_type")
-        Events.funnel(ev, Seq("view", "click", "purchase"))
-          .orderBy("user_id")
-      },
-      defsFunnelOracle),
-
-    // Streaming ordered funnel: a REAL Structured Streaming run checked
-    // against the BATCH funnel oracle — state is ONE k-slot timestamp
-    // array per user; ts-tie groups apply steps in order so same-ts
-    // chains match the batch `>=` window conditions.
-    QueryDef("x_stream_funnel",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        val srcDir = streamSourceDir(sfDir, "events.parquet")
-        val stream = spark.readStream.schema(schema).parquet(srcDir)
-          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
-        val q = graft.streaming.IncrementalIndexer
-          .funnelStream(spark, stream, Seq("view", "click", "purchase"))
-          .writeStream.outputMode("update")
-          .format("memory").queryName("x_stream_funnel_sink")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        // emissions only refine (a set tₛ never changes): final value =
-        // per-column max, -1 sentinel → NULL, then the conversion gate
-        def tCol(i: Int) = {
-          val m = max(element_at(col("steps"), i + 1))
-          when(m === -1L, lit(null).cast("long")).otherwise(m)
-        }
-        spark.table("x_stream_funnel_sink")
-          .groupBy("user_id")
-          .agg(tCol(0).as("t0"), tCol(1).as("t1"), tCol(2).as("t2"))
-          .withColumn("converted",
-            col("t2").isNotNull && col("t2") - col("t0") <= 604800000000L)
-          .orderBy("user_id")
-      },
-      defsFunnelOracle),
-
-    // Text normalization screen over deterministically dirtied text:
-    // every 4th doc gains a decomposed-accent word (NFC recomposes), a
-    // bell control char, and tab/space runs — both engines dirty and
-    // clean identically; NFC via the codegen'd nfc_e vs DuckDB's
-    // nfc_normalize.
-    QueryDef("x_text_normalize",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val aug = spark.table("documents").withColumn("text",
-          concat(coalesce(col("text"), lit("")),
-            when(col("doc_id") % 4 === 0,
-              concat(lit("  café drink"), lit("\t\t x ")))
-              .otherwise(lit(""))))
-        Quality.normalizeText(aug, "text").orderBy("doc_id")
-      },
-      Some(
-        """WITH aug AS (
-          |  SELECT doc_id, coalesce(text, '') ||
-          |         CASE WHEN doc_id % 4 = 0
-          |              THEN '  cafe' || chr(769) || ' ' || chr(7) || 'drink' ||
-          |                   chr(9) || chr(9) || ' x '
-          |              ELSE '' END AS t
-          |  FROM documents
-          |)
-          |SELECT doc_id,
-          |       trim(regexp_replace(
-          |         regexp_replace(nfc_normalize(t),
-          |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-          |         '[ \t]+', ' ', 'g')) AS norm_text,
-          |       trim(regexp_replace(
-          |         regexp_replace(nfc_normalize(t),
-          |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-          |         '[ \t]+', ' ', 'g')) <> t AS changed
-          |FROM aug
-          |ORDER BY doc_id""".stripMargin)),
-
-    // URL canonicalization dedup: every 3rd doc links the SAME page
-    // under four spellings (https+WWW+trailing slash, http+query,
-    // https+fragment, uppercase host) — all four collapse to one
-    // canonical key with n_urls=4, proving the canonicalizer; the only
-    // shuffle is the canonical-keyed agg.
-    QueryDef("x_text_url_dedup",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val id = col("doc_id").cast("string")
-        val aug = spark.table("documents").withColumn("text",
-          concat(coalesce(col("text"), lit("")),
-            when(col("doc_id") % 3 === 0, concat(
-              lit(" https://WWW.site"), (col("doc_id") % 7).cast("string"),
-              lit(".example.com/p/"), id, lit("/"),
-              lit(" http://site"), (col("doc_id") % 7).cast("string"),
-              lit(".example.com/p/"), id, lit("?utm_source=feed"),
-              lit(" https://site"), (col("doc_id") % 7).cast("string"),
-              lit(".example.com/p/"), id, lit("#sec"),
-              lit(" https://SITE"), (col("doc_id") % 7).cast("string"),
-              lit(".EXAMPLE.com/p/"), id)).otherwise(lit(""))))
-        Quality.urlDedup(aug, "text").orderBy("canonical_url")
-      },
-      Some(
-        """WITH aug AS (
-          |  SELECT doc_id, coalesce(text, '') ||
-          |         CASE WHEN doc_id % 3 = 0 THEN
-          |           ' https://WWW.site' || (doc_id % 7) || '.example.com/p/' || doc_id || '/' ||
-          |           ' http://site' || (doc_id % 7) || '.example.com/p/' || doc_id || '?utm_source=feed' ||
-          |           ' https://site' || (doc_id % 7) || '.example.com/p/' || doc_id || '#sec' ||
-          |           ' https://SITE' || (doc_id % 7) || '.EXAMPLE.com/p/' || doc_id
-          |         ELSE '' END AS t
-          |  FROM documents
-          |),
-          |u AS (
-          |  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
-          |  FROM aug
-          |),
-          |c AS (
-          |  SELECT doc_id,
-          |         regexp_replace(lower(regexp_extract(url, '^https?://([^/?#\s]+)', 1)), '^www\.', '') ||
-          |         rtrim(regexp_extract(url, '^https?://[^/?#\s]+([^?#\s]*)', 1), '/') AS canonical_url
-          |  FROM u
-          |)
-          |SELECT canonical_url,
-          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-          |       CAST(count(*) AS BIGINT) AS n_urls,
-          |       CAST(min(doc_id) AS BIGINT) AS first_doc
-          |FROM c GROUP BY canonical_url
-          |ORDER BY canonical_url""".stripMargin)),
-
-    // Unigram commonness: log-free perplexity surrogate — mean corpus
-    // token frequency in ppb; BIGINT end-to-end with ONE integer
-    // division, so the value hashes identically cross-engine.
-    QueryDef("x_quality_commonness",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Quality.unigramCommonness(spark.table("documents"), "text")
-          .orderBy("doc_id")
-      },
-      Some(
-        """WITH e AS (
-          |  SELECT doc_id,
-          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS token
-          |  FROM documents
-          |),
-          |cnts AS (SELECT token, count(*) AS cnt FROM e GROUP BY token),
-          |tot AS (SELECT sum(cnt) AS total FROM cnts),
-          |d AS (
-          |  SELECT e.doc_id, count(*) AS n_tokens, sum(cnt) AS sum_cnt
-          |  FROM e JOIN cnts USING (token) GROUP BY e.doc_id
-          |)
-          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-          |       CAST(sum_cnt AS BIGINT) AS sum_cnt,
-          |       CAST(1000000000 * sum_cnt // (n_tokens * total) AS BIGINT) AS commonness_e9
-          |FROM d CROSS JOIN tot
-          |ORDER BY doc_id""".stripMargin)),
-
-    // C4-style boilerplate removal over deterministically line-augmented
-    // text (the corpus is single-line): every doc gains a unique
-    // 'uid N' line (never hot), even docs a copyright footer, %3 docs a
-    // generated-footer line — both cross the minDocs=100 threshold at
-    // sf0.01 and are stripped; the unique lines and original text stay.
-    QueryDef("x_quality_boilerplate",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val aug = spark.table("documents").withColumn("text",
-          concat(coalesce(col("text"), lit("")),
-            lit("\nuid "), col("doc_id").cast("string"),
-            when(col("doc_id") % 2 === 0,
-              lit("\n(c) example corp all rights reserved")).otherwise(lit("")),
-            when(col("doc_id") % 3 === 0,
-              lit("\ngenerated page footer")).otherwise(lit(""))))
-        Quality.removeBoilerplate(aug, "text", minDocs = 100)
-          .orderBy("doc_id")
-      },
-      Some(
-        """WITH aug AS (
-          |  SELECT doc_id, coalesce(text, '') || chr(10) || 'uid ' || doc_id ||
-          |         CASE WHEN doc_id % 2 = 0
-          |              THEN chr(10) || '(c) example corp all rights reserved'
-          |              ELSE '' END ||
-          |         CASE WHEN doc_id % 3 = 0
-          |              THEN chr(10) || 'generated page footer'
-          |              ELSE '' END AS t
-          |  FROM documents
-          |),
-          |dl AS (
-          |  SELECT doc_id, unnest(list_distinct(list_filter(
-          |           list_transform(string_split(t, chr(10)), x -> trim(x)),
-          |           x -> x <> ''))) AS line
-          |  FROM aug
-          |),
-          |hot AS (
-          |  SELECT line FROM (
-          |    SELECT line, count(*) AS n FROM dl GROUP BY line
-          |  ) WHERE n >= 100 ORDER BY n DESC, line LIMIT 10000
-          |),
-          |h AS (SELECT coalesce(list(line), []) AS hotset FROM hot)
-          |SELECT a.doc_id,
-          |       CAST(len(string_split(a.t, chr(10))) AS BIGINT) AS n_lines,
-          |       CAST(len(string_split(a.t, chr(10))) -
-          |            len(list_filter(string_split(a.t, chr(10)),
-          |                x -> NOT list_contains(h.hotset, trim(x)))) AS BIGINT) AS n_removed,
-          |       array_to_string(list_filter(string_split(a.t, chr(10)),
-          |           x -> NOT list_contains(h.hotset, trim(x))), chr(10)) AS clean_text
-          |FROM aug a CROSS JOIN h
-          |ORDER BY a.doc_id""".stripMargin)),
-
-    // Token-budget sampler: greedy fill per source in salted-hash
-    // order; kept iff the starting offset is under budget (overshoot
-    // bounded by one doc). Window state = one running BIGINT per group.
-    QueryDef("x_pipe_budget",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Pipeline.budgetSample(spark.table("documents"), "text", "source",
-            budgetTokens = 600L)
-          .orderBy("source", "doc_id")
-      },
-      Some(
-        """WITH t AS (
-          |  SELECT source, doc_id,
-          |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 15) AS BIGINT) % 1000000 AS hh
-          |  FROM documents
-          |),
-          |c AS (
-          |  SELECT source, doc_id, n_tokens,
-          |         sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id
-          |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS token_offset
-          |  FROM t
-          |)
-          |SELECT source, doc_id, n_tokens, CAST(token_offset AS BIGINT) AS token_offset
-          |FROM c WHERE token_offset < 600
-          |ORDER BY source, doc_id""".stripMargin)),
-
-    // Deterministic domain-mix sampler: per-source keep-rates in
-    // permille over a salted id hash — content-independent,
-    // reshuffle-proof, monotone under rate increases. Pure map.
-    QueryDef("x_pipe_mix",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        Pipeline.mixSample(spark.table("documents"), "source",
-            Map("src0" -> 250, "src1" -> 500, "src2" -> 750))
-          .orderBy("doc_id")
-      },
-      Some(
-        """WITH b AS (
-          |  SELECT source, doc_id,
-          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT) % 1000 AS mix_bucket
-          |  FROM documents
-          |)
-          |SELECT source, doc_id, mix_bucket
-          |FROM b
-          |WHERE mix_bucket < CASE source WHEN 'src0' THEN 250
-          |                               WHEN 'src1' THEN 500
-          |                               WHEN 'src2' THEN 750
-          |                               ELSE 1000 END
-          |ORDER BY doc_id""".stripMargin)),
-
-    // Streaming exact-dedup screen: a REAL Structured Streaming run
-    // (parquet source → AvailableNow → flatMapGroupsWithState keyed on
-    // content digest → memory sink). The per-digest fold is order-
-    // independent (min id, total count), so the final state equals the
-    // batch keep-first answer and is fully oracle-checked.
-    QueryDef("x_stream_dedup",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("doc_id", LongType), StructField("text", StringType),
-          StructField("lang", StringType), StructField("source", StringType),
-          StructField("n_chars", LongType)))
-        val srcDir = streamSourceDir(sfDir, "documents.parquet")
-        val stream = spark.readStream.schema(schema).parquet(srcDir)
-        val q = graft.streaming.IncrementalIndexer.dedupStream(spark, stream)
-          .writeStream.outputMode("update")
-          .format("memory").queryName("x_stream_dedup_sink")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        // final state per digest = the emission with the highest count
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("digest").orderBy(col("n_copies").desc)
-        spark.table("x_stream_dedup_sink")
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-          .select("digest", "keep_id", "n_copies")
-          .orderBy("digest")
-      },
-      Some(
-        """SELECT md5(coalesce(text, '')) AS digest,
-          |       CAST(min(doc_id) AS BIGINT) AS keep_id,
-          |       CAST(count(*) AS BIGINT) AS n_copies
-          |FROM documents
-          |GROUP BY 1
-          |ORDER BY digest""".stripMargin)),
-
-    // Streaming gap sessionization: a REAL Structured Streaming run
-    // (parquet source → AvailableNow → flatMapGroupsWithState keyed on
-    // user → memory sink), checked against the BATCH sessionization
-    // oracle — state is one open-session carry per user, completed
-    // sessions leave state. Same 4 h gap as x_evt_sessions.
-    QueryDef("x_stream_sessions",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        val srcDir = streamSourceDir(sfDir, "events.parquet")
-        val stream = spark.readStream.schema(schema).parquet(srcDir)
-          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
-        val q = graft.streaming.IncrementalIndexer
-          .sessionStream(spark, stream, gapUs = 4L * 3600 * 1000000)
-          .writeStream.outputMode("update")
-          .format("memory").queryName("x_stream_sessions_sink")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        // final value of a session = its emission with the most events
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id", "session_seq").orderBy(col("n_events").desc)
-        spark.table("x_stream_sessions_sink")
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-          .select("user_id", "session_seq", "n_events", "start_us", "end_us",
-            "duration_us")
-          .orderBy("user_id", "session_seq")
-      },
-      defsSessionOracle),
-
-    // Streaming rolling 24 h event rates: a REAL Structured Streaming
-    // run (parquet source → AvailableNow → flatMapGroupsWithState keyed
-    // on user → memory sink), checked against the BATCH rolling oracle.
-    // State = the in-window (ts, cents) buffer + running sum per user —
-    // bounded by window span, not history; ts-tie groups buffered
-    // together to match the RANGE frame's all-peers semantics.
-    QueryDef("x_stream_rolling",
-      (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        val srcDir = streamSourceDir(sfDir, "events.parquet")
-        val stream = spark.readStream.schema(schema).parquet(srcDir)
-          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
-        val q = graft.streaming.IncrementalIndexer
-          .rollingStream(spark, stream, windowUs = 86400L * 1000000)
-          .writeStream.outputMode("update")
-          .format("memory").queryName("x_stream_rolling_sink")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        // emissions only refine (tie peers arriving in later batches
-        // re-emit with a larger frame): final value per event = the
-        // emission with max n_trailing
-        val wr = org.apache.spark.sql.expressions.Window
-          .partitionBy("event_id").orderBy(col("n_trailing").desc)
-        spark.table("x_stream_rolling_sink")
-          .withColumn("__rn", row_number().over(wr)).filter(col("__rn") === 1)
-          .select("event_id", "user_id", "ts_us", "n_trailing",
-            "sum_trailing_cents")
-          .orderBy("event_id")
-      },
-      defsRollingOracle)
-  )
-
-  /** The batch rolling-rate oracle, shared by `x_evt_rolling` and
-    * `x_stream_rolling` — the streaming operator's contract IS batch
-    * equivalence. A `def` (not a val): referenced from `defs`.
-    */
-  private def defsRollingOracle: Option[String] = Some(
-    """WITH e AS (
-      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-      |         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
-      |  FROM events
-      |)
-      |SELECT event_id, user_id, ts_us,
-      |       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
-      |       CAST(sum(cents) OVER w AS BIGINT) AS sum_trailing_cents
-      |FROM e
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
-      |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
-      |ORDER BY event_id""".stripMargin)
-
-  /** The batch as-of oracle, shared by `x_evt_asof` and
-    * `x_stream_asof` — the streaming operator's contract IS batch
-    * equivalence. A `def` (not a val): referenced from `defs`.
-    */
-  private def defsAsofOracle: Option[String] = Some(
-    """WITH e AS (
-      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, event_type
-      |  FROM events
-      |),
-      |q AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'click'),
-      |r AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'view')
-      |SELECT q.event_id, q.user_id, q.ts_us, q.value,
-      |       l.ref_event_id, l.ref_ts_us, l.ref_value
-      |FROM q LEFT JOIN LATERAL (
-      |  SELECT r.event_id AS ref_event_id, r.ts_us AS ref_ts_us,
-      |         r.value AS ref_value
-      |  FROM r WHERE r.user_id = q.user_id AND r.ts_us <= q.ts_us
-      |  ORDER BY r.ts_us DESC, r.event_id DESC LIMIT 1
-      |) l ON TRUE
-      |ORDER BY q.event_id""".stripMargin)
-
-  /** The batch funnel oracle, shared by `x_evt_funnel` and
-    * `x_stream_funnel` — the streaming operator's contract IS batch
-    * equivalence. A `def` (not a val): referenced from `defs`.
-    */
-  private def defsFunnelOracle: Option[String] = Some(
-    """WITH e AS (
-      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
-      |),
-      |u AS (SELECT DISTINCT user_id FROM e),
-      |s0 AS (SELECT user_id, min(ts_us) AS t0 FROM e
-      |       WHERE event_type = 'view' GROUP BY user_id),
-      |s1 AS (SELECT e.user_id, min(ts_us) AS t1 FROM e JOIN s0 USING (user_id)
-      |       WHERE event_type = 'click' AND ts_us >= t0 GROUP BY e.user_id),
-      |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
-      |       WHERE event_type = 'purchase' AND ts_us >= t1 GROUP BY e.user_id)
-      |SELECT u.user_id, s0.t0, s1.t1, s2.t2,
-      |       coalesce(s2.t2 - s0.t0 <= 604800000000, FALSE) AS converted
-      |FROM u
-      |LEFT JOIN s0 USING (user_id)
-      |LEFT JOIN s1 USING (user_id)
-      |LEFT JOIN s2 USING (user_id)
-      |ORDER BY u.user_id""".stripMargin)
-
-  /** The batch-sessionization oracle, shared by the batch and streaming
-    * entries — the streaming operator's contract IS batch equivalence.
-    * A `def` (not a val): it is referenced from the `defs` initializer.
-    */
-  private def defsSessionOracle: Option[String] = Some(
-    """WITH e AS (
-      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
-      |),
-      |s AS (
-      |  SELECT user_id, event_id, ts_us,
-      |         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
-      |                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
-      |                   > 14400000000
-      |              THEN 1 ELSE 0 END AS st
-      |  FROM e
-      |),
-      |g AS (
-      |  SELECT user_id, ts_us,
-      |         sum(st) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |                       ROWS UNBOUNDED PRECEDING) AS session_seq
-      |  FROM s
-      |)
-      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-      |       CAST(count(*) AS BIGINT) AS n_events,
-      |       CAST(min(ts_us) AS BIGINT) AS start_us,
-      |       CAST(max(ts_us) AS BIGINT) AS end_us,
-      |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
-      |FROM g GROUP BY user_id, session_seq
-      |ORDER BY user_id, session_seq""".stripMargin)
+      sfDir: String): Unit =
+    ExtShared.warmDedupArtifacts(spark, sfDir)
 }

@@ -1,0 +1,293 @@
+package graft
+
+import graft.core.Schema
+import graft.ext.{Dedup, Events, Pipeline, Quality, Similarity, TextAnalysis}
+import graft.index.IndexJob
+import org.apache.spark.sql.functions._
+/** Structured-Streaming family: the six streaming twins (merge, user-state, dedup, sessions, rolling, funnel, as-of) checked against their batch oracles.
+  * Oracle-checked via CORRECTNESS_r* (see SURVEY §7.5).
+  */
+private[graft] object ExtStreamQueries {
+  import ExtShared._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Incremental indexing as sequential REPLACE merges of time-sliced
+    // batches (the foreachBatch loop of graft.streaming.IncrementalIndexer
+    // run as a batch): final state = latest event per user.
+    QueryDef("x_stream_merge",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        def slice(lo: String, hi: String) = Schema.conform(spark.sql(
+          s"""select cast(user_id as string) as key,
+             |       concat(event_type, ' by user ', cast(user_id as string)) as title,
+             |       date_format(ts, 'yyyy-MM-dd HH:mm:ss') as timestamp,
+             |       props as search_1
+             |from events
+             |where ts >= timestamp'$lo' and ts < timestamp'$hi'""".stripMargin)
+          .withColumn("type", lit("events.db/userstate")))
+        val batches = Seq(
+          slice("2024-01-01 00:00:00", "2024-01-11 00:00:00"),
+          slice("2024-01-11 00:00:00", "2024-01-21 00:00:00"),
+          slice("2024-01-21 00:00:00", "2024-02-01 00:00:00"))
+        batches.reduce((state, b) => IndexJob.merge(state, b))
+          .select("type", "key", "title", "timestamp", "search_1")
+          .orderBy("key")
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT 'events.db/userstate' AS "type",
+          |         CAST(user_id AS VARCHAR) AS "key",
+          |         event_type || ' by user ' || CAST(user_id AS VARCHAR) AS title,
+          |         strftime(ts, '%Y-%m-%d %H:%M:%S') AS "timestamp",
+          |         props AS search_1,
+          |         CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 0
+          |              WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 1
+          |              ELSE 2 END AS batch_idx
+          |  FROM events
+          |)
+          |SELECT "type", "key", title, "timestamp", search_1 FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY "key"
+          |    ORDER BY batch_idx DESC, "timestamp" DESC, title ASC, search_1 ASC) AS rn
+          |  FROM ev
+          |) t WHERE rn = 1
+          |ORDER BY "key"""".stripMargin)),
+
+    // Custom per-key streaming state via mapGroupsWithState: a REAL
+    // Structured Streaming run (parquet source → AvailableNow → memory
+    // sink) evolving one state row per user; the fold is order-
+    // independent (count + argmax by (ts, event_id)), so the final
+    // state is batch-SQL-expressible and fully oracle-checked.
+    QueryDef("x_stream_user_state",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir) // sets nanosAsLong for the raw ts
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType)))
+        // the streaming file source wants a DIRECTORY; testdata ships a
+        // single parquet file → expose it through a temp-dir symlink
+        val srcDir = streamSourceDir(sfDir, "events.parquet")
+        val stream = spark.readStream.schema(schema)
+          .parquet(srcDir)
+          .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
+            "user_id", "event_type")
+        val q = graft.streaming.IncrementalIndexer.userStates(spark, stream)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_user_state_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // final state per user = the emission with the highest count
+        // (update-mode sinks keep one row per state update per batch)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("n_events").desc)
+        spark.table("x_stream_user_state_sink")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("user_id", "n_events", "last_ts", "last_type", "last_event_id")
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH latest AS (
+          |  SELECT user_id, event_type, ts, event_id,
+          |         row_number() OVER (
+          |           PARTITION BY user_id
+          |           ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC, event_id DESC) AS rn
+          |  FROM events
+          |),
+          |counts AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+          |SELECT c.user_id, c.n_events,
+          |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+          |       l.event_type AS last_type,
+          |       l.event_id AS last_event_id
+          |FROM counts c JOIN latest l ON l.user_id = c.user_id AND l.rn = 1
+          |ORDER BY c.user_id""".stripMargin)),
+
+    // Streaming as-of join: the stream-enrichment twin — each click is
+    // joined to the user's latest preceding view from ONE ref row of
+    // state per user; refs sort before queries at the same ts so the
+    // batch tie rule (ref at query ts matches) holds. Checked against
+    // the BATCH as-of oracle.
+    QueryDef("x_stream_asof",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val srcDir = streamSourceDir(sfDir, "events.parquet")
+        val stream = spark.readStream.schema(schema).parquet(srcDir)
+          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
+        val q = graft.streaming.IncrementalIndexer
+          .asofStream(spark, stream, refType = "view", queryType = "click")
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_asof_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // emissions only improve (a tie-split ref re-emits its queries):
+        // final row per query = max (ref_ts, ref_id), nulls last
+        val wa = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_id")
+          .orderBy(col("ref_ts_us").desc_nulls_last,
+            col("ref_event_id").desc_nulls_last)
+        spark.table("x_stream_asof_sink")
+          .withColumn("__rn", row_number().over(wa)).filter(col("__rn") === 1)
+          .select("event_id", "user_id", "ts_us", "value",
+            "ref_event_id", "ref_ts_us", "ref_value")
+          .orderBy("event_id")
+      },
+      defsAsofOracle),
+
+    // Streaming ordered funnel: a REAL Structured Streaming run checked
+    // against the BATCH funnel oracle — state is ONE k-slot timestamp
+    // array per user; ts-tie groups apply steps in order so same-ts
+    // chains match the batch `>=` window conditions.
+    QueryDef("x_stream_funnel",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val srcDir = streamSourceDir(sfDir, "events.parquet")
+        val stream = spark.readStream.schema(schema).parquet(srcDir)
+          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
+        val q = graft.streaming.IncrementalIndexer
+          .funnelStream(spark, stream, Seq("view", "click", "purchase"))
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_funnel_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // emissions only refine (a set tₛ never changes): final value =
+        // per-column max, -1 sentinel → NULL, then the conversion gate
+        def tCol(i: Int) = {
+          val m = max(element_at(col("steps"), i + 1))
+          when(m === -1L, lit(null).cast("long")).otherwise(m)
+        }
+        spark.table("x_stream_funnel_sink")
+          .groupBy("user_id")
+          .agg(tCol(0).as("t0"), tCol(1).as("t1"), tCol(2).as("t2"))
+          .withColumn("converted",
+            col("t2").isNotNull && col("t2") - col("t0") <= 604800000000L)
+          .orderBy("user_id")
+      },
+      defsFunnelOracle),
+
+    // Streaming exact-dedup screen: a REAL Structured Streaming run
+    // (parquet source → AvailableNow → flatMapGroupsWithState keyed on
+    // content digest → memory sink). The per-digest fold is order-
+    // independent (min id, total count), so the final state equals the
+    // batch keep-first answer and is fully oracle-checked.
+    QueryDef("x_stream_dedup",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val srcDir = streamSourceDir(sfDir, "documents.parquet")
+        val stream = spark.readStream.schema(schema).parquet(srcDir)
+        val q = graft.streaming.IncrementalIndexer.dedupStream(spark, stream)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_dedup_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // final state per digest = the emission with the highest count
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("digest").orderBy(col("n_copies").desc)
+        spark.table("x_stream_dedup_sink")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("digest", "keep_id", "n_copies")
+          .orderBy("digest")
+      },
+      Some(
+        """SELECT md5(coalesce(text, '')) AS digest,
+          |       CAST(min(doc_id) AS BIGINT) AS keep_id,
+          |       CAST(count(*) AS BIGINT) AS n_copies
+          |FROM documents
+          |GROUP BY 1
+          |ORDER BY digest""".stripMargin)),
+
+    // Streaming gap sessionization: a REAL Structured Streaming run
+    // (parquet source → AvailableNow → flatMapGroupsWithState keyed on
+    // user → memory sink), checked against the BATCH sessionization
+    // oracle — state is one open-session carry per user, completed
+    // sessions leave state. Same 4 h gap as x_evt_sessions.
+    QueryDef("x_stream_sessions",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val srcDir = streamSourceDir(sfDir, "events.parquet")
+        val stream = spark.readStream.schema(schema).parquet(srcDir)
+          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
+        val q = graft.streaming.IncrementalIndexer
+          .sessionStream(spark, stream, gapUs = 4L * 3600 * 1000000)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_sessions_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // final value of a session = its emission with the most events
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "session_seq").orderBy(col("n_events").desc)
+        spark.table("x_stream_sessions_sink")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("user_id", "session_seq", "n_events", "start_us", "end_us",
+            "duration_us")
+          .orderBy("user_id", "session_seq")
+      },
+      defsSessionOracle),
+
+    // Streaming rolling 24 h event rates: a REAL Structured Streaming
+    // run (parquet source → AvailableNow → flatMapGroupsWithState keyed
+    // on user → memory sink), checked against the BATCH rolling oracle.
+    // State = the in-window (ts, cents) buffer + running sum per user —
+    // bounded by window span, not history; ts-tie groups buffered
+    // together to match the RANGE frame's all-peers semantics.
+    QueryDef("x_stream_rolling",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val srcDir = streamSourceDir(sfDir, "events.parquet")
+        val stream = spark.readStream.schema(schema).parquet(srcDir)
+          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
+        val q = graft.streaming.IncrementalIndexer
+          .rollingStream(spark, stream, windowUs = 86400L * 1000000)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_rolling_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // emissions only refine (tie peers arriving in later batches
+        // re-emit with a larger frame): final value per event = the
+        // emission with max n_trailing
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_id").orderBy(col("n_trailing").desc)
+        spark.table("x_stream_rolling_sink")
+          .withColumn("__rn", row_number().over(wr)).filter(col("__rn") === 1)
+          .select("event_id", "user_id", "ts_us", "n_trailing",
+            "sum_trailing_cents")
+          .orderBy("event_id")
+      },
+      defsRollingOracle)
+  )
+}

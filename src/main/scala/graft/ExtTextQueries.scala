@@ -1,0 +1,524 @@
+package graft
+
+import graft.core.Schema
+import graft.ext.{Dedup, Events, Pipeline, Quality, Similarity, TextAnalysis}
+import graft.index.IndexJob
+import org.apache.spark.sql.functions._
+/** Text-analysis family: langid (x2), quality, token counts, fingerprints, winnowing (+native kernel), source overlap, normalization, URL hosts/dedup, TF-IDF, more-like-this, curation-adjacent text screens.
+  * Oracle-checked via CORRECTNESS_r* (see SURVEY §7.5).
+  */
+private[graft] object ExtTextQueries {
+  import ExtShared._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("x_text_langid",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.languageId(spark.table("documents"), "text")
+          .selectExpr("doc_id", "lang", "predicted_lang",
+            "cast(hits_de as long) hits_de", "cast(hits_en as long) hits_en",
+            "cast(hits_es as long) hits_es", "cast(hits_fr as long) hits_fr",
+            "cast(hits_zh as long) hits_zh")
+          .orderBy("doc_id")
+      },
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val hitCols = langs.map { l =>
+          val cond = TextAnalysis.stopwords(l).map(w => s"t = '$w'").mkString(" OR ")
+          s"len(list_filter(ts, t -> $cond)) AS hits_$l"
+        }.mkString(",\n       ")
+        val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+        val caseArms = langs.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ")
+        s"""WITH toks AS (SELECT doc_id, lang, ${ducktokens("text")} AS ts FROM documents),
+           |hits AS (
+           |  SELECT doc_id, lang,
+           |       ${hitCols}
+           |  FROM toks
+           |)
+           |SELECT doc_id, lang,
+           |       CASE WHEN $g = 0 THEN 'und' $caseArms END AS predicted_lang,
+           |       hits_de, hits_en, hits_es, hits_fr, hits_zh
+           |FROM hits ORDER BY doc_id""".stripMargin
+      }),
+
+    // Language confusion matrix: declared `lang` vs predicted — the QA
+    // table that decides whether to trust the metadata or the detector
+    // (and which languages need a better model). Tiny group agg over
+    // the langid map — langs² rows at any corpus size.
+    QueryDef("x_text_lang_mismatch",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.languageId(spark.table("documents"), "text")
+          .groupBy("lang", "predicted_lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("is_mismatch",
+            (col("lang") =!= col("predicted_lang")).cast("boolean"))
+          .select("lang", "predicted_lang", "n_docs", "is_mismatch")
+          .orderBy("lang", "predicted_lang")
+      },
+      Some {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val hitCols = langs.map { l =>
+          val cond = TextAnalysis.stopwords(l).map(w => s"t = '$w'").mkString(" OR ")
+          s"len(list_filter(ts, t -> $cond)) AS hits_$l"
+        }.mkString(",\n       ")
+        val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+        val caseArms = langs.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ")
+        s"""WITH toks AS (SELECT doc_id, lang, ${ducktokens("text")} AS ts FROM documents),
+           |hits AS (
+           |  SELECT doc_id, lang,
+           |       ${hitCols}
+           |  FROM toks
+           |),
+           |pred AS (
+           |  SELECT doc_id, lang,
+           |         CASE WHEN $g = 0 THEN 'und' $caseArms END AS predicted_lang
+           |  FROM hits
+           |)
+           |SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       lang <> predicted_lang AS is_mismatch
+           |FROM pred GROUP BY lang, predicted_lang
+           |ORDER BY lang, predicted_lang""".stripMargin
+      }),
+
+    QueryDef("x_text_quality",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.qualityScore(spark.table("documents"), "text")
+          .select("doc_id", "n_chars", "n_tokens", "alpha_ratio",
+            "stopword_ratio", "mean_token_len", "distinct_ratio", "quality_score")
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = TextAnalysis.stopwords("en").map(w => s"t = '$w'").mkString(" OR ")
+        s"""WITH base AS (
+           |  SELECT doc_id, ${ducktokens("text")} AS ts,
+           |         CAST(len(text) AS DOUBLE) AS n_chars,
+           |         CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+           |  FROM documents
+           |),
+           |m AS (
+           |  SELECT doc_id, n_chars,
+           |         CAST(len(ts) AS DOUBLE) AS n_tokens,
+           |         n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+           |         CAST(len(list_filter(ts, t -> $en)) AS DOUBLE)
+           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS stopword_ratio,
+           |         CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
+           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS mean_token_len,
+           |         CAST(len(list_distinct(ts)) AS DOUBLE)
+           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS distinct_ratio
+           |  FROM base
+           |)
+           |SELECT doc_id, n_chars, n_tokens, alpha_ratio, stopword_ratio,
+           |       mean_token_len, distinct_ratio,
+           |       least(n_tokens / 100.0, 1.0) * 0.25
+           |             + alpha_ratio * 0.25
+           |             + least(stopword_ratio * 5.0, 1.0) * 0.25
+           |             + distinct_ratio * 0.25 AS quality_score
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("x_text_langid_ngram",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.charTrigramLangId(spark.table("documents"), "text", "lang")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH tri AS (
+          |  SELECT DISTINCT doc_id, lang,
+          |         CAST(ascii(tg) AS BIGINT) * 4398046511104 +
+          |         CAST(ascii(substr(tg, 2, 1)) AS BIGINT) * 2097152 +
+          |         CAST(ascii(substr(tg, 3, 1)) AS BIGINT) AS h
+          |  FROM (
+          |    SELECT doc_id, lang,
+          |           unnest(CASE WHEN len(lower(text)) >= 3
+          |             THEN list_transform(range(1, len(lower(text)) - 1),
+          |                                 i -> substr(lower(text), i, 3))
+          |             ELSE [] END) AS tg
+          |    FROM documents
+          |  ) u
+          |),
+          |profile AS (
+          |  SELECT lang AS p_lang, h FROM (
+          |    SELECT lang, h, row_number() OVER (
+          |      PARTITION BY lang ORDER BY count(*) DESC, h) AS rn
+          |    FROM tri GROUP BY lang, h
+          |  ) r WHERE rn <= 40
+          |),
+          |hits AS (
+          |  SELECT t.doc_id, p.p_lang, count(*) AS n_hits
+          |  FROM (SELECT DISTINCT doc_id, h FROM tri) t
+          |  JOIN profile p ON p.h = t.h
+          |  GROUP BY t.doc_id, p.p_lang
+          |),
+          |best AS (
+          |  SELECT doc_id, p_lang, n_hits FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY doc_id ORDER BY n_hits DESC, p_lang) AS rn
+          |    FROM hits
+          |  ) r WHERE rn = 1
+          |)
+          |SELECT d.doc_id, d.lang,
+          |       coalesce(b.p_lang, 'und') AS predicted_lang,
+          |       coalesce(b.n_hits, 0) AS n_hits
+          |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    QueryDef("x_text_tokens",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.tokenCounts(spark.table("documents"), "text")
+          .selectExpr("doc_id", "cast(n_ws_tokens as long) n_ws_tokens",
+            "cast(n_re_tokens as long) n_re_tokens", "cast(n_chars_col as long) n_chars_col")
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
+          |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens,
+          |       len(text) AS n_chars_col
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("x_text_fingerprint",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.fingerprint(spark.table("documents"), "text")
+          .groupBy("fingerprint")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+          .orderBy("fingerprint")
+      },
+      Some(
+        s"""SELECT md5(array_to_string(list_sort(list_distinct(${ducktokens("text")})), ' ')) AS fingerprint,
+           |       count(*) AS n_docs, min(doc_id) AS keep_id
+           |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
+
+    // Winnowing (rolling-hash) fingerprints — substring-level copy
+    // detection: shared substrings of length >= k+window-1 share a
+    // selected k-gram hash (Schleimer et al., SIGMOD 2003).
+    QueryDef("x_text_winnow",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.winnowFingerprints(spark.table("documents"), "text",
+            "doc_id", k = 8, window = 4)
+          .orderBy("doc_id", "fp")
+      },
+      Some(
+        s"""WITH base AS (SELECT doc_id, lower(text) AS s FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
+           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
+           |),
+           |sel AS (
+           |  SELECT doc_id, pos,
+           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
+           |           PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
+           |  FROM hashed
+           |)
+           |SELECT DISTINCT doc_id, selkey >> 31 AS fp
+           |FROM sel WHERE pos >= 4
+           |ORDER BY doc_id, fp""".stripMargin)),
+
+    // Source-overlap matrix: winnow fingerprints per source (compiled
+    // kernel, group carried in-projection), DISTINCT (source, fp), then
+    // an fp-keyed pair count whose fanout is bounded by sources² per
+    // fingerprint — never by docs.
+    QueryDef("x_text_source_overlap",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.sourceOverlap(spark.table("documents"), "text",
+            "source", k = 8, window = 4)
+          .orderBy("source_a", "source_b")
+      },
+      Some(
+        s"""WITH base AS (SELECT doc_id, source, lower(text) AS s FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
+           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
+           |),
+           |sel AS (
+           |  SELECT doc_id, pos,
+           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
+           |           PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
+           |  FROM hashed
+           |),
+           |fps AS (
+           |  SELECT DISTINCT doc_id, selkey >> 31 AS fp
+           |  FROM sel WHERE pos >= 4
+           |),
+           |gfp AS (
+           |  SELECT DISTINCT b.source, f.fp
+           |  FROM fps f JOIN base b USING (doc_id)
+           |)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |       CAST(count(*) AS BIGINT) AS n_shared_fp
+           |FROM gfp a JOIN gfp b ON a.fp = b.fp AND a.source < b.source
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin)),
+
+    // The zero-shuffle winnowing path, compiled: the custom codegen'd
+    // winnow_fps Expression (one static JVM call per row — no shuffle,
+    // no interpreted HOF lambdas; the pure-relational in-row variant
+    // stays in TextAnalysis as the reference implementation, value-
+    // pinned to this one in ExtSpec, with the measured crossover in
+    // PLANS_r4.md). Identical values, same oracle. Named _native for
+    // what it runs (r4 verdict #3); the r4 bench row for this entry
+    // was `x_text_winnow_inrow`.
+    QueryDef("x_text_winnow_native",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.winnowFingerprintsNative(spark.table("documents"),
+            "text", "doc_id", k = 8, window = 4)
+          .orderBy("doc_id", "fp")
+      },
+      Some(
+        s"""WITH base AS (SELECT doc_id, lower(text) AS s FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
+           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
+           |),
+           |sel AS (
+           |  SELECT doc_id, pos,
+           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
+           |           PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
+           |  FROM hashed
+           |)
+           |SELECT DISTINCT doc_id, selkey >> 31 AS fp
+           |FROM sel WHERE pos >= 4
+           |ORDER BY doc_id, fp""".stripMargin)),
+
+    // PII screen over deterministically PII-augmented text (the corpus
+    // is PII-free word soup, so every 7th doc gets a synthetic email +
+    // IP + phone appended IN THE QUERY on both engines — the
+    // contamination-benchmark trick — making extraction live signal).
+    QueryDef("x_text_pii",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val aug = spark.table("documents").withColumn("text",
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com 10.0."), (col("doc_id") % 200).cast("string"),
+                lit(".1 call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))))
+        Quality.piiScreen(aug, "text").orderBy("doc_id")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') ||
+          |         CASE WHEN doc_id % 7 = 0
+          |              THEN ' contact user' || doc_id || '@example.com 10.0.' ||
+          |                   (doc_id % 200) || '.1 call 555-' ||
+          |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |              ELSE '' END AS t
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |       CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+          |       CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+          |       (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |        + len(regexp_extract_all(t, '\b\d{3}[-. ]\d{4}\b'))
+          |        + len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) > 0) AS has_pii
+          |FROM aug
+          |ORDER BY doc_id""".stripMargin)),
+
+    // URL-host profile over deterministically URL-augmented text (every
+    // 3rd doc links two synthetic hosts): extract → host-keyed agg →
+    // TakeOrderedAndProject top-k. 16 distinct hosts < k=20, so the
+    // limit boundary is never tie-ambiguous.
+    QueryDef("x_text_urlhosts",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val aug = spark.table("documents").withColumn("text",
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" see https://www.site"), (col("doc_id") % 11).cast("string"),
+                lit(".example.com/page/"), col("doc_id").cast("string"),
+                lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
+                lit(".example.net/x")))
+              .otherwise(lit(""))))
+        Quality.urlHostProfile(aug, "text", k = 20)
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') ||
+          |         CASE WHEN doc_id % 3 = 0
+          |              THEN ' see https://www.site' || (doc_id % 11) ||
+          |                   '.example.com/page/' || doc_id ||
+          |                   ' and http://cdn' || (doc_id % 5) || '.example.net/x'
+          |              ELSE '' END AS t
+          |  FROM documents
+          |),
+          |hosts AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(regexp_extract_all(t, 'https?://[^\s]+'),
+          |                u -> regexp_extract(u, '^https?://([^/\s]+)', 1))) AS host
+          |  FROM aug
+          |)
+          |SELECT host, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |       CAST(count(*) AS BIGINT) AS n_urls
+          |FROM hosts GROUP BY host
+          |ORDER BY n_docs DESC, n_urls DESC, host
+          |LIMIT 20""".stripMargin)),
+
+    // Per-doc top-5 characteristic terms by linearized tf-idf (N/df,
+    // not log — monotone-identical ranking, and the score stays one
+    // exact-integer division so it hashes identically cross-engine).
+    QueryDef("x_text_tfidf",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.tfidfTopTerms(spark.table("documents"), "text", k = 5)
+          .orderBy("doc_id", "term_rank")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS token
+          |  FROM documents
+          |),
+          |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+          |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT t.doc_id, t.token, t.tf, d.df,
+          |         CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS tfidf
+          |  FROM tf t JOIN df d USING (token) CROSS JOIN n
+          |),
+          |r AS (SELECT *, row_number() OVER (
+          |        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS term_rank
+          |      FROM scored)
+          |SELECT doc_id, token, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
+          |FROM r WHERE term_rank <= 5
+          |ORDER BY doc_id, term_rank""".stripMargin)),
+
+    // More-like-this: top-k similar docs for one query doc via a
+    // tf-idf-weighted dot product over shared terms — a broadcast
+    // posting-list probe + doc-keyed agg + TakeOrderedAndProject, the
+    // inverted-index "similar documents" query. The integer idf weight
+    // 1e8 DIV max(1, df·1e6 DIV N) depends only on the df/N ratio —
+    // bounded ≤ 1e8 at ANY corpus size (fixed-point rule; the old
+    // N-proportional weight overflowed BIGINT at N ~ 1e9, r5 advice).
+    QueryDef("x_text_mlt",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.moreLikeThis(spark.table("documents"), "text",
+            queryId = 1L, k = 10, maxDfPermille = 800)
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS token
+          |  FROM documents
+          |),
+          |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+          |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          |q AS (
+          |  SELECT t.token, t.tf AS q_tf,
+          |         CAST(100000000 // greatest(1, d.df * 1000000 // n.n_docs) AS BIGINT) AS w
+          |  FROM tf t JOIN df d USING (token) CROSS JOIN n
+          |  WHERE t.doc_id = 1 AND d.df * 1000 <= n.n_docs * 800
+          |)
+          |SELECT t.doc_id, CAST(sum(t.tf * q.q_tf * q.w) AS BIGINT) AS score
+          |FROM tf t JOIN q USING (token)
+          |WHERE t.doc_id <> 1
+          |GROUP BY t.doc_id
+          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Text normalization screen over deterministically dirtied text:
+    // every 4th doc gains a decomposed-accent word (NFC recomposes), a
+    // bell control char, and tab/space runs — both engines dirty and
+    // clean identically; NFC via the codegen'd nfc_e vs DuckDB's
+    // nfc_normalize.
+    QueryDef("x_text_normalize",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val aug = spark.table("documents").withColumn("text",
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("  café drink"), lit("\t\t x ")))
+              .otherwise(lit(""))))
+        Quality.normalizeText(aug, "text").orderBy("doc_id")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') ||
+          |         CASE WHEN doc_id % 4 = 0
+          |              THEN '  cafe' || chr(769) || ' ' || chr(7) || 'drink' ||
+          |                   chr(9) || chr(9) || ' x '
+          |              ELSE '' END AS t
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |       trim(regexp_replace(
+          |         regexp_replace(nfc_normalize(t),
+          |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          |         '[ \t]+', ' ', 'g')) AS norm_text,
+          |       trim(regexp_replace(
+          |         regexp_replace(nfc_normalize(t),
+          |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          |         '[ \t]+', ' ', 'g')) <> t AS changed
+          |FROM aug
+          |ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization dedup: every 3rd doc links the SAME page
+    // under four spellings (https+WWW+trailing slash, http+query,
+    // https+fragment, uppercase host) — all four collapse to one
+    // canonical key with n_urls=4, proving the canonicalizer; the only
+    // shuffle is the canonical-keyed agg.
+    QueryDef("x_text_url_dedup",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val id = col("doc_id").cast("string")
+        val aug = spark.table("documents").withColumn("text",
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 3 === 0, concat(
+              lit(" https://WWW.site"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com/p/"), id, lit("/"),
+              lit(" http://site"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com/p/"), id, lit("?utm_source=feed"),
+              lit(" https://site"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com/p/"), id, lit("#sec"),
+              lit(" https://SITE"), (col("doc_id") % 7).cast("string"),
+              lit(".EXAMPLE.com/p/"), id)).otherwise(lit(""))))
+        Quality.urlDedup(aug, "text").orderBy("canonical_url")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') ||
+          |         CASE WHEN doc_id % 3 = 0 THEN
+          |           ' https://WWW.site' || (doc_id % 7) || '.example.com/p/' || doc_id || '/' ||
+          |           ' http://site' || (doc_id % 7) || '.example.com/p/' || doc_id || '?utm_source=feed' ||
+          |           ' https://site' || (doc_id % 7) || '.example.com/p/' || doc_id || '#sec' ||
+          |           ' https://SITE' || (doc_id % 7) || '.EXAMPLE.com/p/' || doc_id
+          |         ELSE '' END AS t
+          |  FROM documents
+          |),
+          |u AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
+          |  FROM aug
+          |),
+          |c AS (
+          |  SELECT doc_id,
+          |         regexp_replace(lower(regexp_extract(url, '^https?://([^/?#\s]+)', 1)), '^www\.', '') ||
+          |         rtrim(regexp_extract(url, '^https?://[^/?#\s]+([^?#\s]*)', 1), '/') AS canonical_url
+          |  FROM u
+          |)
+          |SELECT canonical_url,
+          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |       CAST(count(*) AS BIGINT) AS n_urls,
+          |       CAST(min(doc_id) AS BIGINT) AS first_doc
+          |FROM c GROUP BY canonical_url
+          |ORDER BY canonical_url""".stripMargin))
+  )
+}
