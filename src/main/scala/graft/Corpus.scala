@@ -199,6 +199,22 @@ object Corpus {
   val IvfSampleEvery = 40
   val KmeansIters = 2
 
+  /** Adaptive quantizer stride for the ANN indexes: cells ≈ √N once the
+    * corpus outgrows the fixed stride (sampleEvery = max(40, ⌊√N⌋), so
+    * cells = N / sampleEvery ≈ √N). With the fixed stride, cells grow
+    * linearly with N and the one-off assignment pass costs N×C = N²/40
+    * — the r7 sf1 scale-stress measured ivf_build at 34× for 10× data.
+    * √N cells is the standard IVF sizing (probe cost and build cost
+    * balance at √N); the build drops to N^1.5.
+    *
+    * At the correctness-gate scales the adaptive stride EQUALS the
+    * constant (√N < 40 for N ≤ 1600: sf0.01 has 500 vectors, sf0.001
+    * has 50), so the driver oracles — which interpolate the constant —
+    * stay exact; asserted in ExtSpec.
+    */
+  def ivfSampleEveryFor(nVectors: Long): Int =
+    math.max(IvfSampleEvery, math.sqrt(nVectors.toDouble).toInt)
+
   private val ivfCache = TrieMap.empty[String, graft.ext.Similarity.IvfIndex]
   private val kmeansIvfCache = TrieMap.empty[String, graft.ext.Similarity.IvfIndex]
 
@@ -208,8 +224,9 @@ object Corpus {
   def ivfIndex(spark: SparkSession, sfDir: String): graft.ext.Similarity.IvfIndex =
     ivfCache.getOrElseUpdate(sfDir, {
       registerSources(spark, sfDir)
+      val vecs = spark.table("embeddings")
       val idx = graft.ext.Similarity.ivfBuild(
-        spark.table("embeddings"), IvfSampleEvery)
+        vecs, ivfSampleEveryFor(vecs.count()))
       graft.ext.Similarity.IvfIndex(idx.centroids.persist(), idx.assigned.persist())
     })
 
@@ -217,8 +234,9 @@ object Corpus {
   def kmeansIvfIndex(spark: SparkSession, sfDir: String): graft.ext.Similarity.IvfIndex =
     kmeansIvfCache.getOrElseUpdate(sfDir, {
       registerSources(spark, sfDir)
+      val vecs = spark.table("embeddings")
       val idx = graft.ext.Similarity.kmeansIvfBuild(
-        spark.table("embeddings"), IvfSampleEvery, KmeansIters)
+        vecs, ivfSampleEveryFor(vecs.count()), KmeansIters)
       graft.ext.Similarity.IvfIndex(idx.centroids.persist(), idx.assigned.persist())
     })
 

@@ -32,6 +32,11 @@ private[graft] object ExtSimQueries {
            |FROM dots, qn
            |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // Label-blocked near-dup pairs — the TEACHING shape (block key =
+    // any coarse bucketing). A fixed-cardinality label is deliberately
+    // NOT scale-safe: block sizes grow with N, pairs with N² (the r7
+    // sf1 scale-stress measured 33× at 10× data). Kept as the contrast
+    // entry; the production path is x_sim_neardup_cells below.
     QueryDef("x_sim_neardup_block",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
@@ -49,6 +54,66 @@ private[graft] object ExtSimQueries {
            |         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
            |  FROM ex a
            |  JOIN ex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+           |  GROUP BY 1, 2, 3
+           |)
+           |SELECT blk, id_a, id_b,
+           |       round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cos_sim
+           |FROM pairdots
+           |JOIN norms na ON na.vec_id = id_a
+           |JOIN norms nb ON nb.vec_id = id_b
+           |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.4
+           |ORDER BY blk, id_a, id_b""".stripMargin)),
+
+    // SCALE path for embedding near-dup: pairs blocked by the PREBUILT
+    // IVF cell assignment (the SemDeDup shape — cluster, then pairwise
+    // within cluster). Zero extra build cost (the assignment artifact
+    // already exists for ANN); with cells ≈ √N (Corpus
+    // .ivfSampleEveryFor) the pair term is N^1.5, not the N² a
+    // fixed-cardinality block key degenerates to. Recall = near-dups
+    // that share an argmax cell — the quantizer-locality assumption
+    // every clustered dedup makes.
+    QueryDef("x_sim_neardup_cells",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val idx = Corpus.ivfIndex(spark, sfDir)
+        Similarity.cosineNearDupPairs(idx.assigned, "cell_id", 0.4)
+          .orderBy("blk", "id_a", "id_b")
+      },
+      Some(
+        s"""WITH $exCte,
+           |cx AS (
+           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % ${Corpus.IvfSampleEvery} = 0
+           |),
+           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+           |          FROM ex GROUP BY vec_id),
+           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
+           |           FROM cx GROUP BY cell_id),
+           |allsims AS (
+           |  SELECT e.vec_id, c.cell_id,
+           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
+           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
+           |  FROM ex e JOIN cx c ON e.i = c.i
+           |  JOIN norms n ON n.vec_id = e.vec_id
+           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
+           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
+           |),
+           |assigned AS (
+           |  SELECT vec_id, cell_id FROM (
+           |    SELECT vec_id, cell_id,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY sim DESC, cell_id) AS rn
+           |    FROM allsims
+           |  ) r WHERE rn = 1
+           |),
+           |pairdots AS (
+           |  SELECT aa.cell_id AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+           |         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+           |  FROM ex a
+           |  JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+           |  JOIN assigned aa ON aa.vec_id = a.vec_id
+           |  JOIN assigned ab ON ab.vec_id = b.vec_id AND ab.cell_id = aa.cell_id
            |  GROUP BY 1, 2, 3
            |)
            |SELECT blk, id_a, id_b,

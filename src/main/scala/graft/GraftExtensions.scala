@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductFloat, FtsMatch, PorterStem}
+import graft.functions.{DotProductDouble, DotProductFloat, FtsMatch, PorterStem}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -37,6 +37,9 @@ object GraftExtensions {
     ("dot_product_f",
       "dot_product_f(a, b) - double-precision dot product of two float arrays.",
       exprs => DotProductFloat(exprs(0), exprs(1))),
+    ("dot_product_d",
+      "dot_product_d(a, b) - dot product of two double arrays.",
+      exprs => DotProductDouble(exprs(0), exprs(1))),
     ("fts_match",
       "fts_match(title, search_1, query) - FTS5-style boolean MATCH over two text fields.",
       exprs => FtsMatch(exprs(0), exprs(1), exprs(2)))

@@ -60,6 +60,16 @@ object Similarity {
     * Centroids = every `sampleEvery`-th vector (deterministic coarse
     * quantizer). Returns (vec_id, cell_id, embedding).
     */
+  /** Spread the vector side across the cluster before an N×C scoring
+    * pass: the assignment's cost lives in the crossJoin against the
+    * broadcast centroids, and a corpus that arrives as one parquet file
+    * (or a handful) would otherwise run the whole quadratic term in as
+    * many tasks as there are input splits (r7 scale-stress: the sf1
+    * ivf_build pinned ONE core for minutes while 31 idled).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def ivfAssign(vectors: DataFrame, sampleEvery: Int,
       idCol: String = "vec_id"): DataFrame = {
     VectorFunctions.register(vectors.sparkSession)
@@ -67,7 +77,7 @@ object Similarity {
     val centroids = withNorm.filter(col(idCol) % sampleEvery === 0)
       .select(col(idCol).as("cell_id"), col("embedding").as("centroid"),
         col("__vn").as("__cn"))
-    val scored = withNorm.crossJoin(broadcast(centroids))
+    val scored = spread(withNorm).crossJoin(broadcast(centroids))
       .withColumn("sim", round(
         dot(col("embedding"), col("centroid")) /
           (sqrt(col("__vn")) * sqrt(col("__cn"))), 6))
@@ -186,10 +196,10 @@ object Similarity {
     */
   def kmeansCentroids(vectors: DataFrame, sampleEvery: Int, iters: Int,
       idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
     val embD = transform(col("embedding"), x => x.cast("double"))
-    def dotD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-    val vecs = vectors.select(col(idCol).as("vec_id"), embD.as("ve"))
+    def dotD(a: Column, b: Column): Column = VectorFunctions.dot_d(a, b)
+    val vecs = spread(vectors.select(col(idCol).as("vec_id"), embD.as("ve")))
       .withColumn("nv", dotD(col("ve"), col("ve")))
     var centroids = vecs.filter(col("vec_id") % sampleEvery === 0)
       .select(col("vec_id").as("cell_id"), col("ve").as("ce"))
@@ -215,8 +225,10 @@ object Similarity {
     * nv) against a centroid table (cell_id, ce double-array).
     */
   private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    def dotD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    // native codegen'd dot (bit-identical sequential fold): the
+    // aggregate(zip_with(...)) form allocated a product array per PAIR
+    // of the N×C hot loop — the dominant term of the r7 sf1 ivf_build
+    def dotD(a: Column, b: Column): Column = VectorFunctions.dot_d(a, b)
     val withC = centroids.withColumn("nc", dotD(col("ce"), col("ce")))
     vecs.crossJoin(broadcast(withC))
       .withColumn("sim", round(
@@ -233,10 +245,9 @@ object Similarity {
   def kmeansIvfBuild(vectors: DataFrame, sampleEvery: Int, iters: Int,
       idCol: String = "vec_id"): IvfIndex = {
     VectorFunctions.register(vectors.sparkSession)
-    def dotD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    def dotD(a: Column, b: Column): Column = VectorFunctions.dot_d(a, b)
     val embD = transform(col("embedding"), x => x.cast("double"))
-    val vecs = vectors.select(col(idCol).as("vec_id"), embD.as("ve"))
+    val vecs = spread(vectors.select(col(idCol).as("vec_id"), embD.as("ve")))
       .withColumn("nv", dotD(col("ve"), col("ve")))
     val centroids = kmeansCentroids(vectors, sampleEvery, iters, idCol)
     val assigned = assign(vecs, centroids)
@@ -253,8 +264,7 @@ object Similarity {
   def kmeansIvfSearchIndexed(index: IvfIndex, query: Seq[Float], nprobe: Int,
       k: Int): DataFrame = {
     VectorFunctions.register(index.assigned.sparkSession)
-    def dotD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    def dotD(a: Column, b: Column): Column = VectorFunctions.dot_d(a, b)
     val qD = array(query.map(v => lit(v.toDouble)): _*)
     val probeCells = index.centroids
       .withColumn("nc", dotD(col("ce"), col("ce")))

@@ -613,4 +613,34 @@ class ExtSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
     assert(p.toSeq == Seq(("s1", 1L, 0L), ("s1", 2L, 0L), ("s1", 3L, 1L), ("s2", 9L, 0L)))
   }
+
+  test("adaptive IVF stride: equals the constant at gate scales, √N above") {
+    import graft.Corpus
+    // correctness-gate scales: MUST equal the interpolated oracle
+    // constant or the driver compare would silently diverge
+    assert(Corpus.ivfSampleEveryFor(50) == Corpus.IvfSampleEvery)   // sf0.001
+    assert(Corpus.ivfSampleEveryFor(500) == Corpus.IvfSampleEvery)  // sf0.01
+    assert(Corpus.ivfSampleEveryFor(1600) == Corpus.IvfSampleEvery) // boundary
+    // above the boundary: stride = ⌊√N⌋ → cells ≈ √N
+    assert(Corpus.ivfSampleEveryFor(20000) == 141)
+    assert(Corpus.ivfSampleEveryFor(1000000) == 1000)
+  }
+
+  test("dot_product_d matches the aggregate/zip_with fold bit-for-bit") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.functions.{aggregate, zip_with, lit}
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map(_ =>
+      ((1 to 64).map(_ => rnd.nextDouble() * 2 - 1),
+        (1 to 64).map(_ => rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.dot_d(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (s, v) => s + v).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
 }
