@@ -245,6 +245,33 @@ object PlanDump {
       graft.ext.Events.interArrival(
         ev.select("event_id", "user_id", "ts_us")))
 
+    // ---- round-7 late evidence: FTS5 NEAR/^/group + sim scale fixes --
+
+    // 29. NEAR: per-phrase occurrence sets from term-pruned positional
+    //     postings, joined per (doc, field), distance filter — pure
+    //     postings algebra, no token-array scan
+    dump("p4_fts_near (positional occurrence join)")(
+      SearchEngine.matchSet(arts,
+        FtsQuery.parse("NEAR(urgent customer, 4)", Tokenize.None_)))
+
+    // 30. ^ first-token: the phrase adjacency join filtered to
+    //     occurrence start 0 — again postings-only
+    dump("p4_fts_first (position-0 filter)")(
+      SearchEngine.matchSet(arts, FtsQuery.parse("^view", Tokenize.None_)))
+
+    // 31. grouping: (a OR b) c — OR = union+distinct of posting sets,
+    //     juxtaposition AND = semi-join; all index-resolved
+    dump("p4_fts_group ((urgent OR automobile) building)")(
+      SearchEngine.matchSet(arts,
+        FtsQuery.parse("(urgent OR automobile) building", Tokenize.None_)))
+
+    // 32. cell-blocked near-dup (the SemDeDup shape): pairs join runs
+    //     within the PREBUILT assignment's cell_id blocks — shuffle on
+    //     cell_id, no label-cardinality bottleneck, no extra build
+    dump("x_sim_neardup_cells (cell-blocked pairs)")(
+      graft.ext.Similarity.cosineNearDupPairs(
+        Corpus.ivfIndex(spark, sfDir).assigned, "cell_id", 0.4))
+
     spark.stop()
   }
 }
