@@ -40,15 +40,23 @@ object OracleGen {
     case First(ts) =>
       fields.map { f =>
         (s"len($f) >= ${ts.size}" +:
-          ts.zipWithIndex.map { case (t, j) => s"$f[${j + 1}] = '$t'" })
+          ts.zipWithIndex.map { case (t, j) => tokSql(s"$f[${j + 1}]", t) })
           .mkString("(", " AND ", ")")
       }.mkString("(", " OR ", ")")
     case Near(ps, n) => fields.map(nearSql(_, ps, n)).mkString("(", " OR ", ")")
   }
 
+  /** One anchor-token condition: trailing `*` = starts-with (prefix
+    * anchors in NEAR / `^`; tokens are parser-guaranteed alphanumeric
+    * so LIKE needs no escaping).
+    */
+  private def tokSql(elem: String, t: String): String =
+    if (t.endsWith("*")) s"$elem LIKE '${t.dropRight(1)}%'"
+    else s"$elem = '$t'"
+
   /** 1-based start positions of a phrase in one token-array column. */
   private def startsSql(f: String, ts: Seq[String]): String = {
-    val cond = ts.zipWithIndex.map { case (t, j) => s"$f[i+$j] = '$t'" }
+    val cond = ts.zipWithIndex.map { case (t, j) => tokSql(s"$f[i+$j]", t) }
       .mkString(" AND ")
     s"list_filter(range(1, len($f) - ${ts.size - 1} + 1), i -> $cond)"
   }

@@ -119,6 +119,14 @@ object SearchQueries {
       matchSet("^view"),
       Some(OracleGen.matchSetSql(node("^view")))),
 
+    // P4: prefix anchor inside NEAR (starred token = term-range prune
+    // on the positions leg) + field-restricted first-token anchor
+    // (`title:^click` — only event titles START with `click`; order
+    // search_1 rows contain it mid-field and must not match).
+    QueryDef("p4_fts_near_prefix",
+      matchSet("NEAR(urg* customer, 4) title:^order"),
+      Some(OracleGen.matchSetSql(node("NEAR(urg* customer, 4) title:^order")))),
+
     // P4 as a SQL expression: fts_match(title, search_1, q) — the
     // reference's MATCH predicate usable in arbitrary SQL (brute-force
     // scan form; GraftExtensions registers it). Same semantics as the

@@ -84,10 +84,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan] {
       case Not(pos, ng) => CAnd(go(pos, fields), CNot(go(ng, fields)))
       case Field(f, m)  => go(m, Seq(if (f == "title") title else s1))
       // ^phrase: the first maximal alnum run must start the phrase —
-      // anchor at string start, allowing only non-token chars before
+      // anchor at string start, allowing only non-token chars before;
+      // a starred anchor token matches any completion of the prefix
       case First(ts) =>
-        anyField(fields,
-          s"^[^a-z0-9]*${ts.mkString("[^a-z0-9]+")}([^a-z0-9]|$$)")
+        val body = ts.map(t =>
+          if (t.endsWith("*")) t.dropRight(1) + "[a-z0-9]*" else t)
+          .mkString("[^a-z0-9]+")
+        anyField(fields, s"^[^a-z0-9]*$body([^a-z0-9]|$$)")
       case Near(_, _) =>
         sys.error("unreachable: NEAR trees are excluded by containsNear")
     }

@@ -69,24 +69,24 @@ object SearchEngine {
     case Field(f, m) =>
       matchCondition(m, Seq(if (f == "title") "tokens_title" else "tokens_s1"))
     case First(ts) =>
-      fields.map { f =>
-        size(col(f)) >= ts.size &&
-          slice(col(f), 1, ts.size) === array(ts.map(lit): _*)
-      }.reduce(_ || _)
+      fields.map(f => array_contains(phraseStartsCol(f, ts), 0)).reduce(_ || _)
     case Near(ps, n) => fields.map(nearCondition(_, ps, n)).reduce(_ || _)
   }
 
   /** 0-based start positions of a phrase within one token-array column
     * (codegen'd higher-order functions — no UDF). Guarded so the
     * sequence never runs descending when the array is shorter than the
-    * phrase.
+    * phrase. An anchor token with a trailing `*` is a starts-with match
+    * (prefix anchors in NEAR / `^`).
     */
   private def phraseStartsCol(f: String, ts: Seq[String]): Column = {
     val k = ts.size
+    def tokCond(t: String, e: Column): Column =
+      if (t.endsWith("*")) e.startsWith(t.dropRight(1)) else e === t
     when(size(col(f)) >= k,
       filter(sequence(lit(0), size(col(f)) - lit(k)), i =>
         ts.zipWithIndex.map { case (t, j) =>
-          element_at(col(f), (i + lit(j + 1)).cast("int")) === t
+          tokCond(t, element_at(col(f), (i + lit(j + 1)).cast("int")))
         }.reduce(_ && _)))
       .otherwise(array().cast("array<int>"))
   }
@@ -209,8 +209,14 @@ object SearchEngine {
       case None          => all
     }
     ts.zipWithIndex.map { case (t, i) =>
-      termPrune(pos, Seq(t))
-        .select(col("type"), col("key"), col("field"), (col("pos") - i).as("__p0"))
+      // starred anchor token (prefix in NEAR / ^): a term-RANGE prune —
+      // same file/row-group skip as prefixSet, just on positions
+      val leg =
+        if (t.endsWith("*")) {
+          val p = t.dropRight(1)
+          pos.filter(col("term") >= p && col("term") < p + "\uffff")
+        } else termPrune(pos, Seq(t))
+      leg.select(col("type"), col("key"), col("field"), (col("pos") - i).as("__p0"))
     }.reduce((a, b) => a.join(b, Seq("type", "key", "field", "__p0")))
   }
 
@@ -297,11 +303,28 @@ object SearchEngine {
     * superset — so the exact token-array predicate only ever runs on
     * candidates, never the corpus.
     */
+  /** Candidate docs for one anchor (phrase token list, possibly with
+    * starred prefix tokens): all exact terms present AND every starred
+    * prefix matched via a term-range set. Always a superset of the
+    * anchor's true occurrences.
+    */
+  private def anchorCandidates(arts: TextArtifacts, ts: Seq[String],
+      field: Option[String]): DataFrame = {
+    val exact = ts.filterNot(_.endsWith("*"))
+    val sets =
+      (if (exact.nonEmpty) Seq(termsAllOf(arts, exact, field)) else Seq.empty) ++
+        ts.filter(_.endsWith("*"))
+          .map(p => prefixSet(arts, p.dropRight(1), field))
+    sets.reduce((a, b) => a.join(b, Seq("type", "key"), "left_semi"))
+  }
+
   private[graft] def candidateViaPostings(arts: TextArtifacts, n: Node,
       field: Option[String] = None): DataFrame = n match {
     case Phrase(ts)   => termsAllOf(arts, ts, field)
-    case First(ts)    => termsAllOf(arts, ts, field)
-    case Near(ps, _)  => termsAllOf(arts, ps.flatten, field)
+    case First(ts)    => anchorCandidates(arts, ts, field)
+    case Near(ps, _)  =>
+      ps.map(anchorCandidates(arts, _, field))
+        .reduce((a, b) => a.join(b, Seq("type", "key"), "left_semi"))
     case Not(pos, _)  => candidateViaPostings(arts, pos, field)
     case Field(f, m)  => candidateViaPostings(arts, m, Some(if (f == "title") "title" else "s1"))
     case And(ns) =>
@@ -350,8 +373,9 @@ object SearchEngine {
     case Or(_)       => Seq.empty // a term is only necessary if in EVERY branch; skip
     case Not(pos, _) => requiredTerms(pos)
     case Field(_, m) => requiredTerms(m) // field-restricted ⊆ either-field match
-    case Near(ps, _) => ps.flatten.distinct // every phrase must appear
-    case First(ts)   => ts
+    case Near(ps, _) => // every phrase must appear; starred = not isin-able
+      ps.flatten.filterNot(_.endsWith("*")).distinct
+    case First(ts)   => ts.filterNot(_.endsWith("*"))
   }
 
   /** BM25 per-doc scores for the query's positive terms.

@@ -23,8 +23,8 @@ package graft.text
   * every FTS5-valid query parses identically; fts5parse.y's `exprlist`
   * only juxtaposes phrases): juxtaposition means AND uniformly, so
   * `(a OR b) c` parses here where FTS5 proper wants `(a OR b) AND c`;
-  * prefix tokens inside NEAR groups and `col:^anchor` are not
-  * supported (they fall to the escape fallback).
+  * a trailing `*` AFTER a quoted phrase (`"a b"*`) is not supported
+  * (bare prefix anchors in NEAR / `^` / `col:^` are).
   *
   * A token that is not bare-alphanumeric (e.g. `#dogfest`,
   * `github-to-sqlite`) is a syntax error, matching FTS5; the caller then
@@ -113,8 +113,8 @@ object FtsQuery {
     case Or(ns)        => ns.flatMap(positiveTerms)
     case Not(pos, _)   => positiveTerms(pos)
     case Field(_, m)   => positiveTerms(m)
-    case Near(ps, _)   => ps.flatten
-    case First(ts)     => ts
+    case Near(ps, _)   => ps.flatten.filterNot(_.endsWith("*"))
+    case First(ts)     => ts.filterNot(_.endsWith("*"))
   }
 
   /** Direct evaluation of a match tree against one document's token
@@ -125,11 +125,15 @@ object FtsQuery {
   def matches(n: Node, title: IndexedSeq[String], s1: IndexedSeq[String]): Boolean = {
     def phraseIn(ts: Seq[String], toks: IndexedSeq[String]): Boolean =
       ts.size <= toks.size && toks.sliding(ts.size).exists(_ == ts)
-    // 0-based start positions of a phrase in one field's token array
+    // 0-based start positions of a phrase in one field's token array;
+    // an anchor token with a trailing '*' is a starts-with match
+    // (prefix anchors inside NEAR / ^, see parseAnchor)
+    def tokMatch(t: String, tok: String): Boolean =
+      if (t.endsWith("*")) tok.startsWith(t.dropRight(1)) else tok == t
     def starts(ts: Seq[String], toks: IndexedSeq[String]): Seq[Int] =
       if (ts.size > toks.size) Seq.empty
       else (0 to toks.size - ts.size)
-        .filter(s => ts.indices.forall(j => toks(s + j) == ts(j)))
+        .filter(s => ts.indices.forall(j => tokMatch(ts(j), toks(s + j))))
     // NEAR: ∃ per-phrase instances with max(start) - min(end) ≤ n ⟺
     // ∃ anchor end m (of any instance) s.t. every phrase has an
     // instance with end ≥ m and start ≤ m + n — polynomial, no
@@ -202,11 +206,15 @@ object FtsQuery {
           case _ if bareToken.matches(w)   => out += TTerm(w)
           case _ if prefixToken.matches(w) => out += TPrefix(w.dropRight(1))
           case _ if w.count(_ == ':') == 1 =>
-            // column filter: `col:term`, `col:term*`, or `col:` + "phrase"
-            val Array(name, rest) = w.split(":", 2)
+            // column filter: `col:term`, `col:term*`, `col:^anchor`, or
+            // `col:` + "phrase" / ^"phrase"
+            val Array(name, rest0) = w.split(":", 2)
             if (!indexedFields.contains(name))
               throw new FtsParseError(s"no such column: $name")
             out += TField(name)
+            val rest =
+              if (rest0.startsWith("^")) { out += TCaret; rest0.drop(1) }
+              else rest0
             rest match {
               case "" => // unit follows as the next token (e.g. col:"phrase")
               case r if bareToken.matches(r)   => out += TTerm(r)
@@ -282,7 +290,7 @@ object FtsQuery {
           i += 1
           var ps = Vector.empty[Seq[String]]
           while (!atEnd && (peek match {
-            case TTerm(_) | TPhrase(_) => true; case _ => false
+            case TTerm(_) | TPhrase(_) | TPrefix(_) => true; case _ => false
           })) ps :+= parseAnchor()
           if (ps.isEmpty) throw new FtsParseError("empty NEAR group")
           val dist =
@@ -302,7 +310,11 @@ object FtsQuery {
     }
 
     /** A phrase anchor (the operand of `^` and the members of NEAR):
-      * a bareword or quoted phrase, tokenized.
+      * a bareword, quoted phrase, or bare prefix (`urg*`), tokenized.
+      * A prefix anchor encodes as a single starred token (`"urg*"`) —
+      * the evaluators ([[matches]], SearchEngine, OracleGen) treat a
+      * trailing `*` on an anchor token as a starts-with match. Like
+      * [[Prefix]], prefix anchors fold but are NOT stemmed.
       */
     private def parseAnchor(): Seq[String] = {
       if (atEnd) throw new FtsParseError("unexpected end of query")
@@ -317,6 +329,9 @@ object FtsQuery {
           val ts = Tokenizer.tokenize(s, mode)
           if (ts.isEmpty) throw new FtsParseError(s"empty phrase: $s")
           ts
+        case TPrefix(s) =>
+          Seq(Tokenizer.foldDiacritics(
+            s.toLowerCase(java.util.Locale.ROOT)) + "*")
         case other => throw new FtsParseError(s"expected phrase, got: $other")
       }
     }

@@ -165,6 +165,28 @@ class FtsQuerySpec extends AnyFunSuite {
     assert(parseOrEscape("a^b", M) == Some(Phrase(Seq("a", "b"))))
   }
 
+  test("col:^anchor and prefix anchors in NEAR / ^ (r7 close-out)") {
+    // col:^term — field-restricted first-token anchor
+    assert(parse("title:^view", M) == Field("title", First(Seq("view"))))
+    assert(parse("title:^\"order 10\"", M) ==
+      Field("title", First(Seq("order", "10"))))
+    // prefix anchors: a starred token means starts-with
+    assert(parse("NEAR(urg* customer, 5)", M) ==
+      Near(Seq(Seq("urg*"), Seq("customer")), 5))
+    assert(parse("^ord*", M) == First(Seq("ord*")))
+    // prefix anchors are folded, never stemmed
+    assert(parse("NEAR(runn* x)", Tokenize.Porter) ==
+      Near(Seq(Seq("runn*"), Seq("x")), NearDefault))
+    // matching: starred token is a starts-with match
+    val doc = "f 1 urgent order for building customer".split(" ").toIndexedSeq
+    assert(matches(parse("NEAR(urg* customer, 4)", M), IndexedSeq.empty, doc))
+    assert(!matches(parse("NEAR(urg* customer, 3)", M), IndexedSeq.empty, doc))
+    assert(matches(parse("^f NEAR(ord* building, 2)", M), IndexedSeq.empty, doc))
+    // starred tokens stay out of the BM25 positive-term set
+    assert(positiveTerms(parse("NEAR(urg* customer) ^ord*", M)) ==
+      Seq("customer"))
+  }
+
   test("group/NEAR/^ queries still fall back safely when malformed") {
     assert(parseOrEscape("(((", M).isEmpty)
     assert(parseOrEscape("NEAR(a b", M) ==
