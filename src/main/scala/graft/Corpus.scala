@@ -188,8 +188,13 @@ object Corpus {
         .sortWithinPartitions("term").persist()
     textCache.getOrElseUpdate((sfDir, mode), {
       val toks = TextIndex.docTokens(searchIndex(spark, sfDir), mode).persist()
-      SearchEngine.TextArtifacts(toks, byTerm(TextIndex.postings(toks)),
-        Some(byTerm(TextIndex.positions(toks))))
+      // single-pass build (r7): positions are the one exploded+shuffled
+      // relation; the tf postings roll up from them IN-PARTITION (term
+      // clustering satisfies the grouping — no second explode/exchange)
+      val pos = byTerm(TextIndex.positions(toks))
+      SearchEngine.TextArtifacts(toks,
+        TextIndex.postingsFromPositions(pos)
+          .sortWithinPartitions("term").persist(), Some(pos))
     })
   }
 

@@ -70,6 +70,23 @@ object TextIndex {
       .select("term", "type", "key", "field", "pos")
   }
 
+  /** Tf postings DERIVED from the positional postings — the single-pass
+    * build: positions already enumerate every token occurrence, so the
+    * tf relation is a (term, type, key) rollup of them. When the
+    * positions input is clustered by term (the Corpus persist layout /
+    * the on-disk term-partitioned layout), the rollup needs NO new
+    * exchange — HashPartitioning(term) satisfies the grouping's
+    * clustered distribution — so building both artifacts costs ONE
+    * tokenize + explode + term shuffle instead of two (r7: halves
+    * text_index_build). Output schema identical to [[postings]].
+    */
+  def postingsFromPositions(positions: DataFrame): DataFrame =
+    positions
+      .groupBy(col("term"), col("type"), col("key"))
+      .agg(
+        sum(when(col("field") === 0, 1.0).otherwise(0.0)).as("tf_title"),
+        sum(when(col("field") === 1, 1.0).otherwise(0.0)).as("tf_s1"))
+
   /** Per-term document frequency (docs containing the term in either
     * indexed field).
     */

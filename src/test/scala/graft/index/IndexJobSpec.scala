@@ -78,4 +78,33 @@ class IndexJobSpec extends AnyFunSuite {
       RefFixtures.dogsRules.head.sql)
     assert(cols == Seq("key", "title", "timestamp", "category", "search_1"))
   }
+
+  test("postings derived from positions equal the direct build; no second exchange") {
+    import graft.text.Tokenize
+    import org.apache.spark.sql.functions.col
+    val toks = TextIndex.docTokens(dogsIndex, Tokenize.Porter)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "type", "key", "tf_title", "tf_s1")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getDouble(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val direct = rows(TextIndex.postings(toks))
+    val posByTerm = TextIndex.positions(toks).repartition(col("term"))
+    val derived = TextIndex.postingsFromPositions(posByTerm)
+    assert(rows(derived) == direct)
+    assert(direct.nonEmpty)
+    // the rollup rides the positions' term clustering: between the
+    // aggregate (plan top) and the term repartition there must be NO
+    // other exchange — the plan prints top-down, so the string above
+    // REPARTITION_BY_COL holds everything between them
+    val plan = derived.queryExecution.executedPlan.toString
+    val aboveRepartition = plan.substring(0,
+      plan.indexOf("REPARTITION_BY_COL").max(0))
+    val exchanges =
+      "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+        .findAllIn(aboveRepartition).length
+    assert(plan.contains("REPARTITION_BY_COL") && exchanges == 1,
+      s"derived postings grew an exchange above the term repartition:\n$plan")
+  }
 }
