@@ -182,6 +182,18 @@ private[graft] object ExtShared {
       |  FROM embeddings WHERE vec_id = 0
       |)""".stripMargin
 
+  /** Scalar-subquery mirror of Corpus.ivfSampleEveryFor — the oracle
+    * computes max(IvfSampleEvery, ⌊√N⌋) from the embeddings table
+    * itself instead of interpolating the gate-scale constant, so the
+    * IVF-family oracles stay exact at ANY scale (the r6 ADVICE
+    * hardcoded-constant item, generalized: at sf1 the adaptive stride
+    * is 223, not 40, and a constant oracle would silently diverge).
+    * floor() matches Scala's `.toInt` truncation for positive sqrt.
+    */
+  private[graft] val ivfStrideSql =
+    s"(SELECT greatest(${Corpus.IvfSampleEvery}, " +
+      "CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+
   /** Shared LSH oracle CTEs — INTEGER FIXED-POINT (r4 verdict #1):
     * embeddings quantized ONCE to BIGINT micro-units
     * (floor(v·1e6 + 0.5) — floor is a single exact IEEE op; round()'s
@@ -251,7 +263,7 @@ private[graft] object ExtShared {
     * unrolled as CTE chains (c0 → a1 → c1 → a2 → c2 → final assign +
     * probe + exact cosine).
     */
-  private[graft] def kmeansIvfOracle(sampleEvery: Int, iters: Int, nprobe: Int,
+  private[graft] def kmeansIvfOracle(sampleEverySql: String, iters: Int, nprobe: Int,
       k: Int): String = {
     def simCte(n: Int, prev: String): String =
       s"""nc_$n AS (SELECT cell_id, sum(cv * cv) AS nc FROM $prev GROUP BY cell_id),
@@ -290,7 +302,7 @@ private[graft] object ExtShared {
        |exd AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM ex),
        |nv AS (SELECT vec_id, sum(v * v) AS nv FROM exd GROUP BY vec_id),
        |c_0 AS (SELECT vec_id AS cell_id, v AS cv, i FROM exd
-       |        WHERE vec_id % $sampleEvery = 0),
+       |        WHERE vec_id % $sampleEverySql = 0),
        |$rounds,
        |${simCte(fin, s"c_$iters")},
        |qsim AS (SELECT cell_id, sim FROM sim_$fin WHERE vec_id = 0),

@@ -84,7 +84,7 @@ private[graft] object ExtSimQueries {
            |cx AS (
            |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
            |         unnest(range(len(embedding))) AS i
-           |  FROM embeddings WHERE vec_id % ${Corpus.IvfSampleEvery} = 0
+           |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
            |),
            |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
            |          FROM ex GROUP BY vec_id),
@@ -199,7 +199,7 @@ private[graft] object ExtSimQueries {
            |cx AS (
            |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
            |         unnest(range(len(embedding))) AS i
-           |  FROM embeddings WHERE vec_id % ${Corpus.IvfSampleEvery} = 0
+           |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
            |),
            |norms AS (
            |  SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
@@ -268,7 +268,7 @@ private[graft] object ExtSimQueries {
            |cx AS (
            |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
            |         unnest(range(len(embedding))) AS i
-           |  FROM embeddings WHERE vec_id % ${Corpus.IvfSampleEvery} = 0
+           |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
            |),
            |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
            |          FROM ex GROUP BY vec_id),
@@ -355,7 +355,7 @@ private[graft] object ExtSimQueries {
            |cx AS (
            |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
            |         unnest(range(len(embedding))) AS i
-           |  FROM embeddings WHERE vec_id % ${Corpus.IvfSampleEvery} = 0
+           |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
            |),
            |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
            |          FROM ex GROUP BY vec_id),
@@ -440,7 +440,7 @@ private[graft] object ExtSimQueries {
         val q = Similarity.vectorOf(spark.table("embeddings"), "vec_id", 0L)
         Similarity.kmeansIvfSearchIndexed(idx, q, nprobe = 3, k = 10)
       },
-      Some(kmeansIvfOracle(sampleEvery = Corpus.IvfSampleEvery,
+      Some(kmeansIvfOracle(sampleEverySql = ivfStrideSql,
         iters = Corpus.KmeansIters, nprobe = 3, k = 10))),
 
     // Hyperplane-LSH ANN over the PREBUILT signature index (build/search
