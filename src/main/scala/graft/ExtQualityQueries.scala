@@ -106,23 +106,25 @@ private[graft] object ExtQualityQueries {
           |FROM p
           |ORDER BY doc_id""".stripMargin)),
 
-    // N-gram repetition stats — the relational Gopher half: top-bigram
-    // coverage + repeated-trigram coverage, keyed on (doc, gram).
+    // N-gram repetition stats (Gopher top-bigram coverage + repeated-
+    // trigram coverage). DEFAULT = the compiled in-row kernel
+    // (ngram_rep_e): zero Exchange, ~10× the relational form at sf1 —
+    // promoted r7 after two rounds of side-by-side measurement.
     QueryDef("x_quality_ngram_rep",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        Quality.ngramRepetition(spark.table("documents"), "text")
+        Quality.ngramRepetitionNative(spark.table("documents"), "text")
           .orderBy("doc_id")
       },
-      Some(
-        NgramRepOracle)),
+      Some(NgramRepOracle)),
 
-    // Same stats via the compiled in-row kernel (ngram_rep_e): zero
-    // Exchange — the (doc, gram) shuffles above disappear. Same oracle.
-    QueryDef("x_quality_ngram_rep_native",
+    // The keyed-agg relational reference formulation, kept as the
+    // deliberate kernel-vs-relational contrast pair (PLANS r5 §17):
+    // same oracle, (doc, gram) shuffle tree instead of one map.
+    QueryDef("x_quality_ngram_rep_relational",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        Quality.ngramRepetitionNative(spark.table("documents"), "text")
+        Quality.ngramRepetition(spark.table("documents"), "text")
           .orderBy("doc_id")
       },
       Some(NgramRepOracle)),

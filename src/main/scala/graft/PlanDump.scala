@@ -134,7 +134,7 @@ object PlanDump {
 
     // 16. ngram repetition: (doc, gram)-keyed aggregation tree — the
     //     only exchanges are hash-partitioned on doc/gram keys
-    dump("x_quality_ngram_rep (keyed agg tree)")(
+    dump("x_quality_ngram_rep_relational (keyed agg tree)")(
       graft.ext.Quality.ngramRepetition(docs, "text"))
 
     // 17. url hosts: host-keyed agg + TakeOrderedAndProject top-k (no
@@ -161,7 +161,7 @@ object PlanDump {
 
     // 17. compiled n-gram repetition kernel vs the keyed agg tree:
     //     zero Exchange, one Project
-    dump("x_quality_ngram_rep_native (compiled kernel)")(
+    dump("x_quality_ngram_rep (compiled kernel, the declared default)")(
       graft.ext.Quality.ngramRepetitionNative(docs, "text"))
 
     // 18. as-of join: ONE user_id Exchange + sort, no join operator in
