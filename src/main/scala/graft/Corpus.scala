@@ -173,29 +173,63 @@ object Corpus {
       IndexJob.buildIndex(spark, rules).persist()
     })
 
+  // postings/positions are CLUSTERED BY TERM before persist: cached
+  // batches then carry tight min/max term stats, so every per-term
+  // probe (match, BM25, phrase adjacency legs) prunes batches instead
+  // of scanning the whole cached relation — the in-memory analogue of
+  // the on-disk term-partitioned layout (TextIndex.writeTermPartitioned)
+  private def byTerm(df: DataFrame): DataFrame =
+    df.repartition(org.apache.spark.sql.functions.col("term"))
+      .sortWithinPartitions("term").persist()
+
   /** Memoized text-index artifacts (docTokens + postings) per
     * (scale factor, tokenizer mode).
     */
   def textArtifacts(spark: SparkSession, sfDir: String,
-      mode: Tokenize.Value): SearchEngine.TextArtifacts = {
-    // postings/positions are CLUSTERED BY TERM before persist: cached
-    // batches then carry tight min/max term stats, so every per-term
-    // probe (match, BM25, phrase adjacency legs) prunes batches instead
-    // of scanning the whole cached relation — the in-memory analogue of
-    // the on-disk term-partitioned layout (TextIndex.writeTermPartitioned)
-    def byTerm(df: org.apache.spark.sql.DataFrame) =
-      df.repartition(org.apache.spark.sql.functions.col("term"))
-        .sortWithinPartitions("term").persist()
+      mode: Tokenize.Value): SearchEngine.TextArtifacts =
     textCache.getOrElseUpdate((sfDir, mode), {
-      val toks = TextIndex.docTokens(searchIndex(spark, sfDir), mode).persist()
-      // single-pass build (r7): positions are the one exploded+shuffled
-      // relation; the tf postings roll up from them IN-PARTITION (term
-      // clustering satisfies the grouping — no second explode/exchange)
-      val pos = byTerm(TextIndex.positions(toks))
+      if (mode == Tokenize.Porter) porterArtifacts(spark, sfDir)
+      else buildArtifacts(spark, sfDir, mode)
+    })
+
+  private def buildArtifacts(spark: SparkSession, sfDir: String,
+      mode: Tokenize.Value): SearchEngine.TextArtifacts = {
+    val toks = TextIndex.docTokens(searchIndex(spark, sfDir), mode).persist()
+    // single-pass build (r7): positions are the one exploded+shuffled
+    // relation; the tf postings roll up from them IN-PARTITION (term
+    // clustering satisfies the grouping — no second explode/exchange)
+    val pos = byTerm(TextIndex.positions(toks))
+    SearchEngine.TextArtifacts(toks,
+      TextIndex.postingsFromPositions(pos)
+        .sortWithinPartitions("term").persist(), Some(pos))
+  }
+
+  /** Porter artifacts DERIVED from the default-tokenizer artifacts when
+    * the corpus is pure ASCII (one 1-row rlike aggregate decides — no
+    * shuffle): on ASCII text the ASCII and unicode61 splits produce the
+    * identical token stream and diacritic folding is the identity, so
+    * porter tokens are exactly `porter_stem(token)` per position. The
+    * derivation re-uses the already-built token arrays and positional
+    * postings — stem map + one term re-cluster — instead of re-scanning
+    * and re-tokenizing the corpus (the expensive half of
+    * text_index_build: source scan + two regex splits + posexplode).
+    * Any non-ASCII text falls back to the direct unicode61+stem build;
+    * semantics are unchanged either way (asserted by TextIndexSpec).
+    * At warehouse scale the ASCII flag would persist as corpus metadata
+    * next to the index artifacts rather than be re-probed per build.
+    */
+  private def porterArtifacts(spark: SparkSession,
+      sfDir: String): SearchEngine.TextArtifacts = {
+    if (TextIndex.hasNonAscii(searchIndex(spark, sfDir)))
+      buildArtifacts(spark, sfDir, Tokenize.Porter)
+    else {
+      val base = textArtifacts(spark, sfDir, Tokenize.None_)
+      val toks = TextIndex.stemTokens(base.docTokens).persist()
+      val pos = byTerm(TextIndex.stemPositions(base.positions.get))
       SearchEngine.TextArtifacts(toks,
         TextIndex.postingsFromPositions(pos)
           .sortWithinPartitions("term").persist(), Some(pos))
-    })
+    }
   }
 
   // ---- IVF index artifacts ------------------------------------------

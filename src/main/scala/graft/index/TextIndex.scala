@@ -87,6 +87,47 @@ object TextIndex {
         sum(when(col("field") === 0, 1.0).otherwise(0.0)).as("tf_title"),
         sum(when(col("field") === 1, 1.0).otherwise(0.0)).as("tf_s1"))
 
+  /** True if any indexed field contains a non-ASCII codepoint — the
+    * gate for [[stemTokens]]/[[stemPositions]]: one scan, partial-max
+    * combine, no shuffle (a 1-row aggregate; at warehouse scale this
+    * flag persists as corpus metadata next to the index artifacts).
+    */
+  def hasNonAscii(index: DataFrame): Boolean = {
+    val r = index.agg(
+      max(coalesce(col("title"), lit("")).rlike("[^\\x00-\\x7F]") ||
+        coalesce(col("search_1"), lit("")).rlike("[^\\x00-\\x7F]"))).head()
+    !r.isNullAt(0) && r.getBoolean(0)
+  }
+
+  private def stem(spark: SparkSession)(c: org.apache.spark.sql.Column) = {
+    graft.GraftExtensions.register(spark)
+    call_function("porter_stem", c)
+  }
+
+  /** Porter docTokens DERIVED from the default-tokenizer docTokens —
+    * valid ONLY when [[hasNonAscii]] is false: on pure-ASCII text the
+    * ASCII and unicode61 splits emit the identical token stream and
+    * diacritic folding is the identity, so the porter arrays are
+    * exactly `porter_stem(token)` element-wise (doc lengths unchanged —
+    * stemming never drops a token). Skips the expensive half of a
+    * second index build: the source re-scan and regex re-split.
+    */
+  def stemTokens(docTokens: DataFrame): DataFrame = {
+    val s = stem(docTokens.sparkSession) _
+    docTokens
+      .withColumn("tokens_title", transform(col("tokens_title"), s(_)))
+      .withColumn("tokens_s1", transform(col("tokens_s1"), s(_)))
+  }
+
+  /** Positional postings stem-mapped term-by-term (same ASCII-only
+    * contract as [[stemTokens]]); positions are per-occurrence and
+    * stemming is 1:1, so only the term column changes. The output needs
+    * re-clustering by (stemmed) term before probing.
+    */
+  def stemPositions(positions: DataFrame): DataFrame =
+    positions.withColumn("term",
+      stem(positions.sparkSession)(col("term")))
+
   /** Per-term document frequency (docs containing the term in either
     * indexed field).
     */
