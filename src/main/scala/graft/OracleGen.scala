@@ -28,6 +28,10 @@ object OracleGen {
     case Prefix(p) =>
       fields.map(f => s"len(list_filter($f, t -> t LIKE '$p%')) > 0")
         .mkString("(", " OR ", ")")
+    case Phrase(ts) if ts.exists(_.endsWith("*")) =>
+      // phrase-prefix ("a b"*): positional starts with a LIKE last leg
+      fields.map(f => s"len(${startsSql(f, ts)}) > 0")
+        .mkString("(", " OR ", ")")
     case Phrase(ts) =>
       val needle = " " + ts.mkString(" ") + " "
       fields.map(c => s"strpos(' ' || array_to_string($c, ' ') || ' ', '$needle') > 0")
@@ -62,17 +66,19 @@ object OracleGen {
   }
 
   /** NEAR over one field: ∃ anchor end m (of any phrase instance) such
-    * that every phrase has an instance with end ≥ m and start ≤ m + n —
-    * the polynomial reformulation of "∃ per-phrase instances with
-    * max(start) − min(end) ≤ n" (take m = the minimum chosen end);
-    * mirrors FtsQuery.matches and SearchEngine.matchCondition exactly.
+    * that every phrase has an instance with end ≥ m and start ≤
+    * m + n + 1 — the polynomial reformulation of FTS5's "≤ n tokens
+    * between", i.e. "∃ per-phrase instances with max(start) − min(end)
+    * ≤ n + 1" (take m = the minimum chosen end; boundary pinned
+    * against SQLite FTS5); mirrors FtsQuery.matches and
+    * SearchEngine.matchCondition exactly.
     */
   private def nearSql(f: String, ps: Seq[Seq[String]], n: Int): String = {
     val ends = ps
       .map(ts => s"list_transform(${startsSql(f, ts)}, s -> s + ${ts.size - 1})")
       .reduce((a, b) => s"list_concat($a, $b)")
     val condAll = ps.map(ts =>
-      s"len(list_filter(${startsSql(f, ts)}, a -> a + ${ts.size - 1} >= m AND a <= m + $n)) > 0")
+      s"len(list_filter(${startsSql(f, ts)}, a -> a + ${ts.size - 1} >= m AND a <= m + ${n + 1})) > 0")
       .mkString(" AND ")
     s"len(list_filter($ends, m -> $condAll)) > 0"
   }

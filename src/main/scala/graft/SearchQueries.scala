@@ -127,6 +127,23 @@ object SearchQueries {
       matchSet("NEAR(urg* customer, 4) title:^order"),
       Some(OracleGen.matchSetSql(node("NEAR(urg* customer, 4) title:^order")))),
 
+    // P4: phrase-prefix `"a b"*` (fts5 §3) — the LAST token is a
+    // starts-with leg of the positional adjacency join; interior
+    // tokens are exact. `buil*` alone would also hit BUILDING rows
+    // mid-field; the phrase pins the contiguous "order for buil…"
+    // context.
+    QueryDef("p4_fts_phrase_prefix",
+      matchSet("\"order for buil\"* NOT automobile"),
+      Some(OracleGen.matchSetSql(node("\"order for buil\"* NOT automobile")))),
+
+    // P4: colsets — negated (`-title:` = every indexed field EXCEPT
+    // title) and braced-with-whitespace (`{search_1} : x`), both
+    // FTS5-pinned; the colset binds only the NEXT unit, so this is
+    // AND(search_1:customer, search_1:urgent).
+    QueryDef("p4_fts_colset",
+      matchSet("-title: customer {search_1} : urgent"),
+      Some(OracleGen.matchSetSql(node("-title: customer {search_1} : urgent")))),
+
     // P4 as a SQL expression: fts_match(title, search_1, q) — the
     // reference's MATCH predicate usable in arbitrary SQL (brute-force
     // scan form; GraftExtensions registers it). Same semantics as the

@@ -63,8 +63,15 @@ object RewriteFtsMatch extends Rule[LogicalPlan] {
   }
 
   private def termPat(t: String): String = s"(^|[^a-z0-9])$t([^a-z0-9]|$$)"
-  private def phrasePat(ts: Seq[String]): String =
-    s"(^|[^a-z0-9])${ts.mkString("[^a-z0-9]+")}([^a-z0-9]|$$)"
+  private def phrasePat(ts: Seq[String]): String = {
+    // a starred token (phrase-prefix last leg) matches any completion
+    // of the prefix; a starred LAST token also drops the right anchor
+    val body = ts.map(t =>
+      if (t.endsWith("*")) t.dropRight(1) + "[a-z0-9]*" else t)
+      .mkString("[^a-z0-9]+")
+    if (ts.last.endsWith("*")) s"(^|[^a-z0-9])$body"
+    else s"(^|[^a-z0-9])$body([^a-z0-9]|$$)"
+  }
   private def prefixPat(p: String): String = s"(^|[^a-z0-9])$p"
 
   /** RLIKE over the lowered column, null-safe (null text = no match). */

@@ -58,6 +58,10 @@ object SearchEngine {
       fields: Seq[String] = Seq("tokens_title", "tokens_s1")): Column = n match {
     case Term(t)   => fields.map(f => array_contains(col(f), t)).reduce(_ || _)
     case Prefix(p) => fields.map(f => exists(col(f), t => t.startsWith(p))).reduce(_ || _)
+    case Phrase(ts) if ts.exists(_.endsWith("*")) =>
+      // phrase-prefix ("a b"*): positional scan with a starts-with
+      // last leg — the instr fast path below can't express it
+      fields.map(f => size(phraseStartsCol(f, ts)) > 0).reduce(_ || _)
     case Phrase(ts) =>
       val needle = lit(" " + ts.mkString(" ") + " ")
       def inField(f: String) = instr(
@@ -92,10 +96,11 @@ object SearchEngine {
   }
 
   /** NEAR over one field: ∃ anchor end m (of any phrase instance) with
-    * every phrase having an instance of end ≥ m and start ≤ m + n — the
-    * polynomial form of "∃ instances with max(start) − min(end) ≤ n"
-    * (take m = the minimum chosen end). Same shape as OracleGen.nearSql
-    * and FtsQuery.matches.
+    * every phrase having an instance of end ≥ m and start ≤ m + n + 1 —
+    * the polynomial form of FTS5's "≤ n tokens between", i.e.
+    * "∃ instances with max(start) − min(end) ≤ n + 1" (take m = the
+    * minimum chosen end; boundary pinned against SQLite FTS5). Same
+    * shape as OracleGen.nearSql and FtsQuery.matches.
     */
   private def nearCondition(f: String, ps: Seq[Seq[String]], n: Int): Column = {
     val ends = ps
@@ -103,7 +108,7 @@ object SearchEngine {
       .reduce(concat(_, _))
     exists(ends, m => ps.map(ts =>
       exists(phraseStartsCol(f, ts), a =>
-        a + lit(ts.size - 1) >= m && a <= m + lit(n))
+        a + lit(ts.size - 1) >= m && a <= m + lit(n + 1))
     ).reduce(_ && _))
   }
 
@@ -181,9 +186,9 @@ object SearchEngine {
 
   /** A Term, or a Phrase that degenerates to one (single token). */
   private def asTerm(n: Node): Option[String] = n match {
-    case Term(t)                       => Some(t)
-    case Phrase(ts) if ts.size == 1    => Some(ts.head)
-    case _                             => None
+    case Term(t)                                                => Some(t)
+    case Phrase(ts) if ts.size == 1 && !ts.head.endsWith("*")   => Some(ts.head)
+    case _                                                      => None
   }
 
   /** Fully-indexed PHRASE match over positional postings: an adjacency
@@ -245,7 +250,7 @@ object SearchEngine {
     val ends = ps.indices.map(i => col(s"__e$i"))
     val cond =
       if (ps.size == 1) lit(true) // one phrase: NEAR degenerates to presence
-      else greatest(starts: _*) - least(ends: _*) <= n
+      else greatest(starts: _*) - least(ends: _*) <= n + 1
     joined.filter(cond).select("type", "key").distinct()
   }
 
@@ -320,7 +325,7 @@ object SearchEngine {
 
   private[graft] def candidateViaPostings(arts: TextArtifacts, n: Node,
       field: Option[String] = None): DataFrame = n match {
-    case Phrase(ts)   => termsAllOf(arts, ts, field)
+    case Phrase(ts)   => anchorCandidates(arts, ts, field)
     case First(ts)    => anchorCandidates(arts, ts, field)
     case Near(ps, _)  =>
       ps.map(anchorCandidates(arts, _, field))
@@ -367,7 +372,7 @@ object SearchEngine {
     */
   def requiredTerms(n: Node): Seq[String] = n match {
     case Term(t)     => Seq(t)
-    case Phrase(ts)  => ts
+    case Phrase(ts)  => ts.filterNot(_.endsWith("*")) // phrase-prefix last leg
     case Prefix(_)   => Seq.empty
     case And(ns)     => ns.flatMap(requiredTerms).distinct
     case Or(_)       => Seq.empty // a term is only necessary if in EVERY branch; skip

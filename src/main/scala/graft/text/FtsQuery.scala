@@ -8,23 +8,28 @@ package graft.text
   * `github-to-sqlite`).
   *
   * Grammar (FTS5 precedence: NOT binds tighter than AND, AND tighter
-  * than OR):
+  * than OR; colset semantics pinned against SQLite FTS5 directly —
+  * a colset binds the NEXT unit only, whitespace around ':' is legal,
+  * `-colset` matches every indexed column EXCEPT the named ones):
   * {{{
   *   query   := orExpr
   *   orExpr  := andExpr (OR andExpr)*
   *   andExpr := notExpr ((AND)? notExpr)*     -- juxtaposition = AND
   *   notExpr := unit (NOT unit)*
-  *   unit    := "phrase words" | term | term* | ^anchor
+  *   unit    := "phrase words" | "phrase words"* | term | term* | ^anchor
   *            | '(' orExpr ')' | NEAR '(' anchor+ (',' N)? ')'
-  *   anchor  := "phrase words" | term
+  *            | colset ':' unit | '-' colset ':' unit
+  *   colset  := col | '{' col+ '}'
+  *   anchor  := "phrase words" | "phrase words"* | term | term*
   * }}}
   *
   * Documented divergences from SQLite FTS5 (all strict supersets —
   * every FTS5-valid query parses identically; fts5parse.y's `exprlist`
   * only juxtaposes phrases): juxtaposition means AND uniformly, so
   * `(a OR b) c` parses here where FTS5 proper wants `(a OR b) AND c`;
-  * a trailing `*` AFTER a quoted phrase (`"a b"*`) is not supported
-  * (bare prefix anchors in NEAR / `^` / `col:^` are).
+  * prefix tokens (bare `x*`, phrase-prefix last tokens, prefix
+  * anchors) are folded but never stemmed, where FTS5's porter stems
+  * them.
   *
   * A token that is not bare-alphanumeric (e.g. `#dogfest`,
   * `github-to-sqlite`) is a syntax error, matching FTS5; the caller then
@@ -50,8 +55,9 @@ object FtsQuery {
     */
   final case class Field(field: String, n: Node) extends Node
   /** FTS5 `NEAR(p1 p2 ..., N)`: all phrases occur in ONE field with
-    * instances such that max(start) - min(end) <= N (fts5 docs §3;
-    * default N = 10). Each element is a phrase's token list.
+    * instances spanning no more than N intervening tokens —
+    * max(start) - min(end) <= N + 1, pinned against SQLite FTS5
+    * (default N = 10). Each element is a phrase's token list.
     */
   final case class Near(ps: Seq[Seq[String]], n: Int) extends Node
   /** FTS5 `^phrase`: the phrase must start at the field's first token. */
@@ -108,7 +114,7 @@ object FtsQuery {
   def positiveTerms(n: Node): Seq[String] = n match {
     case Term(t)       => Seq(t)
     case Prefix(_)     => Seq.empty // scored via matched postings, not exact terms
-    case Phrase(ts)    => ts
+    case Phrase(ts)    => ts.filterNot(_.endsWith("*")) // phrase-prefix last token
     case And(ns)       => ns.flatMap(positiveTerms)
     case Or(ns)        => ns.flatMap(positiveTerms)
     case Not(pos, _)   => positiveTerms(pos)
@@ -123,30 +129,31 @@ object FtsQuery {
     * the indexed path lives in SearchEngine.matchSet).
     */
   def matches(n: Node, title: IndexedSeq[String], s1: IndexedSeq[String]): Boolean = {
-    def phraseIn(ts: Seq[String], toks: IndexedSeq[String]): Boolean =
-      ts.size <= toks.size && toks.sliding(ts.size).exists(_ == ts)
     // 0-based start positions of a phrase in one field's token array;
     // an anchor token with a trailing '*' is a starts-with match
-    // (prefix anchors inside NEAR / ^, see parseAnchor)
+    // (prefix anchors inside NEAR / ^ and phrase-prefix last tokens)
     def tokMatch(t: String, tok: String): Boolean =
       if (t.endsWith("*")) tok.startsWith(t.dropRight(1)) else tok == t
     def starts(ts: Seq[String], toks: IndexedSeq[String]): Seq[Int] =
       if (ts.size > toks.size) Seq.empty
       else (0 to toks.size - ts.size)
         .filter(s => ts.indices.forall(j => tokMatch(ts(j), toks(s + j))))
-    // NEAR: ∃ per-phrase instances with max(start) - min(end) ≤ n ⟺
-    // ∃ anchor end m (of any instance) s.t. every phrase has an
-    // instance with end ≥ m and start ≤ m + n — polynomial, no
-    // cross-product of instance choices (proof: take m = min chosen end)
+    // NEAR(ps, n): FTS5's rule is "no more than n tokens between"
+    // — ∃ per-phrase instances with max(start) - min(end) ≤ n + 1
+    // (pinned against SQLite FTS5 directly: adjacent phrases match at
+    // n = 0; a@0 b@2 c@4 matches at n = 3) ⟺ ∃ anchor end m (of any
+    // instance) s.t. every phrase has an instance with end ≥ m and
+    // start ≤ m + n + 1 — polynomial, no cross-product of instance
+    // choices (proof: take m = min chosen end)
     def nearIn(ps: Seq[Seq[String]], n: Int, toks: IndexedSeq[String]): Boolean = {
       val occ = ps.map(ts => starts(ts, toks).map(s => (s, s + ts.size - 1)))
       occ.forall(_.nonEmpty) && occ.flatten.map(_._2).exists(m =>
-        occ.forall(_.exists { case (s, e) => e >= m && s <= m + n }))
+        occ.forall(_.exists { case (s, e) => e >= m && s <= m + n + 1 }))
     }
     def ev(n: Node, fields: Seq[IndexedSeq[String]]): Boolean = n match {
       case Term(t)      => fields.exists(_.contains(t))
       case Prefix(p)    => fields.exists(_.exists(_.startsWith(p)))
-      case Phrase(ts)   => fields.exists(phraseIn(ts, _))
+      case Phrase(ts)   => fields.exists(starts(ts, _).nonEmpty)
       case And(ns)      => ns.forall(ev(_, fields))
       case Or(ns)       => ns.exists(ev(_, fields))
       case Not(pos, ng) => ev(pos, fields) && !ev(ng, fields)
@@ -167,17 +174,32 @@ object FtsQuery {
   private case object TRParen extends Tok
   private case object TComma extends Tok
   private case object TCaret extends Tok
+  private case object TColon extends Tok
+  private case object TMinus extends Tok
   private case object TNear extends Tok
   private final case class TTerm(s: String) extends Tok
   private final case class TPrefix(s: String) extends Tok
   private final case class TPhrase(s: String) extends Tok
-  private final case class TField(name: String) extends Tok
+  /** `"phrase"*` — quoted phrase with a trailing star (fts5 §3: the
+    * LAST token becomes a prefix match).
+    */
+  private final case class TPhrasePrefix(s: String) extends Tok
+  /** `{col1 col2}` — a brace colset (names validated at lex time, like
+    * FTS5's "no such column" error at parse time).
+    */
+  private final case class TColset(names: Seq[String]) extends Tok
 
   // structural delimiter chars end a bareword; '^' deliberately does
   // NOT (a mid-word caret like `a^b` is an FTS5 syntax error → escape
-  // fallback, while a word-initial caret lexes as TCaret below)
+  // fallback, while a word-initial caret lexes as TCaret below).
+  // ':' / '-' / '{' / '}' ARE structural (FTS5 tokenizes them
+  // standalone: `title : x`, `-title: x`, `{a b}: x` all parse), so a
+  // word never contains them; `github-to-sqlite` still dies in the
+  // PARSER (TMinus where a unit is expected) → escape fallback,
+  // preserving the reference's behavior for that exact input.
   private def isDelim(c: Char): Boolean =
-    c.isWhitespace || c == '"' || c == '(' || c == ')' || c == ','
+    c.isWhitespace || c == '"' || c == '(' || c == ')' || c == ',' ||
+      c == ':' || c == '-' || c == '{' || c == '}'
 
   private def lex(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -189,11 +211,30 @@ object FtsQuery {
       else if (c == ')') { out += TRParen; i += 1 }
       else if (c == ',') { out += TComma; i += 1 }
       else if (c == '^') { out += TCaret; i += 1 }
+      else if (c == ':') { out += TColon; i += 1 }
+      else if (c == '-') { out += TMinus; i += 1 }
+      else if (c == '}') throw new FtsParseError("unmatched }")
+      else if (c == '{') {
+        val end = q.indexOf('}', i + 1)
+        if (end < 0) throw new FtsParseError("unterminated colset")
+        val names = q.substring(i + 1, end).trim.split("\\s+").toSeq
+          .filter(_.nonEmpty)
+        if (names.isEmpty) throw new FtsParseError("empty colset")
+        names.find(!indexedFields.contains(_)).foreach(n =>
+          throw new FtsParseError(s"no such column: $n"))
+        out += TColset(names)
+        i = end + 1
+      }
       else if (c == '"') {
         val end = q.indexOf('"', i + 1)
         if (end < 0) throw new FtsParseError("unterminated phrase")
-        out += TPhrase(q.substring(i + 1, end))
-        i = end + 1
+        if (end + 1 < q.length && q.charAt(end + 1) == '*') {
+          out += TPhrasePrefix(q.substring(i + 1, end))
+          i = end + 2
+        } else {
+          out += TPhrase(q.substring(i + 1, end))
+          i = end + 1
+        }
       } else {
         var j = i
         while (j < q.length && !isDelim(q.charAt(j))) j += 1
@@ -205,22 +246,6 @@ object FtsQuery {
           case "NEAR" if j < q.length && q.charAt(j) == '(' => out += TNear
           case _ if bareToken.matches(w)   => out += TTerm(w)
           case _ if prefixToken.matches(w) => out += TPrefix(w.dropRight(1))
-          case _ if w.count(_ == ':') == 1 =>
-            // column filter: `col:term`, `col:term*`, `col:^anchor`, or
-            // `col:` + "phrase" / ^"phrase"
-            val Array(name, rest0) = w.split(":", 2)
-            if (!indexedFields.contains(name))
-              throw new FtsParseError(s"no such column: $name")
-            out += TField(name)
-            val rest =
-              if (rest0.startsWith("^")) { out += TCaret; rest0.drop(1) }
-              else rest0
-            rest match {
-              case "" => // unit follows as the next token (e.g. col:"phrase")
-              case r if bareToken.matches(r)   => out += TTerm(r)
-              case r if prefixToken.matches(r) => out += TPrefix(r.dropRight(1))
-              case r => throw new FtsParseError(s"invalid token: $r")
-            }
           case _ => throw new FtsParseError(s"invalid token: $w")
         }
         i = j
@@ -247,8 +272,9 @@ object FtsQuery {
       var continue = true
       while (continue && !atEnd) peek match {
         case TAnd => i += 1; parts :+= parseNot()
-        case TTerm(_) | TPrefix(_) | TPhrase(_) | TField(_) | TLParen |
-             TCaret | TNear => parts :+= parseNot()
+        case TTerm(_) | TPrefix(_) | TPhrase(_) | TPhrasePrefix(_) |
+             TColset(_) | TMinus | TLParen | TCaret | TNear =>
+          parts :+= parseNot()
         case _ => continue = false
       }
       if (parts.size == 1) parts.head else And(parts)
@@ -265,6 +291,11 @@ object FtsQuery {
       val t = peek
       i += 1
       t match {
+        case TTerm(s) if !atEnd && peek == TColon =>
+          // bareword colset: `title: x` / `title : x` — the name must
+          // be an indexed column (FTS5: "no such column" otherwise)
+          i += 1
+          colsetNode(Seq(s), neg = false)
         case TTerm(s) =>
           val ts = Tokenizer.tokenize(s, mode)
           if (ts.isEmpty) throw new FtsParseError(s"empty term: $s")
@@ -278,7 +309,25 @@ object FtsQuery {
           val ts = Tokenizer.tokenize(s, mode)
           if (ts.isEmpty) throw new FtsParseError(s"empty phrase: $s")
           Phrase(ts)
-        case TField(name) => Field(name, parseUnit())
+        case TPhrasePrefix(s) => phrasePrefixNode(s)
+        case TColset(names) =>
+          if (atEnd || peek != TColon)
+            throw new FtsParseError("expected : after colset")
+          i += 1
+          colsetNode(names, neg = false)
+        case TMinus =>
+          // negated colset `-col: x` / `-{a b}: x` (fts5 §3: match in
+          // every indexed column EXCEPT the named ones)
+          if (atEnd) throw new FtsParseError("unexpected end after -")
+          val names = peek match {
+            case TTerm(s)       => i += 1; Seq(s)
+            case TColset(ns)    => i += 1; ns
+            case other => throw new FtsParseError(s"expected colset after -: $other")
+          }
+          if (atEnd || peek != TColon)
+            throw new FtsParseError("expected : after negated colset")
+          i += 1
+          colsetNode(names, neg = true)
         case TLParen =>
           val n = parseOr()
           if (atEnd || peek != TRParen) throw new FtsParseError("expected )")
@@ -290,7 +339,8 @@ object FtsQuery {
           i += 1
           var ps = Vector.empty[Seq[String]]
           while (!atEnd && (peek match {
-            case TTerm(_) | TPhrase(_) | TPrefix(_) => true; case _ => false
+            case TTerm(_) | TPhrase(_) | TPrefix(_) | TPhrasePrefix(_) => true
+            case _ => false
           })) ps :+= parseAnchor()
           if (ps.isEmpty) throw new FtsParseError("empty NEAR group")
           val dist =
@@ -332,8 +382,48 @@ object FtsQuery {
         case TPrefix(s) =>
           Seq(Tokenizer.foldDiacritics(
             s.toLowerCase(java.util.Locale.ROOT)) + "*")
+        case TPhrasePrefix(s) =>
+          phrasePrefixTokens(s)
         case other => throw new FtsParseError(s"expected phrase, got: $other")
       }
+    }
+
+    /** `"a b"*` token list: every token as usual, the LAST starred and
+      * — like [[Prefix]] — folded but NOT stemmed (a partial word is
+      * not a stemmable word).
+      */
+    private def phrasePrefixTokens(s: String): Seq[String] = {
+      val ts = Tokenizer.tokenize(s, mode)
+      if (ts.isEmpty) throw new FtsParseError(s"empty phrase: $s")
+      val unstemMode =
+        if (mode == Tokenize.Porter) Tokenize.Unicode61 else mode
+      val raw = Tokenizer.tokenize(s, unstemMode)
+      // stemming is 1:1 over the same split, so the lists align
+      ts.init :+ (raw.last + "*")
+    }
+
+    /** `"a b"*` as a node: a single-token phrase-prefix IS a prefix. */
+    private def phrasePrefixNode(s: String): Node = {
+      val ts = phrasePrefixTokens(s)
+      if (ts.size == 1) Prefix(ts.head.dropRight(1)) else Phrase(ts)
+    }
+
+    /** Column-filter node from a (possibly negated) colset. The engine
+      * schema has exactly two indexed fields, so the restriction
+      * normalizes at parse time: the full set unwraps (no restriction),
+      * a singleton keeps the existing one-column [[Field]] node, and
+      * the empty set (e.g. `-{title search_1}: x`) can match nothing —
+      * encoded as `Not(x, x)`, identically false over any document.
+      */
+    private def colsetNode(names: Seq[String], neg: Boolean): Node = {
+      names.find(!indexedFields.contains(_)).foreach(n =>
+        throw new FtsParseError(s"no such column: $n"))
+      val set =
+        if (neg) indexedFields -- names.toSet else names.toSet
+      val inner = parseUnit()
+      if (set == indexedFields) inner
+      else if (set.isEmpty) Not(inner, inner)
+      else Field(set.head, inner)
     }
   }
 }

@@ -115,9 +115,11 @@ class FunctionsSpec extends AnyFunSuite {
 
     assert(run("(urgent OR automobile) order") == Seq(1, 2))
     assert(run("^view") == Seq(3))
-    // urgent@2..2, building@5..5 in doc 1's search_1: distance 3
+    // urgent@2..2, building@5..5 in doc 1's search_1: 2 tokens between
+    // (FTS5 boundary: matches at N = 2, not at N = 1)
     assert(run("NEAR(urgent building, 3)") == Seq(1))
-    assert(run("NEAR(urgent building, 2)") == Seq.empty)
+    assert(run("NEAR(urgent building, 2)") == Seq(1))
+    assert(run("NEAR(urgent building, 1)") == Seq.empty)
 
     extSpark.experimental.extraOptimizations =
       extSpark.experimental.extraOptimizations :+ graft.plans.RewriteFtsMatch

@@ -133,17 +133,18 @@ class FtsQuerySpec extends AnyFunSuite {
     intercept[FtsParseError](parse("NEAR(a b", M))
   }
 
-  test("NEAR matching: max(start) - min(end) <= N, per single field") {
+  test("NEAR matching: <= N tokens between, per single field (FTS5-pinned)") {
     val doc = "f 1 urgent order for building customer c91".split(" ").toIndexedSeq
     def near(q: String) = matches(parse(q, M), IndexedSeq.empty, doc)
-    // urgent@2..2, building@5..5: 5 - 2 = 3
+    // urgent@2..2, building@5..5: 2 tokens between (order, for)
     assert(near("NEAR(urgent building, 3)"))
-    assert(!near("NEAR(urgent building, 2)"))
+    assert(near("NEAR(urgent building, 2)"))
+    assert(!near("NEAR(urgent building, 1)"))
     // order matters not: same distance either way
-    assert(near("NEAR(building urgent, 3)"))
-    // phrase member: "order for"@3..4, building@5..5: 5 - 4 = 1
-    assert(near("NEAR(\"order for\" building, 1)"))
-    assert(!near("NEAR(\"order for\" building, 0)"))
+    assert(near("NEAR(building urgent, 2)"))
+    assert(!near("NEAR(building urgent, 1)"))
+    // phrase member: "order for"@3..4, building@5..5: 0 tokens between
+    assert(near("NEAR(\"order for\" building, 0)"))
     // all phrases must be in ONE field — split across fields is no match
     assert(!matches(parse("NEAR(x y, 10)", M),
       IndexedSeq("x"), IndexedSeq("y")))
@@ -178,13 +179,80 @@ class FtsQuerySpec extends AnyFunSuite {
     assert(parse("NEAR(runn* x)", Tokenize.Porter) ==
       Near(Seq(Seq("runn*"), Seq("x")), NearDefault))
     // matching: starred token is a starts-with match
+    // (urg*@2, customer@6: 3 tokens between)
     val doc = "f 1 urgent order for building customer".split(" ").toIndexedSeq
     assert(matches(parse("NEAR(urg* customer, 4)", M), IndexedSeq.empty, doc))
-    assert(!matches(parse("NEAR(urg* customer, 3)", M), IndexedSeq.empty, doc))
+    assert(matches(parse("NEAR(urg* customer, 3)", M), IndexedSeq.empty, doc))
+    assert(!matches(parse("NEAR(urg* customer, 2)", M), IndexedSeq.empty, doc))
     assert(matches(parse("^f NEAR(ord* building, 2)", M), IndexedSeq.empty, doc))
     // starred tokens stay out of the BM25 positive-term set
     assert(positiveTerms(parse("NEAR(urg* customer) ^ord*", M)) ==
       Seq("customer"))
+  }
+
+  test("phrase-prefix: \"a b\"* stars the LAST token; 1-token form IS a prefix") {
+    assert(parse("\"beta gam\"*", M) == Phrase(Seq("beta", "gam*")))
+    assert(parse("\"gam\"*", M) == Prefix("gam"))
+    // porter mode: interior tokens stem, the starred last token folds
+    // but is NOT stemmed (the Prefix contract)
+    assert(parse("\"running build\"*", Tokenize.Porter) ==
+      Phrase(Seq("run", "build*")))
+  }
+
+  test("colsets: {a b}, negation, whitespace colon (pinned vs SQLite FTS5)") {
+    // schema-complete set unwraps; singleton keeps Field; negation
+    // resolves to the complement at parse time; empty set matches nothing
+    assert(parse("{title search_1}: x", M) == Term("x"))
+    assert(parse("{title}: x", M) == Field("title", Term("x")))
+    assert(parse("{title title}: x", M) == Field("title", Term("x")))
+    assert(parse("-title: x", M) == Field("search_1", Term("x")))
+    assert(parse("-{search_1}: x", M) == Field("title", Term("x")))
+    assert(parse("-{title search_1}: x", M) == Not(Term("x"), Term("x")))
+    assert(parse("title : x", M) == Field("title", Term("x")))
+    assert(parse("title: (a OR b)", M) ==
+      Field("title", Or(Seq(Term("a"), Term("b")))))
+    assert(parse("title: NEAR(a b, 2)", M) ==
+      Field("title", Near(Seq(Seq("a"), Seq("b")), 2)))
+    // colset binds the NEXT unit only (FTS5-pinned): `title: beta zeta`
+    // restricts beta alone
+    assert(parse("title: beta zeta", M) ==
+      And(Seq(Field("title", Term("beta")), Term("zeta"))))
+    intercept[FtsParseError](parse("{bogus}: x", M))
+    intercept[FtsParseError](parse("{}: x", M))
+    intercept[FtsParseError](parse("title:", M))
+    intercept[FtsParseError](parse("12:30", M))
+    intercept[FtsParseError](parse("- x", M))
+    intercept[FtsParseError](parse("NEAR(title:beta gamma, 1)", M))
+    intercept[FtsParseError](parse("^title:beta", M))
+  }
+
+  test("matches(): golden parity with SQLite FTS5 on the probe corpus") {
+    // goldens produced by running these exact queries through SQLite
+    // FTS5 (fts5 table (title, body); body plays search_1)
+    val docs = Seq(
+      (IndexedSeq("alpha", "beta", "gamma"), IndexedSeq("delta", "epsilon", "zeta")),
+      (IndexedSeq("beta", "gamma", "delta"), IndexedSeq("alpha", "nu", "xi")),
+      (IndexedSeq("gamma", "delta", "beta"), IndexedSeq("epsilon", "alpha", "beta")))
+    def ids(q: String): Seq[Int] = {
+      val n = parse(q.replace("body", "search_1"), M)
+      docs.zipWithIndex.collect {
+        case ((t, s1), i) if matches(n, t, s1) => i + 1
+      }
+    }
+    assert(ids("\"beta gam\"*") == Seq(1, 2))
+    assert(ids("\"alpha beta\"*") == Seq(1, 3))
+    assert(ids("{title body}: alpha") == Seq(1, 2, 3))
+    assert(ids("-title: alpha") == Seq(2, 3))
+    assert(ids("title : beta") == Seq(1, 2, 3))
+    assert(ids("-body: beta") == Seq(1, 2, 3))
+    assert(ids("{body}: \"alpha beta\"") == Seq(3))
+    assert(ids("title: (beta OR delta)") == Seq(1, 2, 3))
+    assert(ids("-title: (alpha OR nu)") == Seq(2, 3))
+    assert(ids("NEAR(\"bet\"* gamma, 1)") == Seq(1, 2, 3))
+    assert(ids("^\"alpha bet\"*") == Seq(1))
+    assert(ids("title: NEAR(beta gamma, 1)") == Seq(1, 2, 3))
+    assert(ids("-{title body}: alpha") == Seq.empty)
+    assert(ids("\"gamma delta\"* beta") == Seq(2, 3))
   }
 
   test("group/NEAR/^ queries still fall back safely when malformed") {
