@@ -272,6 +272,30 @@ object PlanDump {
       graft.ext.Similarity.cosineNearDupPairs(
         Corpus.ivfIndex(spark, sfDir).assigned, "cell_id", 0.4))
 
+    // ---- round-7 continuation: FTS5 closure + derived porter build --
+
+    // 33. phrase-prefix "order for buil"*: adjacency join whose LAST
+    //     leg is a term-RANGE prune (buil <= term < buil+U+FFFF) on the
+    //     positions relation — same file/row-group skip as prefixSet;
+    //     still zero token-array scans
+    dump("p4_fts_phrase_prefix (range-pruned last leg)")(
+      SearchEngine.matchSet(arts,
+        FtsQuery.parse("\"order for buil\"* NOT automobile", Tokenize.None_)))
+
+    // 34. colsets: -title: / {search_1}: resolve at PARSE time to the
+    //     single-field Field node — the plan is identical to a plain
+    //     col: filter (field=1 postings legs), no new operator shape
+    dump("p4_fts_colset (parse-time field-set resolution)")(
+      SearchEngine.matchSet(arts,
+        FtsQuery.parse("-title: customer {search_1} : urgent", Tokenize.None_)))
+
+    // 35. derived porter positions (ASCII fast path): stem map over the
+    //     ALREADY-BUILT default positions + one term re-cluster — the
+    //     plan shows InMemoryTableScan (base artifact) → Project(stem)
+    //     → Exchange, instead of source scan → regex split → posexplode
+    dump("porter positions (derived from default artifacts)")(
+      graft.index.TextIndex.stemPositions(arts.positions.get))
+
     spark.stop()
   }
 }
