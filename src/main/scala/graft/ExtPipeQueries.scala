@@ -211,6 +211,42 @@ private[graft] object ExtPipeQueries {
            |HAVING count(*) >= 5
            |ORDER BY f.doc_id""".stripMargin)),
 
+    // Contamination with a Bloom prescreen (the scale path when the
+    // benchmark fp set outgrows a broadcast hash relation): constant
+    // bloom folded into the corpus scan, exact confirm join after. No
+    // false negatives + confirm ⇒ result identical to x_pipe_contam —
+    // SAME oracle, which is the point: the sketch is an optimization,
+    // not an approximation of the declared result.
+    QueryDef("x_pipe_contam_bloom",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val docs = spark.table("documents")
+        Pipeline.contaminationBloom(docs, docs.filter(col("doc_id") % 97 === 0),
+            "text", minShared = 5)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH base AS (SELECT doc_id, lower(text) AS s FROM documents),
+           |hashed AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |         ${duckHash("substr(s, CAST(pos AS INTEGER), 8)")} % $P AS h
+           |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 6)) AS pos FROM base) q
+           |),
+           |sel AS (
+           |  SELECT doc_id, pos,
+           |         min(h * 2147483648 + (2147483648 - pos)) OVER (
+           |           PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selkey
+           |  FROM hashed
+           |),
+           |fps AS (SELECT DISTINCT doc_id, selkey >> 31 AS fp FROM sel WHERE pos >= 4),
+           |bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0)
+           |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+           |FROM fps f JOIN bench b ON b.fp = f.fp
+           |GROUP BY f.doc_id
+           |HAVING count(*) >= 5
+           |ORDER BY f.doc_id""".stripMargin)),
+
     // Deterministic stratified sample: 20 docs per language by
     // (portable id hash, id) order — unbiased, reshuffle-proof.
     QueryDef("x_pipe_stratified",

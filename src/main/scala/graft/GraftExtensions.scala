@@ -42,7 +42,26 @@ object GraftExtensions {
       exprs => DotProductDouble(exprs(0), exprs(1))),
     ("fts_match",
       "fts_match(title, search_1, query) - FTS5-style boolean MATCH over two text fields.",
-      exprs => FtsMatch(exprs(0), exprs(1), exprs(2)))
+      exprs => FtsMatch(exprs(0), exprs(1), exprs(2))),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // internal runtime join filters but does not expose them as SQL
+    // functions; registering them makes the classic broadcast-sketch
+    // prescreen (build a bloom over the small side, fold it into the
+    // big-side scan) available to user SQL and the library
+    // (Pipeline.contaminationBloom).
+    ("bloom_filter_agg",
+      "bloom_filter_agg(col[, estimatedNumItems[, numBits]]) - aggregates LONG values into a bloom-filter binary.",
+      exprs => exprs match {
+        case Seq(c) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg takes 1-3 arguments")
+      }),
+    ("might_contain",
+      "might_contain(bloom, value) - true if the bloom-filter binary may contain the LONG value.",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)))
   )
 
   /** Register the same functions on an ALREADY-RUNNING session (builder

@@ -157,6 +157,38 @@ object Pipeline {
       .filter(col("n_shared_fp") >= minShared)
   }
 
+  /** [[contamination]] with a Bloom-filter prescreen — the 100 TB shape
+    * when the benchmark fingerprint set is too large to broadcast as a
+    * hash relation but fits as a sketch: build ONE bloom over the
+    * benchmark fps (an aggregate; the only driver state is the sketch's
+    * `numBits/8` bytes), fold it into the corpus-side scan as a
+    * CONSTANT predicate (`might_contain` — codegen'd, no join, no
+    * shuffle), then confirm the tiny survivor set against the real
+    * benchmark fps. Blooms have no false negatives and the confirm join
+    * removes false positives, so the result is IDENTICAL to
+    * [[contamination]] — the declared query shares its oracle.
+    */
+  def contaminationBloom(docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String = "doc_id", minShared: Int = 5,
+      numBits: Long = 1L << 22): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val corpusFps = TextAnalysis.winnowFingerprintsNative(docs, textCol, idCol)
+    val benchFps = TextAnalysis.winnowFingerprintsNative(benchmark, textCol, idCol)
+      .select(col("fp")).distinct()
+    val bloom = benchFps
+      .agg(call_function("bloom_filter_agg", col("fp"),
+        lit(1000000L), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val survivors =
+      if (bloom == null) corpusFps.filter(lit(false)) // empty benchmark
+      else corpusFps.filter(call_function("might_contain", lit(bloom), col("fp")))
+    survivors
+      .join(benchFps, Seq("fp"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
   /** Deterministic stratified sample: the `perGroup` docs per `byCol`
     * group that sort first by (portable id hash, id) — an unbiased,
     * content-independent, reshuffle-proof per-stratum pick (the

@@ -643,4 +643,22 @@ class ExtSpec extends AnyFunSuite {
       .collect()
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
+
+  test("bloom contamination prescreen equals the exact operator") {
+    import org.apache.spark.sql.functions.col
+    // benchmark = docs 1 and 4; doc 2 (exact dup of 1) and doc 5
+    // (shuffled 1, shares winnow fps) must screen identically on both
+    // paths; the bloom is a CONSTANT in the plan (no join, no shuffle
+    // on the prescreen side)
+    val bench = docs.filter(col("doc_id").isin(1L, 4L))
+    val exact = Pipeline.contamination(docs, bench, "text", minShared = 1)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val bloom = Pipeline.contaminationBloom(docs, bench, "text", minShared = 1)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(bloom == exact)
+    assert(exact.nonEmpty) // the fixture must actually exercise overlap
+    // empty benchmark: guard path returns zero rows, does not throw
+    assert(Pipeline.contaminationBloom(docs, docs.filter(col("doc_id") < 0),
+      "text", minShared = 1).count() == 0)
+  }
 }
