@@ -25,12 +25,24 @@ object TpchQueries {
   // Pricing summary (TPC-H Q1 shape): wide scan, 4-group aggregation —
   // tests map-side partial aggregation; only l_returnflag/l_linestatus/
   // measure columns are read (column pruning to the parquet scan).
+  // Money sums are emitted as fixed-scale DECIMAL STRINGS, not
+  // DOUBLEs. Two layers of cross-engine exactness (r7 sf1 gate
+  // finding, 16th-digit divergence at 6M rows):
+  //  1. factors cast to DECIMAL(12,2) so even the sum_charge TRIPLE
+  //     product lands exactly at DECIMAL(38,6) in Spark (25+12+1) and
+  //     (36,6) in DuckDB — no precision-cap truncation anywhere;
+  //  2. the final cast goes decimal → string, never decimal → double:
+  //     once a sum's integer form crosses 2^53 (6M rows at scale 6),
+  //     DuckDB's decimal→DOUBLE double-rounds (int→double, then
+  //     /10^scale) while Java rounds once — adjacent doubles from the
+  //     SAME exact decimal. Strings carry the exact value at any
+  //     corpus size.
   private val q1Spark =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS STRING) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS STRING) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS STRING) AS sum_charge,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
