@@ -106,7 +106,17 @@ def main():
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
     dump_dir = f"{out_dir}/_dump"
-    con = duckdb.connect()
+    # Resource knobs for big-scale gate runs (the sf1 oracles for the
+    # quadratic-shaped sim queries spill tens of GB): GRAFT_DUCKDB_MEM,
+    # GRAFT_DUCKDB_THREADS, GRAFT_DUCKDB_TMP.
+    cfg = {}
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        cfg["memory_limit"] = os.environ["GRAFT_DUCKDB_MEM"]
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        cfg["threads"] = int(os.environ["GRAFT_DUCKDB_THREADS"])
+    con = duckdb.connect(config=cfg)
+    if os.environ.get("GRAFT_DUCKDB_TMP"):
+        con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TMP']}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
