@@ -43,6 +43,60 @@ private[graft] object ExtEventQueries {
       },
       defsSessionOracle),
 
+    // Bucketized range join: each purchase attached to its containing
+    // 4 h-gap session interval. The engine never writes the BETWEEN
+    // join — points and intervals meet on integer (user, ts DIV 6h)
+    // buckets (intervals exploded to their bucket span) and the exact
+    // containment filter runs on the equi-join's survivors; the oracle
+    // IS the naive BETWEEN join, so parity proves the bucketed plan
+    // computes the textbook semantics.
+    QueryDef("x_evt_range_join",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us")
+        val sess = Events.sessions(
+          ev.select("event_id", "user_id", "ts_us"),
+          gapUs = 4L * 3600 * 1000000)
+          .select("user_id", "session_seq", "start_us", "end_us")
+        Events.rangeJoin(purchases, sess, bucketUs = 6L * 3600 * 1000000)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("session_seq"), col("start_us"), col("end_us"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+          |),
+          |s AS (
+          |  SELECT user_id, event_id, ts_us,
+          |         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+          |                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+          |                   > 14400000000
+          |              THEN 1 ELSE 0 END AS st
+          |  FROM e
+          |),
+          |g AS (
+          |  SELECT user_id, ts_us,
+          |         sum(st) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |                       ROWS UNBOUNDED PRECEDING) AS session_seq
+          |  FROM s
+          |),
+          |sess AS (
+          |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          |         CAST(min(ts_us) AS BIGINT) AS start_us,
+          |         CAST(max(ts_us) AS BIGINT) AS end_us
+          |  FROM g GROUP BY user_id, session_seq
+          |)
+          |SELECT p.event_id, p.user_id, CAST(p.ts_us AS BIGINT) AS ts_us,
+          |       s.session_seq, s.start_us, s.end_us
+          |FROM e p JOIN sess s
+          |  ON p.user_id = s.user_id AND p.ts_us BETWEEN s.start_us AND s.end_us
+          |WHERE p.event_type = 'purchase'
+          |ORDER BY p.event_id""".stripMargin)),
+
     // Semi-structured props: JSON path extraction feeding a relational
     // agg — get_json_object is a pure in-row map (Jackson in Spark,
     // yyjson in DuckDB — both strict JSON, same value); integer stats

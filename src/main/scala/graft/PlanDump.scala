@@ -296,6 +296,26 @@ object PlanDump {
     dump("porter positions (derived from default artifacts)")(
       graft.index.TextIndex.stemPositions(arts.positions.get))
 
+    // 36. bucketized range join: the BETWEEN containment join planned
+    //     as a hash EQUI-join on (key, ts DIV bucket) — the plan must
+    //     show SortMergeJoin/BroadcastHashJoin on the bucket keys with
+    //     the exact start<=ts<=end as a post-join Filter, and NO
+    //     BroadcastNestedLoopJoin (what the naive inequality join
+    //     becomes)
+    {
+      val ev = spark.table("events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val sess = graft.ext.Events.sessions(
+        ev.select("event_id", "user_id", "ts_us"),
+        gapUs = 4L * 3600 * 1000000)
+        .select("user_id", "session_seq", "start_us", "end_us")
+      dump("x_evt_range_join (bucketized containment)")(
+        graft.ext.Events.rangeJoin(purchases, sess,
+          bucketUs = 6L * 3600 * 1000000))
+    }
+
     spark.stop()
   }
 }

@@ -62,6 +62,42 @@ object Events {
         payload.map(c => col(s"__m.$c").as(s"ref_$c")): _*)
   }
 
+  /** Bucketized range (interval-containment) join: every `points` row
+    * paired with every `intervals` row of the same `keyCol` whose
+    * `[startCol, endCol]` contains `tsCol` (bounds inclusive, BIGINT
+    * µs). This is the scale-safe form of `JOIN ON key = key AND ts
+    * BETWEEN start AND end` — which Spark plans as a per-key pair
+    * explosion (and, keyless, as BroadcastNestedLoopJoin): quadratic
+    * in the hot key. Here both sides map to integer time buckets
+    * (`DIV bucketUs`), intervals EXPLODE to the buckets they span,
+    * and the pairing is a plain hash equi-join on (key, bucket) +
+    * exact BETWEEN filter.
+    *
+    * Correctness needs only that bucketing is MONOTONE: a contained
+    * point's bucket always lies in `[bucket(start), bucket(end)]`, so
+    * every qualifying pair meets in the point's (single) bucket —
+    * and meets exactly once, since a point has one bucket row. No
+    * dedup step. Cost: interval replication = `span/bucketUs + 1`
+    * rows; pick `bucketUs` ≈ the typical interval span so replication
+    * is O(1) per interval. The join shuffles on (key, bucket) — long
+    * intervals spread across bucket partitions instead of piling on
+    * one key, and AQE broadcasts the (usually dimension-sized)
+    * interval side when it fits.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts_us",
+      startCol: String = "start_us", endCol: String = "end_us",
+      bucketUs: Long = 3600L * 1000000): DataFrame = {
+    require(bucketUs > 0)
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(expr(s"$startCol DIV $bucketUs"),
+        expr(s"$endCol DIV $bucketUs"))))
+    val pt = points.withColumn("__bucket", expr(s"$tsCol DIV $bucketUs"))
+    pt.join(iv, Seq(keyCol, "__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   /** Gap sessionization: per `keyCol`, events ordered by (`tsCol`,
     * `idCol`) start a new session when the gap from the previous event
     * exceeds `gapUs`. Adds `session_seq` (1-based per key) and

@@ -99,6 +99,47 @@ class EventsSpec extends AnyFunSuite {
     assert(s((1L, 2L)).getAs[Long]("duration_us") == 0L)
   }
 
+  test("rangeJoin: inclusive bounds, multi-bucket intervals pair exactly once") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 1L, 100L),  // inside [100, 200] — start bound inclusive
+      (2L, 1L, 200L),  // end bound inclusive
+      (3L, 1L, 201L),  // just outside a, but inside c
+      (4L, 1L, 5000L), // inside the long interval [900, 9000] only
+      (5L, 2L, 150L)   // other key — no intervals
+    ).toDF("event_id", "user_id", "ts_us")
+    val ivs = Seq(
+      (1L, 100L, 200L, "a"),
+      (1L, 900L, 9000L, "b"), // spans ~81 buckets at bucketUs=100
+      (1L, 150L, 1000L, "c")
+    ).toDF("user_id", "start_us", "end_us", "tag")
+    // tiny bucket vs interval spans: forces heavy interval replication,
+    // so duplicate pairs would show up if the bucketing emitted any
+    val r = Events.rangeJoin(pts, ivs, bucketUs = 100L)
+      .select("event_id", "tag").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(r.sorted.toSeq == Seq(
+      (1L, "a"), (2L, "a"), (2L, "c"), (3L, "c"), (4L, "b")))
+  }
+
+  test("rangeJoin: parity with the naive BETWEEN join on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong))
+      .toDF("event_id", "user_id", "ts_us")
+    val ivs = (1 to 60).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i.toLong, rnd.nextInt(5).toLong, s, s + rnd.nextInt(3000).toLong)
+    }.toDF("iv_id", "user_id", "start_us", "end_us")
+    val fast = Events.rangeJoin(pts, ivs, bucketUs = 777L)
+      .select("event_id", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+    val naive = pts.join(ivs, Seq("user_id"))
+      .filter($"ts_us" >= $"start_us" && $"ts_us" <= $"end_us")
+      .select("event_id", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(fast == naive && fast.nonEmpty)
+  }
+
   test("interArrival: exact gaps, lower median on even counts, same-ts gap 0") {
     import spark.implicits._
     // user 1 ts: 0, 100, 100, 400 → gaps 100, 0, 300:

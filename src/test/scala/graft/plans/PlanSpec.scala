@@ -94,6 +94,22 @@ class PlanSpec extends AnyFunSuite {
       s"asof re-grew a join operator:\n$p")
   }
 
+  test("range join: hash equi-join on buckets, never a nested-loop pair explosion") {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val sess = graft.ext.Events.sessions(
+      events.select("event_id", "user_id", "ts_us"),
+      gapUs = 4L * 3600 * 1000000)
+      .select("user_id", "session_seq", "start_us", "end_us")
+    val p = planOf(graft.ext.Events.rangeJoin(purchases, sess,
+      bucketUs = 6L * 3600 * 1000000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a pair explosion:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"range join lost its equi-join:\n$p")
+  }
+
   // ---- global: no cartesian product anywhere -------------------------
 
   test("no CartesianProduct in any declared query plan") {

@@ -117,6 +117,11 @@ def main():
     con = duckdb.connect(config=cfg)
     if os.environ.get("GRAFT_DUCKDB_TMP"):
         con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TMP']}'")
+    if os.environ.get("GRAFT_DUCKDB_TMP_MAX"):
+        # Cap spill so a runaway oracle (the sf1 semantic-dedup recursive
+        # CTE needs >76 GB) fails its own query instead of filling the disk.
+        con.execute(
+            f"SET max_temp_directory_size='{os.environ['GRAFT_DUCKDB_TMP_MAX']}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
