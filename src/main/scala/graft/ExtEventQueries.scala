@@ -97,6 +97,48 @@ private[graft] object ExtEventQueries {
           |WHERE p.event_type = 'purchase'
           |ORDER BY p.event_id""".stripMargin)),
 
+    // Keyless (global-interval) range join: click events attached to
+    // every containing "campaign window" — ±30 min around each anchor
+    // purchase (users ≡ 0 mod 50), windows overlap and carry no entity
+    // key. The only join key is the derived time bucket; the oracle is
+    // again the naive BETWEEN join.
+    QueryDef("x_evt_range_join_global",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "ts_us")
+        val windows = ev
+          .filter(col("event_type") === "purchase" &&
+            col("user_id") % 50 === 0)
+          .select(col("event_id").as("anchor_id"),
+            (col("ts_us") - 1800000000L).as("start_us"),
+            (col("ts_us") + 1800000000L).as("end_us"))
+        Events.rangeJoinGlobal(clicks, windows,
+          bucketUs = 3600L * 1000000)
+          .select(col("event_id"), col("ts_us"), col("anchor_id"),
+            col("start_us"), col("end_us"))
+          .orderBy("event_id", "anchor_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+          |),
+          |w AS (
+          |  SELECT event_id AS anchor_id,
+          |         ts_us - 1800000000 AS start_us,
+          |         ts_us + 1800000000 AS end_us
+          |  FROM e WHERE event_type = 'purchase' AND user_id % 50 = 0
+          |)
+          |SELECT p.event_id, CAST(p.ts_us AS BIGINT) AS ts_us, w.anchor_id,
+          |       CAST(w.start_us AS BIGINT) AS start_us,
+          |       CAST(w.end_us AS BIGINT) AS end_us
+          |FROM e p JOIN w
+          |  ON p.ts_us BETWEEN w.start_us AND w.end_us
+          |WHERE p.event_type = 'click'
+          |ORDER BY p.event_id, w.anchor_id""".stripMargin)),
+
     // Semi-structured props: JSON path extraction feeding a relational
     // agg — get_json_object is a pure in-row map (Jackson in Spark,
     // yyjson in DuckDB — both strict JSON, same value); integer stats

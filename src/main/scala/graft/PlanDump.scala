@@ -314,6 +314,20 @@ object PlanDump {
       dump("x_evt_range_join (bucketized containment)")(
         graft.ext.Events.rangeJoin(purchases, sess,
           bucketUs = 6L * 3600 * 1000000))
+
+      // 37. keyless variant: bucket is the ONLY join key — the global
+      //     interval side is dimension-sized, so expect AQE to turn
+      //     the bucket shuffle into a broadcast hash join
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "ts_us")
+      val windows = ev
+        .filter(col("event_type") === "purchase" && col("user_id") % 50 === 0)
+        .select(col("event_id").as("anchor_id"),
+          (col("ts_us") - 1800000000L).as("start_us"),
+          (col("ts_us") + 1800000000L).as("end_us"))
+      dump("x_evt_range_join_global (keyless, bucket-only)")(
+        graft.ext.Events.rangeJoinGlobal(clicks, windows,
+          bucketUs = 3600L * 1000000))
     }
 
     spark.stop()

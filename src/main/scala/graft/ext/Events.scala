@@ -87,13 +87,41 @@ object Events {
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       keyCol: String = "user_id", tsCol: String = "ts_us",
       startCol: String = "start_us", endCol: String = "end_us",
-      bucketUs: Long = 3600L * 1000000): DataFrame = {
+      bucketUs: Long = 3600L * 1000000): DataFrame =
+    rangeJoinOn(points, intervals, Seq(keyCol), tsCol, startCol, endCol,
+      bucketUs)
+
+  /** Keyless range join: every `points` row paired with every
+    * `intervals` row whose `[startCol, endCol]` contains `tsCol` — no
+    * entity key, the calendar/campaign-window case. Same bucketized
+    * plan as [[rangeJoin]] with the time bucket as the ONLY join key:
+    * the shuffle spreads across time instead of piling onto a
+    * nonexistent entity, and since a global interval relation is
+    * normally dimension-sized, AQE broadcasts it and the shuffle
+    * disappears entirely. Without this shape Spark plans the pure
+    * inequality join as BroadcastNestedLoopJoin — points × intervals
+    * pairs. Replication is still `span/bucketUs + 1` per interval, so
+    * pick `bucketUs` near the typical interval span.
+    */
+  def rangeJoinGlobal(points: DataFrame, intervals: DataFrame,
+      tsCol: String = "ts_us", startCol: String = "start_us",
+      endCol: String = "end_us",
+      bucketUs: Long = 3600L * 1000000): DataFrame =
+    rangeJoinOn(points, intervals, Nil, tsCol, startCol, endCol, bucketUs)
+
+  /** Shared bucketized-containment core: join keys = `keys` + the
+    * derived time bucket (monotone-bucket argument in [[rangeJoin]]'s
+    * doc; exactly-once pairing holds for any `keys`, including none).
+    */
+  def rangeJoinOn(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], tsCol: String, startCol: String, endCol: String,
+      bucketUs: Long): DataFrame = {
     require(bucketUs > 0)
     val iv = intervals.withColumn("__bucket",
       explode(sequence(expr(s"$startCol DIV $bucketUs"),
         expr(s"$endCol DIV $bucketUs"))))
     val pt = points.withColumn("__bucket", expr(s"$tsCol DIV $bucketUs"))
-    pt.join(iv, Seq(keyCol, "__bucket"))
+    pt.join(iv, keys :+ "__bucket")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket")
   }

@@ -140,6 +140,23 @@ class EventsSpec extends AnyFunSuite {
     assert(fast == naive && fast.nonEmpty)
   }
 
+  test("rangeJoinGlobal: parity with the naive keyless BETWEEN join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 200).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("event_id", "ts_us")
+    val ivs = (1 to 25).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i.toLong, s, s + rnd.nextInt(4000).toLong)
+    }.toDF("iv_id", "start_us", "end_us")
+    val fast = Events.rangeJoinGlobal(pts, ivs, bucketUs = 333L)
+      .select("event_id", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+    val naive = pts.crossJoin(ivs)
+      .filter($"ts_us" >= $"start_us" && $"ts_us" <= $"end_us")
+      .select("event_id", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(fast == naive && fast.nonEmpty)
+  }
+
   test("interArrival: exact gaps, lower median on even counts, same-ts gap 0") {
     import spark.implicits._
     // user 1 ts: 0, 100, 100, 400 → gaps 100, 0, 300:

@@ -110,6 +110,22 @@ class PlanSpec extends AnyFunSuite {
       s"range join lost its equi-join:\n$p")
   }
 
+  test("keyless range join: equi-join on the time bucket, never nested-loop") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "ts_us")
+    val windows = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("anchor_id"),
+        (col("ts_us") - 1800000000L).as("start_us"),
+        (col("ts_us") + 1800000000L).as("end_us"))
+    val p = planOf(graft.ext.Events.rangeJoinGlobal(clicks, windows,
+      bucketUs = 3600L * 1000000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"keyless range join degenerated to a pair explosion:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"keyless range join lost its equi-join:\n$p")
+  }
+
   // ---- global: no cartesian product anywhere -------------------------
 
   test("no CartesianProduct in any declared query plan") {
