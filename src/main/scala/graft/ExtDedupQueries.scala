@@ -141,6 +141,72 @@ private[graft] object ExtDedupQueries {
            |SELECT src AS doc_id, least(src, min(dst)) AS component
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
 
+    // Canonical-representative selection — the step AFTER clustering:
+    // keep the longest member (most index-tokenizer tokens) of each
+    // near-dup component, ties to smallest doc_id. Consumes the same
+    // pair artifact as x_dedup_components; one component-partitioned
+    // window (row_number + member count share the Exchange).
+    QueryDef("x_dedup_keep_longest",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Dedup.keepRepresentative(
+            Dedup.duplicateComponents(
+              minhashPairs(spark, sfDir).select("id_a", "id_b")),
+            spark.table("documents"), "text")
+          .orderBy("component")
+      },
+      Some(
+        s"""WITH RECURSIVE ${shinglesCte(3)},
+           |$minhashSigsCte,
+           |$bandsCte,
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |verified AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN sh x ON x.doc_id = c.id_a
+           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+           |  GROUP BY 1, 2
+           |),
+           |pairs AS (
+           |  SELECT id_a, id_b FROM verified
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
+           |),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT id_b, id_a FROM pairs
+           |),
+           |reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+           |),
+           |comp AS (
+           |  SELECT src AS doc_id, least(src, min(dst)) AS component
+           |  FROM reach GROUP BY src
+           |),
+           |toklen AS (
+           |  SELECT doc_id, CAST(len(${ducktokens("text")}) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |),
+           |m AS (
+           |  SELECT c.component, c.doc_id, t.n_tokens,
+           |         row_number() OVER (PARTITION BY c.component
+           |           ORDER BY t.n_tokens DESC, c.doc_id) AS rk,
+           |         count(*) OVER (PARTITION BY c.component) AS n_members
+           |  FROM comp c JOIN toklen t USING (doc_id)
+           |)
+           |SELECT component, doc_id AS kept_doc_id, n_tokens AS kept_n_tokens,
+           |       CAST(n_members AS BIGINT) AS n_members
+           |FROM m WHERE rk = 1 ORDER BY component""".stripMargin)),
+
     // Exact duplicated-substring spans (Lee et al. 2021 relationalized):
     // cross-doc duplicated token 8-grams merged into maximal
     // NON-OVERLAPPING spans — islands break when successive duplicated

@@ -247,6 +247,27 @@ private[graft] object ExtPipeQueries {
            |HAVING count(*) >= 5
            |ORDER BY f.doc_id""".stripMargin)),
 
+    // Token 13-gram contamination — the published GPT-3/PaLM
+    // decontamination rule (any 13-gram collision with the benchmark
+    // flags the doc). Grams travel as 8-byte hashes; benchmark gram
+    // set broadcast; one corpus scan, no pair join.
+    QueryDef("x_pipe_contam_ngram",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val docs = spark.table("documents")
+        Pipeline.contaminationNgram(docs, docs.filter(col("doc_id") % 97 === 0),
+            "text", n = 13, minShared = 1)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${shinglesCte(13)},
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+           |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+           |FROM sh f JOIN bench b ON b.shingle = f.shingle
+           |GROUP BY f.doc_id
+           |HAVING count(*) >= 1
+           |ORDER BY f.doc_id""".stripMargin)),
+
     // Deterministic stratified sample: 20 docs per language by
     // (portable id hash, id) order — unbiased, reshuffle-proof.
     QueryDef("x_pipe_stratified",

@@ -370,6 +370,45 @@ private[graft] object ExtTextQueries {
           |ORDER BY n_docs DESC, n_urls DESC, host
           |LIMIT 20""".stripMargin)),
 
+    // Bigram collocation mining: top-50 adjacent token pairs (count
+    // >= 5) ranked by PMI lift (exp of PMI — no transcendental; one
+    // pinned IEEE multiply/divide chain over exact integer counts
+    // hashes identically cross-engine). Bigrams built in-row
+    // (zip_with), minCount filter shrinks the pair side BEFORE the
+    // broadcast unigram joins, top-k is TakeOrderedAndProject.
+    QueryDef("x_text_collocations",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.collocations(spark.table("documents"), "text",
+          minCount = 5, topK = 50)
+      },
+      Some(
+        s"""WITH toks AS (SELECT ${ducktokens("text")} AS ts FROM documents),
+           |uni AS (
+           |  SELECT t AS token, CAST(count(*) AS BIGINT) AS n_uni
+           |  FROM (SELECT unnest(ts) AS t FROM toks) q GROUP BY 1
+           |),
+           |tot_uni AS (SELECT CAST(sum(n_uni) AS BIGINT) AS total_uni FROM uni),
+           |bi AS (
+           |  SELECT ts[i] AS l, ts[i+1] AS r
+           |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks
+           |        WHERE len(ts) >= 2) q
+           |),
+           |bic AS (SELECT l, r, CAST(count(*) AS BIGINT) AS n_pair FROM bi GROUP BY 1, 2),
+           |tot_bi AS (SELECT CAST(sum(n_pair) AS BIGINT) AS total_bi FROM bic),
+           |freq AS (SELECT * FROM bic WHERE n_pair >= 5)
+           |SELECT f.l || ' ' || f.r AS bigram, f.n_pair,
+           |       ul.n_uni AS n_left, ur.n_uni AS n_right,
+           |       CAST(f.n_pair AS DOUBLE) * tu.total_uni * tu.total_uni
+           |         / (CAST(ul.n_uni AS DOUBLE) * ur.n_uni * tb.total_bi) AS lift
+           |FROM freq f
+           |JOIN uni ul ON ul.token = f.l
+           |JOIN uni ur ON ur.token = f.r
+           |CROSS JOIN tot_uni tu
+           |CROSS JOIN tot_bi tb
+           |ORDER BY lift DESC, bigram
+           |LIMIT 50""".stripMargin)),
+
     // Per-doc top-5 characteristic terms by linearized tf-idf (N/df,
     // not log — monotone-identical ranking, and the score stays one
     // exact-integer division so it hashes identically cross-engine).

@@ -328,6 +328,30 @@ object PlanDump {
       dump("x_evt_range_join_global (keyless, bucket-only)")(
         graft.ext.Events.rangeJoinGlobal(clicks, windows,
           bucketUs = 3600L * 1000000))
+
+      // 38. 13-gram contamination: benchmark gram set broadcast into a
+      //     semi-join over ONE corpus shingle scan — no pair join
+      val docs = spark.table("documents")
+      dump("x_pipe_contam_ngram (broadcast benchmark grams)")(
+        graft.ext.Pipeline.contaminationNgram(docs,
+          docs.filter(col("doc_id") % 97 === 0), "text"))
+
+      // 39. collocations: bigrams in-row (no positional join), pair agg
+      //     map-side combined, unigram joins broadcast the FILTERED
+      //     pair side, top-k is TakeOrderedAndProject
+      dump("x_text_collocations (lift top-k)")(
+        graft.ext.TextAnalysis.collocations(docs, "text"))
+
+      // 40. keep-longest representative: narrow (doc_id, n_tokens)
+      //     projection joined to the pair-derived components; ONE
+      //     component-partitioned Exchange feeds row_number + count
+      val pairs = graft.ext.Dedup.minhashNearDups(
+        docs, "text", "doc_id", shingleN = 3, k = 16, bands = 4,
+        threshold = 0.4)
+      dump("x_dedup_keep_longest (component argmax)")(
+        graft.ext.Dedup.keepRepresentative(
+          graft.ext.Dedup.duplicateComponents(pairs.select("id_a", "id_b")),
+          docs, "text"))
     }
 
     spark.stop()

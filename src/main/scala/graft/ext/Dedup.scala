@@ -545,6 +545,41 @@ object Dedup {
     (labels, converged)
   }
 
+  /** Canonical-representative selection over duplicate components —
+    * the step after clustering in every published dedup pipeline
+    * ("keep one document per cluster", Lee et al. 2021): for each
+    * component, keep the member with the MOST tokens (keep-longest —
+    * the policy that preserves the superset document when near-dups
+    * are truncations of each other), ties broken on smallest doc_id.
+    * Token counts use the index tokenizer, so "longest" is
+    * content-length, not byte-length.
+    *
+    * Scale shape: the components relation is pair-derived (already
+    * far smaller than the corpus); the token-length side is a narrow
+    * (doc_id, n_tokens) projection joined on doc_id, and the argmax
+    * is ONE component-partitioned window (row_number + count share
+    * the same Exchange). Nothing corpus-sized crosses a shuffle:
+    * text is reduced to its token COUNT in-row before the join.
+    *
+    * @param components (doc_id, component) from [[duplicateComponents]]
+    * @return one row per component:
+    *         (component, kept_doc_id, kept_n_tokens, n_members)
+    */
+  def keepRepresentative(components: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String = "doc_id"): DataFrame = {
+    val sized = docs.select(col(idCol).as("doc_id"),
+      size(Tokenizer.tokensCol(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("component"))
+    components
+      .join(sized, "doc_id")
+      .withColumn("__rk", row_number().over(
+        w.orderBy(col("n_tokens").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("__rk") === 1)
+      .select(col("component"), col("doc_id").as("kept_doc_id"),
+        col("n_tokens").as("kept_n_tokens"), col("n_members"))
+  }
+
   /** Best-effort release of an eager localCheckpoint's blocks: the
     * checkpointed frame wraps a LogicalRDD whose RDD holds the blocks.
     * Only call on frames nothing references anymore (a localCheckpoint

@@ -157,6 +157,32 @@ object Pipeline {
       .filter(col("n_shared_fp") >= minShared)
   }
 
+  /** Token n-gram benchmark-contamination screen — the published
+    * GPT-3/PaLM decontamination rule: flag corpus documents sharing at
+    * least `minShared` distinct token `n`-grams (default 13, the
+    * GPT-3 constant) with any benchmark document. Complementary to
+    * [[contamination]]: winnowing samples substrings probabilistically
+    * (one fingerprint per window), while the n-gram rule is the
+    * exhaustive published criterion — every 13-gram collision counts.
+    * Same 100 TB shape: n-grams travel as 8-byte portable hashes
+    * ([[Dedup.shingleHashes]]'s compiled kernel — the strings never
+    * leave the row), the benchmark's distinct-gram set is BROADCAST,
+    * and the corpus side is one scan + map-side semi-join — no pair
+    * join, no quadratic term.
+    */
+  def contaminationNgram(docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String = "doc_id", n: Int = 13,
+      minShared: Int = 1): DataFrame = {
+    val corpusGrams = Dedup.shingleHashes(docs, textCol, idCol, n)
+    val benchGrams = Dedup.shingleHashes(benchmark, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .filter(col("n_shared_ngrams") >= minShared)
+  }
+
   /** [[contamination]] with a Bloom-filter prescreen — the 100 TB shape
     * when the benchmark fingerprint set is too large to broadcast as a
     * hash relation but fits as a sketch: build ONE bloom over the

@@ -92,6 +92,60 @@ object TextAnalysis {
       .withColumn("n_chars_col", length(t))
   }
 
+  /** Bigram collocation mining — the corpus-analysis staple: the topK
+    * adjacent token pairs occurring at least `minCount` times, ranked
+    * by pointwise-mutual-information LIFT, i.e. observed pair rate
+    * over the independence expectation:
+    * `p(l,r)/(p(l)·p(r)) = n_pair·N_uni² / (n_left·n_right·N_bi)`
+    * (exp of PMI — same ranking, no transcendental: `ln` is not
+    * bit-reproducible across engines, while this single pinned chain
+    * of IEEE multiplies/divides over exact integer inputs is).
+    * Shapes for 100 TB: bigrams are built IN-ROW (zip_with of the
+    * token array with its own tail — no positional explode join),
+    * counted with map-side partial aggregation; the `minCount`
+    * filter shrinks the pair relation BEFORE the unigram joins and
+    * that filtered side is broadcast, so the vocab-sized unigram
+    * relation never shuffles; topK is orderBy+limit →
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Int = 5,
+      topK: Int = 50): DataFrame = {
+    val toks = docs.select(Tokenizer.tokensCol(col(textCol)).as("__ts"))
+    // adjacent pairs: zip tokens with their own tail; the final zip
+    // partner is null (zip_with pads) and drops in the filter
+    val pairs = filter(
+      zip_with(col("__ts"),
+        slice(col("__ts"), lit(2), greatest(size(col("__ts")) - 1, lit(0))),
+        (a, b) => struct(a.as("l"), b.as("r"))),
+      p => p.getField("r").isNotNull)
+    // both are vocab-sized (distinct tokens / distinct adjacent pairs)
+    // and each feeds TWO consumers (count joins + totals) — persist so
+    // the corpus-sized explode+aggregate runs once per relation, not
+    // once per consumer (Spark does no cross-branch subtree reuse)
+    val uni = toks.select(explode(col("__ts")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_uni")).persist()
+    val biAll = toks.select(explode(pairs).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("n_pair")).persist()
+    val totUni = uni.agg(sum(col("n_uni")).as("total_uni"))
+    val totBi = biAll.agg(sum(col("n_pair")).as("total_bi"))
+    val frequent = biAll.filter(col("n_pair") >= minCount)
+    broadcast(broadcast(frequent)
+        .join(uni.select(col("token").as("l"), col("n_uni").as("n_left")), "l"))
+      .join(uni.select(col("token").as("r"), col("n_uni").as("n_right")), "r")
+      .crossJoin(broadcast(totUni))
+      .crossJoin(broadcast(totBi))
+      .select(
+        concat(col("l"), lit(" "), col("r")).as("bigram"),
+        col("n_pair"), col("n_left"), col("n_right"),
+        // pinned association order — mirrored verbatim in the oracle
+        (col("n_pair").cast("double") * col("total_uni") * col("total_uni")
+          / (col("n_left").cast("double") * col("n_right") * col("total_bi")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Character-trigram language classifier — the "n-gram heuristic"
     * variant: train per-language trigram profiles FROM the labeled
     * corpus itself (top `profileSize` trigrams by document frequency),

@@ -661,4 +661,68 @@ class ExtSpec extends AnyFunSuite {
     assert(Pipeline.contaminationBloom(docs, docs.filter(col("doc_id") < 0),
       "text", minShared = 1).count() == 0)
   }
+
+  test("ngram contamination: shared n-token run flagged, shorter overlap not") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the full benchmark 5-token run → 1 shared 5-gram
+      (1L, "intro alpha beta gamma delta epsilon outro"),
+      // shares only a 4-token run → zero shared 5-grams
+      (2L, "intro alpha beta gamma delta something else"),
+      (3L, "no overlap at all here with anything")
+    ).toDF("doc_id", "text")
+    val hits = Pipeline.contaminationNgram(corpus, bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L))
+    // minShared above the collision count filters the hit out
+    assert(Pipeline.contaminationNgram(corpus, bench, "text", n = 5,
+      minShared = 2).count() == 0)
+  }
+
+  test("collocations: counts exact, lift ranks glued pair above frequent-token pair") {
+    import spark.implicits._
+    // "rare pair" always co-occur (perfect collocation); "the end" also
+    // repeats but 'the' is everywhere, diluting its lift.
+    val d = Seq(
+      (1L, "rare pair the end the story the end"),
+      (2L, "rare pair the middle the story goes on"),
+      (3L, "rare pair the end of the long story")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.collocations(d, "text", minCount = 3, topK = 10)
+      .collect()
+    val byGram = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // n_pair=3, n_left(rare)=3, n_right(pair)=3; N_uni=24, N_bi=21
+    assert(byGram("rare pair")._1 == 3L)
+    assert(byGram("rare pair")._2 == 3L && byGram("rare pair")._3 == 3L)
+    assert(math.abs(byGram("rare pair")._4 - 3.0 * 24 * 24 / (3.0 * 3 * 21)) < 1e-12)
+    // "the end": n_pair=3 but n_left(the)=6 → half the lift of a 3/3 pair
+    assert(byGram.contains("the end"))
+    assert(byGram("rare pair")._4 > byGram("the end")._4)
+    // ranked output: lift non-increasing
+    val lifts = rows.map(_.getDouble(4)).toSeq
+    assert(lifts == lifts.sortBy(-_))
+  }
+
+  test("keepRepresentative: longest member kept, ties to smallest id, members counted") {
+    import spark.implicits._
+    val comps = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // component 1: doc 2 is longest
+      (7L, 7L), (8L, 7L)            // component 7: equal lengths → keep 7
+    ).toDF("doc_id", "component")
+    val d = Seq(
+      (1L, "short text"),
+      (2L, "this is the longest document of its cluster easily"),
+      (3L, "medium length text here"),
+      (7L, "same size text"),
+      (8L, "also same size"),
+      (9L, "not in any component")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.keepRepresentative(comps, d, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(kept == Map(1L -> (2L, 9L, 3L), 7L -> (7L, 3L, 2L)))
+  }
 }
