@@ -126,6 +126,37 @@ class PlanSpec extends AnyFunSuite {
       s"keyless range join lost its equi-join:\n$p")
   }
 
+  // ---- late-r7 surface (PLANS r8 §8) ---------------------------------
+
+  test("ngram contamination: semi-join against a broadcast gram set, no pair join") {
+    val df = graft.ext.Pipeline.contaminationNgram(docs,
+      docs.filter(col("doc_id") % 97 === 0), "text")
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"contam_ngram lost the broadcast semi-join:\n$p")
+    // bench distinct + per-doc count agg — nothing else may shuffle
+    assert(shuffles(df) == 2, s"contam_ngram shuffle count:\n$p")
+  }
+
+  test("collocations: top-k heap, broadcast joins, persisted aggs scanned not rebuilt") {
+    val df = graft.ext.TextAnalysis.collocations(docs, "text")
+    val p = planOf(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"collocations lost the top-k heap:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"collocations grew a shuffle join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"collocations lost the persisted agg reuse:\n$p")
+  }
+
+  test("keep-longest representative: both windows share one component exchange") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "component")
+    val df = graft.ext.Dedup.keepRepresentative(comps, docs, "text")
+    assert(shuffles(df) == 1, s"keepRepresentative shuffle count:\n${planOf(df)}")
+    assert(windowNodes(df) == 2, s"keepRepresentative window count:\n${planOf(df)}")
+  }
+
   // ---- global: no cartesian product anywhere -------------------------
 
   test("no CartesianProduct in any declared query plan") {
