@@ -139,6 +139,53 @@ private[graft] object ExtEventQueries {
           |WHERE p.event_type = 'click'
           |ORDER BY p.event_id, w.anchor_id""".stripMargin)),
 
+    // Z-ordered layout box query: events written ONCE per scale dir
+    // as a Morton-interleaved (user_id, ts_us) parquet layout
+    // (ext/Layout), then probed with a 2-D box predicate. Results are
+    // layout-INVARIANT — the oracle is the same box filter on the
+    // unordered table, so the hash proves the rewrite-free contract;
+    // LayoutSpec separately asserts the pruning (file min/max boxes
+    // tight on BOTH dimensions). Box bounds derive from the data by
+    // integer span fractions, identically on both sides — scale-
+    // independent.
+    QueryDef("x_layout_zorder_box",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val zdir = zorderDir(spark, sfDir)
+        val b = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .agg(min("user_id"), max("user_id"), min("ts_us"), max("ts_us"))
+          .head()
+        val (umin, umax, tmin, tmax) =
+          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        val (u1, u2) = (umin + (umax - umin) * 2 / 10,
+          umin + (umax - umin) * 4 / 10)
+        val (t1, t2) = (tmin + (tmax - tmin) * 4 / 10,
+          tmin + (tmax - tmin) * 6 / 10)
+        spark.read.parquet(zdir)
+          .filter(col("user_id").between(u1, u2) &&
+            col("ts_us").between(t1, t2))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, event_type
+          |  FROM events
+          |),
+          |b AS (
+          |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+          |         min(ts_us) AS tmin, max(ts_us) AS tmax
+          |  FROM e
+          |)
+          |SELECT e.event_id, e.user_id, CAST(e.ts_us AS BIGINT) AS ts_us,
+          |       e.value, e.event_type
+          |FROM e, b
+          |WHERE e.user_id BETWEEN b.umin + (b.umax - b.umin) * 2 // 10
+          |                    AND b.umin + (b.umax - b.umin) * 4 // 10
+          |  AND e.ts_us BETWEEN b.tmin + (b.tmax - b.tmin) * 4 // 10
+          |                  AND b.tmin + (b.tmax - b.tmin) * 6 // 10
+          |ORDER BY e.event_id""".stripMargin)),
+
     // Semi-structured props: JSON path extraction feeding a relational
     // agg — get_json_object is a pure in-row map (Jackson in Spark,
     // yyjson in DuckDB — both strict JSON, same value); integer stats

@@ -99,6 +99,26 @@ private[graft] object ExtShared {
       dir.toString
     })
 
+  // Z-ordered events layout, written ONCE per scale dir (the index-
+  // artifact lifecycle: the layout is a build-side product; queries
+  // measure reads). Temp dir with deleteOnExit, like streamSourceDir.
+  private[graft] val zorderCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def zorderDir(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String =
+    zorderCache.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-zorder")
+      dir.toFile.deleteOnExit()
+      val out = dir.resolve("events_z").toString
+      Corpus.registerSources(spark, sfDir)
+      graft.ext.Layout.writeZOrdered(
+        spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us", "value", "event_type"),
+        "user_id", "ts_us", out)
+      out
+    })
+
   /** Bench setup hook: materialize the shared dedup artifacts so query
     * timings measure probes, not builds (the TextIndex/IvfIndex model).
     */

@@ -352,6 +352,21 @@ object PlanDump {
         graft.ext.Dedup.keepRepresentative(
           graft.ext.Dedup.duplicateComponents(pairs.select("id_a", "id_b")),
           docs, "text"))
+
+      // 41. z-ordered box probe: both dimension predicates reach the
+      //     parquet scan as PushedFilters — min/max stats skip files
+      //     whose boxes miss; no rewrite, no index structure
+      val zdir = java.nio.file.Files.createTempDirectory("graft-zdump")
+      zdir.toFile.deleteOnExit()
+      graft.ext.Layout.writeZOrdered(
+        spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us", "value", "event_type"),
+        "user_id", "ts_us", zdir.resolve("ev").toString)
+      dump("x_layout_zorder_box (pushed 2-D box over z-layout)")(
+        spark.read.parquet(zdir.resolve("ev").toString)
+          .filter(col("user_id").between(30, 60) &&
+            col("ts_us").between(1704067200000000L, 1704672000000000L)))
     }
 
     spark.stop()

@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators — the write-side half of scan performance
+  * at 100 TB. A table queried by TWO dimensions at once (user and
+  * time, host and date, ...) cannot be pruned by sorting on either
+  * one alone: sort by time and a user-filter touches every file; sort
+  * by user and a time-filter does. Z-ORDERING interleaves the bits of
+  * both dimensions into one sort key, so consecutive rows are close
+  * in BOTH dimensions, every file's (min, max) box on each ORIGINAL
+  * column is tight, and a box predicate prunes to O(perimeter) files
+  * via ordinary parquet min/max stats — no index structure, no query
+  * rewrite: the pushed-down filters the scan already does are what
+  * skips the files (the Delta/Iceberg OPTIMIZE ZORDER design,
+  * relationalized to plain parquet).
+  *
+  * Query results are layout-INVARIANT (same rows whatever the file
+  * order), so the declared query is oracle-checked exactly against
+  * the unordered table; the pruning claim is asserted separately by
+  * LayoutSpec over per-file min/max boxes.
+  */
+object Layout {
+
+  /** Bits per dimension: 2 × 21 = 42 interleaved bits in a BIGINT. */
+  val ZBits = 21
+
+  /** 2-D Morton (Z-order) key: bit-interleave of two already-
+    * quantized non-negative dimensions (each < 2^bits). Pure integer
+    * Column algebra — 2·bits shift/mask terms OR-folded, fully
+    * codegen'd, zero shuffle.
+    */
+  def zValue(a: Column, b: Column, bits: Int = ZBits): Column =
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce(_.bitwiseOR(_))
+
+  /** Affine quantization of a LONG column onto [0, 2^bits): the rank
+    * space the z-key interleaves. Double arithmetic is deliberate —
+    * `(c - min) · (2^bits - 1)` overflows BIGINT for wide µs spans,
+    * and the quantizer only decides file PLACEMENT, never a query
+    * result, so IEEE determinism (same data → same layout) is all
+    * that is required.
+    */
+  def quantize(c: Column, minV: Long, maxV: Long, bits: Int = ZBits): Column = {
+    val span = math.max(1L, maxV - minV)
+    floor((c - lit(minV)).cast("double") / span * ((1L << bits) - 1))
+      .cast("long")
+  }
+
+  /** Write `df` as `nFiles` parquet files z-ordered on two LONG
+    * columns: quantize each dimension by its global (min, max) — ONE
+    * 1-row aggregate, the only driver state — interleave, range-
+    * partition on the z-key (so files tile the z-curve), sort within
+    * partitions (so row-group stats are tight inside each file too).
+    * The z-key is dropped before writing: readers prune on the
+    * ORIGINAL columns' stats and need never know the layout.
+    */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+      dir: String, nFiles: Int = 32): Unit = {
+    val r = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).head()
+    val z = zValue(
+      quantize(col(colA), r.getLong(0), r.getLong(1)),
+      quantize(col(colB), r.getLong(2), r.getLong(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Per-file (min, max) box of two columns — the layout-audit view
+    * LayoutSpec asserts pruning with: a file whose box misses the
+    * query box is a file a stats-pruning reader skips. One scan,
+    * file-keyed agg; file count is the write-side `nFiles`, so the
+    * result is always tiny.
+    */
+  def fileBoxes(df: DataFrame, colA: String, colB: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(col(colA)).as("min_a"), max(col(colA)).as("max_a"),
+        min(col(colB)).as("min_b"), max(col(colB)).as("max_b"),
+        count(lit(1)).as("n_rows"))
+}

@@ -1,0 +1,71 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: key correctness, layout invariance, and the actual
+  * pruning claim — a 2-D box predicate must intersect FEWER file
+  * boxes under the z-layout than under any single-dimension sort
+  * (where one of the two dimensions spans every file).
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("zValue interleaves bits (Morton order)") {
+    import spark.implicits._
+    // a = 101b, b = 011b → z = b2 a2 b1 a1 b0 a0 = 0 1 1 0 1 1 = 27
+    val r = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), bits = 3)).head().getLong(0)
+    assert(r == 27L)
+    // z is monotone on each dim with the other fixed
+    val zs = Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 2L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), bits = 3))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs == zs.sorted && zs.distinct.size == 4)
+  }
+
+  // 64×64 grid: user = i mod 64, t = i div 64 — every (user, t) cell
+  // exactly once, so file-box geometry is exact and assertable.
+  private def grid = {
+    import spark.implicits._
+    (0L until 4096L).map(i => (i, i % 64, i / 64)).toDF("id", "user", "t")
+  }
+
+  test("z-layout: box query exact; files prune on BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zspec")
+    dir.toFile.deleteOnExit()
+    val zdir = dir.resolve("z").toString
+    val tdir = dir.resolve("t").toString
+    Layout.writeZOrdered(grid, "user", "t", zdir, nFiles = 16)
+    // contrast layout: single-dimension range sort on t
+    grid.repartitionByRange(16, col("t")).sortWithinPartitions("t")
+      .write.parquet(tdir)
+
+    // layout invariance: the box result is exactly the source's
+    val box = col("user").between(0, 31) && col("t").between(0, 31)
+    val zRows = spark.read.parquet(zdir).filter(box)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val srcRows = grid.filter(box).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(zRows == srcRows && zRows.size == 1024)
+
+    def intersecting(path: String): (Long, Long) = {
+      val boxes = Layout.fileBoxes(spark.read.parquet(path), "user", "t")
+      val n = boxes.count()
+      val hit = boxes.filter(col("min_a") <= 31 && col("max_a") >= 0 &&
+        col("min_b") <= 31 && col("max_b") >= 0).count()
+      (hit, n)
+    }
+    val (zHit, zTotal) = intersecting(zdir)
+    val (tHit, tTotal) = intersecting(tdir)
+    assert(zTotal == 16 && tTotal == 16)
+    // a quarter box tiles ~1/4 of the z-curve (range-partition
+    // boundaries are sampled, so allow slack) ...
+    assert(zHit <= 6, s"z-layout pruned too little: $zHit/16 files hit")
+    // ... while the t-sorted layout prunes ONLY on t — every file
+    // spans all users, so the box hits every file in the t half
+    assert(tHit >= 8, s"t-sort contrast unexpectedly tight: $tHit/16")
+    assert(zHit < tHit)
+  }
+}
