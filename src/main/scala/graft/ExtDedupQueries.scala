@@ -483,6 +483,79 @@ private[graft] object ExtDedupQueries {
            |WHERE bit_count(xor(sh_a, sh_b)) <= 8
            |GROUP BY 1 ORDER BY hamming""".stripMargin)),
 
+    // MinHash calibration table — the k-tuning twin of the hamming
+    // histogram: for the verified near-dup pairs, how well does the
+    // signature-match fraction (matching mins / k, the MinHash
+    // estimator) track EXACT jaccard? One row per matching-mins value
+    // with pair count and integer-permille jaccard sum/min/max (no
+    // double mean — accumulation order could differ across engines).
+    // Joins the two persisted artifacts; ≤ k+1 output rows at any
+    // corpus size.
+    QueryDef("x_dedup_minhash_calibration",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val pairs = minhashPairs(spark, sfDir)
+        val sigs = minhashSigs(spark, sfDir)
+        val sa = sigs.select(col("doc_id").as("id_a") +:
+          (0 until K).map(i => col(s"mh_$i").as(s"__a_$i")): _*)
+        val sb = sigs.select(col("doc_id").as("id_b") +:
+          (0 until K).map(i => col(s"mh_$i").as(s"__b_$i")): _*)
+        pairs
+          .join(sa, "id_a").join(sb, "id_b")
+          .withColumn("matching_mins",
+            (0 until K).map(i =>
+              when(col(s"__a_$i") === col(s"__b_$i"), 1L).otherwise(0L))
+              .reduce(_ + _))
+          .withColumn("jac_permille",
+            expr("shared * 1000 DIV (n_a + n_b - shared)"))
+          .groupBy("matching_mins")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("jac_permille")).as("sum_jac_permille"),
+            min(col("jac_permille")).as("min_jac_permille"),
+            max(col("jac_permille")).as("max_jac_permille"))
+          .orderBy("matching_mins")
+      },
+      Some {
+        val matchSum = (0 until K).map(i =>
+          s"CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH ${shinglesCte(3)},
+           |$minhashSigsCte,
+           |$bandsCte,
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |verified AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN sh x ON x.doc_id = c.id_a
+           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+           |  GROUP BY 1, 2
+           |),
+           |pairs AS (
+           |  SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b
+           |  FROM verified
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
+           |),
+           |scored AS (
+           |  SELECT CAST($matchSum AS BIGINT) AS matching_mins,
+           |         shared * 1000 // (n_a + n_b - shared) AS jac_permille
+           |  FROM pairs p
+           |  JOIN sigs x ON x.doc_id = p.id_a
+           |  JOIN sigs y ON y.doc_id = p.id_b
+           |)
+           |SELECT matching_mins, CAST(count(*) AS BIGINT) AS n_pairs,
+           |       CAST(sum(jac_permille) AS BIGINT) AS sum_jac_permille,
+           |       CAST(min(jac_permille) AS BIGINT) AS min_jac_permille,
+           |       CAST(max(jac_permille) AS BIGINT) AS max_jac_permille
+           |FROM scored GROUP BY matching_mins
+           |ORDER BY matching_mins""".stripMargin
+      }),
+
     QueryDef("x_dedup_keep_first",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)

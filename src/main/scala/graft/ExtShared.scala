@@ -99,6 +99,23 @@ private[graft] object ExtShared {
       dir.toString
     })
 
+  // Multi-file copy of a single-file testdata table, so AvailableNow
+  // streaming runs with maxFilesPerTrigger=1 see REAL multi-batch
+  // execution (a one-file source is a single batch — batch-equality
+  // would be vacuous). Memoized per (sfDir, file, parts), deleteOnExit.
+  private[graft] val multiFileSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
+  private[graft] def multiFileSourceDir(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, file: String, parts: Int): String =
+    multiFileSrcCache.getOrElseUpdate((sfDir, file, parts), {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-multisrc")
+      dir.toFile.deleteOnExit()
+      spark.read.parquet(s"$sfDir/$file")
+        .repartition(parts)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+
   // Z-ordered events layout, written ONCE per scale dir (the index-
   // artifact lifecycle: the layout is a build-side product; queries
   // measure reads). Temp dir with deleteOnExit, like streamSourceDir.

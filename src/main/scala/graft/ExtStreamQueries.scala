@@ -4,7 +4,7 @@ import graft.core.Schema
 import graft.ext.{Dedup, Events, Pipeline, Quality, Similarity, TextAnalysis}
 import graft.index.IndexJob
 import org.apache.spark.sql.functions._
-/** Structured-Streaming family: the six streaming twins (merge, user-state, dedup, sessions, rolling, funnel, as-of) checked against their batch oracles.
+/** Structured-Streaming family: the streaming twins (merge, user-state, dedup, sessions, rolling, funnel, as-of, and the stateless contamination screen) checked against their batch oracles.
   * Oracle-checked via CORRECTNESS_r* (see SURVEY §7.5).
   */
 private[graft] object ExtStreamQueries {
@@ -288,6 +288,55 @@ private[graft] object ExtStreamQueries {
             "sum_trailing_cents")
           .orderBy("event_id")
       },
-      defsRollingOracle)
+      defsRollingOracle),
+
+    // Streaming contamination screen — the STATELESS twin class: the
+    // 13-gram screen is per-document (a doc's grams never leave its
+    // row before the broadcast semi-join against the fixed benchmark
+    // set), so it runs per micro-batch with NO state store and is
+    // batch-equal under ANY batching. A REAL multi-batch run: 4-file
+    // source, maxFilesPerTrigger=1 → 4 micro-batches, foreachBatch
+    // appends each batch's flagged docs; result is hash-identical to
+    // the batch operator's oracle. Every per-doc screen in the
+    // library (quality, langid, gopher, PII, blocklist) streams this
+    // same way for free — this entry pins the pattern.
+    QueryDef("x_stream_contam",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val benchGrams = Dedup.shingleHashes(
+            spark.table("documents").filter(col("doc_id") % 97 === 0),
+            "text", "doc_id", 13)
+          .select(col("shingle")).distinct().persist()
+        benchGrams.count() // the fixed benchmark artifact, built once
+        val srcDir = multiFileSourceDir(spark, sfDir, "documents.parquet", 4)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-stream-contam")
+        outDir.toFile.deleteOnExit()
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            Pipeline.contaminationNgramAgainst(batch, benchGrams,
+                "text", n = 13, minShared = 1)
+              .write.mode("append").parquet(outDir.toString): Unit
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(outDir.toString).orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${shinglesCte(13)},
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+           |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+           |FROM sh f JOIN bench b ON b.shingle = f.shingle
+           |GROUP BY f.doc_id
+           |HAVING count(*) >= 1
+           |ORDER BY f.doc_id""".stripMargin))
   )
 }

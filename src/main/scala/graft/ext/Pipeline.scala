@@ -172,16 +172,29 @@ object Pipeline {
     */
   def contaminationNgram(docs: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String = "doc_id", n: Int = 13,
-      minShared: Int = 1): DataFrame = {
-    val corpusGrams = Dedup.shingleHashes(docs, textCol, idCol, n)
-    val benchGrams = Dedup.shingleHashes(benchmark, textCol, idCol, n)
-      .select(col("shingle")).distinct()
-    corpusGrams
+      minShared: Int = 1): DataFrame =
+    contaminationNgramAgainst(docs,
+      Dedup.shingleHashes(benchmark, textCol, idCol, n)
+        .select(col("shingle")).distinct(),
+      textCol, idCol, n, minShared)
+
+  /** [[contaminationNgram]] against a PREBUILT distinct benchmark
+    * gram-hash relation — the deployment shape: the benchmark set is
+    * fixed (built once, persisted), the corpus is what arrives. Also
+    * the streaming entry point: the screen is per-document-stateless
+    * (a doc's grams never leave its row before the broadcast
+    * semi-join), so it runs unchanged per micro-batch with NO state
+    * store — every per-document screen in this family streams this
+    * way for free.
+    */
+  def contaminationNgramAgainst(docs: DataFrame, benchGrams: DataFrame,
+      textCol: String, idCol: String = "doc_id", n: Int = 13,
+      minShared: Int = 1): DataFrame =
+    Dedup.shingleHashes(docs, textCol, idCol, n)
       .join(broadcast(benchGrams), Seq("shingle"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_ngrams"))
       .filter(col("n_shared_ngrams") >= minShared)
-  }
 
   /** [[contamination]] with a Bloom-filter prescreen — the 100 TB shape
     * when the benchmark fingerprint set is too large to broadcast as a

@@ -167,7 +167,7 @@ class PlanSpec extends AnyFunSuite {
     // job and the returned frame reads a memory sink (trivial plan).
     val skip = Set("x_stream_merge", "x_stream_dedup", "x_stream_sessions",
       "x_stream_rolling", "x_stream_funnel", "x_stream_asof",
-      "x_stream_user_state")
+      "x_stream_user_state", "x_stream_contam")
     Corpus.registerSources(spark, sfDir)
     for (d <- SparkEntry.allDefs if !skip.contains(d.name)) {
       val plan = planOf(d.fn(spark, sfDir))
