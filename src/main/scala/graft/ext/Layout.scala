@@ -26,17 +26,27 @@ object Layout {
   /** Bits per dimension: 2 × 21 = 42 interleaved bits in a BIGINT. */
   val ZBits = 21
 
-  /** 2-D Morton (Z-order) key: bit-interleave of two already-
-    * quantized non-negative dimensions (each < 2^bits). Pure integer
-    * Column algebra — 2·bits shift/mask terms OR-folded, fully
-    * codegen'd, zero shuffle.
+  /** N-D Morton (Z-order) key: bit-interleave of already-quantized
+    * non-negative dimensions (each < 2^bits, n·bits ≤ 63). Pure
+    * integer Column algebra — n·bits shift/mask terms OR-folded,
+    * fully codegen'd, zero shuffle. Dimension j's bit i lands at
+    * position i·n + j, so earlier columns get the lower (finer)
+    * interleave slots — order columns by query selectivity.
     */
-  def zValue(a: Column, b: Column, bits: Int = ZBits): Column =
-    (0 until bits).map { i =>
-      val abit = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-      val bbit = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
-      abit.bitwiseOR(bbit)
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"${cols.size} dims x $bits bits exceeds a BIGINT")
+    val n = cols.size
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
+      }
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** 2-D convenience form of [[zValueN]]. */
+  def zValue(a: Column, b: Column, bits: Int = ZBits): Column =
+    zValueN(Seq(a, b), bits)
 
   /** Affine quantization of a LONG column onto [0, 2^bits): the rank
     * space the z-key interleaves. Double arithmetic is deliberate —
@@ -51,27 +61,36 @@ object Layout {
       .cast("long")
   }
 
-  /** Write `df` as `nFiles` parquet files z-ordered on two LONG
-    * columns: quantize each dimension by its global (min, max) — ONE
-    * 1-row aggregate, the only driver state — interleave, range-
-    * partition on the z-key (so files tile the z-curve), sort within
-    * partitions (so row-group stats are tight inside each file too).
-    * The z-key is dropped before writing: readers prune on the
-    * ORIGINAL columns' stats and need never know the layout.
+  /** Write `df` as `nFiles` parquet files z-ordered on two or more
+    * LONG columns: quantize each dimension by its global (min, max)
+    * — ONE 1-row aggregate, the only driver state — interleave,
+    * range-partition on the z-key (so files tile the z-curve), sort
+    * within partitions (so row-group stats are tight inside each
+    * file too). The z-key is dropped before writing: readers prune
+    * on the ORIGINAL columns' stats and need never know the layout.
+    * Bits per dimension = min(ZBits, 63 / n dims).
     */
-  def writeZOrdered(df: DataFrame, colA: String, colB: String,
-      dir: String, nFiles: Int = 32): Unit = {
-    val r = df.agg(min(col(colA)), max(col(colA)),
-      min(col(colB)), max(col(colB))).head()
-    val z = zValue(
-      quantize(col(colA), r.getLong(0), r.getLong(1)),
-      quantize(col(colB), r.getLong(2), r.getLong(3)))
+  def writeZOrderedN(df: DataFrame, zCols: Seq[String], dir: String,
+      nFiles: Int = 32): Unit = {
+    val bits = math.min(ZBits, 63 / zCols.size)
+    val r = df.agg(
+      zCols.flatMap(c => Seq(min(col(c)), max(col(c)))).head,
+      zCols.flatMap(c => Seq(min(col(c)), max(col(c)))).tail: _*).head()
+    val z = zValueN(
+      zCols.zipWithIndex.map { case (c, j) =>
+        quantize(col(c), r.getLong(2 * j), r.getLong(2 * j + 1), bits)
+      }, bits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** 2-D convenience form of [[writeZOrderedN]]. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+      dir: String, nFiles: Int = 32): Unit =
+    writeZOrderedN(df, Seq(colA, colB), dir, nFiles)
 
   /** Per-file (min, max) box of two columns — the layout-audit view
     * LayoutSpec asserts pruning with: a file whose box misses the

@@ -25,6 +25,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(zs == zs.sorted && zs.distinct.size == 4)
   }
 
+  test("zValueN: 3-D interleave pinned; dim j bit i lands at i*n+j") {
+    import spark.implicits._
+    // a=1 (bit0 → pos 0), b=1 (bit0 → pos 1), c=1 (bit0 → pos 2) = 7
+    // a=2 (bit1 → pos 3), others 0 → 8
+    val r = Seq((1L, 1L, 1L), (2L, 0L, 0L)).toDF("a", "b", "c")
+      .select(Layout.zValueN(Seq(col("a"), col("b"), col("c")), bits = 2))
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(7L, 8L))
+    // 2-D convenience form is zValueN with n = 2
+    val two = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zValueN(Seq(col("a"), col("b")), bits = 3))
+      .head().getLong(0)
+    assert(two == 27L)
+  }
+
   // 64×64 grid: user = i mod 64, t = i div 64 — every (user, t) cell
   // exactly once, so file-box geometry is exact and assertable.
   private def grid = {
