@@ -57,6 +57,9 @@ object Bench {
     setup("lsh_build") = time {
       Corpus.lshIndex(spark, sfDir).signatures.count()
     }
+    setup("pq_build") = time {
+      Corpus.pqIndex(spark, sfDir).codes.count()
+    }
     setup("dedup_build") = time {
       ExtQueries.warmDedupArtifacts(spark, sfDir)
     }

@@ -279,6 +279,30 @@ object Corpus {
       graft.ext.Similarity.IvfIndex(idx.centroids.persist(), idx.assigned.persist())
     })
 
+  /** PQ geometry shared by the declared queries and their oracles:
+    * the 64-dim embeddings split into 8 subspaces of 8 dims, 16 codes
+    * per subspace — 8 codes per vector (a 4-bit codebook; stored as
+    * BIGINTs for parquet simplicity, conceptually 4 B/vector vs 256 B
+    * raw). Codebook sources = the first PqCodes vectors by id
+    * (deterministic; ids 0..15 exist at every scale, so the oracles are
+    * scale-independent by construction).
+    */
+  val PqSubspaces = 8
+  val PqCodes = 16
+
+  private val pqCache = TrieMap.empty[String, graft.ext.Similarity.PqIndex]
+
+  /** Memoized PQ index per scale-factor dir — codes computed once (the
+    * TextIndex/IvfIndex pattern), scanned by every ADC search.
+    */
+  def pqIndex(spark: SparkSession, sfDir: String): graft.ext.Similarity.PqIndex =
+    pqCache.getOrElseUpdate(sfDir, {
+      registerSources(spark, sfDir)
+      val idx = graft.ext.Similarity.pqBuild(
+        spark.table("embeddings"), PqSubspaces, PqCodes)
+      idx.copy(codes = idx.codes.persist())
+    })
+
   /** Hyperplane count shared by the LSH ANN queries and their oracles. */
   val LshPlanes = 6
 

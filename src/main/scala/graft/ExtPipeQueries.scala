@@ -268,6 +268,55 @@ private[graft] object ExtPipeQueries {
            |HAVING count(*) >= 1
            |ORDER BY f.doc_id""".stripMargin)),
 
+    // Corpus snapshot diff (CDC for incremental re-curation): v2 is a
+    // deterministic revision of documents — docs ≡0 mod 17 removed,
+    // ≡0 mod 13 edited, ≡0 mod 29 re-added under a shifted id — and
+    // the operator classifies added/removed/changed from (id, digest)
+    // pairs only: the full-outer join never carries text, and the
+    // unchanged majority drops before the result.
+    QueryDef("x_pipe_snapshot_diff",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val v1 = spark.table("documents")
+        val base = v1.filter(col("doc_id") % 17 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")))
+        val added = v1.filter(col("doc_id") % 29 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        Pipeline.snapshotDiff(v1, base.unionByName(added),
+            Seq("text", "lang", "source"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH v1 AS (SELECT doc_id, text, lang, source FROM documents),
+          |v2 AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+          |         lang, source
+          |  FROM documents WHERE doc_id % 17 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text, lang, source
+          |  FROM documents WHERE doc_id % 29 = 0
+          |),
+          |d1 AS (SELECT doc_id,
+          |              md5(coalesce(CAST(text AS VARCHAR), '') || chr(1) ||
+          |                  coalesce(CAST(lang AS VARCHAR), '') || chr(1) ||
+          |                  coalesce(CAST(source AS VARCHAR), '')) AS dg
+          |       FROM v1),
+          |d2 AS (SELECT doc_id,
+          |              md5(coalesce(CAST(text AS VARCHAR), '') || chr(1) ||
+          |                  coalesce(CAST(lang AS VARCHAR), '') || chr(1) ||
+          |                  coalesce(CAST(source AS VARCHAR), '')) AS dg
+          |       FROM v2)
+          |SELECT coalesce(d1.doc_id, d2.doc_id) AS doc_id,
+          |       CASE WHEN d1.doc_id IS NULL THEN 'added'
+          |            WHEN d2.doc_id IS NULL THEN 'removed'
+          |            ELSE 'changed' END AS change
+          |FROM d1 FULL OUTER JOIN d2 ON d1.doc_id = d2.doc_id
+          |WHERE d1.doc_id IS NULL OR d2.doc_id IS NULL OR d1.dg <> d2.dg
+          |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic stratified sample: 20 docs per language by
     // (portable id hash, id) order — unbiased, reshuffle-proof.
     QueryDef("x_pipe_stratified",

@@ -231,6 +231,42 @@ private[graft] object ExtShared {
     s"(SELECT greatest(${Corpus.IvfSampleEvery}, " +
       "CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
+  /** Shared PQ oracle CTEs — mirror Similarity.pqBuild bit-for-bit:
+    * e6 quantization, components split into PqSubspaces contiguous
+    * blocks, per-subspace exact-BIGINT squared distances to the
+    * PqCodes codebook entries (the first PqCodes vectors), argmin codes
+    * with smaller-code tie-break. `pqd2` doubles as the ADC lookup
+    * table for any query id (its rows WHERE vec_id = qid are exactly
+    * the driver-computed LUT). Scale-independent by construction: the
+    * codebook ids and subspace geometry don't depend on N.
+    */
+  private[graft] val pqCtes = {
+    val m = Corpus.PqSubspaces
+    val ks = Corpus.PqCodes
+    s"""e6 AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e
+       |  FROM embeddings
+       |),
+       |comp AS (
+       |  SELECT vec_id, i // (len(e) // $m) AS s, i % (len(e) // $m) AS j, e[i + 1] AS v
+       |  FROM (SELECT vec_id, e, unnest(range(len(e))) AS i FROM e6) q
+       |),
+       |cb AS (SELECT vec_id AS code, s, j, v AS cv FROM comp WHERE vec_id < $ks),
+       |pqd2 AS (
+       |  SELECT c.vec_id, c.s, b.code,
+       |         CAST(sum((c.v - b.cv) * (c.v - b.cv)) AS BIGINT) AS d2
+       |  FROM comp c JOIN cb b ON b.s = c.s AND b.j = c.j
+       |  GROUP BY 1, 2, 3
+       |),
+       |codes AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+       |    FROM pqd2) r WHERE rn = 1
+       |)""".stripMargin
+  }
+
   /** Shared LSH oracle CTEs — INTEGER FIXED-POINT (r4 verdict #1):
     * embeddings quantized ONCE to BIGINT micro-units
     * (floor(v·1e6 + 0.5) — floor is a single exact IEEE op; round()'s

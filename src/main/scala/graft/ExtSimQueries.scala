@@ -443,6 +443,106 @@ private[graft] object ExtSimQueries {
       Some(kmeansIvfOracle(sampleEverySql = ivfStrideSql,
         iters = Corpus.KmeansIters, nprobe = 3, k = 10))),
 
+    // Product-quantization ADC search — the COMPRESSION path of the ANN
+    // family (IVF prunes reads, LSH prunes buckets, PQ shrinks bytes:
+    // 256 B/vector → 8 codes, the format that makes a 100 TB embedding
+    // corpus scannable from RAM). Codes from the PREBUILT memoized
+    // index; the search itself is an in-row integer LUT sum over the
+    // code array — ZERO shuffle, no join — plus TakeOrderedAndProject.
+    // All arithmetic exact BIGINT (e6 quantization once, squared-diff
+    // sums, smaller-code argmin ties): any-engine reproducible.
+    QueryDef("x_sim_pq_adc",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val idx = Corpus.pqIndex(spark, sfDir)
+        val q = Similarity.vectorOf(spark.table("embeddings"), "vec_id", 0L)
+        Similarity.pqSearchIndexed(idx, q, k = 10)
+      },
+      Some(
+        s"""WITH $pqCtes,
+           |lut AS (SELECT s, code, d2 FROM pqd2 WHERE vec_id = 0),
+           |adc AS (
+           |  SELECT c.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+           |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+           |  GROUP BY c.vec_id
+           |)
+           |SELECT vec_id, adc_d2 FROM adc
+           |ORDER BY adc_d2 ASC, vec_id LIMIT 10""".stripMargin)),
+
+    // PQ recall@10 eval vs the exact integer-L2 ground truth (same
+    // metric, uncompressed) over the 5-query probe set — the
+    // accuracy/compression dial, the PQ twin of x_sim_ivf_recall.
+    QueryDef("x_sim_pq_recall",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val vecs = spark.table("embeddings")
+        val idx = Corpus.pqIndex(spark, sfDir)
+        val parts = Seq(0L, 7L, 13L, 21L, 34L).map { qid =>
+          val q = Similarity.vectorOf(vecs, "vec_id", qid)
+          val ex = Similarity.l2TopK(vecs, q, 10)
+            .select(col("vec_id")).withColumn("qid", lit(qid))
+            .withColumn("ex", lit(1))
+          val pq = Similarity.pqSearchIndexed(idx, q, 10)
+            .select(col("vec_id")).withColumn("qid", lit(qid))
+            .withColumn("pq", lit(1))
+          ex.join(pq, Seq("qid", "vec_id"), "full_outer")
+        }
+        parts.reduce(_.unionByName(_))
+          .groupBy(col("qid").as("query_id"))
+          .agg(sum(coalesce(col("ex"), lit(0))).as("n_exact"),
+            sum(coalesce(col("pq"), lit(0))).as("n_pq"),
+            sum(coalesce(col("ex"), lit(0)) * coalesce(col("pq"), lit(0)))
+              .as("n_common"))
+          .select(col("query_id"),
+            col("n_exact").cast("long").as("n_exact"),
+            col("n_pq").cast("long").as("n_pq"),
+            col("n_common").cast("long").as("n_common"),
+            expr("n_common * 1000 DIV n_exact").cast("long").as("recall_permille"))
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH $pqCtes,
+           |qs AS (SELECT unnest([0, 7, 13, 21, 34]) AS qid),
+           |lut AS (SELECT d.vec_id AS qid, d.s, d.code, d.d2
+           |        FROM pqd2 d JOIN qs q ON d.vec_id = q.qid),
+           |adc AS (
+           |  SELECT l.qid, c.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+           |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+           |  GROUP BY 1, 2
+           |),
+           |pq10 AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, row_number() OVER (
+           |      PARTITION BY qid ORDER BY adc_d2 ASC, vec_id) AS rn
+           |    FROM adc) r WHERE rn <= 10
+           |),
+           |qe AS (SELECT q.qid, c.s, c.j, c.v FROM comp c JOIN qs q ON c.vec_id = q.qid),
+           |exl2 AS (
+           |  SELECT x.qid, c.vec_id, CAST(sum((c.v - x.v) * (c.v - x.v)) AS BIGINT) AS d2
+           |  FROM comp c JOIN qe x ON x.s = c.s AND x.j = c.j
+           |  GROUP BY 1, 2
+           |),
+           |exact10 AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, row_number() OVER (
+           |      PARTITION BY qid ORDER BY d2 ASC, vec_id) AS rn
+           |    FROM exl2) r WHERE rn <= 10
+           |),
+           |j AS (
+           |  SELECT coalesce(e.qid, p.qid) AS qid,
+           |         CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS ex,
+           |         CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS pq
+           |  FROM exact10 e FULL OUTER JOIN pq10 p
+           |    ON e.qid = p.qid AND e.vec_id = p.vec_id
+           |)
+           |SELECT CAST(qid AS BIGINT) AS query_id,
+           |       CAST(sum(ex) AS BIGINT) AS n_exact,
+           |       CAST(sum(pq) AS BIGINT) AS n_pq,
+           |       CAST(sum(ex * pq) AS BIGINT) AS n_common,
+           |       CAST(sum(ex * pq) * 1000 // sum(ex) AS BIGINT) AS recall_permille
+           |FROM j GROUP BY qid
+           |ORDER BY query_id""".stripMargin)),
+
     // Hyperplane-LSH ANN over the PREBUILT signature index (build/search
     // split — VERDICT r3 #1/#2). The hyperplanes derive from
     // md5("hp_<p>_<i>") (Similarity.hyperplanes) — portable arithmetic.

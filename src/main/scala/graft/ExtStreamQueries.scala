@@ -290,6 +290,53 @@ private[graft] object ExtStreamQueries {
       },
       defsRollingOracle),
 
+    // Streaming windowed aggregation — the BUILT-IN stateful-agg class
+    // (the one twin with NO custom state code): watermark + 10-minute
+    // tumbling window + count/sum, state managed entirely by the state
+    // store as one row per open (window, type) group. A REAL 4-micro-
+    // batch run (maxFilesPerTrigger=1); values quantize to integer
+    // cents BEFORE the sum (the x_evt_rolling recipe) so the result is
+    // fold-order-exact; update-mode emissions only grow per group, so
+    // the final state (max n_events per key) equals the batch window
+    // aggregate and the driver oracle checks it.
+    QueryDef("x_stream_windowed",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val srcDir = multiFileSourceDir(spark, sfDir, "events.parquet", 4)
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .selectExpr("timestamp_micros(ts div 1000) AS ts", "event_type",
+            "value")
+        val q = graft.streaming.IncrementalIndexer.windowedCents(stream)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_windowed_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // counts only grow: final value per (window, type) = max-n emission
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("win_start_us", "event_type")
+          .orderBy(col("n_events").desc)
+        spark.table("x_stream_windowed_sink")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("win_start_us", "event_type", "n_events", "sum_cents")
+          .orderBy("win_start_us", "event_type")
+      },
+      Some(
+        """SELECT CAST(epoch_us(ts) // 600000000 AS BIGINT) * 600000000 AS win_start_us,
+          |       event_type,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events
+          |GROUP BY 1, 2
+          |ORDER BY win_start_us, event_type""".stripMargin)),
+
     // Streaming contamination screen — the STATELESS twin class: the
     // 13-gram screen is per-document (a doc's grams never leave its
     // row before the broadcast semi-join against the fixed benchmark

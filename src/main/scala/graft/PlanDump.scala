@@ -367,6 +367,27 @@ object PlanDump {
         spark.read.parquet(zdir.resolve("ev").toString)
           .filter(col("user_id").between(30, 60) &&
             col("ts_us").between(1704067200000000L, 1704672000000000L)))
+
+      // 42. PQ ADC search over a PERSISTED index: the compressed-codes
+      //     scan + in-row LUT adds + TakeOrderedAndProject — zero
+      //     Exchange, no join; the scan IS the whole search
+      val vecs = spark.table("embeddings")
+      val pqDir = java.nio.file.Files.createTempDirectory("graft-pqdump")
+      pqDir.toFile.deleteOnExit()
+      graft.ext.Similarity.writePqIndex(
+        graft.ext.Similarity.pqBuild(vecs, Corpus.PqSubspaces, Corpus.PqCodes),
+        pqDir.toString)
+      val pqIdx = graft.ext.Similarity.readPqIndex(spark, pqDir.toString)
+      val q0 = graft.ext.Similarity.vectorOf(vecs, "vec_id", 0L)
+      dump("x_sim_pq_adc (in-row LUT scan over persisted codes)")(
+        graft.ext.Similarity.pqSearchIndexed(pqIdx, q0, 10))
+
+      // 43. snapshot diff: each side reduces to (id, digest) BEFORE the
+      //     full-outer join — 40-byte rows on the wire, text never
+      //     crosses an exchange
+      dump("x_pipe_snapshot_diff (digest-only full-outer join)")(
+        graft.ext.Pipeline.snapshotDiff(docs,
+          docs.filter(col("doc_id") % 17 =!= 0), Seq("text", "lang", "source")))
     }
 
     spark.stop()

@@ -287,6 +287,33 @@ object Pipeline {
         (col("__cum") - col("n_tokens")).as("token_offset"))
   }
 
+  /** Corpus snapshot diff — the CDC step of incremental re-curation:
+    * classify every document as added / removed / changed between two
+    * corpus versions, so downstream stages (dedup, quality, indexing,
+    * embedding) re-process ONLY the delta instead of re-reading 100 TB
+    * per refresh. Each side reduces to (id, md5-of-content) BEFORE the
+    * join, so the one full-outer hash join exchanges 40-byte rows —
+    * never text — and unchanged documents (the overwhelming majority
+    * of a refresh) are filtered out of the result. Content identity is
+    * the concatenation of `contentCols` with a field separator (the
+    * multi-column digest recipe of the upsert sink).
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame,
+      contentCols: Seq[String], idCol: String = "doc_id"): DataFrame = {
+    def digested(df: DataFrame, name: String): DataFrame =
+      df.select(col(idCol),
+        md5(concat_ws("\u0001",
+          contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+          .as(name))
+    digested(v1, "__d1").join(digested(v2, "__d2"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__d1").isNull, "added")
+          .when(col("__d2").isNull, "removed")
+          .when(col("__d1") =!= col("__d2"), "changed")
+          .otherwise("unchanged").as("change"))
+      .filter(col("change") =!= "unchanged")
+  }
+
   /** Greedy-by-position sequence packing: within each `byCol` shard
     * (documents pack within their shard — the cluster-friendly
     * contract; a global order would serialize the corpus), documents

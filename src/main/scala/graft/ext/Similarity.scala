@@ -559,4 +559,150 @@ object Similarity {
   def lshAnnTopK(vectors: DataFrame, query: Seq[Float], planes: Int, k: Int,
       idCol: String = "vec_id"): DataFrame =
     lshSearchIndexed(lshBuild(vectors, planes, idCol), query, k, probes = 1, idCol)
+
+  // ---- Product quantization (PQ) ------------------------------------
+
+  /** A built product-quantization index — the compression path of the
+    * ANN family (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search"). The embedding dimension splits into
+    * `subspaces` contiguous blocks; each block is vector-quantized
+    * against a tiny per-subspace codebook, so a 64-dim float vector
+    * (256 B) becomes `subspaces` small codes (8 B here) — the 32×
+    * memory cut that makes a 100 TB embedding corpus scannable from
+    * RAM. `codes` is the compressed corpus (one compact BIGINT-array
+    * column per vector); `codebook(code)(subspace)` holds the
+    * e6-quantized centroid components on the DRIVER (ks × dim longs —
+    * the [[LshIndex]] planes pattern), because every search needs the
+    * whole table to build its lookup row.
+    */
+  final case class PqIndex(codes: DataFrame, codebook: Seq[Seq[Seq[Long]]],
+      subspaces: Int)
+
+  /** One-off PQ build. Codebook sources are the first `ks` vectors by
+    * id — deterministic and scale-independent (the sampled-quantizer
+    * contract of [[ivfBuild]]: swap per-subspace k-means in production
+    * without touching the encode/search path). All arithmetic is
+    * integer: components quantize ONCE to e6 (the repo recipe), each
+    * subspace distance is an exact BIGINT sum of squared differences,
+    * and the argmin tie-breaks on the smaller code — reproducible in
+    * any engine, no fold-order or rounding hazard.
+    *
+    * Scale shape: the codebook is ks rows collected to the driver
+    * (bounded — 16 here), then encode is ONE pass: explode each vector
+    * into `subspaces` narrow (vec_id, s, subvector) rows, broadcast-join
+    * the m×ks codebook rows, argmin per (vec_id, s), reassemble the code
+    * array with a deterministic sort — the IVF-assignment shape with a
+    * bounded small side.
+    */
+  def pqBuild(vectors: DataFrame, m: Int, ks: Int,
+      idCol: String = "vec_id"): PqIndex = {
+    VectorFunctions.register(vectors.sparkSession)
+    val cbRows = vectors.filter(col(idCol) < ks)
+      .select(col(idCol).cast("long").as("code"), embE6.as("e"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .sortBy(_._1)
+    val dim = cbRows.head._2.size
+    val sub = dim / m
+    val codebook: Seq[Seq[Seq[Long]]] = cbRows.map { case (_, e) =>
+      (0 until m).map(s => e.slice(s * sub, (s + 1) * sub))
+    }.toSeq
+    val subsArr = array((0 until m).map(s => slice(embE6, s * sub + 1, sub)): _*)
+    val exploded = spread(vectors.select(col(idCol).as("vec_id"),
+        subsArr.as("subs")))
+      .select(col("vec_id"), posexplode(col("subs")).as(Seq("s", "sv")))
+    val sp = vectors.sparkSession
+    import sp.implicits._
+    val cbDf = codebook.zipWithIndex.flatMap { case (subs, c) =>
+      subs.zipWithIndex.map { case (cb, s) => (s, c.toLong, cb) }
+    }.toDF("s", "code", "cv")
+    val d2 = expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val codes = exploded.join(broadcast(cbDf), "s")
+      .withColumn("d2", d2)
+      .groupBy("vec_id", "s")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    PqIndex(codes, codebook, m)
+  }
+
+  /** ADC (asymmetric distance computation) search over a PREBUILT PQ
+    * index: the query's distance to every codebook centroid is an
+    * m × ks integer lookup table computed ONCE on the driver, and each
+    * vector's approximate L2² is the in-row sum of m table lookups over
+    * its code array — ZERO shuffle, no join; the compressed-corpus scan
+    * plus a TakeOrderedAndProject IS the whole search, which is why PQ
+    * is the RAM-resident scan format at 10⁹+ vectors.
+    */
+  def pqSearchIndexed(index: PqIndex, query: Seq[Float], k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val ks = index.codebook.size
+    val m = index.subspaces
+    val qi = query.map(quantE6)
+    val sub = qi.size / m
+    val lut: Seq[Seq[Long]] = (0 until m).map { s =>
+      (0 until ks).map { c =>
+        val cb = index.codebook(c)(s)
+        var acc = 0L
+        var j = 0
+        while (j < sub) { val d = qi(s * sub + j) - cb(j); acc += d * d; j += 1 }
+        acc
+      }
+    }
+    val adc = (0 until m).map { s =>
+      element_at(array(lut(s).map(lit): _*),
+        (element_at(col("codes"), s + 1) + lit(1)).cast("int"))
+    }.reduce(_ + _)
+    index.codes
+      .withColumn("adc_d2", adc)
+      .select(col("vec_id").as(idCol), col("adc_d2"))
+      .orderBy(col("adc_d2").asc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact integer L2² top-k over the e6-quantized embeddings — the
+    * uncompressed ground-truth twin of [[pqSearchIndexed]] (same
+    * metric, no codebook): one in-row integer fold per vector plus a
+    * TakeOrderedAndProject.
+    */
+  def l2TopK(vectors: DataFrame, query: Seq[Float], k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val qi = query.map(quantE6)
+    val qCol = array(qi.map(lit): _*)
+    val d2 = aggregate(zip_with(embE6, qCol, (x, y) => (x - y) * (x - y)),
+      lit(0L), (s, v) => s + v)
+    vectors.withColumn("l2_d2", d2)
+      .select(col(idCol), col("l2_d2"))
+      .orderBy(col("l2_d2").asc, col(idCol))
+      .limit(k)
+  }
+
+  /** Persist a PQ index: the compressed codes (the corpus-sized side —
+    * at 100 TB of raw embeddings this parquet is ~1/32 the size) and
+    * the tiny exploded codebook as one file.
+    */
+  def writePqIndex(index: PqIndex, dir: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val sp = index.codes.sparkSession
+    import sp.implicits._
+    index.codebook.zipWithIndex.flatMap { case (subs, c) =>
+      subs.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (v, j) => (c.toLong, s, j, v) } }
+    }.toDF("code", "s", "j", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  /** Reopen a persisted PQ index ([[writePqIndex]] layout). */
+  def readPqIndex(spark: SparkSession, dir: String): PqIndex = {
+    val rows = spark.read.parquet(s"$dir/codebook").collect()
+      .map(r => (r.getAs[Long]("code"), r.getAs[Int]("s"),
+        r.getAs[Int]("j"), r.getAs[Long]("v")))
+    val m = rows.map(_._2).max + 1
+    val codebook = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cr) =>
+      (0 until m).map(s => cr.filter(_._2 == s).sortBy(_._3).map(_._4).toSeq)
+    }
+    PqIndex(spark.read.parquet(s"$dir/codes"), codebook, m)
+  }
 }

@@ -63,6 +63,31 @@ object IncrementalIndexer {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** [[windowedCounts]] in exact integer arithmetic — the oracle-checkable
+    * form: values quantize ONCE to integer cents (the x_evt_rolling
+    * recipe — a DOUBLE sum's fold order varies across engines, a BIGINT
+    * sum cannot), window starts emit as epoch-µs BIGINTs. This pins the
+    * BUILT-IN streaming-aggregation state class the custom twins
+    * deliberately avoid: state lives in the state store (one row per
+    * open (window, type) group — bounded by the watermark horizon ×
+    * group cardinality, not history), updates are the engine's own
+    * partial aggregates, and no user state code exists at all.
+    * `watermarkDelay` must cover the source's disorder bound for the
+    * final state to equal the batch aggregate (the batch-equivalence
+    * contract; a production deployment sets it to the real ingest
+    * disorder and trades the tail for bounded state).
+    */
+  def windowedCents(events: DataFrame, windowDur: String = "10 minutes",
+      watermarkDelay: String = "60 days"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("__cents",
+        floor(col("value").cast("double") * 100 + lit(0.5)).cast("long"))
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__cents")).as("sum_cents"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("sum_cents"))
+
   /** Arbitrary per-key state, evolved with `mapGroupsWithState` — the
     * custom-state surface (SURVEY §2.7 extension): one state row per
     * user carrying the event count and the latest event, updated

@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: encode determinism (argmin + smaller-code
+  * ties), ADC vs exact-L2 agreement on a separable corpus, the
+  * codebook-member identity (a codebook source's ADC distance to
+  * itself via its own codes is its LUT entry), and the persisted
+  * round-trip.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // 24 vectors in dim 8 (m=4 subspaces of 2): vector i sits at the
+  // constant level (i%4 + 1)·0.2 in EVERY dim plus a tiny deterministic
+  // jitter, so each of the 4 clusters is separated from the others in
+  // every subspace (0.2 level gap ≫ 0.003 jitter) and the first 4
+  // vectors (the codebook sources) are one per cluster.
+  private def vecs = {
+    import spark.implicits._
+    (0L until 24L).map { i =>
+      val base = (i % 4).toInt
+      val emb = (0 until 8).map { d =>
+        (base + 1) * 0.2f + (((i * 8 + d) % 7).toInt - 3) * 0.001f
+      }
+      (i, emb)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pqBuild: codes are m per vector; codebook sources encode to themselves") {
+    val idx = Similarity.pqBuild(vecs, m = 4, ks = 4)
+    assert(idx.codebook.size == 4 && idx.codebook.head.size == 4)
+    val codes = idx.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.size == 24 && codes.values.forall(_.size == 4))
+    // each codebook source vector is its own nearest codeword in every
+    // subspace (distance 0 to itself, jitter < separation elsewhere)
+    (0L until 4L).foreach { c =>
+      assert(codes(c) == Seq.fill(4)(c),
+        s"codebook source $c should self-encode, got ${codes(c)}")
+    }
+    // clustered vectors encode to their cluster's codeword
+    (4L until 24L).foreach { i =>
+      assert(codes(i) == Seq.fill(4)(i % 4))
+    }
+  }
+
+  test("ADC top-k matches exact integer L2 top-k on the separable corpus") {
+    val idx = Similarity.pqBuild(vecs, m = 4, ks = 4)
+    val q = vecs.filter(col("vec_id") === 5L)
+      .head().getSeq[Float](1)
+    val adc = Similarity.pqSearchIndexed(idx, q, k = 6)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.l2TopK(vecs, q, k = 6)
+      .collect().map(_.getLong(0)).toSeq
+    // cluster 1 members are {1, 5, 9, 13, 17, 21} under both metrics
+    assert(adc.toSet == Set(1L, 5L, 9L, 13L, 17L, 21L))
+    assert(exact.toSet == adc.toSet)
+  }
+
+  test("persisted PQ index round-trips codes and codebook") {
+    val idx = Similarity.pqBuild(vecs, m = 4, ks = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.writePqIndex(idx, dir)
+    val back = Similarity.readPqIndex(spark, dir)
+    assert(back.codebook == idx.codebook)
+    assert(back.subspaces == idx.subspaces)
+    val q = vecs.filter(col("vec_id") === 2L).head().getSeq[Float](1)
+    val a = Similarity.pqSearchIndexed(idx, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Similarity.pqSearchIndexed(back, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+    val d = Pipeline.snapshotDiff(v1, v2, Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+  }
+}

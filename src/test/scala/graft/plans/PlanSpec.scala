@@ -157,6 +157,36 @@ class PlanSpec extends AnyFunSuite {
     assert(windowNodes(df) == 2, s"keepRepresentative window count:\n${planOf(df)}")
   }
 
+  test("PQ ADC search over persisted codes: zero shuffle, top-k heap only") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-plan").toString
+    graft.ext.Similarity.writePqIndex(
+      graft.ext.Similarity.pqBuild(vecs, m = 8, ks = 16), dir)
+    val idx = graft.ext.Similarity.readPqIndex(spark, dir)
+    val df = graft.ext.Similarity.pqSearchIndexed(
+      idx, (0 until 64).map(_ => 0.1f), 10)
+    assert(shuffles(df) == 0, s"PQ search grew a shuffle:\n${planOf(df)}")
+    assert(planOf(df).contains("TakeOrderedAndProject"),
+      s"PQ search lost the top-k heap:\n${planOf(df)}")
+    assert(!planOf(df).contains("Join"),
+      s"PQ search grew a join:\n${planOf(df)}")
+  }
+
+  test("snapshot diff: digest-only hash join, no text past the digest projection") {
+    val df = graft.ext.Pipeline.snapshotDiff(docs,
+      docs.filter(col("doc_id") % 17 =!= 0), Seq("text", "lang", "source"))
+    val p = planOf(df)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"snapshot diff lost the hash equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"snapshot diff degenerated:\n$p")
+    // the join's output carries only id + digests — text is consumed
+    // by md5 below every exchange
+    val joinLine = p.linesIterator.find(_.contains("Join FullOuter")).getOrElse("")
+    assert(!joinLine.contains("text"),
+      s"snapshot diff carries text through the join:\n$joinLine")
+  }
+
   // ---- global: no cartesian product anywhere -------------------------
 
   test("no CartesianProduct in any declared query plan") {
@@ -167,7 +197,7 @@ class PlanSpec extends AnyFunSuite {
     // job and the returned frame reads a memory sink (trivial plan).
     val skip = Set("x_stream_merge", "x_stream_dedup", "x_stream_sessions",
       "x_stream_rolling", "x_stream_funnel", "x_stream_asof",
-      "x_stream_user_state", "x_stream_contam")
+      "x_stream_user_state", "x_stream_contam", "x_stream_windowed")
     Corpus.registerSources(spark, sfDir)
     for (d <- SparkEntry.allDefs if !skip.contains(d.name)) {
       val plan = planOf(d.fn(spark, sfDir))
