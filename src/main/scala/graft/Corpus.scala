@@ -303,6 +303,17 @@ object Corpus {
       idx.copy(codes = idx.codes.persist())
     })
 
+  private val ivfPqCache = TrieMap.empty[String, DataFrame]
+
+  /** Memoized IVF+PQ composed cells (vec_id, cell_id, codes) per scale
+    * dir — the IVFADC serving layout, one vec_id join of the two
+    * existing artifacts.
+    */
+  def ivfPqCells(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqCache.getOrElseUpdate(sfDir,
+      graft.ext.Similarity.ivfPqCells(
+        ivfIndex(spark, sfDir), pqIndex(spark, sfDir)).persist())
+
   /** Hyperplane count shared by the LSH ANN queries and their oracles. */
   val LshPlanes = 6
 

@@ -469,6 +469,66 @@ private[graft] object ExtSimQueries {
            |SELECT vec_id, adc_d2 FROM adc
            |ORDER BY adc_d2 ASC, vec_id LIMIT 10""".stripMargin)),
 
+    // IVF + PQ composed (the FAISS IVFADC layout): PQ codes stored
+    // INSIDE the IVF cells, so a search probes nprobe cells AND every
+    // byte it reads is 32× compressed — the billion-vector serving
+    // shape. Probe-cell selection = the proven round-6 centroid cosine
+    // (x_sim_ivf); candidate scoring = the exact-integer in-row ADC
+    // LUT sum (x_sim_pq_adc). Build is one vec_id join of the two
+    // memoized artifacts — nothing new computed.
+    QueryDef("x_sim_ivfpq",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val cells = Corpus.ivfPqCells(spark, sfDir)
+        val ivf = Corpus.ivfIndex(spark, sfDir)
+        val pq = Corpus.pqIndex(spark, sfDir)
+        val q = Similarity.vectorOf(spark.table("embeddings"), "vec_id", 0L)
+        Similarity.ivfPqSearch(cells, ivf.centroids, pq.codebook,
+          Corpus.PqSubspaces, q, nprobe = 3, k = 10)
+      },
+      Some(
+        s"""WITH $exCte,
+           |cx AS (
+           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
+           |),
+           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+           |          FROM ex GROUP BY vec_id),
+           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
+           |           FROM cx GROUP BY cell_id),
+           |allsims AS (
+           |  SELECT e.vec_id, c.cell_id,
+           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
+           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
+           |  FROM ex e JOIN cx c ON e.i = c.i
+           |  JOIN norms n ON n.vec_id = e.vec_id
+           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
+           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
+           |),
+           |assigned AS (
+           |  SELECT vec_id, cell_id FROM (
+           |    SELECT vec_id, cell_id,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY sim DESC, cell_id) AS rn
+           |    FROM allsims
+           |  ) r WHERE rn = 1
+           |),
+           |qsims AS (SELECT a.cell_id, a.sim FROM allsims a WHERE a.vec_id = 0),
+           |probes AS (SELECT cell_id FROM qsims ORDER BY sim DESC, cell_id LIMIT 3),
+           |$pqCtes,
+           |lut AS (SELECT s, code, d2 FROM pqd2 WHERE vec_id = 0),
+           |cand AS (SELECT a.vec_id, a.cell_id FROM assigned a
+           |         JOIN probes p ON p.cell_id = a.cell_id),
+           |adc AS (
+           |  SELECT c.vec_id, c.cell_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+           |  FROM cand c JOIN codes k ON k.vec_id = c.vec_id
+           |  JOIN lut l ON l.s = k.s AND l.code = k.code
+           |  GROUP BY 1, 2
+           |)
+           |SELECT vec_id, cell_id, adc_d2 FROM adc
+           |ORDER BY adc_d2 ASC, vec_id LIMIT 10""".stripMargin)),
+
     // PQ recall@10 eval vs the exact integer-L2 ground truth (same
     // metric, uncompressed) over the 5-query probe set — the
     // accuracy/compression dial, the PQ twin of x_sim_ivf_recall.

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Schema
-import graft.ext.{Dedup, Events, Pipeline, Quality, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Events, Graph, Pipeline, Quality, Similarity, TextAnalysis}
 import graft.index.IndexJob
 import org.apache.spark.sql.functions._
 /** Text-analysis family: langid (x2), quality, token counts, fingerprints, winnowing (+native kernel), source overlap, normalization, URL hosts/dedup, TF-IDF, more-like-this, curation-adjacent text screens.
@@ -369,6 +369,89 @@ private[graft] object ExtTextQueries {
           |FROM hosts GROUP BY host
           |ORDER BY n_docs DESC, n_urls DESC, host
           |LIMIT 20""".stripMargin)),
+
+    // Host-graph PageRank — the link-centrality source-quality signal
+    // CommonCrawl-derived pipelines weight documents by. Graph = host
+    // co-occurrence within a document (same synthetic URL augmentation
+    // as x_text_urlhosts); 2 synchronous rounds in e9 fixed point —
+    // truncating integer DIVs and associative BIGINT sums only, so the
+    // ranking is bit-identical in any engine; the oracle unrolls the
+    // same rounds as CTEs (the k-means precedent). Per round: one
+    // edges⋈ranks join + one key agg — the standard distributed
+    // PageRank shape; driver state is ONE scalar (node count).
+    QueryDef("x_graph_pagerank",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val aug = spark.table("documents").withColumn("text",
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" see https://www.site"), (col("doc_id") % 11).cast("string"),
+                lit(".example.com/page/"), col("doc_id").cast("string"),
+                lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
+                lit(".example.net/x")))
+              .otherwise(lit(""))))
+        val t = coalesce(col("text"), lit(""))
+        val urls = regexp_extract_all(t, lit("https?://[^\\s]+"), lit(0))
+        val hosts = transform(urls,
+          u => regexp_extract(u, "^https?://([^/\\s]+)", 1))
+        val docHosts = aug.select(col("doc_id"), explode(hosts).as("host"))
+        Graph.pageRank(
+            Graph.cooccurrenceEdges(docHosts, "doc_id", "host"), iters = 2)
+          .withColumnRenamed("node", "host")
+          .withColumnRenamed("pr", "pr_e9")
+          .orderBy(col("pr_e9").desc, col("host"))
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') ||
+          |         CASE WHEN doc_id % 3 = 0
+          |              THEN ' see https://www.site' || (doc_id % 11) ||
+          |                   '.example.com/page/' || doc_id ||
+          |                   ' and http://cdn' || (doc_id % 5) || '.example.net/x'
+          |              ELSE '' END AS t
+          |  FROM documents
+          |),
+          |hx AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(regexp_extract_all(t, 'https?://[^\s]+'),
+          |                u -> regexp_extract(u, '^https?://([^/\s]+)', 1))) AS host
+          |  FROM aug
+          |),
+          |dh AS (SELECT DISTINCT doc_id, host FROM hx),
+          |edges AS (
+          |  SELECT DISTINCT a.host AS src, b.host AS dst
+          |  FROM dh a JOIN dh b ON a.doc_id = b.doc_id AND a.host <> b.host
+          |),
+          |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+          |nn AS (SELECT 1000000000 // count(*) AS base FROM nodes),
+          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          |pr0 AS (SELECT node, (SELECT base FROM nn) AS pr FROM nodes),
+          |c1 AS (
+          |  SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+          |  FROM edges e
+          |  JOIN pr0 p ON p.node = e.src
+          |  JOIN deg d ON d.src = e.src
+          |  GROUP BY e.dst
+          |),
+          |pr1 AS (
+          |  SELECT n.node,
+          |         CAST((15 * (SELECT base FROM nn) + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+          |  FROM nodes n LEFT JOIN c1 c ON c.node = n.node
+          |),
+          |c2 AS (
+          |  SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+          |  FROM edges e
+          |  JOIN pr1 p ON p.node = e.src
+          |  JOIN deg d ON d.src = e.src
+          |  GROUP BY e.dst
+          |),
+          |pr2 AS (
+          |  SELECT n.node,
+          |         CAST((15 * (SELECT base FROM nn) + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+          |  FROM nodes n LEFT JOIN c2 c ON c.node = n.node
+          |)
+          |SELECT node AS host, pr AS pr_e9 FROM pr2
+          |ORDER BY pr_e9 DESC, host""".stripMargin)),
 
     // Bigram collocation mining: top-50 adjacent token pairs (count
     // >= 5) ranked by PMI lift (exp of PMI — no transcendental; one

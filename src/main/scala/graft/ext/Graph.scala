@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms as relational algebra — the
+  * source-quality side of the extension surface (SURVEY §7.5).
+  * CommonCrawl-derived pretraining pipelines weight documents by
+  * link-graph centrality of their host (harmonic / PageRank
+  * centrality); this module computes PageRank over a host graph with
+  * the engine's exact-integer discipline so the result is
+  * reproducible in any engine.
+  *
+  * Scale shape per iteration: one join of the edge list against the
+  * current rank vector (both hash-partitioned on the join key), one
+  * key-keyed aggregation — the standard distributed PageRank round.
+  * Driver state is ONE scalar (the node count); the per-round plan is
+  * truncated with localCheckpoint (the k-means / components lesson:
+  * iterative self-reference otherwise doubles the analysis-time plan
+  * per round).
+  */
+object Graph {
+
+  /** Undirected co-occurrence edges between the distinct values of
+    * `valCol` sharing a `idCol` group (e.g. hosts cited by the same
+    * document). Both directions are emitted, self-loops dropped,
+    * duplicates collapsed. The self-join is per-group quadratic in
+    * the DISTINCT values per group — bounded by the per-document URL
+    * count, not the corpus.
+    */
+  def cooccurrenceEdges(items: DataFrame, idCol: String,
+      valCol: String): DataFrame = {
+    val d = items.select(col(idCol).as("__d"), col(valCol)).distinct()
+    val a = d.select(col("__d"), col(valCol).as("src"))
+    val b = d.select(col("__d"), col(valCol).as("dst"))
+    a.join(b, "__d").filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  /** PageRank in e9 fixed point: `iters` synchronous rounds of
+    * pr'(v) = ((100−damp)·base + damp·Σ_{u→v} pr(u) DIV outdeg(u)) DIV 100
+    * with base = 1e9 DIV N. Every step is integer (truncating DIV,
+    * associative BIGINT sums), so the ranking is bit-identical in any
+    * engine and under any fold order — the oracle unrolls the same
+    * rounds as CTEs. Nodes with no in-edges keep the damped base;
+    * nodes outside the edge list are not ranked (a co-occurrence
+    * graph has no dangling-node mass by construction — every node in
+    * the graph has at least one out-edge).
+    */
+  def pageRank(edges: DataFrame, iters: Int, dampPct: Int = 85): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct().persist()
+    val n = nodes.count() // ONE driver scalar — the bounded-collect contract
+    val base = 1000000000L / math.max(n, 1L)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var pr = nodes.withColumn("pr", lit(base))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("pr DIV deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          // every literal BIGINT: (100−damp)·base overflows INT for
+          // small graphs (base ≈ 1e9/N) under ANSI arithmetic
+          expr(s"(CAST(${100 - dampPct} AS BIGINT) * CAST($base AS BIGINT) + " +
+            s"CAST($dampPct AS BIGINT) * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+}

@@ -662,6 +662,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF + PQ composed (the IVFADC layout of Jégou et al. / FAISS
+    * `IVFPQ`): the PQ codes are stored INSIDE the IVF assignment, so
+    * one relation carries (vec_id, cell_id, codes). A search probes
+    * the `nprobe` nearest cells (partition pruning at scale — the
+    * cells relation persists partitioned by cell_id exactly like
+    * [[writeIvfIndex]]) and ADC-scores ONLY the candidates, in-row.
+    * This is the standard billion-vector serving shape: reads drop to
+    * ~nprobe/k of the corpus AND every byte read is 32× compressed.
+    * Build is a one-off vec_id hash join of the two existing
+    * artifacts — nothing new is computed.
+    */
+  def ivfPqCells(ivf: IvfIndex, pq: PqIndex): DataFrame =
+    ivf.assigned.select(col("vec_id"), col("cell_id"))
+      .join(pq.codes, "vec_id")
+
+  /** ADC search over the composed cells: probe-cell selection scores
+    * the tiny centroid table (same deterministic round-6 cosine as
+    * [[ivfSearchIndexed]]), then the candidate scan is the in-row
+    * integer LUT sum of [[pqSearchIndexed]] — no full-corpus read, no
+    * shuffle beyond the broadcast of nprobe cell ids.
+    */
+  def ivfPqSearch(cells: DataFrame, centroids: DataFrame,
+      codebook: Seq[Seq[Seq[Long]]], m: Int, query: Seq[Float],
+      nprobe: Int, k: Int): DataFrame = {
+    VectorFunctions.register(cells.sparkSession)
+    val q = array(query.map(v => lit(v)): _*)
+    val probeCells = centroids
+      .withColumn("sim", round(cosine(col("centroid"), q), 6))
+      .orderBy(col("sim").desc, col("cell_id"))
+      .limit(nprobe)
+      .select("cell_id")
+    val ks = codebook.size
+    val qi = query.map(quantE6)
+    val sub = qi.size / m
+    val lut: Seq[Seq[Long]] = (0 until m).map { s =>
+      (0 until ks).map { c =>
+        val cb = codebook(c)(s)
+        var acc = 0L
+        var j = 0
+        while (j < sub) { val d = qi(s * sub + j) - cb(j); acc += d * d; j += 1 }
+        acc
+      }
+    }
+    val adc = (0 until m).map { s =>
+      element_at(array(lut(s).map(lit): _*),
+        (element_at(col("codes"), s + 1) + lit(1)).cast("int"))
+    }.reduce(_ + _)
+    cells.join(broadcast(probeCells), "cell_id")
+      .withColumn("adc_d2", adc)
+      .select(col("vec_id"), col("cell_id"), col("adc_d2"))
+      .orderBy(col("adc_d2").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact integer L2² top-k over the e6-quantized embeddings — the
     * uncompressed ground-truth twin of [[pqSearchIndexed]] (same
     * metric, no codebook): one in-row integer fold per vector plus a
