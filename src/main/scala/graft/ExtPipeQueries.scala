@@ -268,6 +268,20 @@ private[graft] object ExtPipeQueries {
            |HAVING count(*) >= 1
            |ORDER BY f.doc_id""".stripMargin)),
 
+    // BPE merge learning (tokenizer training as relational algebra):
+    // 5 merge rounds over the WORD-FREQUENCY table — the corpus is
+    // scanned once for token counts, then every round runs over the
+    // Zipf-bounded distinct-word relation (31 words at sf0.01, 40 at
+    // sf1 — vocabulary-sized at ANY corpus size). The oracle unrolls
+    // the same rounds; the engine's greedy fold and the oracle's
+    // mark/run/even-offset selection provably pick the same merges.
+    QueryDef("x_pipe_bpe_merges",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.bpeMerges(spark.table("documents"), "text", steps = 5)
+      },
+      Some(bpeOracle(5))),
+
     // Corpus snapshot diff (CDC for incremental re-curation): v2 is a
     // deterministic revision of documents — docs ≡0 mod 17 removed,
     // ≡0 mod 13 edited, ≡0 mod 29 re-added under a shifted id — and

@@ -231,6 +231,78 @@ private[graft] object ExtShared {
     s"(SELECT greatest(${Corpus.IvfSampleEvery}, " +
       "CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
+  /** DuckDB mirror of Pipeline.bpeMerges with `steps` rounds unrolled
+    * as CTE chains (the kmeansIvfOracle precedent). The greedy
+    * non-overlapping merge is expressed as mark/run/even-offset
+    * selection — provably the same picks as the engine's sequential
+    * fold: overlapping marks only occur in runs of one repeated
+    * symbol, where the fold merges at even offsets from the run start.
+    */
+  private[graft] def bpeOracle(steps: Int): String = {
+    val stepCtes = (1 to steps).map { n =>
+      val prev = s"s${n - 1}"
+      // every step CTE is MATERIALIZED: DuckDB inlines CTEs by
+      // default, and each step references its predecessor from
+      // several places — inlining would re-evaluate the whole chain
+      // exponentially in the step count (observed: a 5-step oracle
+      // that never finished; materialized it's milliseconds)
+      s"""p$n AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+         |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+         |        FROM $prev WHERE len(syms) >= 2) q
+         |  GROUP BY 1, 2
+         |),
+         |t$n AS MATERIALIZED (SELECT l, r, pc FROM p$n ORDER BY pc DESC, l, r LIMIT 1),
+         |m$n AS MATERIALIZED (
+         |  SELECT word, cnt, syms, i,
+         |         coalesce(syms[i] = (SELECT l FROM t$n)
+         |                  AND syms[i + 1] = (SELECT r FROM t$n), FALSE) AS mk
+         |  FROM (SELECT word, cnt, syms, unnest(range(1, len(syms) + 1)) AS i
+         |        FROM $prev) q
+         |),
+         |r$n AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, min(i) OVER (PARTITION BY word, grp) AS rs
+         |    FROM (SELECT word, i,
+         |                 i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+         |          FROM m$n WHERE mk) q1
+         |  ) q2 WHERE (i - rs) % 2 = 0
+         |),
+         |s$n AS MATERIALIZED (
+         |  SELECT m.word, m.cnt,
+         |         list(CASE WHEN k.i IS NOT NULL THEN m.syms[m.i] || m.syms[m.i + 1]
+         |                   ELSE m.syms[m.i] END ORDER BY m.i) AS syms
+         |  FROM m$n m
+         |  LEFT JOIN r$n k ON k.word = m.word AND k.i = m.i
+         |  LEFT JOIN r$n kp ON kp.word = m.word AND kp.i = m.i - 1
+         |  WHERE kp.i IS NULL
+         |  GROUP BY m.word, m.cnt
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to steps).map(n =>
+      s"SELECT CAST($n AS BIGINT) AS step, l AS left_sym, r AS right_sym, " +
+        s"pc AS pair_count FROM t$n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+       |                     x -> x <> '') AS ts
+       |  FROM documents
+       |),
+       |words AS MATERIALIZED (
+       |  SELECT t AS word, count(*) AS cnt
+       |  FROM (SELECT unnest(ts) AS t FROM toks) q GROUP BY t
+       |),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |         list_transform(range(1, len(word) + 1),
+       |                        i -> word[CAST(i AS INTEGER)]) AS syms
+       |  FROM words
+       |),
+       |$stepCtes
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   /** Shared PQ oracle CTEs — mirror Similarity.pqBuild bit-for-bit:
     * e6 quantization, components split into PqSubspaces contiguous
     * blocks, per-subspace exact-BIGINT squared distances to the

@@ -287,6 +287,68 @@ object Pipeline {
         (col("__cum") - col("n_tokens")).as("token_offset"))
   }
 
+  /** BPE merge learning (Sennrich et al.) — tokenizer training as
+    * relational algebra. The key scale property: BPE trains on the
+    * WORD-FREQUENCY table, not the corpus — the corpus is touched
+    * exactly once (one token-count aggregation), and every merge
+    * iteration runs over the DISTINCT-word relation, which Zipf keeps
+    * vocabulary-sized however large the corpus. Per step: adjacent
+    * symbol pairs explode in-row (positions weighted by word count),
+    * one pair-keyed aggregation, a 1-row top-pair limit
+    * (TakeOrderedAndProject), and an in-row `aggregate` fold that
+    * applies the merge greedily left-to-right (the fold's "last
+    * element still equals the raw left symbol" test reproduces
+    * non-overlapping greedy semantics exactly — a merged element no
+    * longer equals the left symbol, so runs like `aaa` merge at even
+    * offsets only, matching the reference implementation). No driver
+    * state beyond the loop counter; the per-step plan truncates with
+    * localCheckpoint (the k-means / PageRank lesson).
+    *
+    * Returns the learned merge table (step, left_sym, right_sym,
+    * pair_count) — `steps` rows, the artifact a tokenizer ships.
+    * Ties break lexicographically on (left, right); pair counts
+    * include overlapping positions (the reference counts them too).
+    * `steps` must not exceed the corpus' mergeable depth (an empty
+    * pair table would end training early; callers learn real
+    * vocabularies with steps ≪ total symbol pairs).
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
+    val words = docs.select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var syms = words.select(col("word"), col("cnt"),
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (step <- 1 to steps) {
+      val top = syms.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(element_at(syms, i + 1) AS l, element_at(syms, i + 2) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1)
+        .withColumn("step", lit(step.toLong))
+        .localCheckpoint(true) // 1 row; reused by the merge AND the output
+      merges += top.select("step", "left_sym", "right_sym", "pair_count")
+      syms = syms
+        .crossJoin(broadcast(top.select(col("left_sym").as("__a"),
+          col("right_sym").as("__b"))))
+        .withColumn("syms", expr(
+          """aggregate(syms, CAST(array() AS ARRAY<STRING>),
+            |  (acc, x) -> CASE
+            |    WHEN size(acc) > 0 AND element_at(acc, -1) = __a AND x = __b
+            |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(__a, x)))
+            |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        .select("word", "cnt", "syms")
+        .localCheckpoint(true)
+    }
+    merges.reduce(_.unionByName(_)).orderBy("step")
+  }
+
   /** Corpus snapshot diff — the CDC step of incremental re-curation:
     * classify every document as added / removed / changed between two
     * corpus versions, so downstream stages (dedup, quality, indexing,

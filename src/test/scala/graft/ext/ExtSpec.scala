@@ -21,6 +21,18 @@ class ExtSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
   }
 
+  test("BPE merges: top pair by weighted count; greedy fold merges runs at even offsets") {
+    import spark.implicits._
+    // corpus: "aaaa" ×3, "ab" ×2 → step 1 counts: (a,a) = 3·3 = 9,
+    // (a,b) = 2 → top (a,a). Greedy merge: aaaa → [aa, aa]; ab stays.
+    // step 2 counts: (aa,aa) = 3, (a,b) = 2 → top (aa,aa).
+    val d = (Seq.fill(3)("aaaa") ++ Seq.fill(2)("ab")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = Pipeline.bpeMerges(d, "text", steps = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1L, "a", "a", 9L), (2L, "aa", "aa", 3L)))
+  }
+
   test("exact dedup groups identical content") {
     val g = Dedup.exactGroups(docs, "text", "doc_id")
       .filter(col("n_copies") > 1).collect()
