@@ -282,6 +282,22 @@ private[graft] object ExtPipeQueries {
       },
       Some(bpeOracle(5))),
 
+    // BPE encoding (the serving half): apply the 5 learned merges to
+    // the same corpus and emit the BPE-token histogram. The merge
+    // table collects (bounded: steps rows) to a literal array, so the
+    // encode itself is one in-row nested fold per DISTINCT word — the
+    // oracle is the training chain's final symbol state unnested,
+    // which rank-order encode provably reproduces on the training
+    // corpus (training applies each merge cumulatively when learned).
+    QueryDef("x_pipe_bpe_encode",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val docs = spark.table("documents")
+        Pipeline.bpeEncode(docs, "text",
+          Pipeline.bpeMerges(docs, "text", steps = 5))
+      },
+      Some(bpeEncodeOracle(5))),
+
     // Corpus snapshot diff (CDC for incremental re-curation): v2 is a
     // deterministic revision of documents — docs ≡0 mod 17 removed,
     // ≡0 mod 13 edited, ≡0 mod 29 re-added under a shifted id — and

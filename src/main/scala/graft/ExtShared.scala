@@ -239,6 +239,29 @@ private[graft] object ExtShared {
     * symbol, where the fold merges at even offsets from the run start.
     */
   private[graft] def bpeOracle(steps: Int): String = {
+    val out = (1 to steps).map(n =>
+      s"SELECT CAST($n AS BIGINT) AS step, l AS left_sym, r AS right_sym, " +
+        s"pc AS pair_count FROM t$n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(steps)}
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
+  /** Encode oracle: the final symbol state s`steps` of the same CTE
+    * chain IS the corpus encoded with the learned merges (training
+    * applies each merge cumulatively right when learned — identical
+    * to rank-order encode on the training corpus), so the token
+    * histogram is one unnest + weighted sum over it.
+    */
+  private[graft] def bpeEncodeOracle(steps: Int): String =
+    s"""WITH ${bpeCtes(steps)}
+       |SELECT token, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+       |FROM (SELECT cnt, unnest(syms) AS token FROM s$steps) q
+       |GROUP BY token
+       |ORDER BY n_occurrences DESC, token""".stripMargin
+
+  private def bpeCtes(steps: Int): String = {
     val stepCtes = (1 to steps).map { n =>
       val prev = s"s${n - 1}"
       // every step CTE is MATERIALIZED: DuckDB inlines CTEs by
@@ -279,11 +302,7 @@ private[graft] object ExtShared {
          |  GROUP BY m.word, m.cnt
          |)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to steps).map(n =>
-      s"SELECT CAST($n AS BIGINT) AS step, l AS left_sym, r AS right_sym, " +
-        s"pc AS pair_count FROM t$n")
-      .mkString("\nUNION ALL\n")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
        |                     x -> x <> '') AS ts
        |  FROM documents
@@ -298,9 +317,7 @@ private[graft] object ExtShared {
        |                        i -> word[CAST(i AS INTEGER)]) AS syms
        |  FROM words
        |),
-       |$stepCtes
-       |$out
-       |ORDER BY step""".stripMargin
+       |$stepCtes""".stripMargin
   }
 
   /** Shared PQ oracle CTEs — mirror Similarity.pqBuild bit-for-bit:

@@ -349,6 +349,49 @@ object Pipeline {
     merges.reduce(_.unionByName(_)).orderBy("step")
   }
 
+  /** BPE encoding — the serving half of `bpeMerges`: apply a learned
+    * merge table to a corpus and return the BPE-token histogram
+    * (token, n_occurrences). Merges apply in rank (step) order, each
+    * greedily left-to-right — exactly the cumulative state the
+    * training loop maintains, so encoding the training corpus
+    * reproduces training's final symbol state (ranks respect symbol
+    * creation order: both operands of a merge exist before its rank,
+    * and a later merge cannot create an operand of an earlier one).
+    *
+    * Scale shape: the merge table is bounded by construction (one row
+    * per learned merge — the artifact a tokenizer ships), so it
+    * collects to a literal array and the whole encode is IN-ROW: a
+    * nested fold of cost O(|merges| · word_len) per DISTINCT word
+    * (the Zipf-bounded relation again), with the corpus itself
+    * touched once for the word counts. Two key-agg shuffles total
+    * (words, then tokens); no join.
+    */
+  def bpeEncode(docs: DataFrame, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy("step").select("left_sym", "right_sym")
+      .collect() // bounded: one row per learned merge
+      .map(r => struct(lit(r.getString(0)).as("l"), lit(r.getString(1)).as("r")))
+    val mergeArr =
+      if (ms.isEmpty) expr("CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>)")
+      else array(ms.toIndexedSeq: _*)
+    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
+    docs.select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("__merges", mergeArr)
+      .withColumn("__syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .withColumn("__enc", expr(
+        """aggregate(__merges, __syms, (acc, m) ->
+          |  aggregate(acc, CAST(array() AS ARRAY<STRING>),
+          |    (a, x) -> CASE
+          |      WHEN size(a) > 0 AND element_at(a, -1) = m.l AND x = m.r
+          |      THEN concat(slice(a, 1, size(a) - 1), array(concat(m.l, x)))
+          |      ELSE concat(a, array(x)) END))""".stripMargin))
+      .select(explode(col("__enc")).as("token"), col("cnt"))
+      .groupBy("token").agg(sum("cnt").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+  }
+
   /** Corpus snapshot diff — the CDC step of incremental re-curation:
     * classify every document as added / removed / changed between two
     * corpus versions, so downstream stages (dedup, quality, indexing,

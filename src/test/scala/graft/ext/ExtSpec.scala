@@ -33,6 +33,19 @@ class ExtSpec extends AnyFunSuite {
     assert(m.toSeq == Seq((1L, "a", "a", 9L), (2L, "aa", "aa", 3L)))
   }
 
+  test("BPE encode: learned merges apply in rank order to unseen words") {
+    import spark.implicits._
+    // train on "aaaa"×3 + "ab"×2 → merges: 1:(a,a), 2:(aa,aa).
+    val train = (Seq.fill(3)("aaaa") ++ Seq.fill(2)("ab")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Pipeline.bpeMerges(train, "text", steps = 2)
+    // encode an UNSEEN corpus: aaaab → [aaaa, b]; aab → [aa, b]; b → [b]
+    val enc = Seq((0L, "aaaab aab b b")).toDF("doc_id", "text")
+    val hist = Pipeline.bpeEncode(enc, "text", merges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(hist == Map("b" -> 4L, "aa" -> 1L, "aaaa" -> 1L))
+  }
+
   test("exact dedup groups identical content") {
     val g = Dedup.exactGroups(docs, "text", "doc_id")
       .filter(col("n_copies") > 1).collect()
