@@ -189,6 +189,22 @@ class PlanSpec extends AnyFunSuite {
 
   // ---- global: no cartesian product anywhere -------------------------
 
+  test("BPE encode: two key-agg exchanges + vocab-sized output sort, zero joins (PLANS r8 §15)") {
+    // The merge table is a collected literal, so the encode plan must
+    // be pure in-row fold + two aggregations: word counts, then token
+    // histogram. The third exchange is the rangepartitioning for the
+    // advisory ORDER BY over the vocabulary-sized result. Any join or
+    // window node means the literal-array design regressed.
+    import spark.implicits._
+    val merges = Seq((1L, "a", "a", 9L), (2L, "aa", "aa", 3L))
+      .toDF("step", "left_sym", "right_sym", "pair_count")
+    val df = graft.ext.Pipeline.bpeEncode(docs, "text", merges)
+    val p = planOf(df)
+    assert(shuffles(df) == 3, s"bpe encode shuffle count:\n$p")
+    assert(windowNodes(df) == 0, s"bpe encode grew a window:\n$p")
+    assert(!p.contains("Join"), s"bpe encode grew a join:\n$p")
+  }
+
   test("no CartesianProduct in any declared query plan") {
     // Every crossJoin in the library is against a broadcast 1-row or
     // dimension-sized side (plans show BroadcastNestedLoopJoin);
