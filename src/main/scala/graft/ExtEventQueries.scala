@@ -305,6 +305,65 @@ private[graft] object ExtEventQueries {
         Events.funnel(ev, Seq("view", "click", "purchase"))
           .orderBy("user_id")
       },
-      defsFunnelOracle)
+      defsFunnelOracle),
+
+    // Skew-salted two-stage aggregation: count + integer-cents sum per
+    // event_type via groupBy(key, salt) partials then a key-only
+    // merge. The oracle is the PLAIN GROUP BY — parity proves the
+    // salted shape is semantically free, while at 100 TB it spreads a
+    // hot key over `salts` reducers (AQE splits skewed join
+    // partitions, not skewed agg keys — salting is the agg recipe).
+    QueryDef("x_evt_salted_agg",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Events.saltedAgg(spark.table("events")
+            .select("event_id", "event_type", "value"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type,
+          |       count(*) AS n_events,
+          |       CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+          |                     AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)),
+
+    // SCD2 interval build (event-sourced dimension versioning): each
+    // user's event_type change stream becomes validity intervals —
+    // consecutive duplicates collapse, valid_to = next change's ts
+    // (NULL while current). ONE key exchange for both windows; the
+    // point-in-time lookup against this table is the as-of join.
+    QueryDef("x_evt_scd2",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us", "event_type")
+        Events.scd2(ev).orderBy("user_id", "version")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+          |  FROM events
+          |),
+          |c AS (
+          |  SELECT user_id, event_type, ts_us, event_id,
+          |         lag(event_type) OVER (PARTITION BY user_id
+          |                               ORDER BY ts_us, event_id) AS prev
+          |  FROM e
+          |),
+          |f AS (
+          |  SELECT user_id, event_type, ts_us, event_id FROM c
+          |  WHERE prev IS NULL OR prev <> event_type
+          |)
+          |SELECT user_id, event_type, ts_us AS valid_from,
+          |       lead(ts_us) OVER (PARTITION BY user_id
+          |                         ORDER BY ts_us, event_id) AS valid_to,
+          |       CAST(row_number() OVER (PARTITION BY user_id
+          |                               ORDER BY ts_us, event_id) AS BIGINT)
+          |         AS version
+          |FROM f
+          |ORDER BY user_id, version""".stripMargin))
   )
 }

@@ -280,4 +280,57 @@ object Events {
         col(tCols.last).isNotNull &&
           col(tCols.last) - col(tCols.head) <= windowUs)
   }
+
+  /** Skew-salted two-stage aggregation: count + integer-cents sum per
+    * `keyCol`, computed as groupBy(key, salt) partials then a final
+    * groupBy(key) merge. Semantically IDENTICAL to the plain
+    * aggregation (count and BIGINT sum are associative-commutative;
+    * the oracle is the plain GROUP BY) — the shape exists for the
+    * skew case the plain plan cannot survive: a key holding 30% of
+    * 100 TB pins its entire partial-agg output to one reducer, while
+    * the salted first stage spreads it over `salts` reducers and the
+    * second stage merges `salts` rows per key, not billions. Salt =
+    * `pmod(hash(idCol), salts)` — deterministic, no RNG. (AQE skew
+    * handling splits skewed JOIN partitions but does NOT split a
+    * skewed aggregation key; this is the documented recipe for aggs.)
+    */
+  def saltedAgg(events: DataFrame, keyCol: String = "event_type",
+      valueCol: String = "value", idCol: String = "event_id",
+      salts: Int = 16): DataFrame = {
+    val cents = floor(col(valueCol).cast("double") * 100 + 0.5).cast("long")
+    events
+      .groupBy(col(keyCol), pmod(hash(col(idCol)), lit(salts)).as("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(cents).as("__cents"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n_events"),
+        sum(col("__cents")).as("sum_cents"))
+  }
+
+  /** SCD2 interval build — event-sourced dimension versioning: from a
+    * change stream (key, ts, attribute) derive one validity interval
+    * per attribute VERSION: consecutive duplicate values collapse,
+    * `valid_from` = the change's timestamp, `valid_to` = the next
+    * change's (NULL while current), `version` = 1-based change ordinal.
+    * The point-in-time lookup against the result is [[asofJoin]] — the
+    * pair is the warehouse dimension-versioning pattern.
+    *
+    * Shape: ONE key exchange shared by both windows — the lag
+    * (change detection) and the lead (interval close) use the same
+    * (key, ts, id) partitioning+ordering, and the filter between them
+    * preserves both, so Catalyst plans a single Exchange+Sort (the
+    * funnel precedent). All values BIGINT µs; ties on ts break on the
+    * unique `idCol`, so versions are total-ordered in any engine.
+    */
+  def scd2(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", attrCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__prev", lag(col(attrCol), 1).over(wOrd))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wOrd))
+      .withColumn("version", row_number().over(wOrd).cast("long"))
+      .select(col(keyCol), col(attrCol), col(tsCol).as("valid_from"),
+        col("valid_to"), col("version"))
+  }
 }

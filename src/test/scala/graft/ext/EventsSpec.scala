@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.TestSpark
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Edge semantics of the temporal operators: as-of tie-breaks and
@@ -31,6 +32,47 @@ class EventsSpec extends AnyFunSuite {
     assert(r(22L).getAs[Long]("ref_event_id") == 12L)
     assert(r(23L).isNullAt(r(23L).fieldIndex("ref_event_id")))
     assert(r(24L).isNullAt(r(24L).fieldIndex("ref_event_id")))
+  }
+
+  test("saltedAgg: equals the plain aggregation; hot key spreads over salts") {
+    import spark.implicits._
+    // one hot key (9 of 12 rows) + two cold keys; values with a
+    // half-cent boundary to pin the quantize-then-sum order
+    val ev = ((1L to 9L).map(i => (i, "hot", 0.005 + i)) ++
+      Seq((10L, "cold_a", 1.0), (11L, "cold_a", 2.25), (12L, "cold_b", 0.0)))
+      .toDF("event_id", "event_type", "value")
+    val r = Events.saltedAgg(ev, salts = 4).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // parity with the single-stage plan — the semantic claim itself
+    val plain = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == plain)
+    assert(r("cold_a") == ((2L, 325L)))
+    assert(r("cold_b") == ((1L, 0L)))
+  }
+
+  test("scd2: duplicate runs collapse, valid_to chains, current row open") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, 100L, "free"),
+      (2L, 7L, 200L, "free"), // duplicate run — collapses into v1
+      (3L, 7L, 300L, "pro"),
+      (4L, 7L, 400L, "pro"),
+      (5L, 7L, 500L, "free"), // back to a PRIOR value → new version
+      (6L, 8L, 900L, "pro")   // other key, single open interval
+    ).toDF("event_id", "user_id", "ts_us", "event_type")
+    val r = Events.scd2(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(4)) ->
+        (x.getString(1), x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3)))
+      .toMap
+    assert(r((7L, 1L)) == (("free", 100L, 300L)))
+    assert(r((7L, 2L)) == (("pro", 300L, 500L)))
+    assert(r((7L, 3L)) == (("free", 500L, -1L)))
+    assert(r((8L, 1L)) == (("pro", 900L, -1L)))
+    assert(r.size == 4)
   }
 
   test("retention: first-seen cohort, distinct user-weeks, offsets") {

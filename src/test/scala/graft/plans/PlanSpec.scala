@@ -189,6 +189,27 @@ class PlanSpec extends AnyFunSuite {
 
   // ---- global: no cartesian product anywhere -------------------------
 
+  test("salted agg: salt key in the first exchange, two stages, zero joins") {
+    val df = graft.ext.Events.saltedAgg(
+      events.select("event_id", "event_type", "value"))
+    val p = planOf(df)
+    assert(shuffles(df) == 2, s"salted agg shuffle count:\n$p")
+    // Catalyst renames the salt alias to _groupingexpression; the
+    // pmod(hash(id)) projection is the stable fingerprint
+    assert(p.contains("pmod(hash("),
+      s"first-stage exchange lost the salt key:\n$p")
+    assert(!p.contains("Join"), s"salted agg grew a join:\n$p")
+  }
+
+  test("scd2: both windows share ONE key exchange (the funnel precedent)") {
+    val df = graft.ext.Events.scd2(
+      events.select("event_id", "user_id", "ts_us", "event_type"))
+    val p = planOf(df)
+    assert(shuffles(df) == 1, s"scd2 shuffle count:\n$p")
+    assert(windowNodes(df) == 2, s"scd2 window count:\n$p")
+    assert(!p.contains("Join"), s"scd2 grew a join:\n$p")
+  }
+
   test("BPE encode: two key-agg exchanges + vocab-sized output sort, zero joins (PLANS r8 §15)") {
     // The merge table is a collected literal, so the encode plan must
     // be pure in-row fold + two aggregations: word counts, then token
