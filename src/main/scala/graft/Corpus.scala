@@ -28,11 +28,13 @@ object Corpus {
 
   /** Register every testdata table as a temp view.
     *
-    * `events.ts` is nanosecond-precision in parquet, which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as
-    * raw nanos (`nanosAsLong`) and expose a microsecond-truncated
-    * TimestampType — DuckDB truncates identically when formatting to
-    * seconds.
+    * `events.ts` has shipped in two parquet layouts across testdata
+    * generations: nanosecond-precision INT64 (which Spark's vectorized
+    * reader rejects, [PARQUET_TYPE_ILLEGAL] — read as raw nanos via
+    * `nanosAsLong` and truncated to µs) and plain `timestamp[us]`
+    * (which Spark reads as TIMESTAMP_NTZ). Both are exposed uniformly
+    * as a microsecond TimestampType in the UTC session zone, so every
+    * downstream query and oracle sees one schema.
     */
   def registerSources(spark: SparkSession, sfDir: String): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -41,10 +43,15 @@ object Corpus {
     tables.foreach { t =>
       val df0 = spark.read.parquet(s"$sfDir/$t.parquet")
       val df =
-        if (t == "events")
-          df0.selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
+        if (t == "events") {
+          val tsExpr = df0.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              "timestamp_micros(ts div 1000) AS ts"
+            case _ => "cast(ts as timestamp) AS ts"
+          }
+          df0.selectExpr("event_id", tsExpr,
             "user_id", "event_type", "value", "props")
-        else df0
+        } else df0
       df.createOrReplaceTempView(t)
     }
   }

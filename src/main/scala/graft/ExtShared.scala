@@ -116,6 +116,38 @@ private[graft] object ExtShared {
       dir.toString
     })
 
+  /** Streaming reader over an events parquet dir, normalized across the
+    * two testdata ts layouts (raw INT64 nanos vs timestamp[us] — see
+    * Corpus.registerSources). Streaming sources need an explicit static
+    * schema, so the batch reader probes the footer once; the returned
+    * stream always carries `ts` (µs TimestampType, UTC session zone) and
+    * `ts_us` (BIGINT µs) alongside the remaining event columns.
+    */
+  private[graft] def eventsStream(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, maxFilesPerTrigger: Int = 0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val tsIsLong =
+      spark.read.parquet(srcDir).schema("ts").dataType == LongType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", if (tsIsLong) LongType else TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val reader0 = spark.readStream.schema(schema)
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    else reader0
+    val tsCol = if (tsIsLong)
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+    else org.apache.spark.sql.functions.col("ts").cast("timestamp")
+    reader.parquet(srcDir)
+      .withColumn("ts", tsCol)
+      .withColumn("ts_us", org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts")))
+  }
+
   // Z-ordered events layout, written ONCE per scale dir (the index-
   // artifact lifecycle: the layout is a build-side product; queries
   // measure reads). Temp dir with deleteOnExit, like streamSourceDir.
