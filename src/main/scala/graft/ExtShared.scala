@@ -126,19 +126,21 @@ private[graft] object ExtShared {
   private[graft] def eventsStream(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, maxFilesPerTrigger: Int = 0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
-    val tsIsLong =
-      spark.read.parquet(srcDir).schema("ts").dataType == LongType
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", if (tsIsLong) LongType else TimestampNTZType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    val reader0 = spark.readStream.schema(schema)
+    // self-contained: the footer probe itself needs nanosAsLong when the
+    // testdata ships raw INT64-nanos ts; don't rely on a prior
+    // Corpus.registerSources having set it on the shared session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the stream schema IS the probed batch schema — whatever type the
+    // batch reader resolves ts to (LongType raw nanos, TIMESTAMP_NTZ,
+    // or UTC-adjusted TimestampType), the stream declares the same, so
+    // the two paths can never diverge on layout
+    val batchSchema = spark.read.parquet(srcDir).schema
+    val tsIsLong = batchSchema("ts").dataType == LongType
+    val reader0 = spark.readStream.schema(batchSchema)
     val reader = if (maxFilesPerTrigger > 0)
       reader0.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
     else reader0
+    // mirrors Corpus.registerSources' dual-layout normalize exactly
     val tsCol = if (tsIsLong)
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
     else org.apache.spark.sql.functions.col("ts").cast("timestamp")

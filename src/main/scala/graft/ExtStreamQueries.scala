@@ -61,18 +61,13 @@ private[graft] object ExtStreamQueries {
     // state is batch-SQL-expressible and fully oracle-checked.
     QueryDef("x_stream_user_state",
       (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir) // sets nanosAsLong for the raw ts
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType)))
+        Corpus.registerSources(spark, sfDir)
         // the streaming file source wants a DIRECTORY; testdata ships a
-        // single parquet file → expose it through a temp-dir symlink
-        val srcDir = streamSourceDir(sfDir, "events.parquet")
-        val stream = spark.readStream.schema(schema)
-          .parquet(srcDir)
-          .selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
-            "user_id", "event_type")
+        // single parquet file → expose it through a temp-dir symlink.
+        // eventsStream probes the footer and normalizes BOTH testdata ts
+        // layouts (raw INT64 nanos vs timestamp[us]) — the r7 driver reds
+        // came from hardcoding the nanos layout here.
+        val stream = eventsStream(spark, streamSourceDir(sfDir, "events.parquet"))
         val q = graft.streaming.IncrementalIndexer.userStates(spark, stream)
           .writeStream.outputMode("update")
           .format("memory").queryName("x_stream_user_state_sink")
@@ -112,15 +107,8 @@ private[graft] object ExtStreamQueries {
     QueryDef("x_stream_asof",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        val srcDir = streamSourceDir(sfDir, "events.parquet")
-        val stream = spark.readStream.schema(schema).parquet(srcDir)
-          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
+        // dual-layout-safe ts_us via the footer-probing shared adapter
+        val stream = eventsStream(spark, streamSourceDir(sfDir, "events.parquet"))
         val q = graft.streaming.IncrementalIndexer
           .asofStream(spark, stream, refType = "view", queryType = "click")
           .writeStream.outputMode("update")
@@ -149,15 +137,8 @@ private[graft] object ExtStreamQueries {
     QueryDef("x_stream_funnel",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        val srcDir = streamSourceDir(sfDir, "events.parquet")
-        val stream = spark.readStream.schema(schema).parquet(srcDir)
-          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
+        // dual-layout-safe ts_us via the footer-probing shared adapter
+        val stream = eventsStream(spark, streamSourceDir(sfDir, "events.parquet"))
         val q = graft.streaming.IncrementalIndexer
           .funnelStream(spark, stream, Seq("view", "click", "purchase"))
           .writeStream.outputMode("update")
@@ -225,15 +206,8 @@ private[graft] object ExtStreamQueries {
     QueryDef("x_stream_sessions",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        val srcDir = streamSourceDir(sfDir, "events.parquet")
-        val stream = spark.readStream.schema(schema).parquet(srcDir)
-          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
+        // dual-layout-safe ts_us via the footer-probing shared adapter
+        val stream = eventsStream(spark, streamSourceDir(sfDir, "events.parquet"))
         val q = graft.streaming.IncrementalIndexer
           .sessionStream(spark, stream, gapUs = 4L * 3600 * 1000000)
           .writeStream.outputMode("update")
@@ -261,15 +235,8 @@ private[graft] object ExtStreamQueries {
     QueryDef("x_stream_rolling",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        val srcDir = streamSourceDir(sfDir, "events.parquet")
-        val stream = spark.readStream.schema(schema).parquet(srcDir)
-          .withColumn("ts_us", expr("ts div 1000")) // raw nanos → µs
+        // dual-layout-safe ts_us via the footer-probing shared adapter
+        val stream = eventsStream(spark, streamSourceDir(sfDir, "events.parquet"))
         val q = graft.streaming.IncrementalIndexer
           .rollingStream(spark, stream, windowUs = 86400L * 1000000)
           .writeStream.outputMode("update")
@@ -302,17 +269,12 @@ private[graft] object ExtStreamQueries {
     QueryDef("x_stream_windowed",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // 4-file copy for a REAL multi-batch run; eventsStream probes the
+        // copy's footer, so whichever ts layout the copy preserved from
+        // the source testdata is normalized the same way as batch
         val srcDir = multiFileSourceDir(spark, sfDir, "events.parquet", 4)
-        val stream = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(srcDir)
-          .selectExpr("timestamp_micros(ts div 1000) AS ts", "event_type",
-            "value")
+        val stream = eventsStream(spark, srcDir, maxFilesPerTrigger = 1)
+          .select("ts", "event_type", "value")
         val q = graft.streaming.IncrementalIndexer.windowedCents(stream)
           .writeStream.outputMode("update")
           .format("memory").queryName("x_stream_windowed_sink")
