@@ -55,4 +55,77 @@ class DisplayTemplateSpec extends AnyFunSuite {
     val c1 = DisplayTemplate.compile("{{ a }}")
     assert(c1.render(Map("a" -> "1")) == "1")
   }
+
+  // ---- control flow (reference templates/beta.html:43-88) ----------
+
+  test("{% if %} truthiness: beta.html:3 title pattern") {
+    val tpl = "Dogsheep Beta{% if q %}: {{ q }}{% endif %}"
+    assert(DisplayTemplate.render("c1", tpl, Map("q" -> "owl")) ==
+      "Dogsheep Beta: owl")
+    assert(DisplayTemplate.render("c1", tpl, Map("q" -> "")) == "Dogsheep Beta")
+    assert(DisplayTemplate.render("c1", tpl, Map[String, Any]()) ==
+      "Dogsheep Beta")
+  }
+
+  test("{% if %} != comparison: beta.html:52 pluralize pattern") {
+    val tpl = "{{ count }} result{% if count != 1 %}s{% endif %}"
+    assert(DisplayTemplate.render("c2", tpl, Map("count" -> 2)) == "2 results")
+    assert(DisplayTemplate.render("c2", tpl, Map("count" -> 1)) == "1 result")
+  }
+
+  test("{% if %} string equality and elif/else chain") {
+    val tpl = "{% if sort == 'newest' %}N{% elif sort == 'oldest' %}O" +
+      "{% else %}R{% endif %}"
+    assert(DisplayTemplate.render("c3", tpl, Map("sort" -> "newest")) == "N")
+    assert(DisplayTemplate.render("c3", tpl, Map("sort" -> "oldest")) == "O")
+    assert(DisplayTemplate.render("c3", tpl, Map("sort" -> "relevance")) == "R")
+  }
+
+  test("{% for %} over maps with loop.last separator: beta.html:54-55") {
+    val tpl = "{% for s in sorts %}<a href=\"{{ s.url }}\">{{ s.label }}</a>" +
+      "{% if not loop.last %} / {% endif %}{% endfor %}"
+    val ctx = Map[String, Any]("sorts" -> Seq(
+      Map("url" -> "?sort=new", "label" -> "newest"),
+      Map("url" -> "?sort=old", "label" -> "oldest")))
+    assert(DisplayTemplate.render("c4", tpl, ctx) ==
+      "<a href=\"?sort=new\">newest</a> / <a href=\"?sort=old\">oldest</a>")
+  }
+
+  test("{% for %} with nested {% if %}: beta.html:66-72 facet items") {
+    val tpl = "{% for item in results %}" +
+      "{% if item.selected %}[{{ item.label }}]{% else %}{{ item.label }}" +
+      "{% endif %} {% endfor %}"
+    val ctx = Map[String, Any]("results" -> Seq(
+      Map("label" -> "dogs", "selected" -> true),
+      Map("label" -> "cats", "selected" -> false)))
+    assert(DisplayTemplate.render("c5", tpl, ctx) == "[dogs] cats ")
+  }
+
+  test("{% for %} over an Undefined path iterates as empty (Jinja Undefined)") {
+    assert(DisplayTemplate.render("c6",
+      "a{% for x in missing %}X{% endfor %}b", Map[String, Any]()) == "ab")
+  }
+
+  test("loop.index/index0/first/length inside nested loops") {
+    val tpl = "{% for x in xs %}{{ loop.index }}:{{ x }}" +
+      "{% if loop.first %}*{% endif %};{% endfor %}"
+    assert(DisplayTemplate.render("c7", tpl,
+      Map[String, Any]("xs" -> Seq("a", "b", "c"))) == "1:a*;2:b;3:c;")
+  }
+
+  test("autoescape applies inside control blocks") {
+    val out = DisplayTemplate.render("c8",
+      "{% for x in xs %}{{ x }}{% endfor %}",
+      Map[String, Any]("xs" -> Seq("<b>")))
+    assert(out == "&lt;b&gt;")
+  }
+
+  test("unterminated {% if %} and stray {% endif %} raise") {
+    intercept[DisplayTemplate.TemplateError](
+      DisplayTemplate.compile("{% if a %}x"))
+    intercept[DisplayTemplate.TemplateError](
+      DisplayTemplate.compile("x{% endif %}"))
+    intercept[DisplayTemplate.TemplateError](
+      DisplayTemplate.compile("{% extends 'base.html' %}"))
+  }
 }
