@@ -22,31 +22,39 @@ private[graft] object ExtDedupQueries {
              |       min(doc_id) AS keep_id, max(doc_id) AS max_id
              |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin)),
 
-    // df-capped blocking (VERDICT r3 #3): shingles with document
-    // frequency > 50 are excluded from candidate generation (a df-F
-    // shingle emits F² join rows — one stop-shingle makes the operator
-    // quadratic), while the Jaccard verify still counts over the FULL
-    // shingle sets, so values are exact. The oracle mirrors the cap.
+    // prefix-filter blocking (VERDICT r7 item 3, replacing the r3 df
+    // cap whose blocking volume went super-linear at 10× data): every
+    // doc's shingles sort by global (df, shingle) order and only its
+    // first n-ceil(0.4n)+1 block — EXACT (the order-smallest shared
+    // shingle of any qualifying pair lands in both prefixes), and hot
+    // shingles sort last so the stop-shingle df² term never enters the
+    // join. The oracle mirrors the prefix construction.
     QueryDef("x_dedup_ngram",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        Dedup.ngramJaccardPairsFromShingles(docShingles(spark, sfDir),
-            threshold = 0.4, maxShingleDf = Some(50))
+        Dedup.ngramJaccardPairsPrefix(docShingles(spark, sfDir),
+            threshold = 0.4)
           .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
           .orderBy("id_a", "id_b")
       },
       Some(
         s"""WITH ${shinglesCte(3)},
            |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-           |bsh AS (
-           |  SELECT s.doc_id, s.shingle
-           |  FROM sh s JOIN dfs d ON d.shingle = s.shingle AND d.df <= 50
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |pref AS (
+           |  SELECT doc_id, shingle FROM (
+           |    SELECT s.doc_id, s.shingle, z.n_sh,
+           |           row_number() OVER (PARTITION BY s.doc_id
+           |                              ORDER BY d.df, s.shingle) AS rn
+           |    FROM sh s
+           |    JOIN dfs d ON d.shingle = s.shingle
+           |    JOIN sizes z ON z.doc_id = s.doc_id
+           |  ) t WHERE rn <= n_sh - ceil(0.4 * n_sh - 1e-9) + 1
            |),
            |cands AS (
            |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           |  FROM bsh x JOIN bsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           |  FROM pref x JOIN pref y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
            |),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
            |pairs AS (
            |  SELECT c.id_a, c.id_b, count(*) AS shared
            |  FROM cands c

@@ -80,11 +80,13 @@ object PlanDump {
     dump("p4 match on term-partitioned postings")(
       SearchEngine.matchSet(partArts, FtsQuery.parse("signup OR purchase", Tokenize.None_)))
 
-    // 9. df-capped n-gram Jaccard: hot shingles leave the blocking join
+    // 9. prefix-filter n-gram Jaccard: only each doc's rarest shingles
+    //    block (hot shingles sort last in the global df order and never
+    //    enter the candidate join) — exact, no df-cap recall trade
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    dump("x_dedup_ngram (df-capped blocking join)")(
-      graft.ext.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        n = 3, threshold = 0.4, maxShingleDf = Some(50)))
+    dump("x_dedup_ngram (prefix-filter blocking join)")(
+      graft.ext.Dedup.ngramJaccardPairsPrefix(
+        graft.ext.Dedup.shingles(docs, "text", "doc_id", 3), threshold = 0.4))
 
     // 10. in-row winnowing: must be a single map-side stage (no
     //     Exchange, no Window) — compare with the explode+window plan

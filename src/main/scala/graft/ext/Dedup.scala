@@ -259,6 +259,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (Chaudhuri/Ganti/
+    * Kaushik SSJoin, ICDE 2006; Bayardo/Ma/Srikant "Scaling Up All
+    * Pairs", WWW 2007): order every doc's shingles by a GLOBAL total
+    * order (ascending document frequency, shingle hash as tiebreak) and
+    * take each doc's first `n - ceil(t*n) + 1` shingles as its prefix.
+    * Any pair with Jaccard >= t must share |x∩y| >= ceil(t*|x|)
+    * shingles, so the order-smallest shared shingle provably lands in
+    * BOTH prefixes — joining prefix-on-prefix generates every
+    * qualifying pair (exact, unlike a df cap's hot-only-pair recall
+    * trade) while corpus-hot shingles sort LAST and never block: the
+    * stop-shingle df² term that makes shared-shingle blocking go
+    * quadratic on a grown corpus (r7: 15.4× time for 10× data) never
+    * enters the join. Verification counts shared shingles over the
+    * FULL sets, candidates only.
+    *
+    * 100 TB shape: dfs + sizes are one shuffle each over the shingle
+    * relation; the prefix window is one shuffle by doc; the candidate
+    * join is bounded by Σ prefix-df² over RARE shingles (prefix
+    * membership shrinks as df grows, so the sum stays near-linear in
+    * corpus size — the property the df cap lacked).
+    */
+  def ngramJaccardPairsPrefix(sh: DataFrame, threshold: Double): DataFrame = {
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // ceil(t*n - 1e-9): the epsilon keeps exact-integer t*n from float-
+    // rounding UP a boundary (a too-short prefix would lose pairs; a
+    // too-long one only costs candidates) and matches the oracle's IEEE
+    // arithmetic exactly
+    val w = Window.partitionBy("doc_id").orderBy(col("__df"), col("shingle"))
+    val prefix = sh.join(dfs, "shingle")
+      .withColumn("__rn", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("__rn") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select("doc_id", "shingle")
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val shared = cands
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash+LSH near-dup pipeline: candidates from band collisions,
     * then exact-Jaccard verification of candidates only.
     */

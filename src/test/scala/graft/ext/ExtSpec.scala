@@ -83,6 +83,48 @@ class ExtSpec extends AnyFunSuite {
     assert(capped == uncapped) // same pairs, bit-identical jaccard
   }
 
+  test("prefix-filter Jaccard ≡ uncapped brute force (exactness, no recall trade)") {
+    import spark.implicits._
+    // every doc shares the hot "aa bb cc" run (it must sort LAST in the
+    // global df order and stay out of every prefix); near-dup pairs
+    // share rare shingles too and must ALL survive, with bit-identical
+    // jaccard — the prefix filter is exact, not approximate
+    val d = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "aa bb cc dd ee ff hh"),
+      (3L, "aa bb cc xx yy zz ww"),
+      (4L, "aa bb cc xx yy zz vv"),
+      (5L, "aa bb cc mm nn oo pp"),
+      (6L, "aa bb cc qq rr ss tt")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(d, "text", "doc_id", 3)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val brute = toMap(Dedup.ngramJaccardPairsFromShingles(sh, 0.3, None))
+    val prefix = toMap(Dedup.ngramJaccardPairsPrefix(sh, 0.3))
+    assert(brute.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(prefix == brute) // same pairs, bit-identical jaccard
+  }
+
+  test("prefix-filter Jaccard finds pairs the df cap misses (hot-only overlap)") {
+    import spark.implicits._
+    // docs 1,2 overlap ONLY through shingles that are hot (df > cap 2):
+    // the df-capped blocking loses the pair; the prefix filter may not
+    val base = "aa bb cc dd ee"
+    val d = (Seq((1L, s"$base xx"), (2L, s"$base yy")) ++
+      (3L to 6L).map(i => (i, s"$base zz$i"))).toDF("doc_id", "text")
+    val sh = Dedup.shingles(d, "text", "doc_id", 3)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keys(Dedup.ngramJaccardPairsFromShingles(sh, 0.3, None))
+    val capped = keys(Dedup.ngramJaccardPairsFromShingles(sh, 0.3, Some(2)))
+    val prefix = keys(Dedup.ngramJaccardPairsPrefix(sh, 0.3))
+    assert(prefix == brute)      // exact under hot-only overlap
+    assert(capped != brute)      // the documented df-cap recall trade
+  }
+
   test("MinHash LSH surfaces exact dup as candidate with jaccard 1.0") {
     val nd = Dedup.minhashNearDups(docs, "text", "doc_id", 3, 16, 4, 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
