@@ -63,13 +63,25 @@ object Bench {
     setup("dedup_build") = time {
       ExtQueries.warmDedupArtifacts(spark, sfDir)
     }
+    setup("augment_build") = time {
+      // oracle-augmentation fixture columns (VERDICT r7 item 6): built
+      // here so the augmented-text queries time the operator only
+      ExtShared.augDocs(spark, sfDir).count(): Unit
+    }
 
     // Per-run success is tracked so the min is taken over SUCCESSFUL runs
     // only (ADVICE r6): a fast transient failure must not report as the
     // query's latency. Queries whose every run failed are listed under
     // "errors" in the JSON instead of contributing a bogus timing.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val contrastResults = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.ArrayBuffer[String]()
+    // Deliberate teaching contrasts (QueryDef.contrast) leave the timed
+    // artifact (VERDICT r7 item 4): they exist to document a trade, not
+    // to measure the engine, and their N² shapes dominate totals at sf1.
+    // They stay oracle-checked in Verify; set SPARK_GRAFT_CONTRAST=1 to
+    // time them too (reported SEPARATELY, never in the headline total).
+    val timeContrast = sys.env.get("SPARK_GRAFT_CONTRAST").contains("1")
     SparkEntry.allDefs.foreach { d =>
       def once: (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -81,16 +93,23 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val good = Seq(once, once).collect { case (t, true) => t }
-      if (good.isEmpty) errors += d.name
-      else results(d.name) = good.min
+      if (!d.contrast || timeContrast) {
+        val good = Seq(once, once).collect { case (t, true) => t }
+        if (good.isEmpty) errors += d.name
+        else if (d.contrast) contrastResults(d.name) = good.min
+        else results(d.name) = good.min
+      }
     }
     def toJson(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
+    val contrastTotal = contrastResults.values.sum
+    val totalWith = total + contrastTotal
     val setupTotal = setup.values.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"runs_per_query":2,"agg":"min","errors":$errJson,"setup":${toJson(setup)},"setup_runs":1,"setup_total":$setupTotal%.3f,"sf":"$sfDir"}""")
+    val skippedJson = SparkEntry.allDefs.filter(d => d.contrast && !timeContrast)
+      .map("\"" + _.name + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"runs_per_query":2,"agg":"min","errors":$errJson,"contrast_queries":${toJson(contrastResults)},"contrast_total":$contrastTotal%.3f,"total_with_contrast":$totalWith%.3f,"contrast_skipped":$skippedJson,"setup":${toJson(setup)},"setup_runs":1,"setup_total":$setupTotal%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

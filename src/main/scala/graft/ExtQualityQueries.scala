@@ -71,15 +71,8 @@ private[graft] object ExtQualityQueries {
     // shared footer and, for doc_id % 3 = 0, repeats the body paragraph.
     QueryDef("x_quality_para_dup",
       (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val body = coalesce(col("text"), lit(""))
-        val aug = spark.table("documents").withColumn("text",
-          concat(body,
-            lit("\n\nshared footer "), (col("doc_id") % 5).cast("string"),
-            lit("\n\n"),
-            when(col("doc_id") % 3 === 0, body)
-              .otherwise(concat(lit("unique tail "),
-                col("doc_id").cast("string")))))
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("text_para").as("text"))
         Quality.paragraphDupStats(aug, "text").orderBy("doc_id")
       },
       Some(
@@ -127,7 +120,8 @@ private[graft] object ExtQualityQueries {
         Quality.ngramRepetition(spark.table("documents"), "text")
           .orderBy("doc_id")
       },
-      Some(NgramRepOracle)),
+      Some(NgramRepOracle),
+      contrast = true),
 
     // Exact per-source token-length quantiles via the cumulative
     // histogram: corpus-sized work is one (source, len) count agg; the
@@ -214,14 +208,8 @@ private[graft] object ExtQualityQueries {
     // sf0.01 and are stripped; the unique lines and original text stay.
     QueryDef("x_quality_boilerplate",
       (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val aug = spark.table("documents").withColumn("text",
-          concat(coalesce(col("text"), lit("")),
-            lit("\nuid "), col("doc_id").cast("string"),
-            when(col("doc_id") % 2 === 0,
-              lit("\n(c) example corp all rights reserved")).otherwise(lit("")),
-            when(col("doc_id") % 3 === 0,
-              lit("\ngenerated page footer")).otherwise(lit(""))))
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("text_lines").as("text"))
         Quality.removeBoilerplate(aug, "text", minDocs = 100)
           .orderBy("doc_id")
       },

@@ -91,7 +91,11 @@ private[graft] object ExtShared {
     streamSrcCache.getOrElseUpdate((sfDir, file), {
       val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
       dir.toFile.deleteOnExit() // registered first → deleted last
+      // absolutize: a RELATIVE sfDir would otherwise produce a symlink
+      // whose target resolves against the temp dir — dangling, which
+      // streams silently as an empty source
       val target = java.nio.file.Paths.get(s"$sfDir/$file")
+        .toAbsolutePath.normalize()
       val link = dir.resolve(file)
       try java.nio.file.Files.createSymbolicLink(link, target)
       catch { case _: Exception => java.nio.file.Files.copy(target, link): Unit }
@@ -168,6 +172,70 @@ private[graft] object ExtShared {
           .select("event_id", "user_id", "ts_us", "value", "event_type"),
         "user_id", "ts_us", out)
       out
+    })
+
+  // Deterministic oracle-augmentation fixtures, materialized ONCE per
+  // scale dir as extra columns beside documents (VERDICT r7 item 6):
+  // the corpus is clean single-line word soup, so the PII / URL /
+  // normalization / paragraph / boilerplate screens need synthetic
+  // signal — but deriving it INSIDE the declared query makes the timed
+  // entry measure test scaffolding. The derivations live here, run at
+  // setup time, and the queries consume prebuilt persisted columns;
+  // the DuckDB oracles keep the identical derivations as CTEs.
+  private[graft] val augDocsCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private[graft] def augDocs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    augDocsCache.getOrElseUpdate(sfDir, {
+      Corpus.registerSources(spark, sfDir)
+      val id = col("doc_id").cast("string")
+      val body = coalesce(col("text"), lit(""))
+      spark.table("documents").select(
+        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
+        // x_text_pii: every 7th doc gains email + IP + phone
+        concat(body, when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), id,
+            lit("@example.com 10.0."), (col("doc_id") % 200).cast("string"),
+            lit(".1 call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text_pii"),
+        // x_text_urlhosts / x_graph_pagerank: every 3rd doc links 2 hosts
+        concat(body, when(col("doc_id") % 3 === 0,
+          concat(lit(" see https://www.site"), (col("doc_id") % 11).cast("string"),
+            lit(".example.com/page/"), id,
+            lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
+            lit(".example.net/x")))
+          .otherwise(lit(""))).as("text_urls"),
+        // x_text_normalize: every 4th doc gains decomposed accent (e +
+        // U+0301), a BEL control, and tab/space runs
+        concat(body, when(col("doc_id") % 4 === 0,
+          concat(lit("  cafe\u0301 \u0007drink"), lit("\t\t x ")))
+          .otherwise(lit(""))).as("text_dirty"),
+        // x_text_url_dedup: every 3rd doc links ONE page in 4 spellings
+        concat(body, when(col("doc_id") % 3 === 0, concat(
+          lit(" https://WWW.site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p/"), id, lit("/"),
+          lit(" http://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p/"), id, lit("?utm_source=feed"),
+          lit(" https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p/"), id, lit("#sec"),
+          lit(" https://SITE"), (col("doc_id") % 7).cast("string"),
+          lit(".EXAMPLE.com/p/"), id)).otherwise(lit(""))).as("text_url4"),
+        // x_quality_para_dup: shared footer + repeated body for %3 docs
+        concat(body,
+          lit("\n\nshared footer "), (col("doc_id") % 5).cast("string"),
+          lit("\n\n"),
+          when(col("doc_id") % 3 === 0, body)
+            .otherwise(concat(lit("unique tail "), id))).as("text_para"),
+        // x_quality_boilerplate: unique uid line + hot footer lines
+        concat(body,
+          lit("\nuid "), id,
+          when(col("doc_id") % 2 === 0,
+            lit("\n(c) example corp all rights reserved")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\ngenerated page footer")).otherwise(lit("")))
+          .as("text_lines")
+      ).persist()
     })
 
   /** Bench setup hook: materialize the shared dedup artifacts so query

@@ -62,7 +62,8 @@ private[graft] object ExtSimQueries {
            |JOIN norms na ON na.vec_id = id_a
            |JOIN norms nb ON nb.vec_id = id_b
            |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.4
-           |ORDER BY blk, id_a, id_b""".stripMargin)),
+           |ORDER BY blk, id_a, id_b""".stripMargin),
+      contrast = true),
 
     // SCALE path for embedding near-dup: pairs blocked by the PREBUILT
     // IVF cell assignment (the SemDeDup shape — cluster, then pairwise

@@ -296,19 +296,15 @@ private[graft] object ExtTextQueries {
 
     // PII screen over deterministically PII-augmented text (the corpus
     // is PII-free word soup, so every 7th doc gets a synthetic email +
-    // IP + phone appended IN THE QUERY on both engines — the
-    // contamination-benchmark trick — making extraction live signal).
+    // IP + phone — the contamination-benchmark trick — making
+    // extraction live signal). The augmented column is a setup-time
+    // fixture (ExtShared.augDocs, VERDICT r7 item 6) so the timed
+    // query measures the screen, not the scaffolding; the oracle keeps
+    // the identical derivation as a CTE.
     QueryDef("x_text_pii",
       (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val aug = spark.table("documents").withColumn("text",
-          concat(coalesce(col("text"), lit("")),
-            when(col("doc_id") % 7 === 0,
-              concat(lit(" contact user"), col("doc_id").cast("string"),
-                lit("@example.com 10.0."), (col("doc_id") % 200).cast("string"),
-                lit(".1 call 555-"),
-                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-              .otherwise(lit(""))))
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("text_pii").as("text"))
         Quality.piiScreen(aug, "text").orderBy("doc_id")
       },
       Some(
@@ -337,15 +333,8 @@ private[graft] object ExtTextQueries {
     // limit boundary is never tie-ambiguous.
     QueryDef("x_text_urlhosts",
       (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val aug = spark.table("documents").withColumn("text",
-          concat(coalesce(col("text"), lit("")),
-            when(col("doc_id") % 3 === 0,
-              concat(lit(" see https://www.site"), (col("doc_id") % 11).cast("string"),
-                lit(".example.com/page/"), col("doc_id").cast("string"),
-                lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
-                lit(".example.net/x")))
-              .otherwise(lit(""))))
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("text_urls").as("text"))
         Quality.urlHostProfile(aug, "text", k = 20)
       },
       Some(
@@ -381,15 +370,8 @@ private[graft] object ExtTextQueries {
     // PageRank shape; driver state is ONE scalar (node count).
     QueryDef("x_graph_pagerank",
       (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val aug = spark.table("documents").withColumn("text",
-          concat(coalesce(col("text"), lit("")),
-            when(col("doc_id") % 3 === 0,
-              concat(lit(" see https://www.site"), (col("doc_id") % 11).cast("string"),
-                lit(".example.com/page/"), col("doc_id").cast("string"),
-                lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
-                lit(".example.net/x")))
-              .otherwise(lit(""))))
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("text_urls").as("text"))
         val t = coalesce(col("text"), lit(""))
         val urls = regexp_extract_all(t, lit("https?://[^\\s]+"), lit(0))
         val hosts = transform(urls,
@@ -564,12 +546,8 @@ private[graft] object ExtTextQueries {
     // nfc_normalize.
     QueryDef("x_text_normalize",
       (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val aug = spark.table("documents").withColumn("text",
-          concat(coalesce(col("text"), lit("")),
-            when(col("doc_id") % 4 === 0,
-              concat(lit("  café drink"), lit("\t\t x ")))
-              .otherwise(lit(""))))
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("text_dirty").as("text"))
         Quality.normalizeText(aug, "text").orderBy("doc_id")
       },
       Some(
@@ -600,19 +578,8 @@ private[graft] object ExtTextQueries {
     // shuffle is the canonical-keyed agg.
     QueryDef("x_text_url_dedup",
       (spark, sfDir) => {
-        Corpus.registerSources(spark, sfDir)
-        val id = col("doc_id").cast("string")
-        val aug = spark.table("documents").withColumn("text",
-          concat(coalesce(col("text"), lit("")),
-            when(col("doc_id") % 3 === 0, concat(
-              lit(" https://WWW.site"), (col("doc_id") % 7).cast("string"),
-              lit(".example.com/p/"), id, lit("/"),
-              lit(" http://site"), (col("doc_id") % 7).cast("string"),
-              lit(".example.com/p/"), id, lit("?utm_source=feed"),
-              lit(" https://site"), (col("doc_id") % 7).cast("string"),
-              lit(".example.com/p/"), id, lit("#sec"),
-              lit(" https://SITE"), (col("doc_id") % 7).cast("string"),
-              lit(".EXAMPLE.com/p/"), id)).otherwise(lit(""))))
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("text_url4").as("text"))
         Quality.urlDedup(aug, "text").orderBy("canonical_url")
       },
       Some(

@@ -7,11 +7,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the same parquet tables. Both sides alias output columns identically
   * and end in a deterministic total ORDER BY, so the driver's
   * sorted-column value hash matches bit-for-bit.
+  *
+  * `contrast = true` marks a deliberately-naive teaching contrast (the
+  * N² blocked near-dup, the relational n-gram-rep form) kept beside its
+  * scale-path sibling to document the trade: still oracle-checked by
+  * Verify, but excluded from the headline bench timings so the timed
+  * artifact measures the engine, not the teaching material (VERDICT r7
+  * item 4).
   */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String]
+    oracle: Option[String],
+    contrast: Boolean = false
 )
 
 object QueryDef {
