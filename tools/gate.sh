@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Full local correctness gate over BOTH events.ts parquet layouts
+# (VERDICT r7 item 2: a layout-conditional bug passed 130/130 locally
+# and went red on the driver — the gate must exercise the layout the
+# local testdata does NOT ship).
+#
+# Usage: tools/gate.sh [sfDir] [outDir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-target/verify_gate}
+
+echo "=== pass 1: shipped layout ($SF) ==="
+sbt -batch "runMain graft.Verify $SF $OUT"
+python3 tools/check.py "$SF" "$OUT"
+
+ALT="target/testdata/$(basename "$SF")_alt"
+python3 tools/alt_layout.py "$SF" "$ALT"
+ALTABS=$(readlink -f "$ALT")
+echo "=== pass 2: flipped layout ($ALTABS) ==="
+sbt -batch "runMain graft.Verify $ALTABS ${OUT}_alt"
+python3 tools/check.py "$ALTABS" "${OUT}_alt"
+echo "=== both layouts green ==="
