@@ -41,7 +41,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_ONLY=name1,name2 runs just those queries and skips the
+    // setup phase (iteration aid — e.g. measuring one query's sf0.1→sf1
+    // slope without paying every artifact build). Artifacts a named
+    // query needs build lazily inside run 1; min-of-2 reports the warm
+    // run, so per-query numbers stay comparable with a full cut.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     val setup = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (only.isEmpty) {
     setup("index_build") = time { Corpus.searchIndex(spark, sfDir).count() }
     setup("text_index_build") = time {
       for (mode <- Seq(Tokenize.None_, Tokenize.Porter)) {
@@ -68,6 +77,7 @@ object Bench {
       // here so the augmented-text queries time the operator only
       ExtShared.augDocs(spark, sfDir).count(): Unit
     }
+    }
 
     // Per-run success is tracked so the min is taken over SUCCESSFUL runs
     // only (ADVICE r6): a fast transient failure must not report as the
@@ -83,6 +93,7 @@ object Bench {
     // time them too (reported SEPARATELY, never in the headline total).
     val timeContrast = sys.env.get("SPARK_GRAFT_CONTRAST").contains("1")
     SparkEntry.allDefs.foreach { d =>
+      if (only.forall(_.contains(d.name))) {
       def once: (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
@@ -93,11 +104,12 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      if (!d.contrast || timeContrast) {
+      if (!d.contrast || timeContrast || only.exists(_.contains(d.name))) {
         val good = Seq(once, once).collect { case (t, true) => t }
         if (good.isEmpty) errors += d.name
         else if (d.contrast) contrastResults(d.name) = good.min
         else results(d.name) = good.min
+      }
       }
     }
     def toJson(m: scala.collection.Map[String, Double]): String =

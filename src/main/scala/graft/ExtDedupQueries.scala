@@ -22,18 +22,30 @@ private[graft] object ExtDedupQueries {
              |       min(doc_id) AS keep_id, max(doc_id) AS max_id
              |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin)),
 
-    // prefix-filter blocking (VERDICT r7 item 3, replacing the r3 df
-    // cap whose blocking volume went super-linear at 10× data): every
-    // doc's shingles sort by global (df, shingle) order and only its
-    // first n-ceil(0.4n)+1 block — EXACT (the order-smallest shared
-    // shingle of any qualifying pair lands in both prefixes), and hot
-    // shingles sort last so the stop-shingle df² term never enters the
-    // join. The oracle mirrors the prefix construction.
+    // df-capped blocking (VERDICT r3 #3, re-affirmed r8 after MEASURING
+    // the r7-advised prefix-filter alternative): shingles with document
+    // frequency > 50 are excluded from candidate generation (a df-F
+    // shingle emits F² join rows), while the Jaccard verify still
+    // counts over the FULL shingle sets, so reported values are exact.
+    // The exact prefix filter (Dedup.ngramJaccardPairsPrefix) was built
+    // and benchmarked as the replacement — on THIS corpus the 3-gram
+    // universe SATURATES (27k→36k distinct shingles for 10× docs, df
+    // grows ∝N, NgramProbe: blocking sum(df²) 2.8M→279M), so every
+    // doc's "rarest" shingles are corpus-hot at scale and the exact
+    // prefix join goes quadratic (>600 s at sf1 vs 13.9 s capped, 7.1×
+    // sf0.1→sf1 warm slope). Capped blocking keeps candidate volume
+    // flat (1.3M→2.5M rows) because a FIXED cap admits an ever-rarer
+    // shingle band as df inflates. The documented trade: pairs whose
+    // overlap is entirely df>50 shingles are not surfaced — on a
+    // saturated corpus such overlap is boilerplate, the same reasoning
+    // as a stopword list. The oracle mirrors the cap. Prefix filtering
+    // remains the right choice for natural-vocabulary corpora (universe
+    // grows with N, dfs stay bounded) and stays available + spec-tested.
     QueryDef("x_dedup_ngram",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        Dedup.ngramJaccardPairsPrefix(docShingles(spark, sfDir),
-            threshold = 0.4)
+        Dedup.ngramJaccardPairsFromShingles(docShingles(spark, sfDir),
+            threshold = 0.4, maxShingleDf = Some(50))
           .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
           .orderBy("id_a", "id_b")
       },
@@ -41,19 +53,13 @@ private[graft] object ExtDedupQueries {
         s"""WITH ${shinglesCte(3)},
            |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
            |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-           |pref AS (
-           |  SELECT doc_id, shingle FROM (
-           |    SELECT s.doc_id, s.shingle, z.n_sh,
-           |           row_number() OVER (PARTITION BY s.doc_id
-           |                              ORDER BY d.df, s.shingle) AS rn
-           |    FROM sh s
-           |    JOIN dfs d ON d.shingle = s.shingle
-           |    JOIN sizes z ON z.doc_id = s.doc_id
-           |  ) t WHERE rn <= n_sh - ceil(0.4 * n_sh - 1e-9) + 1
+           |bsh AS (
+           |  SELECT s.doc_id, s.shingle
+           |  FROM sh s JOIN dfs d ON d.shingle = s.shingle AND d.df <= 50
            |),
            |cands AS (
            |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           |  FROM pref x JOIN pref y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           |  FROM bsh x JOIN bsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
            |),
            |pairs AS (
            |  SELECT c.id_a, c.id_b, count(*) AS shared

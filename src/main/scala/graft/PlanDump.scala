@@ -80,11 +80,14 @@ object PlanDump {
     dump("p4 match on term-partitioned postings")(
       SearchEngine.matchSet(partArts, FtsQuery.parse("signup OR purchase", Tokenize.None_)))
 
-    // 9. prefix-filter n-gram Jaccard: only each doc's rarest shingles
-    //    block (hot shingles sort last in the global df order and never
-    //    enter the candidate join) — exact, no df-cap recall trade
+    // 9. df-capped n-gram Jaccard (the declared path — see
+    //    ExtDedupQueries for the measured capped-vs-prefix decision),
+    //    plus the exact prefix-filter variant for natural-vocab corpora
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    dump("x_dedup_ngram (prefix-filter blocking join)")(
+    dump("x_dedup_ngram (df-capped blocking join)")(
+      graft.ext.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.4, maxShingleDf = Some(50)))
+    dump("ngram Jaccard prefix-filter variant (exact; for unsaturated universes)")(
       graft.ext.Dedup.ngramJaccardPairsPrefix(
         graft.ext.Dedup.shingles(docs, "text", "doc_id", 3), threshold = 0.4))
 

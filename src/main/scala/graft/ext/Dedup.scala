@@ -276,9 +276,15 @@ object Dedup {
     *
     * 100 TB shape: dfs + sizes are one shuffle each over the shingle
     * relation; the prefix window is one shuffle by doc; the candidate
-    * join is bounded by Σ prefix-df² over RARE shingles (prefix
-    * membership shrinks as df grows, so the sum stays near-linear in
-    * corpus size — the property the df cap lacked).
+    * join is bounded by Σ prefix-df² over RARE shingles. CAVEAT,
+    * measured (NgramProbe, r8): this bound is near-linear only while
+    * the shingle UNIVERSE grows with the corpus (natural vocabulary).
+    * On a saturated universe (template-generated corpora: distinct
+    * 3-shingles 27k→36k for 10× docs, so every df inflates ∝N and even
+    * each doc's rarest shingles go corpus-hot) the join is Θ(N²) —
+    * there the df-capped form (ngramJaccardPairsFromShingles with
+    * maxShingleDf) is the scale path, trading away hot-only-overlap
+    * pairs, and this exact form is the wrong tool.
     */
   def ngramJaccardPairsPrefix(sh: DataFrame, threshold: Double): DataFrame = {
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
