@@ -69,6 +69,9 @@ object Bench {
     setup("pq_build") = time {
       Corpus.pqIndex(spark, sfDir).codes.count()
     }
+    setup("sq_build") = time {
+      Corpus.sqIndex(spark, sfDir).codes.count()
+    }
     setup("dedup_build") = time {
       ExtQueries.warmDedupArtifacts(spark, sfDir)
     }

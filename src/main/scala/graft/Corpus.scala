@@ -297,6 +297,18 @@ object Corpus {
   val PqSubspaces = 8
   val PqCodes = 16
 
+  private val sqCache = TrieMap.empty[String, graft.ext.Similarity.SqIndex]
+
+  /** Memoized SQ8 index per scale-factor dir — per-dim bounds + level
+    * codes computed once (the TextIndex/IvfIndex pattern).
+    */
+  def sqIndex(spark: SparkSession, sfDir: String): graft.ext.Similarity.SqIndex =
+    sqCache.getOrElseUpdate(sfDir, {
+      registerSources(spark, sfDir)
+      val idx = graft.ext.Similarity.sqBuild(spark.table("embeddings"))
+      idx.copy(codes = idx.codes.persist())
+    })
+
   private val pqCache = TrieMap.empty[String, graft.ext.Similarity.PqIndex]
 
   /** Memoized PQ index per scale-factor dir — codes computed once (the

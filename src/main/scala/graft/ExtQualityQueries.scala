@@ -244,6 +244,88 @@ private[graft] object ExtQualityQueries {
           |       array_to_string(list_filter(string_split(a.t, chr(10)),
           |           x -> NOT list_contains(h.hotset, trim(x))), chr(10)) AS clean_text
           |FROM aug a CROSS JOIN h
-          |ORDER BY a.doc_id""".stripMargin))
+          |ORDER BY a.doc_id""".stripMargin)),
+
+    // Bigram-LM quality score (the CCNet/RedPajama perplexity filter,
+    // trained relationally in-engine): unigram+bigram count tables are
+    // vocab-bounded broadcast relations; each distinct bigram's
+    // -ln P(w2|w1) (add-one smoothed) quantizes ONCE to integer
+    // micro-nats, per-doc totals are integer sums — order-free exact.
+    QueryDef("x_quality_lm_score",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.bigramLmScore(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '') AS ts
+          |  FROM documents
+          |),
+          |uni AS (SELECT t AS w1, count(*) AS c1
+          |        FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY 1),
+          |vv AS (SELECT count(*) AS v_size FROM uni),
+          |bg AS (
+          |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          |  FROM tok, unnest(range(1, len(ts))) r(i)
+          |),
+          |bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+          |model AS (
+          |  SELECT b.w1, b.w2,
+          |         CAST(floor(ln(CAST(u.c1 + vv.v_size AS DOUBLE)
+          |                       / CAST(b.c2 + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS nll_e6
+          |  FROM bc b JOIN uni u USING (w1) CROSS JOIN vv
+          |),
+          |sc AS (
+          |  SELECT g.doc_id, count(*) AS nb, sum(m.nll_e6) AS se
+          |  FROM bg g JOIN model m USING (w1, w2) GROUP BY 1
+          |)
+          |SELECT d.doc_id,
+          |       CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+          |       CAST(coalesce(se, 0) AS BIGINT) AS nll_sum_e6,
+          |       CAST(CASE WHEN coalesce(nb, 0) > 0 THEN se // nb ELSE 0 END AS BIGINT) AS avg_nll_e6
+          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // Per-source unigram KL divergence from the corpus distribution —
+    // the mixture-drift monitor (which source reads off-corpus).
+    // Counts exact; each (source,word) term quantized once to integer
+    // nano-nats, per-source totals integer sums.
+    QueryDef("x_stats_source_kl",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.sourceUnigramKl(spark.table("documents"), "text")
+          .orderBy("source")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT source AS src,
+          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS w
+          |  FROM documents
+          |),
+          |sw AS (SELECT src, w, count(*) AS csw FROM tok GROUP BY 1, 2),
+          |st AS (SELECT src, sum(csw) AS src_total, count(*) AS n_distinct_tokens
+          |       FROM sw GROUP BY 1),
+          |gw AS (SELECT w, sum(csw) AS cw FROM sw GROUP BY 1),
+          |tot AS (SELECT sum(cw) AS corpus_total FROM gw),
+          |terms AS (
+          |  SELECT s.src,
+          |         CAST(floor(CAST(s.csw AS DOUBLE) / t.src_total
+          |               * ln(CAST(s.csw * x.corpus_total AS DOUBLE)
+          |                    / CAST(g.cw * t.src_total AS DOUBLE))
+          |               * 1e9 + 0.5) AS BIGINT) AS term_e9,
+          |         t.src_total, t.n_distinct_tokens
+          |  FROM sw s
+          |  JOIN st t USING (src)
+          |  JOIN gw g USING (w)
+          |  CROSS JOIN tot x
+          |)
+          |SELECT src AS source,
+          |       CAST(max(src_total) AS BIGINT) AS n_tokens,
+          |       CAST(max(n_distinct_tokens) AS BIGINT) AS n_distinct_tokens,
+          |       CAST(sum(term_e9) AS BIGINT) AS kl_e9
+          |FROM terms GROUP BY src
+          |ORDER BY source""".stripMargin))
   )
 }

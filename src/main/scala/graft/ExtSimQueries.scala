@@ -604,6 +604,119 @@ private[graft] object ExtSimQueries {
            |FROM j GROUP BY qid
            |ORDER BY query_id""".stripMargin)),
 
+    // Scalar-quantization ANN (SQ8, the FAISS `SQ8`/Lucene int8 trade):
+    // the third compression member — no codebook training, per-dim
+    // (min,max) bounds map every component to an 8-bit level, search is
+    // the integer squared-diff sum in level space over the PREBUILT
+    // codes — in-row fold, zero shuffle, TakeOrderedAndProject. All
+    // BIGINT (e6 quantize once, integer DIV level map with nonnegative
+    // numerators): any-engine bit-exact.
+    QueryDef("x_sim_sq8",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val idx = Corpus.sqIndex(spark, sfDir)
+        val q = Similarity.vectorOf(spark.table("embeddings"), "vec_id", 0L)
+        Similarity.sqSearchIndexed(idx, q, k = 10)
+      },
+      Some(
+        s"""WITH $exCte,
+           |c8 AS (SELECT vec_id, i,
+           |              CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ve
+           |       FROM ex),
+           |bounds AS (SELECT i, min(ve) AS mn,
+           |                  greatest(1, max(ve) - min(ve)) AS rg
+           |           FROM c8 GROUP BY i),
+           |lv AS (SELECT c.vec_id, c.i, (c.ve - b.mn) * 255 // b.rg AS lvl
+           |       FROM c8 c JOIN bounds b USING (i)),
+           |ql AS (SELECT i, lvl FROM lv WHERE vec_id = 0),
+           |d AS (SELECT l.vec_id,
+           |             sum((l.lvl - q.lvl) * (l.lvl - q.lvl)) AS sq_d2
+           |      FROM lv l JOIN ql q USING (i) GROUP BY 1)
+           |SELECT vec_id, CAST(sq_d2 AS BIGINT) AS sq_d2
+           |FROM d ORDER BY sq_d2 ASC, vec_id LIMIT 10""".stripMargin)),
+
+    // SQ8 recall@10 vs the exact integer-L2 ground truth (the same
+    // accuracy dial as x_sim_pq_recall, for the 4×-compression point
+    // of the family): integer-permille recall per query.
+    QueryDef("x_sim_sq8_recall",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val vecs = spark.table("embeddings")
+        val idx = Corpus.sqIndex(spark, sfDir)
+        val parts = Seq(0L, 7L, 13L, 21L, 34L).map { qid =>
+          val q = Similarity.vectorOf(vecs, "vec_id", qid)
+          val ex = Similarity.l2TopK(vecs, q, 10)
+            .select(col("vec_id")).withColumn("qid", lit(qid))
+            .withColumn("ex", lit(1))
+          val sq = Similarity.sqSearchIndexed(idx, q, 10)
+            .select(col("vec_id")).withColumn("qid", lit(qid))
+            .withColumn("sq", lit(1))
+          ex.join(sq, Seq("qid", "vec_id"), "full_outer")
+        }
+        parts.reduce(_.unionByName(_))
+          .groupBy(col("qid").as("query_id"))
+          .agg(sum(coalesce(col("ex"), lit(0))).as("n_exact"),
+            sum(coalesce(col("sq"), lit(0))).as("n_sq"),
+            sum(coalesce(col("ex"), lit(0)) * coalesce(col("sq"), lit(0)))
+              .as("n_common"))
+          .select(col("query_id"),
+            col("n_exact").cast("long").as("n_exact"),
+            col("n_sq").cast("long").as("n_sq"),
+            col("n_common").cast("long").as("n_common"),
+            expr("n_common * 1000 DIV n_exact").cast("long").as("recall_permille"))
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH $exCte,
+           |c8 AS (SELECT vec_id, i,
+           |              CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ve
+           |       FROM ex),
+           |bounds AS (SELECT i, min(ve) AS mn,
+           |                  greatest(1, max(ve) - min(ve)) AS rg
+           |           FROM c8 GROUP BY i),
+           |lv AS (SELECT c.vec_id, c.i, (c.ve - b.mn) * 255 // b.rg AS lvl
+           |       FROM c8 c JOIN bounds b USING (i)),
+           |qs AS (SELECT unnest([0, 7, 13, 21, 34]) AS qid),
+           |qlv AS (SELECT q.qid, l.i, l.lvl FROM lv l JOIN qs q ON l.vec_id = q.qid),
+           |sqd AS (
+           |  SELECT x.qid, l.vec_id,
+           |         sum((l.lvl - x.lvl) * (l.lvl - x.lvl)) AS sq_d2
+           |  FROM lv l JOIN qlv x USING (i) GROUP BY 1, 2
+           |),
+           |sq10 AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, row_number() OVER (
+           |      PARTITION BY qid ORDER BY sq_d2 ASC, vec_id) AS rn
+           |    FROM sqd) r WHERE rn <= 10
+           |),
+           |qe AS (SELECT q.qid, c.i, c.ve FROM c8 c JOIN qs q ON c.vec_id = q.qid),
+           |exl2 AS (
+           |  SELECT x.qid, c.vec_id,
+           |         CAST(sum((c.ve - x.ve) * (c.ve - x.ve)) AS BIGINT) AS d2
+           |  FROM c8 c JOIN qe x USING (i)
+           |  GROUP BY 1, 2
+           |),
+           |exact10 AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, row_number() OVER (
+           |      PARTITION BY qid ORDER BY d2 ASC, vec_id) AS rn
+           |    FROM exl2) r WHERE rn <= 10
+           |),
+           |j AS (
+           |  SELECT coalesce(e.qid, p.qid) AS qid,
+           |         CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS ex,
+           |         CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS sq
+           |  FROM exact10 e FULL OUTER JOIN sq10 p
+           |    ON e.qid = p.qid AND e.vec_id = p.vec_id
+           |)
+           |SELECT CAST(qid AS BIGINT) AS query_id,
+           |       CAST(sum(ex) AS BIGINT) AS n_exact,
+           |       CAST(sum(sq) AS BIGINT) AS n_sq,
+           |       CAST(sum(ex * sq) AS BIGINT) AS n_common,
+           |       CAST(sum(ex * sq) * 1000 // sum(ex) AS BIGINT) AS recall_permille
+           |FROM j GROUP BY qid
+           |ORDER BY query_id""".stripMargin)),
+
     // Hyperplane-LSH ANN over the PREBUILT signature index (build/search
     // split — VERDICT r3 #1/#2). The hyperplanes derive from
     // md5("hp_<p>_<i>") (Similarity.hyperplanes) — portable arithmetic.

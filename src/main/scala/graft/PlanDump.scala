@@ -393,6 +393,23 @@ object PlanDump {
       dump("x_pipe_snapshot_diff (digest-only full-outer join)")(
         graft.ext.Pipeline.snapshotDiff(docs,
           docs.filter(col("doc_id") % 17 =!= 0), Seq("text", "lang", "source")))
+
+      // 44. SQ8 level-space search: codes scan + in-row integer
+      //     squared-diff fold + TakeOrderedAndProject — zero Exchange,
+      //     no join (the PQ shape at the 4×-compression point)
+      val sqIdx = graft.ext.Similarity.sqBuild(vecs)
+      dump("x_sim_sq8 (in-row level-space scan over codes)")(
+        graft.ext.Similarity.sqSearchIndexed(sqIdx, q0, 10))
+
+      // 45. bigram-LM scoring: vocab-bounded model aggs feed BROADCAST
+      //     joins; the only corpus-keyed exchanges are the bigram-count
+      //     agg and the final doc-keyed agg
+      dump("x_quality_lm_score (broadcast LM model joins)")(
+        graft.ext.Quality.bigramLmScore(docs, "text"))
+
+      // 46. per-source KL: one (source,word) shuffle, then vocab-bounded
+      dump("x_stats_source_kl (vocab-bounded drift agg)")(
+        graft.ext.Quality.sourceUnigramKl(docs, "text"))
     }
 
     spark.stop()

@@ -540,4 +540,89 @@ object Quality {
         countDistinct(col("__digest")).as("n_distinct_texts"))
       .withColumn("n_exact_dups", col("n_docs") - col("n_distinct_texts"))
   }
+
+  /** Bigram language-model quality score — the CCNet/RedPajama signal:
+    * docs ranked by how surprising they read under a corpus-trained LM
+    * (high score = repetitive gibberish or off-distribution text; the
+    * classic perplexity filter, expressed relationally IN the engine
+    * rather than against an external KenLM binary).
+    *
+    * Training IS aggregation: the unigram and bigram count tables are
+    * vocabulary-bounded (the Zipf property — broadcast-sized at any
+    * corpus size), so the "model" never leaves the cluster and scoring
+    * is a broadcast join of each doc's bigrams against it, add-one
+    * smoothed: P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V).
+    *
+    * Parity: each DISTINCT bigram's −ln P quantizes ONCE to integer
+    * micro-nats (`floor(x·1e6+0.5)`, the repo's fixed-point recipe);
+    * per-doc totals are then INTEGER sums — associative, fold-order
+    * free, any-engine exact. −ln P ≥ 0 always (c(w1,w2) ≤ c(w1) and
+    * V ≥ 1), so DIV truncation direction is moot for the average.
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val uni = docs.select(explode(toks).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v_size"))
+    val bg = docs
+      .select(col(idCol), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll_e6",
+        floor(log((col("c1") + col("v_size")).cast("double") /
+          (col("c2") + lit(1)).cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .select("w1", "w2", "nll_e6")
+    val scored = bg.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_e6")).as("nll_sum_e6"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_sum_e6"), lit(0L)).as("nll_sum_e6"))
+      .withColumn("avg_nll_e6",
+        when(col("n_bigrams") > 0, expr("nll_sum_e6 DIV n_bigrams"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * the mixture-drift monitor: which sources read "off-corpus" (new
+    * crawl gone wrong, a source switching language, dedup skew). KL(
+    * P_source ‖ P_corpus) = Σ_w p_s(w)·ln(p_s(w)/p(w)); support(P_s) ⊆
+    * support(P) by construction so no smoothing is needed.
+    *
+    * Shapes: (source,word) counts are one shuffle over the token
+    * relation; everything after is vocabulary-bounded. Parity: counts
+    * are exact integers; each (source,word) term quantizes once to
+    * integer nano-nats and the per-source total is an integer sum
+    * (same recipe as [[bigramLmScore]]); the ln argument is a ratio of
+    * exact integer products (< 2⁵³ — double-exact).
+    */
+  def sourceUnigramKl(docs: DataFrame, textCol: String,
+      byCol: String = "source"): DataFrame = {
+    val tok = docs.select(col(byCol).as("src"),
+      explode(wsTokens(col(textCol))).as("w"))
+    val sw = tok.groupBy("src", "w").agg(count(lit(1)).as("csw"))
+    val st = sw.groupBy("src").agg(sum(col("csw")).as("src_total"),
+      count(lit(1)).as("n_distinct_tokens"))
+    val gw = sw.groupBy("w").agg(sum(col("csw")).as("cw"))
+    val tot = gw.agg(sum(col("cw")).as("corpus_total"))
+    sw.join(st, "src")
+      .join(broadcast(gw), "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("term_e9",
+        floor(col("csw").cast("double") / col("src_total") *
+          log((col("csw") * col("corpus_total")).cast("double") /
+            (col("cw") * col("src_total")).cast("double")) *
+          lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("src").as(byCol))
+      .agg(max(col("src_total")).as("n_tokens"),
+        max(col("n_distinct_tokens")).as("n_distinct_tokens"),
+        sum(col("term_e9")).as("kl_e9"))
+  }
 }

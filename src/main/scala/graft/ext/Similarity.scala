@@ -748,6 +748,71 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
   }
 
+  /** A built scalar-quantization (SQ8) index: per-vector 8-bit level
+    * codes plus the per-dimension e6 bounds that define the affine
+    * level map. The third member of the compression family — IVF
+    * prunes reads, PQ compresses 32× via a trained codebook, SQ8
+    * compresses 4× with NO training (per-dim min/max is one agg), the
+    * FAISS `SQ8` / Lucene int8-HNSW storage trade.
+    */
+  final case class SqIndex(codes: DataFrame, minE6: Seq[Long], maxE6: Seq[Long])
+
+  /** SQ8 build: components quantize once to e6 BIGINT (the repo
+    * recipe), per-dimension (min,max) is ONE posexplode agg whose
+    * result is dimensionality-sized (64 rows — bounded driver state,
+    * like the PQ codebook), and each component maps to an integer
+    * level `(v−min)·255 DIV max(1, max−min)` — all-BIGINT arithmetic,
+    * numerator nonnegative by construction, so truncating and floor
+    * division agree and any engine reproduces the codes bit-for-bit.
+    * The codes projection itself is in-row (scan → transform, zero
+    * Exchange at any corpus size).
+    */
+  def sqBuild(vectors: DataFrame, idCol: String = "vec_id"): SqIndex = {
+    val stats = vectors
+      .select(posexplode(embE6))
+      .groupBy(col("pos"))
+      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .collect()
+      .map(r => (r.getAs[Int]("pos"), r.getAs[Long]("mn"), r.getAs[Long]("mx")))
+      .sortBy(_._1)
+    val mn = scala.collection.immutable.ArraySeq.unsafeWrapArray(stats.map(_._2))
+    val mx = scala.collection.immutable.ArraySeq.unsafeWrapArray(stats.map(_._3))
+    val mnA = array(mn.map(lit): _*)
+    val rgA = array(mn.zip(mx).map { case (a, b) => lit(math.max(1L, b - a)) }: _*)
+    val codes = vectors
+      .withColumn("__v_e6", embE6)
+      .withColumn("__mn", mnA)
+      .withColumn("__rg", rgA)
+      .withColumn("codes", expr(
+        "transform(__v_e6, (x, i) -> (x - element_at(__mn, i + 1)) * 255" +
+          " DIV element_at(__rg, i + 1))"))
+      .select(col(idCol).as("vec_id"), col("codes"))
+    SqIndex(codes, mn, mx)
+  }
+
+  /** SQ8 search: the query maps through the SAME affine level map
+    * (driver-side — the bounds are the index's 64 collected longs) and
+    * distance is the integer squared-diff sum in level space, an
+    * in-row fold over the code array — zero shuffle, no join, plus
+    * TakeOrderedAndProject. Level-space L2 preserves the true L2
+    * ranking up to quantization error (the recall@k eval is the
+    * declared accuracy dial, like PQ's).
+    */
+  def sqSearchIndexed(index: SqIndex, query: Seq[Float], k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val ql = query.map(quantE6).zip(index.minE6.zip(index.maxE6)).map {
+      case (v, (mn, mx)) => (v - mn) * 255L / math.max(1L, mx - mn)
+    }
+    val qA = array(ql.map(lit): _*)
+    val d2 = aggregate(zip_with(col("codes"), qA, (x, y) => (x - y) * (x - y)),
+      lit(0L), (s, v) => s + v)
+    index.codes
+      .withColumn("sq_d2", d2)
+      .select(col("vec_id").as(idCol), col("sq_d2"))
+      .orderBy(col("sq_d2").asc, col(idCol))
+      .limit(k)
+  }
+
   /** Reopen a persisted PQ index ([[writePqIndex]] layout). */
   def readPqIndex(spark: SparkSession, dir: String): PqIndex = {
     val rows = spark.read.parquet(s"$dir/codebook").collect()

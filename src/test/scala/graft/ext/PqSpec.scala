@@ -85,4 +85,31 @@ class PqSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(d == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
   }
+
+  test("sqBuild: levels span [0,255] and per-dim extremes map to the rails") {
+    val idx = Similarity.sqBuild(vecs)
+    val codes = idx.codes.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    assert(codes.size == 24)
+    assert(codes.values.flatten.forall(l => l >= 0 && l <= 255))
+    // every dim's corpus min hits level 0 and its max hits level 255
+    (0 until 8).foreach { d =>
+      val col = codes.values.map(_(d))
+      assert(col.min == 0L, s"dim $d min level ${col.min}")
+      assert(col.max == 255L, s"dim $d max level ${col.max}")
+    }
+  }
+
+  test("SQ8 top-k resolves the separable clusters like exact integer L2") {
+    val idx = Similarity.sqBuild(vecs)
+    val q = Similarity.vectorOf(vecs, "vec_id", 0L)
+    val sq = Similarity.sqSearchIndexed(idx, q, 6)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val exact = Similarity.l2TopK(vecs, q, 6)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // the level gap between clusters (~85 levels) dwarfs the jitter
+    // (<3 levels), so the top-6 IS the query's own 6-member cluster
+    assert(sq == exact)
+    assert(sq == Set(0L, 4L, 8L, 12L, 16L, 20L))
+  }
 }

@@ -287,4 +287,35 @@ class QualitySpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(r.toSeq == Seq((2L, 500L), (5L, 250L)))
   }
+
+  test("bigramLmScore: add-one smoothed micro-nat sums, hand-computed") {
+    import spark.implicits._
+    // uni: a=3 b=2 c=1, V=3; bigrams: (a,b)=2, (b,a)=1
+    val d = Seq((1L, "a b a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val ab = e6(math.log(6.0 / 3.0)) // -ln P(b|a) = ln((3+3)/(2+1))
+    val ba = e6(math.log(5.0 / 2.0)) // -ln P(a|b) = ln((2+3)/(1+1))
+    val r = Quality.bigramLmScore(d, "text").orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, ab + ba, (ab + ba) / 2),
+      (2L, 1L, ab, ab),
+      (3L, 0L, 0L, 0L))) // a 1-token doc has no bigrams, scores 0
+  }
+
+  test("sourceUnigramKl: corpus-identical source reads 0, skewed source positive") {
+    import spark.implicits._
+    // s1/s2 share the corpus shape; s3 is all-'a' (the drifted source)
+    val d = Seq(("s1", "a b"), ("s2", "a b"), ("s3", "a a a a"))
+      .toDF("source", "text")
+    val r = Quality.sourceUnigramKl(d, "text").orderBy("source")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    def e9(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    // corpus: a=6 b=2 T=8; s1: (1/2)ln(8/12) + (1/2)ln(8/4)
+    val s1 = e9(0.5 * math.log(8.0 / 12.0)) + e9(0.5 * math.log(2.0))
+    val s3 = e9(math.log(32.0 / 24.0))
+    assert(r.toSeq == Seq(
+      ("s1", 2L, 2L, s1), ("s2", 2L, 2L, s1), ("s3", 4L, 1L, s3)))
+    assert(s1 > 0 && s3 > 0) // KL ≥ 0; both diverge from the mix
+  }
 }

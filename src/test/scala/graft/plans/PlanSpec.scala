@@ -172,6 +172,18 @@ class PlanSpec extends AnyFunSuite {
       s"PQ search grew a join:\n${planOf(df)}")
   }
 
+  test("SQ8 level-space search: zero shuffle, no join, top-k heap only") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = graft.ext.Similarity.sqBuild(vecs)
+    val df = graft.ext.Similarity.sqSearchIndexed(
+      idx, (0 until 64).map(_ => 0.1f), 10)
+    assert(shuffles(df) == 0, s"SQ8 search grew a shuffle:\n${planOf(df)}")
+    assert(planOf(df).contains("TakeOrderedAndProject"),
+      s"SQ8 search lost the top-k heap:\n${planOf(df)}")
+    assert(!planOf(df).contains("Join"),
+      s"SQ8 search grew a join:\n${planOf(df)}")
+  }
+
   test("snapshot diff: digest-only hash join, no text past the digest projection") {
     val df = graft.ext.Pipeline.snapshotDiff(docs,
       docs.filter(col("doc_id") % 17 =!= 0), Seq("text", "lang", "source"))
