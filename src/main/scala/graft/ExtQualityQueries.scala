@@ -288,6 +288,56 @@ private[graft] object ExtQualityQueries {
           |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
           |ORDER BY d.doc_id""".stripMargin)),
 
+    // Weak-label Naive Bayes classifier (the fastText-style quality/
+    // domain classifier of LLaMA/CCNet pipelines): trained relationally
+    // on the lang='en' weak label, scored over the whole corpus via a
+    // broadcast LLR model — integer micro-nat sums, any-engine exact.
+    QueryDef("x_quality_nb_score",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.nbScore(spark.table("documents"), "text",
+            col("lang") === "en")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, lang = 'en' AS y,
+          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS w
+          |  FROM documents
+          |),
+          |cls AS (
+          |  SELECT w, sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+          |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+          |  FROM tk GROUP BY 1
+          |),
+          |tot AS (SELECT sum(np) AS tp, sum(nn) AS tn, count(*) AS v FROM cls),
+          |model AS (
+          |  SELECT w,
+          |         CAST(floor((ln(CAST(np + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE))
+          |                   - ln(CAST(nn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)))
+          |                    * 1e6 + 0.5) AS BIGINT) AS llr_e6
+          |  FROM cls CROSS JOIN tot
+          |),
+          |pr AS (
+          |  SELECT CAST(floor(ln(
+          |           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+          |         / CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1 AS DOUBLE))
+          |         * 1e6 + 0.5) AS BIGINT) AS prior_e6
+          |  FROM documents
+          |),
+          |sc AS (
+          |  SELECT t.doc_id, count(*) AS nt, sum(m.llr_e6) AS s
+          |  FROM tk t JOIN model m USING (w) GROUP BY 1
+          |)
+          |SELECT d.doc_id,
+          |       CAST(coalesce(nt, 0) AS BIGINT) AS n_tokens,
+          |       CAST(coalesce(s, 0) AS BIGINT) AS llr_sum_e6,
+          |       CAST(coalesce(s, 0) + pr.prior_e6 AS BIGINT) AS total_llr_e6,
+          |       (coalesce(s, 0) + pr.prior_e6) > 0 AS pred_pos
+          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+          |CROSS JOIN pr
+          |ORDER BY d.doc_id""".stripMargin)),
+
     // Per-source unigram KL divergence from the corpus distribution —
     // the mixture-drift monitor (which source reads off-corpus).
     // Counts exact; each (source,word) term quantized once to integer

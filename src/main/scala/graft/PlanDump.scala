@@ -410,6 +410,11 @@ object PlanDump {
       // 46. per-source KL: one (source,word) shuffle, then vocab-bounded
       dump("x_stats_source_kl (vocab-bounded drift agg)")(
         graft.ext.Quality.sourceUnigramKl(docs, "text"))
+
+      // 47. NB classifier: vocab-bounded LLR model broadcast into the
+      //     scoring join; corpus-keyed exchanges = token agg + doc agg
+      dump("x_quality_nb_score (broadcast NB model scoring)")(
+        graft.ext.Quality.nbScore(docs, "text", col("lang") === lit("en")))
     }
 
     spark.stop()

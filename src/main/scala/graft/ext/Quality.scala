@@ -590,6 +590,55 @@ object Quality {
           .otherwise(lit(0L)))
   }
 
+  /** Weak-label Naive Bayes document classifier — the fastText-style
+    * quality/domain classifier of the LLaMA/CCNet pipelines (train on
+    * cheap weak labels, score the whole corpus), expressed as pure
+    * relational algebra: "training" is one token-keyed agg producing
+    * per-class token counts (vocab-bounded — the broadcast model), and
+    * scoring is a broadcast join summing each token's log-likelihood
+    * ratio, Laplace-smoothed, plus the class-prior ratio.
+    *
+    * Parity: per DISTINCT token the LLR quantizes ONCE to integer
+    * micro-nats; per-doc totals and the prior are integer sums — the
+    * [[bigramLmScore]] fixed-point recipe. `pred_pos` is a comparison
+    * of exact integers.
+    */
+  def nbScore(docs: DataFrame, textCol: String, label: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol), label.cast("boolean").as("y"),
+      explode(wsTokens(col(textCol))).as("w"))
+    val cls = tok.groupBy("w").agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("y"), 0L).otherwise(1L)).as("nn"))
+    val tot = cls.agg(sum(col("np")).as("tp"), sum(col("nn")).as("tn"),
+      count(lit(1)).as("v"))
+    val model = cls.crossJoin(broadcast(tot))
+      .withColumn("llr_e6", floor(
+        (log((col("np") + lit(1)).cast("double") /
+            (col("tp") + col("v")).cast("double")) -
+          log((col("nn") + lit(1)).cast("double") /
+            (col("tn") + col("v")).cast("double"))) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .select("w", "llr_e6")
+    val prior = docs.select(label.cast("boolean").as("y"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("dp"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("dn"))
+      .select(floor(log((col("dp") + lit(1)).cast("double") /
+        (col("dn") + lit(1)).cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long").as("prior_e6"))
+    val scored = tok.join(broadcast(model), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("llr_e6")).as("llr_sum_e6"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .crossJoin(broadcast(prior))
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("llr_sum_e6"), lit(0L)).as("llr_sum_e6"),
+        (coalesce(col("llr_sum_e6"), lit(0L)) + col("prior_e6"))
+          .as("total_llr_e6"))
+      .withColumn("pred_pos", col("total_llr_e6") > 0)
+  }
+
   /** Per-source unigram KL divergence from the corpus distribution —
     * the mixture-drift monitor: which sources read "off-corpus" (new
     * crawl gone wrong, a source switching language, dedup skew). KL(

@@ -303,6 +303,28 @@ class QualitySpec extends AnyFunSuite {
       (3L, 0L, 0L, 0L))) // a 1-token doc has no bigrams, scores 0
   }
 
+  test("nbScore: hand-computed LLR sums and predictions on a separable corpus") {
+    import spark.implicits._
+    val d = Seq((1L, "en", "good nice"), (2L, "xx", "bad ugly"),
+      (3L, "en", "good bad")).toDF("doc_id", "lang", "text")
+    def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    // np/nn: good 2/0, nice 1/0, bad 1/1, ugly 0/1; tp=4 tn=2 v=4
+    def llr(np: Long, nn: Long): Long =
+      e6(math.log((np + 1.0) / 8.0) - math.log((nn + 1.0) / 6.0))
+    val prior = e6(math.log(3.0 / 2.0)) // dp=2 dn=1
+    val good = llr(2, 0); val nice = llr(1, 0)
+    val bad = llr(1, 1); val ugly = llr(0, 1)
+    val r = Quality.nbScore(d, "text", col("lang") === "en").orderBy("doc_id")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, good + nice, good + nice + prior, good + nice + prior > 0),
+      (2L, 2L, bad + ugly, bad + ugly + prior, bad + ugly + prior > 0),
+      (3L, 2L, good + bad, good + bad + prior, good + bad + prior > 0)))
+    assert(r(0)._5 && !r(1)._5) // en-shaped doc positive, xx-shaped negative
+  }
+
   test("sourceUnigramKl: corpus-identical source reads 0, skewed source positive") {
     import spark.implicits._
     // s1/s2 share the corpus shape; s3 is all-'a' (the drifted source)
