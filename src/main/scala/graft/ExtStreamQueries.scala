@@ -299,6 +299,42 @@ private[graft] object ExtStreamQueries {
           |GROUP BY 1, 2
           |ORDER BY win_start_us, event_type""".stripMargin)),
 
+    // Watermarked stream-stream interval join — the symmetric-hash-join
+    // state class (the last built-in stateful class without a twin):
+    // clicks join same-user views within a 1-hour horizon, both sides
+    // buffered in the state store and evicted by watermark. A REAL
+    // 4-micro-batch run; inner-join output is a SET (each pair emitted
+    // exactly once, append mode), so it is batch-equal under any
+    // batching — checked against the plain batch interval join.
+    QueryDef("x_stream_join",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val srcDir = multiFileSourceDir(spark, sfDir, "events.parquet", 4)
+        val stream = eventsStream(spark, srcDir, maxFilesPerTrigger = 1)
+          .select("event_id", "user_id", "ts", "event_type")
+        val q = graft.streaming.IncrementalIndexer
+          .streamIntervalJoin(stream, refType = "view", queryType = "click")
+          .writeStream.outputMode("append")
+          .format("memory").queryName("x_stream_join_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table("x_stream_join_sink")
+          .select("user_id", "ref_id", "query_id", "ref_ts_us", "query_ts_us")
+          .orderBy("ref_id", "query_id")
+      },
+      Some(
+        """SELECT v.user_id,
+          |       v.event_id AS ref_id,
+          |       c.event_id AS query_id,
+          |       CAST(epoch_us(v.ts) AS BIGINT) AS ref_ts_us,
+          |       CAST(epoch_us(c.ts) AS BIGINT) AS query_ts_us
+          |FROM events v JOIN events c
+          |  ON c.user_id = v.user_id
+          | AND v.event_type = 'view' AND c.event_type = 'click'
+          | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+          |ORDER BY ref_id, query_id""".stripMargin)),
+
     // Streaming contamination screen — the STATELESS twin class: the
     // 13-gram screen is per-document (a doc's grams never leave its
     // row before the broadcast semi-join against the fixed benchmark
@@ -346,6 +382,39 @@ private[graft] object ExtStreamQueries {
            |FROM sh f JOIN bench b ON b.shingle = f.shingle
            |GROUP BY f.doc_id
            |HAVING count(*) >= 1
-           |ORDER BY f.doc_id""".stripMargin))
+           |ORDER BY f.doc_id""".stripMargin)),
+
+    // Built-in streaming DISTINCT — the state-store dedup class with
+    // NO custom state code (`dropDuplicates` on the stream; the custom
+    // flatMapGroupsWithState twin is x_stream_dedup): state is one row
+    // per distinct digest, exactly the relation the batch DISTINCT
+    // shuffles. Emitting only the digest makes the result a SET —
+    // batch-equal under any batching/arrival order, so the REAL
+    // 4-micro-batch run checks against the plain batch DISTINCT.
+    // Production bounds state with dropDuplicatesWithinWatermark; the
+    // unbounded form here IS the batch-equality contract.
+    QueryDef("x_stream_distinct",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val srcDir = multiFileSourceDir(spark, sfDir, "documents.parquet", 4)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .select(md5(col("text").cast("binary")).as("content_md5"))
+          .dropDuplicates("content_md5")
+          .writeStream.outputMode("append")
+          .format("memory").queryName("x_stream_distinct_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table("x_stream_distinct_sink").orderBy("content_md5")
+      },
+      Some(
+        """SELECT DISTINCT md5(text) AS content_md5
+          |FROM documents ORDER BY content_md5""".stripMargin))
   )
 }

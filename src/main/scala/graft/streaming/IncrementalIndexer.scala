@@ -88,6 +88,46 @@ object IncrementalIndexer {
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("n_events"), col("sum_cents"))
 
+  /** Watermarked stream-stream interval join — the symmetric-hash-join
+    * state class (the ONE built-in stateful operator class the other
+    * twins don't touch): each `queryType` event joins every `refType`
+    * event of the same user whose ts lies within `[ref.ts, ref.ts +
+    * horizon]`. Both sides buffer rows in the state store; the
+    * event-time range condition plus the two watermarks let the engine
+    * evict a buffered row once the opposite watermark passes its join
+    * horizon — state is bounded by (rate × horizon + disorder), not
+    * history, which is what makes the operator run forever at 100 TB
+    * ingest.
+    *
+    * Inner joins emit each matched pair exactly once, eagerly, in
+    * append mode — a join output is a SET, so the result is
+    * batch-equal under ANY batching with no fold-order caveats, as
+    * long as `watermarkDelay` covers the source's disorder (the
+    * repo-wide batch-equivalence contract; production sets it to the
+    * real ingest disorder). Self-joining one source stream by filtering
+    * it two ways is the canonical Spark shape for same-table temporal
+    * correlation.
+    */
+  def streamIntervalJoin(events: DataFrame, refType: String = "view",
+      queryType: String = "click", horizon: String = "1 hour",
+      watermarkDelay: String = "60 days"): DataFrame = {
+    val refs = events.filter(col("event_type") === refType)
+      .select(col("event_id").as("ref_id"), col("user_id"),
+        col("ts").as("ref_ts"))
+      .withWatermark("ref_ts", watermarkDelay)
+    val queries = events.filter(col("event_type") === queryType)
+      .select(col("event_id").as("query_id"),
+        col("user_id").as("__q_user_id"), col("ts").as("query_ts"))
+      .withWatermark("query_ts", watermarkDelay)
+    refs.join(queries,
+        col("user_id") === col("__q_user_id") &&
+          col("query_ts") >= col("ref_ts") &&
+          col("query_ts") <= col("ref_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("ref_id"), col("query_id"),
+        unix_micros(col("ref_ts")).as("ref_ts_us"),
+        unix_micros(col("query_ts")).as("query_ts_us"))
+  }
+
   /** Arbitrary per-key state, evolved with `mapGroupsWithState` — the
     * custom-state surface (SURVEY §2.7 extension): one state row per
     * user carrying the event count and the latest event, updated

@@ -129,4 +129,48 @@ class StreamBatchParitySpec extends AnyFunSuite {
         "ref_event_id", "ref_ts_us", "ref_value")
     assert(rows(streamed) == rows(batch))
   }
+
+  test("streamIntervalJoin == batch interval join on random tied data") {
+    // append-mode stream-stream join: each matched (view, click) pair
+    // must be emitted exactly once across the 3 batches — including
+    // pairs whose two sides land in DIFFERENT batches (the buffered-
+    // state case) and same-ts pairs (boundary inclusive both ends).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val horizonUs = 500L
+    // +1s clock base: Spark's initial global watermark is epoch 0, and
+    // a join input row whose event time EQUALS the watermark is treated
+    // as late and dropped — an epoch-0-only edge no real event stream
+    // hits (verified: with the raw 0-based grid, exactly the one
+    // (ts=0, ts=0) pair goes missing)
+    val base = 1000000L
+    val shifted = batchDf.withColumn("ts_us", col("ts_us") + base)
+    val batch = shifted.filter(col("event_type") === "view")
+      .select(col("event_id").as("ref_id"), col("user_id"),
+        col("ts_us").as("ref_ts_us"))
+      .join(shifted.filter(col("event_type") === "click")
+          .select(col("event_id").as("query_id"),
+            col("user_id").as("qu"), col("ts_us").as("query_ts_us")),
+        col("user_id") === col("qu") &&
+          col("query_ts_us") >= col("ref_ts_us") &&
+          col("query_ts_us") <= col("ref_ts_us") + horizonUs)
+      .select("user_id", "ref_id", "query_id", "ref_ts_us", "query_ts_us")
+    val stream = MemoryStream[(Long, Long, Long, Double, String)]
+    val q = IncrementalIndexer.streamIntervalJoin(
+        stream.toDF().toDF("user_id", "event_id", "ts_us", "value", "event_type")
+          .withColumn("ts", expr(s"timestamp_micros(ts_us + $base)")),
+        horizon = "500 MICROSECOND")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("parity_sjoin").start()
+    val sorted = events.sortBy(e => (e._3, e._2))
+    sorted.grouped((sorted.size + 2) / 3).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("parity_sjoin")
+      .select("user_id", "ref_id", "query_id", "ref_ts_us", "query_ts_us")
+    // exactly-once: the multiset has no duplicate pairs
+    assert(streamed.count() == streamed.distinct().count())
+    assert(rows(streamed) == rows(batch))
+  }
 }
