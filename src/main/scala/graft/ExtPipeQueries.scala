@@ -100,6 +100,25 @@ private[graft] object ExtPipeQueries {
           |      FROM documents) q
           |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic global shuffle + shard assignment (the training-
+    // order permutation): salted hash key → seed-reproducible
+    // permutation, shard = key % 8. Pure map; materializing the order
+    // is one range exchange (writeShuffled). The ORDER BY here IS the
+    // training order the dataloader would read.
+    QueryDef("x_pipe_shuffle",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.shuffleShards(spark.table("documents"))
+          .orderBy("shard", "shuffle_key", "doc_id")
+      },
+      Some(
+        """SELECT doc_id, shuffle_key, shard FROM (
+          |  SELECT doc_id,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle:42'), 1, 15) AS BIGINT) AS shuffle_key,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle:42'), 1, 15) AS BIGINT) % 8 AS shard
+          |  FROM documents) q
+          |ORDER BY shard, shuffle_key, doc_id""".stripMargin)),
+
     // Overlapping token-window chunking (context-window prep): one
     // chunk per stride offset; zero shuffle.
     QueryDef("x_pipe_chunk",
@@ -460,6 +479,37 @@ private[graft] object ExtPipeQueries {
           |                               WHEN 'src1' THEN 500
           |                               WHEN 'src2' THEN 750
           |                               ELSE 1000 END
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-based mixture reweighting (mT5/XLM-R): sampling
+    // weight per source ∝ (token share)^0.3 — the up-sample-the-tail
+    // dial whose output feeds mixSample's permille knob. One corpus
+    // agg + two source-bounded scalars; p^α quantizes once to e9, the
+    // normalization is positive-integer DIV — any-engine exact.
+    QueryDef("x_pipe_temperature",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.temperatureWeights(spark.table("documents"), "text")
+          .orderBy("source")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT source,
+          |         sum(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> ''))) AS n_tokens
+          |  FROM documents GROUP BY 1
+          |),
+          |tot AS (SELECT sum(n_tokens) AS total FROM t),
+          |u AS (
+          |  SELECT source, n_tokens,
+          |         n_tokens * 1000000 // total AS p_ppm,
+          |         CAST(floor(pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 0.3) * 1e9 + 0.5) AS BIGINT) AS u_e9
+          |  FROM t CROSS JOIN tot
+          |),
+          |su AS (SELECT sum(u_e9) AS su FROM u)
+          |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |       CAST(p_ppm AS BIGINT) AS p_ppm,
+          |       CAST(u_e9 * 1000000 // su AS BIGINT) AS weight_ppm
+          |FROM u CROSS JOIN su
+          |ORDER BY source""".stripMargin))
   )
 }

@@ -376,6 +376,52 @@ private[graft] object ExtQualityQueries {
           |       CAST(max(n_distinct_tokens) AS BIGINT) AS n_distinct_tokens,
           |       CAST(sum(term_e9) AS BIGINT) AS kl_e9
           |FROM terms GROUP BY src
-          |ORDER BY source""".stripMargin))
+          |ORDER BY source""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023): hashed-bigram
+    // log-ratio of target (lang='en') vs raw (whole corpus)
+    // distributions over a FIXED 512-bucket feature space — the model
+    // is 2·512 counters at any corpus size, so it broadcasts and the
+    // whole operator is two key-bounded shuffles. Integer micro-nat
+    // sums per doc (the fixed-point recipe) — any-engine exact.
+    QueryDef("x_quality_dsir",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.dsirWeights(spark.table("documents"), "text",
+            col("lang") === "en")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, lang = 'en' AS y,
+          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '') AS ts
+          |  FROM documents
+          |),
+          |bg AS (
+          |  SELECT doc_id, y,
+          |         CAST('0x' || substr(md5(ts[i] || ' ' || ts[i + 1]), 1, 15) AS BIGINT) % 512 AS b
+          |  FROM tok, unnest(range(1, len(ts))) r(i)
+          |),
+          |cnt AS (SELECT b, sum(CASE WHEN y THEN 1 ELSE 0 END) AS ct,
+          |               count(*) AS cr
+          |        FROM bg GROUP BY 1),
+          |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+          |model AS (
+          |  SELECT b,
+          |         CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 512 AS DOUBLE))
+          |                   - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 512 AS DOUBLE)))
+          |                    * 1e6 + 0.5) AS BIGINT) AS llr_e6
+          |  FROM cnt CROSS JOIN tot
+          |),
+          |sc AS (
+          |  SELECT g.doc_id, count(*) AS nf, sum(m.llr_e6) AS s
+          |  FROM bg g JOIN model m USING (b) GROUP BY 1
+          |)
+          |SELECT d.doc_id,
+          |       CAST(coalesce(nf, 0) AS BIGINT) AS n_feats,
+          |       CAST(coalesce(s, 0) AS BIGINT) AS llr_sum_e6,
+          |       coalesce(s, 0) > 0 AS target_like
+          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin))
   )
 }

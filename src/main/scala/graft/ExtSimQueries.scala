@@ -175,6 +175,48 @@ private[graft] object ExtSimQueries {
            |FROM pv GROUP BY label
            |ORDER BY label""".stripMargin)),
 
+    // Centroid-distance outlier screen (label QA): cosine of every
+    // vector to its OWN label centroid; low cosine = mislabeled /
+    // off-distribution rows to quarantine. Centroids broadcast
+    // (labels × dims); scoring is in-row integer folds; the cosine is
+    // 3 correctly-rounded IEEE ops over exact BIGINTs, quantized once.
+    QueryDef("x_sim_outliers",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.centroidOutliers(spark.table("embeddings"))
+          .orderBy("vec_id")
+      },
+      Some(
+        s"""WITH $exCte,
+           |q AS (
+           |  SELECT vec_id, label, i,
+           |         CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v6
+           |  FROM ex
+           |),
+           |c AS (
+           |  SELECT label, i, sum(v6) // count(*) AS c6
+           |  FROM q GROUP BY label, i
+           |),
+           |d AS (
+           |  SELECT q.vec_id, q.label,
+           |         sum(q.v6 * c.c6) AS dot,
+           |         sum(q.v6 * q.v6) AS n2v,
+           |         sum(c.c6 * c.c6) AS n2c
+           |  FROM q JOIN c ON c.label = q.label AND c.i = q.i
+           |  GROUP BY q.vec_id, q.label
+           |)
+           |SELECT vec_id, label,
+           |       CAST(CASE WHEN n2v = 0 OR n2c = 0 THEN 0
+           |            ELSE floor(CAST(dot AS DOUBLE)
+           |                       / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE)))
+           |                       * 1000000 + 0.5) END AS BIGINT) AS cos_e6,
+           |       CAST(CASE WHEN n2v = 0 OR n2c = 0 THEN 0
+           |            ELSE floor(CAST(dot AS DOUBLE)
+           |                       / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE)))
+           |                       * 1000000 + 0.5) END AS BIGINT) < 500000 AS is_outlier
+           |FROM d
+           |ORDER BY vec_id""".stripMargin)),
+
     // Semantic dedup composition: blocked embedding near-dup pairs →
     // connected components → canonical (min-id) doc per cluster. The
     // components step is the pointer-doubling propagation; the oracle

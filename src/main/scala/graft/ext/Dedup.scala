@@ -53,6 +53,29 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         max(col(idCol)).as("max_id"))
 
+  /** Soft dedup: instead of DROPPING duplicates, down-WEIGHT them —
+    * every copy of a content appearing n times gets sampling weight
+    * 1/n, so each distinct content contributes one document's worth of
+    * expected training mass while the corpus keeps its size and mix
+    * (the NeMo-Curator / "soft dedup" recipe; hard dedup is the
+    * `keep_id` filter, which this subsumes via `is_canonical`).
+    *
+    * Shapes: the digest agg is the [[exactGroups]] shuffle; the join
+    * back is digest-keyed on both sides (no broadcast — the group
+    * relation is distinct-content-sized). Weight is an integer
+    * permille DIV: both operands positive, so Spark's truncation and
+    * DuckDB's floor agree.
+    */
+  def softDedupWeights(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol), md5(col(textCol).cast("binary")).as("content_md5"))
+      .join(exactGroups(docs, textCol, idCol)
+          .select("content_md5", "n_copies", "keep_id"),
+        "content_md5")
+      .select(col(idCol), col("n_copies"),
+        expr("1000 DIV n_copies").as("weight_permille"),
+        (col(idCol) === col("keep_id")).as("is_canonical"))
+
   /** Distinct token shingles (n-grams of tokens, space-joined). */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val toks = Tokenizer.tokensCol(col(textCol))

@@ -30,6 +30,42 @@ object Pipeline {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic global shuffle + shard assignment — the permutation
+    * step between curation and training (dataloaders read shards
+    * sequentially, so corpus order IS training order; a biased order —
+    * by crawl date, by source — measurably hurts the model). The
+    * permutation key is the salted portable hash of the doc id:
+    * content-independent, seed-reproducible, and reshuffle-proof (the
+    * same (id, seed) always lands at the same place, so a re-run after
+    * appends moves nothing that was already placed). `shard` is the
+    * key's modulus, `shuffle_key` the within-shard order.
+    *
+    * Scale shape: the assignment itself is a pure map (zero shuffle);
+    * materializing training order is ONE range exchange —
+    * [[writeShuffled]] repartitions by range on (shard, shuffle_key)
+    * and sorts within partitions, i.e. Spark's distributed sort, the
+    * same machinery as any 100 TB ORDER BY. No window, no global
+    * sequence numbers: positions are implicit in (shard, shuffle_key)
+    * file order, which is what the dataloader consumes.
+    */
+  def shuffleShards(docs: DataFrame, idCol: String = "doc_id",
+      seed: String = "42", shards: Int = 8): DataFrame = {
+    val key = Dedup.portableHash(
+      concat(col(idCol).cast("string"), lit(":shuffle:"), lit(seed)))
+    docs.select(col(idCol), key.as("shuffle_key"),
+      pmod(key, lit(shards.toLong)).as("shard"))
+  }
+
+  /** Materialize [[shuffleShards]] training order: one range exchange
+    * + in-partition sort, written as one directory per shard.
+    */
+  def writeShuffled(docs: DataFrame, path: String, idCol: String = "doc_id",
+      seed: String = "42", shards: Int = 8): Unit =
+    docs.join(shuffleShards(docs, idCol, seed, shards), idCol)
+      .repartitionByRange(shards, col("shard"), col("shuffle_key"))
+      .sortWithinPartitions("shard", "shuffle_key")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Deterministic domain-mixing sampler: per-`byCol` keep-rates in
     * permille (e.g. web 300‰, code 1000‰, forums 100‰ — the data-mix
     * dial every pretraining pipeline has). A doc is kept iff its salted
@@ -51,6 +87,40 @@ object Pipeline {
     docs.select(col(byCol), col(idCol), bucket.as("mix_bucket"), rate.as("keep_permille"))
       .filter(col("mix_bucket") < col("keep_permille"))
       .select(col(byCol), col(idCol), col("mix_bucket"))
+  }
+
+  /** Temperature-based mixture reweighting (the mT5/XLM-R multilingual
+    * recipe, used identically for domain mixing): sampling weight per
+    * group ∝ p_g^α where p_g is the group's token share and α ∈ (0,1]
+    * flattens the mix (α = 1 keeps natural proportions, α → 0
+    * approaches uniform — low-resource groups are up-sampled). This is
+    * the dial that sets how much Wikipedia vs crawl a run sees; its
+    * output (weights per source) feeds [[mixSample]]'s permille knob.
+    *
+    * Shapes: ONE token-count agg over the corpus (in-row token sizes,
+    * then a group-keyed sum) and two group-bounded scalar aggs — the
+    * relation never exceeds the number of sources. Parity: p_ppm is an
+    * integer DIV of exact counts; p_g^α quantizes ONCE per group to
+    * integer e9 (the fixed-point recipe), and the final normalization
+    * is pure positive-integer arithmetic (u·10⁶ DIV Σu — truncation
+    * and floor agree on positives, and u ≤ 10⁹ keeps the product
+    * < 2⁶³).
+    */
+  def temperatureWeights(docs: DataFrame, textCol: String,
+      byCol: String = "source", alpha: Double = 0.3): DataFrame = {
+    val nToks = size_long(filter(split_part_tokens(col(textCol)), t => t =!= ""))
+    val perSrc = docs.groupBy(col(byCol).as("source"))
+      .agg(sum(nToks).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("total"))
+    val withU = perSrc.crossJoin(broadcast(tot))
+      .withColumn("p_ppm", expr("n_tokens * 1000000 DIV total"))
+      .withColumn("u_e9",
+        floor(pow(col("n_tokens").cast("double") / col("total").cast("double"),
+          lit(alpha)) * lit(1e9) + lit(0.5)).cast("long"))
+    val sumU = withU.agg(sum(col("u_e9")).as("su"))
+    withU.crossJoin(broadcast(sumU))
+      .select(col("source"), col("n_tokens"), col("p_ppm"),
+        expr("u_e9 * 1000000 DIV su").as("weight_ppm"))
   }
 
   /** Overlapping token-window chunking (context-window preparation for

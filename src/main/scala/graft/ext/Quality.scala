@@ -567,7 +567,8 @@ object Quality {
     val vocab = uni.agg(count(lit(1)).as("v_size"))
     val bg = docs
       .select(col(idCol), explode(zip_with(
-        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
@@ -673,5 +674,61 @@ object Quality {
       .agg(max(col("src_total")).as("n_tokens"),
         max(col("n_distinct_tokens")).as("n_distinct_tokens"),
         sum(col("term_e9")).as("kl_e9"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its HASHED n-gram features are,
+    * log w(d) = Σ_f [ln p_target(f) − ln p_raw(f)], with bigram
+    * features bucketed into a FIXED hash space. The fixed bucket count
+    * is the scale property — the "model" is exactly 2·`buckets`
+    * counters however large the corpus or its vocabulary, so training
+    * is one bucket-keyed agg, the model broadcasts at any scale, and
+    * scoring is a broadcast join + one doc-keyed agg (two shuffles
+    * total, both key-bounded). This is the paper's own trick and the
+    * reason DSIR runs on full CommonCrawl.
+    *
+    * `target` marks the target-distribution rows (the paper's
+    * Wikipedia/books side); raw = the whole input. Laplace-smoothed on
+    * the bucket space: p(b) = (c(b)+1)/(total+buckets).
+    *
+    * Parity: each bucket's log-ratio quantizes ONCE to integer
+    * micro-nats (the [[bigramLmScore]] recipe); per-doc weights are
+    * then integer sums — fold-order free, any-engine exact. No
+    * average is emitted: log-weights are signed and integer DIV
+    * truncates toward zero in Spark but floors in DuckDB, so a
+    * quotient column would break parity for negative sums.
+    */
+  def dsirWeights(docs: DataFrame, textCol: String, target: Column,
+      buckets: Int = 512, idCol: String = "doc_id"): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val feats = docs
+      .select(col(idCol), target.cast("boolean").as("y"),
+        explode(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("f"))
+      .select(col(idCol), col("y"),
+        (Dedup.portableHash(col("f")) % lit(buckets.toLong)).as("b"))
+    val counts = feats.groupBy("b").agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val model = counts.crossJoin(broadcast(tot))
+      .withColumn("llr_e6", floor(
+        (log((col("ct") + lit(1)).cast("double") /
+            (col("tt") + lit(buckets)).cast("double")) -
+          log((col("cr") + lit(1)).cast("double") /
+            (col("tr") + lit(buckets)).cast("double"))) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .select("b", "llr_e6")
+    val scored = feats.join(broadcast(model), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("llr_e6")).as("llr_sum_e6"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("llr_sum_e6"), lit(0L)).as("llr_sum_e6"))
+      .withColumn("target_like", col("llr_sum_e6") > 0)
   }
 }

@@ -336,6 +336,47 @@ object Similarity {
           sort_array(collect_list(struct(col("dim"), col("mean_e6")))),
           x => x.getField("mean_e6")).as("centroid_e6"))
 
+  /** Centroid-distance outlier screen — the embedding-side label-QA
+    * operator (SemDeDup's sibling): score every vector's cosine to its
+    * OWN label's centroid; low cosine = mislabeled, polluted, or
+    * off-distribution rows to quarantine before the label feeds
+    * training or IVF cell construction.
+    *
+    * Shapes: the centroid relation is (labels × dims) — broadcast at
+    * any corpus size; scoring is a broadcast join + pure in-row
+    * integer folds (dot and norms over e6-quantized components).
+    * Parity: dot and both norms² are EXACT BIGINT sums; the cosine is
+    * then `dot / (sqrt(n2v)·sqrt(n2c))` — three correctly-rounded
+    * IEEE ops over exact integers (the repo's one-IEEE-chain rule;
+    * sqrt is exactly rounded per IEEE 754), quantized once to e6.
+    * Zero vectors (norm 0) score 0, not NaN.
+    */
+  def centroidOutliers(vectors: DataFrame, byCol: String = "label",
+      vecCol: String = "embedding", minCosE6: Long = 500000L,
+      idCol: String = "vec_id"): DataFrame = {
+    val cents = centroids(vectors, byCol, vecCol)
+      .select(col(byCol), col("centroid_e6"))
+    val vE6 = transform(col(vecCol),
+      x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+    vectors
+      .withColumn("__v_e6", vE6)
+      .join(broadcast(cents), byCol)
+      .withColumn("__dot", expr(
+        "aggregate(zip_with(__v_e6, centroid_e6, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("__n2v", expr(
+        "aggregate(__v_e6, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .withColumn("__n2c", expr(
+        "aggregate(centroid_e6, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .withColumn("cos_e6",
+        when(col("__n2v") === 0 || col("__n2c") === 0, lit(0L))
+          .otherwise(floor(
+            col("__dot").cast("double") /
+              (sqrt(col("__n2v").cast("double")) * sqrt(col("__n2c").cast("double"))) *
+              lit(1e6) + lit(0.5)).cast("long")))
+      .select(col(idCol), col(byCol), col("cos_e6"),
+        (col("cos_e6") < minCosE6).as("is_outlier"))
+  }
+
   /** The scalar (exploded) form of [[centroids]]: one row per
     * (group, dim) with the e6 fixed-point mean — the shape the
     * correctness gate declares (SURVEY §8: declared queries emit

@@ -561,6 +561,35 @@ class ExtSpec extends AnyFunSuite {
     assert(trainFrac > 0.7 && trainFrac < 0.9)
   }
 
+  test("pipeline temperatureWeights: hand-computed α=0.3 flattening") {
+    import spark.implicits._
+    // s1 has 4 of 5 tokens, s2 has 1 — α=0.3 pulls 80/20 toward even
+    val d = Seq((1L, "s1", "a b c d"), (2L, "s2", "a"))
+      .toDF("doc_id", "source", "text")
+    def u(p: Double): Long = math.floor(math.pow(p, 0.3) * 1e9 + 0.5).toLong
+    val (u1, u2) = (u(0.8), u(0.2))
+    val r = Pipeline.temperatureWeights(d, "text").orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      ("s1", 4L, 800000L, u1 * 1000000L / (u1 + u2)),
+      ("s2", 1L, 200000L, u2 * 1000000L / (u1 + u2))))
+    // flattening: s2's weight share strictly exceeds its token share
+    assert(r(1)._4 > 200000L && r(0)._4 < 800000L)
+  }
+
+  test("dedup softDedupWeights: 1/n weights, canonical = min id, empty-safe") {
+    import spark.implicits._
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val r = Dedup.softDedupWeights(d, "text", "doc_id").orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq(
+      (1L, 3L, 333L, true), (2L, 3L, 333L, false),
+      (3L, 1L, 1000L, true), (4L, 3L, 333L, false)))
+    // expected mass per distinct content ≈ 1000‰ (truncation ≤ n−1)
+    assert(r.filter(_._2 == 3L).map(_._3).sum == 999L)
+  }
+
   test("pipeline chunk: stride windows cover every token, tail chunks shorten") {
     import spark.implicits._
     val text = (1 to 150).map(i => s"w$i").mkString(" ")

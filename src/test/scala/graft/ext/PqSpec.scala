@@ -112,4 +112,25 @@ class PqSpec extends AnyFunSuite {
     assert(sq == exact)
     assert(sq == Set(0L, 4L, 8L, 12L, 16L, 20L))
   }
+
+  test("centroidOutliers: hand-computed cosines, zero-vector guard") {
+    import spark.implicits._
+    // label A: two (1,0) + one (0,1) → centroid_e6 = (666666, 333333);
+    // label B: a lone zero vector → n2c = 0 → cos 0, flagged
+    val d = Seq(
+      (1L, "A", Seq(1.0f, 0.0f)), (2L, "A", Seq(1.0f, 0.0f)),
+      (3L, "A", Seq(0.0f, 1.0f)), (4L, "B", Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    def cosE6(dot: Long, n2v: Long, n2c: Long): Long =
+      math.floor(dot.toDouble / (math.sqrt(n2v.toDouble) * math.sqrt(n2c.toDouble)) * 1e6 + 0.5).toLong
+    val n2c = 666666L * 666666L + 333333L * 333333L
+    val major = cosE6(1000000L * 666666L, 1000000L * 1000000L, n2c) // ≈ .894
+    val minor = cosE6(1000000L * 333333L, 1000000L * 1000000L, n2c) // ≈ .447
+    val r = Similarity.centroidOutliers(d).orderBy("vec_id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq(
+      (1L, major, false), (2L, major, false),
+      (3L, minor, true),  // the off-axis member falls under cos .5
+      (4L, 0L, true)))    // zero vector: guarded 0, flagged
+  }
 }

@@ -290,8 +290,10 @@ class QualitySpec extends AnyFunSuite {
 
   test("bigramLmScore: add-one smoothed micro-nat sums, hand-computed") {
     import spark.implicits._
-    // uni: a=3 b=2 c=1, V=3; bigrams: (a,b)=2, (b,a)=1
-    val d = Seq((1L, "a b a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    // uni: a=3 b=2 c=1, V=3; bigrams: (a,b)=2, (b,a)=1;
+    // d4 empty → zero tokens, must not crash the bigram slice
+    val d = Seq((1L, "a b a"), (2L, "a b"), (3L, "c"), (4L, ""))
+      .toDF("doc_id", "text")
     def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
     val ab = e6(math.log(6.0 / 3.0)) // -ln P(b|a) = ln((3+3)/(2+1))
     val ba = e6(math.log(5.0 / 2.0)) // -ln P(a|b) = ln((2+3)/(1+1))
@@ -300,7 +302,8 @@ class QualitySpec extends AnyFunSuite {
     assert(r.toSeq == Seq(
       (1L, 2L, ab + ba, (ab + ba) / 2),
       (2L, 1L, ab, ab),
-      (3L, 0L, 0L, 0L))) // a 1-token doc has no bigrams, scores 0
+      (3L, 0L, 0L, 0L), // a 1-token doc has no bigrams, scores 0
+      (4L, 0L, 0L, 0L)))
   }
 
   test("nbScore: hand-computed LLR sums and predictions on a separable corpus") {
@@ -339,5 +342,26 @@ class QualitySpec extends AnyFunSuite {
     assert(r.toSeq == Seq(
       ("s1", 2L, 2L, s1), ("s2", 2L, 2L, s1), ("s3", 4L, 1L, s3)))
     assert(s1 > 0 && s3 > 0) // KL ≥ 0; both diverge from the mix
+  }
+
+  test("dsirWeights: target-shaped docs outrank off-target; empty doc zero") {
+    import spark.implicits._
+    // d1 (target) and d3 share the target bigram vocabulary; d2 is
+    // off-distribution junk. With Laplace smoothing on 512 buckets the
+    // absolute signs are smoothing-dominated at toy scale, so the
+    // contract asserted is the ORDERING the resampler consumes:
+    // w(d3) > w(d1) > w(d2) (d1 pays for its duplicated feature mass).
+    val d = Seq(
+      (1L, "good text good text", "en"),
+      (2L, "bad junk bad junk", "xx"),
+      (3L, "good text", "xx"),
+      (4L, "", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val r = Quality.dsirWeights(d, "text", col("lang") === "en")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.map(_._2).toSeq == Seq(3L, 3L, 1L, 0L)) // bigram feature counts
+    assert(r(2)._3 > r(0)._3 && r(0)._3 > r(1)._3)
+    assert(r(3) == ((4L, 0L, 0L, false))) // no features → weight 0, not null
   }
 }

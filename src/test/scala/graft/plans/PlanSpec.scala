@@ -52,6 +52,7 @@ class PlanSpec extends AnyFunSuite {
       "x_text_winnow_native" ->
         graft.ext.TextAnalysis.winnowFingerprintsNative(docs, "text", "doc_id"),
       "x_pipe_split" -> graft.ext.Pipeline.split(docs),
+      "x_pipe_shuffle" -> graft.ext.Pipeline.shuffleShards(docs),
       "x_pipe_chunk" -> graft.ext.Pipeline.chunk(docs, "text"))
     for ((name, df) <- pureMaps)
       assert(shuffles(df) == 0,
@@ -238,6 +239,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"bpe encode grew a join:\n$p")
   }
 
+  test("DSIR: fixed-bucket model broadcasts; no window, no cartesian") {
+    // The 512-bucket model must reach the scoring join as a broadcast
+    // (the fixed feature space is the paper's scale trick); a
+    // SortMergeJoin against the feature relation means the broadcast
+    // hint regressed and the model would shuffle with the corpus.
+    val df = graft.ext.Quality.dsirWeights(docs, "text", col("lang") === "en")
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"), s"dsir model join not broadcast:\n$p")
+    assert(windowNodes(df) == 0, s"dsir grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"dsir cartesian:\n$p")
+  }
+
+  test("centroid outliers: centroids broadcast to the scoring join") {
+    // the (labels × dims) centroid relation must reach per-vector
+    // scoring as a broadcast; a shuffle join would move the corpus
+    // for a dimension-sized side
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.ext.Similarity.centroidOutliers(vecs)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"), s"outliers join not broadcast:\n$p")
+    assert(windowNodes(df) == 0, s"outliers grew a window:\n$p")
+  }
+
   test("no CartesianProduct in any declared query plan") {
     // Every crossJoin in the library is against a broadcast 1-row or
     // dimension-sized side (plans show BroadcastNestedLoopJoin);
@@ -246,7 +270,8 @@ class PlanSpec extends AnyFunSuite {
     // job and the returned frame reads a memory sink (trivial plan).
     val skip = Set("x_stream_merge", "x_stream_dedup", "x_stream_sessions",
       "x_stream_rolling", "x_stream_funnel", "x_stream_asof",
-      "x_stream_user_state", "x_stream_contam", "x_stream_windowed")
+      "x_stream_user_state", "x_stream_contam", "x_stream_windowed",
+      "x_stream_join", "x_stream_distinct")
     Corpus.registerSources(spark, sfDir)
     for (d <- SparkEntry.allDefs if !skip.contains(d.name)) {
       val plan = planOf(d.fn(spark, sfDir))
