@@ -378,6 +378,63 @@ private[graft] object ExtQualityQueries {
           |FROM terms GROUP BY src
           |ORDER BY source""".stripMargin)),
 
+    // CCNet perplexity bucketing: head/middle/tail terciles of the
+    // bigram-LM average NLL, cutoffs EXACT via the cumulative-histogram
+    // trick on the e6-quantized score (distinct values bounded by the
+    // fixed-point range, not corpus size). Head = most LM-like; CCNet
+    // trains mostly on head+middle.
+    QueryDef("x_quality_ppl_buckets",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.pplBuckets(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '') AS ts
+          |  FROM documents
+          |),
+          |uni AS (SELECT t AS w1, count(*) AS c1
+          |        FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY 1),
+          |vv AS (SELECT count(*) AS v_size FROM uni),
+          |bg AS (
+          |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          |  FROM tok, unnest(range(1, len(ts))) r(i)
+          |),
+          |bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+          |model AS (
+          |  SELECT b.w1, b.w2,
+          |         CAST(floor(ln(CAST(u.c1 + vv.v_size AS DOUBLE)
+          |                       / CAST(b.c2 + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS nll_e6
+          |  FROM bc b JOIN uni u USING (w1) CROSS JOIN vv
+          |),
+          |sc AS (
+          |  SELECT g.doc_id, count(*) AS nb, sum(m.nll_e6) AS se
+          |  FROM bg g JOIN model m USING (w1, w2) GROUP BY 1
+          |),
+          |scored AS (
+          |  SELECT d.doc_id,
+          |         CAST(CASE WHEN coalesce(nb, 0) > 0 THEN se // nb ELSE 0 END AS BIGINT) AS avg_nll_e6
+          |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+          |),
+          |h AS (SELECT avg_nll_e6, count(*) AS cnt FROM scored GROUP BY 1),
+          |c AS (SELECT avg_nll_e6,
+          |             sum(cnt) OVER (ORDER BY avg_nll_e6) AS cum,
+          |             sum(cnt) OVER () AS total
+          |      FROM h),
+          |cuts AS (
+          |  SELECT min(CASE WHEN cum >= ceil(total / 3.0) THEN avg_nll_e6 END) AS p33,
+          |         min(CASE WHEN cum >= ceil(total * 2.0 / 3.0) THEN avg_nll_e6 END) AS p67
+          |  FROM c
+          |)
+          |SELECT s.doc_id, s.avg_nll_e6,
+          |       CASE WHEN s.avg_nll_e6 <= cuts.p33 THEN 'head'
+          |            WHEN s.avg_nll_e6 <= cuts.p67 THEN 'middle'
+          |            ELSE 'tail' END AS bucket
+          |FROM scored s CROSS JOIN cuts
+          |ORDER BY s.doc_id""".stripMargin)),
+
     // DSIR importance weights (Xie et al. 2023): hashed-bigram
     // log-ratio of target (lang='en') vs raw (whole corpus)
     // distributions over a FIXED 512-bucket feature space — the model

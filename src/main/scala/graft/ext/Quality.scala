@@ -676,6 +676,43 @@ object Quality {
         sum(col("term_e9")).as("kl_e9"))
   }
 
+  /** CCNet perplexity bucketing: split the corpus into head / middle /
+    * tail terciles of the [[bigramLmScore]] average NLL (head = lowest
+    * perplexity = most language-model-like). CCNet ships each bucket
+    * separately and trains mostly on head+middle — this is the
+    * published quality gate, composed from the in-engine LM.
+    *
+    * The tercile cutoffs are EXACT, via the [[lengthQuantiles]]
+    * cumulative-histogram trick on the e6-quantized score: the
+    * distinct-value relation is bounded by the fixed-point RANGE (the
+    * score is an integer average of bounded micro-nat values), not by
+    * corpus size, so the single ordered window runs over a bounded
+    * relation and the cutoffs broadcast back. p-th cutoff = smallest
+    * score with cumulative count ≥ ⌈p·n⌉ (ties land in the lower
+    * bucket — deterministic in any engine).
+    */
+  def pplBuckets(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = bigramLmScore(docs, textCol, idCol)
+      .select(col(idCol), col("avg_nll_e6"))
+    val hist = scored.groupBy("avg_nll_e6").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("avg_nll_e6"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(Window.partitionBy(lit(1))))
+    val cuts = cum.agg(
+      min(when(col("cum") >= ceil(col("total") / 3.0), col("avg_nll_e6")))
+        .as("p33"),
+      min(when(col("cum") >= ceil(col("total") * 2.0 / 3.0), col("avg_nll_e6")))
+        .as("p67"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("avg_nll_e6"),
+        when(col("avg_nll_e6") <= col("p33"), "head")
+          .when(col("avg_nll_e6") <= col("p67"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how target-like its HASHED n-gram features are,

@@ -344,6 +344,25 @@ class QualitySpec extends AnyFunSuite {
     assert(s1 > 0 && s3 > 0) // KL ≥ 0; both diverge from the mix
   }
 
+  test("pplBuckets: exact tercile cutoffs, ties land low") {
+    import spark.implicits._
+    // three distinct avg-NLL groups: "a b"×3 (common bigram, lowest
+    // NLL), "e f g"×2 (middle), "c d"×1 (rarest bigram, highest) —
+    // cum over distinct scores = 3, 5, 6; cutoffs at ceil(6/3)=2 and
+    // ceil(12/3)=4 → head = the 3-doc group (ties stay low), middle =
+    // the 2-doc group, tail = the rare doc
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "c d"),
+      (5L, "e f g"), (6L, "e f g")).toDF("doc_id", "text")
+    val r = Quality.pplBuckets(d, "text").orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.map(_._3).toSeq ==
+      Seq("head", "head", "head", "tail", "middle", "middle"))
+    // bucket order tracks score order
+    val byBucket = r.groupBy(_._3).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBucket("head").max < byBucket("middle").min &&
+      byBucket("middle").max < byBucket("tail").min)
+  }
+
   test("dsirWeights: target-shaped docs outrank off-target; empty doc zero") {
     import spark.implicits._
     // d1 (target) and d3 share the target bigram vocabulary; d2 is
