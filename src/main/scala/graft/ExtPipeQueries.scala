@@ -317,6 +317,43 @@ private[graft] object ExtPipeQueries {
       },
       Some(bpeEncodeOracle(5))),
 
+    // Unigram-LM (SentencePiece) tokenizer training via hard EM — the
+    // second tokenizer-training family member beside BPE, as pure
+    // relational algebra: capped-substring seed, then per round an
+    // in-row Viterbi DP fold + backtrace over the Zipf-bounded
+    // DISTINCT-word relation, one piece-keyed usage agg, add-one char
+    // smoothing. Oracle enumerates segmentations recursively and picks
+    // 1-best by (cost, reversed-length-list) — provably the DP's
+    // (cost, last-piece-len) tie rule composed through the backtrace.
+    QueryDef("x_pipe_unigram_lm",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.unigramLm(spark.table("documents"), "text")
+          .orderBy("piece")
+      },
+      Some(
+        s"""WITH RECURSIVE ${unigramCtes(2)}
+           |SELECT v.piece, CAST(v.c AS BIGINT) AS usage, c.cost_e6
+           |FROM uv2 v JOIN ucost2 c USING (piece)
+           |ORDER BY piece""".stripMargin)),
+
+    // Unigram-LM encoding (the serving half): Viterbi piece histogram
+    // of the corpus under the trained model's costs — the third
+    // E-step's raw usage, no smoothing.
+    QueryDef("x_pipe_unigram_encode",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val docs = spark.table("documents")
+        Pipeline.unigramEncode(docs, "text",
+            Pipeline.unigramLm(docs, "text"))
+          .orderBy("token")
+      },
+      Some(
+        s"""WITH RECURSIVE ${unigramCtes(3)}
+           |SELECT piece AS token, CAST(c AS BIGINT) AS n_tokens
+           |FROM uu3
+           |ORDER BY token""".stripMargin)),
+
     // Corpus snapshot diff (CDC for incremental re-curation): v2 is a
     // deterministic revision of documents — docs ≡0 mod 17 removed,
     // ≡0 mod 13 edited, ≡0 mod 29 re-added under a shifted id — and

@@ -340,6 +340,85 @@ private[graft] object ExtShared {
     * fold: overlapping marks only occur in runs of one repeated
     * symbol, where the fold merges at even offsets from the run start.
     */
+  /** Unigram-LM CTE chain (mirrors Pipeline.unigramLm): seed from
+    * capped frequent substrings + chars, then per round a RECURSIVE
+    * path enumeration over the word relation (every segmentation whose
+    * pieces are in the round's cost table — words are short, so the
+    * path count is bounded per word), the 1-best pick by (cost,
+    * reversed-length-list) lexicographic order — provably the DP's
+    * (cost, last-piece-len) tie rule composed through the backtrace —
+    * then usage counts, add-one char smoothing, and re-costing.
+    * MATERIALIZED per the BPE lesson (iteration chains inline
+    * exponentially otherwise). The caller prepends WITH RECURSIVE.
+    */
+  private[graft] def unigramCtes(rounds: Int, maxLen: Int = 4,
+      seedSize: Int = 1000): String = {
+    val base =
+      s"""utok AS (
+         |  SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t <> '')) AS word
+         |  FROM documents
+         |),
+         |uwords AS MATERIALIZED (SELECT word, count(*) AS cnt FROM utok GROUP BY 1),
+         |usub AS MATERIALIZED (
+         |  SELECT piece, sum(cnt) AS c FROM (
+         |    SELECT cnt, substr(word, s, l) AS piece
+         |    FROM uwords,
+         |         unnest(range(1, len(word) + 1)) t1(s),
+         |         unnest(range(1, ${maxLen + 1})) t2(l)
+         |    WHERE s + l <= len(word) + 1
+         |  ) q GROUP BY 1
+         |),
+         |uranked AS (SELECT piece, c,
+         |                   row_number() OVER (ORDER BY c DESC, piece) AS rk
+         |            FROM usub),
+         |useed AS MATERIALIZED (
+         |  SELECT piece, c FROM uranked WHERE len(piece) = 1 OR rk <= $seedSize),
+         |uchars AS (SELECT piece FROM useed WHERE len(piece) = 1),
+         |ucost0 AS MATERIALIZED (
+         |  SELECT piece,
+         |         CAST(floor(ln(CAST(t.tot AS DOUBLE) / CAST(s.c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS cost_e6
+         |  FROM useed s CROSS JOIN (SELECT sum(c) AS tot FROM useed) t
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s""",
+         |up$r AS (
+         |  SELECT word, cnt, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+         |         CAST([] AS VARCHAR[]) AS ps, CAST([] AS BIGINT[]) AS rl
+         |  FROM uwords
+         |  UNION ALL
+         |  SELECT p.word, p.cnt, p.pos + ll.l, p.cost + c.cost_e6,
+         |         list_append(p.ps, substr(p.word, p.pos + 1, ll.l)),
+         |         list_append(p.rl, ll.l)
+         |  FROM up$r p
+         |  CROSS JOIN (SELECT unnest(range(1, ${maxLen + 1})) AS l) ll
+         |  JOIN ucost${r - 1} c ON c.piece = substr(p.word, p.pos + 1, ll.l)
+         |  WHERE p.pos + ll.l <= len(p.word)
+         |),
+         |ub$r AS MATERIALIZED (
+         |  SELECT word, cnt, ps FROM (
+         |    SELECT word, cnt, ps,
+         |           row_number() OVER (PARTITION BY word
+         |                              ORDER BY cost, list_reverse(rl)) AS rn
+         |    FROM up$r WHERE pos = len(word)) q
+         |  WHERE rn = 1
+         |),
+         |uu$r AS MATERIALIZED (
+         |  SELECT piece, sum(cnt) AS c
+         |  FROM (SELECT cnt, unnest(ps) AS piece FROM ub$r) q GROUP BY 1),
+         |uv$r AS MATERIALIZED (
+         |  SELECT coalesce(u.piece, ch.piece) AS piece,
+         |         coalesce(u.c, 0) + CASE WHEN ch.piece IS NULL THEN 0 ELSE 1 END AS c
+         |  FROM uu$r u FULL JOIN uchars ch ON ch.piece = u.piece
+         |),
+         |ucost$r AS MATERIALIZED (
+         |  SELECT piece,
+         |         CAST(floor(ln(CAST(t.tot AS DOUBLE) / CAST(v.c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS cost_e6
+         |  FROM uv$r v CROSS JOIN (SELECT sum(c) AS tot FROM uv$r) t
+         |)""".stripMargin
+    }.mkString
+    base + roundCtes
+  }
+
   private[graft] def bpeOracle(steps: Int): String = {
     val out = (1 to steps).map(n =>
       s"SELECT CAST($n AS BIGINT) AS step, l AS left_sym, r AS right_sym, " +

@@ -419,6 +419,140 @@ object Pipeline {
     merges.reduce(_.unionByName(_)).orderBy("step")
   }
 
+  /** One hard-EM E-step of the unigram LM: Viterbi-segment every
+    * DISTINCT word under the given piece costs (integer micro-nats)
+    * and return the weighted piece-usage table. The whole step is
+    * IN-ROW over the Zipf-bounded word relation: the DP is one
+    * `aggregate` fold building best[(cost, last-piece-len)] per
+    * position (min by (cost, len) — the deterministic tie rule the
+    * oracle reproduces as lexicographic order on (cost, reversed
+    * length list)), the backtrace a second fold walking the stored
+    * lengths; one key agg for the usage counts. Pieces outside the
+    * cost map price at +∞ (they can never win — single chars are
+    * always in the vocab, so every word stays segmentable).
+    */
+  private def viterbiUsage(words: DataFrame, costs: Map[String, Long],
+      maxPieceLen: Int): DataFrame = {
+    val INF = 1000000000000L
+    words
+      .withColumn("__m", typedLit(costs))
+      .withColumn("__dp", expr(
+        s"""aggregate(
+           |  sequence(1, length(word)),
+           |  array(struct(CAST(0 AS BIGINT) AS c, 0 AS l)),
+           |  (acc, i) -> array_append(acc,
+           |    array_min(transform(sequence(1, least($maxPieceLen, i)),
+           |      l -> struct(element_at(acc, i - l + 1).c +
+           |                    coalesce(try_element_at(__m, substring(word, i - l + 1, l)),
+           |                             CAST($INF AS BIGINT)) AS c,
+           |                  l AS l)))))""".stripMargin))
+      .withColumn("__ps", expr(
+        """aggregate(
+          |  sequence(1, length(word)),
+          |  struct(length(word) AS pos, CAST(array() AS ARRAY<STRING>) AS ps),
+          |  (st, x) -> if(st.pos > 0,
+          |    struct(st.pos - element_at(__dp, st.pos + 1).l AS pos,
+          |           array_append(st.ps, substring(word,
+          |             st.pos - element_at(__dp, st.pos + 1).l + 1,
+          |             element_at(__dp, st.pos + 1).l)) AS ps),
+          |    st),
+          |  st -> st.ps)""".stripMargin))
+      .select(col("cnt"), explode(col("__ps")).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("c"))
+  }
+
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
+    docs.select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Integer micro-nat costs −ln(c/total) from a (piece, c) table —
+    * collected driver-side (bounded by the seed cap: the model a
+    * tokenizer ships, same contract as the BPE merge table).
+    */
+  private def pieceCosts(tab: DataFrame): Map[String, Long] = {
+    val rows = tab.select("piece", "c").collect() // bounded: ≤ seed cap + chars
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    rows.map(r => r.getString(0) ->
+      math.floor(math.log(total / r.getLong(1).toDouble) * 1e6 + 0.5).toLong).toMap
+  }
+
+  /** Unigram-LM (SentencePiece) tokenizer training via hard EM — the
+    * second tokenizer-training family member beside [[bpeMerges]],
+    * again as pure relational algebra. Kudo (2018): seed a piece
+    * vocabulary from frequent substrings, then iterate E (Viterbi
+    * segmentation of the corpus under current piece probabilities) and
+    * M (re-estimate probabilities from segmentation counts). This is
+    * the hard-EM form: counts come from the 1-best segmentation, EM
+    * naturally prunes pieces that stop being used, and single chars
+    * are always retained (add-one on chars) so every word stays
+    * segmentable — SentencePiece's own invariant.
+    *
+    * Scale: the corpus is scanned ONCE (word counts); everything else
+    * runs over the Zipf-bounded DISTINCT-word relation. The seed is
+    * capped to the `seedSize` most frequent substrings (+ all chars) —
+    * exactly SentencePiece's seeding — so the cost map that drives
+    * each in-row Viterbi fold is bounded by construction and the
+    * collected model is the bounded artifact a tokenizer ships.
+    * Per round: one in-row DP + backtrace + ONE piece-keyed agg.
+    *
+    * Parity: costs quantize once per piece to integer micro-nats; DP
+    * sums are integer; the DP tie rule (min cost, then min last-piece
+    * length) equals the oracle's global (cost, reversed-length-list)
+    * lexicographic minimum by induction on the backtrace — same-word
+    * paths can't be prefix-ambiguous since lengths sum to the word
+    * length.
+    *
+    * Returns the trained model: (piece, usage, cost_e6).
+    */
+  def unigramLm(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      seedSize: Int = 1000, rounds: Int = 2): DataFrame = {
+    val words = wordTable(docs, textCol).localCheckpoint(true)
+    val sub = words.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+           |  s -> transform(sequence(1, least($maxPieceLen, length(word) - s + 1)),
+           |       l -> substring(word, s, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("c"))
+    // the rank window runs over the substring universe of the DISTINCT
+    // word relation — bounded by vocab × maxPieceLen, never corpus size
+    val seed = sub
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(col("c").desc, col("piece"))))
+      .filter(length(col("piece")) === 1 || col("__rk") <= seedSize)
+      .select("piece", "c")
+      .localCheckpoint(true)
+    val chars = seed.filter(length(col("piece")) === 1).select("piece")
+      .localCheckpoint(true)
+    var vocab = seed
+    for (_ <- 1 to rounds) {
+      val usage = viterbiUsage(words, pieceCosts(vocab), maxPieceLen)
+      vocab = usage
+        .join(chars.withColumn("__ch", lit(1L)), Seq("piece"), "full_outer")
+        .select(col("piece"),
+          (coalesce(col("c"), lit(0L)) + coalesce(col("__ch"), lit(0L))).as("c"))
+        .localCheckpoint(true)
+    }
+    val tot = vocab.agg(sum(col("c")).as("__tot"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), col("c").as("usage"),
+        floor(log(col("__tot").cast("double") / col("c").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("cost_e6"))
+  }
+
+  /** Unigram-LM encoding — the serving half of [[unigramLm]]: Viterbi-
+    * segment the corpus under a trained model's costs and return the
+    * piece histogram (token, n_tokens). Same in-row DP as training's
+    * E-step; the model is the bounded shipped artifact.
+    */
+  def unigramEncode(docs: DataFrame, textCol: String, model: DataFrame,
+      maxPieceLen: Int = 4): DataFrame = {
+    val costs = model.select("piece", "cost_e6").collect() // bounded artifact
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    viterbiUsage(wordTable(docs, textCol), costs, maxPieceLen)
+      .select(col("piece").as("token"), col("c").as("n_tokens"))
+  }
+
   /** BPE encoding — the serving half of `bpeMerges`: apply a learned
     * merge table to a corpus and return the BPE-token histogram
     * (token, n_occurrences). Merges apply in rank (step) order, each

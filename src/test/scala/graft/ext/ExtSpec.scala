@@ -561,6 +561,37 @@ class ExtSpec extends AnyFunSuite {
     assert(trainFrac > 0.7 && trainFrac < 0.9)
   }
 
+  test("pipeline unigramLm: hand-computed 2-round hard EM") {
+    import spark.implicits._
+    // corpus "ab ab b": words ab×2, b×1. Seed a:2 b:3 ab:2 (total 7);
+    // round 1 Viterbi: "ab"→[ab] (1.25 < 2.10), "b"→[b] → usage
+    // ab:2 b:1 → +1 on chars → ab:2 b:2 a:1 (total 5); round 2 picks
+    // the same segmentations, so the model fixes: costs ln(5/2),
+    // ln(5/2), ln(5/1) in micro-nats.
+    val d = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val r = Pipeline.unigramLm(d, "text").orderBy("piece").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      ("a", 1L, e6(math.log(5.0))),
+      ("ab", 2L, e6(math.log(2.5))),
+      ("b", 2L, e6(math.log(2.5)))))
+  }
+
+  test("pipeline unigramEncode: Viterbi tie breaks to the shorter last piece") {
+    import spark.implicits._
+    // model: a=10, aa=20 → for "aaa" the [a,aa]/[aa,a]/[a,a,a] costs
+    // tie at 30; the (cost, last-len) rule picks all-singles
+    val model = Seq(("a", 1L, 10L), ("aa", 1L, 20L))
+      .toDF("piece", "usage", "cost_e6")
+    val d = Seq((1L, "aaa aa")).toDF("doc_id", "text")
+    val r = Pipeline.unigramEncode(d, "text", model).orderBy("token")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    // "aaa" → a×3; "aa" → [aa] (20) beats [a,a] (tie 20? no: 10+10=20
+    // ties 20 → min last-len wins → [a,a]) → a×2
+    assert(r.toSeq == Seq(("a", 5L)))
+  }
+
   test("pipeline temperatureWeights: hand-computed α=0.3 flattening") {
     import spark.implicits._
     // s1 has 4 of 5 tokens, s2 has 1 — α=0.3 pulls 80/20 toward even

@@ -251,6 +251,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"dsir cartesian:\n$p")
   }
 
+  test("unigram encode: in-row Viterbi, two key aggs, zero joins") {
+    // the model is a collected literal (bounded artifact), so the
+    // encode plan must be scan → word agg → in-row DP fold → piece
+    // agg: exactly two hash exchanges, no join, no window
+    import spark.implicits._
+    val model = Seq(("a", 1L, 10L), ("aa", 1L, 20L))
+      .toDF("piece", "usage", "cost_e6")
+    val df = graft.ext.Pipeline.unigramEncode(docs, "text", model)
+    val p = planOf(df)
+    assert(shuffles(df) == 2, s"unigram encode shuffle count:\n$p")
+    assert(windowNodes(df) == 0, s"unigram encode grew a window:\n$p")
+    assert(!p.contains("Join"), s"unigram encode grew a join:\n$p")
+  }
+
   test("centroid outliers: centroids broadcast to the scoring join") {
     // the (labels × dims) centroid relation must reach per-vector
     // scoring as a broadcast; a shuffle join would move the corpus
