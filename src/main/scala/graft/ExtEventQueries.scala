@@ -271,6 +271,44 @@ private[graft] object ExtEventQueries {
           |FROM gg GROUP BY user_id
           |ORDER BY user_id""".stripMargin)),
 
+    // Per-key rate anomalies: z-score of each (user, 10-min bucket)
+    // event count against the user's own bucket distribution — the
+    // burst/outage monitor. One bucket agg + one moment agg + a keyed
+    // join; z = integer numerator over sqrt of an exact integer (one
+    // sqrt + one division, correctly rounded), quantized once to e6.
+    QueryDef("x_evt_anomaly",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us")
+        Events.rateAnomalies(ev).orderBy("user_id", "bucket_start_us")
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT user_id, epoch_us(ts) // 600000000 AS bucket,
+          |         count(*) AS n_events
+          |  FROM events GROUP BY 1, 2
+          |),
+          |m AS (
+          |  SELECT user_id, count(*) AS k, sum(n_events) AS s1,
+          |         sum(n_events * n_events) AS s2
+          |  FROM b GROUP BY 1
+          |)
+          |SELECT b.user_id,
+          |       CAST(b.bucket * 600000000 AS BIGINT) AS bucket_start_us,
+          |       CAST(b.n_events AS BIGINT) AS n_events,
+          |       CAST(CASE WHEN m.k * m.s2 - m.s1 * m.s1 <= 0 THEN 0
+          |            ELSE floor(CAST(b.n_events * m.k - m.s1 AS DOUBLE)
+          |                       / sqrt(CAST(m.k * m.s2 - m.s1 * m.s1 AS DOUBLE))
+          |                       * 1e6 + 0.5) END AS BIGINT) AS z_e6,
+          |       abs(CAST(CASE WHEN m.k * m.s2 - m.s1 * m.s1 <= 0 THEN 0
+          |            ELSE floor(CAST(b.n_events * m.k - m.s1 AS DOUBLE)
+          |                       / sqrt(CAST(m.k * m.s2 - m.s1 * m.s1 AS DOUBLE))
+          |                       * 1e6 + 0.5) END AS BIGINT)) >= 3000000 AS is_anomaly
+          |FROM b JOIN m USING (user_id)
+          |ORDER BY user_id, bucket_start_us""".stripMargin)),
+
     // Cohort retention: first-seen-week cohorts × active-week offsets.
     // Engine uses the distinct-first + window shape; the oracle is the
     // independent join-back formulation.

@@ -333,4 +333,43 @@ object Events {
       .select(col(keyCol), col(attrCol), col(tsCol).as("valid_from"),
         col("valid_to"), col("version"))
   }
+
+  /** Per-key rate anomalies: z-score of each (key, time-bucket) event
+    * count against that key's own bucket-count distribution — the
+    * burst/outage detector over an event stream (monitoring twin of
+    * [[interArrival]]; buckets are the OBSERVED ones — a key's silent
+    * buckets aren't rows, which biases toward activity, the standard
+    * operational choice).
+    *
+    * Shapes: one (key, bucket) count agg, one key-level moment agg,
+    * one key-keyed join back — everything keyed, nothing global.
+    * Parity: with k buckets, Σn and Σn² exact BIGINTs,
+    * z = (n·k − Σn) / √(k·Σn² − (Σn)²) — an integer numerator over
+    * the square root of an exact integer: one sqrt + one division,
+    * both correctly rounded (the [[Similarity.centroidOutliers]] IEEE
+    * chain), quantized once to e6. Constant-rate keys (variance 0)
+    * score 0. `is_anomaly` = |z| ≥ 3.
+    */
+  def rateAnomalies(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", bucketUs: Long = 600000000L,
+      zE6Threshold: Long = 3000000L): DataFrame = {
+    val buckets = events
+      .select(col(keyCol), expr(s"$tsCol DIV $bucketUs").as("bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = buckets.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("k"), sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+    buckets.join(moments, keyCol)
+      .withColumn("__var_num", col("k") * col("s2") - col("s1") * col("s1"))
+      .withColumn("z_e6",
+        when(col("__var_num") <= 0, lit(0L))
+          .otherwise(floor(
+            (col("n_events") * col("k") - col("s1")).cast("double") /
+              sqrt(col("__var_num").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long")))
+      .select(col(keyCol), (col("bucket") * bucketUs).as("bucket_start_us"),
+        col("n_events"), col("z_e6"),
+        (abs(col("z_e6")) >= zE6Threshold).as("is_anomaly"))
+  }
 }

@@ -222,4 +222,28 @@ class EventsSpec extends AnyFunSuite {
     assert(r(2L).getAs[Long]("median_gap_us") == 20L)  // lower median
     assert(r(2L).getAs[Long]("mean_gap_us") == 25L)
   }
+
+  test("rateAnomalies: hand-computed z-scores, zero-variance guard") {
+    import spark.implicits._
+    // u1 buckets (size 100µs): counts 1, 1, 4 → k=3 s1=6 s2=18,
+    // var_num=18; u2: constant 2, 2 → variance 0 → z 0
+    val ev = (Seq((1L, 10L), (1L, 110L), (1L, 210L), (1L, 220L),
+        (1L, 230L), (1L, 240L)).map { case (u, t) => (u, t) } ++
+      Seq((2L, 10L), (2L, 20L), (2L, 110L), (2L, 120L)))
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "ts_us")
+    def z(n: Long, k: Long, s1: Long, vn: Long): Long =
+      math.floor((n * k - s1).toDouble / math.sqrt(vn.toDouble) * 1e6 + 0.5).toLong
+    val r = Events.rateAnomalies(ev, bucketUs = 100L)
+      .orderBy("user_id", "bucket_start_us").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      (1L, 0L, 1L, z(1, 3, 6, 18), false),
+      (1L, 100L, 1L, z(1, 3, 6, 18), false),
+      (1L, 200L, 4L, z(4, 3, 6, 18), false), // z ≈ +1.41, under 3
+      (2L, 0L, 2L, 0L, false),
+      (2L, 100L, 2L, 0L, false)))
+    assert(z(4, 3, 6, 18) == 1414214L && z(1, 3, 6, 18) == -707107L)
+  }
 }
