@@ -135,8 +135,11 @@ object SearchPage {
     val parsed = req.q.flatMap(FtsQuery.parseOrEscape(_, req.tokenize))
     val filtered = Seq(
       req.typeFilter.map(v => col("type") === v),
-      req.category.map(v => col("category") === lit(v).cast("int")),
-      req.isPublic.map(v => col("is_public") === lit(v).cast("int")),
+      // try_cast, like SearchEngine.search: a malformed querystring
+      // value must filter to empty, not raise (the reference binds
+      // filters as SQLite parameters, which never error)
+      req.category.map(v => col("category") === lit(v).try_cast("int")),
+      req.isPublic.map(v => col("is_public") === lit(v).try_cast("int")),
       req.timestampDate.map(d => substring(col("timestamp"), 1, 10) === d)
     ).flatten.foldLeft(index)(_ filter _)
     val base = parsed match {
