@@ -547,6 +547,133 @@ private[graft] object ExtPipeQueries {
           |       CAST(p_ppm AS BIGINT) AS p_ppm,
           |       CAST(u_e9 * 1000000 // su AS BIGINT) AS weight_ppm
           |FROM u CROSS JOIN su
-          |ORDER BY source""".stripMargin))
+          |ORDER BY source""".stripMargin)),
+
+    // Content-defined chunking: boundaries where the portable hash of
+    // the trailing 8-char window lands on 0 mod 64 (the FastCDC/LBFS
+    // recipe), so an early edit re-synchronizes and the untouched tail
+    // keeps its chunk digests — unlike fixed windows, which all shift.
+    // Boundary detection is an in-row lambda over char positions (zero
+    // shuffle, linear in corpus chars — the winnowing shape).
+    QueryDef("x_pipe_cdc",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.cdcChunks(spark.table("documents"), "text")
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(
+        s"""WITH base AS (
+           |  SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0
+           |),
+           |cuts AS (
+           |  SELECT doc_id, text, n,
+           |         [i FOR i IN range(8, n)
+           |          IF ${duckHash("substr(text, i - 7, 8)")} % 64 = 0] AS cs
+           |  FROM base
+           |),
+           |bounds AS (
+           |  SELECT doc_id, text, [CAST(0 AS BIGINT)] || cs || [n] AS b FROM cuts
+           |),
+           |chunks AS (
+           |  SELECT doc_id, text, b, unnest(range(1, len(b))) AS k FROM bounds
+           |)
+           |SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+           |       b[k] + 1 AS chunk_start, b[k + 1] - b[k] AS chunk_len,
+           |       substr(text, b[k] + 1, b[k + 1] - b[k]) AS chunk_text
+           |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // The CDC consumer: chunk-level exact dedup — the digest histogram
+    // of shared chunks. Exact-duplicate docs share every chunk;
+    // partially-edited near-dups share their tails (the boundaries
+    // re-synchronized), which fixed windows would miss. One digest agg
+    // over 40-byte rows — the corpus text never reaches the exchange.
+    QueryDef("x_pipe_cdc_dedup",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.cdcChunks(spark.table("documents"), "text")
+          .groupBy(md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+          .agg(count(lit(1)).as("n_copies"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_copies") > 1)
+          .orderBy(col("n_copies").desc, col("chunk_md5"))
+      },
+      Some(
+        s"""WITH base AS (
+           |  SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0
+           |),
+           |cuts AS (
+           |  SELECT doc_id, text, n,
+           |         [i FOR i IN range(8, n)
+           |          IF ${duckHash("substr(text, i - 7, 8)")} % 64 = 0] AS cs
+           |  FROM base
+           |),
+           |bounds AS (
+           |  SELECT doc_id, text, [CAST(0 AS BIGINT)] || cs || [n] AS b FROM cuts
+           |),
+           |chunks AS (
+           |  SELECT doc_id, md5(substr(text, b[k] + 1, b[k + 1] - b[k])) AS chunk_md5
+           |  FROM (SELECT doc_id, text, b, unnest(range(1, len(b))) AS k FROM bounds)
+           |)
+           |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+           |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           |FROM chunks GROUP BY 1 HAVING count(*) > 1
+           |ORDER BY n_copies DESC, chunk_md5""".stripMargin)),
+
+    // WordPiece (the BERT tokenizer) — the third tokenizer family
+    // member beside BPE and unigram-LM: vocab keeps ALL single-char
+    // forms + the 200 heaviest multi-char forms (initial vs ##-
+    // continuation counted separately), then greedy longest-match-
+    // first encoding as an in-row fold over the Zipf-bounded
+    // DISTINCT-word relation. The oracle replays the greedy walk as a
+    // recursive CTE whose step joins THE longest matching vocab piece
+    // (NOT EXISTS any longer match).
+    QueryDef("x_pipe_wordpiece",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val docs = spark.table("documents")
+        Pipeline.wordpieceEncode(docs, "text",
+            Pipeline.wordpieceVocab(docs, "text"))
+          .orderBy(col("n_occurrences").desc, col("token"))
+      },
+      Some(
+        """WITH RECURSIVE words AS (
+          |  SELECT word, count(*) AS cnt FROM (
+          |    SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS word
+          |    FROM documents) GROUP BY 1
+          |),
+          |cands AS (
+          |  SELECT substr(word, s, l) AS piece, s > 1 AS is_cont, sum(cnt) AS weight
+          |  FROM words
+          |  CROSS JOIN LATERAL unnest(range(1, len(word) + 1)) AS t(s)
+          |  CROSS JOIN LATERAL unnest(range(1, 5)) AS u(l)
+          |  WHERE s + l <= len(word) + 1
+          |  GROUP BY 1, 2
+          |),
+          |v1 AS (SELECT piece, is_cont, weight,
+          |       row_number() OVER (ORDER BY weight DESC, piece, is_cont) AS rk FROM cands),
+          |vocab AS (SELECT piece, is_cont FROM v1 WHERE len(piece) = 1 OR rk <= 200),
+          |step AS (
+          |  SELECT word, cnt, 1 AS pos, CAST('' AS VARCHAR) AS acc FROM words
+          |  UNION ALL
+          |  SELECT s.word, s.cnt, CAST(s.pos + len(v.piece) AS INTEGER),
+          |         acc || CASE WHEN s.pos = 1 THEN '' ELSE chr(1) || '##' END || v.piece
+          |  FROM step s JOIN vocab v
+          |    ON v.is_cont = (s.pos > 1)
+          |   AND s.pos <= len(s.word)
+          |   AND substr(s.word, s.pos, len(v.piece)) = v.piece
+          |   AND NOT EXISTS (
+          |     SELECT 1 FROM vocab v2
+          |     WHERE v2.is_cont = (s.pos > 1)
+          |       AND len(v2.piece) > len(v.piece)
+          |       AND substr(s.word, s.pos, len(v2.piece)) = v2.piece)
+          |),
+          |done AS (SELECT word, cnt, acc FROM step WHERE pos = len(word) + 1),
+          |unk AS (SELECT word, cnt FROM words WHERE word NOT IN (SELECT word FROM done)),
+          |toks AS (
+          |  SELECT unnest(string_split(acc, chr(1))) AS token, cnt FROM done
+          |  UNION ALL SELECT '[UNK]' AS token, cnt FROM unk
+          |)
+          |SELECT token, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+          |FROM toks GROUP BY 1 ORDER BY n_occurrences DESC, token""".stripMargin))
   )
 }

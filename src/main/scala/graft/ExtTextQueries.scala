@@ -435,6 +435,66 @@ private[graft] object ExtTextQueries {
           |SELECT node AS host, pr AS pr_e9 FROM pr2
           |ORDER BY pr_e9 DESC, host""".stripMargin)),
 
+    // HITS hubs & authorities over the DIRECTED source→cited-host
+    // graph (which corpus sources cite the most-cited hosts — the
+    // companion centrality to PageRank's host co-citation). Two
+    // synchronous rounds in e6 fixed point with integer L1
+    // normalization per half-round: every step is a truncating
+    // positive DIV + associative BIGINT sums, so the oracle unrolls
+    // the identical rounds. Per half-round: one edges⋈scores join +
+    // one key agg + a 1-row total broadcast back — no driver state.
+    QueryDef("x_graph_hits",
+      (spark, sfDir) => {
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("source"), col("text_urls").as("text"))
+        val t = coalesce(col("text"), lit(""))
+        val urls = regexp_extract_all(t, lit("https?://[^\\s]+"), lit(0))
+        val hosts = transform(urls,
+          u => regexp_extract(u, "^https?://([^/\\s]+)", 1))
+        Graph.hits(aug.select(col("source").as("src"),
+            explode(hosts).as("dst")), iters = 2)
+          .orderBy(col("auth_e6").desc, col("hub_e6").desc, col("node"))
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, source, coalesce(text, '') ||
+          |         CASE WHEN doc_id % 3 = 0
+          |              THEN ' see https://www.site' || (doc_id % 11) ||
+          |                   '.example.com/page/' || doc_id ||
+          |                   ' and http://cdn' || (doc_id % 5) || '.example.net/x'
+          |              ELSE '' END AS t
+          |  FROM documents
+          |),
+          |hx AS (
+          |  SELECT source,
+          |         unnest(list_transform(regexp_extract_all(t, 'https?://[^\s]+'),
+          |                u -> regexp_extract(u, '^https?://([^/\s]+)', 1))) AS host
+          |  FROM aug
+          |),
+          |edges AS (SELECT DISTINCT source AS src, host AS dst FROM hx),
+          |srcs AS (SELECT DISTINCT src AS node FROM edges),
+          |dsts AS (SELECT DISTINCT dst AS node FROM edges),
+          |hub0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM srcs),
+          |ar1 AS (SELECT e.dst AS node, sum(h.hub) AS raw
+          |        FROM edges e JOIN hub0 h ON h.node = e.src GROUP BY 1),
+          |a1 AS (SELECT node, raw * 1000000 // (SELECT sum(raw) FROM ar1) AS auth FROM ar1),
+          |hr1 AS (SELECT e.src AS node, sum(a.auth) AS raw
+          |        FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+          |h1 AS (SELECT node, raw * 1000000 // (SELECT sum(raw) FROM hr1) AS hub FROM hr1),
+          |ar2 AS (SELECT e.dst AS node, sum(h.hub) AS raw
+          |        FROM edges e JOIN h1 h ON h.node = e.src GROUP BY 1),
+          |a2 AS (SELECT node, raw * 1000000 // (SELECT sum(raw) FROM ar2) AS auth FROM ar2),
+          |hr2 AS (SELECT e.src AS node, sum(a.auth) AS raw
+          |        FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+          |h2 AS (SELECT node, raw * 1000000 // (SELECT sum(raw) FROM hr2) AS hub FROM hr2),
+          |nodes AS (SELECT node FROM srcs UNION SELECT node FROM dsts)
+          |SELECT n.node, CAST(coalesce(h.hub, 0) AS BIGINT) AS hub_e6,
+          |       CAST(coalesce(a.auth, 0) AS BIGINT) AS auth_e6
+          |FROM nodes n
+          |LEFT JOIN h2 h ON h.node = n.node
+          |LEFT JOIN a2 a ON a.node = n.node
+          |ORDER BY auth_e6 DESC, hub_e6 DESC, n.node""".stripMargin)),
+
     // Bigram collocation mining: top-50 adjacent token pairs (count
     // >= 5) ranked by PMI lift (exp of PMI — no transcendental; one
     // pinned IEEE multiply/divide chain over exact integer counts

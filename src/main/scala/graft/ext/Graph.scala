@@ -72,4 +72,52 @@ object Graph {
     }
     pr
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    * list, in e6 fixed point — the companion centrality to
+    * [[pageRank]]: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v),
+    * each side L1-normalized to total mass 1e6 per half-round via
+    * `raw·1e6 DIV Σraw` (positive-integer DIV truncates = floors in
+    * any engine, so the oracle unrolls the same rounds as CTEs).
+    * Nodes start at hub = 1e6; nodes with no out-edges hold hub 0,
+    * none with no in-edges auth 0.
+    *
+    * Scale shape per half-round: one edges⋈scores join + one key agg +
+    * one 1-row total agg broadcast back with crossJoin — no driver
+    * state at all (vs pageRank's one scalar). Overflow bound:
+    * raw ≤ N·1e6 so raw·1e6 ≤ N·1e12, safe to ~9M nodes; for larger
+    * graphs lower the per-round mass (the scale is the first literal
+    * below), trading resolution.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val s = 1000000L // per-round total mass (e6 fixed point)
+    val e = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val srcs = e.select(col("src").as("node")).distinct()
+    val dsts = e.select(col("dst").as("node")).distinct()
+    var hub = srcs.withColumn("hub", lit(s))
+    var auth = dsts.withColumn("auth", lit(0L))
+    for (_ <- 1 to iters) {
+      val authRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
+      auth = normalize(authRaw, s).withColumnRenamed("score", "auth")
+        .localCheckpoint(true)
+      val hubRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
+      hub = normalize(hubRaw, s).withColumnRenamed("score", "hub")
+        .localCheckpoint(true)
+    }
+    srcs.unionByName(dsts).distinct()
+      .join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub_e6"),
+        coalesce(col("auth"), lit(0L)).as("auth_e6"))
+  }
+
+  /** `score = raw·mass DIV Σraw` — L1 normalization in fixed point;
+    * the 1-row total broadcasts back (the temperature-weights idiom).
+    */
+  private def normalize(raw: DataFrame, mass: Long): DataFrame = {
+    val tot = raw.agg(sum(col("raw")).as("__tot"))
+    raw.crossJoin(broadcast(tot))
+      .select(col("node"), expr(s"raw * $mass DIV __tot").as("score"))
+  }
 }

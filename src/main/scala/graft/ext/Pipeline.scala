@@ -643,4 +643,135 @@ object Pipeline {
       .select(col(byCol), col(idCol), col("n_tokens"),
         floor((col("__cum") - col("n_tokens")) / seqLen).as("pack_id"))
   }
+
+  /** Content-defined chunking (CDC) — shift-resistant chunk boundaries
+    * for dedup. [[chunk]]'s fixed windows move when a single character
+    * is inserted upstream, so an edited document shares NO chunks with
+    * its original; CDC cuts where a rolling hash of the trailing
+    * `window` characters hits `0 mod modulus` (the FastCDC/LBFS
+    * recipe), so boundaries re-synchronize right after any edit and
+    * the untouched tail chunks keep their digests — which is what
+    * makes chunk-level exact dedup catch partially-edited duplicates.
+    *
+    * Expected chunk length is `modulus` characters. The hash here is
+    * the engine's portable md5 hash of each trailing window (exactly
+    * [[Dedup.portableHash]]) so every boundary is engine-reproducible
+    * and the oracle replays it; production swaps a Gear table for the
+    * md5 (the same portable-vs-xxhash64 trade as portableHash — same
+    * boundaries contract, cheaper constant).
+    *
+    * Scale shape: boundary detection is an IN-ROW lambda over char
+    * positions (zero shuffle, linear in corpus characters, like the
+    * winnowing kernel); the only wide op is the consumer's digest agg.
+    */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String = "doc_id",
+      window: Int = 8, modulus: Int = 64): DataFrame = {
+    val w = window
+    // cut AFTER char i (1-based) for i in [window, len-1]: the trailing
+    // window substring's portable hash lands on 0 mod modulus
+    val bounds = expr(
+      s"""concat(array(CAST(0 AS BIGINT)),
+         |  filter(
+         |    CASE WHEN length($textCol) > $w
+         |         THEN sequence(CAST($w AS BIGINT), CAST(length($textCol) - 1 AS BIGINT))
+         |         ELSE CAST(array() AS ARRAY<BIGINT>) END,
+         |    i -> CAST(conv(substring(md5(CAST(
+         |           substring($textCol, CAST(i AS INT) - ${w - 1}, $w)
+         |         AS BINARY)), 1, 15), 16, 10) AS BIGINT) % $modulus = 0),
+         |  array(CAST(length($textCol) AS BIGINT)))""".stripMargin)
+    docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol), bounds.as("__b"))
+      .select(col(idCol), col(textCol), col("__b"),
+        posexplode(sequence(lit(1), size(col("__b")) - 1)).as(Seq("chunk_idx", "__k")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        (element_at(col("__b"), col("__k")) + 1).as("chunk_start"),
+        (element_at(col("__b"), col("__k") + 1) -
+          element_at(col("__b"), col("__k"))).as("chunk_len"),
+        expr(s"""substring($textCol,
+             |  CAST(element_at(__b, __k) + 1 AS INT),
+             |  CAST(element_at(__b, __k + 1) - element_at(__b, __k) AS INT))"""
+          .stripMargin).as("chunk_text"))
+  }
+
+  /** WordPiece vocabulary — the third tokenizer family member beside
+    * [[bpeMerges]] and [[unigramLm]] (Wu et al. 2016; the BERT
+    * tokenizer). The vocabulary distinguishes word-INITIAL pieces from
+    * continuation pieces (rendered `##piece`): every single-character
+    * form is always kept (so any word over the corpus charset stays
+    * encodable — BERT's own invariant) plus the `vocabSize` most
+    * frequent multi-char forms by occurrence-weighted count,
+    * deterministic ties on (piece, is_cont).
+    *
+    * Scale: candidates enumerate substrings of the DISTINCT-word
+    * relation (Zipf-bounded, the BPE/unigram precedent); the rank
+    * window runs over that substring universe, never the corpus.
+    * Returns (piece, is_cont, weight) — the bounded shipped artifact.
+    */
+  def wordpieceVocab(docs: DataFrame, textCol: String,
+      vocabSize: Int = 200, maxPieceLen: Int = 4): DataFrame = {
+    val words = wordTable(docs, textCol)
+    val cands = words.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+           |  s -> transform(sequence(1, least($maxPieceLen, length(word) - s + 1)),
+           |       l -> struct(substring(word, s, l) AS piece,
+           |                   s > 1 AS is_cont))))""".stripMargin)).as("sp"))
+      .select(col("sp.piece").as("piece"), col("sp.is_cont").as("is_cont"), col("cnt"))
+      .groupBy("piece", "is_cont").agg(sum(col("cnt")).as("weight"))
+    cands
+      .withColumn("__rk", row_number().over(Window
+        .orderBy(col("weight").desc, col("piece"), col("is_cont"))))
+      .filter(length(col("piece")) === 1 || col("__rk") <= vocabSize)
+      .select("piece", "is_cont", "weight")
+  }
+
+  /** WordPiece encoding: greedy longest-match-first segmentation of
+    * every word under a [[wordpieceVocab]] model — word-initial
+    * positions match initial pieces, later positions match `##`
+    * continuation pieces; a word with an unmatchable position encodes
+    * to `[UNK]` whole (the BERT contract; unreachable when the model
+    * keeps all single chars of the corpus charset). Returns the token
+    * histogram (token, n_occurrences), continuations `##`-prefixed.
+    *
+    * The model collects to two literal maps (bounded artifact — the
+    * BPE-merge-table contract) and the greedy loop is an IN-ROW fold
+    * over the DISTINCT-word relation: at most `len` steps per word,
+    * each trying lengths `maxPieceLen..1` via map lookups. One word
+    * agg + one token agg; zero joins.
+    */
+  def wordpieceEncode(docs: DataFrame, textCol: String, vocab: DataFrame,
+      maxPieceLen: Int = 4): DataFrame = {
+    val rows = vocab.select("piece", "is_cont").collect() // bounded artifact
+    def mapLit(cont: Boolean): Column = {
+      val ps = rows.filter(_.getBoolean(1) == cont).map(_.getString(0))
+      if (ps.isEmpty) expr("CAST(map() AS MAP<STRING, INT>)")
+      else map(ps.toIndexedSeq.flatMap(p => Seq(lit(p), lit(1))): _*)
+    }
+    wordTable(docs, textCol)
+      .withColumn("__init", mapLit(cont = false))
+      .withColumn("__cont", mapLit(cont = true))
+      // state: (pos, pieces, unk); each fold step consumes ONE greedy
+      // match — the longest l with substring(word, pos, l) in the
+      // position-appropriate vocab side — or trips the unk flag
+      .withColumn("__enc", expr(
+        s"""aggregate(sequence(1, length(word)),
+           |  struct(CAST(1 AS INT) AS pos,
+           |         CAST(array() AS ARRAY<STRING>) AS ps,
+           |         false AS unk),
+           |  (st, _ignored) -> CASE WHEN st.unk OR st.pos > length(word) THEN st
+           |    ELSE element_at(transform(
+           |      array(array_max(filter(sequence(1, least($maxPieceLen, length(word) - st.pos + 1)),
+           |        l -> element_at(IF(st.pos = 1, __init, __cont),
+           |                        substring(word, st.pos, l)) IS NOT NULL))),
+           |      best -> CASE WHEN best IS NULL
+           |        THEN struct(st.pos AS pos, st.ps AS ps, true AS unk)
+           |        ELSE struct(CAST(st.pos + best AS INT) AS pos,
+           |               array_append(st.ps,
+           |                 IF(st.pos = 1, '', '##') || substring(word, st.pos, best)) AS ps,
+           |               false AS unk) END), 1)
+           |    END,
+           |  st -> IF(st.unk, array('[UNK]'), st.ps))""".stripMargin))
+      .select(col("cnt"), explode(col("__enc")).as("token"))
+      .groupBy("token").agg(sum(col("cnt")).as("n_occurrences"))
+  }
 }

@@ -852,4 +852,71 @@ class ExtSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(kept == Map(1L -> (2L, 9L, 3L), 7L -> (7L, 3L, 2L)))
   }
+
+  test("CDC chunks: lossless cover, and boundaries re-synchronize after an edit") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders far away to chase a very distant rabbit through fields"
+    val edited = "X" + base // one char inserted at the FRONT
+    val d = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val rows = Pipeline.cdcChunks(d, "text").orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+
+    // chunks of each doc concatenate back to the document, in order,
+    // with consistent (start, len)
+    for (id <- Seq(1L, 2L)) {
+      val cs = rows.filter(_._1 == id)
+      val text = if (id == 1L) base else edited
+      assert(cs.map(_._5).mkString == text)
+      assert(cs.head._3 == 1L && cs.last._3 + cs.last._4 - 1 == text.length)
+      for (Array(a, b) <- cs.sliding(2)) assert(b._3 == a._3 + a._4)
+    }
+
+    // shift-resistance: the edit is before the first boundary, so the
+    // SUFFIX chunks re-synchronize — every doc-1 chunk after the first
+    // boundary reappears verbatim in doc 2 (fixed windows share none)
+    val c1 = rows.filter(_._1 == 1L).map(_._5)
+    val c2 = rows.filter(_._1 == 2L).map(_._5).toSet
+    assert(c1.length >= 2, s"corpus too short for a boundary: ${c1.toSeq}")
+    assert(c1.tail.forall(c2.contains), s"tail chunks did not re-sync: ${c1.toSeq}")
+
+    // sub-window documents come back whole; empty text emits no rows
+    val tiny = Seq((9L, "short"), (10L, "")).toDF("doc_id", "text")
+    val t = Pipeline.cdcChunks(tiny, "text").collect()
+    assert(t.length == 1 && t.head.getString(4) == "short")
+  }
+
+  test("WordPiece: greedy longest-match-first, ## continuations, [UNK] fallback") {
+    import spark.implicits._
+    val vocab = Seq(
+      ("un", false), ("runn", false), ("r", false),
+      ("able", true), ("nable", true), ("u", true), ("n", true),
+      ("able", false), ("ing", true)
+    ).toDF("piece", "is_cont").withColumn("weight", lit(1L))
+    val d = Seq((1L, "unnable running able zap")).toDF("doc_id", "text")
+    val out = Pipeline.wordpieceEncode(d, "text", vocab, maxPieceLen = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unnable → un + ##nable (the len-5 ## match beats ##n + ##able);
+    // running → runn (longest INITIAL match beats r) + ##ing;
+    // able → initial 'able'; zap → no initial piece at pos 1 → [UNK]
+    assert(out == Map("un" -> 1L, "##nable" -> 1L, "runn" -> 1L,
+      "##ing" -> 1L, "able" -> 1L, "[UNK]" -> 1L))
+  }
+
+  test("WordPiece vocab: single chars always kept, multi-char forms capped") {
+    import spark.implicits._
+    val d = Seq((1L, "aba aba cc")).toDF("doc_id", "text")
+    val v = Pipeline.wordpieceVocab(d, "text", vocabSize = 4, maxPieceLen = 3)
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+    // all single-char forms survive the cap, in the positions they
+    // occur: 'b' only mid-word, 'c' both initial and continuation
+    assert(v.contains(("a", false)) && v.contains(("b", true)) &&
+      v.contains(("c", false)) && v.contains(("c", true)))
+    assert(!v.contains(("b", false)))
+    // rank over ALL candidate forms (weight desc, piece, is_cont):
+    // (a,f) (a,t) (ab,f) (aba,f) all at weight 2 fill ranks 1-4, so
+    // the kept multi-char forms are exactly ab and aba
+    assert(v.filter(_._1.length > 1) == Set(("ab", false), ("aba", false)))
+  }
 }

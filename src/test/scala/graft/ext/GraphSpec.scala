@@ -35,4 +35,23 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pr == Map("h" -> 375833332L, "x" -> 312083333L, "y" -> 312083333L))
   }
+
+  test("hits: e6 fixed-point hubs/authorities match the hand-unrolled rounds") {
+    import spark.implicits._
+    // directed: a→x, a→y, b→x. hub0 = 1e6 each.
+    // round 1: authRaw x=2e6 y=1e6, Σ=3e6 → auth x=666666 y=333333
+    //          hubRaw a=999999 b=666666, Σ=1666665
+    //          → hub a=999999e6//1666665=600000, b=400000 (both exact)
+    // round 2: authRaw x=1000000 y=600000, Σ=1600000
+    //          → auth x=625000, y=375000
+    //          hubRaw a=1000000 b=625000, Σ=1625000
+    //          → hub a=1e12//1625000=615384, b=625000e6//1625000=384615
+    val edges = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "x"))
+      .toDF("src", "dst") // duplicate edge must collapse
+    val out = Graph.hits(edges, iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "a" -> (615384L, 0L), "b" -> (384615L, 0L),
+      "x" -> (0L, 625000L), "y" -> (0L, 375000L)))
+  }
 }

@@ -53,7 +53,8 @@ class PlanSpec extends AnyFunSuite {
         graft.ext.TextAnalysis.winnowFingerprintsNative(docs, "text", "doc_id"),
       "x_pipe_split" -> graft.ext.Pipeline.split(docs),
       "x_pipe_shuffle" -> graft.ext.Pipeline.shuffleShards(docs),
-      "x_pipe_chunk" -> graft.ext.Pipeline.chunk(docs, "text"))
+      "x_pipe_chunk" -> graft.ext.Pipeline.chunk(docs, "text"),
+      "x_pipe_cdc" -> graft.ext.Pipeline.cdcChunks(docs, "text"))
     for ((name, df) <- pureMaps)
       assert(shuffles(df) == 0,
         s"$name grew a shuffle:\n${planOf(df)}")
@@ -263,6 +264,29 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(df) == 2, s"unigram encode shuffle count:\n$p")
     assert(windowNodes(df) == 0, s"unigram encode grew a window:\n$p")
     assert(!p.contains("Join"), s"unigram encode grew a join:\n$p")
+  }
+
+  test("wordpiece encode: in-row greedy fold, two key aggs, zero joins") {
+    // the vocab is a collected literal (bounded artifact), so the
+    // encode plan must be scan → word agg → in-row greedy fold →
+    // token agg — the unigram/BPE shape: two hash exchanges, no join
+    import spark.implicits._
+    val vocab = Seq(("a", false), ("b", true))
+      .toDF("piece", "is_cont").withColumn("weight", lit(1L))
+    val df = graft.ext.Pipeline.wordpieceEncode(docs, "text", vocab)
+    val p = planOf(df)
+    assert(shuffles(df) == 2, s"wordpiece encode shuffle count:\n$p")
+    assert(windowNodes(df) == 0, s"wordpiece encode grew a window:\n$p")
+    assert(!p.contains("Join"), s"wordpiece encode grew a join:\n$p")
+  }
+
+  test("hits: per-round totals broadcast back; no cartesian, no window") {
+    import spark.implicits._
+    val edges = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("src", "dst")
+    val df = graft.ext.Graph.hits(edges, iters = 2)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), s"hits cartesian:\n$p")
+    assert(windowNodes(df) == 0, s"hits grew a window:\n$p")
   }
 
   test("centroid outliers: centroids broadcast to the scoring join") {
