@@ -125,6 +125,66 @@ private[graft] object ExtSimQueries {
            |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.4
            |ORDER BY blk, id_a, id_b""".stripMargin)),
 
+    // Semantic benchmark decontamination: corpus vectors within cosine
+    // 0.3 of ANY benchmark vector (vec_id ≡ 0 mod 97 — the same
+    // benchmark convention as the n-gram contamination screens),
+    // blocked by the prebuilt IVF cell (SemDeDup: a paraphrased leak
+    // lands in its test item's cell). The benchmark side BROADCASTS —
+    // the corpus never shuffles; n-gram screens can't see paraphrases,
+    // this can.
+    QueryDef("x_sim_decontam",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val idx = Corpus.ivfIndex(spark, sfDir)
+        Similarity.crossSetNearPairs(idx.assigned,
+            col("vec_id") % 97 === 0, "cell_id", 0.3)
+          .orderBy("corpus_id", "bench_id")
+      },
+      Some(
+        s"""WITH $exCte,
+           |cx AS (
+           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
+           |),
+           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+           |          FROM ex GROUP BY vec_id),
+           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
+           |           FROM cx GROUP BY cell_id),
+           |allsims AS (
+           |  SELECT e.vec_id, c.cell_id,
+           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
+           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
+           |  FROM ex e JOIN cx c ON e.i = c.i
+           |  JOIN norms n ON n.vec_id = e.vec_id
+           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
+           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
+           |),
+           |assigned AS (
+           |  SELECT vec_id, cell_id FROM (
+           |    SELECT vec_id, cell_id,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY sim DESC, cell_id) AS rn
+           |    FROM allsims
+           |  ) r WHERE rn = 1
+           |),
+           |pairdots AS (
+           |  SELECT a.vec_id AS corpus_id, b.vec_id AS bench_id,
+           |         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+           |  FROM ex a
+           |  JOIN ex b ON a.i = b.i AND a.vec_id % 97 <> 0 AND b.vec_id % 97 = 0
+           |  JOIN assigned aa ON aa.vec_id = a.vec_id
+           |  JOIN assigned ab ON ab.vec_id = b.vec_id AND ab.cell_id = aa.cell_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT corpus_id, bench_id,
+           |       round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cos_sim
+           |FROM pairdots
+           |JOIN norms na ON na.vec_id = corpus_id
+           |JOIN norms nb ON nb.vec_id = bench_id
+           |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
+           |ORDER BY corpus_id, bench_id""".stripMargin)),
+
     // Per-label embedding centroids in e6 fixed point: quantize once,
     // integer sums, one truncating division per dim — fold-order-proof.
     // Declared in the SCALAR (label, dim, mean_e6) shape — the array

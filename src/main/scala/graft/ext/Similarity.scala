@@ -315,6 +315,39 @@ object Similarity {
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Semantic benchmark decontamination — the embedding-space sibling
+    * of the n-gram contamination screens: flag corpus vectors whose
+    * cosine to ANY benchmark vector reaches `threshold`, blocked by a
+    * shared coarse bucketing (IVF cell — the SemDeDup argument: a
+    * paraphrased test item and its corpus leak land in the same cell).
+    * Catches paraphrase-level test-set leakage that token n-grams
+    * miss.
+    *
+    * Scale shape: the benchmark side is tiny next to a 100 TB corpus,
+    * so it BROADCASTS — the corpus never shuffles; per corpus row the
+    * work is (benchmark-in-cell × dims) in-row dot products. Norms
+    * are computed once per vector, not per pair.
+    */
+  def crossSetNearPairs(vectors: DataFrame, isBench: Column,
+      blockCol: String, threshold: Double,
+      idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val withNorm = vectors
+      .withColumn("__n", dot(col("embedding"), col("embedding")))
+    val corp = withNorm.filter(!isBench).select(col(blockCol).as("blk"),
+      col(idCol).as("corpus_id"), col("embedding").as("emb_a"),
+      col("__n").as("__na"))
+    val bench = withNorm.filter(isBench).select(col(blockCol).as("blk"),
+      col(idCol).as("bench_id"), col("embedding").as("emb_b"),
+      col("__n").as("__nb"))
+    corp.join(broadcast(bench), Seq("blk"))
+      .withColumn("cos_sim", round(
+        dot(col("emb_a"), col("emb_b")) /
+          (sqrt(col("__na")) * sqrt(col("__nb"))), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("corpus_id"), col("bench_id"), col("cos_sim"))
+  }
+
   /** Per-group embedding centroids in e6 fixed point — the cluster-
     * profile / class-prototype aggregate an embedding pipeline reports
     * per source or label. Components quantize ONCE to BIGINT e6

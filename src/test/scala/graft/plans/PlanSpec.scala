@@ -289,6 +289,18 @@ class PlanSpec extends AnyFunSuite {
     assert(windowNodes(df) == 0, s"hits grew a window:\n$p")
   }
 
+  test("semantic decontam: benchmark side broadcasts to the cell join") {
+    // the benchmark set is tiny next to the corpus; a SortMergeJoin
+    // here means the whole corpus shuffles for a broadcast-sized side
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("cell_id", col("vec_id") % 5)
+    val df = graft.ext.Similarity.crossSetNearPairs(
+      vecs, col("vec_id") % 97 === 0, "cell_id", 0.3)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"), s"decontam join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"decontam shuffled the corpus:\n$p")
+  }
+
   test("centroid outliers: centroids broadcast to the scoring join") {
     // the (labels × dims) centroid relation must reach per-vector
     // scoring as a broadcast; a shuffle join would move the corpus
