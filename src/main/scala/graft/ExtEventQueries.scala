@@ -271,6 +271,39 @@ private[graft] object ExtEventQueries {
           |FROM gg GROUP BY user_id
           |ORDER BY user_id""".stripMargin)),
 
+    // Event-time lateness profile — the measurement that SIZES the
+    // streaming twins' watermarks: per key, how far each event's time
+    // lags the latest event time already ingested (arrival order =
+    // event_id). max_late_us IS the per-key safe withWatermark bound.
+    // One key exchange shared by the arrival window and the agg; all
+    // µs arithmetic exact BIGINT.
+    QueryDef("x_evt_lateness",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us")
+        Events.latenessProfile(ev).orderBy("user_id")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          |),
+          |l AS (
+          |  SELECT user_id,
+          |         greatest(coalesce(
+          |           max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+          |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |           - ts_us, 0), 0) AS late
+          |  FROM e
+          |)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(count(*) FILTER (late > 0) AS BIGINT) AS n_late,
+          |       CAST(max(late) AS BIGINT) AS max_late_us,
+          |       CAST(sum(late) AS BIGINT) AS sum_late_us
+          |FROM l GROUP BY user_id
+          |ORDER BY user_id""".stripMargin)),
+
     // Per-key rate anomalies: z-score of each (user, 10-min bucket)
     // event count against the user's own bucket distribution — the
     // burst/outage monitor. One bucket agg + one moment agg + a keyed

@@ -317,6 +317,23 @@ private[graft] object ExtPipeQueries {
       },
       Some(bpeEncodeOracle(5))),
 
+    // Tokenizer fertility per source (pieces-per-word under the
+    // learned BPE merges) — the tokenizer-QA number model cards report
+    // per slice: high fertility = the vocabulary under-serves that
+    // source. Segmentation is word-local, so it runs once per DISTINCT
+    // (source, word) via the same in-row fold as encode; the oracle
+    // joins the training chain's final symbol state to per-source word
+    // counts.
+    QueryDef("x_pipe_fertility",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val docs = spark.table("documents")
+        Pipeline.bpeFertility(docs, "text", "source",
+            Pipeline.bpeMerges(docs, "text", steps = 5))
+          .orderBy("source")
+      },
+      Some(bpeFertilityOracle(5))),
+
     // Unigram-LM (SentencePiece) tokenizer training via hard EM — the
     // second tokenizer-training family member beside BPE, as pure
     // relational algebra: capped-substring seed, then per round an

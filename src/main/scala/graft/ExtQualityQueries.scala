@@ -99,6 +99,39 @@ private[graft] object ExtQualityQueries {
           |FROM p
           |ORDER BY doc_id""".stripMargin)),
 
+    // CORPUS-level boilerplate paragraph mining (CCNet's paragraph-
+    // frequency signal): paragraphs whose digest spans ≥ 10 distinct
+    // docs are template chrome — here the 5 shared footers, each in
+    // ~N/5 docs. Paragraphs reduce to (md5, doc_id) in-row before the
+    // one digest-keyed agg; corpus text never shuffles.
+    QueryDef("x_quality_boilerplate_mine",
+      (spark, sfDir) => {
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("text_para").as("text"))
+        Quality.boilerplateParagraphs(aug, "text", minDocs = 10)
+          .orderBy(col("n_docs").desc, col("para_md5"))
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id,
+          |         coalesce(text, '') || chr(10) || chr(10) ||
+          |         'shared footer ' || (doc_id % 5) || chr(10) || chr(10) ||
+          |         CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '')
+          |              ELSE 'unique tail ' || doc_id END AS t
+          |  FROM documents
+          |),
+          |paras AS (
+          |  SELECT doc_id, md5(p) AS para_md5
+          |  FROM (SELECT doc_id,
+          |               unnest(list_filter(list_transform(string_split_regex(t, '\n{2,}'),
+          |                      x -> trim(x)), x -> x <> '')) AS p
+          |        FROM aug) q
+          |)
+          |SELECT para_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |       CAST(count(*) AS BIGINT) AS n_occurrences
+          |FROM paras GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10
+          |ORDER BY n_docs DESC, para_md5""".stripMargin)),
+
     // N-gram repetition stats (Gopher top-bigram coverage + repeated-
     // trigram coverage). DEFAULT = the compiled in-row kernel
     // (ngram_rep_e): zero Exchange, ~10× the relational form at sf1 —

@@ -442,6 +442,28 @@ private[graft] object ExtShared {
        |GROUP BY token
        |ORDER BY n_occurrences DESC, token""".stripMargin
 
+  /** Per-source fertility under the `steps`-merge training chain: the
+    * final symbol state s{steps} gives each DISTINCT word's piece
+    * count; joined to per-(source, word) occurrence counts.
+    */
+  private[graft] def bpeFertilityOracle(steps: Int): String =
+    s"""WITH ${bpeCtes(steps)},
+       |swords AS (
+       |  SELECT source, t AS word, count(*) AS cnt
+       |  FROM (SELECT source,
+       |               unnest(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+       |                      x -> x <> '')) AS t
+       |        FROM documents) q
+       |  GROUP BY 1, 2
+       |)
+       |SELECT source, CAST(sum(sw.cnt) AS BIGINT) AS n_words,
+       |       CAST(sum(sw.cnt * len(s.syms)) AS BIGINT) AS n_pieces,
+       |       CAST(sum(sw.cnt * len(s.syms)) * 1000 // sum(sw.cnt) AS BIGINT)
+       |         AS fertility_milli
+       |FROM swords sw JOIN s$steps s USING (word)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   private def bpeCtes(steps: Int): String = {
     val stepCtes = (1 to steps).map { n =>
       val prev = s"s${n - 1}"

@@ -185,6 +185,47 @@ private[graft] object ExtSimQueries {
            |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
            |ORDER BY corpus_id, bench_id""".stripMargin)),
 
+    // Embedding-dimension Pearson correlation matrix (upper triangle)
+    // — the whitening/ABTT diagnostic. Sufficient statistics are exact
+    // BIGINT sums over e6-quantized components (in-row outer product,
+    // map-side combined to ≤ d² cells per partition); the correlation
+    // is one fixed IEEE op tree over those integers, rounded once.
+    QueryDef("x_sim_dim_corr",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.dimCorrelation(spark.table("embeddings"))
+          .orderBy("dim_i", "dim_j")
+      },
+      Some(
+        s"""WITH $exCte,
+           |q AS (
+           |  SELECT vec_id, i,
+           |         CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ve
+           |  FROM ex
+           |),
+           |mom AS (
+           |  SELECT i, sum(ve) AS s1, sum(ve * ve) AS s2, count(*) AS n
+           |  FROM q GROUP BY i
+           |),
+           |pr AS (
+           |  SELECT a.i AS dim_i, b.i AS dim_j, sum(a.ve * b.ve) AS sij
+           |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+           |  GROUP BY 1, 2
+           |)
+           |SELECT dim_i, dim_j, ma.n,
+           |       CASE WHEN (CAST(ma.n AS DOUBLE) * ma.s2 - CAST(ma.s1 AS DOUBLE) * ma.s1) <= 0
+           |              OR (CAST(ma.n AS DOUBLE) * mb.s2 - CAST(mb.s1 AS DOUBLE) * mb.s1) <= 0
+           |            THEN 0.0
+           |            ELSE round(
+           |              (CAST(ma.n AS DOUBLE) * sij - CAST(ma.s1 AS DOUBLE) * mb.s1) /
+           |              (sqrt(CAST(ma.n AS DOUBLE) * ma.s2 - CAST(ma.s1 AS DOUBLE) * ma.s1) *
+           |               sqrt(CAST(ma.n AS DOUBLE) * mb.s2 - CAST(mb.s1 AS DOUBLE) * mb.s1)), 6)
+           |       END AS corr
+           |FROM pr
+           |JOIN mom ma ON ma.i = dim_i
+           |JOIN mom mb ON mb.i = dim_j
+           |ORDER BY dim_i, dim_j""".stripMargin)),
+
     // Per-label embedding centroids in e6 fixed point: quantize once,
     // integer sums, one truncating division per dim — fold-order-proof.
     // Declared in the SCALAR (label, dim, mean_e6) shape — the array

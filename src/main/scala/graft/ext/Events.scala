@@ -372,4 +372,31 @@ object Events {
         col("n_events"), col("z_e6"),
         (abs(col("z_e6")) >= zE6Threshold).as("is_anomaly"))
   }
+
+  /** Event-time lateness profile — the measurement that SIZES a
+    * streaming watermark (`withWatermark` in the x_stream_* twins is a
+    * promise that events later than the bound may drop; this operator
+    * reports what the bound must be). Arrival order is the ingest
+    * sequence (`idCol`); an event's lateness is how far its event time
+    * lags the latest event time already seen for its key:
+    * `max(0, max_{id' < id}(ts) − ts)` — 0 for in-order arrivals.
+    *
+    * Per key: event count, late count, max and total lateness (all
+    * exact BIGINT µs — `max_late_us` IS the per-key safe watermark).
+    * ONE key exchange shared by the window and the aggregation.
+    */
+  def latenessProfile(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", idCol: String = "event_id"): DataFrame = {
+    val wArr = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("__late",
+        greatest(coalesce(max(col(tsCol)).over(wArr) - col(tsCol), lit(0L)),
+          lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("__late")).as("max_late_us"),
+        sum(col("__late")).as("sum_late_us"))
+  }
 }

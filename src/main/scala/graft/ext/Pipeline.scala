@@ -571,16 +571,26 @@ object Pipeline {
     * (words, then tokens); no join.
     */
   def bpeEncode(docs: DataFrame, textCol: String,
-      merges: DataFrame): DataFrame = {
+      merges: DataFrame): DataFrame =
+    bpeSegmented(wordTable(docs, textCol), merges)
+      .select(explode(col("__enc")).as("token"), col("cnt"))
+      .groupBy("token").agg(sum("cnt").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+
+  /** Append `__enc` — the word's BPE symbol list under `merges`
+    * applied in rank order, each greedily left-to-right — to any table
+    * with a `word` column: the shared in-row fold behind [[bpeEncode]]
+    * and [[bpeFertility]]. The merge table collects to a literal array
+    * (bounded: one row per learned merge — the shipped artifact).
+    */
+  private def bpeSegmented(words: DataFrame, merges: DataFrame): DataFrame = {
     val ms = merges.orderBy("step").select("left_sym", "right_sym")
       .collect() // bounded: one row per learned merge
       .map(r => struct(lit(r.getString(0)).as("l"), lit(r.getString(1)).as("r")))
     val mergeArr =
       if (ms.isEmpty) expr("CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>)")
       else array(ms.toIndexedSeq: _*)
-    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
-    docs.select(explode(toks).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    words
       .withColumn("__merges", mergeArr)
       .withColumn("__syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
@@ -591,9 +601,29 @@ object Pipeline {
           |      WHEN size(a) > 0 AND element_at(a, -1) = m.l AND x = m.r
           |      THEN concat(slice(a, 1, size(a) - 1), array(concat(m.l, x)))
           |      ELSE concat(a, array(x)) END))""".stripMargin))
-      .select(explode(col("__enc")).as("token"), col("cnt"))
-      .groupBy("token").agg(sum("cnt").as("n_occurrences"))
-      .orderBy(col("n_occurrences").desc, col("token"))
+  }
+
+  /** Tokenizer fertility by group — pieces-per-word under a learned
+    * BPE merge table, per `byCol` (the tokenizer-QA number model cards
+    * report per language/source: high fertility = the vocabulary
+    * under-serves that slice, inflating its effective sequence
+    * lengths). Segmentation is word-local, so it runs ONCE per
+    * DISTINCT (group, word) — the Zipf-bounded relation times the
+    * group count — through the same in-row fold as [[bpeEncode]];
+    * `fertility_milli` is a truncating positive-integer division
+    * (cross-engine exact).
+    */
+  def bpeFertility(docs: DataFrame, textCol: String, byCol: String,
+      merges: DataFrame): DataFrame = {
+    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
+    val words = docs.select(col(byCol), explode(toks).as("word"))
+      .groupBy(col(byCol), col("word")).agg(count(lit(1)).as("cnt"))
+    bpeSegmented(words, merges)
+      .groupBy(col(byCol))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * size(col("__enc")).cast("long")).as("n_pieces"))
+      .select(col(byCol), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000 DIV n_words").as("fertility_milli"))
   }
 
   /** Corpus snapshot diff — the CDC step of incremental re-curation:

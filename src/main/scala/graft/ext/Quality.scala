@@ -768,4 +768,32 @@ object Quality {
         coalesce(col("llr_sum_e6"), lit(0L)).as("llr_sum_e6"))
       .withColumn("target_like", col("llr_sum_e6") > 0)
   }
+
+  /** CORPUS-level boilerplate paragraph mining — the cross-document
+    * complement of [[paragraphDupStats]] (in-doc) and
+    * [[boilerplateLines]] (in-doc line heuristics): a paragraph whose
+    * digest appears in ≥ `minDocs` DISTINCT documents is template
+    * chrome (nav, footers, license banners) — CCNet's
+    * paragraph-frequency dedup signal, computed corpus-wide. Returns
+    * one row per hot paragraph digest: distinct-doc count and total
+    * occurrence count.
+    *
+    * Scale shape: paragraphs split in-row (the paragraphDupStats
+    * split) and reduce to (md5, doc_id) 40-byte rows BEFORE the
+    * exchange — the corpus text never shuffles; one digest-keyed agg
+    * with map-side combine.
+    */
+  def boilerplateParagraphs(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id", minDocs: Int = 10): DataFrame = {
+    val paras = filter(
+      transform(split(coalesce(col(textCol), lit("")), "\\n{2,}"),
+        x => trim(x)),
+      x => x =!= "")
+    docs.select(col(idCol), explode(paras).as("__p"))
+      .select(col(idCol), md5(col("__p").cast("binary")).as("para_md5"))
+      .groupBy(col("para_md5"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

@@ -348,6 +348,59 @@ object Similarity {
       .select(col("corpus_id"), col("bench_id"), col("cos_sim"))
   }
 
+  /** Embedding-dimension correlation matrix (upper triangle) — the
+    * whitening/ABTT diagnostic: strongly correlated dimensions mean
+    * the embedding wastes capacity and cosine over-weights a shared
+    * direction; the matrix is the input to any whitening decision.
+    *
+    * Parity discipline: components quantize ONCE to e6 BIGINT (the
+    * centroid recipe), all sufficient statistics (Σv, Σv², Σvᵢvⱼ, n)
+    * are EXACT integer sums — fold-order-proof — and the Pearson
+    * correlation is one fixed IEEE op tree over those exact integers,
+    * rounded once to 6 dp, so both engines evaluate bit-identically.
+    *
+    * Scale shape: the upper-triangle outer product is built IN-ROW
+    * (d²/2 structs per vector) and map-side combine collapses each
+    * partition to ≤ d² cells before the ONE pair-keyed exchange; the
+    * d-row moment relation broadcasts to the final join. BIGINT range:
+    * Σvᵢvⱼ ≤ n·(maxᵥ·1e6)² — safe to ~10⁶ vectors per stat at unit
+    * norms; beyond that, re-quantize to e4 or aggregate hierarchically.
+    */
+  def dimCorrelation(vectors: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val vE6 = transform(col(vecCol),
+      x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+    val withV = vectors.withColumn("__ve", vE6)
+    val mom = withV.select(posexplode(col("__ve")).as(Seq("i", "ve")))
+      .groupBy(col("i"))
+      .agg(sum(col("ve")).as("s1"), sum(col("ve") * col("ve")).as("s2"),
+        count(lit(1)).as("n"))
+    val pairs = withV.select(explode(expr(
+        """flatten(transform(sequence(0, size(__ve) - 1), i ->
+          |  transform(sequence(i, size(__ve) - 1), j ->
+          |    struct(i AS di, j AS dj,
+          |           element_at(__ve, i + 1) * element_at(__ve, j + 1) AS p))))"""
+        .stripMargin)).as("t"))
+      .select(col("t.di").as("dim_i"), col("t.dj").as("dim_j"), col("t.p").as("p"))
+      .groupBy("dim_i", "dim_j").agg(sum(col("p")).as("sij"))
+    val mi = mom.select(col("i").as("dim_i"), col("s1").as("s1i"),
+      col("s2").as("s2i"), col("n"))
+    val mj = mom.select(col("i").as("dim_j"), col("s1").as("s1j"),
+      col("s2").as("s2j"))
+    pairs.join(broadcast(mi), "dim_i").join(broadcast(mj), "dim_j")
+      .withColumn("__di", col("n").cast("double") * col("s2i") -
+        col("s1i").cast("double") * col("s1i"))
+      .withColumn("__dj", col("n").cast("double") * col("s2j") -
+        col("s1j").cast("double") * col("s1j"))
+      .withColumn("corr", when(col("__di") <= 0 || col("__dj") <= 0, lit(0.0))
+        .otherwise(round(
+          (col("n").cast("double") * col("sij") -
+            col("s1i").cast("double") * col("s1j")) /
+            (sqrt(col("__di")) * sqrt(col("__dj"))), 6)))
+      .select(col("dim_i").cast("long").as("dim_i"),
+        col("dim_j").cast("long").as("dim_j"), col("n"), col("corr"))
+  }
+
   /** Per-group embedding centroids in e6 fixed point — the cluster-
     * profile / class-prototype aggregate an embedding pipeline reports
     * per source or label. Components quantize ONCE to BIGINT e6

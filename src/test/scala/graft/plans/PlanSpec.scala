@@ -289,6 +289,27 @@ class PlanSpec extends AnyFunSuite {
     assert(windowNodes(df) == 0, s"hits grew a window:\n$p")
   }
 
+  test("dim correlation: moment relation broadcasts; pairs in-row then ONE pair agg") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.ext.Similarity.dimCorrelation(vecs)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"), s"dim_corr moments not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim_corr shuffled for the moment join:\n$p")
+    assert(windowNodes(df) == 0, s"dim_corr grew a window:\n$p")
+  }
+
+  test("bpe fertility: literal merge table — no join; lateness: ONE key exchange") {
+    import spark.implicits._
+    val merges = Seq((1L, "a", "a", 9L)).toDF("step", "left_sym", "right_sym", "pair_count")
+    val fert = graft.ext.Pipeline.bpeFertility(docs, "text", "source", merges)
+    assert(!planOf(fert).contains("Join"), s"fertility grew a join:\n${planOf(fert)}")
+
+    val late = graft.ext.Events.latenessProfile(
+      events.select("event_id", "user_id", "ts_us"))
+    assert(shuffles(late) == 1, s"lateness shuffle count:\n${planOf(late)}")
+    assert(windowNodes(late) == 1, s"lateness window count:\n${planOf(late)}")
+  }
+
   test("semantic decontam: benchmark side broadcasts to the cell join") {
     // the benchmark set is tiny next to the corpus; a SortMergeJoin
     // here means the whole corpus shuffles for a broadcast-sized side
