@@ -690,6 +690,33 @@ private[graft] object ExtPipeQueries {
           |  UNION ALL SELECT '[UNK]' AS token, cnt FROM unk
           |)
           |SELECT token, CAST(sum(cnt) AS BIGINT) AS n_occurrences
-          |FROM toks GROUP BY 1 ORDER BY n_occurrences DESC, token""".stripMargin))
+          |FROM toks GROUP BY 1 ORDER BY n_occurrences DESC, token""".stripMargin)),
+
+    // Exact heavy hitters with a bounded exchange: per-partition
+    // Misra-Gries sketches admit a candidate set (provably a superset
+    // of every token with count ≥ total/30), then an exact recount
+    // restricted to the broadcast candidates. Output is exact and
+    // sketch-independent — the oracle is the plain frequency SQL.
+    // phiInv = 30 here because the synthetic corpus has a 31-token
+    // vocabulary (≈uniform); production stopword mining uses 1000+.
+    QueryDef("x_pipe_heavy_hitters",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.heavyHitters(spark.table("documents"), "text", phiInv = 30)
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+          |                x -> x <> '')) AS token
+          |  FROM documents
+          |),
+          |tot AS (SELECT count(*) AS n_total_tokens FROM toks),
+          |cnts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1)
+          |SELECT c.token, CAST(c.cnt AS BIGINT) AS cnt,
+          |       CAST(t.n_total_tokens AS BIGINT) AS n_total_tokens
+          |FROM cnts c CROSS JOIN tot t
+          |WHERE c.cnt * 30 >= t.n_total_tokens
+          |ORDER BY cnt DESC, token""".stripMargin))
   )
 }

@@ -512,6 +512,51 @@ private[graft] object ExtQualityQueries {
           |       CAST(coalesce(s, 0) AS BIGINT) AS llr_sum_e6,
           |       coalesce(s, 0) > 0 AS target_like
           |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // Kneser-Ney smoothed bigram LM (KenLM's smoothing — the CCNet
+    // perplexity-filter signal, beside the add-one x_quality_lm_score):
+    // continuation-count backoff with fixed D=0.75, all sufficient
+    // stats exact integers over the vocab²-bounded bigram type
+    // relation, per-bigram −ln P quantized once to micro-nats.
+    QueryDef("x_quality_kn_lm",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.knBigramScore(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '') AS ts
+          |  FROM documents
+          |),
+          |bg AS (
+          |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          |  FROM tok, unnest(range(1, len(ts))) r(i)
+          |),
+          |bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+          |lft AS (SELECT w1, sum(c2) AS c1, count(*) AS n1p FROM bc GROUP BY 1),
+          |cont AS (SELECT w2, count(*) AS ncont FROM bc GROUP BY 1),
+          |tt AS (SELECT count(*) AS tt FROM bc),
+          |model AS (
+          |  SELECT b.w1, b.w2,
+          |         CAST(floor(-ln(
+          |           greatest(CAST(b.c2 AS DOUBLE) - 0.75, 0.0) / CAST(l.c1 AS DOUBLE)
+          |           + ((0.75 * CAST(l.n1p AS DOUBLE)) / CAST(l.c1 AS DOUBLE))
+          |             * (CAST(c.ncont AS DOUBLE) / CAST(t.tt AS DOUBLE))
+          |         ) * 1e6 + 0.5) AS BIGINT) AS nll_e6
+          |  FROM bc b JOIN lft l USING (w1) JOIN cont c USING (w2) CROSS JOIN tt t
+          |),
+          |sc AS (
+          |  SELECT g.doc_id, count(*) AS nb, sum(m.nll_e6) AS se
+          |  FROM bg g JOIN model m USING (w1, w2) GROUP BY 1
+          |)
+          |SELECT d.doc_id,
+          |       CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+          |       CAST(coalesce(se, 0) AS BIGINT) AS kn_nll_sum_e6,
+          |       CAST(CASE WHEN coalesce(nb, 0) > 0 THEN se // nb ELSE 0 END AS BIGINT) AS kn_avg_nll_e6
+          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
           |ORDER BY d.doc_id""".stripMargin))
   )
 }

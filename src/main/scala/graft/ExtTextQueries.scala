@@ -668,6 +668,42 @@ private[graft] object ExtTextQueries {
           |       CAST(count(*) AS BIGINT) AS n_urls,
           |       CAST(min(doc_id) AS BIGINT) AS first_doc
           |FROM c GROUP BY canonical_url
-          |ORDER BY canonical_url""".stripMargin))
+          |ORDER BY canonical_url""".stripMargin)),
+
+    // Flesch readability profile — reading ease + FK grade from three
+    // exact in-row integer counts (words / clamped sentences / vowel-
+    // group syllables); the score is one fixed IEEE op tree quantized
+    // to milli-points, so the BIGINTs match bit-for-bit cross-engine.
+    QueryDef("x_text_readability",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.readability(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, coalesce(text, '') AS t,
+          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS ts
+          |  FROM documents
+          |),
+          |m AS (
+          |  SELECT doc_id,
+          |         CAST(len(ts) AS BIGINT) AS n_words,
+          |         CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+          |         CAST(coalesce(list_sum(list_transform(ts,
+          |              w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1))), 0) AS BIGINT) AS n_syllables
+          |  FROM base
+          |)
+          |SELECT doc_id, n_words, n_sentences, n_syllables,
+          |       CAST(CASE WHEN n_words > 0 THEN floor(
+          |         (206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          |                  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+          |         * 1000.0 + 0.5) ELSE 0 END AS BIGINT) AS flesch_ease_milli,
+          |       CAST(CASE WHEN n_words > 0 THEN floor(
+          |         (0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          |          + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59)
+          |         * 1000.0 + 0.5) ELSE 0 END AS BIGINT) AS fk_grade_milli
+          |FROM m
+          |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -804,4 +804,56 @@ object Pipeline {
       .select(col("cnt"), explode(col("__enc")).as("token"))
       .groupBy("token").agg(sum(col("cnt")).as("n_occurrences"))
   }
+
+  /** Exact frequent-token mining with a BOUNDED exchange — the
+    * stopword / boilerplate-list builder: every token whose corpus
+    * count is ≥ total/phiInv, with its EXACT count.
+    *
+    * Scale shape: a plain token groupBy exchanges one partial row per
+    * DISTINCT token per partition, and on web-scale text the
+    * heavy-tailed vocabulary (URLs, ids, typos) makes the map-side
+    * hash agg spill and the exchange wide. Here each partition first
+    * reduces to a Misra-Gries summary of k = 2·phiInv counters — by
+    * the merge bound, a token missed by EVERY partition summary has
+    * global count ≤ N/(k+1) < N/phiInv, so no qualifying token is
+    * ever dropped — and only the ≤ k surviving candidate tokens per
+    * partition are exchanged. The exact recount then runs restricted
+    * to the broadcast candidate set, so the final output is EXACT and
+    * independent of sketch internals (over-admitted candidates die at
+    * the threshold filter). mapPartitions is the genuine tool here
+    * (the Multimodal rule): the decrement-sweep sketch is sequential
+    * per-partition state, and expressing it as column algebra would
+    * give up exactly the bounded-exchange property that is the
+    * operator's point.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String,
+      phiInv: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = 2 * phiInv
+    val toks = docs.select(explode(
+      filter(split_part_tokens(col(textCol)), t => t =!= "")).as("token"))
+    val cands = toks.select(col("token")).as[String].mapPartitions { it =>
+      val counters = new scala.collection.mutable.HashMap[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k => counters.update(t, 1L)
+          case None =>
+            // full table: decrement every counter, free zeroed slots
+            // (iterate a snapshot — removal during iteration is UB)
+            counters.toList.foreach { case (w, c) =>
+              if (c == 1L) counters.remove(w) else counters.update(w, c - 1)
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    val total = toks.agg(count(lit(1)).as("n_total_tokens"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * phiInv >= col("n_total_tokens"))
+      .select(col("token"), col("cnt"), col("n_total_tokens"))
+  }
 }

@@ -591,6 +591,64 @@ object Quality {
           .otherwise(lit(0L)))
   }
 
+  /** Kneser-Ney smoothed bigram LM score — the stronger sibling of
+    * [[bigramLmScore]]'s add-one model (Kneser & Ney 1995; the
+    * smoothing used by KenLM, whose perplexity is the CCNet filter
+    * signal). Interpolated form with fixed discount D = 0.75 (exactly
+    * representable in binary — the multiply stays a single correctly-
+    * rounded IEEE op):
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *            + (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/T)
+    *
+    * where c(w1·) is w1's bigram-token count, N1+(w1·)/N1+(·w2) its
+    * distinct right/left continuation counts, and T the total bigram
+    * type count — the continuation-probability backoff that makes KN
+    * beat raw frequency ("francisco" is frequent but only ever
+    * follows "san").
+    *
+    * Same model/scoring split as [[bigramLmScore]]: all sufficient
+    * statistics are exact integer aggs over the vocab²-bounded bigram
+    * type relation (Zipf-broadcast-sized at any corpus scale); each
+    * DISTINCT bigram's −ln P evaluates ONE fixed IEEE op tree over
+    * those exact integers and quantizes once to micro-nats; per-doc
+    * totals are integer sums — associative, fold-order free. P > 0
+    * always for scored (= observed) bigrams since N1+(·w2) ≥ 1.
+    */
+  def knBigramScore(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val bg = docs
+      .select(col(idCol), explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val types = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val left = types.groupBy("w1")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = types.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val tt = types.agg(count(lit(1)).as("tt"))
+    val d = (c: String) => col(c).cast("double")
+    val p = greatest(d("c2") - lit(0.75), lit(0.0)) / d("c1") +
+      ((lit(0.75) * d("n1p")) / d("c1")) * (d("ncont") / d("tt"))
+    val model = types.join(left, "w1").join(cont, "w2")
+      .crossJoin(broadcast(tt))
+      .withColumn("nll_e6",
+        floor(-log(p) * lit(1e6) + lit(0.5)).cast("long"))
+      .select("w1", "w2", "nll_e6")
+    val scored = bg.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_e6")).as("nll_sum_e6"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_sum_e6"), lit(0L)).as("kn_nll_sum_e6"))
+      .withColumn("kn_avg_nll_e6",
+        when(col("n_bigrams") > 0, expr("kn_nll_sum_e6 DIV n_bigrams"))
+          .otherwise(lit(0L)))
+  }
+
   /** Weak-label Naive Bayes document classifier — the fastText-style
     * quality/domain classifier of the LLaMA/CCNet pipelines (train on
     * cheap weak labels, score the whole corpus), expressed as pure

@@ -351,4 +351,47 @@ object TextAnalysis {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared_fp"))
   }
+
+  /** Flesch readability profile — the classic quality-filter signal
+    * (reading ease + Flesch-Kincaid grade) from three exact integer
+    * counts per document, all computed IN-ROW (scan → project, zero
+    * Exchange — the gopherProfile shape):
+    *
+    *  - words: whitespace tokens;
+    *  - sentences: runs of `[.!?]+`, clamped to ≥ 1;
+    *  - syllables: per word, the count of `[aeiouy]+` vowel groups in
+    *    the lowercased token, clamped to ≥ 1 per word — the standard
+    *    dictionary-free heuristic (greedy left-to-right non-overlapping
+    *    regex matching is engine-identical on ASCII).
+    *
+    * The scores are ONE fixed IEEE op tree over the three exact
+    * integers, quantized once to milli-points:
+    *   ease  = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+    *   grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59
+    * so the emitted BIGINTs are bit-identical in any engine.
+    */
+  def readability(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")
+    val sylOf = (t: Column) =>
+      greatest(size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))),
+        lit(1)).cast("long")
+    val base = docs.select(col(idCol),
+      size(toks).cast("long").as("n_words"),
+      greatest(size(regexp_extract_all(coalesce(col(textCol), lit("")),
+        lit("[.!?]+"), lit(0))), lit(1)).cast("long").as("n_sentences"),
+      aggregate(transform(toks, sylOf), lit(0L), (acc, x) => acc + x)
+        .as("n_syllables"))
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    base.select(col(idCol), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      when(col("n_words") > 0,
+        floor((lit(206.835) - lit(1.015) * wps - lit(84.6) * spw) * lit(1000.0)
+          + lit(0.5)).cast("long")).otherwise(lit(0L)).as("flesch_ease_milli"),
+      when(col("n_words") > 0,
+        floor((lit(0.39) * wps + lit(11.8) * spw - lit(15.59)) * lit(1000.0)
+          + lit(0.5)).cast("long")).otherwise(lit(0L)).as("fk_grade_milli"))
+  }
 }

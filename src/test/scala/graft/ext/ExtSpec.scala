@@ -919,4 +919,69 @@ class ExtSpec extends AnyFunSuite {
     // the kept multi-char forms are exactly ab and aba
     assert(v.filter(_._1.length > 1) == Set(("ab", false), ("aba", false)))
   }
+
+  test("heavyHitters: exact counts survive the MG sketch under a hostile tail") {
+    import spark.implicits._
+    // 2 heavy tokens + a long unique tail that forces decrement sweeps:
+    // with phiInv = 5, k = 10 counters per partition, and 300 distinct
+    // tail tokens, every sketch table overflows repeatedly — the
+    // guarantee is that hot/warm still surface with EXACT counts.
+    val words = Seq.fill(120)("hot") ++ Seq.fill(80)("warm") ++
+      (1 to 300).map(i => s"u$i")
+    val total = words.size // 500; threshold = 100
+    val d = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      .repartition(7) // multi-partition: exercises the merge theorem
+    val out = Pipeline.heavyHitters(d, "text", phiInv = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set(("hot", 120L, total.toLong)))
+    // warm (80 < 100) correctly excluded by the exact threshold even
+    // though the sketch certainly admitted it as a candidate
+    val out2 = Pipeline.heavyHitters(d, "text", phiInv = 7) // threshold ~71.4
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out2 == Set(("hot", 120L), ("warm", 80L)))
+  }
+
+  test("knBigramScore: hand-computed Kneser-Ney probabilities") {
+    import spark.implicits._
+    // corpus bigrams: (a b) ×2, (b a) ×1, (b c) ×1  →
+    // c(a·)=2 n1p(a)=1; c(b·)=2 n1p(b)=2; ncont(a)=1 ncont(b)=1
+    // ncont(c)=1; T=3
+    val d = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val r = Quality.knBigramScore(d, "text").collect()(0)
+    assert(r.getAs[Long]("n_bigrams") == 4L)
+    def nll(c2: Long, c1: Long, n1p: Long, ncont: Long): Long = {
+      val p = math.max(c2 - 0.75, 0.0) / c1 +
+        ((0.75 * n1p) / c1) * (ncont.toDouble / 3.0)
+      math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    }
+    val expected = 2 * nll(2, 2, 1, 1) + // a→b twice
+      nll(1, 2, 2, 1) +                  // b→a
+      nll(1, 2, 2, 1)                    // b→c (same stats as b→a)
+    assert(r.getAs[Long]("kn_nll_sum_e6") == expected)
+    assert(r.getAs[Long]("kn_avg_nll_e6") == expected / 4)
+  }
+
+  test("readability: hand-counted words, sentences, vowel-group syllables") {
+    import spark.implicits._
+    // "the table. it works! really?" → W=5, S=3 ([.][!][?]),
+    // syllables: the=1 table=2(a,e) it=1 works=1(o) really=2(ea,y) → 7
+    val d = Seq((1L, "the table. it works! really?"),
+      (2L, ""), (3L, "zzz")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(d, "text").orderBy("doc_id").collect()
+    val r = out(0)
+    assert(r.getAs[Long]("n_words") == 5L)
+    assert(r.getAs[Long]("n_sentences") == 3L)
+    assert(r.getAs[Long]("n_syllables") == 7L)
+    val wps = 5.0 / 3.0; val spw = 7.0 / 5.0
+    assert(r.getAs[Long]("flesch_ease_milli") ==
+      math.floor((206.835 - 1.015 * wps - 84.6 * spw) * 1000.0 + 0.5).toLong)
+    assert(r.getAs[Long]("fk_grade_milli") ==
+      math.floor((0.39 * wps + 11.8 * spw - 15.59) * 1000.0 + 0.5).toLong)
+    // empty text: zero words, clamped sentence floor, zero scores
+    assert(out(1).getAs[Long]("n_words") == 0L &&
+      out(1).getAs[Long]("flesch_ease_milli") == 0L)
+    // vowel-free token clamps to 1 syllable
+    assert(out(2).getAs[Long]("n_syllables") == 1L)
+  }
 }

@@ -54,7 +54,9 @@ class PlanSpec extends AnyFunSuite {
       "x_pipe_split" -> graft.ext.Pipeline.split(docs),
       "x_pipe_shuffle" -> graft.ext.Pipeline.shuffleShards(docs),
       "x_pipe_chunk" -> graft.ext.Pipeline.chunk(docs, "text"),
-      "x_pipe_cdc" -> graft.ext.Pipeline.cdcChunks(docs, "text"))
+      "x_pipe_cdc" -> graft.ext.Pipeline.cdcChunks(docs, "text"),
+      "x_text_readability" ->
+        graft.ext.TextAnalysis.readability(docs, "text"))
     for ((name, df) <- pureMaps)
       assert(shuffles(df) == 0,
         s"$name grew a shuffle:\n${planOf(df)}")
@@ -278,6 +280,30 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(df) == 2, s"wordpiece encode shuffle count:\n$p")
     assert(windowNodes(df) == 0, s"wordpiece encode grew a window:\n$p")
     assert(!p.contains("Join"), s"wordpiece encode grew a join:\n$p")
+  }
+
+  test("KN bigram LM: vocab²-bounded model broadcasts to the scoring join") {
+    // same contract as the add-one LM / DSIR: the model must reach the
+    // corpus-sized scoring join as a broadcast — a SortMergeJoin there
+    // means the Zipf-bounded model regressed to shuffling with the
+    // corpus bigrams.
+    val df = graft.ext.Quality.knBigramScore(docs, "text")
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"), s"kn model join not broadcast:\n$p")
+    assert(windowNodes(df) == 0, s"kn grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"kn cartesian:\n$p")
+  }
+
+  test("heavy hitters: candidate set broadcasts to the exact recount") {
+    // the recount must be token ⋈ broadcast(candidates): a
+    // SortMergeJoin means the bounded candidate relation regressed to
+    // shuffling the full token stream by token — exactly the wide
+    // exchange the MG sketch exists to avoid.
+    val df = graft.ext.Pipeline.heavyHitters(docs, "text", phiInv = 30)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"), s"hh recount not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"hh token stream shuffled for the recount:\n$p")
+    assert(windowNodes(df) == 0, s"hh grew a window:\n$p")
   }
 
   test("hits: per-round totals broadcast back; no cartesian, no window") {
