@@ -903,5 +903,80 @@ private[graft] object ExtSimQueries {
           |cand AS (SELECT DISTINCT b.vec_id, b.lsh_bucket
           |         FROM buckets b JOIN probes p ON b.lsh_bucket = p.bucket)
           |""".stripMargin + lshOracleSelect(20)))
+
+    ,
+    // Hybrid retrieval: BM25 lexical top-50 (terms "vector merge
+    // scan" over documents) fused with exact-cosine dense top-50
+    // (query = vec_id 0, doc_id ≡ vec_id) by reciprocal-rank fusion —
+    // the production RAG/search-stack combiner. Every score is
+    // integer fixed point (BM25 e6 sums, cosine e6, RRF 1e12 DIV
+    // (60+rank)), so the fused ranking is engine-exact end to end.
+    QueryDef("x_hybrid_rrf",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val lex = Quality.bm25TopK(spark.table("documents"), "text",
+          Seq("vector", "merge", "scan"), k = 50)
+        val vecs = spark.table("embeddings")
+        val vec = Similarity.cosineE6TopK(vecs,
+            Similarity.vectorOf(vecs, "vec_id", 0L), k = 50)
+          .withColumnRenamed("vec_id", "doc_id")
+        Similarity.rrfFuse(lex, "bm25_e6", vec, "cos_sim_e6",
+          "doc_id", k = 20)
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '') AS ts
+          |  FROM documents
+          |),
+          |lens AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM base),
+          |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM lens),
+          |tf AS (
+          |  SELECT doc_id, dl, t AS term, count(*) AS tf
+          |  FROM (SELECT doc_id, dl, unnest(ts) AS t FROM lens) q
+          |  WHERE t IN ('vector', 'merge', 'scan')
+          |  GROUP BY 1, 2, 3
+          |),
+          |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |contrib AS (
+          |  SELECT t.doc_id,
+          |         CAST(floor(
+          |           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+          |                    / (CAST(d.df AS DOUBLE) + 0.5))
+          |           * ((CAST(t.tf AS DOUBLE) * 2.2) /
+          |              (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+          |                (CAST(t.dl * s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE)))))
+          |           * 1e6 + 0.5) AS BIGINT) AS c_e6
+          |  FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s
+          |),
+          |lexs AS (SELECT doc_id, CAST(sum(c_e6) AS BIGINT) AS bm25_e6 FROM contrib GROUP BY 1),
+          |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS lex_rank
+          |         FROM (SELECT * FROM lexs ORDER BY bm25_e6 DESC, doc_id LIMIT 50) q),
+          |qemb AS (
+          |  SELECT vec_id, list_transform(embedding,
+          |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e
+          |  FROM embeddings
+          |),
+          |norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, v -> v * v)) AS BIGINT) AS nn FROM qemb),
+          |qe AS (SELECT e AS qv FROM qemb WHERE vec_id = 0),
+          |cosr0 AS (
+          |  SELECT v.vec_id AS doc_id,
+          |         CAST(floor(CAST(list_sum(list_transform(range(1, len(v.e) + 1),
+          |                  i -> v.e[i] * q.qv[i])) AS DOUBLE)
+          |               / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(qn.nn AS DOUBLE)))
+          |               * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
+          |  FROM qemb v CROSS JOIN qe q
+          |  JOIN norms n ON n.vec_id = v.vec_id
+          |  JOIN norms qn ON qn.vec_id = 0
+          |  WHERE n.nn > 0
+          |),
+          |vecr AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim_e6 DESC, doc_id) AS vec_rank
+          |         FROM (SELECT * FROM cosr0 ORDER BY cos_sim_e6 DESC, doc_id LIMIT 50) q)
+          |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+          |       coalesce(1000000000000 // (60 + l.lex_rank), 0)
+          |       + coalesce(1000000000000 // (60 + v.vec_rank), 0) AS rrf_e12
+          |FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id
+          |ORDER BY rrf_e12 DESC, doc_id
+          |LIMIT 20""".stripMargin))
   )
 }

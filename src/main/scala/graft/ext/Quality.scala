@@ -591,6 +591,54 @@ object Quality {
           .otherwise(lit(0L)))
   }
 
+  /** Okapi BM25 ranked retrieval over the corpus for a literal term
+    * set — the lexical side of hybrid search (the engine's F6 BM25
+    * scores the FTS index's search corpus; this one ranks the raw
+    * document table so it can fuse with the embedding side, which
+    * lives in the same id space).
+    *
+    * Parity: every sufficient statistic is an exact integer (tf, dl,
+    * df, N, Σdl); each (doc, term) contribution evaluates ONE fixed
+    * IEEE op tree over them — Lucene's idf = ln(1 + (N−df+0.5)/
+    * (df+0.5)), dl/avgdl written as (dl·N)/Σdl so it is a single
+    * division — and quantizes once to e6; per-doc scores are then
+    * integer sums (associative, fold-order free).
+    *
+    * Scale shape: tokens filter to the literal query terms BEFORE any
+    * aggregation (the scan emits ≤ |terms| rows per doc), the
+    * term-df and corpus-stats relations are broadcast (≤ |terms| rows
+    * and 1 row), and the only exchanges are the tiny tf agg and the
+    * top-k heap — the corpus text itself never shuffles.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, terms: Seq[String],
+      k: Int = 50, idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol), wsTokens(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"),
+        size(col("__ts")).cast("long").as("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col(idCol), col("dl"),
+        explode(filter(col("__ts"),
+          t => t.isin(terms.map(lit): _*))).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val d = (c: String) => col(c).cast("double")
+    // k1 = 1.2, b = 0.75 — the canonical constants, written as the
+    // same decimal literals on both engines (2.2 = k1+1, 0.25 = 1−b)
+    val cE6 = floor(
+      log(lit(1.0) + (d("n_docs") - d("df") + lit(0.5)) / (d("df") + lit(0.5))) *
+        ((d("tf") * lit(2.2)) /
+          (d("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            ((col("dl") * col("n_docs")).cast("double") / d("sum_dl"))))) *
+        lit(1e6) + lit(0.5)).cast("long")
+    tf.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
+      .withColumn("__c_e6", cE6)
+      .groupBy(col(idCol)).agg(sum(col("__c_e6")).as("bm25_e6"))
+      .orderBy(col("bm25_e6").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Kneser-Ney smoothed bigram LM score — the stronger sibling of
     * [[bigramLmScore]]'s add-one model (Kneser & Ney 1995; the
     * smoothing used by KenLM, whose perplexity is the CCNet filter

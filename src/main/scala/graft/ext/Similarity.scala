@@ -552,6 +552,62 @@ object Similarity {
   private def dotI(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
 
+  /** Exact-integer cosine top-k against a known query vector — the
+    * dense side of hybrid retrieval. Embeddings quantize IN-ROW to e6
+    * BIGINTs; numerator and norms are exact integer sums (fold-order
+    * free); the single double-precision step (num / (√na·√nq) · 1e6,
+    * floor + 0.5) is a fixed chain of correctly-rounded IEEE ops over
+    * identical integers, so the emitted `cos_sim_e6` BIGINT is
+    * engine-identical — the LSH-oracle fixed-point contract, promoted
+    * to an operator. Scale shape: in-row kernel + top-k heap; zero
+    * shuffle, the query is a literal array.
+    */
+  def cosineE6TopK(vectors: DataFrame, query: Seq[Float], k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val qe6 = query.map(quantE6)
+    val nq = qe6.map(x => x * x).sum
+    val qCol = array(qe6.map(lit): _*)
+    vectors.select(col(idCol), embE6.as("__e"))
+      .withColumn("__num", dotI(col("__e"), qCol))
+      .withColumn("__na", dotI(col("__e"), col("__e")))
+      .filter(col("__na") > 0)
+      .select(col(idCol),
+        floor(col("__num").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(lit(nq.toDouble))) *
+          lit(1e6) + lit(0.5)).cast("long").as("cos_sim_e6"))
+      .orderBy(col("cos_sim_e6").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of a
+    * lexical and a dense ranked list sharing one id space — THE
+    * standard hybrid-search combiner: each list contributes
+    * 1e12 DIV (rrfK + rank), integer-exact, so the fused score is
+    * engine-identical with zero float discipline. Both inputs are
+    * top-k lists (≤ k rows — bounded by construction), so the
+    * unpartitioned rank windows and the full-outer join are
+    * driver-trivial no matter the corpus size: all the heavy lifting
+    * happened inside the two retrieval legs.
+    */
+  def rrfFuse(lex: DataFrame, lexScore: String, vec: DataFrame,
+      vecScore: String, idCol: String, k: Int, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = lex.withColumn("lex_rank", row_number().over(
+        Window.orderBy(col(lexScore).desc, col(idCol))))
+      .select(col(idCol), col("lex_rank"))
+    val v = vec.withColumn("vec_rank", row_number().over(
+        Window.orderBy(col(vecScore).desc, col(idCol))))
+      .select(col(idCol), col("vec_rank"))
+    l.join(v, Seq(idCol), "full_outer")
+      .withColumn("rrf_e12",
+        coalesce(expr(s"CAST(1000000000000 AS BIGINT) DIV ($rrfK + lex_rank)"),
+          lit(0L)) +
+        coalesce(expr(s"CAST(1000000000000 AS BIGINT) DIV ($rrfK + vec_rank)"),
+          lit(0L)))
+      .orderBy(col("rrf_e12").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucket bits: sign of each integer hyperplane dot
     * (e6-quantized embedding · e3 integer hyperplane). Exact integer
     * arithmetic — bit assignment is reproducible by construction.

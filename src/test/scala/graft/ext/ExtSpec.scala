@@ -942,6 +942,48 @@ class ExtSpec extends AnyFunSuite {
     assert(out2 == Set(("hot", 120L), ("warm", 80L)))
   }
 
+  test("bm25TopK: hand-computed Okapi scores, absent-term docs excluded") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a"), (2L, "a c"), (3L, "d d d"))
+      .toDF("doc_id", "text")
+    // N=3, Σdl=8; df(a)=2, df(c)=1; doc 3 matches nothing → absent
+    def c(tf: Long, dl: Long, df: Long): Long = {
+      val idf = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+      val t = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl * 3.0 / 8.0)))
+      math.floor(idf * t * 1e6 + 0.5).toLong
+    }
+    val out = Quality.bm25TopK(d, "text", Seq("a", "c"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> c(2, 3, 2), 2L -> (c(1, 2, 2) + c(1, 2, 1))))
+  }
+
+  test("rrfFuse: integer reciprocal ranks, one-sided docs keep the other leg's 0") {
+    import spark.implicits._
+    val lex = Seq((10L, 500L), (11L, 400L), (12L, 300L)).toDF("doc_id", "s1")
+    val vec = Seq((11L, 900L), (13L, 800L)).toDF("doc_id", "s2")
+    val out = Similarity.rrfFuse(lex, "s1", vec, "s2", "doc_id", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+    def rr(r: Long) = 1000000000000L / (60 + r)
+    val m = out.map(t => t._1 -> t._4).toMap
+    assert(m == Map(10L -> rr(1), 11L -> (rr(2) + rr(1)),
+      12L -> rr(3), 13L -> rr(2)))
+    // 11 fused first (both legs), and one-sided rows carry null ranks
+    assert(out.head._1 == 11L)
+    assert(out.find(_._1 == 13L).get._2.isEmpty)
+  }
+
+  test("cosineE6TopK: exact e6 cosine, ties break on id, zero-norm dropped") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),
+      (2L, Seq(0.0f, 3.0f)), (3L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineE6TopK(vecs, Seq(1.0f, 0.0f), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1000000L), (1L, 1000000L), (2L, 0L)))
+  }
+
   test("knBigramScore: hand-computed Kneser-Ney probabilities") {
     import spark.implicits._
     // corpus bigrams: (a b) ×2, (b a) ×1, (b c) ×1  →

@@ -306,6 +306,23 @@ class PlanSpec extends AnyFunSuite {
     assert(windowNodes(df) == 0, s"hh grew a window:\n$p")
   }
 
+  test("hybrid retrieval legs: bm25 model broadcasts; cosine leg is a zero-shuffle heap") {
+    // lexical leg: the term-df (≤ |terms| rows) and corpus-stats
+    // (1 row) relations must broadcast — a SortMergeJoin would shuffle
+    // the tf relation for a 3-row dim
+    val lex = graft.ext.Quality.bm25TopK(docs, "text", Seq("a", "b"), k = 50)
+    val lp = planOf(lex)
+    assert(lp.contains("BroadcastHashJoin"), s"bm25 df join not broadcast:\n$lp")
+    assert(!lp.contains("CartesianProduct"), s"bm25 cartesian:\n$lp")
+    // dense leg: in-row e6 kernel + TakeOrdered — the PQ/SQ8 contract
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vec = graft.ext.Similarity.cosineE6TopK(vecs,
+      graft.ext.Similarity.vectorOf(vecs, "vec_id", 0L), k = 50)
+    assert(shuffles(vec) == 0, s"cosine leg grew a shuffle:\n${planOf(vec)}")
+    assert(planOf(vec).contains("TakeOrdered"),
+      s"cosine leg lost its top-k heap:\n${planOf(vec)}")
+  }
+
   test("hits: per-round totals broadcast back; no cartesian, no window") {
     import spark.implicits._
     val edges = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("src", "dst")
