@@ -666,6 +666,65 @@ private[graft] object ExtShared {
        |ORDER BY cos_sim_e6 DESC, c.vec_id
        |LIMIT $k""".stripMargin
 
+  /** DuckDB mirror of Similarity.topPrincipalComponent: the e6 Pearson
+    * matrix from exact integer sufficient statistics (the
+    * dimCorrelation tree with floor-e6 instead of round-6), mirrored
+    * to the full symmetric matrix, then `iters` power-iteration
+    * rounds unrolled as CTEs. Normalization divides POSITIVE integers
+    * only (|raw| // max(max|raw| // 1e6, 1), sign re-applied), so
+    * DuckDB's flooring `//` and Spark's truncating DIV agree on every
+    * operand pair.
+    */
+  private[graft] def pcaPowerOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s""",
+         |w$r AS (SELECT m.dim_i AS dim, CAST(sum(m.corr_e6 * p.v) AS BIGINT) AS raw
+         |        FROM mat m JOIN p${r - 1} p ON p.dim = m.dim_j GROUP BY 1),
+         |mx$r AS (SELECT greatest(max(abs(raw)) // 1000000, 1) AS mxd FROM w$r),
+         |p$r AS (SELECT dim,
+         |               CAST(CASE WHEN raw < 0 THEN -(abs(raw) // x.mxd)
+         |                         ELSE abs(raw) // x.mxd END AS BIGINT) AS v
+         |        FROM w$r CROSS JOIN mx$r x)""".stripMargin
+    }.mkString
+    s"""WITH ex6 AS (
+       |  SELECT vec_id,
+       |         unnest(list_transform(embedding,
+       |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS ve,
+       |         unnest(range(len(embedding))) AS i
+       |  FROM embeddings
+       |),
+       |mom AS (
+       |  SELECT i, sum(ve) AS s1, sum(ve * ve) AS s2, count(*) AS n
+       |  FROM ex6 GROUP BY i
+       |),
+       |pairs AS (
+       |  SELECT a.i AS dim_i, b.i AS dim_j, sum(a.ve * b.ve) AS sij
+       |  FROM ex6 a JOIN ex6 b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2
+       |),
+       |upper_ AS (
+       |  SELECT p.dim_i, p.dim_j,
+       |         CASE WHEN (CAST(mi.n AS DOUBLE) * mi.s2 - CAST(mi.s1 AS DOUBLE) * mi.s1) <= 0
+       |                OR (CAST(mj.n AS DOUBLE) * mj.s2 - CAST(mj.s1 AS DOUBLE) * mj.s1) <= 0
+       |              THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(floor(
+       |                (CAST(mi.n AS DOUBLE) * p.sij - CAST(mi.s1 AS DOUBLE) * mj.s1)
+       |                / (sqrt(CAST(mi.n AS DOUBLE) * mi.s2 - CAST(mi.s1 AS DOUBLE) * mi.s1)
+       |                   * sqrt(CAST(mj.n AS DOUBLE) * mj.s2 - CAST(mj.s1 AS DOUBLE) * mj.s1))
+       |                * 1e6 + 0.5) AS BIGINT) END AS corr_e6
+       |  FROM pairs p JOIN mom mi ON mi.i = p.dim_i JOIN mom mj ON mj.i = p.dim_j
+       |),
+       |mat AS MATERIALIZED (
+       |  SELECT dim_i, dim_j, corr_e6 FROM upper_
+       |  UNION ALL
+       |  SELECT dim_j AS dim_i, dim_i AS dim_j, corr_e6 FROM upper_
+       |  WHERE dim_i <> dim_j
+       |),
+       |p0 AS (SELECT DISTINCT dim_i AS dim, CAST(1000000 AS BIGINT) AS v FROM mat)
+       |$rounds
+       |SELECT dim, v AS pc_e6 FROM p$iters ORDER BY dim""".stripMargin
+  }
+
   /** DuckDB mirror of Similarity.kmeansIvfSearch: the same Lloyd rounds
     * unrolled as CTE chains (c0 → a1 → c1 → a2 → c2 → final assign +
     * probe + exact cosine).

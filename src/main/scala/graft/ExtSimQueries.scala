@@ -905,6 +905,20 @@ private[graft] object ExtSimQueries {
           |""".stripMargin + lshOracleSelect(20)))
 
     ,
+    // Top principal component of the embedding correlation matrix by
+    // integer power iteration (8 rounds, e6 fixed point) — the
+    // all-but-the-top / whitening companion to x_sim_dim_corr: the
+    // dominant anisotropy direction whose removal is the standard
+    // embedding post-process. Deterministic by the HITS recipe
+    // (positive-integer division normalization, fixed rounds).
+    QueryDef("x_sim_pca_power",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.topPrincipalComponent(spark.table("embeddings"), iters = 8)
+          .orderBy("dim")
+      },
+      Some(pcaPowerOracle(8))),
+
     // Hybrid retrieval: BM25 lexical top-50 (terms "vector merge
     // scan" over documents) fused with exact-cosine dense top-50
     // (query = vec_id 0, doc_id ≡ vec_id) by reciprocal-rank fusion —

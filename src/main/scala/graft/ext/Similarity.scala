@@ -367,7 +367,23 @@ object Similarity {
     * norms; beyond that, re-quantize to e4 or aggregate hierarchically.
     */
   def dimCorrelation(vectors: DataFrame,
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    corrStatsJoined(vectors, vecCol)
+      .withColumn("corr", when(col("__di") <= 0 || col("__dj") <= 0, lit(0.0))
+        .otherwise(round(
+          (col("n").cast("double") * col("sij") -
+            col("s1i").cast("double") * col("s1j")) /
+            (sqrt(col("__di")) * sqrt(col("__dj"))), 6)))
+      .select(col("dim_i").cast("long").as("dim_i"),
+        col("dim_j").cast("long").as("dim_j"), col("n"), col("corr"))
+
+  /** The upper-triangle Pearson sufficient statistics (exact-integer
+    * in-row outer products + e6-quantized moment relation) shared by
+    * [[dimCorrelation]] and [[corrMatrixE6]]. Columns: dim_i ≤ dim_j,
+    * sij, s1i/s2i/s1j/s2j, n, and the (double) variance numerators
+    * __di/__dj.
+    */
+  private def corrStatsJoined(vectors: DataFrame, vecCol: String): DataFrame = {
     val vE6 = transform(col(vecCol),
       x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
     val withV = vectors.withColumn("__ve", vE6)
@@ -392,13 +408,67 @@ object Similarity {
         col("s1i").cast("double") * col("s1i"))
       .withColumn("__dj", col("n").cast("double") * col("s2j") -
         col("s1j").cast("double") * col("s1j"))
-      .withColumn("corr", when(col("__di") <= 0 || col("__dj") <= 0, lit(0.0))
-        .otherwise(round(
+  }
+
+  /** The FULL symmetric Pearson matrix in e6 fixed point — the input
+    * relation of [[topPrincipalComponent]]: corr_e6 = floor(r·1e6+0.5)
+    * from the same fixed IEEE op tree as [[dimCorrelation]] (one
+    * double chain over exact integer sufficient statistics), mirrored
+    * across the diagonal. d² rows — broadcast-sized at any corpus
+    * scale.
+    */
+  private[ext] def corrMatrixE6(vectors: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val up = corrStatsJoined(vectors, vecCol)
+      .withColumn("corr_e6", when(col("__di") <= 0 || col("__dj") <= 0, lit(0L))
+        .otherwise(floor(
           (col("n").cast("double") * col("sij") -
             col("s1i").cast("double") * col("s1j")) /
-            (sqrt(col("__di")) * sqrt(col("__dj"))), 6)))
-      .select(col("dim_i").cast("long").as("dim_i"),
-        col("dim_j").cast("long").as("dim_j"), col("n"), col("corr"))
+            (sqrt(col("__di")) * sqrt(col("__dj"))) * lit(1e6) + lit(0.5))
+          .cast("long")))
+      .select(col("dim_i"), col("dim_j"), col("corr_e6"))
+    up.unionByName(up.filter(col("dim_i") =!= col("dim_j"))
+      .select(col("dim_j").as("dim_i"), col("dim_i").as("dim_j"),
+        col("corr_e6")))
+  }
+
+  /** Top principal component of the embedding correlation matrix by
+    * synchronous power iteration in integer fixed point — the
+    * all-but-the-top / whitening diagnostic (Mu & Viswanath 2018): the
+    * direction that dominates anisotropic embedding spaces, whose
+    * removal is the classic post-process. Companion to
+    * [[dimCorrelation]], which reports the matrix this iterates on.
+    *
+    * Determinism contract (the HITS recipe): v₀ = 1e6 on every dim;
+    * each round multiplies the e6 integer matrix by the e6 integer
+    * vector (exact BIGINT sums, ≤ d·1e12 per entry — safe to d ≈ 9M)
+    * and re-normalizes by L∞ via POSITIVE integer division
+    * (|w|·DIV·max(max|w| DIV 1e6, 1), sign re-applied), so truncating
+    * DIV and flooring `//` agree operand-by-operand and the oracle
+    * unrolls identical rounds. Fixed `iters` rounds, no convergence
+    * test — deterministic by construction. The matrix (d² rows) and
+    * per-round vector (d rows) are driver-free; each round is one
+    * broadcast-joined agg over the checkpointed d²-row relation.
+    */
+  def topPrincipalComponent(vectors: DataFrame, iters: Int = 8,
+      vecCol: String = "embedding"): DataFrame = {
+    val m = corrMatrixE6(vectors, vecCol).localCheckpoint(true)
+    var v = m.select(col("dim_i").as("dim")).distinct()
+      .withColumn("v_e6", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val w = m.join(broadcast(v.select(col("dim").as("dim_j"),
+          col("v_e6").as("vj"))), "dim_j")
+        .groupBy(col("dim_i").as("dim"))
+        .agg(sum(col("corr_e6") * col("vj")).as("raw"))
+      val mx = w.agg(greatest(expr("max(abs(raw)) DIV 1000000"), lit(1L))
+        .as("mxd"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("dim"),
+          (when(col("raw") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("abs(raw) DIV mxd")).as("v_e6"))
+        .localCheckpoint(true)
+    }
+    v.select(col("dim").cast("long").as("dim"), col("v_e6").as("pc_e6"))
   }
 
   /** Per-group embedding centroids in e6 fixed point — the cluster-

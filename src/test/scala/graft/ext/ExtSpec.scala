@@ -984,6 +984,26 @@ class ExtSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 1000000L), (1L, 1000000L), (2L, 0L)))
   }
 
+  test("topPrincipalComponent: duplicated dims load equally; deterministic reruns") {
+    import spark.implicits._
+    // dim0 == dim1 exactly (corr 1e6) — the correlation matrix is
+    // symmetric under swapping them, v₀ is too, so EVERY integer
+    // round must keep their loadings identical
+    val vecs = Seq(
+      (0L, Seq(0.1f, 0.1f, 0.9f)), (1L, Seq(0.4f, 0.4f, 0.1f)),
+      (2L, Seq(0.7f, 0.7f, 0.3f)), (3L, Seq(0.2f, 0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topPrincipalComponent(vecs, iters = 6)
+      .orderBy("dim").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(out(0)._2 == out(1)._2)
+    // L∞ normalization keeps magnitudes ~e6-bounded
+    assert(out.map(_._2.abs).max <= 1100000L)
+    val again = Similarity.topPrincipalComponent(vecs, iters = 6)
+      .orderBy("dim").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("knBigramScore: hand-computed Kneser-Ney probabilities") {
     import spark.implicits._
     // corpus bigrams: (a b) ×2, (b a) ×1, (b c) ×1  →

@@ -323,6 +323,21 @@ class PlanSpec extends AnyFunSuite {
       s"cosine leg lost its top-k heap:\n${planOf(vec)}")
   }
 
+  test("pca power iteration: rounds are checkpoint-truncated; no cartesian/window leaks") {
+    // every round materializes through localCheckpoint (the pageRank /
+    // hits lesson: self-referencing iteration otherwise doubles the
+    // analysis-time plan per round), so the RETURNED plan must be a
+    // flat scan of the last d-row checkpoint — no join/window/cartesian
+    // re-derivation of earlier rounds. The matrix-build join shape
+    // itself is pinned by the dim-correlation test (shared relation).
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.ext.Similarity.topPrincipalComponent(vecs, iters = 2)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), s"pca cartesian:\n$p")
+    assert(windowNodes(df) == 0, s"pca grew a window:\n$p")
+    assert(!p.contains("Join"), s"pca final plan re-derives rounds:\n$p")
+  }
+
   test("hits: per-round totals broadcast back; no cartesian, no window") {
     import spark.implicits._
     val edges = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("src", "dst")
