@@ -435,6 +435,69 @@ private[graft] object ExtTextQueries {
           |SELECT node AS host, pr AS pr_e9 FROM pr2
           |ORDER BY pr_e9 DESC, host""".stripMargin)),
 
+    // Label-propagation communities over the host co-occurrence graph
+    // (Raghavan et al. 2007, deterministic min-label tie-break) —
+    // domain clustering for source curation, beside pagerank's
+    // centrality on the SAME graph. Three synchronous rounds; every
+    // update is a (count desc, label asc) argmax, so the oracle
+    // unrolls identical rounds.
+    QueryDef("x_graph_lpa",
+      (spark, sfDir) => {
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("text_urls").as("text"))
+        val t = coalesce(col("text"), lit(""))
+        val urls = regexp_extract_all(t, lit("https?://[^\\s]+"), lit(0))
+        val hosts = transform(urls,
+          u => regexp_extract(u, "^https?://([^/\\s]+)", 1))
+        val docHosts = aug.select(col("doc_id"), explode(hosts).as("host"))
+        Graph.labelPropagation(
+            Graph.cooccurrenceEdges(docHosts, "doc_id", "host"), iters = 3)
+          .withColumnRenamed("node", "host")
+          .orderBy("host")
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s""",
+             |n$r AS (
+             |  SELECT e.dst AS node, l.lab, count(*) AS c
+             |  FROM edges e JOIN l${r - 1} l ON l.node = e.src
+             |  GROUP BY 1, 2
+             |),
+             |l$r AS (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab,
+             |           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+             |    FROM n$r) q
+             |  WHERE rn = 1
+             |)""".stripMargin
+        }.mkString
+        s"""WITH aug AS (
+           |  SELECT doc_id, coalesce(text, '') ||
+           |         CASE WHEN doc_id % 3 = 0
+           |              THEN ' see https://www.site' || (doc_id % 11) ||
+           |                   '.example.com/page/' || doc_id ||
+           |                   ' and http://cdn' || (doc_id % 5) || '.example.net/x'
+           |              ELSE '' END AS t
+           |  FROM documents
+           |),
+           |hx AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(regexp_extract_all(t, 'https?://[^\\s]+'),
+           |                u -> regexp_extract(u, '^https?://([^/\\s]+)', 1))) AS host
+           |  FROM aug
+           |),
+           |dh AS (SELECT DISTINCT doc_id, host FROM hx),
+           |edges AS (
+           |  SELECT DISTINCT a.host AS src, b.host AS dst
+           |  FROM dh a JOIN dh b ON a.doc_id = b.doc_id AND a.host <> b.host
+           |),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |l0 AS (SELECT node, node AS lab FROM nodes)
+           |$rounds
+           |SELECT node AS host, lab AS community FROM l3
+           |ORDER BY host""".stripMargin
+      }),
+
     // HITS hubs & authorities over the DIRECTED source→cited-host
     // graph (which corpus sources cite the most-cited hosts — the
     // companion centrality to PageRank's host co-citation). Two

@@ -112,6 +112,43 @@ object Graph {
         coalesce(col("auth"), lit(0L)).as("auth_e6"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection for source/domain clustering: every node starts as its
+    * own label; each round every node adopts the most frequent label
+    * among its neighbors (ties to the smallest label — the
+    * deterministic variant; the paper's random tie-break is exactly
+    * what an engine-reproducible pipeline cannot use). Fixed `iters`
+    * rounds, synchronous updates, so the oracle unrolls identical CTE
+    * rounds; string comparison is the only ordering used, identical
+    * in any engine.
+    *
+    * Scale shape per round: one edges⋈labels hash join + one
+    * (node,label) count agg + one node-keyed struct-min argmax (the
+    * (−count, label) min IS (max count, min label) — no Window, no
+    * extra sort). Zero driver state; rounds truncate via
+    * localCheckpoint (the pageRank lesson).
+    *
+    * Input edges must be SYMMETRIC (both directions present —
+    * [[cooccurrenceEdges]] guarantees it); isolated nodes don't occur
+    * in an edge list by construction.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct()
+    var lab = nodes.withColumn("lab", col("node"))
+    for (_ <- 1 to iters) {
+      lab = e.join(lab.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((col("c") * -1).as("nc"), col("lab").as("l")))
+          .as("best"))
+        .select(col("node"), col("best.l").as("lab"))
+        .localCheckpoint(true)
+    }
+    lab.select(col("node"), col("lab").as("community"))
+  }
+
   /** `score = raw·mass DIV Σraw` — L1 normalization in fixed point;
     * the 1-row total broadcasts back (the temperature-weights idiom).
     */

@@ -54,4 +54,20 @@ class GraphSpec extends AnyFunSuite {
       "a" -> (615384L, 0L), "b" -> (384615L, 0L),
       "x" -> (0L, 625000L), "y" -> (0L, 375000L)))
   }
+
+  test("labelPropagation: hand-unrolled sync rounds with min-label ties") {
+    import spark.implicits._
+    // triangle {a,b,c} + pendant d—c (symmetric edge list)
+    val und = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // round 1 (all neighbor labels distinct → min-label ties):
+    //   a←{b,c}→b   b←{a,c}→a   c←{a,b,d}→a   d←{c}→c
+    val r1 = Graph.labelPropagation(edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r1 == Map("a" -> "b", "b" -> "a", "c" -> "a", "d" -> "c"))
+    // round 2: a←{a,a}→a  b←{b,a}→a  c←{b,a,c}→a  d←{a}→a; round 3 fixed
+    val r3 = Graph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r3 == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
+  }
 }
