@@ -514,6 +514,34 @@ private[graft] object ExtQualityQueries {
           |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
           |ORDER BY d.doc_id""".stripMargin)),
 
+    // Dataset-card rollup: source / source×lang / corpus-total doc,
+    // token, and char counts in ONE grouping-sets pass — the release
+    // summary table every corpus ships, and the a5_grouping_sets
+    // one-exchange collapse applied to curation stats.
+    QueryDef("x_stats_dataset_card",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.datasetCard(spark.table("documents"), "text")
+          .orderBy("source", "lang")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT source, lang,
+          |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+          |                   t -> t <> '')) AS BIGINT) AS nt,
+          |         CAST(len(coalesce(text, '')) AS BIGINT) AS nc
+          |  FROM documents
+          |)
+          |SELECT coalesce(source, '<all>') AS source,
+          |       coalesce(lang, '<all>') AS lang,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+          |       CAST(sum(nc) AS BIGINT) AS n_chars,
+          |       CAST(sum(nt) * 1000 // count(*) AS BIGINT) AS avg_tokens_milli
+          |FROM base
+          |GROUP BY ROLLUP (source, lang)
+          |ORDER BY source, lang""".stripMargin)),
+
     // Kneser-Ney smoothed bigram LM (KenLM's smoothing — the CCNet
     // perplexity-filter signal, beside the add-one x_quality_lm_score):
     // continuation-count backoff with fixed D=0.75, all sufficient

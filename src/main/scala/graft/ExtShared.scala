@@ -675,7 +675,42 @@ private[graft] object ExtShared {
     * DuckDB's flooring `//` and Spark's truncating DIV agree on every
     * operand pair.
     */
-  private[graft] def pcaPowerOracle(iters: Int): String = {
+  private[graft] def pcaPowerOracle(iters: Int): String =
+    s"""${pcaPowerCtes(iters)}
+       |SELECT dim, v AS pc_e6 FROM p$iters ORDER BY dim""".stripMargin
+
+  /** The ABTT oracle: the same power-iteration chain, then per-vector
+    * projection removal with the engine's sign-split truncating
+    * division (positive operands only reach `//`).
+    */
+  private[graft] def abttOracle(iters: Int): String =
+    s"""${pcaPowerCtes(iters)},
+       |uu AS (SELECT sum(v * v) AS uu FROM p$iters),
+       |cn AS (
+       |  SELECT e.vec_id, sum(e.ve * p.v) AS c, sum(e.ve * e.ve) AS n2
+       |  FROM ex6 e JOIN p$iters p ON p.dim = e.i GROUP BY 1
+       |),
+       |kk AS (
+       |  SELECT vec_id,
+       |         CAST(floor(CAST(c AS DOUBLE) / CAST(u.uu AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS k_e6,
+       |         n2
+       |  FROM cn CROSS JOIN uu u
+       |),
+       |res AS (
+       |  SELECT e.vec_id,
+       |         e.ve - (CASE WHEN k.k_e6 * p.v < 0
+       |                      THEN -((-(k.k_e6 * p.v)) // 1000000)
+       |                      ELSE (k.k_e6 * p.v) // 1000000 END) AS r
+       |  FROM ex6 e
+       |  JOIN p$iters p ON p.dim = e.i
+       |  JOIN kk k ON k.vec_id = e.vec_id
+       |),
+       |ra AS (SELECT vec_id, CAST(sum(r * r) AS BIGINT) AS norm2_after FROM res GROUP BY 1)
+       |SELECT k.vec_id, k.k_e6, CAST(k.n2 AS BIGINT) AS norm2_before, ra.norm2_after
+       |FROM kk k JOIN ra USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
+  private def pcaPowerCtes(iters: Int): String = {
     val rounds = (1 to iters).map { r =>
       s""",
          |w$r AS (SELECT m.dim_i AS dim, CAST(sum(m.corr_e6 * p.v) AS BIGINT) AS raw
@@ -721,9 +756,22 @@ private[graft] object ExtShared {
        |  WHERE dim_i <> dim_j
        |),
        |p0 AS (SELECT DISTINCT dim_i AS dim, CAST(1000000 AS BIGINT) AS v FROM mat)
-       |$rounds
-       |SELECT dim, v AS pc_e6 FROM p$iters ORDER BY dim""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  // The d-value top-PC artifact memoized per sfDir (the PQ-codebook
+  // bounded-collect contract): trained once, consumed by the ABTT
+  // transform query as a literal broadcast model.
+  private[graft] val pcaCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+  private[graft] def pcaArtifact(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[Long] =
+    pcaCache.getOrElseUpdate(sfDir, {
+      Corpus.registerSources(spark, sfDir)
+      graft.ext.Similarity
+        .topPrincipalComponent(spark.table("embeddings"), iters = 8)
+        .orderBy("dim").collect().map(_.getLong(1)).toSeq
+    })
 
   /** DuckDB mirror of Similarity.kmeansIvfSearch: the same Lloyd rounds
     * unrolled as CTE chains (c0 → a1 → c1 → a2 → c2 → final assign +

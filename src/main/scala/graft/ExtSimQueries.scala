@@ -919,6 +919,21 @@ private[graft] object ExtSimQueries {
       },
       Some(pcaPowerOracle(8))),
 
+    // All-but-the-top residual profile: remove each embedding's
+    // component along the trained top PC (the pcaArtifact bounded
+    // broadcast model) — the anisotropy repair applied before cosine
+    // retrieval. Exact integer dots, one double division per vector
+    // (k_e6), sign-split truncating projection — engine-identical
+    // BIGINTs end to end. In-row kernel, zero shuffle.
+    QueryDef("x_sim_abtt",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.abttProfile(spark.table("embeddings"),
+            pcaArtifact(spark, sfDir))
+          .orderBy("vec_id")
+      },
+      Some(abttOracle(8))),
+
     // Hybrid retrieval: BM25 lexical top-50 (terms "vector merge
     // scan" over documents) fused with exact-cosine dense top-50
     // (query = vec_id 0, doc_id ≡ vec_id) by reciprocal-rank fusion —

@@ -591,6 +591,28 @@ object Quality {
           .otherwise(lit(0L)))
   }
 
+  /** Dataset-card rollup — the summary table a corpus release ships
+    * (per source, per source×lang, and corpus-total doc/token/char
+    * counts in ONE aggregation pass): `ROLLUP(by1, by2)` expands to
+    * the three grouping sets inside a single exchange (the
+    * a5_grouping_sets collapse, applied to corpus curation). Subtotal
+    * rows surface as `<all>` so every output column stays scalar; the
+    * milli-average is an integer DIV of exact sums.
+    */
+  def datasetCard(docs: DataFrame, textCol: String,
+      by1: String = "source", by2: String = "lang"): DataFrame =
+    docs.select(col(by1), col(by2),
+        size(wsTokens(col(textCol))).cast("long").as("__nt"),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("__nc"))
+      .rollup(col(by1), col(by2))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"),
+        expr("sum(__nt) * 1000 DIV count(1)").as("avg_tokens_milli"))
+      .select(coalesce(col(by1), lit("<all>")).as(by1),
+        coalesce(col(by2), lit("<all>")).as(by2),
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("avg_tokens_milli"))
+
   /** Okapi BM25 ranked retrieval over the corpus for a literal term
     * set — the lexical side of hybrid search (the engine's F6 BM25
     * scores the FTS index's search corpus; this one ranks the raw

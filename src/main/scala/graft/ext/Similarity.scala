@@ -678,6 +678,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** All-but-the-top residual profile (Mu & Viswanath 2018): remove
+    * each embedding's component along the dominant direction `pc` (the
+    * [[topPrincipalComponent]] artifact — d e6-integers, the bounded
+    * broadcast-model contract) and report the exact integer norm²
+    * before/after plus the projection coefficient. The anisotropy
+    * repair every embedding pipeline applies before cosine retrieval;
+    * here expressed so both engines land on identical BIGINTs:
+    *
+    *  - c = Σ vᵢ·uᵢ and uu = Σ uᵢ² are exact integer dots;
+    *  - k_e6 = floor(c/uu · 1e6 + 0.5) — ONE double division of exact
+    *    integers (correctly rounded, engine-identical);
+    *  - residual rᵢ = vᵢ − trunc(k_e6·uᵢ / 1e6), the signed truncating
+    *    division written sign-split so Spark's DIV and DuckDB's
+    *    flooring `//` agree on every operand;
+    *  - norms are exact integer sums of squares.
+    *
+    * Scale shape: pure in-row kernel over a literal array — zero
+    * shuffle; the PC artifact is d values, broadcast by construction.
+    */
+  def abttProfile(vectors: DataFrame, pc: Seq[Long],
+      idCol: String = "vec_id"): DataFrame = {
+    val uu = pc.map(x => x * x).sum
+    require(uu > 0, "ABTT needs a non-zero principal component")
+    val uCol = array(pc.map(lit): _*)
+    // trunc(s / 1e6), sign-split; the positive branch is computed as
+    // (|s| − |s| % 1e6) / 1e6 — the numerator is an exact multiple of
+    // 1e6 and ≤ 1e12, so the double division is exact
+    val proj = (s: Column) => {
+      val a = abs(s)
+      val q = ((a - a % lit(1000000L)) / lit(1000000L)).cast("long")
+      when(s < 0, -q).otherwise(q)
+    }
+    vectors.select(col(idCol), embE6.as("__e"))
+      .withColumn("__c", dotI(col("__e"), uCol))
+      .withColumn("k_e6",
+        floor(col("__c").cast("double") / lit(uu.toDouble) * lit(1e6) +
+          lit(0.5)).cast("long"))
+      .withColumn("__r", zip_with(col("__e"), uCol,
+        (v, u) => v - proj(col("k_e6") * u)))
+      .select(col(idCol), col("k_e6"),
+        dotI(col("__e"), col("__e")).as("norm2_before"),
+        dotI(col("__r"), col("__r")).as("norm2_after"))
+  }
+
   /** Bucket bits: sign of each integer hyperplane dot
     * (e6-quantized embedding · e3 integer hyperplane). Exact integer
     * arithmetic — bit assignment is reproducible by construction.

@@ -1004,6 +1004,37 @@ class ExtSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("abttProfile: hand-computed projection removal, signed truncation") {
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(-3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val u = Seq(1000000L, 0L) // PC along dim 0
+    val out = Similarity.abttProfile(vecs, u).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // v=(3e6,4e6): c=3e12, uu=1e12 → k_e6=3e6; residual (0,4e6)
+    assert(out(0) == (1L, 3000000L, 25000000000000L, 16000000000000L))
+    // negative side: k_e6 = floor(-3e6+0.5) = -3e6; sign-split
+    // truncation gives proj -3e6 → residual (0,4e6) again
+    assert(out(1) == (2L, -3000000L, 25000000000000L, 16000000000000L))
+  }
+
+  test("datasetCard: rollup emits per-pair, per-source, and total rows") {
+    import spark.implicits._
+    val d = Seq(("s0", "en", "a b"), ("s0", "de", "c"), ("s1", "en", "d e f"))
+      .toDF("source", "lang", "text")
+    val out = Quality.datasetCard(d, "text").orderBy("source", "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("<all>", "<all>", 3L, 6L, 2000L),
+      ("s0", "<all>", 2L, 3L, 1500L),
+      ("s0", "de", 1L, 1L, 1000L),
+      ("s0", "en", 1L, 2L, 2000L),
+      ("s1", "<all>", 1L, 3L, 3000L),
+      ("s1", "en", 1L, 3L, 3000L)))
+  }
+
   test("knBigramScore: hand-computed Kneser-Ney probabilities") {
     import spark.implicits._
     // corpus bigrams: (a b) ×2, (b a) ×1, (b c) ×1  →

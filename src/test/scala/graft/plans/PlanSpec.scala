@@ -338,6 +338,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"pca final plan re-derives rounds:\n$p")
   }
 
+  test("abtt is an in-row kernel; dataset card is ONE grouping-sets exchange") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val abtt = graft.ext.Similarity.abttProfile(vecs,
+      Seq.fill(64)(1000000L))
+    assert(shuffles(abtt) == 0, s"abtt grew a shuffle:\n${planOf(abtt)}")
+    val card = graft.ext.Quality.datasetCard(docs, "text")
+    val p = planOf(card)
+    assert(shuffles(card) == 1, s"dataset card shuffle count:\n$p")
+    assert(p.contains("Expand"), s"dataset card lost the grouping-sets expand:\n$p")
+  }
+
   test("hits: per-round totals broadcast back; no cartesian, no window") {
     import spark.implicits._
     val edges = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("src", "dst")
