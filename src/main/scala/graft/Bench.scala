@@ -87,6 +87,12 @@ object Bench {
       // (x_pipe_bpe_merges, x_pipe_unigram_lm) still time training
       ExtShared.warmTokenizerArtifacts(spark, sfDir)
     }
+    setup("pca_build") = time {
+      // the top-PC artifact (same shipped-model contract): x_sim_abtt
+      // times the residual transform; x_sim_pca_power still times
+      // the power-iteration training itself
+      ExtShared.pcaArtifact(spark, sfDir): Unit
+    }
     }
 
     // Per-run success is tracked so the min is taken over SUCCESSFUL runs

@@ -63,6 +63,86 @@ private[graft] object ExtMmQueries {
            |SELECT doc_id, CAST(y AS INTEGER) AS frame,
            |       sum(p) / (8 * 255.0) AS feature_mean
            |FROM px GROUP BY doc_id, y
-           |ORDER BY doc_id, frame""".stripMargin))
+           |ORDER BY doc_id, frame""".stripMargin)),
+
+    // Perceptual average-hash per image through the REAL PNG codec
+    // (frameFeatures discipline: lossless round-trip ⇒ the oracle
+    // recomputes the hash from the pixel formula with no codec, and a
+    // decode defect breaks value parity). Docs with doc_id ≡ 1 (mod
+    // 10) are planted near-dups: previous doc's pixels, column 0
+    // brightened +4 clamped.
+    QueryDef("x_mm_phash",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        graft.ext.Multimodal.imageAHashes(spark, spark.table("documents"),
+            "doc_id").toDF()
+          .orderBy("doc_id")
+      },
+      Some(phashCtes +
+        """
+          |SELECT doc_id, ahash, ps AS px_sum FROM bits
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Image near-dup pairs: banded Hamming candidates over the aHash
+    // signatures (the factored simhash machinery, hamming ≤ 8) — the
+    // planted +4-brightened copies surface against their originals;
+    // unrelated md5-noise images (~30 expected differing bits) don't.
+    QueryDef("x_mm_phash_pairs",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val hashes = graft.ext.Multimodal.imageAHashes(spark,
+          spark.table("documents"), "doc_id").toDF()
+        Dedup.hashNearDups(hashes, "ahash", "doc_id",
+            bits = 60, bands = 4, maxHamming = 8)
+          .orderBy("id_a", "id_b")
+      },
+      Some(phashCtes +
+        """,
+          |banded AS (
+          |  SELECT doc_id, ahash, b.b AS band,
+          |         (ahash >> (b.b * 15)) & 32767 AS band_key
+          |  FROM bits, range(4) b(b)
+          |),
+          |cands AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          |         a.ahash AS ha, b.ahash AS hb
+          |  FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          |)
+          |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+          |FROM cands
+          |WHERE bit_count(xor(ha, hb)) <= 8
+          |ORDER BY id_a, id_b""".stripMargin))
   )
+
+  /** The aHash pixel/bit formula as CTEs (mirrors
+    * Multimodal.imageAHashes bit-for-bit: portable md5 pixels, the
+    * planted near-dup seeding, strictly-above-mean bits, 60-bit
+    * truncation). Ends with `bits(doc_id, ahash, ps)`.
+    */
+  private def phashCtes: String =
+    s"""WITH px AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN d.doc_id % 10 = 1 THEN d.doc_id - 1 ELSE d.doc_id END AS seed,
+       |         y.y, x.x
+       |  FROM documents d, range(8) y(y), range(8) x(x)
+       |),
+       |pv AS (
+       |  SELECT doc_id, y, x,
+       |         CASE WHEN doc_id % 10 = 1 AND x = 0
+       |              THEN least(hv % 256 + 4, 255)
+       |              ELSE hv % 256 END AS p
+       |  FROM (SELECT doc_id, y, x,
+       |               ${duckHash("'px_' || CAST(seed AS VARCHAR) || '_' || CAST(y AS VARCHAR) || '_' || CAST(x AS VARCHAR)")} AS hv
+       |        FROM px) q
+       |),
+       |s AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS ps FROM pv GROUP BY 1),
+       |bits AS (
+       |  SELECT pv.doc_id,
+       |         CAST(coalesce(sum(CASE WHEN (y * 8 + x) < 60 AND p * 64 > s.ps
+       |                  THEN (CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER))
+       |                  ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS ahash,
+       |         any_value(s.ps) AS ps
+       |  FROM pv JOIN s USING (doc_id) GROUP BY pv.doc_id
+       |)""".stripMargin
 }

@@ -401,8 +401,20 @@ object Dedup {
     * based, so oracle-checkable end to end.
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      bits: Int = 60, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(docs, textCol, idCol, bits).persist()
+      bits: Int = 60, bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    hashNearDups(simhash(docs, textCol, idCol, bits), "simhash", "doc_id",
+      bits, bands, maxHamming)
+
+  /** Banded near-dup pairs over ANY precomputed ≤63-bit signature
+    * column (the [[simhashNearDups]] candidate machinery, factored out
+    * so other fingerprints — e.g. image perceptual hashes — reuse it):
+    * signatures band into `bands` contiguous bit slices, candidates
+    * share a slice, survivors have XOR popcount ≤ `maxHamming`.
+    */
+  def hashNearDups(sigs0: DataFrame, hashCol: String, idCol: String,
+      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    val sigs = sigs0
+      .select(col(idCol).as("doc_id"), col(hashCol).as("simhash")).persist()
     val sliceBits = bits / bands
     val banded = (0 until bands).map { b =>
       sigs.select(col("doc_id"), col("simhash"), lit(b).as("band"),

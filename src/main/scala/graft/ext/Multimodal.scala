@@ -190,6 +190,76 @@ object Multimodal {
     * model, bit depth) breaks value parity, not just row counts. The
     * mean divides an exact integer sum, so no float-order issues.
     */
+  /** One image's perceptual average-hash. */
+  final case class ImageHash(doc_id: Long, ahash: Long, px_sum: Long)
+
+  /** REAL-codec perceptual average-hash (aHash) per document — the
+    * image-dedup fingerprint: an 8×8 grayscale image PNG-round-trips
+    * through ImageIO inside the partition iterator (the
+    * [[frameFeatures]] codec discipline: one writer/reader per
+    * partition, lossless PNG ⇒ decode defects break value parity) and
+    * the hash is computed from the DECODED pixels: bit (y·8+x) set iff
+    * pixel·64 > Σpixels — the strictly-above-mean rule in exact
+    * integers (no division), truncated to `hashBits` = 60 bits so the
+    * signature stays in positive BIGINT range (the simhash banding
+    * discipline).
+    *
+    * Test-fixture rendering mirrors the oracle: pixel = portable md5
+    * of (seed, y, x) mod 256, where docs with doc_id ≡ 1 (mod 10)
+    * REUSE the previous doc's seed with column 0 brightened by a
+    * clamped +4 — a planted near-duplicate whose aHash lands within a
+    * few bits of its original, which is exactly what banded
+    * Hamming-candidate dedup must recover downstream.
+    */
+  def imageAHashes(spark: SparkSession, docs: DataFrame, idCol: String,
+      w: Int = 8, h: Int = 8, hashBits: Int = 60): Dataset[ImageHash] = {
+    import spark.implicits._
+    val narrow = docs.select(col(idCol).cast("long"))
+    val target = spark.sparkContext.defaultParallelism
+    val spread =
+      if (narrow.rdd.getNumPartitions < target) narrow.repartition(target)
+      else narrow
+    spread.as[Long].mapPartitions { rows =>
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      rows.map { id =>
+        val seed = if (id % 10 == 1) id - 1 else id
+        for (y <- 0 until h; x <- 0 until w) {
+          // same nibble identity as frameFeatures: md5 first-15-hex
+          // parsed mod 256 = ((d(6) & 0x0F) << 4) | ((d(7) >> 4) & 0x0F)
+          val d = md.digest(s"px_${seed}_${y}_$x".getBytes("UTF-8"))
+          var p = ((d(6) & 0x0F) << 4) | ((d(7) >> 4) & 0x0F)
+          if (id % 10 == 1 && x == 0) p = math.min(p + 4, 255)
+          raster.setSample(x, y, 0, p)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(out.toByteArray))
+        reader.setInput(iis)
+        val dec = reader.read(0).getRaster
+        var sum = 0L
+        for (y <- 0 until h; x <- 0 until w) sum += dec.getSample(x, y, 0)
+        var hash = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val idx = y * w + x
+          if (idx < hashBits && dec.getSample(x, y, 0).toLong * (w * h) > sum)
+            hash |= 1L << idx
+        }
+        ImageHash(id, hash, sum)
+      }
+    }
+  }
+
   def frameFeatures(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, w: Int, h: Int): Dataset[FrameFeature] = {
     import spark.implicits._

@@ -1004,6 +1004,24 @@ class ExtSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("imageAHashes: real PNG round-trip; planted copies within hamming 8") {
+    import spark.implicits._
+    val d = (0L until 22L).toDF("doc_id")
+    val hs = Multimodal.imageAHashes(spark, d, "doc_id")
+      .collect().map(h => h.doc_id -> h.ahash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the +4-brightened column barely moves the mean → few flipped bits
+    assert(ham(hs(1L), hs(0L)) <= 8 && ham(hs(11L), hs(10L)) <= 8 &&
+      ham(hs(21L), hs(20L)) <= 8)
+    // unrelated md5-noise images differ in ~30 of 60 bits
+    assert(ham(hs(2L), hs(3L)) > 8)
+    val pairs = Dedup.hashNearDups(
+        Multimodal.imageAHashes(spark, d, "doc_id").toDF(),
+        "ahash", "doc_id", bits = 60, bands = 4, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 1L), (10L, 11L), (20L, 21L)).subsetOf(pairs))
+  }
+
   test("abttProfile: hand-computed projection removal, signed truncation") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(-3.0f, 4.0f)))
