@@ -558,6 +558,91 @@ private[graft] object ExtTextQueries {
           |LEFT JOIN a2 a ON a.node = n.node
           |ORDER BY auth_e6 DESC, hub_e6 DESC, n.node""".stripMargin)),
 
+    // Per-part triangle count + local clustering coefficient over the
+    // part co-purchase graph (parts sharing an order — overlapping
+    // k-cliques, the market-basket structure the host graph lacks).
+    // Degree-oriented MR triangle enumeration (Suri & Vassilvitskii
+    // 2011): orientation caps every node's out-degree at O(√m), so
+    // hot parts generate no more wedges than cold ones; the wedge
+    // comparator MUST be the same (deg, node) order as the edge
+    // orientation (raw-id ordering silently drops the 207k/413k
+    // triangles whose closing edge points the other way — measured).
+    // cc_e6 is exact integer fixed point: 2·tri·1e6 DIV deg(deg−1).
+    QueryDef("x_graph_triangles",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Graph.triangleStats(copurchaseEdges(spark, sfDir))
+          .withColumnRenamed("node", "part")
+          .orderBy("part")
+      },
+      Some(
+        s"""WITH $copurchaseCte,
+           |deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+           |oe AS (
+           |  SELECT e.src AS u, e.dst AS v, db.d AS dv
+           |  FROM edges e
+           |  JOIN deg da ON da.node = e.src
+           |  JOIN deg db ON db.node = e.dst
+           |  WHERE (da.d < db.d) OR (da.d = db.d AND e.src < e.dst)
+           |),
+           |tri AS (
+           |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |  FROM oe e1
+           |  JOIN oe e2 ON e1.u = e2.u
+           |    AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+           |  JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v
+           |),
+           |corners AS (
+           |  SELECT a AS node FROM tri
+           |  UNION ALL SELECT b FROM tri
+           |  UNION ALL SELECT c FROM tri
+           |),
+           |tp AS (SELECT node, count(*) AS t FROM corners GROUP BY node)
+           |SELECT d.node AS part, CAST(d.d AS BIGINT) AS deg,
+           |       CAST(coalesce(tp.t, 0) AS BIGINT) AS tri,
+           |       CAST(CASE WHEN d.d >= 2
+           |            THEN coalesce(tp.t, 0) * 2000000 // (d.d * (d.d - 1))
+           |            ELSE 0 END AS BIGINT) AS cc_e6
+           |FROM deg d LEFT JOIN tp ON tp.node = d.node
+           |ORDER BY part""".stripMargin)),
+
+    // k-core of the same co-purchase graph (Seidman 1983): 6
+    // synchronous peel rounds at k=80 — the measured fixpoint depth on
+    // this graph (2000→1903→1878→1865→1858→1857→1857): a genuine
+    // cascade, not a trivial keep-all or collapse (k=90 peels to
+    // empty by round 5; k=100 by round 3 — random-graph cores
+    // collapse sharply). Survivors + residual degree; no tie-breaks
+    // anywhere, so the oracle unrolls identical rounds. Per round:
+    // two alive-set semi-joins + one key agg, alive side broadcasts
+    // once it shrinks (AQE).
+    QueryDef("x_graph_kcore",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Graph.kcore(copurchaseEdges(spark, sfDir), k = 80, rounds = 6)
+          .withColumnRenamed("node", "part")
+          .orderBy("part")
+      },
+      Some {
+        val rounds = (1 to 6).map { r =>
+          s""",
+             |a$r AS (
+             |  SELECT e.src AS node FROM edges e
+             |  JOIN a${r - 1} s ON s.node = e.src
+             |  JOIN a${r - 1} t ON t.node = e.dst
+             |  GROUP BY e.src HAVING count(*) >= 80
+             |)""".stripMargin
+        }.mkString
+        s"""WITH $copurchaseCte,
+           |a0 AS (SELECT DISTINCT src AS node FROM edges)
+           |$rounds
+           |SELECT e.src AS part, CAST(count(*) AS BIGINT) AS core_deg
+           |FROM edges e
+           |JOIN a6 s ON s.node = e.src
+           |JOIN a6 t ON t.node = e.dst
+           |GROUP BY e.src
+           |ORDER BY part""".stripMargin
+      }),
+
     // Bigram collocation mining: top-50 adjacent token pairs (count
     // >= 5) ranked by PMI lift (exp of PMI — no transcendental; one
     // pinned IEEE multiply/divide chain over exact integer counts

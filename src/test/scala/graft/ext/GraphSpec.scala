@@ -70,4 +70,48 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(r3 == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
   }
+
+  private def sym(und: Seq[(String, String)]) = {
+    import spark.implicits._
+    (und ++ und.map(_.swap)).toDF("src", "dst")
+  }
+
+  test("triangleStats: K4 — every node in 3 triangles, cc exactly 1e6") {
+    val edges = sym(Seq(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")))
+    val out = Graph.triangleStats(edges)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map("a" -> (3L, 3L, 1000000L), "b" -> (3L, 3L, 1000000L),
+      "c" -> (3L, 3L, 1000000L), "d" -> (3L, 3L, 1000000L)))
+  }
+
+  test("triangleStats: diamond — mixed orientations both counted") {
+    // a—b, b—c, c—a, c—d, d—a: triangles {a,b,c} and {a,c,d}.
+    // degs a=3 b=2 c=3 d=2: the wedge at b closes via an edge whose
+    // orientation depends on the (deg, node) comparator — the case a
+    // raw-id wedge order gets wrong.
+    val edges = sym(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a")))
+    val out = Graph.triangleStats(edges)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      "a" -> (3L, 2L, 666666L), "b" -> (2L, 1L, 1000000L),
+      "c" -> (3L, 2L, 666666L), "d" -> (2L, 1L, 1000000L)))
+  }
+
+  test("triangleStats: path has zero triangles") {
+    val out = Graph.triangleStats(sym(Seq(("a", "b"), ("b", "c"))))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("a" -> 0L, "b" -> 0L, "c" -> 0L))
+  }
+
+  test("kcore: pendant peels, triangle survives with residual degree") {
+    // triangle {a,b,c} + pendant d—a: 2-core drops d in round 1;
+    // survivors' residual degree is 2 each.
+    val edges = sym(Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")))
+    val out = Graph.kcore(edges, k = 2, rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // k=3: the whole graph cascades to empty
+    assert(Graph.kcore(edges, k = 3, rounds = 2).count() == 0L)
+  }
 }
