@@ -602,6 +602,49 @@ private[graft] object ExtDedupQueries {
         """SELECT doc_id,
           |       (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) > 1
           |         AS is_duplicate
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact edit-distance annotation of the verified MinHash pairs —
+    // the character-level ground truth beside the shingle-level
+    // Jaccard: Levenshtein is O(|a|·|b|) per pair, affordable ONLY
+    // because the LSH band join already shrank the corpus-sized
+    // problem to the candidate pair list (the classic
+    // sketch-then-verify split; at 100 TB the quadratic kernel runs
+    // on thousands of pairs, never the corpus). edit_sim_e6 =
+    // (maxlen − dist)·1e6 DIV max(maxlen, 1) — exact integer fixed
+    // point; both engines implement textbook Levenshtein, so the
+    // distance itself is engine-exact.
+    QueryDef("x_dedup_editdist",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val docs = spark.table("documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+        minhashPairs(spark, sfDir).select("id_a", "id_b")
+          .join(docs.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
+          .join(docs.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
+          .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
+          .withColumn("maxlen",
+            greatest(length(col("ta")), length(col("tb"))).cast("long"))
+          .select(col("id_a"), col("id_b"), col("edit_dist"),
+            expr("(maxlen - edit_dist) * 1000000 DIV greatest(maxlen, CAST(1 AS BIGINT))")
+              .as("edit_sim_e6"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        s"""WITH $minhashPairsCtes,
+           |txt AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+           |m AS (
+           |  SELECT p.id_a, p.id_b,
+           |         CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+           |         CAST(greatest(len(a.t), len(b.t)) AS BIGINT) AS maxlen
+           |  FROM pairs p
+           |  JOIN txt a ON a.doc_id = p.id_a
+           |  JOIN txt b ON b.doc_id = p.id_b
+           |)
+           |SELECT id_a, id_b, edit_dist,
+           |       CAST((maxlen - edit_dist) * 1000000 // greatest(maxlen, 1) AS BIGINT)
+           |         AS edit_sim_e6
+           |FROM m
+           |ORDER BY id_a, id_b""".stripMargin))
   )
 }

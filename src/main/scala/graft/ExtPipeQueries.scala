@@ -717,6 +717,60 @@ private[graft] object ExtPipeQueries {
           |       CAST(t.n_total_tokens AS BIGINT) AS n_total_tokens
           |FROM cnts c CROSS JOIN tot t
           |WHERE c.cnt * 30 >= t.n_total_tokens
-          |ORDER BY cnt DESC, token""".stripMargin))
+          |ORDER BY cnt DESC, token""".stripMargin)),
+
+    // Leakage-safe train/val/test split: a plain per-doc hash split
+    // puts near-duplicate documents on BOTH sides of the train/test
+    // boundary — the eval is then contaminated by its own training
+    // set. Here every doc is keyed by its near-dup COMPONENT
+    // representative (connected components over the verified MinHash
+    // pairs; docs in no pair represent themselves), and the hash
+    // split runs on that key, so a whole dup cluster always lands in
+    // ONE split. Same 800/100/100 permille buckets and portable md5
+    // hash as x_pipe_split. Components are the prebuilt dedup
+    // artifact; the extra cost over the naive split is one left join.
+    QueryDef("x_pipe_split_leakproof",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val comp = Dedup.duplicateComponents(
+          minhashPairs(spark, sfDir).select("id_a", "id_b"))
+        val withRep = spark.table("documents").select("doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("rep"))
+        val bucket = pmod(Dedup.portableHash(col("rep").cast("string")), lit(1000))
+        withRep.select(col("doc_id"), col("rep"),
+            when(bucket < 800, "train").when(bucket < 900, "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $minhashPairsCtes,
+           |pedges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT id_b, id_a FROM pairs
+           |),
+           |reach AS (
+           |  SELECT src, dst FROM pedges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN pedges e ON e.src = r.dst
+           |),
+           |comp AS (
+           |  SELECT src AS doc_id, least(src, min(dst)) AS component
+           |  FROM reach GROUP BY src
+           |),
+           |rep AS (
+           |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+           |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+           |)
+           |SELECT doc_id, rep,
+           |       CASE WHEN b < 800 THEN 'train'
+           |            WHEN b < 900 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM (SELECT doc_id, rep,
+           |             CAST('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS b
+           |      FROM rep) q
+           |ORDER BY doc_id""".stripMargin))
   )
 }

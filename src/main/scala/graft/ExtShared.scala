@@ -154,6 +154,35 @@ private[graft] object ExtShared {
         org.apache.spark.sql.functions.col("ts")))
   }
 
+  // The full verified-minhash-pair CTE chain (shingles → signatures →
+  // bands → candidates → Jaccard verify ≥ 0.4) — the oracle twin of
+  // minhashPairs, shared by every oracle that consumes the pair
+  // artifact (x_dedup_editdist, x_pipe_split_leakproof; the older
+  // x_dedup_minhash / x_dedup_components inline the same text).
+  private[graft] def minhashPairsCtes: String =
+    s"""${shinglesCte(3)},
+       |$minhashSigsCte,
+       |$bandsCte,
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS shared
+       |  FROM cands c
+       |  JOIN sh x ON x.doc_id = c.id_a
+       |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+       |  GROUP BY 1, 2
+       |),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM verified
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
+       |)""".stripMargin
+
   // Part co-purchase graph (parts sharing an order in lineitem) —
   // the market-basket graph, with genuine overlapping-clique
   // structure (every k-item order is a k-clique): the fixture for
