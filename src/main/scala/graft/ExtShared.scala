@@ -291,7 +291,15 @@ private[graft] object ExtShared {
             lit("\n(c) example corp all rights reserved")).otherwise(lit("")),
           when(col("doc_id") % 3 === 0,
             lit("\ngenerated page footer")).otherwise(lit("")))
-          .as("text_lines")
+          .as("text_lines"),
+        // x_text_html: every 2nd doc wrapped in markup with entities;
+        // odd docs stay raw, so the stripper must be a no-op on them
+        when(col("doc_id") % 2 === 0, concat(
+          lit("<html><head><title>Doc "), id,
+          lit("</title></head><body><p>"), body,
+          lit("</p><div class=\"nav\">menu &amp; links &lt;here&gt;</div>" +
+            "<br>&nbsp;&quot;end&quot;</body></html>")))
+          .otherwise(body).as("text_html")
       ).persist()
     })
 

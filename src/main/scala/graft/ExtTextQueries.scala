@@ -852,6 +852,48 @@ private[graft] object ExtTextQueries {
           |          + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59)
           |         * 1000.0 + 0.5) ELSE 0 END AS BIGINT) AS fk_grade_milli
           |FROM m
+          |ORDER BY doc_id""".stripMargin)),
+
+    // HTML markup removal — the raw-crawl text-extraction step every
+    // other screen assumes already happened: strip tags, decode the
+    // common entities (named first, &amp; LAST — the double-decode
+    // pitfall), collapse whitespace, pull the <title>. Fixture: every
+    // 2nd doc wrapped in markup at setup time (augDocs); odd docs stay
+    // raw, so the op must be a byte-exact no-op on clean text. All
+    // in-row codegen'd string kernels — zero Exchange at any scale.
+    QueryDef("x_text_html",
+      (spark, sfDir) => {
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("text_html").as("text"))
+        TextAnalysis.htmlStrip(aug, "text")
+          .select(col("doc_id"), col("title"), col("n_tags"),
+            length(col("clean")).cast("long").as("clean_len"),
+            md5(col("clean").cast("binary")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 2 = 0
+          |              THEN '<html><head><title>Doc ' || doc_id ||
+          |                   '</title></head><body><p>' || coalesce(text, '') ||
+          |                   '</p><div class="nav">menu &amp; links &lt;here&gt;</div>' ||
+          |                   '<br>&nbsp;&quot;end&quot;</body></html>'
+          |              ELSE coalesce(text, '') END AS t
+          |  FROM documents
+          |),
+          |s1 AS (SELECT doc_id, t, regexp_replace(t, '<[^>]*>', ' ', 'g') AS s FROM aug),
+          |s2 AS (SELECT doc_id, t,
+          |       replace(replace(replace(replace(replace(replace(s,
+          |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          |         '&nbsp;', ' '), '&amp;', '&') AS s FROM s1),
+          |s3 AS (SELECT doc_id, t, trim(regexp_replace(s, '\s+', ' ', 'g')) AS c FROM s2)
+          |SELECT doc_id,
+          |       regexp_extract(t, '<title>([^<]*)</title>', 1) AS title,
+          |       CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
+          |       CAST(length(c) AS BIGINT) AS clean_len,
+          |       md5(c) AS clean_md5
+          |FROM s3
           |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -164,6 +164,40 @@ object Events {
         max(col(tsCol)).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
 
+  /** Per-session ordered action paths — the clickstream-to-sequence
+    * assembly that turns an event log into training trajectories
+    * (conversation threading for SFT data is the same shape): each
+    * [[sessionize]] session becomes ONE row carrying its first
+    * `maxSteps` actions joined in (ts, id) order, plus the uncapped
+    * event count and start time.
+    *
+    * Bounded-state discipline: the path aggregates only rows with
+    * `event_seq ≤ maxSteps` — collect_list over a raw session would
+    * let one runaway key blow an executor at 100 TB; the cap is
+    * applied BEFORE the collect, so per-group state is ≤ maxSteps
+    * structs no matter how hot the key. Stats and path are two aggs
+    * over the same (key, session) grouping joined back together —
+    * the sessionize sort, both aggs, and the join all share one key
+    * exchange. Ordering inside the path is array_sort over
+    * (ts, id, action) structs: (ts, id) is unique, so the sort is
+    * total and the joined string is engine-deterministic.
+    */
+  def threadPaths(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", idCol: String = "event_id",
+      actionCol: String = "event_type",
+      gapUs: Long = 30L * 60 * 1000000, maxSteps: Int = 20): DataFrame = {
+    val s = sessionize(events, keyCol, tsCol, idCol, gapUs)
+    val stats = s.groupBy(col(keyCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"), min(col(tsCol)).as("start_us"))
+    val paths = s.filter(col("event_seq") <= maxSteps)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol), col(idCol),
+          col(actionCol).as("a")))),
+        x => x.getField("a")), ">").as("path"))
+    stats.join(paths, Seq(keyCol, "session_seq"))
+  }
+
   private val WeekUs = 7L * 86400 * 1000000
 
   /** Rolling event-rate features: for every event, the count and value

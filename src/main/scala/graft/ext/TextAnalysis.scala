@@ -394,4 +394,31 @@ object TextAnalysis {
         floor((lit(0.39) * wps + lit(11.8) * spw - lit(15.59)) * lit(1000.0)
           + lit(0.5)).cast("long")).otherwise(lit(0L)).as("fk_grade_milli"))
   }
+
+  /** HTML markup removal — the text-extraction step between a raw web
+    * crawl and every downstream screen in this module: strip tags,
+    * decode the common character entities, collapse whitespace, and
+    * pull the `<title>` out before it goes. Regex-level extraction
+    * (the portable core of what trafilatura/jusText do before their
+    * DOM heuristics); entity decode order is pinned — named entities
+    * first, `&amp;` LAST, so `&amp;lt;` decodes to the literal `&lt;`
+    * and not `<` (the classic double-decode bug).
+    *
+    * All in-row codegen'd string kernels: zero Exchange at any scale.
+    * Returns (id, title, n_tags, clean); non-HTML text passes through
+    * unchanged (tag regex matches nothing).
+    */
+  def htmlStrip(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val untagged = regexp_replace(t, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(untagged) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    docs.select(col(idCol),
+      regexp_extract(t, "<title>([^<]*)</title>", 1).as("title"),
+      size(regexp_extract_all(t, lit("<[^>]*>"), lit(0))).cast("long")
+        .as("n_tags"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("clean"))
+  }
 }

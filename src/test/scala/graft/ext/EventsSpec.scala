@@ -246,4 +246,23 @@ class EventsSpec extends AnyFunSuite {
       (2L, 100L, 2L, 0L, false)))
     assert(z(4, 3, 6, 18) == 1414214L && z(1, 3, 6, 18) == -707107L)
   }
+
+  test("threadPaths: gap splits sessions, cap bounds the path, stats uncapped") {
+    import spark.implicits._
+    // u1: 3 events tight (gap 10), then a 1000µs jump → 2 sessions;
+    // maxSteps = 2 caps the first session's path but not n_events
+    val ev = Seq(
+      (1L, 1L, 100L, "view"), (2L, 1L, 110L, "click"), (3L, 1L, 120L, "buy"),
+      (4L, 1L, 2000L, "view"),
+      (5L, 2L, 50L, "view"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val out = Events.threadPaths(ev, gapUs = 500L, maxSteps = 2)
+      .orderBy("user_id", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 100L, "view>click"), // capped at 2 steps, n_events 3
+      (1L, 2L, 1L, 2000L, "view"),
+      (2L, 1L, 1L, 50L, "view")))
+  }
 }

@@ -1095,4 +1095,22 @@ class ExtSpec extends AnyFunSuite {
     // vowel-free token clamps to 1 syllable
     assert(out(2).getAs[Long]("n_syllables") == 1L)
   }
+
+  test("htmlStrip: tags out, entities decoded once, title kept, clean no-op") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "<html><head><title>T1</title></head><body><p>a  b</p>" +
+        "<br>&amp;lt; stays &quot;q&quot; &amp; x</body></html>"),
+      (2L, "plain  text   untouched"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.htmlStrip(d, "text").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "T1" && out(0).getLong(2) == 11L)
+    // &amp;lt; must decode to the literal "&lt;", not "<" (decode
+    // order); title text survives the strip like any other text node
+    assert(out(0).getString(3) == "T1 a b &lt; stays \"q\" & x")
+    // non-HTML text passes through with only whitespace collapsed
+    assert(out(1).getString(3) == "plain text untouched" &&
+      out(1).getLong(2) == 0L && out(1).getString(1) == "")
+    assert(out(2).getString(3) == "")
+  }
 }
