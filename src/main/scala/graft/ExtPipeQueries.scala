@@ -719,6 +719,44 @@ private[graft] object ExtPipeQueries {
           |WHERE c.cnt * 30 >= t.n_total_tokens
           |ORDER BY cnt DESC, token""".stripMargin)),
 
+    // Count–min sketch frequency audit: the mergeable bounded-memory
+    // frequency summary (d=2 rows × w=16 buckets — deliberately
+    // narrow so the 31-token vocabulary actually collides and the
+    // overcount column shows real sketch error). Portable md5 bucket
+    // hashes make the SKETCH itself engine-reproducible, so truth,
+    // estimate, and error are all oracle-checked. The counter table
+    // is d·w cells regardless of corpus size; occurrences pre-agg to
+    // the vocab-bounded relation before the d-fold explode.
+    QueryDef("x_pipe_cms",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.cmsEstimates(spark.table("documents"), "text",
+            depth = 2, width = 16)
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+          |                x -> x <> '')) AS token
+          |  FROM documents
+          |),
+          |cnts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+          |cells AS (
+          |  SELECT token, cnt, rs.r AS rw,
+          |         CAST('0x' || substr(md5(rs.r || ':' || token), 1, 15) AS BIGINT) % 16 AS bucket
+          |  FROM cnts CROSS JOIN (SELECT unnest(range(2)) AS r) rs
+          |),
+          |sketch AS (SELECT rw, bucket, sum(cnt) AS cell FROM cells GROUP BY 1, 2),
+          |est AS (
+          |  SELECT c.token, c.cnt, min(s.cell) AS est
+          |  FROM cells c JOIN sketch s ON s.rw = c.rw AND s.bucket = c.bucket
+          |  GROUP BY 1, 2
+          |)
+          |SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(est AS BIGINT) AS est,
+          |       CAST(est - cnt AS BIGINT) AS overcount
+          |FROM est
+          |ORDER BY cnt DESC, token""".stripMargin)),
+
     // Leakage-safe train/val/test split: a plain per-doc hash split
     // puts near-duplicate documents on BOTH sides of the train/test
     // boundary — the eval is then contaminated by its own training

@@ -32,6 +32,61 @@ private[graft] object ExtSimQueries {
            |FROM dots, qn
            |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // Matryoshka truncation audit: top-10 overlap between full-64-dim
+    // cosine and first-16-coordinate cosine per benchmark query
+    // (vec_id % 97 = 0) — the measurement that decides whether the
+    // embedding column can ship at 4× less storage. Ground-truth
+    // evaluation probe (brute force over a broadcast query side, the
+    // corpus never shuffles); cosines rounded once to 6 dp before
+    // ranking, vec_id tie-break, so both engines select identical
+    // top-10 sets.
+    QueryDef("x_sim_matryoshka",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.matryoshkaRecall(spark.table("embeddings"),
+            queryEvery = 97, prefixDim = 16, k = 10)
+          .orderBy("qid")
+      },
+      Some(
+        s"""WITH $exCte,
+           |qids AS (
+           |  SELECT vec_id AS qid, unnest(embedding) AS qv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % 97 = 0
+           |),
+           |dots AS (
+           |  SELECT q.qid, e.vec_id,
+           |         sum(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot64,
+           |         sum(CASE WHEN e.i < 16 THEN CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE) ELSE 0 END) AS dot16,
+           |         sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS na64,
+           |         sum(CASE WHEN e.i < 16 THEN CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE) ELSE 0 END) AS na16
+           |  FROM ex e JOIN qids q ON q.i = e.i
+           |  WHERE e.vec_id <> q.qid
+           |  GROUP BY 1, 2
+           |),
+           |qn AS (
+           |  SELECT qid, sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq64,
+           |         sum(CASE WHEN i < 16 THEN CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE) ELSE 0 END) AS nq16
+           |  FROM qids GROUP BY 1
+           |),
+           |r AS (
+           |  SELECT d.qid, d.vec_id,
+           |         round(dot64 / (sqrt(na64) * sqrt(qn.nq64)), 6) AS c64,
+           |         round(dot16 / (sqrt(na16) * sqrt(qn.nq16)), 6) AS c16
+           |  FROM dots d JOIN qn ON qn.qid = d.qid
+           |),
+           |rk AS (
+           |  SELECT qid, vec_id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY c64 DESC, vec_id) AS rf,
+           |         row_number() OVER (PARTITION BY qid ORDER BY c16 DESC, vec_id) AS rp
+           |  FROM r
+           |)
+           |SELECT qid,
+           |       CAST(sum(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           |       CAST(sum(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END) * 100 AS BIGINT) AS recall_permille
+           |FROM rk GROUP BY qid
+           |ORDER BY qid""".stripMargin)),
+
     // Label-blocked near-dup pairs — the TEACHING shape (block key =
     // any coarse bucketing). A fixed-cardinality label is deliberately
     // NOT scale-safe: block sizes grow with N, pairs with N² (the r7

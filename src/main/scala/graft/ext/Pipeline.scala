@@ -826,6 +826,46 @@ object Pipeline {
     * give up exactly the bounded-exchange property that is the
     * operator's point.
     */
+  /** Count–min sketch frequency estimates (Cormode & Muthukrishnan
+    * 2005) with the portable md5 hash, so the sketch — not just its
+    * consumers — is bit-reproducible in any engine. The sketch is the
+    * canonical MERGEABLE bounded-memory frequency summary: the
+    * counter table is `depth·width` cells NO MATTER the corpus size,
+    * partial sketches add cellwise (a plain (row, bucket) sum — Spark
+    * map-side-combines it), and the estimate for a key is the min of
+    * its `depth` cells, an upper bound that overshoots by hash
+    * collisions only. Returns per-token truth vs estimate — the
+    * overcount column IS the sketch-error audit; `width` defaults low
+    * enough (16) that the synthetic 31-token vocabulary actually
+    * collides, so the audit shows real error, not zeros.
+    *
+    * Build discipline: occurrences are pre-aggregated per token (the
+    * vocab-bounded relation) BEFORE the sketch explode, so the d-fold
+    * blowup runs on distinct tokens, not corpus tokens — identical
+    * arithmetic, corpus-independent cost.
+    */
+  def cmsEstimates(docs: DataFrame, textCol: String,
+      depth: Int = 2, width: Int = 16): DataFrame = {
+    val toks = docs.select(explode(
+      filter(split_part_tokens(col(textCol)), t => t =!= "")).as("token"))
+    val cnts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val rows = (0 until depth).map { i =>
+      struct(lit(i.toLong).as("rw"),
+        pmod(Dedup.portableHash(
+          concat(lit(i.toString), lit(":"), col("token"))), lit(width.toLong))
+          .as("bucket"))
+    }
+    val cells = cnts
+      .select(col("token"), col("cnt"), explode(array(rows: _*)).as("rb"))
+      .select(col("token"), col("cnt"),
+        col("rb.rw").as("rw"), col("rb.bucket").as("bucket"))
+    val sketch = cells.groupBy("rw", "bucket").agg(sum(col("cnt")).as("cell"))
+    cells.join(sketch, Seq("rw", "bucket"))
+      .groupBy("token", "cnt").agg(min(col("cell")).as("est"))
+      .select(col("token"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("overcount"))
+  }
+
   def heavyHitters(docs: DataFrame, textCol: String,
       phiInv: Int = 1000): DataFrame = {
     val spark = docs.sparkSession

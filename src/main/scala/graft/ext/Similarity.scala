@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`) —
@@ -54,6 +55,44 @@ object Similarity {
       .select(col(idCol), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Matryoshka / truncated-dimension retrieval audit (Kusupati et
+    * al. 2022): for each benchmark query vector, top-`k` neighbors
+    * under the full-dim cosine vs under the first-`prefixDim`
+    * coordinates only, reporting the overlap — the measurement that
+    * decides whether an embedding column can ship at 4× less storage
+    * and bandwidth. Brute-force by design: this is the ground-truth
+    * EVALUATION probe over a bounded benchmark query set (the
+    * `% queryEvery` convention), not the serving path — serving at
+    * scale is the IVF/PQ family; the cross join broadcasts the tiny
+    * query side so the corpus never shuffles, and each per-query
+    * ranking is one window over the scored rows. Cosines are rounded
+    * once to 6 dp before ranking (the accumulation-order parity
+    * recipe), vec_id breaks ties.
+    */
+  def matryoshkaRecall(vectors: DataFrame, queryEvery: Long = 97,
+      prefixDim: Int = 16, k: Int = 10): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val qs = vectors.filter(pmod(col("vec_id"), lit(queryEvery)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    val scored = vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("embedding"), col("q")), 6).as("c_full"),
+        round(cosine(slice(col("embedding"), 1, prefixDim),
+          slice(col("q"), 1, prefixDim)), 6).as("c_prefix"))
+    val wF = Window.partitionBy("qid").orderBy(col("c_full").desc, col("vec_id"))
+    val wP = Window.partitionBy("qid").orderBy(col("c_prefix").desc, col("vec_id"))
+    scored
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rp", row_number().over(wP))
+      .groupBy("qid")
+      .agg(sum(when(col("rf") <= k && col("rp") <= k, 1L).otherwise(0L))
+        .as("n_overlap"))
+      .select(col("qid"), col("n_overlap"),
+        (col("n_overlap") * lit(1000L / k)).as("recall_permille"))
   }
 
   /** IVF cell assignment: every vector joined to its nearest centroid.

@@ -1096,6 +1096,33 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("n_syllables") == 1L)
   }
 
+  test("cmsEstimates: upper bound always; exact when width kills collisions") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b b c"), (2L, "a b c d d d d")).toDF("doc_id", "text")
+    val narrow = Pipeline.cmsEstimates(d, "text", depth = 2, width = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // CMS never underestimates, and with w=2 over 4 tokens SOME row collides
+    assert(narrow.forall { case (_, cnt, est, over) => est >= cnt && over == est - cnt })
+    assert(narrow.map(_._4).sum > 0L)
+    val wide = Pipeline.cmsEstimates(d, "text", depth = 2, width = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(wide.forall { case (_, cnt, est) => est == cnt })
+    assert(wide.map(t => t._1 -> t._2).toMap.apply("d") == 4L)
+  }
+
+  test("matryoshkaRecall: full-dim prefix is a perfect-recall identity") {
+    import spark.implicits._
+    // deterministic 8-dim vectors; prefixDim = 8 must give recall 1000
+    val vecs = (0L until 20L).map { id =>
+      (id, (0 until 8).map(j => ((id * 7 + j * 3) % 11).toFloat - 5f).toArray, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.matryoshkaRecall(vecs, queryEvery = 7, prefixDim = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, overlap, permille) =>
+      overlap == 5L && permille == 1000L })
+  }
+
   test("htmlStrip: tags out, entities decoded once, title kept, clean no-op") {
     import spark.implicits._
     val d = Seq(
