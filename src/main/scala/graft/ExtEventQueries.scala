@@ -240,6 +240,52 @@ private[graft] object ExtEventQueries {
           |                  AND b.tmin + (b.tmax - b.tmin) * 6 // 10
           |ORDER BY e.event_id""".stripMargin)),
 
+    // Bucketed co-located join: orders and lineitem are written
+    // bucketed+sorted on the order key at setup time (the pre-paid
+    // shuffle), so the fact⋈fact join AND the per-order rollup above
+    // it run with ZERO runtime Exchange — at 100 TB this turns the
+    // dominant network cost of the join into a per-bucket local
+    // merge. LayoutSpec pins the no-Exchange plan; the result is
+    // layout-invariant, so the oracle is the plain join SQL.
+    QueryDef("x_layout_bucketed_join",
+      (spark, sfDir) => {
+        val (ot, lt) = bucketedTables(spark, sfDir)
+        graft.ext.Layout.bucketedOrderRevenue(spark, ot, lt)
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+          |       CAST(count(*) AS BIGINT) AS n_items,
+          |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+          |                CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |GROUP BY 1, 2
+          |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // Hive-style partition pruning: events written one DIRECTORY per
+    // event_type at setup time; the type predicate then eliminates
+    // whole directories at planning time — before any file is opened
+    // — the third pruning axis beside z-order min/max stats and
+    // bucketing. LayoutSpec asserts the filtered scan touches only
+    // matching partition paths. Value money in the fixed-point cents
+    // convention (floor(v·100 + 0.5), one exact IEEE op).
+    QueryDef("x_layout_partition_prune",
+      (spark, sfDir) => {
+        val dir = eventsByTypeDir(spark, sfDir)
+        spark.read.parquet(dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+          |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events WHERE event_type = 'purchase'
+          |GROUP BY 1
+          |ORDER BY user_id""".stripMargin)),
+
     // Semi-structured props: JSON path extraction feeding a relational
     // agg — get_json_object is a pure in-row map (Jackson in Spark,
     // yyjson in DuckDB — both strict JSON, same value); integer stats

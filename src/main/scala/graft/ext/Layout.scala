@@ -92,6 +92,47 @@ object Layout {
       dir: String, nFiles: Int = 32): Unit =
     writeZOrderedN(df, Seq(colA, colB), dir, nFiles)
 
+  /** Write `df` as a bucketed+sorted parquet table: rows are hash-
+    * partitioned into `nBuckets` files BY KEY at write time, each file
+    * sorted on the key. Bucketing is the PRE-PAID shuffle: two tables
+    * bucketed the same way on their join key co-locate matching keys
+    * file-by-file, so the join (and any same-key rollup above it)
+    * runs with ZERO runtime Exchange — at 100 TB that turns the
+    * fact⋈fact join from the dominant network cost into a local merge
+    * per bucket. Registered through the session catalog because
+    * bucket metadata (count, key, sort) is a table property the
+    * reader's planner must see; the files themselves are plain
+    * parquet under the warehouse dir.
+    */
+  def writeBucketed(df: DataFrame, keyCol: String, table: String,
+      nBuckets: Int = 8): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol).saveAsTable(table)
+
+  /** The bucketed-join consumer: orders ⋈ lineitem on the bucket key
+    * plus a per-order rollup — all inside the buckets' partitioning.
+    * The `merge` hint pins SortMergeJoin (a broadcast would "win" on
+    * a gate-sized dim and hide the property under a
+    * BroadcastExchange); the groupBy keys start with the bucket key,
+    * so the aggregation reuses the scan partitioning too. LayoutSpec
+    * asserts the whole plan has zero Exchange of any kind. Money in
+    * the TpchQueries parity discipline: DECIMAL(18,2) factors summed
+    * exactly, one cast to DOUBLE at the end.
+    */
+  def bucketedOrderRevenue(spark: org.apache.spark.sql.SparkSession,
+      ordersTable: String, lineitemTable: String): DataFrame =
+    spark.table(ordersTable).hint("merge")
+      .join(spark.table(lineitemTable),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "CAST(1 - l_discount AS DECIMAL(18,2))")).cast("double")
+          .as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("n_items"), col("revenue"))
+
   /** Per-file (min, max) box of two columns — the layout-audit view
     * LayoutSpec asserts pruning with: a file whose box misses the
     * query box is a file a stats-pruning reader skips. One scan,

@@ -83,4 +83,46 @@ class LayoutSpec extends AnyFunSuite {
     assert(tHit >= 8, s"t-sort contrast unexpectedly tight: $tHit/16")
     assert(zHit < tHit)
   }
+
+  test("bucketed join + same-key rollup: ZERO Exchange, result exact") {
+    import spark.implicits._
+    val orders = (1L to 40L).map(k =>
+      (k, java.sql.Date.valueOf("2024-01-0" + (k % 9 + 1)), 10.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val li = (1L to 40L).flatMap(k => (0 until (k % 3 + 1).toInt).map(_ =>
+      (k, 100.50, 0.10))).toDF("l_orderkey", "l_extendedprice", "l_discount")
+    Layout.writeBucketed(orders, "o_orderkey", "spec_buck_orders", nBuckets = 4)
+    Layout.writeBucketed(li, "l_orderkey", "spec_buck_li", nBuckets = 4)
+    val joined = Layout.bucketedOrderRevenue(spark,
+      "spec_buck_orders", "spec_buck_li")
+    // the pre-paid shuffle: join AND rollup reuse the bucket
+    // partitioning — no Exchange node of ANY kind in the plan
+    assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
+      joined.queryExecution.executedPlan.toString)
+    val rows = joined.orderBy("o_orderkey").collect()
+    assert(rows.length == 40)
+    // order 3: 1 item of 100.50 at 10% discount = 90.45
+    val r3 = rows(2)
+    assert(r3.getLong(0) == 3L && r3.getLong(2) == 1L &&
+      math.abs(r3.getDouble(3) - 90.45) < 1e-9)
+  }
+
+  test("hive partitioning: a type predicate prunes whole directories") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hivespec")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("ev").toString
+    val ev = Seq((1L, "purchase", 2.0), (2L, "view", 3.0), (3L, "purchase", 4.0),
+      (4L, "click", 5.0)).toDF("event_id", "event_type", "value")
+    ev.write.partitionBy("event_type").parquet(out)
+    val filtered = spark.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+    // every file the executed scan actually touches lives under the
+    // matching partition directory — the others were never opened
+    val files = filtered.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty &&
+      files.forall(_.contains("event_type=purchase")), files.mkString(","))
+    assert(filtered.count() == 2L)
+  }
 }
