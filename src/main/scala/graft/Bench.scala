@@ -93,6 +93,17 @@ object Bench {
       // the power-iteration training itself
       ExtShared.pcaArtifact(spark, sfDir): Unit
     }
+    setup("graph_build") = time {
+      // the co-purchase edge artifact both x_graph_triangles and
+      // x_graph_kcore probe
+      ExtShared.copurchaseEdges(spark, sfDir).count(): Unit
+    }
+    setup("layout_build") = time {
+      // write-side layouts: bucketed orders/lineitem (the pre-paid
+      // shuffle) + hive-partitioned events — queries time the READ
+      ExtShared.bucketedTables(spark, sfDir): Unit
+      ExtShared.eventsByTypeDir(spark, sfDir): Unit
+    }
     }
 
     // Per-run success is tracked so the min is taken over SUCCESSFUL runs

@@ -518,6 +518,49 @@ private[graft] object ExtQualityQueries {
     // token, and char counts in ONE grouping-sets pass — the release
     // summary table every corpus ships, and the a5_grouping_sets
     // one-exchange collapse applied to curation stats.
+    // KMV distinct-count sketch per source over 3-shingle hashes —
+    // the oracle-CHECKABLE approximate distinct beside the rows-only
+    // HLL entry (a6): the k smallest PORTABLE hashes are the same in
+    // any engine, so the estimator ⌊(k−1)·2^60 / h_k⌋ (two exactly-
+    // representable double factors, one correctly-rounded divide +
+    // floor) hash-matches. Per-partition k-sized TreeSet state via
+    // mapPartitions (the heavyHitters discipline), then one ranking
+    // over ≤ k·partitions candidates per source; the exact n_true is
+    // the audit column the oracle checks the estimate against.
+    QueryDef("x_stats_kmv_distinct",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val items = docShingles(spark, sfDir)
+          .join(spark.table("documents").select("doc_id", "source"), "doc_id")
+        Pipeline.kmvDistinct(items, "source", "shingle", k = 64)
+          .withColumnRenamed("g", "source")
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH ${shinglesCte(3)},
+           |ss AS (
+           |  SELECT DISTINCT d.source AS g, s.shingle AS h
+           |  FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+           |),
+           |stats AS (SELECT g, count(*) AS n_true FROM ss GROUP BY 1),
+           |rk AS (
+           |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+           |  FROM ss
+           |),
+           |kth AS (SELECT g, h AS h_k FROM rk WHERE rn = 64),
+           |est AS (
+           |  SELECT s.g, s.n_true, coalesce(k.h_k, 0) AS kth_min,
+           |         CASE WHEN k.h_k IS NULL THEN CAST(s.n_true AS BIGINT)
+           |              ELSE CAST(floor(63.0 * 1152921504606846976.0 / k.h_k) AS BIGINT)
+           |         END AS est_distinct
+           |  FROM stats s LEFT JOIN kth k ON k.g = s.g
+           |)
+           |SELECT g AS source, CAST(n_true AS BIGINT) AS n_true,
+           |       CAST(kth_min AS BIGINT) AS kth_min, est_distinct,
+           |       CAST(abs(est_distinct - n_true) * 1000 // n_true AS BIGINT) AS err_permille
+           |FROM est
+           |ORDER BY source""".stripMargin)),
+
     QueryDef("x_stats_dataset_card",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)

@@ -826,6 +826,59 @@ object Pipeline {
     * give up exactly the bounded-exchange property that is the
     * operator's point.
     */
+  /** KMV (k-minimum-values) distinct-count sketch per group (Bar-Yossef
+    * et al. 2002) — the third mergeable sketch beside Misra–Gries and
+    * CMS, and the oracle-CHECKABLE approximate-distinct (the HLL entry
+    * is rows-only because HLL register layout isn't portable; KMV over
+    * the portable hash is bit-reproducible in any engine). Estimator:
+    * with `h_k` the k-th smallest distinct hash on [0, 2^60),
+    * `est = ⌊(k−1)·2^60 / h_k⌋`; groups with fewer than k distinct
+    * values report exactly. Both factors of the numerator are exactly
+    * representable doubles, so the estimate is one correctly-rounded
+    * IEEE divide + floor — deterministic cross-engine.
+    *
+    * Scale shape (the heavyHitters discipline): per-partition k-sized
+    * TreeSet state via mapPartitions — bounded no matter the corpus —
+    * then ONE ranking over ≤ k·partitions candidate rows per group.
+    * The exact `n_true` beside the estimate is the audit column (at
+    * 100 TB you ship the sketch and drop the truth; here truth is what
+    * the oracle checks the estimator against).
+    */
+  def kmvDistinct(items: DataFrame, byCol: String, hashCol: String,
+      k: Int = 64): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val d = items.select(col(byCol).cast("string").as("g"),
+      col(hashCol).cast("long").as("h")).distinct()
+    val kk = k
+    val partials = d.as[(String, Long)].mapPartitions { it =>
+      val state = scala.collection.mutable.HashMap
+        .empty[String, java.util.TreeSet[java.lang.Long]]
+      it.foreach { case (g, h) =>
+        val s = state.getOrElseUpdate(g, new java.util.TreeSet[java.lang.Long]())
+        s.add(h)
+        if (s.size > kk) s.remove(s.last)
+      }
+      state.iterator.flatMap { case (g, s) =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
+          .asScala.map(h => (g, h.longValue))
+      }
+    }.toDF("g", "h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("h")
+    val kth = partials.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k).select(col("g"), col("h").as("h_k"))
+    val numer = lit((k - 1).toDouble) * lit(1152921504606846976.0) // (k−1)·2^60
+    d.groupBy("g").agg(count(lit(1)).as("n_true"))
+      .join(kth, Seq("g"), "left")
+      .select(col("g"), col("n_true"),
+        coalesce(col("h_k"), lit(0L)).as("kth_min"),
+        when(col("h_k").isNull, col("n_true"))
+          .otherwise(floor(numer / col("h_k")).cast("long")).as("est_distinct"))
+      .withColumn("err_permille",
+        expr("abs(est_distinct - n_true) * 1000 DIV n_true"))
+  }
+
   /** Count–min sketch frequency estimates (Cormode & Muthukrishnan
     * 2005) with the portable md5 hash, so the sketch — not just its
     * consumers — is bit-reproducible in any engine. The sketch is the

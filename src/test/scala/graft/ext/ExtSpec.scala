@@ -1096,6 +1096,25 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("n_syllables") == 1L)
   }
 
+  test("kmvDistinct: small groups exact; big groups match the sorted-hash formula") {
+    import spark.implicits._
+    // group a: 5 distinct hashes (< k) → exact; group b: 200 distinct
+    // deterministic hashes (> k) → estimate from the k-th smallest
+    val rows = (1L to 5L).map(h => ("a", h * 1000001L)) ++
+      (1L to 200L).map(i => ("b", (i * 2654435761L) % (1L << 60)))
+    val d = rows.toDF("g", "h")
+    val out = Pipeline.kmvDistinct(d, "g", "h", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((5L, 0L, 5L, 0L)))
+    val bHashes = rows.filter(_._1 == "b").map(_._2).distinct.sorted
+    val hk = bHashes(63)
+    val expected = math.floor(63.0 * 1152921504606846976.0 / hk).toLong
+    val (nTrue, kthMin, est, err) = out("b")
+    assert(nTrue == 200L && kthMin == hk && est == expected)
+    assert(err == math.abs(est - 200L) * 1000 / 200L)
+  }
+
   test("cmsEstimates: upper bound always; exact when width kills collisions") {
     import spark.implicits._
     val d = Seq((1L, "a a a b b c"), (2L, "a b c d d d d")).toDF("doc_id", "text")
