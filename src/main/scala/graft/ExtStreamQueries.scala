@@ -415,6 +415,50 @@ private[graft] object ExtStreamQueries {
       },
       Some(
         """SELECT DISTINCT md5(text) AS content_md5
-          |FROM documents ORDER BY content_md5""".stripMargin))
+          |FROM documents ORDER BY content_md5""".stripMargin)),
+
+    // Streaming count–min sketch: the mergeable-sketch property
+    // EXECUTING as an ordinary complete-mode streaming aggregation —
+    // per-occurrence (row, bucket) updates stream in over 4
+    // micro-batches, the state store holds exactly the d·w counter
+    // cells (bounded state by construction, the sketch's whole
+    // point), and cellwise addition across batches lands on the batch
+    // sketch bit-for-bit. Oracle is the batch cells SQL; hash parity
+    // IS the mergeability proof.
+    QueryDef("x_stream_cms",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val srcDir = multiFileSourceDir(spark, sfDir, "documents.parquet", 4)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = Pipeline.cmsCellUpdates(stream, "text", depth = 2, width = 16)
+          .groupBy("rw", "bucket")
+          .agg(count(lit(1)).as("cell"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("x_stream_cms")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table("x_stream_cms").orderBy("rw", "bucket")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+          |                x -> x <> '')) AS token
+          |  FROM documents
+          |),
+          |cells AS (
+          |  SELECT rs.r AS rw,
+          |         CAST('0x' || substr(md5(rs.r || ':' || token), 1, 15) AS BIGINT) % 16 AS bucket
+          |  FROM toks CROSS JOIN (SELECT unnest(range(2)) AS r) rs
+          |)
+          |SELECT rw, bucket, CAST(count(*) AS BIGINT) AS cell
+          |FROM cells GROUP BY 1, 2
+          |ORDER BY rw, bucket""".stripMargin))
   )
 }

@@ -879,6 +879,32 @@ object Pipeline {
         expr("abs(est_distinct - n_true) * 1000 DIV n_true"))
   }
 
+  /** Streaming-composable CMS cell updates: one (row, bucket) pair per
+    * token OCCURRENCE per sketch row — the un-aggregated update
+    * stream. A single `groupBy(rw, bucket).count` over this relation
+    * IS the sketch, batch or streaming: in a streaming complete-mode
+    * aggregation the state store holds exactly the d·w counter cells
+    * (bounded state by construction — the sketch's whole point), and
+    * cellwise addition across micro-batches is the KMV/CMS
+    * mergeability property executing as an ordinary streaming agg.
+    * (The batch [[cmsEstimates]] pre-aggs per token first — same
+    * arithmetic, vocab-bounded explode; a stream can't, because
+    * complete mode allows one aggregation.)
+    */
+  def cmsCellUpdates(docs: DataFrame, textCol: String,
+      depth: Int = 2, width: Int = 16): DataFrame = {
+    val toks = docs.select(explode(
+      filter(split_part_tokens(col(textCol)), t => t =!= "")).as("token"))
+    val rows = (0 until depth).map { i =>
+      struct(lit(i.toLong).as("rw"),
+        pmod(Dedup.portableHash(
+          concat(lit(i.toString), lit(":"), col("token"))), lit(width.toLong))
+          .as("bucket"))
+    }
+    toks.select(explode(array(rows: _*)).as("rb"))
+      .select(col("rb.rw").as("rw"), col("rb.bucket").as("bucket"))
+  }
+
   /** Count–min sketch frequency estimates (Cormode & Muthukrishnan
     * 2005) with the portable md5 hash, so the sketch — not just its
     * consumers — is bit-reproducible in any engine. The sketch is the
