@@ -105,9 +105,21 @@ object Layout {
     * parquet under the warehouse dir.
     */
   def writeBucketed(df: DataFrame, keyCol: String, table: String,
-      nBuckets: Int = 8): Unit =
+      nBuckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    // The warehouse DIRECTORY outlives the in-memory catalog: a table
+    // written by a previous JVM leaves its location on disk while the
+    // new session's catalog has no entry, and saveAsTable then fails
+    // with LOCATION_ALREADY_EXISTS instead of overwriting. Drop both
+    // halves explicitly so the build is idempotent across sessions.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, keyCol).sortBy(keyCol).saveAsTable(table)
+  }
 
   /** The bucketed-join consumer: orders ⋈ lineitem on the bucket key
     * plus a per-order rollup — all inside the buckets' partitioning.
