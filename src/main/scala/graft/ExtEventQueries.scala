@@ -240,6 +240,35 @@ private[graft] object ExtEventQueries {
           |                  AND b.tmin + (b.tmax - b.tmin) * 6 // 10
           |ORDER BY e.event_id""".stripMargin)),
 
+    // Salted dimension join — the hot-KEY JOIN companion to
+    // x_evt_salted_agg: fact rows get a deterministic salt, the dim
+    // replicates once per salt value, and the join key becomes
+    // (key, salt), fanning a dominant key across `salts` reducers —
+    // the structural fix when AQE's skew split can't help (every
+    // split still needs the dim rows). Dropping the salt restores
+    // exactly the plain join's rows, so the oracle is the unsalted
+    // SQL — the salt is a physical rewrite, invisible in the result.
+    QueryDef("x_evt_skew_join",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .select("event_id", "user_id", "value")
+        val dim = ev.select("user_id").distinct()
+          .withColumn("tier", pmod(col("user_id"), lit(5)))
+        Events.saltedDimJoin(ev, dim, "user_id", salts = 8)
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+          .orderBy("tier")
+      },
+      Some(
+        """WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
+          |SELECT d.tier, CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events e JOIN dim d ON d.user_id = e.user_id
+          |GROUP BY 1
+          |ORDER BY tier""".stripMargin)),
+
     // Bucketed co-located join: orders and lineitem are written
     // bucketed+sorted on the order key at setup time (the pre-paid
     // shuffle), so the fact⋈fact join AND the per-order rollup above

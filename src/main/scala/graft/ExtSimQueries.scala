@@ -32,6 +32,72 @@ private[graft] object ExtSimQueries {
            |FROM dots, qn
            |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // Binary (1-bit sign) quantization audit — the 256×-compression
+    // point on the flat/SQ8/PQ dial: 64 dims pack into ONE BIGINT,
+    // distance becomes bit_count(xor). Same recall frame as
+    // x_sim_matryoshka; hamming ties are frequent, so the vec_id
+    // tie-break is what keeps both engines' top-10 selections
+    // identical.
+    QueryDef("x_sim_binary",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.binaryRecall(spark.table("embeddings"),
+            queryEvery = 97, k = 10)
+          .orderBy("qid")
+      },
+      Some(
+        s"""WITH $exCte,
+           |codes AS (
+           |  -- bit 63 is the BIGINT sign bit: DuckDB rejects 1 << 63 as
+           |  -- overflow, so it contributes its two's-complement value
+           |  -- directly (Spark's 1L << 63 IS Long.MinValue)
+           |  -- the outer CAST matters twice over: DuckDB's sum(BIGINT)
+           |  -- is HUGEINT, and xor over HUGEINT runs in 128 bits, where
+           |  -- a negative code's upper 64 bits xor to garbage hamming
+           |  SELECT vec_id,
+           |         CAST(sum(CASE WHEN v <= 0 THEN 0
+           |                  WHEN i = 63 THEN -9223372036854775807 - 1
+           |                  ELSE (CAST(1 AS BIGINT) << i) END) AS BIGINT) AS code
+           |  FROM ex GROUP BY vec_id
+           |),
+           |qids AS (
+           |  SELECT vec_id AS qid, unnest(embedding) AS qv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % 97 = 0
+           |),
+           |dots AS (
+           |  SELECT q.qid, e.vec_id,
+           |         sum(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot64,
+           |         sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS na64
+           |  FROM ex e JOIN qids q ON q.i = e.i
+           |  WHERE e.vec_id <> q.qid
+           |  GROUP BY 1, 2
+           |),
+           |qn AS (
+           |  SELECT qid, sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq64
+           |  FROM qids GROUP BY 1
+           |),
+           |r AS (
+           |  SELECT d.qid, d.vec_id,
+           |         round(dot64 / (sqrt(na64) * sqrt(qn.nq64)), 6) AS c64,
+           |         bit_count(xor(c.code, qc.code)) AS ham
+           |  FROM dots d
+           |  JOIN qn ON qn.qid = d.qid
+           |  JOIN codes c ON c.vec_id = d.vec_id
+           |  JOIN codes qc ON qc.vec_id = d.qid
+           |),
+           |rk AS (
+           |  SELECT qid, vec_id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY c64 DESC, vec_id) AS rf,
+           |         row_number() OVER (PARTITION BY qid ORDER BY ham ASC, vec_id) AS rp
+           |  FROM r
+           |)
+           |SELECT qid,
+           |       CAST(sum(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           |       CAST(sum(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END) * 100 AS BIGINT) AS recall_permille
+           |FROM rk GROUP BY qid
+           |ORDER BY qid""".stripMargin)),
+
     // Matryoshka truncation audit: top-10 overlap between full-64-dim
     // cosine and first-16-coordinate cosine per benchmark query
     // (vec_id % 97 = 0) — the measurement that decides whether the

@@ -340,6 +340,33 @@ object Events {
         sum(col("__cents")).as("sum_cents"))
   }
 
+  /** Salted dimension join — the hot-KEY JOIN companion to
+    * [[saltedAgg]]'s hot-key aggregation: a shuffle join hashes every
+    * row of a key to ONE reducer, so a fact table where one key
+    * dominates (the celebrity user, the null-ish default) pins a
+    * single task while the cluster idles — and AQE's skew splitting
+    * cannot always help, because every split of the hot fact
+    * partition still needs the matching dim rows. Salting solves it
+    * structurally: the FACT side gets a deterministic salt in
+    * [0, salts), the DIM side is replicated once per salt value
+    * (explode of a literal sequence — dims are small; replication is
+    * the price of spreading), and the join key becomes (key, salt),
+    * fanning the hot key across `salts` reducers. Dropping the salt
+    * afterwards restores exactly the unsalted join's rows, which is
+    * why the oracle is the plain join SQL — the salt is a physical
+    * rewrite, invisible in the result.
+    */
+  def saltedDimJoin(fact: DataFrame, dim: DataFrame, key: String,
+      idCol: String = "event_id", salts: Int = 8): DataFrame = {
+    val sf = fact.withColumn("__salt",
+      pmod(hash(col(idCol)), lit(salts)))
+    val sd = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    // pin the shuffle join: a broadcast dim would make the salt moot
+    // (and hide the property at gate scale)
+    sf.hint("merge").join(sd, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** SCD2 interval build — event-sourced dimension versioning: from a
     * change stream (key, ts, attribute) derive one validity interval
     * per attribute VERSION: consecutive duplicate values collapse,

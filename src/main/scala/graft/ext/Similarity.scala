@@ -95,6 +95,54 @@ object Similarity {
         (col("n_overlap") * lit(1000L / k)).as("recall_permille"))
   }
 
+  /** 1-bit (sign) binary quantization: 64 dims pack into ONE BIGINT —
+    * 256× compression vs float32, the most aggressive point on the
+    * flat / SQ8 / PQ / IVFPQ dial — and distance becomes
+    * `bit_count(a XOR b)`, a 2-instruction kernel. Bit i is set iff
+    * component i > 0 (exact FLOAT comparison, engine-invariant), the
+    * in-row fold is pure codegen'd integer algebra.
+    */
+  def binaryCode(embedding: Column): Column =
+    // 64 static literal-shift terms; distinct bits make the sum an OR
+    (0 until 64).map { i =>
+      when(element_at(embedding, i + 1) > lit(0f), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Binary-quantization retrieval audit — same frame as
+    * [[matryoshkaRecall]]: per benchmark query, top-`k` overlap
+    * between the full-dim cosine ranking and the hamming ranking over
+    * the 64-bit sign codes. Hamming ties are frequent (small integer
+    * range), so the id tie-break is what keeps both engines' top-k
+    * selections identical. Broadcast query side; the corpus scan
+    * carries one BIGINT per vector where the exact path carries 64
+    * floats.
+    */
+  def binaryRecall(vectors: DataFrame, queryEvery: Long = 97,
+      k: Int = 10): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val coded = vectors.select(col("vec_id"), col("embedding"),
+      binaryCode(col("embedding")).as("code"))
+    val qs = coded.filter(pmod(col("vec_id"), lit(queryEvery)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"),
+        col("code").as("qcode"))
+    val scored = coded.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("embedding"), col("q")), 6).as("c_full"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).cast("long").as("ham"))
+    val wF = Window.partitionBy("qid").orderBy(col("c_full").desc, col("vec_id"))
+    val wP = Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id"))
+    scored
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rp", row_number().over(wP))
+      .groupBy("qid")
+      .agg(sum(when(col("rf") <= k && col("rp") <= k, 1L).otherwise(0L))
+        .as("n_overlap"))
+      .select(col("qid"), col("n_overlap"),
+        (col("n_overlap") * lit(1000L / k)).as("recall_permille"))
+  }
+
   /** IVF cell assignment: every vector joined to its nearest centroid.
     * Centroids = every `sampleEvery`-th vector (deterministic coarse
     * quantizer). Returns (vec_id, cell_id, embedding).

@@ -1129,6 +1129,18 @@ class ExtSpec extends AnyFunSuite {
     assert(wide.map(t => t._1 -> t._2).toMap.apply("d") == 4L)
   }
 
+  test("binaryCode: exact bit placement including the sign bit") {
+    import spark.implicits._
+    val emb = (0 until 64).map(i =>
+      if (i == 0 || i == 5 || i == 63) 0.5f else -0.5f).toArray
+    val zeros = Array.fill(64)(0f) // ties at 0 → bit stays 0
+    val out = Seq((1L, emb), (2L, zeros)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.binaryCode(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == (1L | 32L | Long.MinValue))
+    assert(out(2L) == 0L)
+  }
+
   test("matryoshkaRecall: full-dim prefix is a perfect-recall identity") {
     import spark.implicits._
     // deterministic 8-dim vectors; prefixDim = 8 must give recall 1000
