@@ -240,6 +240,28 @@ private[graft] object ExtEventQueries {
           |                  AND b.tmin + (b.tmax - b.tmin) * 6 // 10
           |ORDER BY e.event_id""".stripMargin)),
 
+    // Schema evolution across parquet generations — the
+    // decade-of-data reality at 100 TB: generation 1 predates the
+    // lang column, generation 2 has it; a mergeSchema read unions
+    // the file schemas and the missing column surfaces as NULLs,
+    // never a failure. count(lang) — non-null counting — is exactly
+    // the per-generation coverage audit a migration plan starts with.
+    QueryDef("x_layout_schema_evolution",
+      (spark, sfDir) => {
+        val root = schemaEvoDir(spark, sfDir)
+        spark.read.option("mergeSchema", "true").parquet(root)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("lang")).as("n_with_lang"))
+          .orderBy("source")
+      },
+      Some(
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lang
+          |FROM documents
+          |GROUP BY 1
+          |ORDER BY source""".stripMargin)),
+
     // Salted dimension join — the hot-KEY JOIN companion to
     // x_evt_salted_agg: fact rows get a deterministic salt, the dim
     // replicates once per salt value, and the join key becomes

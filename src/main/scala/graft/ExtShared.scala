@@ -275,6 +275,28 @@ private[graft] object ExtShared {
       out
     })
 
+  // Schema-evolution fixture: two parquet generations under one root
+  // (gen=1 lacks the lang column), written ONCE per scale dir — the
+  // decade-of-data reality a 100 TB corpus always has. Readers union
+  // the generations with mergeSchema; missing columns surface as
+  // NULLs, never as failures.
+  private[graft] val schemaEvoCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def schemaEvoDir(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String =
+    schemaEvoCache.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-schemaevo")
+      dir.toFile.deleteOnExit()
+      val root = dir.resolve("docs_gen").toString
+      Corpus.registerSources(spark, sfDir)
+      val d = spark.table("documents")
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "source")
+        .write.parquet(s"$root/gen=1")
+      d.filter(col("doc_id") % 2 === 1).select("doc_id", "source", "lang")
+        .write.parquet(s"$root/gen=2")
+      root
+    })
+
   // Deterministic oracle-augmentation fixtures, materialized ONCE per
   // scale dir as extra columns beside documents (VERDICT r7 item 6):
   // the corpus is clean single-line word soup, so the PII / URL /

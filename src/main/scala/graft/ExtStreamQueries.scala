@@ -417,6 +417,68 @@ private[graft] object ExtStreamQueries {
         """SELECT DISTINCT md5(text) AS content_md5
           |FROM documents ORDER BY content_md5""".stripMargin)),
 
+    // Streaming IVF index maintenance: the coarse quantizer trains
+    // ONCE as a batch job and freezes; new vectors then route to
+    // cells STATELESSLY — broadcast centroids + per-row argmax — so
+    // assignment streams for free: each micro-batch runs the same
+    // map-side pass and appends. Identical arithmetic to the batch
+    // assignment (float dot, 6 dp round, cell_id tie-break), so the
+    // streamed result lands on the batch oracle bit-for-bit.
+    QueryDef("x_stream_ivf_assign",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val centroids = Corpus.ivfIndex(spark, sfDir).centroids
+        val srcDir = multiFileSourceDir(spark, sfDir, "embeddings.parquet", 4)
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("label", IntegerType)))
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-stream-ivf")
+        outDir.toFile.deleteOnExit()
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            Similarity.assignToCentroids(batch, centroids)
+              .write.mode("append").parquet(outDir.toString): Unit
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(outDir.toString)
+          .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
+          .orderBy("vec_id")
+      },
+      Some(
+        s"""WITH $exCte,
+           |cx AS (
+           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
+           |),
+           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+           |          FROM ex GROUP BY vec_id),
+           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
+           |           FROM cx GROUP BY cell_id),
+           |allsims AS (
+           |  SELECT e.vec_id, c.cell_id,
+           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
+           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
+           |  FROM ex e JOIN cx c ON e.i = c.i
+           |  JOIN norms n ON n.vec_id = e.vec_id
+           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
+           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
+           |)
+           |SELECT vec_id, CAST(cell_id AS BIGINT) AS cell_id FROM (
+           |  SELECT vec_id, cell_id,
+           |         row_number() OVER (PARTITION BY vec_id
+           |                            ORDER BY sim DESC, cell_id) AS rn
+           |  FROM allsims
+           |) r WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin)),
+
     // Streaming count–min sketch: the mergeable-sketch property
     // EXECUTING as an ordinary complete-mode streaming aggregation —
     // per-occurrence (row, bucket) updates stream in over 4

@@ -327,6 +327,49 @@ private[graft] object ExtTextQueries {
           |FROM aug
           |ORDER BY doc_id""".stripMargin)),
 
+    // PII REDACTION — the output half beside x_text_pii's detection:
+    // every match replaced by its tag in the pinned declaration order
+    // (email first — a numeric mail host would otherwise be eaten by
+    // the IP pattern), then the redacted text fingerprinted. The tag
+    // count is taken on the REDACTED text, so it reflects what was
+    // actually masked, not the independent raw-text scans. Pure map.
+    QueryDef("x_text_pii_redact",
+      (spark, sfDir) => {
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("text_pii").as("text"))
+        Quality.redactPii(aug, "text")
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"),
+              lit("<(EMAIL|PHONE|IP)>"), lit(0))).cast("long").as("n_redacted"),
+            length(col("text")).cast("long").as("red_len"),
+            md5(col("text").cast("binary")).as("red_md5"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') ||
+          |         CASE WHEN doc_id % 7 = 0
+          |              THEN ' contact user' || doc_id || '@example.com 10.0.' ||
+          |                   (doc_id % 200) || '.1 call 555-' ||
+          |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |              ELSE '' END AS t
+          |  FROM documents
+          |),
+          |red AS (
+          |  SELECT doc_id,
+          |         regexp_replace(regexp_replace(regexp_replace(t,
+          |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '\b\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+          |           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS r
+          |  FROM aug
+          |)
+          |SELECT doc_id,
+          |       CAST(len(regexp_extract_all(r, '<(EMAIL|PHONE|IP)>')) AS BIGINT) AS n_redacted,
+          |       CAST(length(r) AS BIGINT) AS red_len,
+          |       md5(r) AS red_md5
+          |FROM red
+          |ORDER BY doc_id""".stripMargin)),
+
     // URL-host profile over deterministically URL-augmented text (every
     // 3rd doc links two synthetic hosts): extract → host-keyed agg →
     // TakeOrderedAndProject top-k. 16 distinct hosts < k=20, so the

@@ -175,6 +175,31 @@ object Similarity {
     vectors.join(best, idCol)
   }
 
+  /** Assign arbitrary vectors to a FROZEN centroid table — the
+    * index-MAINTENANCE kernel: once the coarse quantizer is trained
+    * and shipped, new vectors route to cells statelessly (broadcast
+    * centroids + argmax cosine per row), which is why IVF assignment
+    * streams for free — each micro-batch runs this same map-side pass
+    * and appends. Identical arithmetic to [[ivfAssign]] (float dot,
+    * 6 dp round, cell_id tie-break), so a streamed assignment lands
+    * on the batch oracle bit-for-bit.
+    */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val withNorm = vectors.withColumn("__vn",
+      dot(col("embedding"), col("embedding")))
+    val cents = centroids.select(col("cell_id"), col("centroid"))
+      .withColumn("__cn", dot(col("centroid"), col("centroid")))
+    withNorm.crossJoin(broadcast(cents))
+      .withColumn("sim", round(
+        dot(col("embedding"), col("centroid")) /
+          (sqrt(col("__vn")) * sqrt(col("__cn"))), 6))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cell_id"), struct(col("sim"), -col("cell_id")))
+        .as("cell_id"))
+  }
+
   /** A built IVF index: the coarse quantizer's centroid table
     * (`cell_id` + centroid vector) and the full vector→cell assignment
     * (`vec_id`, `cell_id`, `embedding`). Built ONCE as a batch job —
