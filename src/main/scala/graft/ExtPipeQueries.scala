@@ -483,6 +483,49 @@ private[graft] object ExtPipeQueries {
           |FROM t
           |ORDER BY source, doc_id""".stripMargin)),
 
+    // The pack MANIFEST — x_pipe_pack inverted into the dataloader's
+    // read plan: one row per (sequence, document-segment) with the
+    // exact token span (from_tok, take_len) that fills each training
+    // sequence; straddling documents appear once per sequence they
+    // cross. Σ take_len per sequence = seqLen except each group's
+    // last — the invariant a loader asserts before training. Same
+    // single per-group window as pack + an in-row range explode.
+    QueryDef("x_pipe_pack_manifest",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.packManifest(spark.table("documents"), "text", "source",
+            seqLen = 256)
+          .orderBy("source", "seq_id", "doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT source, doc_id,
+          |         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n
+          |  FROM documents
+          |),
+          |base AS (
+          |  SELECT source, doc_id, n,
+          |         sum(n) OVER (PARTITION BY source ORDER BY doc_id
+          |                      ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM t
+          |),
+          |b2 AS (
+          |  -- window sum is HUGEINT in DuckDB; range() wants BIGINT
+          |  SELECT source, doc_id, CAST(cum - n AS BIGINT) AS s,
+          |         CAST(cum AS BIGINT) AS e
+          |  FROM base WHERE n > 0
+          |),
+          |m AS (
+          |  SELECT source, doc_id, s, e,
+          |         unnest(range(s // 256, (e - 1) // 256 + 1)) AS seq_id
+          |  FROM b2
+          |)
+          |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+          |       CAST(greatest(seq_id * 256 - s, 0) AS BIGINT) AS from_tok,
+          |       CAST(least(e, (seq_id + 1) * 256) - greatest(s, seq_id * 256) AS BIGINT) AS take_len
+          |FROM m
+          |ORDER BY source, seq_id, doc_id""".stripMargin)),
+
     // Token-budget sampler: greedy fill per source in salted-hash
     // order; kept iff the starting offset is under budget (overshoot
     // bounded by one doc). Window state = one running BIGINT per group.

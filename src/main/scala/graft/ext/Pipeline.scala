@@ -674,6 +674,40 @@ object Pipeline {
         floor((col("__cum") - col("n_tokens")) / seqLen).as("pack_id"))
   }
 
+  /** The pack MANIFEST — [[pack]] inverted into the dataloader's
+    * actual read plan: one row per (sequence, document-segment) saying
+    * which token span of which document fills which training sequence
+    * (GPT-style packing concatenates the corpus and cuts every
+    * `seqLen` tokens, so a document can straddle sequences; the
+    * manifest makes the straddle explicit via `from_tok`/`take_len`).
+    * Σ take_len per sequence = seqLen exactly (except each group's
+    * last), which is the invariant a loader asserts before training.
+    *
+    * Same single per-group window as [[pack]] (the two-pass
+    * distributed prefix sum at scale), then an in-row explode of the
+    * spanned-sequence range — a document adds ⌈n/seqLen⌉ + 1 rows at
+    * most, so the manifest is O(total_tokens/seqLen + docs).
+    */
+  def packManifest(docs: DataFrame, textCol: String, byCol: String,
+      idCol: String = "doc_id", seqLen: Int = 2048): DataFrame = {
+    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
+    val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = lit(seqLen.toLong)
+    docs
+      .select(col(byCol), col(idCol), size_long(toks).as("n"))
+      .withColumn("__cum", sum(col("n")).over(w))
+      .filter(col("n") > 0)
+      .select(col(byCol), col(idCol),
+        (col("__cum") - col("n")).as("s"), col("__cum").as("e"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"s DIV $seqLen"), expr(s"(e - 1) DIV $seqLen"))))
+      .select(col(byCol), col("seq_id"), col(idCol),
+        greatest(col("seq_id") * L - col("s"), lit(0L)).as("from_tok"),
+        (least(col("e"), (col("seq_id") + 1) * L) -
+          greatest(col("s"), col("seq_id") * L)).as("take_len"))
+  }
+
   /** Content-defined chunking (CDC) — shift-resistant chunk boundaries
     * for dedup. [[chunk]]'s fixed windows move when a single character
     * is inserted upstream, so an edited document shares NO chunks with

@@ -1096,6 +1096,28 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("n_syllables") == 1L)
   }
 
+  test("packManifest: sequences fill exactly; straddles cover each doc once") {
+    import spark.implicits._
+    // one group, docs of 3/4/5 tokens, seqLen 4:
+    // offsets d1=[0,3) d2=[3,7) d3=[7,12) → seq0: d1(3)+d2(1),
+    // seq1: d2(3)+d3(1), seq2: d3(4) — full, last seq d3(... wait 12
+    // tokens / 4 = 3 full seqs exactly)
+    val d = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l"))
+      .map { case (i, t) => (i, t, "g1") }.toDF("doc_id", "text", "source")
+    val m = Pipeline.packManifest(d, "text", "source", seqLen = 4)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(m.toSeq == Seq(
+      (0L, 1L, 0L, 3L), (0L, 2L, 0L, 1L),
+      (1L, 2L, 1L, 3L), (1L, 3L, 0L, 1L),
+      (2L, 3L, 1L, 4L)))
+    // invariants: every sequence fills to exactly seqLen; every doc's
+    // segments cover its tokens exactly once
+    assert(m.groupBy(_._1).values.forall(_.map(_._4).sum == 4L))
+    assert(m.groupBy(_._2).map { case (_, segs) => segs.map(_._4).sum } ==
+      Iterable(3L, 4L, 5L))
+  }
+
   test("kmvDistinct: small groups exact; big groups match the sorted-hash formula") {
     import spark.implicits._
     // group a: 5 distinct hashes (< k) → exact; group b: 200 distinct

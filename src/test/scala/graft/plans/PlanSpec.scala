@@ -56,7 +56,13 @@ class PlanSpec extends AnyFunSuite {
       "x_pipe_chunk" -> graft.ext.Pipeline.chunk(docs, "text"),
       "x_pipe_cdc" -> graft.ext.Pipeline.cdcChunks(docs, "text"),
       "x_text_readability" ->
-        graft.ext.TextAnalysis.readability(docs, "text"))
+        graft.ext.TextAnalysis.readability(docs, "text"),
+      "x_text_html" -> graft.ext.TextAnalysis.htmlStrip(docs, "text"),
+      "x_text_pii_redact" -> graft.ext.Quality.redactPii(docs, "text"),
+      "x_sim_binary(code)" -> docs.select(
+        graft.ext.Similarity.binaryCode(
+          org.apache.spark.sql.functions.array_repeat(
+            org.apache.spark.sql.functions.lit(0.5f), 64))))
     for ((name, df) <- pureMaps)
       assert(shuffles(df) == 0,
         s"$name grew a shuffle:\n${planOf(df)}")
