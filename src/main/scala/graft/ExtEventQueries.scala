@@ -240,6 +240,84 @@ private[graft] object ExtEventQueries {
           |                  AND b.tmin + (b.tmax - b.tmin) * 6 // 10
           |ORDER BY e.event_id""".stripMargin)),
 
+    // First-order action-transition matrix over 4 h sessions — the
+    // Markov summary of behavioral sequences (next-action baselines,
+    // the sanity screen on x_evt_threads' trajectories): consecutive
+    // in-session pairs counted, row-normalized to e6 probabilities
+    // (cnt·1e6 DIV from_total). Session boundaries yield NO
+    // transition; the lag rides the sessionize exchange, the pair agg
+    // is vocabulary-bounded, the row-total join broadcasts.
+    QueryDef("x_evt_transitions",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select("event_id", "user_id", "ts_us", "event_type")
+        Events.actionTransitions(ev, gapUs = 4L * 3600 * 1000000)
+          .orderBy("from_action", "to_action")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+          |),
+          |s AS (
+          |  SELECT user_id, event_id, ts_us, event_type,
+          |         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+          |                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+          |                   > 14400000000
+          |              THEN 1 ELSE 0 END AS st
+          |  FROM e
+          |),
+          |x AS (
+          |  SELECT user_id, event_id, ts_us, event_type,
+          |         sum(st) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |                       ROWS UNBOUNDED PRECEDING) AS session_seq
+          |  FROM s
+          |),
+          |p AS (
+          |  SELECT event_type,
+          |         lag(event_type) OVER (PARTITION BY user_id, session_seq
+          |                               ORDER BY ts_us, event_id) AS prev
+          |  FROM x
+          |),
+          |c AS (
+          |  SELECT prev AS from_action, event_type AS to_action, count(*) AS cnt
+          |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2
+          |),
+          |t AS (SELECT from_action, sum(cnt) AS tot FROM c GROUP BY 1)
+          |SELECT c.from_action, c.to_action, CAST(c.cnt AS BIGINT) AS cnt,
+          |       CAST(c.cnt * 1000000 // t.tot AS BIGINT) AS p_e6
+          |FROM c JOIN t ON t.from_action = c.from_action
+          |ORDER BY c.from_action, c.to_action""".stripMargin)),
+
+    // Small-file compaction — the table-maintenance pass a long-lived
+    // dataset needs: the fixture manufactures the problem (64 tiny
+    // files), compact() rewrites them as 8 range-partitioned files
+    // sorted on event_id (tight min/max → the rewrite also buys
+    // pruning), and this query reads the COMPACTED copy — the oracle
+    // runs on the source table, so hash parity IS the
+    // content-invariance proof. LayoutSpec asserts the file counts
+    // and per-file sort-column disjointness.
+    QueryDef("x_layout_compaction",
+      (spark, sfDir) => {
+        val dir = compactedEventsDir(spark, sfDir)
+        spark.read.parquet(dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("event_id")).as("sum_ids"),
+            min(col("ts_us")).as("min_ts_us"),
+            max(col("ts_us")).as("max_ts_us"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+          |       CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+          |       CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+          |FROM events
+          |GROUP BY 1
+          |ORDER BY event_type""".stripMargin)),
+
     // Schema evolution across parquet generations — the
     // decade-of-data reality at 100 TB: generation 1 predates the
     // lang column, generation 2 has it; a mergeSchema read unions

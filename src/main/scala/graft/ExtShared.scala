@@ -275,6 +275,30 @@ private[graft] object ExtShared {
       out
     })
 
+  // Small-file → compacted events layout, built ONCE per scale dir:
+  // the fixture first manufactures the small-file problem (64 tiny
+  // files) and then compacts to 8 range-partitioned, event_id-sorted
+  // files; the declared query reads the COMPACTED copy and must be
+  // content-identical to the source table.
+  private[graft] val compactCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def compactedEventsDir(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String =
+    compactCache.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      dir.toFile.deleteOnExit()
+      val small = dir.resolve("small").toString
+      val out = dir.resolve("compacted").toString
+      Corpus.registerSources(spark, sfDir)
+      spark.table("events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select("event_id", "user_id", "ts_us", "value", "event_type")
+        .repartition(64)
+        .write.parquet(small)
+      graft.ext.Layout.compact(spark.read.parquet(small), "event_id", out, 8)
+      out
+    })
+
   // Schema-evolution fixture: two parquet generations under one root
   // (gen=1 lacks the lang column), written ONCE per scale dir — the
   // decade-of-data reality a 100 TB corpus always has. Readers union

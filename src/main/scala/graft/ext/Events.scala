@@ -340,6 +340,40 @@ object Events {
         sum(col("__cents")).as("sum_cents"))
   }
 
+  /** First-order action-transition matrix over [[sessionize]]
+    * sessions — the Markov-chain summary of behavioral sequences
+    * (next-action prediction baselines, UX-funnel discovery, and the
+    * sanity screen run on [[threadPaths]]' trajectories before they
+    * become training data): for every consecutive in-session pair,
+    * count(from → to) and the row-normalized transition probability
+    * in e6 fixed point (`cnt·1e6 DIV from_total` — truncating
+    * positive DIV, engine-exact). Session boundaries do NOT produce
+    * transitions (the lag restarts per (key, session)).
+    *
+    * Shape: the lag window rides the sessionize exchange (same
+    * (key, ts, id) partitioning+ordering), then ONE action-pair agg
+    * over the vocabulary-bounded pair space and a broadcast-sized
+    * row-total join.
+    */
+  def actionTransitions(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", idCol: String = "event_id",
+      actionCol: String = "event_type",
+      gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val s = sessionize(events, keyCol, tsCol, idCol, gapUs)
+    val w = Window.partitionBy(col(keyCol), col("session_seq"))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = s
+      .withColumn("__prev", lag(col(actionCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_action"),
+        col(actionCol).as("to_action"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("from_action").agg(sum(col("cnt")).as("tot"))
+    pairs.join(broadcast(totals), "from_action")
+      .select(col("from_action"), col("to_action"), col("cnt"),
+        expr("cnt * 1000000 DIV tot").as("p_e6"))
+  }
+
   /** Salted dimension join — the hot-KEY JOIN companion to
     * [[saltedAgg]]'s hot-key aggregation: a shuffle join hashes every
     * row of a key to ONE reducer, so a fact table where one key

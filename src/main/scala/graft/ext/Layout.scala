@@ -145,6 +145,24 @@ object Layout {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("n_items"), col("revenue"))
 
+  /** Small-file compaction — the table-maintenance pass every long-
+    * lived 100 TB dataset needs: streaming appends, per-partition
+    * writers, and incremental upserts all leave thousands of tiny
+    * files whose per-file open/footer cost eventually dominates scans
+    * (and whose count strains the metastore). Compaction rewrites
+    * them as `nFiles` range-partitioned, internally-sorted files on
+    * `sortCol` — content-IDENTICAL to the input (the consumer query
+    * oracle-checks that), with tight per-file min/max on the sort
+    * column so the rewrite also BUYS pruning on it. This is the
+    * OPTIMIZE/rewrite_data_files half of the z-order story, on the
+    * same plain-parquet terms.
+    */
+  def compact(df: DataFrame, sortCol: String, dir: String,
+      nFiles: Int = 8): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(dir)
+
   /** Per-file (min, max) box of two columns — the layout-audit view
     * LayoutSpec asserts pruning with: a file whose box misses the
     * query box is a file a stats-pruning reader skips. One scan,

@@ -247,6 +247,24 @@ class EventsSpec extends AnyFunSuite {
     assert(z(4, 3, 6, 18) == 1414214L && z(1, 3, 6, 18) == -707107L)
   }
 
+  test("actionTransitions: in-session pairs only, e6 row-normalized") {
+    import spark.implicits._
+    // u1 session1: a→b→a; session2 (after gap): b alone — the
+    // boundary b must NOT create an a→b or b→b transition
+    val ev = Seq(
+      (1L, 1L, 100L, "a"), (2L, 1L, 110L, "b"), (3L, 1L, 120L, "a"),
+      (4L, 1L, 2000L, "b"),
+      (5L, 2L, 50L, "a"), (6L, 2L, 60L, "b"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val out = Events.actionTransitions(ev, gapUs = 500L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // from a: a→b twice (u1 and u2) of 2 total; from b: b→a once of 1
+    assert(out == Map(
+      ("a", "b") -> (2L, 1000000L),
+      ("b", "a") -> (1L, 1000000L)))
+  }
+
   test("threadPaths: gap splits sessions, cap bounds the path, stats uncapped") {
     import spark.implicits._
     // u1: 3 events tight (gap 10), then a 1000µs jump → 2 sessions;

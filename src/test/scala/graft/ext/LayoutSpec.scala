@@ -107,6 +107,34 @@ class LayoutSpec extends AnyFunSuite {
       math.abs(r3.getDouble(3) - 90.45) < 1e-9)
   }
 
+  test("compact: 64 tiny files become n sorted files with disjoint ranges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compactspec")
+    dir.toFile.deleteOnExit()
+    val small = dir.resolve("small").toString
+    val out = dir.resolve("out").toString
+    val src = (1L to 1000L).map(i => (i, i % 7)).toDF("id", "v")
+    src.repartition(64).write.parquet(small)
+    assert(new java.io.File(small).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 64)
+    Layout.compact(spark.read.parquet(small), "id", out, nFiles = 4)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 4)
+    // content-identical
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1000L &&
+      back.agg(sum(col("id"))).head().getLong(0) == 500500L)
+    // per-file id ranges are disjoint (range partitioning): sorting
+    // files by min, each min must exceed the previous max
+    val boxes = back.groupBy(input_file_name())
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .orderBy("mn").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(boxes.sliding(2).forall {
+      case Array((_, mx1), (mn2, _)) => mn2 > mx1
+      case _ => true
+    })
+  }
+
   test("hive partitioning: a type predicate prunes whole directories") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-hivespec")
