@@ -59,43 +59,7 @@ private[graft] object ExtEventQueries {
         Events.threadPaths(ev, gapUs = 4L * 3600 * 1000000, maxSteps = 20)
           .orderBy("user_id", "session_seq")
       },
-      Some(
-        """WITH e AS (
-          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
-          |),
-          |s AS (
-          |  SELECT user_id, event_id, ts_us, event_type,
-          |         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
-          |                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
-          |                   > 14400000000
-          |              THEN 1 ELSE 0 END AS st
-          |  FROM e
-          |),
-          |x AS (
-          |  SELECT user_id, event_id, ts_us, event_type,
-          |         sum(st) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-          |                       ROWS UNBOUNDED PRECEDING) AS session_seq
-          |  FROM s
-          |),
-          |r AS (
-          |  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
-          |                               ORDER BY ts_us, event_id) AS rn
-          |  FROM x
-          |),
-          |g AS (
-          |  SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
-          |         CAST(min(ts_us) AS BIGINT) AS start_us
-          |  FROM r GROUP BY 1, 2
-          |),
-          |p AS (
-          |  SELECT user_id, session_seq,
-          |         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
-          |  FROM r WHERE rn <= 20 GROUP BY 1, 2
-          |)
-          |SELECT g.user_id, CAST(g.session_seq AS BIGINT) AS session_seq,
-          |       g.n_events, g.start_us, p.path
-          |FROM g JOIN p ON p.user_id = g.user_id AND p.session_seq = g.session_seq
-          |ORDER BY g.user_id, g.session_seq""".stripMargin)),
+      defsThreadsOracle),
 
     // Bucketized range join: each purchase attached to its containing
     // 4 h-gap session interval. The engine never writes the BETWEEN

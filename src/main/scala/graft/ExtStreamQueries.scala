@@ -417,6 +417,35 @@ private[graft] object ExtStreamQueries {
         """SELECT DISTINCT md5(text) AS content_md5
           |FROM documents ORDER BY content_md5""".stripMargin)),
 
+    // Streaming session action paths — the threadPaths twin: the
+    // sessionStream carry plus a BOUNDED first-20-action buffer per
+    // open session (the same cap the batch operator applies before
+    // its collect — per-user state is ≤ maxSteps entries no matter
+    // how long a session runs). Completed sessions emit and leave
+    // state; the final value per session is its max-n_events
+    // emission.
+    QueryDef("x_stream_threads",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        // dual-layout-safe ts_us via the footer-probing shared adapter
+        val stream = eventsStream(spark, streamSourceDir(sfDir, "events.parquet"))
+        val q = graft.streaming.IncrementalIndexer
+          .threadStream(spark, stream, gapUs = 4L * 3600 * 1000000,
+            maxSteps = 20)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_threads_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "session_seq").orderBy(col("n_events").desc)
+        spark.table("x_stream_threads_sink")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("user_id", "session_seq", "n_events", "start_us", "path")
+          .orderBy("user_id", "session_seq")
+      },
+      defsThreadsOracle),
+
     // Streaming IVF index maintenance: the coarse quantizer trains
     // ONCE as a batch job and freezes; new vectors then route to
     // cells STATELESSLY — broadcast centroids + per-row argmax — so

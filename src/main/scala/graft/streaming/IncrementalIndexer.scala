@@ -229,6 +229,56 @@ object IncrementalIndexer {
       }
   }
 
+  /** Streaming session action paths — [[graft.ext.Events.threadPaths]]
+    * as incremental state: the [[sessionStream]] carry plus a BOUNDED
+    * action buffer (first `maxSteps` (ts, id, action) triples of the
+    * open session — the same cap the batch operator applies BEFORE
+    * its collect, so state per user is ≤ maxSteps entries no matter
+    * how long a session runs). Completed sessions emit their joined
+    * path and leave state; the still-open session emits a provisional
+    * row each batch, and n_events only grows, so the final value per
+    * session is its emission with max n_events (the declared query's
+    * pick). Same cross-batch contract as sessionStream: equals the
+    * batch operator whenever batches respect per-key event-time
+    * order.
+    */
+  final case class ThreadRow(user_id: Long, session_seq: Long,
+      n_events: Long, start_us: Long, path: String)
+  final case class ThreadCarry(last_ts: Long, seq: Long, n: Long,
+      start: Long, acts: Array[String])
+
+  def threadStream(spark: SparkSession, events: DataFrame,
+      gapUs: Long, maxSteps: Int): Dataset[ThreadRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_us").cast("long"), col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ThreadCarry, ThreadRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+        val out = scala.collection.mutable.ArrayBuffer.empty[ThreadRow]
+        def row(s: ThreadCarry): ThreadRow =
+          ThreadRow(uid, s.seq, s.n, s.start, s.acts.mkString(">"))
+        var s = state.getOption.orNull
+        sorted.foreach { case (_, _, ts, act) =>
+          if (s == null) s = ThreadCarry(ts, 1L, 1L, ts, Array(act))
+          else if (ts - s.last_ts > gapUs) {
+            out += row(s) // close the previous session
+            s = ThreadCarry(ts, s.seq + 1, 1L, ts, Array(act))
+          } else s = ThreadCarry(ts, s.seq, s.n + 1, s.start,
+            if (s.acts.length < maxSteps) s.acts :+ act else s.acts)
+        }
+        if (s != null) {
+          state.update(s)
+          out += row(s) // provisional row for the still-open session
+        }
+        out.iterator
+      }
+  }
+
   /** Streaming rolling event rates — [[graft.ext.Events.rollingCounts]]
     * as incremental state: for every event, the count and integer-cents
     * value sum of the SAME user's events in the trailing `windowUs`

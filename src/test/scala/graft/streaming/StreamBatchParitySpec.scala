@@ -77,6 +77,20 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(rows(fin) == rows(batch))
   }
 
+  test("threadStream == batch threadPaths on random tied data") {
+    val gap = 120L
+    val batch = Events.threadPaths(batchDf, gapUs = gap, maxSteps = 5)
+      .select("user_id", "session_seq", "n_events", "start_us", "path")
+    val streamed = runStream("parity_threads")(
+      IncrementalIndexer.threadStream(spark, _, gapUs = gap, maxSteps = 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "session_seq").orderBy(col("n_events").desc)
+    val fin = streamed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("user_id", "session_seq", "n_events", "start_us", "path")
+    assert(rows(fin) == rows(batch))
+  }
+
   test("rollingStream == batch rollingCounts on random tied data") {
     val win = 300L
     val batch = Events.rollingCounts(batchDf, windowUs = win)
