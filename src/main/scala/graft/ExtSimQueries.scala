@@ -42,7 +42,7 @@ private[graft] object ExtSimQueries {
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
         Similarity.binaryRecall(spark.table("embeddings"),
-            queryEvery = 97, k = 10)
+            queryEvery = 97, k = 10, benchMaxId = 500)
           .orderBy("qid")
       },
       Some(
@@ -63,7 +63,7 @@ private[graft] object ExtSimQueries {
            |qids AS (
            |  SELECT vec_id AS qid, unnest(embedding) AS qv,
            |         unnest(range(len(embedding))) AS i
-           |  FROM embeddings WHERE vec_id % 97 = 0
+           |  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 500
            |),
            |dots AS (
            |  SELECT q.qid, e.vec_id,
@@ -110,7 +110,7 @@ private[graft] object ExtSimQueries {
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
         Similarity.matryoshkaRecall(spark.table("embeddings"),
-            queryEvery = 97, prefixDim = 16, k = 10)
+            queryEvery = 97, prefixDim = 16, k = 10, benchMaxId = 500)
           .orderBy("qid")
       },
       Some(
@@ -118,7 +118,7 @@ private[graft] object ExtSimQueries {
            |qids AS (
            |  SELECT vec_id AS qid, unnest(embedding) AS qv,
            |         unnest(range(len(embedding))) AS i
-           |  FROM embeddings WHERE vec_id % 97 = 0
+           |  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 500
            |),
            |dots AS (
            |  SELECT q.qid, e.vec_id,

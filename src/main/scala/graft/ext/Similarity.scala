@@ -72,9 +72,11 @@ object Similarity {
     * recipe), vec_id breaks ties.
     */
   def matryoshkaRecall(vectors: DataFrame, queryEvery: Long = 97,
-      prefixDim: Int = 16, k: Int = 10): DataFrame = {
+      prefixDim: Int = 16, k: Int = 10,
+      benchMaxId: Long = Long.MaxValue): DataFrame = {
     VectorFunctions.register(vectors.sparkSession)
-    val qs = vectors.filter(pmod(col("vec_id"), lit(queryEvery)) === 0)
+    val qs = vectors.filter(pmod(col("vec_id"), lit(queryEvery)) === 0 &&
+      col("vec_id") < benchMaxId)
       .select(col("vec_id").as("qid"), col("embedding").as("q"))
     val scored = vectors.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(qs))
@@ -119,11 +121,12 @@ object Similarity {
     * floats.
     */
   def binaryRecall(vectors: DataFrame, queryEvery: Long = 97,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, benchMaxId: Long = Long.MaxValue): DataFrame = {
     VectorFunctions.register(vectors.sparkSession)
     val coded = vectors.select(col("vec_id"), col("embedding"),
       binaryCode(col("embedding")).as("code"))
-    val qs = coded.filter(pmod(col("vec_id"), lit(queryEvery)) === 0)
+    val qs = coded.filter(pmod(col("vec_id"), lit(queryEvery)) === 0 &&
+      col("vec_id") < benchMaxId)
       .select(col("vec_id").as("qid"), col("embedding").as("q"),
         col("code").as("qcode"))
     val scored = coded.crossJoin(broadcast(qs))
