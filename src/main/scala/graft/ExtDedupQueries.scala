@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
 private[graft] object ExtDedupQueries {
   import ExtShared._
 
+  // Band cap for x_dedup_editdist's Levenshtein kernel: distances
+  // above this report the censored −1. Sized at ~2× the largest
+  // distance any verified near-dup pair shows on this corpus family
+  // (max observed 15 at sf1, 8 at sf0.01), so nothing real is
+  // censored while the DP band stays O(minlen·cap).
+  private val EditDistCap = 32
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("x_dedup_exact",
@@ -604,16 +611,26 @@ private[graft] object ExtDedupQueries {
           |         AS is_duplicate
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Exact edit-distance annotation of the verified MinHash pairs —
+    // Banded edit-distance annotation of the verified MinHash pairs —
     // the character-level ground truth beside the shingle-level
-    // Jaccard: Levenshtein is O(|a|·|b|) per pair, affordable ONLY
-    // because the LSH band join already shrank the corpus-sized
-    // problem to the candidate pair list (the classic
-    // sketch-then-verify split; at 100 TB the quadratic kernel runs
-    // on thousands of pairs, never the corpus). edit_sim_e6 =
-    // (maxlen − dist)·1e6 DIV max(maxlen, 1) — exact integer fixed
-    // point; both engines implement textbook Levenshtein, so the
-    // distance itself is engine-exact.
+    // Jaccard. The kernel is BANDED (Ukkonen 1985 cutoff, threshold
+    // EditDistCap = 32): a pair whose distance exceeds the cap
+    // reports the censored sentinel −1 instead of an exact count —
+    // the right contract for near-dup verification, where "farther
+    // than the cap" IS the answer and the full O(|a|·|b|) DP is pure
+    // waste. Spark's 3-arg `levenshtein` runs the O(minlen·cap) band
+    // and short-circuits on the free length-difference bound
+    // (|len(a)−len(b)| > cap ⇒ dist > cap, no DP at all); the oracle
+    // reproduces the identical censoring rule on the full distance.
+    // Affordable at scale ONLY because the LSH band join already
+    // shrank the corpus-sized problem to the candidate pair list
+    // (the classic sketch-then-verify split) — and the band cap is
+    // what keeps the per-pair term O(len), not O(len²), when the
+    // pair artifact itself grows (r8 verdict: the 14.2× sf0.1→sf1
+    // slope was exactly this kernel on the replica-clique pair
+    // blowup). edit_sim_e6 = (maxlen − dist)·1e6 DIV max(maxlen, 1)
+    // for measured pairs, −1 for censored — exact integer fixed
+    // point; both engines' distances are engine-exact.
     QueryDef("x_dedup_editdist",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
@@ -622,11 +639,14 @@ private[graft] object ExtDedupQueries {
         minhashPairs(spark, sfDir).select("id_a", "id_b")
           .join(docs.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
           .join(docs.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
-          .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
+          .withColumn("edit_dist",
+            levenshtein(col("ta"), col("tb"), EditDistCap).cast("long"))
           .withColumn("maxlen",
             greatest(length(col("ta")), length(col("tb"))).cast("long"))
           .select(col("id_a"), col("id_b"), col("edit_dist"),
-            expr("(maxlen - edit_dist) * 1000000 DIV greatest(maxlen, CAST(1 AS BIGINT))")
+            when(col("edit_dist") < 0L, lit(-1L))
+              .otherwise(expr(
+                "(maxlen - edit_dist) * 1000000 DIV greatest(maxlen, CAST(1 AS BIGINT))"))
               .as("edit_sim_e6"))
           .orderBy("id_a", "id_b")
       },
@@ -635,16 +655,23 @@ private[graft] object ExtDedupQueries {
            |txt AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
            |m AS (
            |  SELECT p.id_a, p.id_b,
-           |         CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+           |         CAST(levenshtein(a.t, b.t) AS BIGINT) AS full_dist,
            |         CAST(greatest(len(a.t), len(b.t)) AS BIGINT) AS maxlen
            |  FROM pairs p
            |  JOIN txt a ON a.doc_id = p.id_a
            |  JOIN txt b ON b.doc_id = p.id_b
+           |),
+           |c AS (
+           |  SELECT id_a, id_b, maxlen,
+           |         CASE WHEN full_dist > $EditDistCap THEN CAST(-1 AS BIGINT)
+           |              ELSE full_dist END AS edit_dist
+           |  FROM m
            |)
            |SELECT id_a, id_b, edit_dist,
-           |       CAST((maxlen - edit_dist) * 1000000 // greatest(maxlen, 1) AS BIGINT)
-           |         AS edit_sim_e6
-           |FROM m
+           |       CASE WHEN edit_dist < 0 THEN CAST(-1 AS BIGINT)
+           |            ELSE CAST((maxlen - edit_dist) * 1000000 // greatest(maxlen, 1)
+           |                      AS BIGINT) END AS edit_sim_e6
+           |FROM c
            |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -243,7 +243,12 @@ private[graft] object ExtShared {
       sfDir: String): (String, String) =
     bucketedCache.getOrElseUpdate(sfDir, {
       Corpus.registerSources(spark, sfDir)
-      val tag = Integer.toHexString(sfDir.hashCode)
+      // md5 of the FULL path, not String.hashCode: a 32-bit collision
+      // between two scale dirs in one JVM would silently overwrite the
+      // other dir's bucketed tables (writeBucketed force-deletes).
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
       val o = s"graft_buck_orders_$tag"
       val l = s"graft_buck_lineitem_$tag"
       graft.ext.Layout.writeBucketed(

@@ -215,23 +215,35 @@ object Graph {
           "DIV (d * (d - 1)) ELSE CAST(0 AS BIGINT) END").as("cc_e6"))
   }
 
-  /** k-core peeling (Seidman 1983), `rounds` synchronous rounds:
-    * each round drops every node whose degree within the currently-
-    * surviving subgraph is < k. Deterministic with no tie-breaks at
-    * all, so the oracle unrolls identical rounds; with `rounds` at the
-    * measured fixpoint depth the output IS the k-core. Returns the
-    * survivors with their residual degree inside the final subgraph.
+  /** k-core peeling (Seidman 1983), synchronous rounds: each round
+    * drops every node whose degree within the currently-surviving
+    * subgraph is < k. Peels until the alive COUNT is stable — a round
+    * that drops nobody is the fixpoint, since peeling only removes —
+    * so the output IS the k-core at any scale factor; `rounds` is the
+    * expected fixpoint depth and only sizes the hard cap
+    * (max(rounds, 64)), with a loud failure (never a silent superset
+    * of the core) if the cap is hit un-converged. Deterministic with
+    * no tie-breaks at all, so an oracle that unrolls `rounds` rounds
+    * matches whenever `rounds` covers the fixpoint: the extra
+    * convergence peels are no-ops there.
     *
     * Scale shape per round: two semi-join-shaped hash joins of the
     * edge list against the (shrinking) alive set + one key agg —
     * the alive side broadcasts once it fits, and AQE picks that up
-    * at runtime. Zero driver state; localCheckpoint truncates the
-    * per-round lineage (the pageRank lesson).
+    * at runtime. The per-round count() reads the eager
+    * localCheckpoint (already materialized — a cached-scan count, not
+    * a recompute). Zero driver state beyond one Long; localCheckpoint
+    * truncates the per-round lineage (the pageRank lesson).
     */
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val e = edges.select("src", "dst").distinct().localCheckpoint(true)
     var alive = e.select(col("src").as("node")).distinct()
-    for (_ <- 1 to rounds) {
+    val cap = math.max(rounds, 64)
+    var prev = -1L
+    var n = alive.count()
+    var iters = 0
+    while (n != prev && iters < cap) {
+      prev = n
       alive = e
         .join(alive.select(col("node").as("src")), "src")
         .join(alive.select(col("node").as("dst")), "dst")
@@ -239,7 +251,11 @@ object Graph {
         .filter(col("rd") >= k)
         .select("node")
         .localCheckpoint(true)
+      n = alive.count()
+      iters += 1
     }
+    require(n == prev,
+      s"kcore: not converged after $cap rounds (alive=$n, prev=$prev)")
     e.join(alive.select(col("node").as("src")), "src")
       .join(alive.select(col("node").as("dst")), "dst")
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))

@@ -871,9 +871,15 @@ object Pipeline {
     * representable doubles, so the estimate is one correctly-rounded
     * IEEE divide + floor — deterministic cross-engine.
     *
-    * Scale shape (the heavyHitters discipline): per-partition k-sized
-    * TreeSet state via mapPartitions — bounded no matter the corpus —
-    * then ONE ranking over ≤ k·partitions candidate rows per group.
+    * Scale shape (the heavyHitters discipline): per-partition state is
+    * one k-sized TreeSet PER GROUP KEY present in the partition —
+    * O(groups-in-partition × k), NOT O(k): bounded because the sketch
+    * is meant for bounded-cardinality group keys (source, language,
+    * shard — the fixture has ~20). For a high-cardinality `byCol`,
+    * `repartition(col(byCol))` first so each partition holds only its
+    * own groups' state, or use the exact windowed top-k instead. After
+    * the partial pass, ONE ranking over ≤ k·partitions candidate rows
+    * per group.
     * The exact `n_true` beside the estimate is the audit column (at
     * 100 TB you ship the sketch and drop the truth; here truth is what
     * the oracle checks the estimator against).

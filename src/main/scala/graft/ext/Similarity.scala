@@ -94,7 +94,10 @@ object Similarity {
       .agg(sum(when(col("rf") <= k && col("rp") <= k, 1L).otherwise(0L))
         .as("n_overlap"))
       .select(col("qid"), col("n_overlap"),
-        (col("n_overlap") * lit(1000L / k)).as("recall_permille"))
+        // multiply BEFORE the integer divide: `1000L / k` truncates
+        // first, so any k not dividing 1000 would silently mis-scale
+        expr(s"CAST(n_overlap * 1000 DIV $k AS BIGINT)")
+          .as("recall_permille"))
   }
 
   /** 1-bit (sign) binary quantization: 64 dims pack into ONE BIGINT —
@@ -104,12 +107,22 @@ object Similarity {
     * component i > 0 (exact FLOAT comparison, engine-invariant), the
     * in-row fold is pure codegen'd integer algebra.
     */
-  def binaryCode(embedding: Column): Column =
-    // 64 static literal-shift terms; distinct bits make the sum an OR
-    (0 until 64).map { i =>
+  def binaryCode(embedding: Column, dims: Int = 64): Column = {
+    // CONTRACT: the input array must carry at least `dims` components
+    // (only the first `dims` participate in the code). Guarded with a
+    // loud raise_error — under non-ANSI eval a short array would
+    // otherwise yield NULL element_at lookups, i.e. silently-zero
+    // bits and a biased code.
+    require(dims >= 1 && dims <= 64, s"binaryCode: dims must be in [1, 64], got $dims")
+    // static literal-shift terms; distinct bits make the sum an OR
+    val code = (0 until dims).map { i =>
       when(element_at(embedding, i + 1) > lit(0f), lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(embedding) >= dims, code).otherwise(raise_error(
+      concat(lit(s"binaryCode: embedding has fewer than $dims dims (got "),
+        size(embedding).cast("string"), lit(")"))))
+  }
 
   /** Binary-quantization retrieval audit — same frame as
     * [[matryoshkaRecall]]: per benchmark query, top-`k` overlap
@@ -143,7 +156,10 @@ object Similarity {
       .agg(sum(when(col("rf") <= k && col("rp") <= k, 1L).otherwise(0L))
         .as("n_overlap"))
       .select(col("qid"), col("n_overlap"),
-        (col("n_overlap") * lit(1000L / k)).as("recall_permille"))
+        // multiply BEFORE the integer divide: `1000L / k` truncates
+        // first, so any k not dividing 1000 would silently mis-scale
+        expr(s"CAST(n_overlap * 1000 DIV $k AS BIGINT)")
+          .as("recall_permille"))
   }
 
   /** IVF cell assignment: every vector joined to its nearest centroid.
