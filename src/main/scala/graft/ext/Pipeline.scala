@@ -422,41 +422,23 @@ object Pipeline {
   /** One hard-EM E-step of the unigram LM: Viterbi-segment every
     * DISTINCT word under the given piece costs (integer micro-nats)
     * and return the weighted piece-usage table. The whole step is
-    * IN-ROW over the Zipf-bounded word relation: the DP is one
-    * `aggregate` fold building best[(cost, last-piece-len)] per
-    * position (min by (cost, len) — the deterministic tie rule the
-    * oracle reproduces as lexicographic order on (cost, reversed
-    * length list)), the backtrace a second fold walking the stored
-    * lengths; one key agg for the usage counts. Pieces outside the
-    * cost map price at +∞ (they can never win — single chars are
-    * always in the vocab, so every word stays segmentable).
+    * IN-ROW over the Zipf-bounded word relation through the compiled
+    * [[graft.functions.UnigramImpl]] kernel (min by (cost, len) —
+    * the deterministic tie rule the oracle reproduces as
+    * lexicographic order on (cost, reversed length list)); one key
+    * agg for the usage counts. Pieces outside the cost map price at
+    * +∞ (they can never win — single chars are always in the vocab,
+    * so every word stays segmentable). The kernel replaced an
+    * equivalent SQL `aggregate` fold whose per-candidate
+    * `try_element_at` lookup linear-scanned the map literal (r8
+    * verdict item 2: O(|vocab|) per candidate, 193 s at sf1).
     */
   private def viterbiUsage(words: DataFrame, costs: Map[String, Long],
       maxPieceLen: Int): DataFrame = {
-    val INF = 1000000000000L
+    graft.functions.UnigramFunctions.register(words.sparkSession)
     words
-      .withColumn("__m", typedLit(costs))
-      .withColumn("__dp", expr(
-        s"""aggregate(
-           |  sequence(1, length(word)),
-           |  array(struct(CAST(0 AS BIGINT) AS c, 0 AS l)),
-           |  (acc, i) -> array_append(acc,
-           |    array_min(transform(sequence(1, least($maxPieceLen, i)),
-           |      l -> struct(element_at(acc, i - l + 1).c +
-           |                    coalesce(try_element_at(__m, substring(word, i - l + 1, l)),
-           |                             CAST($INF AS BIGINT)) AS c,
-           |                  l AS l)))))""".stripMargin))
-      .withColumn("__ps", expr(
-        """aggregate(
-          |  sequence(1, length(word)),
-          |  struct(length(word) AS pos, CAST(array() AS ARRAY<STRING>) AS ps),
-          |  (st, x) -> if(st.pos > 0,
-          |    struct(st.pos - element_at(__dp, st.pos + 1).l AS pos,
-          |           array_append(st.ps, substring(word,
-          |             st.pos - element_at(__dp, st.pos + 1).l + 1,
-          |             element_at(__dp, st.pos + 1).l)) AS ps),
-          |    st),
-          |  st -> st.ps)""".stripMargin))
+      .withColumn("__ps", graft.functions.UnigramFunctions.unigram_segment(
+        col("word"), costs, maxPieceLen))
       .select(col("cnt"), explode(col("__ps")).as("piece"))
       .groupBy("piece").agg(sum(col("cnt")).as("c"))
   }
@@ -579,28 +561,24 @@ object Pipeline {
 
   /** Append `__enc` — the word's BPE symbol list under `merges`
     * applied in rank order, each greedily left-to-right — to any table
-    * with a `word` column: the shared in-row fold behind [[bpeEncode]]
-    * and [[bpeFertility]]. The merge table collects to a literal array
-    * (bounded: one row per learned merge — the shipped artifact).
+    * with a `word` column: the shared in-row kernel behind
+    * [[bpeEncode]] and [[bpeFertility]]. The merge table collects to a
+    * literal array (bounded: one row per learned merge — the shipped
+    * artifact) that the compiled [[graft.functions.BpeImpl]] kernel
+    * applies as O(len)-per-merge compaction passes (it replaced an
+    * equivalent nested SQL fold whose per-symbol accumulator rebuild
+    * made each merge O(len²) interpreted — r8 verdict item 4).
     */
   private def bpeSegmented(words: DataFrame, merges: DataFrame): DataFrame = {
+    graft.functions.BpeFunctions.register(words.sparkSession)
     val ms = merges.orderBy("step").select("left_sym", "right_sym")
       .collect() // bounded: one row per learned merge
       .map(r => struct(lit(r.getString(0)).as("l"), lit(r.getString(1)).as("r")))
     val mergeArr =
       if (ms.isEmpty) expr("CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>)")
       else array(ms.toIndexedSeq: _*)
-    words
-      .withColumn("__merges", mergeArr)
-      .withColumn("__syms",
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      .withColumn("__enc", expr(
-        """aggregate(__merges, __syms, (acc, m) ->
-          |  aggregate(acc, CAST(array() AS ARRAY<STRING>),
-          |    (a, x) -> CASE
-          |      WHEN size(a) > 0 AND element_at(a, -1) = m.l AND x = m.r
-          |      THEN concat(slice(a, 1, size(a) - 1), array(concat(m.l, x)))
-          |      ELSE concat(a, array(x)) END))""".stripMargin))
+    words.withColumn("__enc",
+      graft.functions.BpeFunctions.bpe_segment(col("word"), mergeArr))
   }
 
   /** Tokenizer fertility by group — pieces-per-word under a learned
@@ -724,25 +702,19 @@ object Pipeline {
     * md5 (the same portable-vs-xxhash64 trade as portableHash — same
     * boundaries contract, cheaper constant).
     *
-    * Scale shape: boundary detection is an IN-ROW lambda over char
-    * positions (zero shuffle, linear in corpus characters, like the
-    * winnowing kernel); the only wide op is the consumer's digest agg.
+    * Scale shape: boundary detection is IN-ROW through the compiled
+    * [[graft.functions.CdcImpl]] kernel (zero shuffle, linear in
+    * corpus characters, like the winnowing kernel — it replaced an
+    * equivalent interpreted per-character `filter` lambda, r8 verdict
+    * item 3); the only wide op is the consumer's digest agg.
     */
   def cdcChunks(docs: DataFrame, textCol: String, idCol: String = "doc_id",
       window: Int = 8, modulus: Int = 64): DataFrame = {
-    val w = window
+    graft.functions.CdcFunctions.register(docs.sparkSession)
     // cut AFTER char i (1-based) for i in [window, len-1]: the trailing
     // window substring's portable hash lands on 0 mod modulus
-    val bounds = expr(
-      s"""concat(array(CAST(0 AS BIGINT)),
-         |  filter(
-         |    CASE WHEN length($textCol) > $w
-         |         THEN sequence(CAST($w AS BIGINT), CAST(length($textCol) - 1 AS BIGINT))
-         |         ELSE CAST(array() AS ARRAY<BIGINT>) END,
-         |    i -> CAST(conv(substring(md5(CAST(
-         |           substring($textCol, CAST(i AS INT) - ${w - 1}, $w)
-         |         AS BINARY)), 1, 15), 16, 10) AS BIGINT) % $modulus = 0),
-         |  array(CAST(length($textCol) AS BIGINT)))""".stripMargin)
+    val bounds =
+      graft.functions.CdcFunctions.cdc_bounds(col(textCol), window, modulus)
     docs
       .filter(length(col(textCol)) > 0)
       .select(col(idCol), col(textCol), bounds.as("__b"))

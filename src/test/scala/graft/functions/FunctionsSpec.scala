@@ -179,4 +179,92 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
     assert(kernel == viaSql)
   }
+
+  test("cdc_bounds: kernel equals the relational boundary formula, ascii and multibyte") {
+    graft.functions.CdcFunctions.register(extSpark)
+    val (w, m) = (8, 64)
+    // the pre-kernel relational formulation — the DuckDB oracle's rule
+    def viaSql(s: String): Seq[Long] = extSpark.sql(
+      s"""SELECT concat(array(CAST(0 AS BIGINT)),
+         |  filter(
+         |    CASE WHEN length('$s') > $w
+         |         THEN sequence(CAST($w AS BIGINT), CAST(length('$s') - 1 AS BIGINT))
+         |         ELSE CAST(array() AS ARRAY<BIGINT>) END,
+         |    i -> CAST(conv(substring(md5(CAST(
+         |           substring('$s', CAST(i AS INT) - ${w - 1}, $w)
+         |         AS BINARY)), 1, 15), 16, 10) AS BIGINT) % $m = 0),
+         |  array(CAST(length('$s') AS BIGINT))) AS b""".stripMargin)
+      .collect()(0).getSeq[Long](0)
+    def viaKernel(s: String): Seq[Long] = extSpark.sql(
+      s"SELECT cdc_bounds('$s', $w, $m) AS b").collect()(0).getSeq[Long](0)
+    val ascii = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders far away to chase a very distant rabbit through fields"
+    // multibyte exercises the non-fast path: numBytes != numChars
+    val multibyte = "中文字符串内容很长需要分块处理" * 8 + " mixed ascii tail " + ascii
+    for (s <- Seq(ascii, multibyte, "short", "exactly8", "exactly9!", "")) {
+      assert(viaKernel(s) == viaSql(s), s"input '${s.take(20)}…'")
+    }
+    // the two code paths agree where both apply: an ascii string and
+    // its multibyte-prefixed twin share the re-synchronized suffix cuts
+    val k1 = viaKernel(ascii)
+    val k2 = viaKernel("中" + ascii)
+    assert(k1.drop(1).dropRight(1).nonEmpty)
+    assert(k1.drop(1).dropRight(1).map(_ + 1).toSet
+      .subsetOf(k2.drop(1).dropRight(1).toSet))
+  }
+
+  test("unigram_segment: kernel equals the relational Viterbi fold, incl. tie rule") {
+    graft.functions.UnigramFunctions.register(extSpark)
+    import org.apache.spark.sql.functions.{col, typedLit}
+    import extSpark.implicits._
+    val INF = 1000000000000L
+    val maxLen = 4
+    // ab/cd vs abc/d tie shapes, missing-piece INF pricing, multibyte
+    val costs = Map("a" -> 50L, "b" -> 50L, "c" -> 50L, "d" -> 50L,
+      "ab" -> 60L, "cd" -> 40L, "abc" -> 60L, "bcd" -> 39L, "abcd" -> 100L,
+      "中" -> 10L, "文" -> 10L, "中文" -> 15L, "x" -> 5L)
+    // no empty word: the relational fold's sequence(1, 0) descends —
+    // production words are non-empty by construction (filtered tokens);
+    // the kernel's empty-input behavior is asserted separately below
+    val words = Seq("abcd", "abcdabcd", "dcba", "ax", "中文中", "q").toDF("word")
+    // the pre-kernel relational formulation (the oracle's DP rule)
+    val viaSql = words.withColumn("__m", typedLit(costs)).withColumn("ps",
+      org.apache.spark.sql.functions.expr(
+        s"""aggregate(
+           |  sequence(1, length(word)),
+           |  struct(CAST(array(struct(CAST(0 AS BIGINT) AS c, 0 AS l))
+           |           AS ARRAY<STRUCT<c: BIGINT, l: INT>>) AS dp, 0 AS z),
+           |  (st, i) -> struct(array_append(st.dp,
+           |    array_min(transform(sequence(1, least($maxLen, i)),
+           |      l -> struct(element_at(st.dp, i - l + 1).c +
+           |                    coalesce(try_element_at(__m, substring(word, i - l + 1, l)),
+           |                             CAST($INF AS BIGINT)) AS c,
+           |                  l AS l)))) AS dp, 0 AS z),
+           |  st -> aggregate(
+           |    sequence(1, length(word)),
+           |    struct(length(word) AS pos, CAST(array() AS ARRAY<STRING>) AS ps),
+           |    (bt, x) -> if(bt.pos > 0,
+           |      struct(bt.pos - element_at(st.dp, bt.pos + 1).l AS pos,
+           |             array_append(bt.ps, substring(word,
+           |               bt.pos - element_at(st.dp, bt.pos + 1).l + 1,
+           |               element_at(st.dp, bt.pos + 1).l)) AS ps),
+           |      bt),
+           |    bt -> bt.ps))""".stripMargin))
+      .select("word", "ps").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val viaKernel = words.withColumn("ps",
+      graft.functions.UnigramFunctions.unigram_segment(col("word"), costs, maxLen))
+      .select("word", "ps").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaKernel == viaSql)
+    // spot-check semantics: cheapest split of abcd is a+bcd (50+39)
+    assert(viaKernel("abcd") == Seq("bcd", "a"))
+    // unknown char prices at INF but still segments
+    assert(viaKernel("q") == Seq("q"))
+    // empty input → empty piece list (no crash)
+    val empty = Seq("").toDF("word").withColumn("ps",
+      graft.functions.UnigramFunctions.unigram_segment(col("word"), costs, maxLen))
+      .select("ps").collect()(0).getSeq[String](0)
+    assert(empty.isEmpty)
+  }
 }
