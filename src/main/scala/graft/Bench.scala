@@ -129,7 +129,12 @@ object Bench {
             System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val t = (System.nanoTime() - t0) / 1e9
+        // per-run trace (stderr, never the JSON line): run-to-run
+        // deltas are the cold/warm split the min hides
+        if (sys.env.get("SPARK_GRAFT_TRACE").contains("1"))
+          System.err.println(f"[bench-trace] ${d.name} t=$t%.2f ok=$ok")
+        (t, ok)
       }
       if (!d.contrast || timeContrast || only.exists(_.contains(d.name))) {
         val good = Seq(once, once).collect { case (t, true) => t }

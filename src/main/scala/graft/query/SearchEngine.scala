@@ -47,7 +47,10 @@ object SearchEngine {
       isPublic: Option[String] = None,
       timestampDate: Option[String] = None,
       sort: Option[String] = None,      // newest | oldest | None = default
-      tokenize: Tokenize.Value = Tokenize.Porter
+      tokenize: Tokenize.Value = Tokenize.Porter,
+      // `?_searchmode=raw` (reference __init__.py:200-211): strict FTS
+      // parse, no escape fallback — syntax errors surface to the caller
+      rawMode: Boolean = false
   )
 
   /** Boolean match predicate over docTokens' token arrays.
@@ -460,7 +463,8 @@ object SearchEngine {
 
     // blank-query normalize: whitespace-only == timeline (reference
     // __init__.py:64,115; tests/test_plugin.py:122-124)
-    val parsed = req.q.flatMap(FtsQuery.parseOrEscape(_, req.tokenize))
+    val parsed =
+      req.q.flatMap(FtsQuery.parseRequest(_, req.tokenize, req.rawMode))
 
     parsed match {
       case None =>

@@ -11,9 +11,13 @@ import graft.serve.SearchPage.{Facet, Page}
   * one `div.result` per row carrying the pre-rendered (`|safe`) display
   * output.
   *
-  * The reference extends Datasette's `base.html` and ships a Leaflet
-  * map loader; both are host-page chrome, not query results, so this
-  * renderer emits a standalone document with the same content block.
+  * The reference extends Datasette's `base.html` (host-page chrome —
+  * emitted here as a standalone document with the same content block)
+  * and ships a Leaflet map loader (beta.html:92-145), which IS part of
+  * the route's behavior: display templates can emit
+  * `data-map-latitude`/`data-map-longitude`/`data-map-zoom` elements,
+  * and the page script lazily loads Leaflet from unpkg and turns each
+  * into an OpenStreetMap map. [[mapScript]] reimplements that loader.
   * All interpolated values are HTML-escaped EXCEPT `result.output`,
   * which the template marks `|safe` because [[DisplayTemplate]] already
   * autoescaped every variable while rendering it.
@@ -72,9 +76,54 @@ object BetaHtml {
       // |safe: DisplayTemplate.render already autoescaped its variables
       sb ++= "        " + r.getOrElse("output", "") + "\n    </div>\n"
     }
-    sb ++= "</section>\n</body>\n</html>\n"
+    sb ++= "</section>\n"
+    sb ++= mapScript
+    sb ++= "</body>\n</html>\n"
     sb.result()
   }
+
+  /** The Leaflet map shortcut (reference beta.html:92-145, the last
+    * reference-surface delta — r8 verdict "what's missing" item 1):
+    * if any result rendered a `data-map-latitude` element, load
+    * Leaflet 1.5.1 (CSS+JS, the reference's pinned unpkg build) and
+    * instantiate one OSM-tile map per element, marker at
+    * (data-map-latitude, data-map-longitude), zoom `data-map-zoom`
+    * defaulting to 12. No map elements → no network fetch at all.
+    */
+  private[serve] val mapScript: String =
+    """<script>
+      |(function () {
+      |  const els = document.querySelectorAll('[data-map-latitude]');
+      |  if (!els.length) return;
+      |  let pending = 2;
+      |  const ready = () => { if (--pending === 0) makeMaps(); };
+      |  const css = document.createElement('link');
+      |  css.rel = 'stylesheet';
+      |  css.href = 'https://unpkg.com/leaflet@1.5.1/dist/leaflet.css';
+      |  css.crossOrigin = 'anonymous';
+      |  css.onload = ready;
+      |  document.head.appendChild(css);
+      |  const js = document.createElement('script');
+      |  js.src = 'https://unpkg.com/leaflet@1.5.1/dist/leaflet.js';
+      |  js.crossOrigin = 'anonymous';
+      |  js.onload = ready;
+      |  document.head.appendChild(js);
+      |  function makeMaps() {
+      |    const attribution = '&copy; <a href="https://www.openstreetmap.org/copyright">OpenStreetMap</a> contributors';
+      |    els.forEach((el) => {
+      |      el.style.display = 'block';
+      |      const latlng = L.latLng(el.getAttribute('data-map-latitude'),
+      |                              el.getAttribute('data-map-longitude'));
+      |      const map = L.map(el, {layers: [
+      |        L.tileLayer('https://{s}.tile.openstreetmap.org/{z}/{x}/{y}.png',
+      |                    {maxZoom: 19, detectRetina: true, attribution: attribution})]});
+      |      L.marker(latlng).addTo(map);
+      |      map.setView(latlng, el.getAttribute('data-map-zoom') || 12);
+      |    });
+      |  }
+      |})();
+      |</script>
+      |""".stripMargin
 
   /** One facet block (beta.html:59-80); empty facets are skipped
     * entirely (`{% if facet.results %}`).

@@ -38,7 +38,11 @@ object BetaServer {
   /** Build the engine [[Request]] from query params — the same param
     * names the reference reads (`q`, `sort`, and FILTER_COLS
     * `type`/`category`/`is_public` plus `timestamp__date`,
-    * __init__.py:55-66).
+    * __init__.py:55-66), plus the Datasette `_searchmode=raw`
+    * passthrough (__init__.py:200-211): raw mode parses the query
+    * strictly and SKIPS the escape fallback, so a malformed query
+    * surfaces as the error page instead of degrading to literal
+    * phrases.
     */
   private[serve] def toRequest(params: Map[String, String],
       tokenize: Tokenize.Value): Request = Request(
@@ -48,7 +52,8 @@ object BetaServer {
     isPublic = params.get("is_public"),
     timestampDate = params.get("timestamp__date"),
     sort = params.get("sort"),
-    tokenize = tokenize)
+    tokenize = tokenize,
+    rawMode = params.get("_searchmode").contains("raw"))
 
   /** Start serving `/-/beta` over a built index. `port = 0` binds an
     * ephemeral port (tests); read it back from

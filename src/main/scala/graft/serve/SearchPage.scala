@@ -132,7 +132,8 @@ object SearchPage {
     val results = SearchEngine.search(spark, index, req, arts)
 
     // the facet base: same filters + match as the result set, pre-top-k
-    val parsed = req.q.flatMap(FtsQuery.parseOrEscape(_, req.tokenize))
+    val parsed =
+      req.q.flatMap(FtsQuery.parseRequest(_, req.tokenize, req.rawMode))
     val filtered = Seq(
       req.typeFilter.map(v => col("type") === v),
       // try_cast, like SearchEngine.search: a malformed querystring

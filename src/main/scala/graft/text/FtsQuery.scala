@@ -108,6 +108,21 @@ object FtsQuery {
     }
   }
 
+  /** Request-level parse: default mode is the 2-phase
+    * [[parseOrEscape]] contract; `raw = true` (the Datasette
+    * `?_searchmode=raw` passthrough, reference __init__.py:200-211)
+    * SKIPS the escape fallback — a malformed query surfaces its
+    * [[FtsParseError]] to the caller instead of degrading to literal
+    * phrases. Blank-query normalize applies in both modes.
+    */
+  def parseRequest(q: String, mode: Tokenize.Value,
+      raw: Boolean): Option[Node] =
+    if (!raw) parseOrEscape(q, mode)
+    else {
+      val trimmed = q.trim
+      if (trimmed.isEmpty) None else Some(parse(trimmed, mode))
+    }
+
   /** All positive terms (for BM25 scoring) — terms under the right side
     * of NOT are excluded.
     */

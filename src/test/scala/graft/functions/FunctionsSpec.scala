@@ -267,4 +267,36 @@ class FunctionsSpec extends AnyFunSuite {
       .select("ps").collect()(0).getSeq[String](0)
     assert(empty.isEmpty)
   }
+
+  test("sorted_intersect: equals array_intersect on sorted dup-free arrays, both types") {
+    graft.functions.IntersectFunctions.register(extSpark)
+    import org.apache.spark.sql.functions.{array_intersect, col, sort_array}
+    import extSpark.implicits._
+    val longs = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(4L, 7L), Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L), Seq(5L, 6L))
+    ).toDF("a", "b")
+    val gotL = longs.select(
+      graft.functions.IntersectFunctions.sorted_intersect(col("a"), col("b")).as("k"),
+      sort_array(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    gotL.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+    val strs = Seq(
+      (Seq("a", "c", "x"), Seq("b", "c", "x", "z")),
+      (Seq("中", "文"), Seq("中", "字"))
+    ).toDF("a", "b")
+    val gotS = strs.select(
+      graft.functions.IntersectFunctions.sorted_intersect(
+        sort_array(col("a")), sort_array(col("b"))).as("k"),
+      sort_array(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    gotS.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+    // type guard: mismatched / unsupported element types fail analysis
+    intercept[Exception] {
+      Seq((Seq(1L), Seq("a"))).toDF("a", "b").select(
+        graft.functions.IntersectFunctions.sorted_intersect(col("a"), col("b")))
+        .collect()
+    }
+  }
 }

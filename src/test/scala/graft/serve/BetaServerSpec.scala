@@ -100,6 +100,21 @@ class BetaServerSpec extends AnyFunSuite {
       // try_cast contract — SQLite's loose parameter binding)
       val (c3, b3) = get(s"$base?q=things&category=banana")
       assert(c3 == 200 && b3.contains("Got 0 results"), s"c3=$c3 body: ${b3.take(1500)}")
+
+      // _searchmode=raw: a well-formed query behaves exactly as default
+      val (c4, b4) = get(s"$base?q=things&_searchmode=raw")
+      assert(c4 == 200 && b4 == body, s"c4=$c4")
+      // ...but a query that only the escape fallback could serve now
+      // surfaces its parse error instead of degrading (reference
+      // __init__.py:200-211: raw skips escape_fts)
+      val (c5, _) = get(s"$base?q=%23hashtag")
+      assert(c5 == 200, "default mode escapes #hashtag")
+      val (c6, b6) = get(s"$base?q=%23hashtag&_searchmode=raw")
+      assert(c6 == 500 && b6.contains("500"), s"c6=$c6 body: ${b6.take(500)}")
+
+      // the Leaflet map shortcut ships on every page (beta.html:92-145)
+      assert(body.contains("data-map-latitude") &&
+        body.contains("unpkg.com/leaflet@1.5.1"))
     } finally server.stop(0)
   }
 }
