@@ -312,6 +312,30 @@ private[graft] object ExtEventQueries {
     // split still needs the dim rows). Dropping the salt restores
     // exactly the plain join's rows, so the oracle is the unsalted
     // SQL — the salt is a physical rewrite, invisible in the result.
+    // Key-skew profile — the diagnosis that picks the salted shapes'
+    // salt factor: per-key share of the fact table in permille and
+    // the ceil(n/mean-load) bucket recommendation, top-10 hottest
+    // keys. One count agg (map-side partials absorb the skew being
+    // measured) + one broadcast 2-column total.
+    QueryDef("x_evt_skew_profile",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Events.keySkewProfile(spark.table("events"), "user_id", topK = 10)
+          .withColumnRenamed("key", "user_id")
+      },
+      Some(
+        """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+          |           FROM events GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+          |             CAST(count(*) AS BIGINT) AS n_keys FROM c)
+          |SELECT c.user_id, c.n_rows,
+          |       CAST(c.n_rows * 1000 // t.total AS BIGINT) AS share_permille,
+          |       CAST(greatest(1, (c.n_rows * t.n_keys + t.total - 1) // t.total)
+          |            AS BIGINT) AS salt_factor
+          |FROM c CROSS JOIN t
+          |ORDER BY c.n_rows DESC, c.user_id
+          |LIMIT 10""".stripMargin)),
+
     QueryDef("x_evt_skew_join",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)

@@ -794,6 +794,75 @@ private[graft] object ExtSimQueries {
            |SELECT vec_id, cell_id, adc_d2 FROM adc
            |ORDER BY adc_d2 ASC, vec_id LIMIT 10""".stripMargin)),
 
+    // Two-stage retrieval (FAISS refine / "IVFPQ,R"): the IVFPQ ADC
+    // scan keeps a 50-row compressed shortlist, then ONLY those 50
+    // re-score against the full-precision vectors with the exact
+    // integer L2² and the top-10 ships. The standard recall-recovery
+    // serving shape: uncompressed bytes are read for 50 rows per
+    // query (broadcast semi-join prune — at scale, a point lookup
+    // against the vec_id-keyed store), compressed bytes for the rest.
+    QueryDef("x_sim_ivfpq_rerank",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val cells = Corpus.ivfPqCells(spark, sfDir)
+        val ivf = Corpus.ivfIndex(spark, sfDir)
+        val pq = Corpus.pqIndex(spark, sfDir)
+        val q = Similarity.vectorOf(spark.table("embeddings"), "vec_id", 0L)
+        Similarity.ivfPqRerank(cells, ivf.centroids, pq.codebook,
+          Corpus.PqSubspaces, spark.table("embeddings"), q,
+          nprobe = 3, shortlist = 50, k = 10)
+      },
+      Some(
+        s"""WITH $exCte,
+           |cx AS (
+           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
+           |),
+           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+           |          FROM ex GROUP BY vec_id),
+           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
+           |           FROM cx GROUP BY cell_id),
+           |allsims AS (
+           |  SELECT e.vec_id, c.cell_id,
+           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
+           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
+           |  FROM ex e JOIN cx c ON e.i = c.i
+           |  JOIN norms n ON n.vec_id = e.vec_id
+           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
+           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
+           |),
+           |assigned AS (
+           |  SELECT vec_id, cell_id FROM (
+           |    SELECT vec_id, cell_id,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY sim DESC, cell_id) AS rn
+           |    FROM allsims
+           |  ) r WHERE rn = 1
+           |),
+           |qsims AS (SELECT a.cell_id, a.sim FROM allsims a WHERE a.vec_id = 0),
+           |probes AS (SELECT cell_id FROM qsims ORDER BY sim DESC, cell_id LIMIT 3),
+           |$pqCtes,
+           |lut AS (SELECT s, code, d2 FROM pqd2 WHERE vec_id = 0),
+           |cand AS (SELECT a.vec_id, a.cell_id FROM assigned a
+           |         JOIN probes p ON p.cell_id = a.cell_id),
+           |adc AS (
+           |  SELECT c.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+           |  FROM cand c JOIN codes k ON k.vec_id = c.vec_id
+           |  JOIN lut l ON l.s = k.s AND l.code = k.code
+           |  GROUP BY 1
+           |),
+           |short AS (SELECT vec_id FROM adc ORDER BY adc_d2 ASC, vec_id LIMIT 50),
+           |qv AS (SELECT s, j, v FROM comp WHERE vec_id = 0),
+           |rr AS (
+           |  SELECT c.vec_id, CAST(sum((c.v - q.v) * (c.v - q.v)) AS BIGINT) AS l2_d2
+           |  FROM comp c JOIN short sh ON sh.vec_id = c.vec_id
+           |  JOIN qv q ON q.s = c.s AND q.j = c.j
+           |  GROUP BY 1
+           |)
+           |SELECT vec_id, l2_d2 FROM rr
+           |ORDER BY l2_d2 ASC, vec_id LIMIT 10""".stripMargin)),
+
     // PQ recall@10 eval vs the exact integer-L2 ground truth (same
     // metric, uncompressed) over the 5-query probe set — the
     // accuracy/compression dial, the PQ twin of x_sim_ivf_recall.

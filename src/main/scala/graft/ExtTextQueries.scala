@@ -220,7 +220,13 @@ private[graft] object ExtTextQueries {
            |)
            |SELECT DISTINCT doc_id, selkey >> 31 AS fp
            |FROM sel WHERE pos >= 4
-           |ORDER BY doc_id, fp""".stripMargin)),
+           |ORDER BY doc_id, fp""".stripMargin),
+      // contrast twin: the interpreted rolling-hash fold beside the
+      // compiled x_text_winnow_native kernel (identical output — the
+      // same oracle SQL); kept oracle-checked to document the
+      // codegen win, excluded from the headline bench like the other
+      // naive-vs-scale-path pairs (ngram_rep_relational precedent)
+      contrast = true),
 
     // Source-overlap matrix: winnow fingerprints per source (compiled
     // kernel, group carried in-projection), DISTINCT (source, fp), then
@@ -724,6 +730,61 @@ private[graft] object ExtTextQueries {
            |CROSS JOIN tot_bi tb
            |ORDER BY lift DESC, bigram
            |LIMIT 50""".stripMargin)),
+
+    // TextRank keywords (Mihalcea & Tarau 2004): candidate tokens
+    // (length >= 4, the syntactic-filter stand-in) vote through
+    // window-2 adjacency edges; PageRank's e9 fixed point ranks them.
+    // Reuses Graph.pageRank on a vocab-bounded graph — the oracle
+    // unrolls the same two rounds as the x_graph_pagerank CTEs.
+    QueryDef("x_text_textrank",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.textRankKeywords(spark.table("documents"), "text",
+          minLen = 4, iters = 2, topK = 50)
+      },
+      Some(
+        s"""WITH toks AS (
+           |  SELECT list_filter(${ducktokens("text")}, x -> len(x) >= 4) AS ts
+           |  FROM documents
+           |),
+           |adjp AS (
+           |  SELECT ts[i] AS l, ts[i+1] AS r
+           |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks
+           |        WHERE len(ts) >= 2) q
+           |  WHERE ts[i] <> ts[i+1]
+           |),
+           |edges AS (SELECT l AS src, r AS dst FROM adjp
+           |          UNION SELECT r, l FROM adjp),
+           |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+           |nn AS (SELECT 1000000000 // count(*) AS base FROM nodes),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |pr0 AS (SELECT node, (SELECT base FROM nn) AS pr FROM nodes),
+           |c1 AS (
+           |  SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+           |  FROM edges e
+           |  JOIN pr0 p ON p.node = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst
+           |),
+           |pr1 AS (
+           |  SELECT n.node,
+           |         CAST((15 * (SELECT base FROM nn) + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes n LEFT JOIN c1 c ON c.node = n.node
+           |),
+           |c2 AS (
+           |  SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+           |  FROM edges e
+           |  JOIN pr1 p ON p.node = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst
+           |),
+           |pr2 AS (
+           |  SELECT n.node,
+           |         CAST((15 * (SELECT base FROM nn) + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes n LEFT JOIN c2 c ON c.node = n.node
+           |)
+           |SELECT node AS keyword, pr AS pr_e9 FROM pr2
+           |ORDER BY pr_e9 DESC, keyword LIMIT 50""".stripMargin)),
 
     // Per-doc top-5 characteristic terms by linearized tf-idf (N/df,
     // not log — monotone-identical ranking, and the score stays one

@@ -401,6 +401,39 @@ object Events {
     sf.hint("merge").join(sd, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Join-key skew profile — the DIAGNOSIS that chooses
+    * [[saltedAgg]]/[[saltedDimJoin]]'s salt factor before a 100 TB
+    * shuffle is attempted: per-key row counts, each hot key's share of
+    * the table in permille, and the per-key salt recommendation
+    * `ceil(n_rows / mean-key-load)` (the number of buckets that
+    * spreads the key back to the average reducer load; 1 for
+    * non-skewed keys). All-BIGINT arithmetic — ceil division as
+    * `(a·k + total − 1) DIV total` on nonnegative terms, so any
+    * engine reproduces the recommendation bit-for-bit.
+    *
+    * Shape: one key-keyed count agg (map-side partials absorb the
+    * skew the profile is measuring — a count per key is salts-proof
+    * by itself), one 2-column global agg broadcast back via
+    * crossJoin, TakeOrderedAndProject for the top-K hot list.
+    */
+  def keySkewProfile(facts: DataFrame, keyCol: String,
+      topK: Int = 10): DataFrame = {
+    // key-cardinality-bounded and feeding TWO consumers (the totals
+    // and the join) — persist so the corpus-sized count agg runs once
+    // (the collocations discipline; Spark has no subtree reuse)
+    val counts = facts.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows")).persist()
+    val tot = counts.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("n_rows"),
+        expr("n_rows * 1000 DIV total").as("share_permille"),
+        expr("greatest(CAST(1 AS BIGINT), " +
+          "(n_rows * n_keys + total - 1) DIV total)").as("salt_factor"))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topK)
+  }
+
   /** SCD2 interval build — event-sourced dimension versioning: from a
     * change stream (key, ts, attribute) derive one validity interval
     * per attribute VERSION: consecutive duplicate values collapse,

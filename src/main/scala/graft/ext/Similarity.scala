@@ -1144,6 +1144,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage retrieval over the composed IVFPQ cells — the FAISS
+    * refine / "IVFPQ,R" serving pattern: stage 1 probes `nprobe` cells
+    * and ADC-scores candidates into a `shortlist`-row compressed
+    * shortlist ([[ivfPqSearch]]); stage 2 re-scores ONLY the shortlist
+    * against the full-precision vectors with the exact integer L2² of
+    * [[l2TopK]] and keeps top-`k`. Re-ranking recovers most of the
+    * recall PQ's 32× compression loses while the uncompressed bytes
+    * are read for `shortlist` rows per query, not the corpus.
+    *
+    * Scale shape: the shortlist is a k-sized driver-free relation
+    * broadcast into the vectors scan (a semi-join prune — at 100 TB
+    * the full-precision side is the vec_id-keyed store and this is a
+    * `shortlist`-row point lookup); the corpus never shuffles and the
+    * only full-precision arithmetic is `shortlist` in-row folds. All
+    * BIGINT e6 arithmetic end-to-end: ADC ties break on vec_id at the
+    * shortlist boundary and exact ties at the top-k boundary, so any
+    * engine reproduces both stages bit-for-bit.
+    */
+  def ivfPqRerank(cells: DataFrame, centroids: DataFrame,
+      codebook: Seq[Seq[Seq[Long]]], m: Int, vectors: DataFrame,
+      query: Seq[Float], nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    val cand = ivfPqSearch(cells, centroids, codebook, m, query,
+      nprobe, shortlist).select("vec_id")
+    val qi = query.map(quantE6)
+    val qCol = array(qi.map(lit): _*)
+    val d2 = aggregate(zip_with(embE6, qCol, (x, y) => (x - y) * (x - y)),
+      lit(0L), (s, v) => s + v)
+    vectors.join(broadcast(cand), "vec_id")
+      .withColumn("l2_d2", d2)
+      .select(col("vec_id"), col("l2_d2"))
+      .orderBy(col("l2_d2").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact integer L2² top-k over the e6-quantized embeddings — the
     * uncompressed ground-truth twin of [[pqSearchIndexed]] (same
     * metric, no codebook): one in-row integer fold per vector plus a

@@ -146,6 +146,47 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, §3.1) at
+    * corpus level — domain terminology mining: candidate tokens vote
+    * for each other through window-2 adjacency edges and PageRank's
+    * centrality ranks them. The paper's POS syntactic filter is
+    * stood in by a minimum token length (`minLen`), applied BEFORE
+    * pairing so adjacency is over the candidate sequence; edges are
+    * unweighted and undirected exactly as the paper's keyword task
+    * uses them.
+    *
+    * Scale shape: the corpus-sized work is one in-row pair zip + one
+    * explode + a distinct — everything after (the graph and `iters`
+    * PageRank rounds via [[Graph.pageRank]], e9 integer fixed point)
+    * runs on vocab-bounded relations (distinct adjacent candidate
+    * pairs — Zipf-bounded, never corpus-shaped).
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String, minLen: Int = 4,
+      iters: Int = 2, topK: Int = 50): DataFrame = {
+    val toks = docs.select(
+      filter(Tokenizer.tokensCol(col(textCol)),
+        t => length(t) >= minLen).as("__ts"))
+    // adjacent candidate pairs: zip tokens with their own tail (the
+    // collocations recipe); the zip_with pad partner is null and
+    // drops in the filter, as do same-word repeats (self-loops)
+    val pairs = filter(
+      zip_with(col("__ts"),
+        slice(col("__ts"), lit(2), greatest(size(col("__ts")) - 1, lit(0))),
+        (a, b) => struct(a.as("l"), b.as("r"))),
+      p => p.getField("r").isNotNull &&
+        p.getField("l") =!= p.getField("r"))
+    val adj = toks.select(explode(pairs).as("p"))
+      .select(col("p.l").as("src"), col("p.r").as("dst"))
+    val edges = adj
+      .unionByName(adj.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    Graph.pageRank(edges, iters)
+      .withColumnRenamed("node", "keyword")
+      .withColumnRenamed("pr", "pr_e9")
+      .orderBy(col("pr_e9").desc, col("keyword"))
+      .limit(topK)
+  }
+
   /** Character-trigram language classifier — the "n-gram heuristic"
     * variant: train per-language trigram profiles FROM the labeled
     * corpus itself (top `profileSize` trigrams by document frequency),

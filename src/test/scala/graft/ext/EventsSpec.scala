@@ -265,6 +265,19 @@ class EventsSpec extends AnyFunSuite {
       ("b", "a") -> (1L, 1000000L)))
   }
 
+  test("keySkewProfile: shares and salt recommendation, hand-computed") {
+    import spark.implicits._
+    // 10 rows over 4 keys: key 1 holds 7 (70%), mean load 2.5 →
+    // salt ceil(7*4/10)=3; the singletons recommend 1 (floor guard)
+    val ev = (Seq.fill(7)(1L) ++ Seq(2L, 3L, 4L)).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("event_id", "user_id")
+    val out = Events.keySkewProfile(ev, "user_id", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 7L, 700L, 3L),
+      (2L, 1L, 100L, 1L), (3L, 1L, 100L, 1L), (4L, 1L, 100L, 1L)))
+  }
+
   test("threadPaths: gap splits sessions, cap bounds the path, stats uncapped") {
     import spark.implicits._
     // u1: 3 events tight (gap 10), then a 1000µs jump → 2 sessions;

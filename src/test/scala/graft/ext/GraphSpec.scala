@@ -104,6 +104,27 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map("a" -> 0L, "b" -> 0L, "c" -> 0L))
   }
 
+  test("textRankKeywords: star graph hand-unrolled; short tokens filtered") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // one doc, candidates [alpha, beta, alpha, gamma] ("of" drops at
+    // minLen=4): pairs (alpha,beta),(beta,alpha),(alpha,gamma) →
+    // undirected distinct edges {alpha-beta, alpha-gamma} — a star on
+    // alpha. N=3, base=333333333; outdeg alpha=2, beta=gamma=1.
+    val docs = Seq("alpha of beta alpha gamma").toDF("text")
+    val base = 333333333L
+    def damp(s: Long) = (15L * base + 85L * s) / 100
+    // round 1: alpha <- beta+gamma; leaf <- alpha DIV 2
+    val a1 = damp(2 * base); val l1 = damp(base / 2)
+    // round 2 over round-1 ranks
+    val a2 = damp(2 * l1);   val l2 = damp(a1 / 2)
+    val out = TextAnalysis.textRankKeywords(docs, "text", minLen = 4,
+        iters = 2, topK = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("alpha" -> a2, "beta" -> l2, "gamma" -> l2))
+    assert(a2 > l2) // the hub out-ranks the leaves
+  }
+
   test("kcore: pendant peels, triangle survives with residual degree") {
     // triangle {a,b,c} + pendant d—a: 2-core drops d in round 1;
     // survivors' residual degree is 2 each.

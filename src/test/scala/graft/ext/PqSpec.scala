@@ -113,6 +113,29 @@ class PqSpec extends AnyFunSuite {
     assert(sq == Set(0L, 4L, 8L, 12L, 16L, 20L))
   }
 
+  test("ivfPqRerank: full shortlist == exact l2TopK; short shortlist ⊆ ADC candidates") {
+    val pq = Similarity.pqBuild(vecs, m = 4, ks = 4)
+    val ivf = Similarity.ivfBuild(vecs, sampleEvery = 6) // cells 0,6,12,18
+    val cells = Similarity.ivfPqCells(ivf, pq)
+    val q = Similarity.vectorOf(vecs, "vec_id", 1L)
+    // shortlist = corpus, nprobe = all cells: stage 2 IS the exact search
+    val rr = Similarity.ivfPqRerank(cells, ivf.centroids, pq.codebook, 4,
+        vecs, q, nprobe = 4, shortlist = 24, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ex = Similarity.l2TopK(vecs, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rr == ex)
+    // tight shortlist: every survivor came from the ADC shortlist, and
+    // the output is ranked by the EXACT metric (ascending, tie on id)
+    val shortIds = Similarity.ivfPqSearch(cells, ivf.centroids, pq.codebook,
+        4, q, nprobe = 4, k = 6).collect().map(_.getLong(0)).toSet
+    val rr2 = Similarity.ivfPqRerank(cells, ivf.centroids, pq.codebook, 4,
+        vecs, q, nprobe = 4, shortlist = 6, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rr2.map(_._1).forall(shortIds))
+    assert(rr2.map(_._2).toSeq == rr2.map(_._2).toSeq.sorted)
+  }
+
   test("centroidOutliers: hand-computed cosines, zero-vector guard") {
     import spark.implicits._
     // label A: two (1,0) + one (0,1) → centroid_e6 = (666666, 333333);

@@ -408,6 +408,37 @@ class PlanSpec extends AnyFunSuite {
     assert(windowNodes(df) == 0, s"outliers grew a window:\n$p")
   }
 
+  test("ivfpq rerank: every join broadcasts — the corpus never shuffles") {
+    // stage 1's probe-cell prune and stage 2's 50-row shortlist prune
+    // must both reach the scans as broadcasts; a SortMergeJoin would
+    // shuffle the corpus for a candidate-sized side
+    Corpus.registerSources(spark, sfDir)
+    val d = SparkEntry.allDefs.find(_.name == "x_sim_ivfpq_rerank").get
+    val p = planOf(d.fn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"rerank join not broadcast:\n$p")
+    // stage 1 keeps the compressed shortlist as a 50-row heap, and that
+    // heap reaches stage 2 as a BroadcastExchange ABOVE it in the tree
+    // (the one SortMergeJoin in the printed plan lives inside the
+    // memoized ivfPqCells BUILD subtree — a pre-paid one-off the plan
+    // printer inlines under InMemoryRelation, not the serving path)
+    val shortIdx = p.indexOf("TakeOrderedAndProject(limit=50")
+    val bcastIdx = p.indexOf("BroadcastExchange")
+    assert(shortIdx >= 0, s"shortlist lost its heap:\n$p")
+    assert(bcastIdx >= 0 && bcastIdx < shortIdx,
+      s"shortlist does not broadcast into the full-precision scan:\n$p")
+  }
+
+  test("skew profile: one key agg + broadcast totals, no window, no sort") {
+    val df = graft.ext.Events.keySkewProfile(events, "user_id", topK = 10)
+    val p = planOf(df)
+    // key-agg exchange + the 1-row totals' SinglePartition — nothing
+    // else; the persisted key agg prints once per consumer, so the
+    // string count sees the SAME exchange twice (2 executed, 3 printed)
+    assert(shuffles(df) <= 3, s"skew profile over-shuffles:\n$p")
+    assert(windowNodes(df) == 0, s"skew profile grew a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost the heap:\n$p")
+  }
+
   test("no CartesianProduct in any declared query plan") {
     // Every crossJoin in the library is against a broadcast 1-row or
     // dimension-sized side (plans show BroadcastNestedLoopJoin);
