@@ -10,6 +10,49 @@ import org.apache.spark.sql.functions._
 private[graft] object ExtPipeQueries {
   import ExtShared._
 
+  /** The curation pipeline's oracle CTE chain up to `scored`
+    * (doc_id, lang, is_duplicate, predicted_lang, quality_score) —
+    * shared by x_pipeline_curation (the survivor list) and
+    * x_pipe_filter_funnel (the per-stage audit over the SAME stages).
+    */
+  private def curationScoredCtes: String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val hitCols = langs.map { l =>
+      val cond = TextAnalysis.stopwords(l).map(w => s"t = '$w'").mkString(" OR ")
+      s"len(list_filter(ts, t -> $cond)) AS hits_$l"
+    }.mkString(",\n       ")
+    val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ")
+    val en = TextAnalysis.stopwords("en").map(w => s"t = '$w'").mkString(" OR ")
+    s"""base AS (
+       |  SELECT doc_id, lang, ${ducktokens("text")} AS ts,
+       |         CAST(len(text) AS DOUBLE) AS n_chars,
+       |         CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       |         (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) > 1 AS is_duplicate
+       |  FROM documents
+       |),
+       |m AS (
+       |  SELECT doc_id, lang, is_duplicate,
+       |         CAST(len(ts) AS DOUBLE) AS n_tokens,
+       |         n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+       |         CAST(len(list_filter(ts, t -> $en)) AS DOUBLE)
+       |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS stopword_ratio,
+       |         CAST(len(list_distinct(ts)) AS DOUBLE)
+       |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS distinct_ratio,
+       |         ${hitCols}
+       |  FROM base
+       |),
+       |scored AS (
+       |  SELECT doc_id, lang, is_duplicate,
+       |         CASE WHEN $g = 0 THEN 'und' $caseArms END AS predicted_lang,
+       |         least(n_tokens / 100.0, 1.0) * 0.25
+       |               + alpha_ratio * 0.25
+       |               + least(stopword_ratio * 5.0, 1.0) * 0.25
+       |               + distinct_ratio * 0.25 AS quality_score
+       |  FROM m
+       |)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // The composed curation pipeline — quality scoring, language ID and
@@ -40,47 +83,64 @@ private[graft] object ExtPipeQueries {
           .select("doc_id", "lang", "quality_score")
           .orderBy("doc_id")
       },
-      Some {
-        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
-        val hitCols = langs.map { l =>
-          val cond = TextAnalysis.stopwords(l).map(w => s"t = '$w'").mkString(" OR ")
-          s"len(list_filter(ts, t -> $cond)) AS hits_$l"
-        }.mkString(",\n       ")
-        val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
-        val caseArms = langs.map(l => s"WHEN hits_$l = $g THEN '$l'").mkString(" ")
-        val en = TextAnalysis.stopwords("en").map(w => s"t = '$w'").mkString(" OR ")
-        s"""WITH base AS (
-           |  SELECT doc_id, lang, ${ducktokens("text")} AS ts,
-           |         CAST(len(text) AS DOUBLE) AS n_chars,
-           |         CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-           |         (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) > 1 AS is_duplicate
-           |  FROM documents
-           |),
-           |m AS (
-           |  SELECT doc_id, lang, is_duplicate,
-           |         CAST(len(ts) AS DOUBLE) AS n_tokens,
-           |         n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
-           |         CAST(len(list_filter(ts, t -> $en)) AS DOUBLE)
-           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS stopword_ratio,
-           |         CAST(len(list_distinct(ts)) AS DOUBLE)
-           |               / greatest(CAST(len(ts) AS DOUBLE), 1.0) AS distinct_ratio,
-           |         ${hitCols}
-           |  FROM base
-           |),
-           |scored AS (
-           |  SELECT doc_id, lang, is_duplicate,
-           |         CASE WHEN $g = 0 THEN 'und' $caseArms END AS predicted_lang,
-           |         least(n_tokens / 100.0, 1.0) * 0.25
-           |               + alpha_ratio * 0.25
-           |               + least(stopword_ratio * 5.0, 1.0) * 0.25
-           |               + distinct_ratio * 0.25 AS quality_score
-           |  FROM m
-           |)
+      Some(
+        s"""WITH $curationScoredCtes
            |SELECT doc_id, lang, quality_score
            |FROM scored
            |WHERE NOT is_duplicate AND quality_score >= 0.5 AND predicted_lang = lang
-           |ORDER BY doc_id""".stripMargin
-      }),
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Filter-funnel audit over the SAME curation stages — the
+    // observability table beside the survivor list: rows in / dropped /
+    // out / drop-permille PER STAGE, a row charging to the FIRST stage
+    // that drops it (the sequential-chain semantics). One scan, one
+    // 1-row agg, stage rows unfold in-row — "which filter ate my
+    // corpus" without a 100 TB rerun.
+    QueryDef("x_pipe_filter_funnel",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val scored = TextAnalysis.qualityScore(
+            TextAnalysis.languageId(spark.table("documents"), "text"),
+            "text")
+          .select(col("doc_id"), col("lang"), col("quality_score"),
+            col("predicted_lang"),
+            md5(col("text").cast("binary")).as("__digest"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__digest")).orderBy(col("doc_id"))
+        val flagged = scored
+          .withColumn("is_duplicate", row_number().over(w) > 1)
+        Pipeline.filterFunnel(flagged, Seq(
+          "exact_dup" -> col("is_duplicate"),
+          "quality" -> (col("quality_score") < 0.5),
+          "lang_match" -> (col("predicted_lang") =!= col("lang"))))
+      },
+      Some(
+        s"""WITH $curationScoredCtes,
+           |f AS (
+           |  SELECT CASE WHEN is_duplicate THEN 0
+           |              WHEN quality_score < 0.5 THEN 1
+           |              WHEN predicted_lang <> lang THEN 2
+           |              ELSE -1 END AS fd
+           |  FROM scored
+           |),
+           |a AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n0,
+           |         CAST(sum(CASE WHEN fd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+           |         CAST(sum(CASE WHEN fd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+           |         CAST(sum(CASE WHEN fd = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+           |  FROM f
+           |),
+           |s AS (
+           |  SELECT 1 AS stage_idx, 'exact_dup' AS stage, n0 AS n_in, d0 AS n_dropped FROM a
+           |  UNION ALL
+           |  SELECT 2, 'quality', n0 - d0, d1 FROM a
+           |  UNION ALL
+           |  SELECT 3, 'lang_match', n0 - d0 - d1, d2 FROM a
+           |)
+           |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_in, n_dropped,
+           |       n_in - n_dropped AS n_out,
+           |       CAST(n_dropped * 1000 // greatest(n_in, 1) AS BIGINT) AS drop_permille
+           |FROM s ORDER BY stage_idx""".stripMargin)),
 
     // Deterministic hash-split: reshuffle-proof train/val/test
     // assignment (survives re-ingestion and repartitioning, unlike

@@ -816,6 +816,40 @@ private[graft] object ExtTextQueries {
           |FROM r WHERE term_rank <= 5
           |ORDER BY doc_id, term_rank""".stripMargin)),
 
+    // The window-free twin: per-doc top-5 selected by the TopKDesc
+    // bounded-heap AGGREGATE (TypedImperativeAggregate) instead of
+    // row_number() OVER — map-side partial heaps cut each
+    // (doc, partition) to ≤ k rows BEFORE the exchange and the reducer
+    // merges heaps instead of sorting the group. Identical ordering
+    // contract (tfidf DESC, token ASC), so the oracle is x_text_tfidf's
+    // SQL verbatim.
+    QueryDef("x_text_tfidf_topk",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.tfidfTopTermsHeap(spark.table("documents"), "text", k = 5)
+          .orderBy("doc_id", "term_rank")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS token
+          |  FROM documents
+          |),
+          |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+          |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT t.doc_id, t.token, t.tf, d.df,
+          |         CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS tfidf
+          |  FROM tf t JOIN df d USING (token) CROSS JOIN n
+          |),
+          |r AS (SELECT *, row_number() OVER (
+          |        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS term_rank
+          |      FROM scored)
+          |SELECT doc_id, token, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank
+          |FROM r WHERE term_rank <= 5
+          |ORDER BY doc_id, term_rank""".stripMargin)),
+
     // More-like-this: top-k similar docs for one query doc via a
     // tf-idf-weighted dot product over shared terms — a broadcast
     // posting-list probe + doc-keyed agg + TakeOrderedAndProject, the

@@ -148,6 +148,45 @@ object Pipeline {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** Filter-funnel audit — the observability table every large
+    * curation run reports beside its output: for an ORDERED list of
+    * (stage name, drop predicate), how many rows entered each stage,
+    * how many that stage dropped (a row charges to the FIRST stage
+    * whose predicate fires — later predicates never see it, exactly
+    * like the sequential filter chain), and the per-stage drop rate
+    * in permille. The answer to "which filter ate my corpus"
+    * BEFORE the 100 TB rerun.
+    *
+    * Shape: ONE scan — the first-drop stage index is a single in-row
+    * CASE chain — one 1-row global agg, then the per-stage rows
+    * unfold from that 1-row relation in-row (explode of a literal
+    * struct array). No joins, no window; all-BIGINT counts and
+    * truncating permille DIV, so any engine reproduces it.
+    */
+  def filterFunnel(rows: DataFrame,
+      stages: Seq[(String, Column)]): DataFrame = {
+    val firstDrop = stages.zipWithIndex.foldRight(lit(-1L): Column) {
+      case (((_, pred), i), rest) => when(pred, lit(i.toLong)).otherwise(rest)
+    }
+    val agg = rows.select(firstDrop.as("__fd"))
+      .agg(count(lit(1)).as("n0"),
+        stages.indices.map(i =>
+          sum(when(col("__fd") === i.toLong, 1L).otherwise(0L)).as(s"__d$i")): _*)
+    val stageStructs = stages.indices.map { i =>
+      val nIn = (0 until i).foldLeft(col("n0"))((c, j) => c - col(s"__d$j"))
+      struct(lit((i + 1).toLong).as("stage_idx"),
+        lit(stages(i)._1).as("stage"),
+        nIn.as("n_in"), col(s"__d$i").as("n_dropped"))
+    }
+    agg.select(explode(array(stageStructs: _*)).as("__s"))
+      .select(col("__s.stage_idx"), col("__s.stage"),
+        col("__s.n_in"), col("__s.n_dropped"))
+      .withColumn("n_out", col("n_in") - col("n_dropped"))
+      .withColumn("drop_permille",
+        expr("n_dropped * 1000 DIV greatest(n_in, CAST(1 AS BIGINT))"))
+      .orderBy("stage_idx")
+  }
+
   private def split_part_tokens(c: Column): Column =
     org.apache.spark.sql.functions.split(coalesce(c, lit("")), "\\s+")
 

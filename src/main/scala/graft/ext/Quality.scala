@@ -268,24 +268,50 @@ object Quality {
     * window — every stage keyed, nothing global.
     */
   def tfidfTopTerms(docs: DataFrame, textCol: String,
-      idCol: String = "doc_id", k: Int = 5): DataFrame = {
-    val toks = wsTokens(col(textCol))
-    val tf = docs.select(col(idCol), explode(toks).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf
-      .join(df, "token")
-      .crossJoin(broadcast(n))
-      .withColumn("tfidf",
-        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
-    scored
+      idCol: String = "doc_id", k: Int = 5): DataFrame =
+    tfidfScored(docs, textCol, idCol)
       .withColumn("term_rank", row_number().over(
         Window.partitionBy(col(idCol))
           .orderBy(col("tfidf").desc, col("token"))))
       .filter(col("term_rank") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"),
         col("tfidf"), col("term_rank").cast("long").as("term_rank"))
+
+  /** The window-free twin of [[tfidfTopTerms]] — identical output,
+    * per-key selection done by the [[graft.functions.TopKDesc]]
+    * bounded-heap aggregate instead of `row_number() OVER`: the window
+    * form exchanges EVERY (doc, term) row and sorts each doc's whole
+    * group to keep k; the aggregate's partial (map-side) heaps reduce
+    * each (doc, partition) to ≤ k rows BEFORE the exchange and the
+    * reducer merges heaps — same exchange count, a fraction of the
+    * shuffled bytes, no sort. Ordering (tfidf DESC, token ASC) matches
+    * the window twin exactly, so both share one oracle.
+    */
+  def tfidfTopTermsHeap(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id", k: Int = 5): DataFrame = {
+    graft.functions.TopKFunctions.register(docs.sparkSession)
+    tfidfScored(docs, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(graft.functions.TopKFunctions.topk_desc(col("tfidf"), col("token"),
+        struct(col("token"), col("tf"), col("df"), col("tfidf")), k).as("__top"))
+      .select(col(idCol), posexplode(col("__top")).as(Seq("__r", "__s")))
+      .select(col(idCol), col("__s.token").as("token"),
+        col("__s.tf").as("tf"), col("__s.df").as("df"),
+        col("__s.tfidf").as("tfidf"),
+        (col("__r") + 1).cast("long").as("term_rank"))
+  }
+
+  private def tfidfScored(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val tf = docs.select(col(idCol), explode(toks).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
   }
 
   /** More-like-this: the top-k documents most similar to `queryId`,

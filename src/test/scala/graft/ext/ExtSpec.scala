@@ -1176,6 +1176,27 @@ class ExtSpec extends AnyFunSuite {
       overlap == 5L && permille == 1000L })
   }
 
+  test("filterFunnel: first-fire charging, permille, survivor count") {
+    import spark.implicits._
+    // row 2 fires stages 1 AND 2 but must charge to 1 only (the
+    // sequential-chain contract); 2 survivors at the end
+    val rows = Seq(
+      (1L, true, false, false),
+      (2L, true, true, false),
+      (3L, false, true, false),
+      (4L, false, false, true),
+      (5L, false, false, false),
+      (6L, false, false, false)).toDF("id", "f1", "f2", "f3")
+    val out = Pipeline.filterFunnel(rows, Seq(
+        "a" -> col("f1"), "b" -> col("f2"), "c" -> col("f3")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 6L, 2L, 4L, 333L),
+      (2L, "b", 4L, 1L, 3L, 250L),
+      (3L, "c", 3L, 1L, 2L, 333L)))
+  }
+
   test("htmlStrip: tags out, entities decoded once, title kept, clean no-op") {
     import spark.implicits._
     val d = Seq(

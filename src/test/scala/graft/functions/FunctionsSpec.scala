@@ -268,6 +268,49 @@ class FunctionsSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("topk_desc: equals row_number window, heap merge across partitions, null skip") {
+    graft.functions.TopKFunctions.register(extSpark)
+    import extSpark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, explode, posexplode, row_number, struct}
+    // 3 groups × 40 rows; score = i % 13 puts only 3 rows per group at
+    // the max score, so each top-5 SPANS two score levels (a uniform
+    // top score would mask a reversed score sort — the tie-break alone
+    // would order it) AND still exercises the tie string; spread over
+    // 8 partitions so partial heaps MERGE (exercising
+    // serialize/deserialize through the exchange)
+    val rows = (0 until 120).map { i =>
+      (s"g${i % 3}", (i % 13).toDouble, f"t$i%03d", i.toLong)
+    }.toDF("key", "score", "tie", "payload").repartition(8)
+    val viaAgg = rows.groupBy("key")
+      .agg(graft.functions.TopKFunctions.topk_desc(
+        col("score"), col("tie"),
+        struct(col("tie"), col("payload")), 5).as("top"))
+      .select(col("key"), posexplode(col("top")).as(Seq("r", "s")))
+      .select(col("key"), (col("r") + 1).as("rank"),
+        col("s.tie").as("tie"), col("s.payload").as("payload"))
+      .orderBy("key", "rank")
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getString(2), x.getLong(3)))
+    val viaWin = rows.withColumn("rank", row_number().over(
+        Window.partitionBy("key").orderBy(col("score").desc, col("tie"))))
+      .filter(col("rank") <= 5)
+      .select("key", "rank", "tie", "payload")
+      .orderBy("key", "rank")
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getString(2), x.getLong(3)))
+    assert(viaAgg.toSeq == viaWin.toSeq)
+    // k larger than the group: every non-null row survives, sorted;
+    // null scores/ties are skipped, not ranked
+    val small = Seq(
+      ("a", Some(2.0), Some("x"), 1L), ("a", Some(1.0), Some("y"), 2L),
+      ("a", None, Some("z"), 3L), ("a", Some(3.0), None, 4L)
+    ).toDF("key", "score", "tie", "payload")
+    val out = small.groupBy("key")
+      .agg(graft.functions.TopKFunctions.topk_desc(col("score"), col("tie"),
+        col("payload"), 10).as("top"))
+      .select(explode(col("top")).as("p")).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
   test("sorted_intersect: equals array_intersect on sorted dup-free arrays, both types") {
     graft.functions.IntersectFunctions.register(extSpark)
     import org.apache.spark.sql.functions.{array_intersect, col, sort_array}

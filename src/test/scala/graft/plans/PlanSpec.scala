@@ -439,6 +439,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k lost the heap:\n$p")
   }
 
+  test("tfidf heap twin: ObjectHashAggregate top-k, ZERO window nodes") {
+    // the whole point of the aggregate twin: per-doc selection without
+    // a Window sort — partial heaps before the exchange
+    val df = graft.ext.Quality.tfidfTopTermsHeap(docs, "text", k = 5)
+    val p = planOf(df)
+    assert(windowNodes(df) == 0, s"heap twin grew a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"topk agg lost object agg:\n$p")
+  }
+
   test("no CartesianProduct in any declared query plan") {
     // Every crossJoin in the library is against a broadcast 1-row or
     // dimension-sized side (plans show BroadcastNestedLoopJoin);
