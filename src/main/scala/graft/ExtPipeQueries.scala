@@ -502,6 +502,34 @@ private[graft] object ExtPipeQueries {
           |FROM ranked WHERE sample_rank <= 20
           |ORDER BY lang, sample_rank""".stripMargin)),
 
+    // The heap twin: same stratified sample selected by the TopKDesc
+    // bounded aggregate instead of a per-stratum window sort — the
+    // window's parallelism is the stratum count (one giant stratum =
+    // one task sorting it all); the aggregate's map-side heaps make
+    // reduce work O(partitions · k) per stratum regardless of skew.
+    // Identical ordering contract, so the oracle is x_pipe_stratified's
+    // SQL verbatim.
+    QueryDef("x_pipe_stratified_heap",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.stratifiedSampleHeap(spark.table("documents"), "lang", perGroup = 20)
+          .orderBy("lang", "sample_rank")
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT lang, doc_id,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS hh
+          |  FROM documents
+          |),
+          |ranked AS (
+          |  SELECT lang, doc_id,
+          |         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS sample_rank
+          |  FROM h
+          |)
+          |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+          |FROM ranked WHERE sample_rank <= 20
+          |ORDER BY lang, sample_rank""".stripMargin)),
+
     // Blocklist screen: in-row token filter against an inlined term
     // set — pure map, no join, no shuffle.
     QueryDef("x_pipe_blocklist",

@@ -355,6 +355,37 @@ object Pipeline {
       .select(col(byCol), col(idCol), col("sample_rank").cast("long").as("sample_rank"))
   }
 
+  /** The heap twin of [[stratifiedSample]] — identical output, but
+    * per-stratum selection by the [[graft.functions.TopKDesc]] bounded
+    * aggregate instead of a window. The window form is the 100 TB
+    * hazard here, not a nicety: it sorts EVERY stratum in full and its
+    * parallelism is the stratum count (one giant `lang='en'` stratum
+    * lands on one task). The aggregate's map-side heaps cut each
+    * (stratum, partition) to ≤ perGroup rows before the exchange, the
+    * reducer merges k-item heaps, and skew in stratum size stops
+    * mattering — the reduce work per stratum is O(partitions · k), not
+    * O(stratum).
+    *
+    * Ordering contract is [[stratifiedSample]]'s (hash ASC, id ASC),
+    * carried as (score = −hash — exact in a double, the hash lives on
+    * [0, 1e6) — tie = zero-padded id); both twins share one oracle.
+    */
+  def stratifiedSampleHeap(docs: DataFrame, byCol: String,
+      idCol: String = "doc_id", perGroup: Int = 20): DataFrame = {
+    graft.functions.TopKFunctions.register(docs.sparkSession)
+    val h = pmod(Dedup.portableHash(col(idCol).cast("string")), lit(1000000))
+    docs
+      .select(col(byCol), col(idCol), h.as("__h"))
+      .groupBy(col(byCol))
+      .agg(graft.functions.TopKFunctions.topk_desc(
+        -col("__h").cast("double"),
+        lpad(col(idCol).cast("string"), 20, "0"),
+        struct(col(idCol)), perGroup).as("__top"))
+      .select(col(byCol), posexplode(col("__top")).as(Seq("__r", "__s")))
+      .select(col(byCol), col(s"__s.$idCol").as(idCol),
+        (col("__r") + 1).cast("long").as("sample_rank"))
+  }
+
   /** Blocklist screen: per-document count of tokens in a (small) bad-
     * term set, computed entirely in-row — `filter(tokens, contains)`
     * against an inlined literal array — so the operator is a pure map

@@ -701,6 +701,23 @@ class ExtSpec extends AnyFunSuite {
     assert(s1.forall(_._3 <= 10))
   }
 
+  test("pipeline stratified heap twin: equals window form row for row") {
+    import spark.implicits._
+    // skewed strata (en 150 / de 40 / fr 10) so the heap merge path and
+    // the k-larger-than-stratum path both run
+    val d = (0L until 200L).map { i =>
+      (i, if (i < 150) "en" else if (i < 190) "de" else "fr")
+    }.toDF("doc_id", "lang")
+    val viaWin = Pipeline.stratifiedSample(d, "lang", perGroup = 20)
+      .orderBy("lang", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaHeap = Pipeline.stratifiedSampleHeap(d, "lang", perGroup = 20)
+      .orderBy("lang", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaHeap == viaWin)
+    assert(viaHeap.count(_._1 == "fr") == 10) // stratum smaller than k survives whole
+  }
+
   test("pipeline blocklist: in-row hit counts, clean docs absent") {
     import spark.implicits._
     val d = Seq(

@@ -448,6 +448,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), s"topk agg lost object agg:\n$p")
   }
 
+  test("stratified heap twin: ObjectHashAggregate top-k, ZERO window nodes") {
+    // skew-proof stratified sampling: per-stratum selection must come
+    // from partial heaps, never a per-stratum window sort
+    val df = graft.ext.Pipeline.stratifiedSampleHeap(docs, "lang", perGroup = 20)
+    val p = planOf(df)
+    assert(windowNodes(df) == 0, s"heap twin grew a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"topk agg lost object agg:\n$p")
+  }
+
   test("no CartesianProduct in any declared query plan") {
     // Every crossJoin in the library is against a broadcast 1-row or
     // dimension-sized side (plans show BroadcastNestedLoopJoin);
