@@ -101,6 +101,50 @@ private[graft] object ExtSimQueries {
     // Matryoshka truncation audit: top-10 overlap between full-64-dim
     // cosine and first-16-coordinate cosine per benchmark query
     // (vec_id % 97 = 0) — the measurement that decides whether the
+    // Hard-negative mining (DPR/ANCE): per benchmark query, the top-5
+    // most-similar DIFFERENT-label vectors — the negatives worth
+    // training a retriever on. Query side broadcasts (pinned % 97 +
+    // id-cap set), corpus never shuffles for scoring; per-query
+    // selection is the TopKDesc bounded aggregate (map-side k-heaps,
+    // zero Window nodes — PlanSpec-pinned), so the one exchange
+    // carries O(|Q|·partitions·k) rows at any corpus size.
+    QueryDef("x_sim_hard_negatives",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.hardNegatives(spark.table("embeddings"),
+            queryEvery = 97, k = 5, benchMaxId = 500)
+          .orderBy("qid", "neg_rank")
+      },
+      Some(
+        s"""WITH $exCte,
+           |qe AS (
+           |  SELECT vec_id AS qid, label AS q_label, unnest(embedding) AS qv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 500
+           |),
+           |dots AS (
+           |  SELECT q.qid, e.vec_id,
+           |         sum(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot,
+           |         sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS na
+           |  FROM ex e JOIN qe q ON q.i = e.i AND e.label <> q.q_label
+           |  GROUP BY 1, 2
+           |),
+           |qn AS (
+           |  SELECT qid, sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq
+           |  FROM qe GROUP BY 1
+           |),
+           |rk AS (
+           |  SELECT d.qid, d.vec_id,
+           |         round(dot / (sqrt(na) * sqrt(qn.nq)), 6) AS cos_sim,
+           |         row_number() OVER (PARTITION BY d.qid
+           |           ORDER BY round(dot / (sqrt(na) * sqrt(qn.nq)), 6) DESC,
+           |                    d.vec_id) AS neg_rank
+           |  FROM dots d JOIN qn ON qn.qid = d.qid
+           |)
+           |SELECT qid, CAST(neg_rank AS BIGINT) AS neg_rank, vec_id, cos_sim
+           |FROM rk WHERE neg_rank <= 5
+           |ORDER BY qid, neg_rank""".stripMargin)),
+
     // embedding column can ship at 4× less storage. Ground-truth
     // evaluation probe (brute force over a broadcast query side, the
     // corpus never shuffles); cosines rounded once to 6 dp before

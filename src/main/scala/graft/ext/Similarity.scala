@@ -479,6 +479,48 @@ object Similarity {
       .select(col("corpus_id"), col("bench_id"), col("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive retrieval training (the
+    * DPR/ANCE recipe, Karpukhin et al. 2020 / Xiong et al. 2021): for
+    * each benchmark query vector, the top-`k` most-similar vectors
+    * with a DIFFERENT label — similar enough to confuse the model,
+    * labeled differently, i.e. exactly the negatives worth training
+    * on. The `% queryEvery` + `benchMaxId` convention pins the query
+    * set (same as the recall probes — the benchmark must not grow
+    * with the corpus).
+    *
+    * Scale shape: the query side broadcasts, so the corpus NEVER
+    * shuffles for scoring — per corpus row the work is |Q| in-row
+    * dot products. Per-query selection is the [[graft.functions.TopKDesc]]
+    * bounded aggregate, not a window: map-side k-item heaps cut each
+    * (qid, partition) to ≤ k rows before the one qid-keyed exchange,
+    * so the shuffle carries O(|Q| · partitions · k) rows total no
+    * matter how large the corpus — the window form would exchange
+    * every scored row. Cosines round once to 6 dp before ranking,
+    * vec_id breaks ties (zero-padded, so string order = numeric).
+    */
+  def hardNegatives(vectors: DataFrame, queryEvery: Long = 97, k: Int = 5,
+      benchMaxId: Long = Long.MaxValue): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    graft.functions.TopKFunctions.register(vectors.sparkSession)
+    val qs = vectors
+      .filter(pmod(col("vec_id"), lit(queryEvery)) === 0 &&
+        col("vec_id") < benchMaxId)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("q"))
+    vectors.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("embedding"), col("q")), 6).as("cos_sim"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKFunctions.topk_desc(
+        col("cos_sim"), lpad(col("vec_id").cast("string"), 20, "0"),
+        struct(col("vec_id"), col("cos_sim")), k).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__r", "__s")))
+      .select(col("qid"), (col("__r") + 1).cast("long").as("neg_rank"),
+        col("__s.vec_id").as("vec_id"), col("__s.cos_sim").as("cos_sim"))
+  }
+
   /** Embedding-dimension correlation matrix (upper triangle) — the
     * whitening/ABTT diagnostic: strongly correlated dimensions mean
     * the embedding wastes capacity and cosine over-weights a shared

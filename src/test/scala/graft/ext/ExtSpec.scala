@@ -501,6 +501,24 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2).getSeq[Long](r(2).fieldIndex("centroid_e6")).toSeq == Seq(-3L, 250000L))
   }
 
+  test("similarity hardNegatives: same-label excluded, similar-first, k-capped") {
+    import spark.implicits._
+    // query = vec 0 (label 1, axis x). Same-label vec 1 is MOST similar
+    // but must be excluded; negatives rank by cosine among labels ≠ 1:
+    // vec 2 (cos ≈ .9863) > vec 3 (cos ≈ .7071) > vec 4 (cos = 0)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.99f, 0.01f), 1),  // near-twin, same label → excluded
+      (2L, Seq(0.6f, 0.1f), 2),
+      (3L, Seq(0.5f, 0.5f), 2),
+      (4L, Seq(0.0f, 1.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(vecs, queryEvery = 97, k = 2)
+      .orderBy("qid", "neg_rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((0L, 1L, 2L), (0L, 2L, 3L))) // k=2 caps out vec 4
+  }
+
   test("similarity normStats: unit vs zero vs scaled vectors, integer e6") {
     import spark.implicits._
     val vecs = Seq(

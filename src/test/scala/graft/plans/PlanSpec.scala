@@ -457,6 +457,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), s"topk agg lost object agg:\n$p")
   }
 
+  test("hard negatives: broadcast query side, heap selection, ZERO window nodes") {
+    // scoring must not shuffle the corpus (query side broadcasts) and
+    // per-query selection must be the bounded aggregate, not a window
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.ext.Similarity.hardNegatives(vecs, queryEvery = 97, k = 5)
+    val p = planOf(df)
+    assert(p.contains("BroadcastExchange"), s"query side lost its broadcast:\n$p")
+    assert(windowNodes(df) == 0, s"hard negatives grew a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"topk agg lost object agg:\n$p")
+  }
+
   test("no CartesianProduct in any declared query plan") {
     // Every crossJoin in the library is against a broadcast 1-row or
     // dimension-sized side (plans show BroadcastNestedLoopJoin);
