@@ -29,6 +29,29 @@ private[graft] object ExtEventQueries {
       },
       defsAsofOracle),
 
+    // Per-user top-3 events by value via the TopKDesc bounded
+    // aggregate — the leaderboard shape that motivates the aggregate
+    // over a window: map-side k-item heaps cut each (user, partition)
+    // to ≤ 3 rows before the ONE exchange, the reducer merges heaps,
+    // and a whale user costs O(partitions·k) reduce work instead of a
+    // full-group sort. Oracle shared with the streaming twin
+    // x_stream_topk (three implementations, one contract).
+    QueryDef("x_evt_topk",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        graft.functions.TopKFunctions.register(spark)
+        spark.table("events")
+          .groupBy("user_id")
+          .agg(graft.functions.TopKFunctions.topk_desc(
+            col("value"), lpad(col("event_id").cast("string"), 20, "0"),
+            struct(col("event_id"), col("value")), 3).as("__top"))
+          .select(col("user_id"), posexplode(col("__top")).as(Seq("__r", "__s")))
+          .select(col("user_id"), (col("__r") + 1).cast("long").as("topk_rank"),
+            col("__s.event_id").as("event_id"), col("__s.value").as("value"))
+          .orderBy("user_id", "topk_rank")
+      },
+      defsTopkOracle),
+
     // Gap sessionization (4 h gap — the corpus' median per-user gap is
     // ~7 h, so sessions are non-degenerate): one key-partitioned sort;
     // integer window arithmetic end to end.

@@ -1101,6 +1101,23 @@ private[graft] object ExtShared {
       |) l ON TRUE
       |ORDER BY q.event_id""".stripMargin)
 
+  /** The per-user top-k-by-value oracle, shared by `x_evt_topk` (the
+    * `TopKDesc` bounded aggregate) and `x_stream_topk` (the k-slot
+    * streaming state twin) — three implementations, one contract:
+    * rank by (value DESC, event_id ASC), keep k.
+    */
+  private[graft] def defsTopkOracle: Option[String] = Some(
+    """WITH ranked AS (
+      |  SELECT user_id, event_id, value,
+      |         row_number() OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY value DESC, event_id) AS topk_rank
+      |  FROM events
+      |)
+      |SELECT user_id, CAST(topk_rank AS BIGINT) AS topk_rank, event_id, value
+      |FROM ranked WHERE topk_rank <= 3
+      |ORDER BY user_id, topk_rank""".stripMargin)
+
   /** The batch funnel oracle, shared by `x_evt_funnel` and
     * `x_stream_funnel` — the streaming operator's contract IS batch
     * equivalence. A `def` (not a val): referenced from `defs`.

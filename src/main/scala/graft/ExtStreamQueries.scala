@@ -417,6 +417,35 @@ private[graft] object ExtStreamQueries {
         """SELECT DISTINCT md5(text) AS content_md5
           |FROM documents ORDER BY content_md5""".stripMargin)),
 
+    // Streaming per-user top-k leaderboard — the streaming twin of
+    // the TopKDesc bounded aggregate (x_evt_topk): state per user is
+    // EXACTLY the aggregate's buffer, k (event_id, value) slots kept
+    // best-first. The fold is a set fold (max-k by (value DESC, id
+    // ASC)) — order-independent, so the REAL AvailableNow run
+    // converges to the batch answer and all three implementations
+    // (window oracle, batch aggregate, streaming state) share one
+    // contract. Final value per (user, rank) = its max-n_seen
+    // emission (n_seen only grows).
+    QueryDef("x_stream_topk",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        // dual-layout-safe via the footer-probing shared adapter
+        val stream = eventsStream(spark, streamSourceDir(sfDir, "events.parquet"))
+        val q = graft.streaming.IncrementalIndexer.topkStream(spark, stream, k = 3)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_topk_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "topk_rank").orderBy(col("n_seen").desc)
+        spark.table("x_stream_topk_sink")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("user_id", "topk_rank", "event_id", "value")
+          .orderBy("user_id", "topk_rank")
+      },
+      defsTopkOracle),
+
     // Streaming session action paths — the threadPaths twin: the
     // sessionStream carry plus a BOUNDED first-20-action buffer per
     // open session (the same cap the batch operator applies before

@@ -509,6 +509,56 @@ object IncrementalIndexer {
       }
   }
 
+  /** Streaming per-key top-k leaderboard — the streaming twin of the
+    * [[graft.functions.TopKDesc]] bounded aggregate: per user, the k
+    * highest-value events seen so far. State per user is EXACTLY the
+    * aggregate's buffer — k (event_id, value) slots, kept best-first
+    * — so memory is k rows per active key no matter how much history
+    * streams past (the same O(k) bound the batch aggregate holds per
+    * group). The fold is a SET fold (max-k by (value DESC, id ASC)):
+    * order-independent, so any batching/replay converges to the batch
+    * answer and the batch window SQL is the oracle. Each batch emits
+    * the current top-k with a monotone `n_seen` marker; the final
+    * value per (user, rank) is its emission with max n_seen.
+    */
+  final case class TopKRow(user_id: Long, topk_rank: Long, event_id: Long,
+      value: Double, n_seen: Long)
+  final case class TopKCarry(ids: Array[Long], values: Array[Double],
+      n_seen: Long)
+
+  def topkStream(spark: SparkSession, events: DataFrame,
+      k: Int): Dataset[TopKRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TopKCarry, TopKRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        val prev = state.getOption
+        // best-first working list, never longer than k
+        var top = prev.map(p => p.ids.zip(p.values).toList).getOrElse(Nil)
+        var n = prev.map(_.n_seen).getOrElse(0L)
+        def beats(a: (Long, Double), b: (Long, Double)): Boolean =
+          a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+        rows.foreach { case (_, eid, v) =>
+          n += 1
+          val it = (eid, v)
+          if (top.size < k || beats(it, top.last)) {
+            val (better, worse) = top.span(beats(_, it))
+            top = (better ::: it :: worse).take(k)
+          }
+        }
+        val arr = top.toArray
+        state.update(TopKCarry(arr.map(_._1), arr.map(_._2), n))
+        arr.iterator.zipWithIndex.map { case ((eid, v), i) =>
+          TopKRow(uid, i + 1L, eid, v, n)
+        }
+      }
+  }
+
   def userStates(spark: SparkSession, events: DataFrame): Dataset[UserEventState] = {
     import spark.implicits._
     events.select(col("user_id").cast("long"), col("event_id").cast("long"),

@@ -91,6 +91,28 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(rows(fin) == rows(batch))
   }
 
+  test("topkStream == batch TopKDesc top-k on random tied data") {
+    // values sit on a 0.1 grid, so score ties are common — the id
+    // tie-break must agree between the k-slot stream state and the
+    // batch aggregate's heap
+    graft.functions.TopKFunctions.register(spark)
+    val batch = batchDf.groupBy("user_id")
+      .agg(graft.functions.TopKFunctions.topk_desc(
+        col("value"), lpad(col("event_id").cast("string"), 20, "0"),
+        struct(col("event_id"), col("value")), 3).as("__top"))
+      .select(col("user_id"), posexplode(col("__top")).as(Seq("__r", "__s")))
+      .select(col("user_id"), (col("__r") + 1).cast("long").as("topk_rank"),
+        col("__s.event_id").as("event_id"), col("__s.value").as("value"))
+    val streamed = runStream("parity_topk")(
+      IncrementalIndexer.topkStream(spark, _, k = 3))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "topk_rank").orderBy(col("n_seen").desc)
+    val fin = streamed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("user_id", "topk_rank", "event_id", "value")
+    assert(rows(fin) == rows(batch))
+  }
+
   test("rollingStream == batch rollingCounts on random tied data") {
     val win = 300L
     val batch = Events.rollingCounts(batchDf, windowUs = win)
