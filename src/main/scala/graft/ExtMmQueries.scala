@@ -65,6 +65,42 @@ private[graft] object ExtMmQueries {
            |FROM px GROUP BY doc_id, y
            |ORDER BY doc_id, frame""".stripMargin)),
 
+    // Audio-frame features through the REAL WAV codec (the audio twin
+    // of x_mm_features): per doc, a synthesized 8-bit PCM waveform
+    // (md5-block samples — the digest BYTES are the samples) round-
+    // trips through javax.sound.sampled encode+decode in the partition
+    // iterator; per-frame energy / zero-crossings / peak come from the
+    // DECODED bytes. WAV PCM is lossless ⇒ the oracle recomputes all
+    // three from the sample formula with NO codec, in exact BIGINTs —
+    // a signedness/bit-depth/header defect breaks value parity.
+    QueryDef("x_mm_audio_frames",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        graft.ext.Multimodal.audioFrames(spark, spark.table("documents"),
+            "doc_id", "text", blocks = 32, frameLen = 128)
+          .toDF()
+          .orderBy("doc_id", "frame")
+      },
+      Some(
+        """WITH smp AS (
+          |  SELECT d.doc_id, b.b * 16 + j.j AS i,
+          |         CAST('0x' || substr(md5(d.text || '_a_' || CAST(b.b AS VARCHAR)),
+          |                             CAST(j.j * 2 + 1 AS INTEGER), 2) AS BIGINT) - 128 AS c
+          |  FROM documents d, range(32) b(b), range(16) j(j)
+          |),
+          |seq AS (
+          |  SELECT doc_id, i, c, i // 128 AS frame, i % 128 AS fi,
+          |         lag(c) OVER (PARTITION BY doc_id ORDER BY i) AS pc
+          |  FROM smp
+          |)
+          |SELECT doc_id, CAST(frame AS INTEGER) AS frame,
+          |       CAST(sum(c * c) AS BIGINT) AS energy,
+          |       CAST(sum(CASE WHEN fi > 0 AND ((c >= 0) <> (pc >= 0))
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+          |       CAST(max(abs(c)) AS BIGINT) AS peak
+          |FROM seq GROUP BY doc_id, frame
+          |ORDER BY doc_id, frame""".stripMargin)),
+
     // Perceptual average-hash per image through the REAL PNG codec
     // (frameFeatures discipline: lossless round-trip ⇒ the oracle
     // recomputes the hash from the pixel formula with no codec, and a

@@ -260,6 +260,95 @@ object Multimodal {
     }
   }
 
+  /** One audio frame's decoded-PCM features (exact integers). */
+  final case class AudioFrame(doc_id: Long, frame: Int, energy: Long,
+      zero_crossings: Long, peak: Long)
+
+  /** REAL-codec audio frame features — the audio twin of
+    * [[frameFeatures]]: each doc synthesizes an 8-bit unsigned mono
+    * PCM waveform from portable md5 blocks (16 samples per digest —
+    * the digest BYTES are the samples, so the DuckDB oracle
+    * reconstructs them from substr(md5, …) hex pairs), WAV-ENCODES and
+    * WAV-DECODES it with the JDK's `javax.sound.sampled` inside the
+    * partition iterator, and computes per-frame energy (Σ centered²),
+    * zero crossings, and peak from the DECODED samples. WAV PCM is
+    * lossless, so a decode defect (signedness, bit depth, header
+    * offset, frame stride) breaks VALUE parity with the codec-free
+    * oracle, not just row counts. All three features are exact BIGINT
+    * arithmetic — no float order, no rounding.
+    *
+    * Same 100 TB discipline as the image ops: iterator-to-iterator
+    * mapPartitions, one digest instance per partition, and the narrow
+    * (id, text) relation is spread to full parallelism when the scan
+    * arrives in fewer splits than cores. (`AudioSystem` entry points
+    * are static registry lookups per call — a per-partition provider
+    * handle would shave constants further, but the JDK WAV path has no
+    * reusable reader object; the registry cost is ~µs against the
+    * md5+codec work per row.)
+    */
+  def audioFrames(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, blocks: Int = 32, frameLen: Int = 128): Dataset[AudioFrame] = {
+    import spark.implicits._
+    val narrow = docs.select(col(idCol).cast("long"), col(textCol))
+    val target = spark.sparkContext.defaultParallelism
+    val spread =
+      if (narrow.rdd.getNumPartitions < target) narrow.repartition(target)
+      else narrow
+    spread.as[(Long, String)].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { case (id, text) =>
+        val n = blocks * 16
+        val pcm = new Array[Byte](n)
+        // absorb the doc text once, clone per block (frameFeatures
+        // discipline — identical bytes ⇒ identical digests)
+        md.reset()
+        md.update(s"${text}_a_".getBytes("UTF-8"))
+        var b = 0
+        while (b < blocks) {
+          val m = md.clone().asInstanceOf[java.security.MessageDigest]
+          System.arraycopy(m.digest(String.valueOf(b).getBytes("UTF-8")), 0,
+            pcm, b * 16, 16)
+          b += 1
+        }
+        // WAV round-trip: 8-bit UNSIGNED PCM mono, lossless
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 8, 1, /*signed=*/ false, /*bigEndian=*/ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(out.toByteArray))
+        val decoded = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = dec.read(decoded, off, n - off)
+          if (r <= 0) throw new IllegalStateException(
+            s"WAV decode truncated at $off/$n bytes (doc $id)")
+          off += r
+        }
+        dec.close()
+        (0 until n / frameLen).iterator.map { f =>
+          var e = 0L; var zc = 0L; var pk = 0L
+          var i = 0
+          while (i < frameLen) {
+            val c = (decoded(f * frameLen + i) & 0xff) - 128
+            e += c.toLong * c
+            val a = math.abs(c).toLong
+            if (a > pk) pk = a
+            if (i > 0) {
+              val p = (decoded(f * frameLen + i - 1) & 0xff) - 128
+              if ((c >= 0) != (p >= 0)) zc += 1
+            }
+            i += 1
+          }
+          AudioFrame(id, f, e, zc, pk)
+        }
+      }
+    }
+  }
+
   def frameFeatures(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, w: Int, h: Int): Dataset[FrameFeature] = {
     import spark.implicits._

@@ -470,6 +470,33 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: real-codec audio frames round-trip exactly") {
+    // audioFrames WAV-encodes each doc's synthesized PCM and decodes
+    // it with javax.sound.sampled before computing features; WAV PCM
+    // is lossless, so energy/zc/peak must equal the codec-free
+    // arithmetic on the sample formula.
+    val blocks = 4; val frameLen = 16 // 64 samples, 4 frames
+    val out = Multimodal.audioFrames(spark, docs, "doc_id", "text",
+        blocks, frameLen)
+      .collect().map(f => (f.doc_id, f.frame) -> f).toMap
+    assert(out.size == 5 * 4)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def samples(text: String): Array[Int] =
+      (0 until blocks).flatMap { b =>
+        md.digest(s"${text}_a_$b".getBytes("UTF-8")).map(x => (x & 0xff) - 128)
+      }.toArray
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    for ((id, text) <- texts; f <- 0 until 4) {
+      val s = samples(text).slice(f * frameLen, (f + 1) * frameLen)
+      val a = out((id, f))
+      assert(a.energy == s.map(c => c.toLong * c).sum, s"doc $id frame $f energy")
+      assert(a.peak == s.map(math.abs).max.toLong, s"doc $id frame $f peak")
+      val zc = s.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      assert(a.zero_crossings == zc.toLong, s"doc $id frame $f zc")
+    }
+  }
+
   test("pipeline split: deterministic, content-independent, roughly proportional") {
     import spark.implicits._
     val d = (0L until 1000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
