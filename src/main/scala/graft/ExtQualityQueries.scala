@@ -517,6 +517,41 @@ private[graft] object ExtQualityQueries {
     // Dataset-card rollup: source / source×lang / corpus-total doc,
     // token, and char counts in ONE grouping-sets pass — the release
     // summary table every corpus ships, and the a5_grouping_sets
+    // Fixed-bin histogram quantiles per language over document length
+    // — the deterministic, oracle-checkable cousin of approx_percentile
+    // (GK-sketch internals aren't engine-portable; width-64 bins are).
+    // ONE map-side-combined groupBy collapses the corpus to
+    // (langs × bins) cells before any exchange; the cumsum window and
+    // final agg run over that tiny cell relation. BIGINT end to end
+    // (cum·1000 ≥ q·total — no division), so parity is exact.
+    QueryDef("x_stats_hist_quantiles",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.histQuantiles(spark.table("documents"), "lang", "n_chars",
+            binWidth = 64)
+          .orderBy("lang")
+      },
+      Some(
+        """WITH bins AS (
+          |  SELECT lang, n_chars // 64 AS bin, count(*) AS n
+          |  FROM documents GROUP BY 1, 2
+          |),
+          |cum AS (
+          |  SELECT lang, bin, n,
+          |         sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+          |         sum(n) OVER (PARTITION BY lang) AS total
+          |  FROM bins
+          |)
+          |SELECT lang, CAST(max(total) AS BIGINT) AS n_rows,
+          |       CAST(min(CASE WHEN cum * 1000 >= total * 500
+          |                     THEN (bin + 1) * 64 - 1 END) AS BIGINT) AS p500_le,
+          |       CAST(min(CASE WHEN cum * 1000 >= total * 900
+          |                     THEN (bin + 1) * 64 - 1 END) AS BIGINT) AS p900_le,
+          |       CAST(min(CASE WHEN cum * 1000 >= total * 990
+          |                     THEN (bin + 1) * 64 - 1 END) AS BIGINT) AS p990_le
+          |FROM cum GROUP BY lang
+          |ORDER BY lang""".stripMargin)),
+
     // one-exchange collapse applied to curation stats.
     // KMV distinct-count sketch per source over 3-shingle hashes —
     // the oracle-CHECKABLE approximate distinct beside the rows-only

@@ -902,6 +902,41 @@ object Pipeline {
     * give up exactly the bounded-exchange property that is the
     * operator's point.
     */
+  /** Fixed-bin histogram quantiles per group — the deterministic,
+    * oracle-checkable cousin of `approx_percentile` (whose GK-sketch
+    * internals are not engine-portable): values land in width-`binWidth`
+    * bins, and the q-permille quantile reports the UPPER EDGE of the
+    * first bin whose cumulative count reaches ⌈q·n/1000⌉. Resolution
+    * is the bin width; arithmetic is BIGINT end to end (`cum·1000 ≥
+    * q·total` — no division), so both engines agree exactly.
+    *
+    * Scale shape: ONE map-side-combined groupBy collapses 100 TB of
+    * rows to (groups × bins) cells before any exchange; the cumsum
+    * window then runs over that tiny cell relation (≤ bins rows per
+    * group), and the final per-group agg is free. Nothing downstream
+    * of the first aggregate ever sees data-sized cardinality.
+    */
+  def histQuantiles(rows: DataFrame, byCol: String, valCol: String,
+      binWidth: Long, qsPermille: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    val bins = rows
+      .select(col(byCol),
+        expr(s"CAST($valCol AS BIGINT) DIV $binWidth").as("__bin"))
+      .groupBy(col(byCol), col("__bin"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(byCol).orderBy("__bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(byCol)
+    val cum = bins
+      .withColumn("__cum", sum("__n").over(w))
+      .withColumn("__total", sum("__n").over(wt))
+    val qCols = qsPermille.map { q =>
+      min(when(col("__cum") * 1000 >= col("__total") * q,
+        (col("__bin") + 1) * binWidth - 1)).as(s"p${q}_le")
+    }
+    cum.groupBy(col(byCol))
+      .agg(max(col("__total")).as("n_rows"), qCols: _*)
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per group (Bar-Yossef
     * et al. 2002) — the third mergeable sketch beside Misra–Gries and
     * CMS, and the oracle-CHECKABLE approximate-distinct (the HLL entry

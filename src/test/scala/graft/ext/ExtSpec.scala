@@ -470,6 +470,23 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline histQuantiles: bin-edge semantics, exact counts, small-group floor") {
+    import spark.implicits._
+    // group a: values 0..99 with width 10 → p50 hits bin 4 (cum 50 at
+    // value 49), edge reported = 49; p90 → bin 8 edge 89; p99 → 99.
+    // group b: a single value → every quantile is its own bin edge.
+    val d = ((0L until 100L).map(v => ("a", v)) :+ (("b", 7L)))
+      .toDF("g", "v")
+    val r = Pipeline.histQuantiles(d, "g", "v", binWidth = 10)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Long]("n_rows") == 100L)
+    assert(r("a").getAs[Long]("p500_le") == 49L)
+    assert(r("a").getAs[Long]("p900_le") == 89L)
+    assert(r("a").getAs[Long]("p990_le") == 99L)
+    assert(r("b").getAs[Long]("n_rows") == 1L)
+    assert(r("b").getAs[Long]("p500_le") == 9L) // bin 0 edge
+  }
+
   test("multimodal: real-codec audio frames round-trip exactly") {
     // audioFrames WAV-encodes each doc's synthesized PCM and decodes
     // it with javax.sound.sampled before computing features; WAV PCM
