@@ -136,6 +136,55 @@ private[graft] object ExtDedupQueries {
            |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Incremental delta-vs-corpus dedup — the production ingestion
+    // path: the day's batch (here doc_id % 5 = 0) screens against the
+    // existing corpus WITHOUT any corpus×corpus work: delta bands
+    // broadcast against the corpus's banded relation (at 100 TB a
+    // pre-built artifact read in place), verification touches only
+    // candidate pairs. A doc's signature doesn't depend on its side,
+    // so the result equals the full self-join restricted to cross
+    // pairs — which is exactly what the oracle computes.
+    QueryDef("x_dedup_delta",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val docs = spark.table("documents")
+        Dedup.deltaNearDups(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "text", "doc_id", shingleN = 3, k = 16, bands = 4,
+            threshold = 0.4)
+          .orderBy("delta_id", "corpus_id")
+      },
+      Some(
+        s"""WITH ${shinglesCte(3)},
+           |$minhashSigsCte,
+           |$bandsCte,
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |verified AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN sh x ON x.doc_id = c.id_a
+           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+           |  GROUP BY 1, 2
+           |)
+           |SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS delta_id,
+           |       CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS corpus_id,
+           |       shared,
+           |       CASE WHEN id_a % 5 = 0 THEN sa.n_sh ELSE sb.n_sh END AS n_d,
+           |       CASE WHEN id_a % 5 = 0 THEN sb.n_sh ELSE sa.n_sh END AS n_c,
+           |       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+           |FROM verified
+           |JOIN sizes sa ON sa.doc_id = id_a
+           |JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
+           |  AND CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
+           |ORDER BY delta_id, corpus_id""".stripMargin)),
+
     // Connected components over the verified near-dup pairs: the
     // canonical-document step (transitive dup clusters labeled by min
     // id). Spark side: hash-min label propagation to fixpoint; oracle:

@@ -372,6 +372,63 @@ object Dedup {
       .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
   }
 
+  /** Incremental delta-vs-corpus near-dup screen — the production
+    * ingestion path: dedup a NEWLY ARRIVED batch against the existing
+    * corpus without ever comparing corpus×corpus. Both sides get the
+    * same shingle→signature→band treatment (a doc's signature doesn't
+    * depend on which side it's on, so results equal the full self-join
+    * restricted to cross pairs — which is what the oracle checks); the
+    * candidate join is delta-bands ⋈ corpus-bands on (band, band_key),
+    * with the delta side BROADCAST — at 100 TB the corpus's banded
+    * relation is a pre-built artifact read in place and the corpus
+    * never shuffles, while the day's delta is millions of rows, not
+    * billions. Exact-Jaccard verification then touches only candidate
+    * pairs' shingles.
+    */
+  def deltaNearDups(corpus: DataFrame, delta: DataFrame, textCol: String,
+      idCol: String, shingleN: Int, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val shC = shingles(corpus, textCol, idCol, shingleN).persist()
+    val shD = shingles(delta, textCol, idCol, shingleN).persist()
+    try {
+      val rowsPerBand = k / bands
+      def banded(sigs: DataFrame, side: String): DataFrame =
+        (0 until bands).map { b =>
+          val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"mh_$i"))
+          sigs.select(col("doc_id").as(side), lit(b).as("band"),
+            concat_ws("_", cols: _*).as("band_key"))
+        }.reduce(_ unionByName _)
+      val cands = banded(minhashSignatures(shC, k), "corpus_id")
+        .join(broadcast(banded(minhashSignatures(shD, k), "delta_id")),
+          Seq("band", "band_key"))
+        .select("delta_id", "corpus_id").distinct()
+        .localCheckpoint(true)
+      val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val sizesD = shD.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val shared = cands
+        .join(shD.select(col("doc_id").as("delta_id"), col("shingle")), "delta_id")
+        .join(shC.select(col("doc_id").as("corpus_id"), col("shingle")),
+          Seq("corpus_id", "shingle"))
+        .groupBy("delta_id", "corpus_id").agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizesD.select(col("doc_id").as("delta_id"), col("n_sh").as("n_d")),
+          "delta_id")
+        .join(sizesC.select(col("doc_id").as("corpus_id"), col("n_sh").as("n_c")),
+          "corpus_id")
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("n_d") + col("n_c") - col("shared")))
+        .filter(col("jaccard") >= threshold)
+        .select("delta_id", "corpus_id", "shared", "n_d", "n_c", "jaccard")
+        // eager + tiny (pairs only): lets the finally release the
+        // corpus-sized shingle caches without a recompute-on-read
+        .localCheckpoint(true)
+    } finally {
+      shC.unpersist()
+      shD.unpersist()
+    }
+  }
+
   /** 60-bit SimHash from portable token hashes: per-bit majority vote of
     * token-hash bits, computed as 60 conditional sums in one groupBy
     * pass (no UDF, stays codegen'd).

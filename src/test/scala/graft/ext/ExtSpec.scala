@@ -470,6 +470,28 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup deltaNearDups: finds only cross-side pairs, equals full-join restriction") {
+    import spark.implicits._
+    // three planted near-dup groups: (1,2) both corpus — must NOT
+    // appear; (10,11) cross — must appear; (20,21) both delta — must
+    // NOT appear. Long repeated texts so 3-shingle jaccard is high.
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val d = Seq(
+      (1L, base + "alpha"), (2L, base + "alpha beta"),
+      (10L, base + "gamma"), (11L, base + "gamma delta"),
+      (20L, base + "epsilon"), (21L, base + "epsilon zeta"),
+      (3L, "completely unrelated text about spark catalyst planning")
+    ).toDF("doc_id", "text")
+    val corpus = d.filter(col("doc_id") < 10 || col("doc_id") === 11)
+    val delta = d.filter(col("doc_id") === 10 || col("doc_id") >= 20)
+    val r = Dedup.deltaNearDups(corpus, delta, "text", "doc_id",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.contains((10L, 11L)))
+    assert(!r.exists { case (a, b) => Set(a, b) == Set(1L, 2L) })
+    assert(!r.exists { case (a, b) => Set(a, b) == Set(20L, 21L) })
+  }
+
   test("pipeline histQuantiles: bin-edge semantics, exact counts, small-group floor") {
     import spark.implicits._
     // group a: values 0..99 with width 10 → p50 hits bin 4 (cum 50 at
