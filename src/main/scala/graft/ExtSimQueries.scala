@@ -415,6 +415,46 @@ private[graft] object ExtSimQueries {
           |FROM x GROUP BY label, dim
           |ORDER BY label, dim""".stripMargin)),
 
+    // Nearest-centroid confusion matrix — label-noise QA: every vector
+    // assigns to its nearest label centroid (exact BIGINT squared
+    // Euclidean in e6 space, (d2, label) struct-min tie-break);
+    // off-diagonal cells are the mislabeling signal. Centroids collect
+    // to a driver literal (labels × dims, the codebook discipline) so
+    // assignment is pure in-row — the only shuffle is the labels²-cell
+    // count.
+    QueryDef("x_sim_confusion",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.centroidConfusion(spark.table("embeddings"), "label")
+          .orderBy("label", "nearest_label")
+      },
+      Some(
+        """WITH x AS (
+          |  SELECT vec_id, label, unnest(range(len(embedding))) AS dim,
+          |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+          |              AS BIGINT) AS v_e6
+          |  FROM embeddings
+          |),
+          |cent AS (
+          |  SELECT label AS clbl, dim, sum(v_e6) // count(*) AS c
+          |  FROM x GROUP BY 1, 2
+          |),
+          |d AS (
+          |  SELECT v.vec_id, v.label, c.clbl,
+          |         sum((v.v_e6 - c.c) * (v.v_e6 - c.c)) AS d2
+          |  FROM x v JOIN cent c ON c.dim = v.dim
+          |  GROUP BY 1, 2, 3
+          |),
+          |best AS (
+          |  SELECT vec_id, label, clbl AS nearest_label,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clbl) AS rn
+          |  FROM d
+          |)
+          |SELECT label, nearest_label, CAST(count(*) AS BIGINT) AS n_vectors
+          |FROM best WHERE rn = 1
+          |GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin)),
+
     // Embedding-norm QA screen: per-label L2-norm² min/max/mean in e6
     // fixed point — catches unnormalized batches, zero vectors, and
     // encoder scale drift. In-row integer aggregate (no explode), one

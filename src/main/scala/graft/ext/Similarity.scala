@@ -724,6 +724,46 @@ object Similarity {
       .select(col(byCol), col("dim"), col("n_vectors"), col("mean_e6"))
   }
 
+  /** Nearest-centroid label confusion matrix — the label-noise QA
+    * companion to [[centroidOutliers]]: assign every vector to its
+    * NEAREST label centroid (squared Euclidean in e6 integer space)
+    * and count (true_label, nearest_label) cells. Off-diagonal mass
+    * is the mislabeling signal: a cell (a, b) with b ≠ a counts
+    * vectors labeled `a` that sit closer to `b`'s centroid — label
+    * noise, class overlap, or an encoder that can't separate the two.
+    *
+    * Scale shape: the centroid relation is (labels × dims) — COLLECTED
+    * to the driver (bounded, the codebook discipline) and inlined as a
+    * literal, so assignment is a pure in-row `transform` + `array_min`
+    * (struct ordering (d2, label) IS the deterministic tie-break) with
+    * ZERO vector-side exchange; the only shuffle is the final
+    * (labels²)-cell count. All distances are exact BIGINT sums —
+    * engine-invariant.
+    */
+  def centroidConfusion(vectors: DataFrame, byCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids(vectors, byCol, vecCol)
+      .select(col(byCol), col("centroid_e6")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val centArr = array(cents.map { case (l, c) =>
+      struct(lit(l).as("lbl"), array(c.map(lit(_)): _*).as("c"))
+    }: _*)
+    val vE6 = transform(col(vecCol),
+      x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+    vectors
+      .withColumn("__v_e6", vE6)
+      .withColumn("__cents", centArr)
+      // (d2, lbl) struct array → array_min = argmin with label tie-break
+      .withColumn("__best", expr(
+        """array_min(transform(__cents, cand -> named_struct(
+          |  'd2', aggregate(zip_with(__v_e6, cand.c, (a, b) -> (a - b) * (a - b)),
+          |                  CAST(0 AS BIGINT), (acc, x) -> acc + x),
+          |  'lbl', cand.lbl)))""".stripMargin))
+      .groupBy(col(byCol), col("__best.lbl").as("nearest_label"))
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** Per-group embedding L2-norm² statistics in fixed point — the
     * embedding-QA screen that catches unnormalized batches, dead
     * (all-zero) vectors, and scale drift between encoder versions

@@ -585,6 +585,23 @@ class ExtSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((0L, 1L, 2L), (0L, 2L, 3L))) // k=2 caps out vec 4
   }
 
+  test("similarity centroidConfusion: separable diagonal, planted mislabel off-diagonal") {
+    import spark.implicits._
+    // two tight clusters on opposite axes; vec 5 is labeled 1 but sits
+    // in cluster 2's corner — must land in cell (1, 2)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 1), (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0.0f, 1.0f), 2), (4L, Seq(0.1f, 0.9f), 2),
+      (5L, Seq(0.05f, 0.95f), 1) // mislabeled
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidConfusion(vecs, "label").collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> x.getLong(2)).toMap
+    assert(r((1, 1)) == 2L) // vecs 1, 2
+    assert(r((1, 2)) == 1L) // the planted mislabel
+    assert(r((2, 2)) == 2L)
+    assert(!r.contains((2, 1)))
+  }
+
   test("similarity normStats: unit vs zero vs scaled vectors, integer e6") {
     import spark.implicits._
     val vecs = Seq(

@@ -468,6 +468,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), s"topk agg lost object agg:\n$p")
   }
 
+  test("centroid confusion: in-row assignment — one exchange, zero joins") {
+    // centroids inline as a driver literal (codebook discipline), so
+    // the vector side never joins or shuffles for assignment; the only
+    // exchange is the labels²-cell count
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.ext.Similarity.centroidConfusion(vecs, "label")
+    val p = planOf(df)
+    assert(shuffles(df) == 1, s"assignment grew an exchange:\n$p")
+    assert(!p.contains("Join"), s"assignment grew a join:\n$p")
+  }
+
   test("delta dedup: candidate join broadcasts the delta band side") {
     // the ingestion-path contract: corpus bands never shuffle for the
     // candidate join — the day's delta is the small side by design
