@@ -1208,6 +1208,92 @@ private[graft] object ExtSimQueries {
       },
       Some(abttOracle(8))),
 
+    // MMR diversified re-rank (Carbonell & Goldstein 1998): greedy
+    // top-5 from the exact-cosine top-20 pool, λ=0.7 — score =
+    // 700·rel_e6 − 300·maxsim_e6, pure BIGINT with id tie-break. The
+    // distributed leg is the corpus-wide e6 relevance scan; the greedy
+    // stage runs on the collected pool (poolK × dims, codebook
+    // discipline). Oracle = the greedy recurrence unrolled as chained
+    // CTEs — an independent formulation of the same selection.
+    QueryDef("x_sim_mmr",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val vecs = spark.table("embeddings")
+        Similarity.mmrRerank(vecs, Similarity.vectorOf(vecs, "vec_id", 0L),
+            poolK = 20, k = 5, lambdaPermille = 700)
+          .orderBy("mmr_rank")
+      },
+      Some(
+        """WITH qemb AS (
+          |  SELECT vec_id, list_transform(embedding,
+          |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e
+          |  FROM embeddings
+          |),
+          |norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, v -> v * v)) AS BIGINT) AS nn FROM qemb),
+          |qe AS (SELECT e AS qv FROM qemb WHERE vec_id = 0),
+          |rel AS (
+          |  SELECT v.vec_id,
+          |         CAST(floor(CAST(list_sum(list_transform(range(1, len(v.e) + 1),
+          |                  i -> v.e[i] * q.qv[i])) AS DOUBLE)
+          |               / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(qn.nn AS DOUBLE)))
+          |               * 1000000 + 0.5) AS BIGINT) AS rel_e6
+          |  FROM qemb v CROSS JOIN qe q
+          |  JOIN norms n ON n.vec_id = v.vec_id
+          |  JOIN norms qn ON qn.vec_id = 0
+          |  WHERE n.nn > 0
+          |),
+          |pool AS (SELECT * FROM rel ORDER BY rel_e6 DESC, vec_id LIMIT 20),
+          |psim AS (
+          |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+          |         CAST(floor(CAST(list_sum(list_transform(range(1, len(ea.e) + 1),
+          |                  i -> ea.e[i] * eb.e[i])) AS DOUBLE)
+          |               / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+          |               * 1000000 + 0.5) AS BIGINT) AS s_e6
+          |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+          |  JOIN qemb ea ON ea.vec_id = a.vec_id
+          |  JOIN qemb eb ON eb.vec_id = b.vec_id
+          |  JOIN norms na ON na.vec_id = a.vec_id
+          |  JOIN norms nb ON nb.vec_id = b.vec_id
+          |),
+          |sel1 AS (SELECT vec_id, rel_e6 FROM pool ORDER BY rel_e6 DESC, vec_id LIMIT 1),
+          |r2 AS (
+          |  SELECT p.vec_id, p.rel_e6,
+          |         700 * p.rel_e6 - 300 * (SELECT max(s.s_e6) FROM psim s
+          |            WHERE s.ia = p.vec_id AND s.ib IN (SELECT vec_id FROM sel1)) AS score
+          |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel1)
+          |),
+          |sel2 AS (SELECT vec_id, rel_e6 FROM r2 ORDER BY score DESC, vec_id LIMIT 1),
+          |s12 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM sel2),
+          |r3 AS (
+          |  SELECT p.vec_id, p.rel_e6,
+          |         700 * p.rel_e6 - 300 * (SELECT max(s.s_e6) FROM psim s
+          |            WHERE s.ia = p.vec_id AND s.ib IN (SELECT vec_id FROM s12)) AS score
+          |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM s12)
+          |),
+          |sel3 AS (SELECT vec_id, rel_e6 FROM r3 ORDER BY score DESC, vec_id LIMIT 1),
+          |s123 AS (SELECT vec_id FROM s12 UNION ALL SELECT vec_id FROM sel3),
+          |r4 AS (
+          |  SELECT p.vec_id, p.rel_e6,
+          |         700 * p.rel_e6 - 300 * (SELECT max(s.s_e6) FROM psim s
+          |            WHERE s.ia = p.vec_id AND s.ib IN (SELECT vec_id FROM s123)) AS score
+          |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM s123)
+          |),
+          |sel4 AS (SELECT vec_id, rel_e6 FROM r4 ORDER BY score DESC, vec_id LIMIT 1),
+          |s1234 AS (SELECT vec_id FROM s123 UNION ALL SELECT vec_id FROM sel4),
+          |r5 AS (
+          |  SELECT p.vec_id, p.rel_e6,
+          |         700 * p.rel_e6 - 300 * (SELECT max(s.s_e6) FROM psim s
+          |            WHERE s.ia = p.vec_id AND s.ib IN (SELECT vec_id FROM s1234)) AS score
+          |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM s1234)
+          |),
+          |sel5 AS (SELECT vec_id, rel_e6 FROM r5 ORDER BY score DESC, vec_id LIMIT 1)
+          |SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id, rel_e6 FROM sel1
+          |UNION ALL SELECT 2, vec_id, rel_e6 FROM sel2
+          |UNION ALL SELECT 3, vec_id, rel_e6 FROM sel3
+          |UNION ALL SELECT 4, vec_id, rel_e6 FROM sel4
+          |UNION ALL SELECT 5, vec_id, rel_e6 FROM sel5
+          |ORDER BY mmr_rank""".stripMargin)),
+
     // Hybrid retrieval: BM25 lexical top-50 (terms "vector merge
     // scan" over documents) fused with exact-cosine dense top-50
     // (query = vec_id 0, doc_id ≡ vec_id) by reciprocal-rank fusion —

@@ -862,6 +862,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** MMR diversified re-rank (Carbonell & Goldstein 1998) — the
+    * redundancy-aware final stage of a retrieval stack: greedily pick
+    * k of the top-`poolK` candidates maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — relevance traded
+    * against similarity to what's already selected, so near-duplicate
+    * hits don't crowd the result page (or the training batch).
+    *
+    * Scale shape: the DISTRIBUTED work is the corpus-wide relevance
+    * scan ([[cosineE6TopK]] — in-row kernel + top-k heap, zero
+    * shuffle); the greedy stage then runs on the COLLECTED pool
+    * (poolK × dims — bounded by construction, the codebook
+    * discipline): k·poolK exact-integer comparisons, O(µs). Parity:
+    * every similarity is the e6 fixed-point chain (exact integer dot
+    * and norms, one IEEE divide·mult·floor), and the MMR score is
+    * `λ_permille·rel_e6 − (1000−λ_permille)·maxsim_e6` — pure BIGINT,
+    * id tie-break, engine-identical.
+    */
+  def mmrRerank(vectors: DataFrame, query: Seq[Float], poolK: Int, k: Int,
+      lambdaPermille: Long = 700, idCol: String = "vec_id"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val pool = cosineE6TopK(vectors, query, poolK, idCol).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (id, rel_e6) best-first
+    val poolIds = pool.map(_._1)
+    val emb = vectors.filter(col(idCol).isin(poolIds: _*))
+      .select(col(idCol), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(quantE6).toArray).toMap
+    def simE6(a: Array[Long], b: Array[Long]): Long = {
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0L || nb == 0L) 0L
+      else math.floor(dot.toDouble / (math.sqrt(na.toDouble) *
+        math.sqrt(nb.toDouble)) * 1e6 + 0.5).toLong
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val remaining = scala.collection.mutable.LinkedHashMap(pool: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.iterator.map { case (id, rel) =>
+        val maxSim =
+          if (selected.isEmpty) 0L
+          else selected.iterator.map(s => simE6(emb(id), emb(s._1))).max
+        val score = lambdaPermille * rel - (1000L - lambdaPermille) * maxSim
+        (score, id, rel)
+      }.reduce { (x, y) =>
+        if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x
+      }
+      selected += ((best._2, best._3))
+      remaining.remove(best._2)
+    }
+    selected.zipWithIndex
+      .map { case ((id, rel), i) => (i + 1L, id, rel) }.toSeq
+      .toDF("mmr_rank", idCol, "rel_e6")
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of a
     * lexical and a dense ranked list sharing one id space — THE
     * standard hybrid-search combiner: each list contributes

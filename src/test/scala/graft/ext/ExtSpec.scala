@@ -585,6 +585,30 @@ class ExtSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((0L, 1L, 2L), (0L, 2L, 3L))) // k=2 caps out vec 4
   }
 
+  test("similarity mmrRerank: diversity beats redundant relevance at rank 2") {
+    import spark.implicits._
+    // query = x-axis; the query vector itself sits in the pool, so
+    // every candidate's maxsim ≥ its rel (sim to the picked query) —
+    // diversity only wins when a twin's MUTUAL similarity exceeds its
+    // relevance. vec 2 is vec 1 scaled (cosine 1.0 to it, rel only
+    // ~0.9): score2 = 700·0.9e6 − 300·1e6 ≈ 330e6. vec 3 is diverse
+    // (orthogonal to vec 1's y-component): maxsim3 = rel3 = 0.85e6 →
+    // score3 = 400·0.85e6 = 340e6 > score2, so MMR picks (0, 1, 3, 2)
+    // while pure relevance says (0, 1, 2, 3).
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),          // the query itself (rel 1e6)
+      (1L, Seq(0.9f, 0.436f, 0.0f)),
+      (2L, Seq(0.45f, 0.218f, 0.0f)),       // scaled twin of 1
+      (3L, Seq(0.85f, 0.0f, 0.5268f))       // diverse
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.mmrRerank(vecs, Seq(1.0f, 0.0f, 0.0f), poolK = 4, k = 4)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(r.head == 0L)           // the query vector is its own best hit
+    assert(r(1) == 1L)
+    assert(r(2) == 3L, s"MMR kept the redundant twin ahead of diversity: $r")
+    assert(r(3) == 2L)
+  }
+
   test("similarity centroidConfusion: separable diagonal, planted mislabel off-diagonal") {
     import spark.implicits._
     // two tight clusters on opposite axes; vec 5 is labeled 1 but sits
