@@ -136,6 +136,36 @@ private[graft] object ExtDedupQueries {
            |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Cross-source near-dup matrix: the verified pair artifact joined
+    // to each side's source — WHICH sources copy from WHICH is the
+    // audit that decides source-level dedup priorities and licensing
+    // review. Pairs are tiny (artifact-bounded) and broadcast against
+    // the doc-source relation; sources canonicalize with
+    // least/greatest so the matrix is upper-triangular.
+    QueryDef("x_dedup_source_matrix",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val src = spark.table("documents").select(col("doc_id"), col("source"))
+        minhashPairs(spark, sfDir)
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
+          .select(least(col("__sa"), col("__sb")).as("source_a"),
+            greatest(col("__sa"), col("__sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(
+        s"""WITH $minhashPairsCtes
+           |SELECT least(da.source, db.source) AS source_a,
+           |       greatest(da.source, db.source) AS source_b,
+           |       CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM pairs p
+           |JOIN documents da ON da.doc_id = p.id_a
+           |JOIN documents db ON db.doc_id = p.id_b
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin)),
+
     // Incremental delta-vs-corpus dedup — the production ingestion
     // path: the day's batch (here doc_id % 5 = 0) screens against the
     // existing corpus WITHOUT any corpus×corpus work: delta bands

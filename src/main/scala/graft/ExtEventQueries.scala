@@ -29,6 +29,35 @@ private[graft] object ExtEventQueries {
       },
       defsAsofOracle),
 
+    // Recency-weighted sampling audit: keep-rate halves per age
+    // bucket (floor 31‰) off the corpus max event time; keeps are
+    // hash-thresholded (reshuffle-proof, monotone under rate raises —
+    // the mixSample discipline on the time axis). In-row decision,
+    // one bucket-keyed agg.
+    QueryDef("x_evt_decay",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        // the fixture spans ~30 days; 3-day buckets give a 10-step curve
+        Events.timeDecaySample(spark.table("events")
+            .withColumn("ts_us", unix_micros(col("ts"))), bucketUs = 259200000000L)
+          .orderBy("age_bucket")
+      },
+      Some(
+        s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+           |mx AS (SELECT max(ts_us) AS m FROM e),
+           |b AS (
+           |  SELECT event_id,
+           |         (m - ts_us) // 259200000000 AS age_bucket,
+           |         greatest(1000 // (1 << least(CAST((m - ts_us) // 259200000000
+           |                                          AS INTEGER), 5)), 31) AS kp
+           |  FROM e, mx
+           |)
+           |SELECT age_bucket, CAST(max(kp) AS BIGINT) AS keep_permille,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       CAST(sum(CASE WHEN ${duckHash("CAST(event_id AS VARCHAR)")} % 1000 < kp
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Per-user top-3 events by value via the TopKDesc bounded
     // aggregate — the leaderboard shape that motivates the aggregate
     // over a window: map-side k-item heaps cut each (user, partition)

@@ -229,6 +229,42 @@ private[graft] object ExtPipeQueries {
           |FROM ranked WHERE vocab_rank <= 100
           |ORDER BY vocab_rank""".stripMargin)),
 
+    // Vocabulary coverage curve — sizes a tokenizer vocab before
+    // anyone trains one: cumulative occurrence share covered by the
+    // top-r tokens at fixed rank checkpoints, integer permille. One
+    // map-side-combined count to the Zipf-bounded distinct-token
+    // relation, TakeOrdered top-maxRank, window over ≤ maxRank rows,
+    // 1-row broadcast total.
+    QueryDef("x_pipe_vocab_coverage",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        // the synthetic corpus draws from a fixed 31-word pool at every
+        // scale, so the checkpoints sit inside the curve's whole range
+        Pipeline.vocabCoverage(spark.table("documents"), "text",
+            maxRank = 30, reportRanks = Seq(5, 10, 20, 30))
+          .orderBy("vocab_rank")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+          |  FROM documents
+          |),
+          |counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+          |tot AS (SELECT sum(n) AS total FROM counts),
+          |ranked AS (
+          |  SELECT token, n,
+          |         row_number() OVER (ORDER BY n DESC, token) AS vocab_rank,
+          |         sum(n) OVER (ORDER BY n DESC, token
+          |                      ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM counts
+          |)
+          |SELECT CAST(vocab_rank AS BIGINT) AS vocab_rank,
+          |       CAST(cum AS BIGINT) AS cum_occurrences,
+          |       CAST(cum * 1000 // total AS BIGINT) AS coverage_permille
+          |FROM ranked, tot
+          |WHERE vocab_rank IN (5, 10, 20, 30)
+          |ORDER BY vocab_rank""".stripMargin)),
+
     // Per-document OOV profile against the top-100 vocabulary: one
     // explode + broadcast join + re-aggregation.
     QueryDef("x_pipe_oov",

@@ -434,6 +434,34 @@ object Events {
       .limit(topK)
   }
 
+  /** Recency-weighted (time-decay) sampling audit — the freshness-mix
+    * recipe: keep-rate HALVES per 30-day age bucket (floored at 31‰)
+    * relative to the corpus's max event time, and a row is kept iff
+    * its portable id-hash mod 1000 clears the bucket's rate. Hash
+    * thresholding makes the sample reshuffle-proof and MONOTONE: a
+    * bucket whose rate rises keeps a superset of its previous sample
+    * (the mixSample discipline applied to the time axis).
+    *
+    * Scale shape: max(ts) is a 1-row broadcast scalar; the decision
+    * is pure in-row integer arithmetic; the output is the per-bucket
+    * audit aggregate (buckets × 1 rows), so nothing data-sized ever
+    * exchanges except the one bucket-keyed count.
+    */
+  def timeDecaySample(events: DataFrame, idCol: String = "event_id",
+      tsUsCol: String = "ts_us", bucketUs: Long = 2592000000000L): DataFrame = {
+    val mx = events.agg(max(col(tsUsCol)).as("__mx"))
+    events.crossJoin(broadcast(mx))
+      .withColumn("age_bucket", expr(s"(__mx - $tsUsCol) DIV $bucketUs"))
+      .withColumn("__kp", expr(
+        "greatest(1000 DIV (1 << least(CAST(age_bucket AS INT), 5)), 31)"))
+      .withColumn("__keep",
+        pmod(Dedup.portableHash(col(idCol).cast("string")), lit(1000)) < col("__kp"))
+      .groupBy("age_bucket")
+      .agg(max(col("__kp")).cast("long").as("keep_permille"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** SCD2 interval build — event-sourced dimension versioning: from a
     * change stream (key, ts, attribute) derive one validity interval
     * per attribute VERSION: consecutive duplicate values collapse,

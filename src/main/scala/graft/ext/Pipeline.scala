@@ -222,6 +222,38 @@ object Pipeline {
         Window.orderBy(col("n_occurrences").desc, col("token"))))
       .select(col("token"), col("n_occurrences"), col("rank").cast("long").as("rank"))
 
+  /** Vocabulary coverage curve — the measurement that SIZES a
+    * tokenizer vocab: cumulative share of all token occurrences
+    * covered by the top-r vocabulary, reported at fixed rank
+    * checkpoints. The curve's knee answers "does 32k cover 99%?"
+    * before anyone trains a tokenizer. Integer permille
+    * (`cum·1000 DIV total`) — exact cross-engine.
+    *
+    * Scale shape: one map-side-combined token count collapses the
+    * corpus to the distinct-token relation (Zipf-bounded); top-maxRank
+    * selection is TakeOrderedAndProject (per-partition heaps — the
+    * [[vocabularyFromTokens]] argument); the rank/cumsum window then
+    * touches ≤ maxRank rows, and the total is a 1-row broadcast.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, maxRank: Int = 2000,
+      reportRanks: Seq[Int] = Seq(100, 250, 500, 1000, 2000)): DataFrame = {
+    val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
+    val counts = docs.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .persist() // feeds the top-k AND the total (collocations discipline)
+    val w = Window.orderBy(col("n").desc, col("token"))
+    val top = counts
+      .orderBy(col("n").desc, col("token")).limit(maxRank)
+      .withColumn("vocab_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_occurrences",
+        sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = counts.agg(sum("n").as("__total"))
+    top.filter(col("vocab_rank").isin(reportRanks.map(_.toLong): _*))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_rank"), col("cum_occurrences"),
+        expr("cum_occurrences * 1000 DIV __total").as("coverage_permille"))
+  }
+
   /** Per-document out-of-vocabulary profile against [[vocabulary]]:
     * token occurrences found in / missing from the top-`vocabSize`
     * vocab. The vocab side is `vocabSize` rows — broadcast — so this

@@ -470,6 +470,37 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("events timeDecaySample: halving schedule, 31-permille floor, hash determinism") {
+    import spark.implicits._
+    // four events in buckets 0, 1, 5, 9 (30-day units before the max)
+    val day = 86400000000L
+    val rows = Seq(
+      (1L, 300L * day),            // bucket 0 → 1000‰
+      (2L, 300L * day - 30 * day), // bucket 1 → 500‰
+      (3L, 300L * day - 150 * day), // bucket 5 → 31‰ (floor)
+      (4L, 300L * day - 270 * day)  // bucket 9 → still 31‰
+    ).toDF("event_id", "ts_us")
+    val r = Events.timeDecaySample(rows).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 1000L, 1L -> 500L, 5L -> 31L, 9L -> 31L))
+    // bucket 0 keeps everything (rate 1000 beats any hash residue)
+    val kept = Events.timeDecaySample(rows).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(kept(0L) == 1L)
+  }
+
+  test("pipeline vocabCoverage: exact cumulative shares at rank checkpoints") {
+    import spark.implicits._
+    // 10 tokens total: "a" ×5, "b" ×3, "c" ×2 → coverage at rank 1 =
+    // 500‰, rank 2 = 800‰, rank 3 = 1000‰
+    val d = Seq((1L, "a a a a a b b b c c")).toDF("doc_id", "text")
+    val r = Pipeline.vocabCoverage(d, "text", maxRank = 10,
+        reportRanks = Seq(1, 2, 3))
+      .orderBy("vocab_rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 5L, 500L), (2L, 8L, 800L), (3L, 10L, 1000L)))
+  }
+
   test("dedup deltaNearDups: finds only cross-side pairs, equals full-join restriction") {
     import spark.implicits._
     // three planted near-dup groups: (1,2) both corpus — must NOT
