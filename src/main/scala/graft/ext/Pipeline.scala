@@ -969,6 +969,43 @@ object Pipeline {
       .agg(max(col("__total")).as("n_rows"), qCols: _*)
   }
 
+  /** Robust per-group outlier audit composed from TWO passes of the
+    * [[histQuantiles]] binning sketch: pass 1 takes the binned median
+    * (p500 upper edge), pass 2 bins the absolute deviations from that
+    * median and takes THEIR p500 edge (the MAD), and rows beyond
+    * `k·MAD` count as outliers. Median/MAD is the screen that
+    * length-z-scores should have been: a single 100 GB document moves
+    * a mean+stddev fence arbitrarily, but breaks down the median only
+    * past 50% contamination.
+    *
+    * Scale shape: each pass is the histQuantiles collapse (corpus →
+    * (groups × bins) cells before any exchange); the median relation
+    * (one row per group) broadcasts into pass 2 and the final flag
+    * count. Bin-edge arithmetic is BIGINT end to end, so both engines
+    * agree exactly; resolution is the bin width (an outlier within
+    * one bin of the fence may land either side — same bin, same side,
+    * both engines).
+    */
+  def robustOutliers(rows: DataFrame, byCol: String, valCol: String,
+      binWidth: Long, kMad: Long = 3L): DataFrame = {
+    val med = histQuantiles(rows, byCol, valCol, binWidth, Seq(500))
+      .select(col(byCol), col("n_rows"), col("p500_le").as("med_le"))
+    val joined = rows
+      .select(col(byCol), col(valCol).cast("long").as("__v"))
+      .join(broadcast(med), byCol)
+    val dev = joined.select(col(byCol), col("n_rows"), col("med_le"),
+      abs(col("__v") - col("med_le")).as("__dev"))
+    val mad = histQuantiles(dev, byCol, "__dev", binWidth, Seq(500))
+      .select(col(byCol), col("p500_le").as("mad_le"))
+    dev.join(broadcast(mad), byCol)
+      .groupBy(col(byCol))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("med_le")).as("med_le"),
+        max(col("mad_le")).as("mad_le"),
+        sum(when(col("__dev") > lit(kMad) * col("mad_le"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per group (Bar-Yossef
     * et al. 2002) — the third mergeable sketch beside Misra–Gries and
     * CMS, and the oracle-CHECKABLE approximate-distinct (the HLL entry

@@ -470,6 +470,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline robustOutliers: median holds under a planted whale, MAD fence counts it") {
+    import spark.implicits._
+    // 99 values near 100 plus one 1e6 whale: the binned median stays at
+    // the cluster (edge 109 for width 10), MAD stays small, and exactly
+    // the whale clears the 3·MAD fence. A mean/stddev fence would have
+    // been dragged past the cluster by the whale.
+    val d = ((0 until 99).map(i => ("a", 100L + (i % 10))) :+ (("a", 1000000L)))
+      .toDF("g", "v")
+    val r = Pipeline.robustOutliers(d, "g", "v", binWidth = 10).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 100L)
+    assert(r.getAs[Long]("med_le") == 109L)   // the cluster's bin edge
+    assert(r.getAs[Long]("mad_le") == 9L)     // deviations 0..9 → bin 0
+    assert(r.getAs[Long]("n_outliers") == 1L) // the whale, nothing else
+  }
+
   test("events timeDecaySample: halving schedule, 31-permille floor, hash determinism") {
     import spark.implicits._
     // four events in buckets 0, 1, 5, 9 (30-day units before the max)
