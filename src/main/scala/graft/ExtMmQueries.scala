@@ -77,7 +77,7 @@ private[graft] object ExtMmQueries {
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
         graft.ext.Multimodal.audioFrames(spark, spark.table("documents"),
-            "doc_id", "text", blocks = 32, frameLen = 128)
+            "doc_id", "text", blocks = 16, frameLen = 64)
           .toDF()
           .orderBy("doc_id", "frame")
       },
@@ -86,10 +86,10 @@ private[graft] object ExtMmQueries {
           |  SELECT d.doc_id, b.b * 16 + j.j AS i,
           |         CAST('0x' || substr(md5(d.text || '_a_' || CAST(b.b AS VARCHAR)),
           |                             CAST(j.j * 2 + 1 AS INTEGER), 2) AS BIGINT) - 128 AS c
-          |  FROM documents d, range(32) b(b), range(16) j(j)
+          |  FROM documents d, range(16) b(b), range(16) j(j)
           |),
           |seq AS (
-          |  SELECT doc_id, i, c, i // 128 AS frame, i % 128 AS fi,
+          |  SELECT doc_id, i, c, i // 64 AS frame, i % 64 AS fi,
           |         lag(c) OVER (PARTITION BY doc_id ORDER BY i) AS pc
           |  FROM smp
           |)
