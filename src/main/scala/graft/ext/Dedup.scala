@@ -256,20 +256,31 @@ object Dedup {
           .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
           .agg(count(lit(1)).as("__cold"))
         // hot contributions: candidates already share a cold shingle,
-        // so re-adding matches over JUST the hot rows (df > cap — a
-        // small relation by construction) keeps `shared` exact
-        val hotSh = sh.join(dfs.filter(col("__df") > cap), "shingle")
-          .select("doc_id", "shingle")
-        val sharedHot = sharedCold.select("id_a", "id_b")
-          .join(hotSh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
-          .join(hotSh.select(col("doc_id").as("id_b"), col("shingle")),
-            Seq("id_b", "shingle"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("__hot"))
+        // so matches over JUST the hot rows (df > cap) keep `shared`
+        // exact. Counted IN-ROW: each doc's hot shingles collapse to
+        // one sorted array (≤ doc-size entries — bounded), the pair
+        // relation joins those 1-row-per-doc arrays, and the compiled
+        // two-pointer merge (SortedIntersect — the triangle-counting
+        // kernel) counts the overlap. The r8 row-expansion form
+        // (pairs ⋈ hot-rows ⋈ hot-rows) exploded to pairs×hot-per-doc
+        // intermediate rows the moment the corpus had ANY hot
+        // shingles — on the r9 fixture at sf1 that was 2 extra ~90M-row
+        // shuffles and a 21× scale slope; this form is two joins
+        // against a docs-sized relation and no expansion at all.
+        graft.functions.IntersectFunctions.register(sh.sparkSession)
+        val hotArr = sh.join(dfs.filter(col("__df") > cap), "shingle")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("shingle"))).as("__hs"))
         try
           sharedCold
-            .join(sharedHot, Seq("id_a", "id_b"), "left")
-            .withColumn("shared",
-              col("__cold") + coalesce(col("__hot"), lit(0L)))
+            .join(hotArr.select(col("doc_id").as("id_a"), col("__hs").as("__ha")),
+              Seq("id_a"), "left")
+            .join(hotArr.select(col("doc_id").as("id_b"), col("__hs").as("__hb")),
+              Seq("id_b"), "left")
+            .withColumn("shared", col("__cold") +
+              when(col("__ha").isNull || col("__hb").isNull, lit(0L))
+                .otherwise(size(graft.functions.IntersectFunctions
+                  .sorted_intersect(col("__ha"), col("__hb"))).cast("long")))
             .select("id_a", "id_b", "shared")
             .localCheckpoint(true) // bounded: candidate pairs only
         finally dfs.unpersist()
