@@ -17,6 +17,16 @@ private[graft] object ExtDedupQueries {
   // censored while the DP band stays O(minlen·cap).
   private val EditDistCap = 32
 
+  // Per-doc fan-out cap for the editdist annotation (VERDICT r9 item
+  // 6): each id_a keeps only its top-PairCap candidate pairs by
+  // (jaccard DESC, id_b ASC) before the quadratic kernel runs, so the
+  // annotation input is ≤ PairCap·docs — LINEAR in the corpus — even
+  // when the verified-pair artifact grows super-linearly (the fixture's
+  // planted-dup density does exactly that). 10 ≫ the real per-doc dup
+  // multiplicity here; production reads it as "annotate each doc's 10
+  // closest near-dups".
+  private val EditDistPairCap = 10
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("x_dedup_exact",
@@ -723,7 +733,23 @@ private[graft] object ExtDedupQueries {
         Corpus.registerSources(spark, sfDir)
         val docs = spark.table("documents")
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
-        minhashPairs(spark, sfDir).select("id_a", "id_b")
+        // top-PairCap pairs per id_a via the bounded-heap aggregate
+        // (map-side ≤ cap rows per partition before the exchange);
+        // jaccard doubles are bit-identical across engines (same
+        // integer inputs, one IEEE division), so the cap's boundary
+        // agrees with the oracle's window form exactly
+        graft.functions.TopKFunctions.register(spark)
+        val capped = minhashPairs(spark, sfDir)
+          .select("id_a", "id_b", "jaccard")
+          .groupBy("id_a")
+          .agg(graft.functions.TopKFunctions.topk_desc(
+            col("jaccard"),
+            graft.functions.TopKFunctions.tieKey(col("id_b"),
+              org.apache.spark.sql.types.LongType),
+            struct(col("id_b")), EditDistPairCap).as("__top"))
+          .select(col("id_a"), explode(col("__top")).as("__s"))
+          .select(col("id_a"), col("__s.id_b").as("id_b"))
+        capped
           .join(docs.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
           .join(docs.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
           .withColumn("edit_dist",
@@ -739,12 +765,26 @@ private[graft] object ExtDedupQueries {
       },
       Some(
         s"""WITH $minhashPairsCtes,
+           |capped AS (
+           |  SELECT id_a, id_b FROM (
+           |    SELECT v.id_a, v.id_b,
+           |           row_number() OVER (PARTITION BY v.id_a
+           |             ORDER BY CAST(v.shared AS DOUBLE) /
+           |                      (sa.n_sh + sb.n_sh - v.shared) DESC,
+           |                      v.id_b) AS rn
+           |    FROM verified v
+           |    JOIN sizes sa ON sa.doc_id = v.id_a
+           |    JOIN sizes sb ON sb.doc_id = v.id_b
+           |    WHERE CAST(v.shared AS DOUBLE) /
+           |          (sa.n_sh + sb.n_sh - v.shared) >= 0.4
+           |  ) q WHERE rn <= $EditDistPairCap
+           |),
            |txt AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
            |m AS (
            |  SELECT p.id_a, p.id_b,
            |         CAST(levenshtein(a.t, b.t) AS BIGINT) AS full_dist,
            |         CAST(greatest(len(a.t), len(b.t)) AS BIGINT) AS maxlen
-           |  FROM pairs p
+           |  FROM capped p
            |  JOIN txt a ON a.doc_id = p.id_a
            |  JOIN txt b ON b.doc_id = p.id_b
            |),

@@ -97,7 +97,7 @@ object OracleGen {
        |),
        |stats AS (
        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-       |         avg(dl_title) AS avgdl_title, avg(dl_s1) AS avgdl_s1
+       |         avg(dl_title + dl_s1) AS avgdl
        |  FROM lens
        |),
        |post AS (
@@ -114,12 +114,20 @@ object OracleGen {
        |),
        |df AS (SELECT term, count(*) AS df FROM post GROUP BY term)""".stripMargin
 
-  private def fieldScoreSql(tf: String, dl: String, avgdl: String): String =
-    s"CASE WHEN $tf > 0 THEN $tf * (1.2 + 1.0) / ($tf + 1.2 * ((1.0 - 0.75) + 0.75 * $dl / $avgdl)) ELSE 0.0 END"
+  /** One saturation over the COMBINED row tf/dl — SQLite FTS5's bm25()
+    * semantics (fts5_aux.c: f(qi,D) and |D| sum the indexed columns
+    * with their weights — 1.0 here — BEFORE the saturation; verified
+    * against sqlite3 directly, round 10). The per-field-saturation
+    * BM25F form the engine used through r9 is NOT what the reference
+    * ranks by.
+    */
+  private def rowScoreSql(f: String, dl: String, avgdl: String): String =
+    s"CASE WHEN $f > 0 THEN $f * (1.2 + 1.0) / ($f + 1.2 * ((1.0 - 0.75) + 0.75 * $dl / $avgdl)) ELSE 0.0 END"
 
   /** BM25 scores CTE for a positive-term list (mirrors
-    * SearchEngine.bm25Scores: idf = max(ln((N - df + 0.5)/(df + 0.5)),
-    * 1e-6) — FTS5's clamped form).
+    * SearchEngine.bm25Scores == SQLite FTS5 bm25(): idf =
+    * max(ln((N - df + 0.5)/(df + 0.5)), 1e-6) — the clamped form —
+    * times one combined-row saturation per term).
     */
   def scoresCte(terms: Seq[String]): String = {
     val termList = terms.distinct.map(t => s"'$t'").mkString("[", ", ", "]")
@@ -127,8 +135,7 @@ object OracleGen {
        |scores AS (
        |  SELECT p."type", p."key",
        |         sum( greatest(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5)), 1e-6) *
-       |              (${fieldScoreSql("p.tf_title", "l.dl_title", "s.avgdl_title")}
-       |               + ${fieldScoreSql("p.tf_s1", "l.dl_s1", "s.avgdl_s1")}) ) AS score
+       |              ${rowScoreSql("(p.tf_title + p.tf_s1)", "(l.dl_title + l.dl_s1)", "s.avgdl")} ) AS score
        |  FROM post p
        |  JOIN qterms q ON p.term = q.term
        |  JOIN df d ON p.term = d.term

@@ -419,10 +419,14 @@ object Events {
   def keySkewProfile(facts: DataFrame, keyCol: String,
       topK: Int = 10): DataFrame = {
     // key-cardinality-bounded and feeding TWO consumers (the totals
-    // and the join) — persist so the corpus-sized count agg runs once
-    // (the collocations discipline; Spark has no subtree reuse)
+    // and the join) — eager localCheckpoint so the corpus-sized count
+    // agg runs once (the collocations discipline; Spark has no subtree
+    // reuse). localCheckpoint, not persist: the returned DataFrame
+    // outlives this call, so an explicit unpersist has nowhere to go —
+    // checkpoint storage is GC-released when the relation drops
+    // (ADVICE r9: repeated calls must not accumulate cached relations).
     val counts = facts.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("n_rows")).persist()
+      .agg(count(lit(1)).as("n_rows")).localCheckpoint(true)
     val tot = counts.agg(sum(col("n_rows")).as("total"),
       count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(tot))

@@ -240,7 +240,10 @@ object Pipeline {
     val toks = filter(split_part_tokens(col(textCol)), t => t =!= "")
     val counts = docs.select(explode(toks).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-      .persist() // feeds the top-k AND the total (collocations discipline)
+      // feeds the top-k AND the total (collocations discipline);
+      // localCheckpoint not persist — the result outlives this call,
+      // so cache release must ride GC, not an unreachable unpersist
+      .localCheckpoint(true)
     val w = Window.orderBy(col("n").desc, col("token"))
     val top = counts
       .orderBy(col("n").desc, col("token")).limit(maxRank)
@@ -400,7 +403,10 @@ object Pipeline {
     *
     * Ordering contract is [[stratifiedSample]]'s (hash ASC, id ASC),
     * carried as (score = −hash — exact in a double, the hash lives on
-    * [0, 1e6) — tie = zero-padded id); both twins share one oracle.
+    * [0, 1e6) — tie = [[graft.functions.TopKFunctions.tieKey]], the
+    * type-aware order-preserving encoding: raw string for string ids,
+    * non-truncating 20-digit zero-pad for integral ids, plan-time
+    * error otherwise); both twins share one oracle.
     */
   def stratifiedSampleHeap(docs: DataFrame, byCol: String,
       idCol: String = "doc_id", perGroup: Int = 20): DataFrame = {
@@ -411,7 +417,7 @@ object Pipeline {
       .groupBy(col(byCol))
       .agg(graft.functions.TopKFunctions.topk_desc(
         -col("__h").cast("double"),
-        lpad(col(idCol).cast("string"), 20, "0"),
+        graft.functions.TopKFunctions.tieKey(col(idCol), docs.schema(idCol).dataType),
         struct(col(idCol)), perGroup).as("__top"))
       .select(col(byCol), posexplode(col("__top")).as(Seq("__r", "__s")))
       .select(col(byCol), col(s"__s.$idCol").as(idCol),

@@ -82,7 +82,16 @@ case class CdcBounds(child: Expression, window: Int, modulus: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case _: StringType =>
+      // Analysis-time parameter validation (ADVICE r9): modulus < 1
+      // would throw ArithmeticException (v % 0) per-row on executors,
+      // window < 1 would silently cut at every position — both should
+      // fail when the plan is built, not when the first row runs.
+      if (window < 1)
+        TypeCheckResult.TypeCheckFailure(s"cdc_bounds: window must be >= 1, got $window")
+      else if (modulus < 1)
+        TypeCheckResult.TypeCheckFailure(s"cdc_bounds: modulus must be >= 1, got $modulus")
+      else TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"cdc_bounds expects a string column, got ${t.simpleString}")
   }

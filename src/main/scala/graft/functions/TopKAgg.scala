@@ -55,6 +55,24 @@ object TopKFunctions {
   def topk_desc(score: Column, tie: Column, payload: Column, k: Int): Column =
     call_function("topk_desc", score, tie, payload,
       org.apache.spark.sql.functions.lit(k))
+
+  /** Order-preserving STRING tie key matching the window twins'
+    * natural-order `ORDER BY idCol` tie-break (ADVICE r9): string ids
+    * compare as themselves; nonnegative integral ids zero-pad to 20
+    * digits (a long is ≤ 19, so lpad never truncates — Spark's lpad
+    * TRUNCATES over-length input, which silently reorders). Any other
+    * type (or a fractional/negative-capable one) must be encoded by
+    * the caller — failing at plan time beats diverging at row time.
+    */
+  def tieKey(c: Column, dt: DataType): Column = dt match {
+    case StringType => c
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      org.apache.spark.sql.functions.lpad(c.cast("string"), 20, "0")
+    case other => throw new IllegalArgumentException(
+      s"topk tie key: unsupported id type $other — pass a string or nonnegative integral id, " +
+        "or encode an order-preserving string key yourself")
+  }
 }
 
 /** One buffered candidate: the ordering pair plus the payload as a

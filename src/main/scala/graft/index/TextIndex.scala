@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *    index. At 100 TB this is written bucketed/partitioned BY TERM so a
   *    query's handful of terms prunes to a few buckets instead of
   *    scanning the corpus; the tiny query-term list is broadcast.
-  *  - '''stats''' (n_docs, avgdl_title, avgdl_s1): corpus-level BM25
+  *  - '''stats''' (n_docs, avgdl — the combined-row |D| mean): BM25
   *    constants (a 1-row DataFrame; df per term lives on postings via a
   *    window-free groupBy).
   */
@@ -138,8 +138,9 @@ object TextIndex {
   def stats(docTokens: DataFrame): DataFrame =
     docTokens.agg(
       count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl_title")).as("avgdl_title"),
-      avg(col("dl_s1")).as("avgdl_s1"))
+      // combined row length — SQLite FTS5's |D| (bm25 saturates once
+      // over the weighted SUM of column lengths, not per column)
+      avg(col("dl_title") + col("dl_s1")).as("avgdl"))
 
   /** Persist postings bucketed + sorted BY TERM — the 100 TB layout: a
     * query's handful of terms prunes to a few buckets (no full-index

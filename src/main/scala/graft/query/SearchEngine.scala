@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   * 1.0 (reference default). idf = max(ln((N - df + 0.5)/(df + 0.5)),
   * 1e-6) — FTS5's clamped form (fts5_aux.c), so very common terms
   * contribute ~0 instead of a Lucene-style inflated positive weight and
-  * rank order matches the reference on common-term queries. FTS5
+  * rank order matches the reference on common-term queries. Saturation
+  * is FTS5's combined-row form — ONE tf/|D| pair per (term, doc) with
+  * tf and |D| summed across the indexed columns — not per-field BM25F
+  * (verified against sqlite3 bm25() directly, round 10). FTS5
   * negates the total (lower rank = better); we keep scores positive and
   * sort DESC — same order. Rank ORDER is what the reference exposes,
   * not rank values (SURVEY §7.4); ties break by (timestamp DESC, type,
@@ -48,8 +51,12 @@ object SearchEngine {
       timestampDate: Option[String] = None,
       sort: Option[String] = None,      // newest | oldest | None = default
       tokenize: Tokenize.Value = Tokenize.Porter,
-      // `?_searchmode=raw` (reference __init__.py:200-211): strict FTS
-      // parse, no escape fallback — syntax errors surface to the caller
+      // `?_searchmode=raw`: an EXTENSION in the Datasette-table-view
+      // style — the reference beta route never reads `_searchmode`
+      // (its __init__.py:200-211 is the internal facet-count helper,
+      // which tries raw then silently falls back to escaped). Raw mode
+      // here = strict FTS parse, no escape fallback; default behavior
+      // (parseOrEscape) matches the reference unchanged.
       rawMode: Boolean = false
   )
 
@@ -397,17 +404,16 @@ object SearchEngine {
   // clear-at-cap guard so a long-lived service embedding the engine
   // cannot leak plan strings without bound (ADVICE/VERDICT r3 #5)
   private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double, Double)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
   private val StatsCacheCap = 512
 
   def bm25Scores(spark: SparkSession, postings: DataFrame, docTokens: DataFrame,
       terms: Seq[String]): DataFrame = {
     val statsKey = docTokens.queryExecution.analyzed.canonicalized.toString
     if (statsCache.size > StatsCacheCap) statsCache.clear()
-    val (nDocs, avgTitle, avgS1) = statsCache.computeIfAbsent(statsKey, { _ =>
+    val (nDocs, avgdl) = statsCache.computeIfAbsent(statsKey, { _ =>
       val s = TextIndex.stats(docTokens).collect()(0)
-      (s.getAs[Double]("n_docs"), s.getAs[Double]("avgdl_title"),
-        s.getAs[Double]("avgdl_s1"))
+      (s.getAs[Double]("n_docs"), s.getAs[Double]("avgdl"))
     })
 
     // prune postings to the query's terms FIRST (partition/bucket prune
@@ -418,9 +424,16 @@ object SearchEngine {
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("term")))
 
-    def fieldScore(tf: Column, dl: Column, avgdl: Double): Column =
-      when(tf > 0,
-        tf * (lit(K1) + 1.0) / (tf + lit(K1) * (lit(1 - B) + lit(B) * dl / lit(avgdl))))
+    // SQLite FTS5 bm25() semantics (fts5_aux.c, verified against
+    // sqlite3 directly, round 10): ONE saturation over the row's
+    // combined tf (f = Σ_c w_c·tf_c) and combined length (|D| =
+    // Σ_c w_c·dl_c) with avgdl the corpus mean of |D| — weights 1.0,
+    // the reference default. The per-field-saturation BM25F form the
+    // engine carried through r9 ranks differently and is NOT what the
+    // reference's `order by search_index_fts.rank` computes.
+    def rowScore(f: Column, dl: Column): Column =
+      when(f > 0,
+        f * (lit(K1) + 1.0) / (f + lit(K1) * (lit(1 - B) + lit(B) * dl / lit(avgdl))))
         .otherwise(lit(0.0))
 
     matched
@@ -428,8 +441,8 @@ object SearchEngine {
       .withColumn("idf", greatest(
         log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)), lit(1e-6)))
       .withColumn("score_t",
-        col("idf") * (fieldScore(col("tf_title"), col("dl_title"), avgTitle) +
-          fieldScore(col("tf_s1"), col("dl_s1"), avgS1)))
+        col("idf") * rowScore(col("tf_title") + col("tf_s1"),
+          col("dl_title") + col("dl_s1")))
       .groupBy("type", "key")
       .agg(sum("score_t").as("score"))
   }

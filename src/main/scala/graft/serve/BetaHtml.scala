@@ -100,11 +100,13 @@ object BetaHtml {
       |  const css = document.createElement('link');
       |  css.rel = 'stylesheet';
       |  css.href = 'https://unpkg.com/leaflet@1.5.1/dist/leaflet.css';
+      |  css.integrity = 'sha512-xwE/Az9zrjBIphAcBb3F6JVqxf46+CDLwfLMHloNu6KEQCAWi6HcDUbeOfBIptF7tcCzusKFjFw2yuvEpDL9wQ==';
       |  css.crossOrigin = 'anonymous';
       |  css.onload = ready;
       |  document.head.appendChild(css);
       |  const js = document.createElement('script');
       |  js.src = 'https://unpkg.com/leaflet@1.5.1/dist/leaflet.js';
+      |  js.integrity = 'sha512-GffPMF3RvMeYyc1LWMHtK8EbPv0iNZ8/oTtHPx9/cc2ILxQ+u905qIwdpULaqDkyBKgOaB57QTMg7ztg8Jm2Og==';
       |  js.crossOrigin = 'anonymous';
       |  js.onload = ready;
       |  document.head.appendChild(js);

@@ -38,11 +38,14 @@ object BetaServer {
   /** Build the engine [[Request]] from query params — the same param
     * names the reference reads (`q`, `sort`, and FILTER_COLS
     * `type`/`category`/`is_public` plus `timestamp__date`,
-    * __init__.py:55-66), plus the Datasette `_searchmode=raw`
-    * passthrough (__init__.py:200-211): raw mode parses the query
-    * strictly and SKIPS the escape fallback, so a malformed query
-    * surfaces as the error page instead of degrading to literal
-    * phrases.
+    * __init__.py:55-66), plus a `_searchmode=raw` EXTENSION in the
+    * Datasette-table-view style — the reference beta route itself
+    * never reads `_searchmode` (its internal facet-count helper at
+    * __init__.py:200-211 tries raw then silently falls back). Raw
+    * mode here parses the query strictly and SKIPS the escape
+    * fallback, so a malformed query surfaces as the error page
+    * instead of degrading to literal phrases; the default path is
+    * the reference's unchanged.
     */
   private[serve] def toRequest(params: Map[String, String],
       tokenize: Tokenize.Value): Request = Request(

@@ -109,8 +109,9 @@ object FtsQuery {
   }
 
   /** Request-level parse: default mode is the 2-phase
-    * [[parseOrEscape]] contract; `raw = true` (the Datasette
-    * `?_searchmode=raw` passthrough, reference __init__.py:200-211)
+    * [[parseOrEscape]] contract; `raw = true` (the
+    * `?_searchmode=raw` extension — Datasette-table-view style, not
+    * present on the reference beta route)
     * SKIPS the escape fallback — a malformed query surfaces its
     * [[FtsParseError]] to the caller instead of degrading to literal
     * phrases. Blank-query normalize applies in both modes.

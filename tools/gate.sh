@@ -10,9 +10,17 @@ cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-target/verify_gate}
 
+# VERDICT r9 item 3: refuse to pass with an empty/unparsable committed
+# bench or correctness artifact (r9 snapshotted a 0-byte BENCH json).
+python3 tools/artifact_check.py
+python3 tools/artifact_check.py --head
+
 echo "=== pass 1: shipped layout ($SF) ==="
 sbt -batch "runMain graft.Verify $SF $OUT"
 python3 tools/check.py "$SF" "$OUT"
+# VERDICT r9 item 4: the three DuckDB-inexpressible queries pin against
+# the reference's own stack (SQLite FTS5 porter) + a tolerance band
+python3 tools/golden_fts.py "$SF" "$OUT"
 
 ALT="target/testdata/$(basename "$SF")_alt"
 python3 tools/alt_layout.py "$SF" "$ALT"
