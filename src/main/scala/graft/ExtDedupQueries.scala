@@ -749,6 +749,14 @@ private[graft] object ExtDedupQueries {
             struct(col("id_b")), EditDistPairCap).as("__top"))
           .select(col("id_a"), explode(col("__top")).as("__s"))
           .select(col("id_a"), col("__s.id_b").as("id_b"))
+          // the capped pair list is BYTE-small (16 B/row) but each row
+          // costs a banded-Levenshtein DP downstream — AQE sizes
+          // partitions by bytes and coalesces this to ~1 task, killing
+          // the CPU-bound stage's parallelism (measured 26 s vs 5 s at
+          // sf1). Explicit repartition to the session's parallelism
+          // keeps the kernel wide at any scale; the extra exchange
+          // moves megabytes.
+          .repartition(spark.sessionState.conf.numShufflePartitions)
         capped
           .join(docs.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
           .join(docs.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
