@@ -32,6 +32,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Scan-split sizing belongs to the SCALE FACTOR, not to a
+      // constant: the 128 MB default packs this fixture's entire
+      // documents/events file into ONE task, so every scan-rooted
+      // CPU kernel (winnow, langid, quality screens) ran single-core
+      // while 31 cores idled — at 100 TB the same 128 MB default
+      // yields thousands of tasks and is correct. 512k/64k sizes the
+      // local fixture the way 128 MB sizes a production table
+      // (~3 tasks per core); env-overridable for slope experiments.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "524288"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "65536"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -104,6 +116,16 @@ object Bench {
       ExtShared.bucketedTables(spark, sfDir): Unit
       ExtShared.eventsByTypeDir(spark, sfDir): Unit
     }
+    // Storage-pool accounting (the r9 eviction post-mortem): when the
+    // persisted-artifact working set outgrows the unified-memory pool,
+    // artifact consumers silently pay rebuild/GC and WHICH query pays
+    // depends on eviction order — the bench must report the footprint
+    // so an undersized heap is visible in the artifact, not guessed.
+    val st = spark.sparkContext.getRDDStorageInfo
+    System.err.println(f"[bench] cached: ${st.length} rdds, " +
+      f"mem=${st.map(_.memSize).sum / 1e9}%.2f GB, " +
+      f"disk=${st.map(_.diskSize).sum / 1e9}%.2f GB, " +
+      f"heap=${Runtime.getRuntime.maxMemory / 1e9}%.2f GB")
     }
 
     // Per-run success is tracked so the min is taken over SUCCESSFUL runs

@@ -3,15 +3,22 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Round-10 measurement harness for the x_dedup_editdist fan-out cap
-  * (VERDICT r9 item 6). FINDING: the capped pair relation is ~16 B/row,
-  * so after the top-k aggregate's exchange AQE coalesced it to ~1
-  * partition — and the banded-Levenshtein stage downstream is CPU-bound
-  * (~170 s of single-core work at sf1), so the "optimization" ran 5×
-  * SLOWER than the uncapped form (26 s vs 5.3 s for the same ~240 k
-  * pairs) until an explicit repartition restored parallelism. The
-  * general lesson is pinned in the query def: AQE sizes partitions by
-  * BYTES; a stage whose cost is per-row CPU needs its width asserted
-  * explicitly. sf1 after fix: 11.9 s, sf0.1→sf1 slope 5.7×.
+  * (VERDICT r9 item 6). TWO findings:
+  *
+  *  1. AQE coalescing vs CPU-bound stages: the capped pair relation is
+  *     ~16 B/row, so AQE coalesced the post-aggregate exchange to ~1
+  *     partition — and the banded-Levenshtein DP downstream is
+  *     CPU-bound, so the whole DP ran on one core. Honest A/B at sf1
+  *     (bench config, DP forced): 59.2 s coalesced vs 15.2 s after an
+  *     explicit repartition to the session parallelism. AQE sizes
+  *     partitions by BYTES; a per-row-CPU stage needs its width
+  *     asserted explicitly.
+  *  2. Probe methodology: this probe's first version timed the query
+  *     with .count(), and column pruning under count() DELETES the
+  *     levenshtein projection — it reported 3 s for a "run" that never
+  *     executed the DP, and earlier A/B numbers taken that way (26 s
+  *     vs 5.3 s) timed only the join skeleton. toRdd.count() forces
+  *     the final projection; bench-context numbers are the authority.
   */
 object EdProbe {
   def main(args: Array[String]): Unit = {
@@ -31,7 +38,14 @@ object EdProbe {
     time("pairs (build+count)") { pairs.count() }
     time("pairs (warm)") { pairs.count() }
     val d = SparkEntry.allDefs.find(_.name == "x_dedup_editdist").get
-    time("x_dedup_editdist run") { d.fn(spark, sfDir).count() }
+    // NOT .count(): column pruning under count() deletes the
+    // levenshtein projection entirely, so a count-based probe times
+    // the join skeleton and never runs the DP (measured 3 s vs the
+    // bench's honest 15 s). toRdd forces the full final projection
+    // without paying a driver-side collect.
+    time("x_dedup_editdist run") {
+      d.fn(spark, sfDir).queryExecution.toRdd.count()
+    }
     d.fn(spark, sfDir).explain("formatted")
     spark.stop()
   }

@@ -752,10 +752,10 @@ private[graft] object ExtDedupQueries {
           // the capped pair list is BYTE-small (16 B/row) but each row
           // costs a banded-Levenshtein DP downstream — AQE sizes
           // partitions by bytes and coalesces this to ~1 task, killing
-          // the CPU-bound stage's parallelism (measured 26 s vs 5 s at
-          // sf1). Explicit repartition to the session's parallelism
-          // keeps the kernel wide at any scale; the extra exchange
-          // moves megabytes.
+          // the CPU-bound stage's parallelism (honest A/B at sf1, DP
+          // forced: 59.2 s coalesced vs 15.2 s wide). Explicit
+          // repartition to the session's parallelism keeps the kernel
+          // wide at any scale; the extra exchange moves megabytes.
           .repartition(spark.sessionState.conf.numShufflePartitions)
         capped
           .join(docs.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")

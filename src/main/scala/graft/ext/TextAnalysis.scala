@@ -216,37 +216,56 @@ object TextAnalysis {
     // break on the encoding, mirrored in the oracle. localCheckpoint
     // truncates lineage; blocks release when the frame is GC'd.
     graft.functions.TrigramFunctions.register(spark)
+    // Two consumers (profile training + classification) but NO
+    // materialization between them: the r9 form localCheckpoint'ed
+    // the 13M-row trigram relation EVERY run (an eager corpus-sized
+    // write into the storage pool — the dominant cost once the scan
+    // itself went wide), when the compiled kernel is cheap enough to
+    // just run twice. The classification branch also re-DISTINCTed
+    // rows `char_trigrams_e` already emits per-doc-distinct — a
+    // redundant corpus-sized exchange, dropped. Remaining exchanges:
+    // the (lang,h) profile agg (charset³-bounded after partial agg)
+    // and the (doc,lang) hit count — both key-shaped, both necessary.
     val tri = spark.sql(
       s"""SELECT doc_id, $langCol AS lang,
          |       explode(char_trigrams_e(lower($textCol))) AS h
          |FROM __lang_docs""".stripMargin)
-      .localCheckpoint(true)
-    tri.createOrReplaceTempView("__lang_tri")
-    spark.sql(
-      s"""WITH profile AS (
-         |  SELECT lang AS p_lang, h FROM (
-         |    SELECT lang, h, row_number() OVER (
-         |      PARTITION BY lang ORDER BY count(*) DESC, h) AS rn
-         |    FROM __lang_tri GROUP BY lang, h
-         |  ) WHERE rn <= $profileSize
-         |),
-         |hits AS (
-         |  SELECT t.doc_id, p.p_lang, count(*) AS n_hits
-         |  FROM (SELECT DISTINCT doc_id, h FROM __lang_tri) t
-         |  JOIN profile p ON p.h = t.h
-         |  GROUP BY t.doc_id, p.p_lang
-         |),
-         |best AS (
-         |  SELECT doc_id, p_lang, n_hits FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY doc_id ORDER BY n_hits DESC, p_lang) AS rn
-         |    FROM hits
-         |  ) WHERE rn = 1
-         |)
-         |SELECT d.doc_id, d.$langCol AS lang,
-         |       coalesce(b.p_lang, 'und') AS predicted_lang,
-         |       coalesce(b.n_hits, 0) AS n_hits
-         |FROM __lang_docs d LEFT JOIN best b ON b.doc_id = d.doc_id""".stripMargin)
+    // Profile training: top-`profileSize` trigrams per lang. The r9
+    // form ranked with a row_number window PARTITIONED BY LANG — at
+    // any scale that is n_langs reducer tasks each sorting its whole
+    // language's distinct-trigram cells (2M rows per task at sf1, one
+    // whale per language at 100 TB). The bounded-heap aggregate
+    // reduces every (lang, partition) to ≤ profileSize rows BEFORE
+    // the exchange; tie contract (count DESC, h ASC) is identical.
+    graft.functions.TopKFunctions.register(spark)
+    val counts = tri.groupBy(col("lang"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val profile = counts.groupBy(col("lang"))
+      // score must be DOUBLE for the aggregate; counts are exact in
+      // double up to 2^53, far above any per-lang trigram count
+      .agg(graft.functions.TopKFunctions.topk_desc(col("cnt").cast("double"),
+        graft.functions.TopKFunctions.tieKey(col("h"),
+          org.apache.spark.sql.types.LongType),
+        struct(col("h")), profileSize).as("__top"))
+      .select(col("lang").as("p_lang"), explode(col("__top")).as("__s"))
+      .select(col("p_lang"), col("__s.h").as("h"))
+    // Classification: the profile side is profileSize·n_langs rows —
+    // broadcast, so the corpus-sized trigram relation never shuffles
+    // for the join; the per-doc argmax is a map-side-combining
+    // min(struct(−hits, lang)) instead of a second window.
+    val hits = tri.join(broadcast(profile), "h")
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(count(lit(1)).as("n_hits"))
+    val best = hits.groupBy(col("doc_id"))
+      .agg(min(struct((-col("n_hits")).as("negh"),
+        col("p_lang").as("l"))).as("__b"))
+      .select(col("doc_id"), col("__b.l").as("p_lang"),
+        (-col("__b.negh")).as("n_hits"))
+    docs.select(col("doc_id"), col(langCol).as("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("p_lang"), lit("und")).as("predicted_lang"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
   /** Content fingerprint: md5 over the sorted distinct token set —
@@ -391,6 +410,30 @@ object TextAnalysis {
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared_fp"))
+  }
+
+  /** Per-document novelty: what fraction of a doc's distinct shingles
+    * appears in NO other document (corpus df = 1) — the inverse of the
+    * duplication screens: high-novelty docs are the unique long tail a
+    * curation pass wants to protect; near-zero novelty without a
+    * near-dup pair flags template/boilerplate families too diffuse for
+    * pairwise dedup. Input is the shared shingle artifact (8-byte
+    * hashes, per-doc distinct), so the operator itself is two key-
+    * shaped aggregations: df per shingle (map-side combined), then a
+    * doc rollup of the df==1 indicator — both partial-aggregate before
+    * their exchange, no joins against the corpus text. Fixed-point
+    * output (permille via BIGINT DIV) keeps the oracle comparison
+    * exact.
+    */
+  def shingleNovelty(sh: DataFrame): DataFrame = {
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    sh.join(dfs, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("__df") === 1L, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      .withColumn("novelty_permille",
+        expr("n_novel * 1000 DIV greatest(n_sh, CAST(1 AS BIGINT))"))
+      .select("doc_id", "n_sh", "n_novel", "novelty_permille")
   }
 
   /** Flesch readability profile — the classic quality-filter signal

@@ -47,8 +47,18 @@ def read(t):
 
 def write(t, table, schema):
     table = table.cast(schema)
-    pq.write_table(table, f"{OUT}/{t}.parquet")
-    print(f"{t}: {table.num_rows} rows")
+    # Row-group layout matters as much as row count: Spark's scan
+    # parallelism is bounded by row groups (a file split below a group
+    # boundary yields empty tasks), and pyarrow's default writes these
+    # tables as ONE group — which serialized every documents/events
+    # scan onto a single core at sf1 and made the CPU-kernel family
+    # (winnow, langid, quality screens) measure the fixture, not the
+    # engine. Real 100 TB inputs are multi-group by construction; give
+    # the fixture the same property: ~32 groups per table (one per
+    # local core), never below 1024 rows per group.
+    rg = max(1024, table.num_rows // 32)
+    pq.write_table(table, f"{OUT}/{t}.parquet", row_group_size=rg)
+    print(f"{t}: {table.num_rows} rows (row_group_size={rg})")
 
 
 def shifted(table, shifts, i, extra=None):
