@@ -720,6 +720,56 @@ private[graft] object ExtQualityQueries {
           |       CAST(coalesce(se, 0) AS BIGINT) AS kn_nll_sum_e6,
           |       CAST(CASE WHEN coalesce(nb, 0) > 0 THEN se // nb ELSE 0 END AS BIGINT) AS kn_avg_nll_e6
           |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
-          |ORDER BY d.doc_id""".stripMargin))
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // Corpus-relative quality percentiles WITHOUT a global sort: the
+    // "keep the top X%" selection rule via fixed-bin histograms — one
+    // (signals × 64)-cell aggregation + broadcast lookup replaces
+    // three percent_rank() windows (each a full-corpus sort). Exact
+    // integer contract: pct = 1000·|strictly lower bins| DIV total.
+    QueryDef("x_quality_pctl_ensemble",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.percentileEnsemble(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+           |         CAST(len(${ducktokens("text")}) AS BIGINT) AS n_tokens,
+           |         CAST(len(list_distinct(${ducktokens("text")})) AS BIGINT) AS n_distinct
+           |  FROM documents
+           |),
+           |sig AS (
+           |  SELECT doc_id, n_chars, n_tokens,
+           |         n_distinct * 1000 // greatest(n_tokens, 1) AS distinct_permille,
+           |         least(n_chars // 16, 63) AS b_chars,
+           |         least(n_tokens // 4, 63) AS b_tokens,
+           |         least((n_distinct * 1000 // greatest(n_tokens, 1)) // 16, 63) AS b_distinct
+           |  FROM base
+           |),
+           |hc AS (SELECT b_chars AS bin, count(*) AS cnt FROM sig GROUP BY 1),
+           |ht AS (SELECT b_tokens AS bin, count(*) AS cnt FROM sig GROUP BY 1),
+           |hd AS (SELECT b_distinct AS bin, count(*) AS cnt FROM sig GROUP BY 1),
+           |pc AS (SELECT bin, coalesce(sum(cnt) OVER (ORDER BY bin
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1000
+           |         // sum(cnt) OVER () AS pct FROM hc),
+           |pt AS (SELECT bin, coalesce(sum(cnt) OVER (ORDER BY bin
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1000
+           |         // sum(cnt) OVER () AS pct FROM ht),
+           |pd AS (SELECT bin, coalesce(sum(cnt) OVER (ORDER BY bin
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1000
+           |         // sum(cnt) OVER () AS pct FROM hd)
+           |SELECT s.doc_id, s.n_chars, s.n_tokens, s.distinct_permille,
+           |       CAST(pc.pct AS BIGINT) AS pct_chars,
+           |       CAST(pt.pct AS BIGINT) AS pct_tokens,
+           |       CAST(pd.pct AS BIGINT) AS pct_distinct,
+           |       CAST((pc.pct + pt.pct + pd.pct) // 3 AS BIGINT) AS pct_ensemble
+           |FROM sig s
+           |JOIN pc ON pc.bin = s.b_chars
+           |JOIN pt ON pt.bin = s.b_tokens
+           |JOIN pd ON pd.bin = s.b_distinct
+           |ORDER BY s.doc_id""".stripMargin))
   )
 }

@@ -1032,6 +1032,29 @@ private[graft] object ExtTextQueries {
           |       CAST(length(c) AS BIGINT) AS clean_len,
           |       md5(c) AS clean_md5
           |FROM s3
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Per-doc novelty: fraction of the doc's distinct shingles with
+    // corpus df = 1 — the protect-the-long-tail curation signal (and
+    // the diffuse-boilerplate detector pairwise dedup can't see).
+    // Consumes the shared 8-byte shingle artifact; two key-shaped
+    // partial-aggregating exchanges, no text joins, integer permille.
+    QueryDef("x_text_novelty",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.shingleNovelty(docShingles(spark, sfDir))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${shinglesCte(3)},
+           |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+           |SELECT s.doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_sh,
+           |       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           |       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000
+           |            // greatest(count(*), 1) AS BIGINT) AS novelty_permille
+           |FROM sh s JOIN dfs d ON d.shingle = s.shingle
+           |GROUP BY s.doc_id
+           |ORDER BY s.doc_id""".stripMargin))
   )
 }

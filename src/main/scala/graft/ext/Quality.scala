@@ -950,4 +950,56 @@ object Quality {
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Corpus-relative quality PERCENTILES via fixed-bin histograms —
+    * the "keep the top X% by signal" selection rule, made scale-safe.
+    * The naive form ranks every doc with percent_rank() — a global
+    * sort of the corpus per signal. This form quantizes each signal
+    * into data-independent fixed bins in-row, aggregates ONE tiny
+    * (signals × bins) histogram, and assigns each doc the exact
+    * percentile of its bin floor by a broadcast join — corpus cost is
+    * one map-side-combined aggregation plus an in-row lookup,
+    * independent of signal count in exchanges. Percentile contract
+    * (exact, integer): pct_permille = 1000·|docs in strictly lower
+    * bins| DIV total; the within-bin tie is the documented resolution
+    * trade (bins are the sketch).
+    *
+    * Signals (each an exact per-row integer, oracle-identical):
+    * n_chars, whitespace-token count, distinct-token permille.
+    */
+  def percentileEnsemble(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = graft.text.Tokenizer.tokensCol(col(textCol))
+    val base = docs.select(col(idCol),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("distinct_permille",
+        expr("n_distinct * 1000 DIV greatest(n_tokens, CAST(1 AS BIGINT))"))
+      // fixed, data-independent bin edges: 64 bins per signal
+      .withColumn("__b_chars", least(expr("n_chars DIV 16"), lit(63L)))
+      .withColumn("__b_tokens", least(expr("n_tokens DIV 4"), lit(63L)))
+      .withColumn("__b_distinct", least(expr("distinct_permille DIV 16"), lit(63L)))
+    def pctTable(binCol: String, pctName: String): DataFrame = {
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy()
+      // ≤ 64 rows: the single-partition windows are free, and the
+      // result broadcasts
+      base.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("__cnt"))
+        .withColumn("__below", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+        .withColumn("__total", sum(col("__cnt")).over(wAll))
+        .select(col("bin").as(binCol),
+          expr("__below * 1000 DIV __total").as(pctName))
+    }
+    base
+      .join(broadcast(pctTable("__b_chars", "pct_chars")), "__b_chars")
+      .join(broadcast(pctTable("__b_tokens", "pct_tokens")), "__b_tokens")
+      .join(broadcast(pctTable("__b_distinct", "pct_distinct")), "__b_distinct")
+      .withColumn("pct_ensemble",
+        expr("(pct_chars + pct_tokens + pct_distinct) DIV 3"))
+      .select(col(idCol), col("n_chars"), col("n_tokens"),
+        col("distinct_permille"), col("pct_chars"), col("pct_tokens"),
+        col("pct_distinct"), col("pct_ensemble"))
+  }
 }
