@@ -203,35 +203,9 @@ private[graft] object ExtDedupQueries {
             k = K, bands = BANDS, threshold = 0.4)
           .orderBy("delta_id", "corpus_id")
       },
-      Some(
-        s"""WITH ${shinglesCte(3)},
-           |$minhashSigsCte,
-           |$bandsCte,
-           |cands AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM banded a JOIN banded b
-           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-           |),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-           |verified AS (
-           |  SELECT c.id_a, c.id_b, count(*) AS shared
-           |  FROM cands c
-           |  JOIN sh x ON x.doc_id = c.id_a
-           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-           |  GROUP BY 1, 2
-           |)
-           |SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS delta_id,
-           |       CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS corpus_id,
-           |       shared,
-           |       CASE WHEN id_a % 5 = 0 THEN sa.n_sh ELSE sb.n_sh END AS n_d,
-           |       CASE WHEN id_a % 5 = 0 THEN sb.n_sh ELSE sa.n_sh END AS n_c,
-           |       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
-           |FROM verified
-           |JOIN sizes sa ON sa.doc_id = id_a
-           |JOIN sizes sb ON sb.doc_id = id_b
-           |WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
-           |  AND CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
-           |ORDER BY delta_id, corpus_id""".stripMargin)),
+      // shared verbatim with the streaming twin x_stream_neardup:
+      // one contract, three implementations (batch, stream, SQL)
+      Some(deltaNearDupOracle)),
 
     // Connected components over the verified near-dup pairs: the
     // canonical-document step (transitive dup clusters labeled by min

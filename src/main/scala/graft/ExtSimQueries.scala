@@ -290,6 +290,74 @@ private[graft] object ExtSimQueries {
            |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.4
            |ORDER BY blk, id_a, id_b""".stripMargin)),
 
+    // Cell-blocked k-NN graph: every vector's top-3 within-cell
+    // neighbors — the input relation of graph-based curation
+    // (SemDeDup cluster pruning, density sampling, label-noise
+    // neighborhood votes). DIRECTED and exactly ≤ k per vector,
+    // unlike the thresholded pair listing above; per-vector selection
+    // is the bounded-heap aggregate (map-side ≤ k rows per partition,
+    // no Window), the block join is the N^1.5 SemDeDup shape.
+    QueryDef("x_sim_knn_graph",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val idx = Corpus.ivfIndex(spark, sfDir)
+        Similarity.knnGraph(idx.assigned, k = 3)
+          .orderBy("vec_id", "nbr_rank")
+      },
+      Some(
+        s"""WITH $exCte,
+           |cx AS (
+           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
+           |),
+           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+           |          FROM ex GROUP BY vec_id),
+           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
+           |           FROM cx GROUP BY cell_id),
+           |allsims AS (
+           |  SELECT e.vec_id, c.cell_id,
+           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
+           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
+           |  FROM ex e JOIN cx c ON e.i = c.i
+           |  JOIN norms n ON n.vec_id = e.vec_id
+           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
+           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
+           |),
+           |assigned AS (
+           |  SELECT vec_id, cell_id FROM (
+           |    SELECT vec_id, cell_id,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY sim DESC, cell_id) AS rn
+           |    FROM allsims
+           |  ) r WHERE rn = 1
+           |),
+           |pairdots AS (
+           |  SELECT a.vec_id, b.vec_id AS nbr_id,
+           |         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+           |  FROM ex a
+           |  JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+           |  JOIN assigned aa ON aa.vec_id = a.vec_id
+           |  JOIN assigned ab ON ab.vec_id = b.vec_id AND ab.cell_id = aa.cell_id
+           |  GROUP BY 1, 2
+           |),
+           |scored AS (
+           |  SELECT p.vec_id, p.nbr_id,
+           |         CAST(floor(p.dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1e6 + 0.5)
+           |              AS BIGINT) AS cos_e6
+           |  FROM pairdots p
+           |  JOIN norms na ON na.vec_id = p.vec_id
+           |  JOIN norms nb ON nb.vec_id = p.nbr_id
+           |)
+           |SELECT vec_id, CAST(rn AS BIGINT) AS nbr_rank, nbr_id, cos_e6
+           |FROM (
+           |  SELECT vec_id, nbr_id, cos_e6,
+           |         row_number() OVER (PARTITION BY vec_id
+           |                            ORDER BY cos_e6 DESC, nbr_id) AS rn
+           |  FROM scored
+           |) q WHERE rn <= 3
+           |ORDER BY vec_id, nbr_rank""".stripMargin)),
+
     // Semantic benchmark decontamination: corpus vectors within cosine
     // 0.3 of ANY benchmark vector (vec_id ≡ 0 mod 97 — the same
     // benchmark convention as the n-gram contamination screens),

@@ -579,6 +579,52 @@ private[graft] object ExtStreamQueries {
           |)
           |SELECT rw, bucket, CAST(count(*) AS BIGINT) AS cell
           |FROM cells GROUP BY 1, 2
-          |ORDER BY rw, bucket""".stripMargin))
+          |ORDER BY rw, bucket""".stripMargin)),
+
+    // Streaming delta-vs-corpus near-dup screen: the production
+    // ingestion path RUN AS A STREAM — arriving docs (doc_id % 5 = 0,
+    // the same delta convention as x_dedup_delta) shingle/sign/band
+    // in-row, probe the corpus's banded index via stream-static
+    // joins, verify exact Jaccard with the compiled sorted-merge.
+    // ZERO streaming state, append-only emissions; shares
+    // x_dedup_delta's oracle verbatim (one contract, three
+    // implementations: batch artifacts, stream-static join, SQL).
+    QueryDef("x_stream_neardup",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val sh = docShingles(spark, sfDir)
+        val sigs = minhashSigs(spark, sfDir)
+        val corpusBanded = graft.ext.Dedup
+          .bandedKeys(sigs.filter(col("doc_id") % 5 =!= 0), K, BANDS)
+          .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
+        val corpusArrs = sh.filter(col("doc_id") % 5 =!= 0)
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("shingle"))).as("__hc"),
+            count(lit(1)).as("n_c"))
+          .select(col("doc_id").as("corpus_id"), col("__hc"), col("n_c"))
+        val srcDir = multiFileSourceDir(spark, sfDir, "documents.parquet", 4)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .filter(col("doc_id") % 5 === 0)
+        val q = graft.streaming.IncrementalIndexer
+          .neardupStream(spark, stream, corpusBanded, corpusArrs,
+            k = K, bands = BANDS, threshold = 0.4)
+          .writeStream.outputMode("append")
+          .format("memory").queryName("x_stream_neardup_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // a pair can surface via several matching bands → emissions
+        // dedup to the batch row set
+        spark.table("x_stream_neardup_sink")
+          .distinct()
+          .orderBy("delta_id", "corpus_id")
+      },
+      Some(deltaNearDupOracle))
   )
 }

@@ -410,6 +410,38 @@ object Dedup {
     }
   }
 
+  /** The LSH banded-key relation of a signature table: (doc_id, band,
+    * band_key) — the join key the candidate passes block on. Factored
+    * so the batch delta screen and its streaming twin share one
+    * band-key derivation (same concat of the same mh columns), which
+    * is what makes a streamed row land in exactly the band buckets the
+    * persisted corpus index was built with.
+    */
+  def bandedKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh_$i"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("_", cols: _*).as("band_key"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** In-row MinHash signature columns over a doc's (already-distinct)
+    * shingle-hash ARRAY — the STREAMING form of [[minhashSignatures]]:
+    * a signature depends only on its own doc's shingles, so a streamed
+    * row computes it as a pure projection (no stateful aggregation).
+    * The per-element expression tree is IDENTICAL to the batch
+    * aggregate's (pmod(a·pmod(h, P) + b, P), same literals), so a
+    * streamed signature equals the persisted artifact's bit-for-bit.
+    */
+  def inRowSignature(shArr: Column, k: Int): Seq[Column] =
+    minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(shArr,
+        x => pmod(lit(a) * pmod(x, lit(MersennePrime)) + lit(b),
+          lit(MersennePrime)))).as(s"mh_$i")
+    }
+
   /** [[deltaNearDups]] over PREBUILT shingle + signature artifacts,
     * pre-split by side (lifecycles owned by the caller) — the
     * production form: at ingestion the corpus's shingles, signatures
@@ -419,14 +451,9 @@ object Dedup {
   def deltaNearDupsFromArtifacts(shC: DataFrame, sigC: DataFrame,
       shD: DataFrame, sigD: DataFrame, k: Int, bands: Int,
       threshold: Double): DataFrame = {
-    val rowsPerBand = k / bands
     def banded(sigs: DataFrame, side: String): DataFrame =
-      (0 until bands).map { b =>
-        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"mh_$i"))
-        sigs.select(col("doc_id").as(side), lit(b).as("band"),
-          concat_ws("_", cols: _*).as("band_key"))
-      }.reduce(_ unionByName _)
+      bandedKeys(sigs, k, bands).select(col("doc_id").as(side),
+        col("band"), col("band_key"))
     val cands = banded(sigC, "corpus_id")
       .join(broadcast(banded(sigD, "delta_id")), Seq("band", "band_key"))
       .select("delta_id", "corpus_id").distinct()

@@ -446,6 +446,52 @@ object Similarity {
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Cell-blocked k-NN GRAPH: every vector's top-`k` most-similar
+    * neighbors among the vectors sharing its IVF cell — the input
+    * relation of graph-based curation (SemDeDup-style cluster
+    * pruning, density/diversity sampling, label-noise audits by
+    * neighborhood vote). Differs from the pair listing
+    * ([[cosineNearDupPairs]]): DIRECTED, exactly ≤ k rows per vector,
+    * no similarity threshold.
+    *
+    * Scale shape: the within-cell join is the SemDeDup block (cells ≈
+    * √N ⇒ pair term N^1.5, never N²); per-vector selection is the
+    * bounded-heap top-k aggregate, so the map side reduces every
+    * (vector, partition) to ≤ k rows BEFORE the exchange — a dense
+    * cell inflates no reducer. Norms computed once per vector.
+    * cos_e6 = floor(cos·1e6 + 0.5) — one extra exact IEEE op over the
+    * repo's round-6 cosine contract, so the heap's (score, id) order
+    * is integer-deterministic and the oracle's window form lands on
+    * identical selections.
+    */
+  def knnGraph(assigned: DataFrame, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"knnGraph: k must be positive, got $k")
+    val spark = assigned.sparkSession
+    VectorFunctions.register(spark)
+    graft.functions.TopKFunctions.register(spark)
+    val withNorm = assigned
+      .withColumn("__n", dot(col("embedding"), col("embedding")))
+    val a = withNorm.select(col("cell_id"), col(idCol).as("id_a"),
+      col("embedding").as("emb_a"), col("__n").as("__na"))
+    val b = withNorm.select(col("cell_id"), col(idCol).as("id_b"),
+      col("embedding").as("emb_b"), col("__n").as("__nb"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos_e6",
+        floor(dot(col("emb_a"), col("emb_b")) /
+          (sqrt(col("__na")) * sqrt(col("__nb"))) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("id_a"))
+      .agg(graft.functions.TopKFunctions.topk_desc(col("cos_e6").cast("double"),
+        graft.functions.TopKFunctions.tieKey(col("id_b"),
+          org.apache.spark.sql.types.LongType),
+        struct(col("id_b"), col("cos_e6")), k).as("__top"))
+      .select(col("id_a").as(idCol), posexplode(col("__top")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("nbr_rank"),
+        col("col.id_b").as("nbr_id"), col("col.cos_e6").as("cos_e6"))
+  }
+
   /** Semantic benchmark decontamination — the embedding-space sibling
     * of the n-gram contamination screens: flag corpus vectors whose
     * cosine to ANY benchmark vector reaches `threshold`, blocked by a

@@ -180,6 +180,65 @@ object IncrementalIndexer {
       }
   }
 
+  /** Streaming delta-vs-corpus NEAR-dup screen — the ingestion path of
+    * [[graft.ext.Dedup.deltaNearDupsFromArtifacts]] run as a stream:
+    * arriving docs shingle, sign, and band IN-ROW (pure projections —
+    * a doc's signature depends only on itself, no stateful agg), probe
+    * the corpus's persisted banded index with a stream-static join,
+    * and verify exact Jaccard against the corpus's per-doc sorted
+    * shingle arrays with the compiled two-pointer merge — ZERO
+    * streaming state (stream-static joins keep none), append-only
+    * emissions, no watermark needed.
+    *
+    * Parity with the batch screen: in-row signatures share the batch
+    * aggregate's arithmetic ([[graft.ext.Dedup.inRowSignature]]), band
+    * keys share [[graft.ext.Dedup.bandedKeys]]'s derivation, and
+    * `shared` counted by sorted-merge over full arrays equals the
+    * batch's shingle-join count — so emissions (deduped: one pair can
+    * surface via several bands) equal the batch operator's rows and
+    * the two share one oracle.
+    *
+    * At 100 TB: the corpus side is the persisted dedup index read in
+    * place; per arriving doc the work is (bands × bucket hits) lookups
+    * plus one merge per candidate — the shape a production ingest
+    * screen needs.
+    */
+  def neardupStream(spark: SparkSession, docs: DataFrame,
+      corpusBanded: DataFrame, corpusArrs: DataFrame, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    graft.functions.ShingleFunctions.register(spark)
+    graft.functions.IntersectFunctions.register(spark)
+    val rowsPerBand = k / bands
+    val withSh = docs
+      .select(col("doc_id").as("delta_id"),
+        sort_array(graft.functions.ShingleFunctions.shingle_hashes_e(
+          lower(col("text")), 3)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val withSig = withSh.select(
+      col("delta_id") +: col("__sh") +:
+        graft.ext.Dedup.inRowSignature(col("__sh"), k): _*)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("band_key"))
+    }
+    withSig
+      .select(col("delta_id"), col("__sh"),
+        explode(array(bandStructs: _*)).as("__b"))
+      .select(col("delta_id"), col("__sh"),
+        col("__b.band").as("band"), col("__b.band_key").as("band_key"))
+      .join(corpusBanded, Seq("band", "band_key"))
+      .join(corpusArrs, Seq("corpus_id"))
+      .withColumn("shared",
+        size(graft.functions.IntersectFunctions.sorted_intersect(
+          col("__sh"), col("__hc"))).cast("long"))
+      .withColumn("n_d", size(col("__sh")).cast("long"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_d") + col("n_c") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("delta_id", "corpus_id", "shared", "n_d", "n_c", "jaccard")
+  }
+
   /** Streaming gap sessionization — [[graft.ext.Events.sessions]] as
     * incremental state. State per user is ONE open-session carry
     * (last ts, seq, size, start): completed sessions are emitted and

@@ -538,6 +538,37 @@ class ExtSpec extends AnyFunSuite {
     assert(!r.exists { case (a, b) => Set(a, b) == Set(20L, 21L) })
   }
 
+  test("dedup inRowSignature: bit-equal to the batch minhashSignatures aggregate") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs every single day"),
+      (3L, "a b c"), // minimal: exactly one 3-shingle
+      (4L, "sphinx of black quartz judge my vow now and then forever")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(d, "text", "doc_id", 3)
+    val batch = Dedup.minhashSignatures(sh, 16, preHashed = true)
+    val inRow = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("__sh"))
+      .select(col("doc_id") +: Dedup.inRowSignature(col("__sh"), 16): _*)
+    assert(batch.exceptAll(inRow).count() == 0 &&
+      inRow.exceptAll(batch).count() == 0)
+  }
+
+  test("dedup bandedKeys: matches the band keys lshCandidates blocks on") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(
+      Dedup.shingleHashes(d, "text", "doc_id", 3), 16, preHashed = true)
+    val keys = Dedup.bandedKeys(sigs, 16, 4)
+    // exact dups agree on every band key; 4 bands per doc
+    assert(keys.count() == 8)
+    assert(keys.select("band", "band_key").distinct().count() == 4)
+  }
+
   test("pipeline histQuantiles: bin-edge semantics, exact counts, small-group floor") {
     import spark.implicits._
     // group a: values 0..99 with width 10 → p50 hits bin 4 (cum 50 at
