@@ -418,6 +418,69 @@ private[graft] object ExtSimQueries {
            |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
            |ORDER BY corpus_id, bench_id""".stripMargin)),
 
+    // SemDeDup pruning decisions (Abbas et al. 2023): within each IVF
+    // cell, prune every vector with a more-senior near-twin (cos ≥
+    // 0.4, keep the min id — the keep-first convention). Output is
+    // the decision relation a curation pass joins to filter: vec_id,
+    // keep, pruned_by. Same cell-pair shape as x_sim_neardup_cells,
+    // collapsed map-side to ≤ 1 row per pruned vector.
+    QueryDef("x_sim_semdedup",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val idx = Corpus.ivfIndex(spark, sfDir)
+        Similarity.semdedupPrune(idx.assigned, 0.4)
+          .orderBy("vec_id")
+      },
+      Some(
+        s"""WITH $exCte,
+           |cx AS (
+           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
+           |),
+           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+           |          FROM ex GROUP BY vec_id),
+           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
+           |           FROM cx GROUP BY cell_id),
+           |allsims AS (
+           |  SELECT e.vec_id, c.cell_id,
+           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
+           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
+           |  FROM ex e JOIN cx c ON e.i = c.i
+           |  JOIN norms n ON n.vec_id = e.vec_id
+           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
+           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
+           |),
+           |assigned AS (
+           |  SELECT vec_id, cell_id FROM (
+           |    SELECT vec_id, cell_id,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY sim DESC, cell_id) AS rn
+           |    FROM allsims
+           |  ) r WHERE rn = 1
+           |),
+           |pairdots AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+           |  FROM ex a
+           |  JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+           |  JOIN assigned aa ON aa.vec_id = a.vec_id
+           |  JOIN assigned ab ON ab.vec_id = b.vec_id AND ab.cell_id = aa.cell_id
+           |  GROUP BY 1, 2
+           |),
+           |pruned AS (
+           |  SELECT id_b AS vec_id, min(id_a) AS pruned_by
+           |  FROM pairdots
+           |  JOIN norms na ON na.vec_id = id_a
+           |  JOIN norms nb ON nb.vec_id = id_b
+           |  WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.4
+           |  GROUP BY id_b
+           |)
+           |SELECT e.vec_id, p.pruned_by IS NULL AS keep, p.pruned_by
+           |FROM (SELECT DISTINCT vec_id FROM embeddings) e
+           |LEFT JOIN pruned p ON p.vec_id = e.vec_id
+           |ORDER BY e.vec_id""".stripMargin)),
+
     // Embedding-dimension Pearson correlation matrix (upper triangle)
     // — the whitening/ABTT diagnostic. Sufficient statistics are exact
     // BIGINT sums over e6-quantized components (in-row outer product,

@@ -492,6 +492,32 @@ object Similarity {
         col("col.id_b").as("nbr_id"), col("col.cos_e6").as("cos_e6"))
   }
 
+  /** SemDeDup pruning (Abbas et al. 2023): within each IVF cell, drop
+    * every vector that has a more-senior near-twin — keep rule: v is
+    * PRUNED iff some u < v in its cell has cosine ≥ `threshold` with
+    * it (the deterministic min-id representative of each pairwise
+    * near-dup relation, the same keep convention as the MinHash
+    * keep-first dedup). Emits the DECISION relation (one row per
+    * vector: keep flag + the senior twin that caused a prune) — the
+    * artifact a curation pipeline joins against the corpus to filter.
+    *
+    * Scale: one within-cell pair join (the N^1.5 cell shape, shared
+    * with [[cosineNearDupPairs]]) collapsed immediately to ≤ one row
+    * per pruned vector by a map-side-combining min; the corpus-sized
+    * relation is touched once more only for the left join that
+    * attaches keep=true rows.
+    */
+  def semdedupPrune(assigned: DataFrame, threshold: Double,
+      idCol: String = "vec_id"): DataFrame = {
+    val pruned = cosineNearDupPairs(assigned, "cell_id", threshold, idCol)
+      .groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("pruned_by"))
+    assigned.select(col(idCol))
+      .join(pruned, Seq(idCol), "left")
+      .select(col(idCol), col("pruned_by").isNull.as("keep"),
+        col("pruned_by"))
+  }
+
   /** Semantic benchmark decontamination — the embedding-space sibling
     * of the n-gram contamination screens: flag corpus vectors whose
     * cosine to ANY benchmark vector reaches `threshold`, blocked by a
