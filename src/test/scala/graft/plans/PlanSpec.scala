@@ -502,6 +502,29 @@ class PlanSpec extends AnyFunSuite {
       Seq("delta_id", "corpus_id", "shared", "n_d", "n_c", "jaccard"))
   }
 
+  test("knn graph: heap selection, ZERO window nodes") {
+    // the graph-curation input relation: per-vector top-k must come
+    // from partial heaps (map-side ≤ k rows per partition), never a
+    // per-vector window sort — a dense cell must not inflate a reducer
+    Corpus.registerSources(spark, sfDir)
+    val idx = Corpus.ivfIndex(spark, sfDir)
+    val df = graft.ext.Similarity.knnGraph(idx.assigned, k = 3)
+    val p = planOf(df)
+    assert(windowNodes(df) == 0, s"knn graph grew a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"topk agg lost object agg:\n$p")
+  }
+
+  test("percentile ensemble: histogram lookups broadcast, no corpus sort") {
+    // the whole point vs percent_rank: no global sort of the corpus —
+    // the only Sort allowed is inside the 64-row histogram windows
+    val df = graft.ext.Quality.percentileEnsemble(docs, "text")
+    val p = planOf(df)
+    assert(!p.contains("SortMergeJoin"),
+      s"percentile lookup lost its broadcast:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3,
+      s"expected 3 broadcast bin lookups:\n$p")
+  }
+
   test("no CartesianProduct in any declared query plan") {
     // Every crossJoin in the library is against a broadcast 1-row or
     // dimension-sized side (plans show BroadcastNestedLoopJoin);
@@ -511,7 +534,7 @@ class PlanSpec extends AnyFunSuite {
     val skip = Set("x_stream_merge", "x_stream_dedup", "x_stream_sessions",
       "x_stream_rolling", "x_stream_funnel", "x_stream_asof",
       "x_stream_user_state", "x_stream_contam", "x_stream_windowed",
-      "x_stream_join", "x_stream_distinct")
+      "x_stream_join", "x_stream_distinct", "x_stream_neardup")
     Corpus.registerSources(spark, sfDir)
     for (d <- SparkEntry.allDefs if !skip.contains(d.name)) {
       val plan = planOf(d.fn(spark, sfDir))
