@@ -207,6 +207,67 @@ private[graft] object ExtDedupQueries {
       // one contract, three implementations (batch, stream, SQL)
       Some(deltaNearDupOracle)),
 
+    // Dedup impact audit: per method (exact keep-first, MinHash
+    // component keep-min), docs AND tokens removed — the number a
+    // corpus owner signs off on before deletion (docs aren't
+    // equal-sized; near-dup families skew long). Consumes the shared
+    // pair artifact; doc-keyed join to token counts + 2-row rollup.
+    QueryDef("x_dedup_impact",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Dedup.dedupImpact(spark.table("documents"),
+            minhashPairs(spark, sfDir).select("id_a", "id_b"))
+          .orderBy("method")
+      },
+      Some(
+        s"""WITH RECURSIVE $minhashPairsCtes,
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT id_b, id_a FROM pairs
+           |),
+           |reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+           |),
+           |comp AS (
+           |  SELECT src AS doc_id, least(src, min(dst)) AS component
+           |  FROM reach GROUP BY src
+           |),
+           |tok AS (
+           |  SELECT doc_id, CAST(len(${ducktokens("text")}) AS BIGINT) AS nt
+           |  FROM documents
+           |),
+           |dig AS (
+           |  SELECT doc_id, md5(coalesce(text, '')) AS d FROM documents
+           |),
+           |exk AS (
+           |  SELECT doc_id,
+           |         doc_id = min(doc_id) OVER (PARTITION BY d) AS keep
+           |  FROM dig
+           |),
+           |mhk AS (
+           |  SELECT dd.doc_id,
+           |         c.component IS NULL OR c.component = dd.doc_id AS keep
+           |  FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id
+           |),
+           |u AS (
+           |  SELECT 'exact' AS method, doc_id, keep FROM exk
+           |  UNION ALL
+           |  SELECT 'minhash', doc_id, keep FROM mhk
+           |)
+           |SELECT method,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |       CAST(sum(nt) AS BIGINT) AS tokens_total,
+           |       CAST(sum(CASE WHEN NOT keep THEN nt ELSE 0 END) AS BIGINT) AS tokens_dropped,
+           |       CAST((count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END)) * 1000
+           |            // count(*) AS BIGINT) AS drop_permille
+           |FROM u JOIN tok USING (doc_id)
+           |GROUP BY method
+           |ORDER BY method""".stripMargin)),
+
     // Connected components over the verified near-dup pairs: the
     // canonical-document step (transitive dup clusters labeled by min
     // id). Spark side: hash-min label propagation to fixpoint; oracle:

@@ -29,6 +29,55 @@ private[graft] object ExtEventQueries {
       },
       defsAsofOracle),
 
+    // Last-touch conversion attribution: every purchase credits the
+    // user's most recent click/view at-or-before it within a 7-day
+    // lookback (as-of tie rule: later touch id wins); purchases with
+    // no touch in window land in an explicit 'unattributed' bucket.
+    // One user-keyed exchange (the as-of join's) + a channels-sized
+    // rollup; revenue is exact DECIMAL, gap mean is BIGINT DIV.
+    QueryDef("x_evt_attribution",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Events.lastTouchAttribution(
+            spark.table("events").withColumn("ts_us", unix_micros(col("ts"))),
+            touchTypes = Seq("click", "view"), conversionType = "purchase",
+            windowUs = 7L * 86400 * 1000000)
+          .orderBy("channel")
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          |  FROM events WHERE event_type = 'purchase'
+          |),
+          |t AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          |         event_type AS channel
+          |  FROM events WHERE event_type IN ('click', 'view')
+          |),
+          |lt AS (
+          |  SELECT p.event_id, p.value, t.channel,
+          |         p.ts_us - t.ts_us AS gap,
+          |         row_number() OVER (PARTITION BY p.event_id
+          |           ORDER BY t.ts_us DESC, t.event_id DESC) AS rn
+          |  FROM p JOIN t ON t.user_id = p.user_id AND t.ts_us <= p.ts_us
+          |),
+          |att AS (
+          |  SELECT p.event_id, p.value,
+          |         CASE WHEN l.event_id IS NOT NULL AND l.gap <= 604800000000
+          |              THEN l.channel ELSE 'unattributed' END AS channel,
+          |         CASE WHEN l.event_id IS NOT NULL AND l.gap <= 604800000000
+          |              THEN l.gap ELSE 0 END AS gap
+          |  FROM p LEFT JOIN (SELECT * FROM lt WHERE rn = 1) l
+          |    ON l.event_id = p.event_id
+          |)
+          |SELECT channel,
+          |       CAST(count(*) AS BIGINT) AS n_conversions,
+          |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS revenue,
+          |       CAST(sum(gap) // count(*) AS BIGINT) AS avg_gap_us
+          |FROM att
+          |GROUP BY channel
+          |ORDER BY channel""".stripMargin)),
+
     // Recency-weighted sampling audit: keep-rate halves per age
     // bucket (floor 31‰) off the corpus max event time; keeps are
     // hash-thresholded (reshuffle-proof, monotone under rate raises —

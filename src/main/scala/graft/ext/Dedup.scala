@@ -676,6 +676,42 @@ object Dedup {
   def duplicateComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame =
     duplicateComponentsChecked(pairs, maxIters)._1
 
+  /** Dedup IMPACT audit — what each method would actually cost the
+    * corpus: per method (exact-hash keep-first; MinHash component
+    * keep-min), the docs and TOKENS removed. Token loss is the number
+    * a training-data owner signs off on (docs are not equal-sized;
+    * near-dup families skew long), and method-vs-method deltas flag
+    * mis-set thresholds before anything is deleted. Consumes the
+    * verified pair artifact; one doc-keyed join against per-doc token
+    * counts, then a 2-row rollup — no pairwise work beyond the
+    * artifact it audits.
+    */
+  def dedupImpact(docs: DataFrame, pairs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      size(graft.text.Tokenizer.tokensCol(col(textCol))).cast("long").as("__nt"))
+    val dig = docs.select(col(idCol).as("doc_id"),
+      md5(coalesce(col(textCol), lit("")).cast("binary")).as("__d"))
+    val exKeep = dig
+      .join(dig.groupBy("__d").agg(min(col("doc_id")).as("__k")), "__d")
+      .select(col("doc_id"), (col("doc_id") === col("__k")).as("keep"),
+        lit("exact").as("method"))
+    val comp = duplicateComponents(pairs)
+    val mhKeep = docs.select(col(idCol).as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("component").isNull || col("component") === col("doc_id")).as("keep"),
+        lit("minhash").as("method"))
+    exKeep.unionByName(mhKeep).join(tok, "doc_id")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        sum(col("__nt")).as("tokens_total"),
+        sum(when(!col("keep"), col("__nt")).otherwise(lit(0L))).as("tokens_dropped"))
+      .withColumn("drop_permille",
+        expr("(n_docs - n_kept) * 1000 DIV n_docs"))
+  }
+
   /** [[duplicateComponents]] plus the convergence flag (ADVICE r3):
     * `false` means maxIters was exhausted before the fixpoint and the
     * labels may still be mid-propagation — callers doing canonical-doc

@@ -62,6 +62,44 @@ object Events {
         payload.map(c => col(s"__m.$c").as(s"ref_$c")): _*)
   }
 
+  /** Last-touch conversion attribution — the marketing-analytics
+    * rollup built on [[asofJoin]]: each conversion event credits the
+    * user's most recent touchpoint at-or-before it (ties: the later
+    * touch id — the as-of join's own tie rule), but only within the
+    * lookback window; conversions with no touch in the window land in
+    * an explicit `unattributed` bucket (never dropped — the report
+    * must account for every conversion). Output per channel:
+    * conversion count, exact DECIMAL revenue, mean gap in µs (BIGINT
+    * DIV — exact).
+    *
+    * Scale shape: inherits the as-of join's single user-keyed
+    * exchange; the rollup is a channels-cardinality aggregation with
+    * map-side combine. Nothing pairwise, nothing driver-side.
+    */
+  def lastTouchAttribution(events: DataFrame, touchTypes: Seq[String],
+      conversionType: String, windowUs: Long): DataFrame = {
+    val conv = events.filter(col("event_type") === conversionType)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val touches = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type").as("channel"))
+    val att = asofJoin(conv, touches, payload = Seq("channel"))
+    val attributed = col("ref_event_id").isNotNull &&
+      (col("ts_us") - col("ref_ts_us")) <= lit(windowUs)
+    att
+      .withColumn("__ch",
+        when(attributed, col("ref_channel")).otherwise(lit("unattributed")))
+      .withColumn("__gap",
+        when(attributed, col("ts_us") - col("ref_ts_us")).otherwise(lit(0L)))
+      .groupBy(col("__ch").as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast("decimal(18,2)")).as("__rev"),
+        sum(col("__gap")).as("__gapsum"))
+      .select(col("channel"), col("n_conversions"),
+        col("__rev").cast("decimal(38,2)").cast("string").as("revenue"),
+        expr("__gapsum DIV n_conversions").as("avg_gap_us"))
+  }
+
   /** Bucketized range (interval-containment) join: every `points` row
     * paired with every `intervals` row of the same `keyCol` whose
     * `[startCol, endCol]` contains `tsCol` (bounds inclusive, BIGINT
