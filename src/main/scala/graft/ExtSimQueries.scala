@@ -418,6 +418,59 @@ private[graft] object ExtSimQueries {
            |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
            |ORDER BY corpus_id, bench_id""".stripMargin)),
 
+    // Coverage-preserving diversity sample: one exemplar per IVF cell
+    // (the medoid under the quantizer's geometry — max cos to the
+    // cell centroid, ties to smaller id) — the cluster-sampling step
+    // between dedup and mixing. Broadcast codebook, zero vector-side
+    // shuffle, map-side-combining argmax; n_members makes the
+    // per-region sample rate auditable.
+    QueryDef("x_sim_diversity",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.cellMedoids(Corpus.ivfIndex(spark, sfDir))
+          .orderBy("cell_id")
+      },
+      Some(
+        s"""WITH $exCte,
+           |cx AS (
+           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
+           |         unnest(range(len(embedding))) AS i
+           |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
+           |),
+           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+           |          FROM ex GROUP BY vec_id),
+           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
+           |           FROM cx GROUP BY cell_id),
+           |allsims AS (
+           |  SELECT e.vec_id, c.cell_id,
+           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
+           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
+           |  FROM ex e JOIN cx c ON e.i = c.i
+           |  JOIN norms n ON n.vec_id = e.vec_id
+           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
+           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
+           |),
+           |assigned AS (
+           |  SELECT vec_id, cell_id FROM (
+           |    SELECT vec_id, cell_id,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY sim DESC, cell_id) AS rn
+           |    FROM allsims
+           |  ) r WHERE rn = 1
+           |),
+           |med AS (
+           |  SELECT a.cell_id, s.vec_id, s.sim,
+           |         row_number() OVER (PARTITION BY a.cell_id
+           |                            ORDER BY s.sim DESC, s.vec_id) AS rn,
+           |         count(*) OVER (PARTITION BY a.cell_id) AS nm
+           |  FROM assigned a
+           |  JOIN allsims s ON s.vec_id = a.vec_id AND s.cell_id = a.cell_id
+           |)
+           |SELECT cell_id, vec_id AS medoid_id, sim AS cos_sim,
+           |       CAST(nm AS BIGINT) AS n_members
+           |FROM med WHERE rn = 1
+           |ORDER BY cell_id""".stripMargin)),
+
     // SemDeDup pruning decisions (Abbas et al. 2023): within each IVF
     // cell, prune every vector with a more-senior near-twin (cos ≥
     // 0.4, keep the min id — the keep-first convention). Output is

@@ -492,6 +492,33 @@ object Similarity {
         col("col.id_b").as("nbr_id"), col("col.cos_e6").as("cos_e6"))
   }
 
+  /** Coverage-preserving diversity sample: ONE representative per IVF
+    * cell — the member most similar to its cell's centroid (the
+    * medoid under the quantizer's own geometry), ties to the smaller
+    * vec_id. The downsample that keeps one exemplar per region of
+    * embedding space instead of per near-dup clique — the
+    * cluster-sampling step curation pipelines run between dedup and
+    * mixing. Returns (cell_id, medoid_id, cos_sim, n_members) so the
+    * sample rate per region is auditable.
+    *
+    * Scale: centroids broadcast (the codebook discipline — √N rows);
+    * the member side never shuffles for scoring; per-cell selection
+    * is a map-side-combining min(struct) — one cell-keyed exchange of
+    * partial argmaxes, no Window.
+    */
+  def cellMedoids(index: IvfIndex): DataFrame = {
+    VectorFunctions.register(index.assigned.sparkSession)
+    index.assigned
+      .join(broadcast(index.centroids.select(col("cell_id"), col("centroid"))),
+        "cell_id")
+      .withColumn("__sim", round(cosine(col("embedding"), col("centroid")), 6))
+      .groupBy(col("cell_id"))
+      .agg(min(struct((-col("__sim")).as("ns"), col("vec_id").as("v"))).as("__b"),
+        count(lit(1)).as("n_members"))
+      .select(col("cell_id"), col("__b.v").as("medoid_id"),
+        (-col("__b.ns")).as("cos_sim"), col("n_members"))
+  }
+
   /** SemDeDup pruning (Abbas et al. 2023): within each IVF cell, drop
     * every vector that has a more-senior near-twin — keep rule: v is
     * PRUNED iff some u < v in its cell has cosine ≥ `threshold` with
