@@ -209,4 +209,51 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(streamed.count() == streamed.distinct().count())
     assert(rows(streamed) == rows(batch))
   }
+
+  test("neardup stream == batch delta screen on random docs with planted cliques") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd2 = new scala.util.Random(23)
+    val words = Vector("alpha", "beta", "gamma", "delta", "εψιλον",
+      "zeta", "eta", "θητα", "iota", "kappa")
+    val base = (1L to 60L).map { id =>
+      val n = 8 + rnd2.nextInt(12)
+      (id, Seq.fill(n)(words(rnd2.nextInt(words.size))).mkString(" "))
+    }
+    // every 6th doc near-copies its predecessor (several of these
+    // pairs straddle the %5 side split by construction), plus an
+    // empty doc and a sub-shingle doc — both must vanish identically
+    // from stream and batch
+    val docs = base.zipWithIndex.map { case ((id, t), i) =>
+      if (i % 6 == 5) (id, base(i - 1)._2 + " omega") else (id, t)
+    } ++ Seq((61L, ""), (62L, "x"))
+    val df = docs.toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(df, "text", "doc_id", 3)
+    val sigs = Dedup.minhashSignatures(sh, 16, preHashed = true)
+    val isCorpus = col("doc_id") % 5 =!= 0
+    val batch = Dedup.deltaNearDupsFromArtifacts(
+      sh.filter(isCorpus), sigs.filter(isCorpus),
+      sh.filter(!isCorpus), sigs.filter(!isCorpus),
+      k = 16, bands = 4, threshold = 0.4)
+    val corpusBanded = Dedup.bandedKeys(sigs.filter(isCorpus), 16, 4)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
+    val corpusArrs = sh.filter(isCorpus).groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("__hc"),
+        count(lit(1)).as("n_c"))
+      .select(col("doc_id").as("corpus_id"), col("__hc"), col("n_c"))
+    val stream = MemoryStream[(Long, String)]
+    val q = IncrementalIndexer.neardupStream(spark,
+        stream.toDF().toDF("doc_id", "text").filter(col("doc_id") % 5 === 0),
+        corpusBanded, corpusArrs, k = 16, bands = 4, threshold = 0.4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("parity_neardup").start()
+    docs.grouped(25).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("parity_neardup").distinct()
+    assert(batch.count() > 0, "fixture produced no cross-side pairs")
+    assert(got.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(got).count() == 0,
+      "stream emissions != batch delta screen")
+  }
 }
