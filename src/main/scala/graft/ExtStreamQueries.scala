@@ -619,9 +619,10 @@ private[graft] object ExtStreamQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        // a pair can surface via several matching bands → emissions
-        // dedup to the batch row set
+        // the operator's return contract: one row per (pair, matching
+        // band) — project the band away and dedup to the batch row set
         spark.table("x_stream_neardup_sink")
+          .drop("band")
           .distinct()
           .orderBy("delta_id", "corpus_id")
       },

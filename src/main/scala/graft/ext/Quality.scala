@@ -956,13 +956,19 @@ object Quality {
     * The naive form ranks every doc with percent_rank() — a global
     * sort of the corpus per signal. This form quantizes each signal
     * into data-independent fixed bins in-row, aggregates ONE tiny
-    * (signals × bins) histogram, and assigns each doc the exact
-    * percentile of its bin floor by a broadcast join — corpus cost is
-    * one map-side-combined aggregation plus an in-row lookup,
-    * independent of signal count in exchanges. Percentile contract
-    * (exact, integer): pct_permille = 1000·|docs in strictly lower
-    * bins| DIV total; the within-bin tie is the documented resolution
-    * trade (bins are the sketch).
+    * (signals × bins) histogram — a single corpus pass for ALL
+    * signals: each row contributes its three (signal, bin) pairs to
+    * one map-side-combined count (ADVICE r10: the previous
+    * per-signal groupBys scanned and re-tokenized the corpus once
+    * per signal) — and assigns each doc the exact percentile of its
+    * bin floor by a broadcast join, so the corpus is read exactly
+    * twice (histogram pass + assignment pass), independent of signal
+    * count. The ≤ (signals·bins)-row histogram collects to the
+    * driver (the codebook-sized bounded-collect contract) to build
+    * the cumulative tables. Percentile contract (exact, integer):
+    * pct_permille = 1000·|docs in strictly lower bins| DIV total;
+    * the within-bin tie is the documented resolution trade (bins are
+    * the sketch).
     *
     * Signals (each an exact per-row integer, oracle-identical):
     * n_chars, whitespace-token count, distinct-token permille.
@@ -980,22 +986,32 @@ object Quality {
       .withColumn("__b_chars", least(expr("n_chars DIV 16"), lit(63L)))
       .withColumn("__b_tokens", least(expr("n_tokens DIV 4"), lit(63L)))
       .withColumn("__b_distinct", least(expr("distinct_permille DIV 16"), lit(63L)))
-    def pctTable(binCol: String, pctName: String): DataFrame = {
-      val w = Window.orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.partitionBy()
-      // ≤ 64 rows: the single-partition windows are free, and the
-      // result broadcasts
-      base.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("__cnt"))
-        .withColumn("__below", coalesce(sum(col("__cnt")).over(w), lit(0L)))
-        .withColumn("__total", sum(col("__cnt")).over(wAll))
-        .select(col("bin").as(binCol),
-          expr("__below * 1000 DIV __total").as(pctName))
+    val hist = base.select(explode(array(
+        struct(lit("chars").as("sig"), col("__b_chars").as("bin")),
+        struct(lit("tokens").as("sig"), col("__b_tokens").as("bin")),
+        struct(lit("distinct").as("sig"), col("__b_distinct").as("bin"))))
+        .as("__sb"))
+      .groupBy(col("__sb.sig").as("sig"), col("__sb.bin").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect() // ≤ signals·bins = 192 rows — codebook-bounded
+    def pctTable(sig: String, binCol: String, pctName: String): DataFrame = {
+      val cells = hist.filter(_.getString(0) == sig)
+        .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val total = cells.map(_._2).sum
+      var below = 0L
+      val rows = cells.toSeq.map { case (bin, cnt) =>
+        val pct = below * 1000L / total // positive DIV = truncation
+        below += cnt
+        (bin, pct)
+      }
+      val spark = docs.sparkSession
+      import spark.implicits._
+      rows.toDF(binCol, pctName)
     }
     base
-      .join(broadcast(pctTable("__b_chars", "pct_chars")), "__b_chars")
-      .join(broadcast(pctTable("__b_tokens", "pct_tokens")), "__b_tokens")
-      .join(broadcast(pctTable("__b_distinct", "pct_distinct")), "__b_distinct")
+      .join(broadcast(pctTable("chars", "__b_chars", "pct_chars")), "__b_chars")
+      .join(broadcast(pctTable("tokens", "__b_tokens", "pct_tokens")), "__b_tokens")
+      .join(broadcast(pctTable("distinct", "__b_distinct", "pct_distinct")), "__b_distinct")
       .withColumn("pct_ensemble",
         expr("(pct_chars + pct_tokens + pct_distinct) DIV 3"))
       .select(col(idCol), col("n_chars"), col("n_tokens"),

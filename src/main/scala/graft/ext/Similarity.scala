@@ -485,7 +485,7 @@ object Similarity {
       .groupBy(col("id_a"))
       .agg(graft.functions.TopKFunctions.topk_desc(col("cos_e6").cast("double"),
         graft.functions.TopKFunctions.tieKey(col("id_b"),
-          org.apache.spark.sql.types.LongType),
+          assigned.schema(idCol).dataType),
         struct(col("id_b"), col("cos_e6")), k).as("__top"))
       .select(col("id_a").as(idCol), posexplode(col("__top")))
       .select(col(idCol), (col("pos") + 1).cast("long").as("nbr_rank"),

@@ -58,19 +58,27 @@ object TopKFunctions {
 
   /** Order-preserving STRING tie key matching the window twins'
     * natural-order `ORDER BY idCol` tie-break (ADVICE r9): string ids
-    * compare as themselves; nonnegative integral ids zero-pad to 20
-    * digits (a long is ≤ 19, so lpad never truncates — Spark's lpad
-    * TRUNCATES over-length input, which silently reorders). Any other
-    * type (or a fractional/negative-capable one) must be encoded by
-    * the caller — failing at plan time beats diverging at row time.
+    * compare as themselves; integral ids encode as the 16-hex-digit
+    * unsigned image of `id XOR Long.MinValue` — flipping the sign bit
+    * maps the signed long order onto the unsigned order, and
+    * fixed-width uppercase hex compares lexicographically as the
+    * unsigned value, so NEGATIVE ids order correctly too (ADVICE r10:
+    * the previous decimal lpad zero-padded '-5' and silently
+    * misordered it against positive ids). lpad to 16 never truncates
+    * (hex of a 64-bit value is ≤ 16 digits). Any other type
+    * (fractional, decimal, …) must be encoded by the caller —
+    * failing at plan time beats diverging at row time.
     */
   def tieKey(c: Column, dt: DataType): Column = dt match {
     case StringType => c
     case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-      org.apache.spark.sql.functions.lpad(c.cast("string"), 20, "0")
+      org.apache.spark.sql.functions.lpad(
+        org.apache.spark.sql.functions.hex(
+          c.cast("long").bitwiseXOR(org.apache.spark.sql.functions.lit(Long.MinValue))),
+        16, "0")
     case other => throw new IllegalArgumentException(
-      s"topk tie key: unsupported id type $other — pass a string or nonnegative integral id, " +
+      s"topk tie key: unsupported id type $other — pass a string or integral id, " +
         "or encode an order-preserving string key yourself")
   }
 }

@@ -190,13 +190,24 @@ object IncrementalIndexer {
     * streaming state (stream-static joins keep none), append-only
     * emissions, no watermark needed.
     *
+    * RETURN CONTRACT (ADVICE r10): one row per (delta_id, corpus_id,
+    * band) — a pair that matches in SEVERAL LSH bands is emitted once
+    * PER MATCHING BAND (the `band` column makes the multiplicity
+    * self-explaining), because collapsing across bands would need a
+    * streaming aggregation and this operator is deliberately
+    * zero-state. Consumers that want the batch screen's one-row-per-
+    * pair relation MUST project the band away and dedup
+    * (`.drop("band").distinct()` — what the batch twin
+    * [[graft.ext.Dedup.deltaNearDupsFromArtifacts]] does internally
+    * before verification).
+    *
     * Parity with the batch screen: in-row signatures share the batch
     * aggregate's arithmetic ([[graft.ext.Dedup.inRowSignature]]), band
     * keys share [[graft.ext.Dedup.bandedKeys]]'s derivation, and
     * `shared` counted by sorted-merge over full arrays equals the
-    * batch's shingle-join count — so emissions (deduped: one pair can
-    * surface via several bands) equal the batch operator's rows and
-    * the two share one oracle.
+    * batch's shingle-join count — so emissions, deduped per the
+    * contract above, equal the batch operator's rows and the two
+    * share one oracle.
     *
     * At 100 TB: the corpus side is the persisted dedup index read in
     * place; per arriving doc the work is (bands × bucket hits) lookups
@@ -236,7 +247,7 @@ object IncrementalIndexer {
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_d") + col("n_c") - col("shared")))
       .filter(col("jaccard") >= threshold)
-      .select("delta_id", "corpus_id", "shared", "n_d", "n_c", "jaccard")
+      .select("delta_id", "corpus_id", "band", "shared", "n_d", "n_c", "jaccard")
   }
 
   /** Streaming gap sessionization — [[graft.ext.Events.sessions]] as

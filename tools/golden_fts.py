@@ -160,8 +160,16 @@ def check_search_porter(sf_dir, verify_dir):
 
 
 def _desc_str(s):
-    """Sort key that orders strings DESCENDING inside an ascending sort."""
-    return tuple(-b for b in s.encode())
+    """Sort key that orders strings DESCENDING inside an ascending sort.
+
+    The trailing +1 sentinel handles the strict-prefix case (ADVICE
+    r10): with bare negated bytes, 'ab' < 'abc' ascending (shorter
+    tuple first), but descending order needs the LONGER string first.
+    Every negated byte is <= 0, so a shorter string's sentinel (+1)
+    compares greater than the longer string's next negated byte, and
+    the longer string correctly leads. Equal strings stay equal.
+    """
+    return tuple(-b for b in s.encode()) + (1,)
 
 
 def check_search_topk(sf_dir, verify_dir):
