@@ -60,6 +60,11 @@ object Bench {
     // run, so per-query numbers stay comparable with a full cut.
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_RUNS (default 2): per-query run count for the min.
+    // >2 is a diagnostic regime (JIT warm-up curves via
+    // SPARK_GRAFT_TRACE); committed cuts use the default so
+    // round-over-round numbers stay comparable. Stamped in `regime`.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
 
     val setup = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (only.isEmpty) {
@@ -159,7 +164,7 @@ object Bench {
         (t, ok)
       }
       if (!d.contrast || timeContrast || only.exists(_.contains(d.name))) {
-        val good = Seq(once, once).collect { case (t, true) => t }
+        val good = Seq.fill(runs)(once).collect { case (t, true) => t }
         if (good.isEmpty) errors += d.name
         else if (d.contrast) contrastResults(d.name) = good.min
         else results(d.name) = good.min
@@ -168,6 +173,17 @@ object Bench {
     }
     def toJson(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // Regime stamp (VERDICT r10 item 2): every bench JSON carries the
+    // knobs that made r9/r10 cuts non-comparable — heap size (the 8g
+    // eviction lottery / 32g compressed-oops cliff axis), parallelism,
+    // scan-split sizing, and the post-run cached-artifact footprint —
+    // so a cut is interpretable as an artifact, not via prose context.
+    val stEnd = spark.sparkContext.getRDDStorageInfo
+    val regimeJson = {
+      val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")).getOrElse("null")
+      f"""{"heap_gb":${Runtime.getRuntime.maxMemory / 1e9}%.2f,"cpus":$cpus,"tmpdir":"${System.getProperty("java.io.tmpdir")}","max_partition_bytes":${spark.conf.get("spark.sql.files.maxPartitionBytes")},"cached_rdds":${stEnd.length},"cached_mem_gb":${stEnd.map(_.memSize).sum / 1e9}%.2f,"cached_disk_gb":${stEnd.map(_.diskSize).sum / 1e9}%.2f,"only":$onlyJson}"""
+    }
     val total = results.values.sum
     val contrastTotal = contrastResults.values.sum
     val totalWith = total + contrastTotal
@@ -175,7 +191,7 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skippedJson = SparkEntry.allDefs.filter(d => d.contrast && !timeContrast)
       .map("\"" + _.name + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"runs_per_query":2,"agg":"min","errors":$errJson,"contrast_queries":${toJson(contrastResults)},"contrast_total":$contrastTotal%.3f,"total_with_contrast":$totalWith%.3f,"contrast_skipped":$skippedJson,"setup":${toJson(setup)},"setup_runs":1,"setup_total":$setupTotal%.3f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"runs_per_query":$runs,"agg":"min","errors":$errJson,"contrast_queries":${toJson(contrastResults)},"contrast_total":$contrastTotal%.3f,"total_with_contrast":$totalWith%.3f,"contrast_skipped":$skippedJson,"setup":${toJson(setup)},"setup_runs":1,"setup_total":$setupTotal%.3f,"regime":$regimeJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,7 +10,31 @@ import org.apache.spark.sql.functions._
 private[graft] object ExtStreamQueries {
   import ExtShared._
 
-  val defs: Seq[QueryDef] = Seq(
+  /** State-partition sizing (VERDICT r10 item 4): a stateful
+    * micro-batch commits EVERY state-store partition per trigger
+    * (delta file + CRC + commit marker, fsync'd), so the per-trigger
+    * floor scales with the shuffle-partition count, not the data —
+    * 32 partitions × 4 AvailableNow triggers of KB-sized state is
+    * pure commit overhead at bench SFs. Size the stream's state
+    * partitioning to the workload the way maxPartitionBytes sizes
+    * scans (production sizes it to sustained load; every twin's
+    * semantics are partition-count-invariant — group-keyed state,
+    * fold-order-exact arithmetic, total ORDER BY). The session's
+    * setting is restored after the run so batch queries keep their
+    * width.
+    */
+  private def withStreamShuffle[T](
+      spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try f finally spark.conf.set(key, prev)
+  }
+
+  val defs: Seq[QueryDef] = rawDefs.map(d =>
+    d.copy(fn = (spark, sfDir) => withStreamShuffle(spark)(d.fn(spark, sfDir))))
+
+  private lazy val rawDefs: Seq[QueryDef] = Seq(
 
     // Incremental indexing as sequential REPLACE merges of time-sliced
     // batches (the foreachBatch loop of graft.streaming.IncrementalIndexer

@@ -877,44 +877,25 @@ object Pipeline {
     * keeps all single chars of the corpus charset). Returns the token
     * histogram (token, n_occurrences), continuations `##`-prefixed.
     *
-    * The model collects to two literal maps (bounded artifact — the
-    * BPE-merge-table contract) and the greedy loop is an IN-ROW fold
-    * over the DISTINCT-word relation: at most `len` steps per word,
-    * each trying lengths `maxPieceLen..1` via map lookups. One word
-    * agg + one token agg; zero joins.
+    * The model collects to two piece sets (bounded artifact — the
+    * BPE-merge-table contract) carried by the compiled
+    * [[graft.functions.WordpieceSegment]] kernel as opaque state: the
+    * previous in-row `aggregate` fold inlined the vocab as ~2×|vocab|
+    * map-literal children and the DRIVER spent ~3 s per call
+    * re-walking the literal tree through analyzer/optimizer passes —
+    * for a 31-row distinct-word relation (r10 bench outlier). One word
+    * agg + one token agg; zero joins; the greedy walk is one codegen'd
+    * JVM call per distinct word.
     */
   def wordpieceEncode(docs: DataFrame, textCol: String, vocab: DataFrame,
       maxPieceLen: Int = 4): DataFrame = {
     val rows = vocab.select("piece", "is_cont").collect() // bounded artifact
-    def mapLit(cont: Boolean): Column = {
-      val ps = rows.filter(_.getBoolean(1) == cont).map(_.getString(0))
-      if (ps.isEmpty) expr("CAST(map() AS MAP<STRING, INT>)")
-      else map(ps.toIndexedSeq.flatMap(p => Seq(lit(p), lit(1))): _*)
-    }
+    val init = rows.filter(!_.getBoolean(1)).map(_.getString(0)).toSeq
+    val cont = rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq
+    graft.functions.WordpieceFunctions.register(docs.sparkSession)
     wordTable(docs, textCol)
-      .withColumn("__init", mapLit(cont = false))
-      .withColumn("__cont", mapLit(cont = true))
-      // state: (pos, pieces, unk); each fold step consumes ONE greedy
-      // match — the longest l with substring(word, pos, l) in the
-      // position-appropriate vocab side — or trips the unk flag
-      .withColumn("__enc", expr(
-        s"""aggregate(sequence(1, length(word)),
-           |  struct(CAST(1 AS INT) AS pos,
-           |         CAST(array() AS ARRAY<STRING>) AS ps,
-           |         false AS unk),
-           |  (st, _ignored) -> CASE WHEN st.unk OR st.pos > length(word) THEN st
-           |    ELSE element_at(transform(
-           |      array(array_max(filter(sequence(1, least($maxPieceLen, length(word) - st.pos + 1)),
-           |        l -> element_at(IF(st.pos = 1, __init, __cont),
-           |                        substring(word, st.pos, l)) IS NOT NULL))),
-           |      best -> CASE WHEN best IS NULL
-           |        THEN struct(st.pos AS pos, st.ps AS ps, true AS unk)
-           |        ELSE struct(CAST(st.pos + best AS INT) AS pos,
-           |               array_append(st.ps,
-           |                 IF(st.pos = 1, '', '##') || substring(word, st.pos, best)) AS ps,
-           |               false AS unk) END), 1)
-           |    END,
-           |  st -> IF(st.unk, array('[UNK]'), st.ps))""".stripMargin))
+      .withColumn("__enc", graft.functions.WordpieceFunctions
+        .wordpiece_segment(col("word"), init, cont, maxPieceLen))
       .select(col("cnt"), explode(col("__enc")).as("token"))
       .groupBy("token").agg(sum(col("cnt")).as("n_occurrences"))
   }
