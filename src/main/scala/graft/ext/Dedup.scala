@@ -737,10 +737,26 @@ object Dedup {
       .withColumn("component", col("doc_id")).localCheckpoint(true)
     // convergence check: labels only ever DECREASE, so the label sum is
     // strictly monotone until fixpoint — one scalar aggregate per round
-    // instead of a compare-join against the previous labels
+    // instead of a compare-join against the previous labels. The sum is
+    // fused into the round's own checkpoint materialization via
+    // observe() (the kcore r11 recipe): the per-round driver sync reads
+    // an accumulator, it does not launch a second job.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component")).cast("decimal(38,0)")).collect()(0)
         .getDecimal(0)
+    var obsRound = 0
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      obsRound += 1
+      val name = s"cc_round_$obsRound"
+      val obs = df.observe(name,
+        sum(col("component")).cast("decimal(38,0)").as("lsum"))
+      val st = obs.localCheckpoint(true)
+      val s = obs.queryExecution.observedMetrics.get(name) match {
+        case Some(row) => row.getDecimal(0)
+        case None => labelSum(st) // fallback: cached-scan agg
+      }
+      (st, s)
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -757,14 +773,12 @@ object Dedup {
             .as("component"))
       // pointer doubling: follow the label's own label (components point
       // at doc ids that are themselves labeled rows) — O(log diameter)
-      val updated = stepped
+      val (updated, s) = checkpointWithSum(stepped
         .join(stepped.select(col("doc_id").as("__lid"), col("component").as("__lcomp")),
           col("component") === col("__lid"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("__lcomp"), col("component")))
-            .as("component"))
-        .localCheckpoint(true) // truncate: next round plans from a leaf
-      val s = labelSum(updated) // materializes `updated`
+            .as("component"))) // checkpoint truncates: next round plans from a leaf
       releaseCheckpoint(labels) // previous round's blocks: no longer referenced
       labels = updated
       converged = s.compareTo(prevSum) == 0

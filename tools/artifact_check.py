@@ -5,11 +5,20 @@ and BENCH files must carry a non-empty "queries" map. Round 9
 snapshotted a 0-byte BENCH_LOCAL_r9.json — this check exists so that
 class of truncation fails the gate instead of reaching the judge.
 
+Also (VERDICT r10 item 2): evidence prose must cite artifacts the gate
+can resolve — every `BENCH_*.json` / `CORRECTNESS_*.json` filename
+mentioned in any PLANS_r*.md / NOTES_r*.md must exist as a committed
+file. Round 10's quiet-host numbers lived only in prose; under this
+rule a cited cut that was never committed fails the gate. (Numbers
+with no named artifact can't be machine-checked — the writing
+convention is: name the JSON next to the number.)
+
 Usage: tools/artifact_check.py [--head]
   default: checks the working-tree files
   --head:  checks the blobs as committed at HEAD (what the judge sees)
 """
 import json
+import re
 import subprocess
 import sys
 
@@ -58,6 +67,23 @@ def main():
         else:  # CORRECTNESS_
             if not isinstance(obj, dict) or not obj:
                 bad.append(f"{name}: empty correctness map")
+    # Citation resolution: prose-cited artifact filenames must be
+    # committed files (tracked in git — working-tree-only is exactly
+    # the failure mode this guards against).
+    tracked = set(subprocess.check_output(
+        ["git", "ls-files"], text=True).split())
+    prose = sorted(n for n in tracked
+                   if re.fullmatch(r"(PLANS|NOTES)_r\d+\.md", n))
+    cite_re = re.compile(r"\b((?:BENCH|CORRECTNESS)_[A-Za-z0-9_.]*?\.json)\b")
+    for n in prose:
+        try:
+            with open(n, encoding="utf-8") as f:
+                text = f.read()
+        except FileNotFoundError:
+            continue  # tracked but deleted in tree; blobs checked at HEAD
+        for cited in sorted(set(cite_re.findall(text))):
+            if cited not in tracked:
+                bad.append(f"{n}: cites {cited}, which is not a committed file")
     if bad:
         print("ARTIFACT CHECK FAILED:")
         for b in bad:
