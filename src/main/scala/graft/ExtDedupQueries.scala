@@ -114,6 +114,60 @@ private[graft] object ExtDedupQueries {
            |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Asymmetric containment screen (r11): superset/quote detection —
+    // the relation Jaccard dedup is blind to when the container is much
+    // larger than the contained doc. Rare-shingle (df ∈ [2,8]) blocked
+    // candidates (~11.5k of the 125k possible pairs at sf0.01), exact
+    // shingle-join verify, integer-permille containment both
+    // directions. See Dedup.containmentPairs for the 100 TB shape.
+    QueryDef("x_dedup_containment",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Dedup.containmentPairs(docShingles(spark, sfDir),
+            dfMax = 8, minShingles = 10, thresholdPermille = 800)
+          .select("contained_id", "container_id", "n_contained",
+            "n_container", "shared", "containment_permille")
+          .orderBy("contained_id", "container_id")
+      },
+      Some(
+        s"""WITH ${shinglesCte(3)},
+           |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |rp AS (
+           |  SELECT s.doc_id, s.shingle
+           |  FROM sh s JOIN dfs d ON d.shingle = s.shingle
+           |    AND d.df BETWEEN 2 AND 8
+           |),
+           |cands AS (
+           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM rp x JOIN rp y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           |),
+           |pairs AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS shared
+           |  FROM cands c
+           |  JOIN sh x ON x.doc_id = c.id_a
+           |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+           |  GROUP BY 1, 2
+           |),
+           |dirs AS (
+           |  SELECT id_a AS contained_id, id_b AS container_id,
+           |         sa.n_sh AS n_contained, sb.n_sh AS n_container, shared
+           |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+           |             JOIN sizes sb ON sb.doc_id = id_b
+           |  UNION ALL
+           |  SELECT id_b, id_a, sb.n_sh, sa.n_sh, shared
+           |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+           |             JOIN sizes sb ON sb.doc_id = id_b
+           |)
+           |SELECT contained_id, container_id,
+           |       CAST(n_contained AS BIGINT) AS n_contained,
+           |       CAST(n_container AS BIGINT) AS n_container,
+           |       CAST(shared AS BIGINT) AS shared,
+           |       CAST(shared * 1000 // n_contained AS BIGINT) AS containment_permille
+           |FROM dirs
+           |WHERE n_contained >= 10 AND shared * 1000 // n_contained >= 800
+           |ORDER BY contained_id, container_id""".stripMargin)),
+
     QueryDef("x_dedup_minhash",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)

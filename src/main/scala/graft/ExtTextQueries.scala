@@ -697,6 +697,44 @@ private[graft] object ExtTextQueries {
            |ORDER BY part""".stripMargin
       }),
 
+    // Bounded-radius multi-source BFS: hop distance to the nearest
+    // high-degree hub (deg ≥ 170 ≈ the co-purchase graph's 99th pct;
+    // 25 hubs at sf0.01, layers 25/1764/211 — a real 3-layer cascade,
+    // not a 1-hop collapse), hub tie = smallest id among nearest.
+    // Delta-frontier rounds with observe-fused convergence (the r11
+    // kcore recipe); the oracle unrolls the same bounded walk as a
+    // recursive CTE and picks (min dist, then min hub) at the end —
+    // equal to the engine's per-round min-semiring propagation by
+    // induction on BFS layers.
+    QueryDef("x_graph_bfs",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Graph.bfsFromHubs(copurchaseEdges(spark, sfDir),
+            minHubDegree = 170, rounds = 4, edgesDistinct = true)
+          .withColumnRenamed("node", "part")
+          .orderBy("part")
+      },
+      Some(
+        s"""WITH RECURSIVE $copurchaseCte,
+           |deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+           |hubs AS (SELECT node FROM deg WHERE d >= 170),
+           |walk(node, dist, hub) AS (
+           |  SELECT node, 0, node FROM hubs
+           |  UNION
+           |  SELECT e.dst, w.dist + 1, w.hub
+           |  FROM walk w JOIN edges e ON e.src = w.node
+           |  WHERE w.dist < 4
+           |),
+           |best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY 1),
+           |pick AS (
+           |  SELECT w.node, w.dist, min(w.hub) AS hub
+           |  FROM walk w JOIN best b ON b.node = w.node AND b.dist = w.dist
+           |  GROUP BY 1, 2
+           |)
+           |SELECT node AS part, CAST(dist AS BIGINT) AS dist,
+           |       CAST(hub AS BIGINT) AS hub
+           |FROM pick ORDER BY part""".stripMargin)),
+
     // Bigram collocation mining: top-50 adjacent token pairs (count
     // >= 5) ranked by PMI lift (exp of PMI — no transcendental; one
     // pinned IEEE multiply/divide chain over exact integer counts

@@ -478,6 +478,70 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Asymmetric CONTAINMENT screen — superset/quote detection, the
+    * measure Jaccard near-dup misses by construction: when a short
+    * document A sits verbatim inside a much larger B (a quoted post, a
+    * boilerplate-wrapped article, a concatenation shard),
+    * J(A,B) = |A∩B|/|A∪B| ≈ |A|/|B| stays far below any dedup
+    * threshold while C(A→B) = |S_A ∩ S_B|/|S_A| is ~1. Emits one row
+    * per DIRECTED pair with containment ≥ `thresholdPermille`:
+    * (contained_id, container_id, n_contained, n_container, shared,
+    * containment_permille) — permille in exact integer arithmetic
+    * (`shared·1000 DIV n_contained`), so both engines agree
+    * bit-for-bit; mutual containment (near-identical docs) emits both
+    * directions.
+    *
+    * Candidate generation: pairs sharing a RARE shingle — corpus
+    * document frequency in [2, dfMax]. A contained doc's shingles all
+    * appear in its container, so the pair is missed only if EVERY
+    * shared shingle is corpus-common (boilerplate-only containment —
+    * out of scope by design; the boilerplate miner covers that). The
+    * df cap bounds the self-join's fan-out at Σ_rare C(df,2) ≤
+    * dfMax·|rare postings| — linear in the shingle relation, never
+    * pair-quadratic in the corpus. Verification is the exact shared
+    * count via the shingle equi-join restricted to the (checkpointed,
+    * tiny) candidate relation — [[deltaNearDupsFromArtifacts]]'s
+    * shape. `minShingles` floors the contained side so trivially
+    * short docs can't flood the report.
+    *
+    * At 100 TB: the shingle relation is the persisted dedup index;
+    * the df table is one map-side-combined agg over it; candidates
+    * shuffle only rare postings (df-capped); the verify join hashes
+    * by (doc, shingle) with the candidate side broadcast-small.
+    */
+  def containmentPairs(shingles: DataFrame, dfMax: Int = 8,
+      minShingles: Int = 10, thresholdPermille: Int = 800): DataFrame = {
+    val sh = shingles.select(col("doc_id"), col("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= dfMax)
+      .select("shingle")
+    val rarePost = sh.join(rare, "shingle")
+    val cands = rarePost.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(rarePost.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .localCheckpoint(true)
+    val shared = cands
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+    val dirA = shared.select(col("id_a").as("contained_id"),
+      col("id_b").as("container_id"), col("n_a").as("n_contained"),
+      col("n_b").as("n_container"), col("shared"))
+    val dirB = shared.select(col("id_b").as("contained_id"),
+      col("id_a").as("container_id"), col("n_b").as("n_contained"),
+      col("n_a").as("n_container"), col("shared"))
+    dirA.unionByName(dirB)
+      .withColumn("containment_permille",
+        expr("shared * 1000 DIV n_contained"))
+      .filter(col("n_contained") >= minShingles &&
+        col("containment_permille") >= thresholdPermille)
+  }
+
   /** 60-bit SimHash from portable token hashes: per-bit majority vote of
     * token-hash bits, computed as 60 conditional sums in one groupBy
     * pass (no UDF, stays codegen'd).

@@ -326,6 +326,73 @@ object Graph {
     state.select(col("node"), col("deg").as("core_deg"))
   }
 
+  /** Bounded-radius multi-source BFS — "distance to the nearest hub"
+    * (hubs = nodes with degree ≥ `minHubDegree`), the graph-curation
+    * primitive behind coverage audits ("how far is every item from a
+    * high-connectivity anchor?") and label-propagation seeding. For
+    * every node reachable within `rounds` hops of any hub, emits
+    * (node, dist, hub): `dist` = hop count to the nearest hub (hubs
+    * themselves at 0), `hub` = the SMALLEST hub id among nearest-at-
+    * that-distance — total, tie-free determinism, so the oracle (a
+    * recursive CTE unrolling the same bounded walk) matches exactly.
+    * Nodes beyond the radius are absent (bounded-radius is the
+    * operator's contract, not a truncation failure).
+    *
+    * DELTA frontier (the r11 [[kcore]] recipe): BFS layers mean a
+    * node's first-reached distance is final — later rounds can only
+    * offer larger dists — so each round expands ONLY the previous
+    * round's fresh nodes: one hash join of the edge list against the
+    * frontier (frontier-sized build side, AQE-broadcast as it
+    * shrinks), a min-struct agg collapsing multi-hub arrivals
+    * map-side, and one anti-join against the settled state. Round
+    * cost tracks the frontier's edges, not the graph. Convergence
+    * (frontier empty) reads an observe() metric fused into the
+    * state materialization — no per-round count() job; driver state
+    * is one Long per round.
+    *
+    * `edgesDistinct` is the same contract flag as [[kcore]] /
+    * [[triangleStats]]: the caller asserts a duplicate-free symmetric
+    * edge relation and the defensive distinct is skipped.
+    */
+  def bfsFromHubs(edges: DataFrame, minHubDegree: Int, rounds: Int,
+      edgesDistinct: Boolean = false): DataFrame = {
+    val e = if (edgesDistinct) edges.select("src", "dst")
+      else edges.select("src", "dst").distinct()
+    val hubs = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= minHubDegree).select("node")
+    def materialize(df: DataFrame, round: Int): (DataFrame, Long) = {
+      val name = s"bfs_round_$round"
+      val obs = df.observe(name,
+        count(when(col("dist") === round, 1)).as("fresh"))
+      val st = obs.localCheckpoint(true)
+      val fresh = obs.queryExecution.observedMetrics.get(name) match {
+        case Some(row) => row.getAs[Long]("fresh")
+        case None => st.filter(col("dist") === round).count() // cached scan
+      }
+      (st, fresh)
+    }
+    var (state, fresh) = materialize(
+      hubs.select(col("node"), lit(0L).as("dist"), col("node").as("hub")), 0)
+    var i = 0
+    while (fresh > 0 && i < rounds) {
+      val frontier = state.filter(col("dist") === i)
+      val arrived = e
+        .join(frontier.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("node"))
+        // all arrivals this round share dist = i+1; min-struct keeps
+        // the smallest hub id map-side before the exchange
+        .agg(min(struct(lit(i + 1L).as("d"), col("hub").as("h"))).as("__b"))
+      val settled = arrived
+        .join(state.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), col("__b.d").as("dist"), col("__b.h").as("hub"))
+      val (st, f) = materialize(state.unionByName(settled), i + 1)
+      state = st
+      fresh = f
+      i += 1
+    }
+    state
+  }
+
   /** `score = raw·mass DIV Σraw` — L1 normalization in fixed point;
     * the 1-row total broadcasts back (the temperature-weights idiom).
     */

@@ -46,6 +46,30 @@ class ExtSpec extends AnyFunSuite {
     assert(hist == Map("b" -> 4L, "aa" -> 1L, "aaaa" -> 1L))
   }
 
+  test("containmentPairs: subset detected one-way, identical both ways, floors applied") {
+    import spark.implicits._
+    // synthetic shingle relation: A(1..10) ⊂ B(1..50); D == A; C disjoint;
+    // E(1..5) ⊂ everything but under the minShingles floor.
+    val sh = (
+      (1 to 10).map(s => (1L, s.toLong)) ++            // A
+      (1 to 50).map(s => (2L, s.toLong)) ++            // B
+      (100 to 109).map(s => (3L, s.toLong)) ++         // C
+      (1 to 10).map(s => (4L, s.toLong)) ++            // D
+      (1 to 5).map(s => (5L, s.toLong))                // E
+    ).toDF("doc_id", "shingle")
+    val rows = Dedup.containmentPairs(sh, dfMax = 8, minShingles = 10,
+        thresholdPermille = 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(rows == Set(
+      (1L, 2L, 10L, 50L, 10L, 1000L),  // A fully inside B
+      (1L, 4L, 10L, 10L, 10L, 1000L),  // A == D: both directions
+      (4L, 1L, 10L, 10L, 10L, 1000L),
+      (4L, 2L, 10L, 50L, 10L, 1000L))) // D fully inside B
+    // absent: B→anything (containment 200‰), C (disjoint),
+    // E→* (n_contained = 5 under the floor), *→E (500‰ under threshold)
+  }
+
   test("exact dedup groups identical content") {
     val g = Dedup.exactGroups(docs, "text", "doc_id")
       .filter(col("n_copies") > 1).collect()

@@ -135,4 +135,33 @@ class GraphSpec extends AnyFunSuite {
     // k=3: the whole graph cascades to empty
     assert(Graph.kcore(edges, k = 3, rounds = 2).count() == 0L)
   }
+
+  test("bfsFromHubs: two hubs, min-hub tie at equal distance, unreachable absent") {
+    // hub "a" (deg 4: 1,2,3,4) and hub "b" (deg 3: 4,5,6) with 4
+    // adjacent to BOTH; isolated pair (x,y) below the hub threshold.
+    val edges = sym(Seq(("a", "1"), ("a", "2"), ("a", "3"), ("a", "4"),
+      ("b", "4"), ("b", "5"), ("b", "6"), ("x", "y")))
+    val out = Graph.bfsFromHubs(edges, minHubDegree = 3, rounds = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out == Map(
+      "a" -> ((0L, "a")), "b" -> ((0L, "b")),
+      "1" -> ((1L, "a")), "2" -> ((1L, "a")), "3" -> ((1L, "a")),
+      "4" -> ((1L, "a")), // both hubs at dist 1 → smallest hub id wins
+      "5" -> ((1L, "b")), "6" -> ((1L, "b"))))
+    // x, y below the hub threshold and unreachable from any hub: absent
+    assert(!out.contains("x") && !out.contains("y"))
+  }
+
+  test("bfsFromHubs: bounded radius truncates a chain; layers settle once") {
+    // star hub h (deg 3) + chain 3—c1—c2—c3: dist(c1)=2, dist(c2)=3,
+    // dist(c3)=4. rounds=2 keeps the radius-2 ball only; rounds=6
+    // reaches everything and the frontier empties early (no error).
+    val edges = sym(Seq(("h", "1"), ("h", "2"), ("h", "3"),
+      ("3", "c1"), ("c1", "c2"), ("c2", "c3")))
+    def run(r: Int) = Graph.bfsFromHubs(edges, minHubDegree = 3, rounds = r)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(run(2) == Map("h" -> 0L, "1" -> 1L, "2" -> 1L, "3" -> 1L, "c1" -> 2L))
+    assert(run(6) == Map("h" -> 0L, "1" -> 1L, "2" -> 1L, "3" -> 1L,
+      "c1" -> 2L, "c2" -> 3L, "c3" -> 4L))
+  }
 }
