@@ -650,6 +650,86 @@ private[graft] object ExtStreamQueries {
           .distinct()
           .orderBy("delta_id", "corpus_id")
       },
-      Some(deltaNearDupOracle))
+      Some(deltaNearDupOracle)),
+
+    // Streaming containment ingest screen (r11): the asymmetric
+    // sibling of x_stream_neardup — arriving docs (doc_id % 5 = 0)
+    // probe the corpus's RARE-shingle posting index (df ≤ 8 on the
+    // corpus side, an index probe with dfMax-bounded fan-out) and
+    // verify exact containment shared·1000 DIV n_delta with the
+    // compiled sorted-merge. ZERO streaming state; the oracle is the
+    // same blocking + verify as relational SQL (blocking is part of
+    // the operator contract — a delta doc contained ONLY via
+    // corpus-common shingles is out of scope by design, the
+    // boilerplate miner's territory).
+    QueryDef("x_stream_containment",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val sh = docShingles(spark, sfDir)
+        val shC = sh.filter(col("doc_id") % 5 =!= 0)
+        val rarePostings = shC
+          .join(shC.groupBy("shingle").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= 8).select("shingle"), "shingle")
+          .select(col("shingle"), col("doc_id").as("corpus_id"))
+        val corpusArrs = shC.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("shingle"))).as("__hc"),
+            count(lit(1)).as("n_c"))
+          .select(col("doc_id").as("corpus_id"), col("__hc"), col("n_c"))
+        val srcDir = multiFileSourceDir(spark, sfDir, "documents.parquet", 4)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .filter(col("doc_id") % 5 === 0)
+        val q = graft.streaming.IncrementalIndexer
+          .containmentStream(spark, stream, rarePostings, corpusArrs,
+            minShingles = 10, thresholdPermille = 800)
+          .writeStream.outputMode("append")
+          .format("memory").queryName("x_stream_containment_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // contract: one row per (pair, matching rare shingle) —
+        // project the blocking shingle away, dedup to the pair set
+        spark.table("x_stream_containment_sink")
+          .drop("shingle")
+          .distinct()
+          .orderBy("delta_id", "corpus_id")
+      },
+      Some(
+        s"""WITH ${shinglesCte(3)},
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |dfsC AS (
+           |  SELECT shingle, count(*) AS df FROM sh
+           |  WHERE doc_id % 5 <> 0 GROUP BY shingle
+           |),
+           |rare AS (SELECT shingle FROM dfsC WHERE df <= 8),
+           |cands AS (
+           |  SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+           |  FROM sh d
+           |  JOIN rare r ON r.shingle = d.shingle
+           |  JOIN sh c ON c.shingle = d.shingle AND c.doc_id % 5 <> 0
+           |  WHERE d.doc_id % 5 = 0
+           |),
+           |shr AS (
+           |  SELECT cd.delta_id, cd.corpus_id, count(*) AS shared
+           |  FROM cands cd
+           |  JOIN sh x ON x.doc_id = cd.delta_id
+           |  JOIN sh y ON y.doc_id = cd.corpus_id AND y.shingle = x.shingle
+           |  GROUP BY 1, 2
+           |)
+           |SELECT delta_id, corpus_id,
+           |       CAST(sd.n_sh AS BIGINT) AS n_d,
+           |       CAST(sc.n_sh AS BIGINT) AS n_c,
+           |       CAST(shared AS BIGINT) AS shared,
+           |       CAST(shared * 1000 // sd.n_sh AS BIGINT) AS containment_permille
+           |FROM shr
+           |JOIN sizes sd ON sd.doc_id = delta_id
+           |JOIN sizes sc ON sc.doc_id = corpus_id
+           |WHERE sd.n_sh >= 10 AND shared * 1000 // sd.n_sh >= 800
+           |ORDER BY delta_id, corpus_id""".stripMargin))
   )
 }

@@ -250,6 +250,59 @@ object IncrementalIndexer {
       .select("delta_id", "corpus_id", "band", "shared", "n_d", "n_c", "jaccard")
   }
 
+  /** Streaming CONTAINMENT ingest screen — "is this arriving doc
+    * already (mostly) inside something the corpus holds?" — the
+    * asymmetric sibling of [[neardupStream]]: Jaccard misses a short
+    * doc sitting verbatim inside a much larger corpus doc; containment
+    * `shared·1000 DIV n_delta` is ~1000 there
+    * ([[graft.ext.Dedup.containmentPairs]] is the batch self-join
+    * form; this is the delta-vs-corpus direction run at ingest).
+    *
+    * ZERO streaming state, same recipe as the near-dup screen:
+    * arriving docs shingle IN-ROW (the same compiled kernel / sorted
+    * arrays), probe the corpus's RARE-shingle posting index
+    * (df ≤ dfMax on the STATIC side — an index probe with fan-out
+    * bounded by dfMax per shingle) via a stream-static join, and
+    * verify with the compiled sorted-merge against the corpus doc's
+    * full shingle array.
+    *
+    * RETURN CONTRACT (the [[neardupStream]] band precedent): one row
+    * per (pair, matching rare shingle) — the `shingle` column makes
+    * the multiplicity self-explaining, because collapsing it would
+    * need a streaming aggregation and this operator is deliberately
+    * stateless. Consumers wanting one row per pair MUST
+    * `.drop("shingle").distinct()`.
+    *
+    * At 100 TB: the rare-posting index and per-doc array table are
+    * the persisted dedup index read in place; per arriving doc the
+    * work is (rare shingles × ≤ dfMax hits) probes + one merge per
+    * candidate row.
+    */
+  def containmentStream(spark: SparkSession, docs: DataFrame,
+      rarePostings: DataFrame, corpusArrs: DataFrame,
+      minShingles: Int, thresholdPermille: Int): DataFrame = {
+    graft.functions.ShingleFunctions.register(spark)
+    graft.functions.IntersectFunctions.register(spark)
+    val withSh = docs
+      .select(col("doc_id").as("delta_id"),
+        sort_array(graft.functions.ShingleFunctions.shingle_hashes_e(
+          lower(col("text")), 3)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    withSh
+      .select(col("delta_id"), col("__sh"), explode(col("__sh")).as("shingle"))
+      .join(rarePostings, Seq("shingle"))
+      .join(corpusArrs, Seq("corpus_id"))
+      .withColumn("shared",
+        size(graft.functions.IntersectFunctions.sorted_intersect(
+          col("__sh"), col("__hc"))).cast("long"))
+      .withColumn("n_d", size(col("__sh")).cast("long"))
+      .withColumn("containment_permille", expr("shared * 1000 DIV n_d"))
+      .filter(col("n_d") >= minShingles &&
+        col("containment_permille") >= thresholdPermille)
+      .select("delta_id", "corpus_id", "shingle", "n_d", "n_c", "shared",
+        "containment_permille")
+  }
+
   /** Streaming gap sessionization — [[graft.ext.Events.sessions]] as
     * incremental state. State per user is ONE open-session carry
     * (last ts, seq, size, start): completed sessions are emitted and

@@ -148,6 +148,21 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(df) == 2, s"contam_ngram shuffle count:\n$p")
   }
 
+  test("containment screen: no cartesian, no window; verify join runs off the checkpointed candidates") {
+    // the rare-shingle blocking must keep the pair relation a hash
+    // equi-join on shingle — a CartesianProduct or BroadcastNestedLoop
+    // here means the df cap stopped bounding the candidate fan-out;
+    // the exact-verify stage reads the eager candidate checkpoint
+    // (LocalTableScan/cached scan), never re-derives it
+    val sh = graft.ext.Dedup.shingleHashes(docs, "text", "doc_id", 3)
+    val df = graft.ext.Dedup.containmentPairs(sh,
+      dfMax = 8, minShingles = 5, thresholdPermille = 500)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"containment grew an unblocked pair join:\n$p")
+    assert(windowNodes(df) == 0, s"containment grew a window:\n$p")
+  }
+
   test("collocations: top-k heap, broadcast joins, persisted aggs scanned not rebuilt") {
     val df = graft.ext.TextAnalysis.collocations(docs, "text")
     val p = planOf(df)

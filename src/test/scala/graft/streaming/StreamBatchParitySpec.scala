@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.TestSpark
-import graft.ext.Events
+import graft.ext.{Dedup, Events}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -255,5 +255,71 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(got.exceptAll(batch).count() == 0 &&
       batch.exceptAll(got).count() == 0,
       "stream emissions != batch delta screen")
+  }
+
+  test("containmentStream == relational delta containment on planted supersets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    // corpus docs (id % 5 != 0) with long random texts; every delta doc
+    // (id % 5 == 0) is a PREFIX SLICE of some corpus doc — contained by
+    // construction — except a few independent ones that must NOT match
+    val corpus = (1L to 40L).filter(_ % 5 != 0).map { id =>
+      val n = 30 + rnd.nextInt(20)
+      (id, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val deltas = (1L to 40L).filter(_ % 5 == 0).zipWithIndex.map {
+      case (id, i) =>
+        if (i % 2 == 0) {
+          val src = corpus(rnd.nextInt(corpus.size))._2.split(" ")
+          (id, src.take(src.length * 3 / 4).mkString(" "))  // prefix slice
+        } else (id, Seq.fill(25)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val docs = (corpus ++ deltas).sortBy(_._1)
+    val df = docs.toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(df, "text", "doc_id", 3)
+    val shC = sh.filter(col("doc_id") % 5 =!= 0)
+    val shD = sh.filter(col("doc_id") % 5 === 0)
+    // relational twin of the stream: corpus-rare blocking + exact verify
+    val rare = shC.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= 8).select("shingle")
+    val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
+    val sizesD = shD.groupBy("doc_id").agg(count(lit(1)).as("n_d"))
+    val cands = shD.join(rare, "shingle")
+      .select(col("doc_id").as("delta_id"), col("shingle"))
+      .join(shC.select(col("doc_id").as("corpus_id"), col("shingle")), "shingle")
+      .select("delta_id", "corpus_id").distinct()
+    val batch = cands
+      .join(shD.select(col("doc_id").as("delta_id"), col("shingle")), "delta_id")
+      .join(shC.select(col("doc_id").as("corpus_id"), col("shingle")),
+        Seq("corpus_id", "shingle"))
+      .groupBy("delta_id", "corpus_id").agg(count(lit(1)).as("shared"))
+      .join(sizesD.withColumnRenamed("doc_id", "delta_id"), "delta_id")
+      .join(sizesC.withColumnRenamed("doc_id", "corpus_id"), "corpus_id")
+      .withColumn("containment_permille", expr("shared * 1000 DIV n_d"))
+      .filter(col("n_d") >= 10 && col("containment_permille") >= 800)
+      .select("delta_id", "corpus_id", "n_d", "n_c", "shared",
+        "containment_permille")
+    val rarePostings = shC.join(rare, "shingle")
+      .select(col("shingle"), col("doc_id").as("corpus_id"))
+    val corpusArrs = shC.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("__hc"),
+        count(lit(1)).as("n_c"))
+      .select(col("doc_id").as("corpus_id"), col("__hc"), col("n_c"))
+    val stream = MemoryStream[(Long, String)]
+    val q = IncrementalIndexer.containmentStream(spark,
+        stream.toDF().toDF("doc_id", "text").filter(col("doc_id") % 5 === 0),
+        rarePostings, corpusArrs, minShingles = 10, thresholdPermille = 800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("parity_containment").start()
+    docs.grouped(15).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("parity_containment").drop("shingle").distinct()
+    assert(batch.count() > 0, "fixture planted no contained delta docs")
+    assert(got.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(got).count() == 0,
+      "stream emissions != relational delta containment")
   }
 }
