@@ -735,6 +735,75 @@ private[graft] object ExtTextQueries {
            |       CAST(hub AS BIGINT) AS hub
            |FROM pick ORDER BY part""".stripMargin)),
 
+    // Edge-wise structural similarity (Satuluri–Parthasarathy local
+    // sparsification): per undirected edge, the Jaccard of its
+    // endpoints' neighborhoods — tri·1e6 DIV (du+dv−tri) where tri =
+    // triangles through the edge. Reuses the degree-oriented triangle
+    // enumeration verbatim (each found triangle explodes to its three
+    // edges — output-bounded); top-500 by (jaccard desc, u, v), a
+    // total order. The curation use: thin a co-occurrence/near-dup
+    // graph to its intra-community edges before clustering.
+    QueryDef("x_graph_edgesim",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Graph.edgeStructuralSim(copurchaseEdges(spark, sfDir), k = 500,
+          edgesDistinct = true)
+      },
+      Some(
+        s"""WITH $copurchaseCte,
+           |deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+           |ue AS (SELECT src AS u, dst AS v FROM edges WHERE src < dst),
+           |tric AS (
+           |  SELECT ue.u, ue.v, count(*) AS tri
+           |  FROM ue
+           |  JOIN edges a ON a.src = ue.u
+           |  JOIN edges b ON b.src = ue.v AND b.dst = a.dst
+           |  GROUP BY 1, 2
+           |)
+           |SELECT ue.u, ue.v,
+           |       CAST(du.d AS BIGINT) AS du, CAST(dv.d AS BIGINT) AS dv,
+           |       CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+           |       CAST(coalesce(t.tri, 0) * 1000000
+           |            // (du.d + dv.d - coalesce(t.tri, 0)) AS BIGINT) AS jaccard_e6
+           |FROM ue
+           |LEFT JOIN tric t ON t.u = ue.u AND t.v = ue.v
+           |JOIN deg du ON du.node = ue.u
+           |JOIN deg dv ON dv.node = ue.v
+           |ORDER BY jaccard_e6 DESC, ue.u, ue.v
+           |LIMIT 500""".stripMargin)),
+
+    // Moving-average type–token ratio (MATTR): the length-independent
+    // lexical-diversity screen — window 25, stride 1, exact BIGINT
+    // mean kept as (Σ distinct)·1000 DIV (windows·len); short docs
+    // score their plain TTR. Pure in-row kernel, zero Exchange before
+    // the ORDER BY.
+    QueryDef("x_text_mattr",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        TextAnalysis.mattr(spark.table("documents"), "text", window = 25)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH toks AS (SELECT doc_id, ${ducktokens("text")} AS ts FROM documents),
+           |base AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+           |w AS (
+           |  SELECT doc_id, ts, n, LEAST(25, n) AS wl,
+           |         n - LEAST(25, n) + 1 AS nw
+           |  FROM base
+           |),
+           |sums AS (
+           |  SELECT w.doc_id, w.n, w.wl, w.nw, w.ts,
+           |         sum(len(list_distinct(w.ts[t.i : t.i + w.wl - 1]))) AS dsum
+           |  FROM w CROSS JOIN LATERAL unnest(range(1, w.nw + 1)) AS t(i)
+           |  GROUP BY 1, 2, 3, 4, 5
+           |)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           |       CAST(nw AS BIGINT) AS n_windows,
+           |       CAST(dsum * 1000 // (nw * wl) AS BIGINT) AS mattr_permille,
+           |       CAST(len(list_distinct(ts)) * 1000 // n AS BIGINT) AS ttr_permille
+           |FROM sums
+           |ORDER BY doc_id""".stripMargin)),
+
     // Bigram collocation mining: top-50 adjacent token pairs (count
     // >= 5) ranked by PMI lift (exp of PMI — no transcendental; one
     // pinned IEEE multiply/divide chain over exact integer counts

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph algorithms as relational algebra — the
@@ -240,6 +240,76 @@ object Graph {
         coalesce(col("t"), lit(0L)).as("tri"),
         expr("CASE WHEN d >= 2 THEN coalesce(t, CAST(0 AS BIGINT)) * 2000000 " +
           "DIV (d * (d - 1)) ELSE CAST(0 AS BIGINT) END").as("cc_e6"))
+  }
+
+  /** Edge-wise structural similarity (Satuluri–Parthasarathy local
+    * graph sparsification): for each undirected edge {u,v}, the
+    * Jaccard similarity of its endpoints' neighborhoods —
+    * `jaccard_e6 = tri·1e6 DIV (du + dv − tri)` where `tri` =
+    * |N(u) ∩ N(v)| = the number of triangles through the edge (N(u)
+    * contains v and N(v) contains u, so the union du + dv − tri
+    * counts both endpoints; the intersection can contain neither —
+    * no self-loops). High-similarity edges are intra-community;
+    * sparsifying to each node's top edges by this score preserves
+    * community structure at a fraction of the edges — the curation
+    * use is thinning a near-dup/co-occurrence graph before clustering.
+    * Exact integer fixed point; top-`k` edges by (jaccard desc, u, v)
+    * — a total order, so both engines pick identical rows.
+    *
+    * Scale shape: the triangle relation is [[triangleStats]]'s
+    * degree-oriented enumeration (every adjacency capped at O(√m) by
+    * orientation) re-used verbatim; each found triangle (u,v,w)
+    * explodes to its THREE edges (u,v),(u,w),(v,w) — output-bounded,
+    * never corpus-shaped — and one edge-keyed agg + a degree join
+    * finishes. The final top-k is a k-bounded TakeOrdered, not a
+    * global sort materialization.
+    */
+  def edgeStructuralSim(edges: DataFrame, k: Int,
+      edgesDistinct: Boolean = false): DataFrame = {
+    val e = if (edgesDistinct) edges.select("src", "dst")
+      else edges.select("src", "dst").distinct()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val oe = e
+      .join(deg.select(col("node").as("src"), col("d").as("du")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("dv")), "dst")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"))
+    graft.functions.IntersectFunctions.register(edges.sparkSession)
+    val adj = oe.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs")).localCheckpoint(true)
+    val tri = adj
+      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u"), col("v"),
+        graft.functions.IntersectFunctions.sorted_intersect(
+          col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .localCheckpoint(true)
+    // each triangle (u,v,w) credits its three edges, normalized to
+    // (min, max) so the undirected edge keys one row
+    def norm(a: Column, b: Column, c: Column) =
+      Seq(least(a, b).as("ea"), greatest(a, b).as("eb"), c.as("c"))
+    val perEdge = tri.select(norm(col("u"), col("v"),
+        size(col("ws")).cast("long")): _*)
+      .unionByName(tri.select(col("u"), explode(col("ws")).as("w"))
+        .select(norm(col("u"), col("w"), lit(1L)): _*))
+      .unionByName(tri.select(col("v"), explode(col("ws")).as("w"))
+        .select(norm(col("v"), col("w"), lit(1L)): _*))
+      .groupBy("ea", "eb").agg(sum(col("c")).as("tri"))
+    e.filter(col("src") < col("dst"))
+      .select(col("src").as("ea"), col("dst").as("eb"))
+      .join(perEdge, Seq("ea", "eb"), "left")
+      .join(deg.select(col("node").as("ea"), col("d").as("du")), "ea")
+      .join(deg.select(col("node").as("eb"), col("d").as("dv")), "eb")
+      .select(col("ea").as("u"), col("eb").as("v"),
+        col("du"), col("dv"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        expr("coalesce(tri, CAST(0 AS BIGINT)) * 1000000 " +
+          "DIV (du + dv - coalesce(tri, CAST(0 AS BIGINT)))").as("jaccard_e6"))
+      .orderBy(col("jaccard_e6").desc, col("u"), col("v"))
+      .limit(k)
   }
 
   /** k-core peeling (Seidman 1983), synchronous rounds: each round

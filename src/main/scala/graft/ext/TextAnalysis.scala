@@ -505,4 +505,47 @@ object TextAnalysis {
         .as("n_tags"),
       trim(regexp_replace(decoded, "\\s+", " ")).as("clean"))
   }
+
+  /** Moving-average type–token ratio (MATTR, Covington–McFall 2010) —
+    * the length-independent lexical-diversity score: plain TTR
+    * (distinct/total) collapses as documents grow (Zipf guarantees
+    * repeats), so corpus-quality screens that threshold raw TTR
+    * systematically punish LONG documents. MATTR slides a fixed
+    * `window` over the token sequence (stride 1) and averages the
+    * per-window TTR; a doc shorter than the window scores its single
+    * full-length window (= its plain TTR).
+    *
+    * Exact integer contract: `mattr_permille =
+    * (Σ_i distinct(window_i)) · 1000 DIV (n_windows · window_len)` —
+    * the mean numerator/denominator kept as exact BIGINTs and divided
+    * once, so both engines agree bit-for-bit. Tokens are the
+    * index-tokenizer relation ([[graft.text.Tokenizer.tokensCol]] ↔
+    * the shared `ducktokens` oracle form).
+    *
+    * Scale shape: pure IN-ROW kernel — per doc O(n·window) slice +
+    * distinct work inside a fold, zero Exchange before the final
+    * ORDER BY; the corpus text never shuffles. (A last-seen-index
+    * O(n) sliding kernel is the compiled upgrade if the window ever
+    * grows hot — the Zipf-bounded fixture makes the HOF form cheap.)
+    */
+  def mattr(docs: DataFrame, textCol: String, idCol: String = "doc_id",
+      window: Int = 25): DataFrame = {
+    val ts = graft.text.Tokenizer.tokensCol(col(textCol))
+    docs
+      .select(col(idCol), ts.as("__ts"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("__wl", least(lit(window.toLong), col("__n")))
+      .withColumn("__nw", col("__n") - col("__wl") + 1L)
+      .withColumn("__dsum", expr(
+        s"""aggregate(sequence(1L, __nw), CAST(0 AS BIGINT),
+           |  (acc, i) -> acc + size(array_distinct(
+           |    slice(__ts, CAST(i AS INT), CAST(__wl AS INT)))),
+           |  acc -> acc)""".stripMargin))
+      .select(col(idCol), col("__n").as("n_tokens"),
+        col("__nw").as("n_windows"),
+        expr("__dsum * 1000 DIV (__nw * __wl)").as("mattr_permille"),
+        expr("CAST(size(array_distinct(__ts)) AS BIGINT) * 1000 DIV __n")
+          .as("ttr_permille"))
+  }
 }

@@ -1316,6 +1316,21 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("kn_avg_nll_e6") == expected / 4)
   }
 
+  test("mattr: hand-computed sliding windows; short doc = plain TTR; empty filtered") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a b"), // n=6, window 3 → 4 windows, each 2 distinct
+      (2L, "x"),           // shorter than window → single full window
+      (3L, "")             // no tokens → absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.mattr(d, "text", window = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 4L, 666L, 333L),  // mattr = 8·1000 DIV 12; ttr = 2000 DIV 6
+      (2L, 1L, 1L, 1000L, 1000L)))
+  }
+
   test("readability: hand-counted words, sentences, vowel-group syllables") {
     import spark.implicits._
     // "the table. it works! really?" → W=5, S=3 ([.][!][?]),

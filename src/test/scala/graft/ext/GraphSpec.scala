@@ -136,6 +136,22 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kcore(edges, k = 3, rounds = 2).count() == 0L)
   }
 
+  test("edgeStructuralSim: diamond — per-edge triangle credit and exact jaccard") {
+    // diamond a-b, a-c, b-c, b-d, c-d (no a-d): triangles (a,b,c),(b,c,d).
+    // tri per edge: b-c carries 2 (both), the other four carry 1 each.
+    // jaccard_e6: b-c = 2e6/(3+3-2) = 500000; a-b = 1e6/(2+3-1) = 250000 …
+    val edges = sym(Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")))
+    val rows = Graph.edgeStructuralSim(edges, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      ("b", "c", 3L, 3L, 2L, 500000L),
+      ("a", "b", 2L, 3L, 1L, 250000L),
+      ("a", "c", 2L, 3L, 1L, 250000L),
+      ("b", "d", 3L, 2L, 1L, 250000L),
+      ("c", "d", 3L, 2L, 1L, 250000L)))
+  }
+
   test("bfsFromHubs: two hubs, min-hub tie at equal distance, unreachable absent") {
     // hub "a" (deg 4: 1,2,3,4) and hub "b" (deg 3: 4,5,6) with 4
     // adjacent to BOTH; isolated pair (x,y) below the hub threshold.
