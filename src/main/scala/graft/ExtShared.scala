@@ -203,6 +203,19 @@ private[graft] object ExtShared {
         "l_orderkey", "l_partkey").persist()
     })
 
+  // The triangle closure over the co-purchase graph — the shared
+  // build artifact behind x_graph_triangles AND x_graph_edgesim (one
+  // degree-oriented enumeration per scale dir, eagerly checkpointed
+  // inside triangleClosure; the dedup-pair-artifact lifecycle).
+  private[graft] val triClosureCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ext.Graph.TriangleClosure]
+  private[graft] def copurchaseTriangleClosure(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): graft.ext.Graph.TriangleClosure =
+    triClosureCache.getOrElseUpdate(sfDir,
+      graft.ext.Graph.triangleClosure(copurchaseEdges(spark, sfDir),
+        edgesDistinct = true))
+
   // shared oracle CTE for the same graph
   private[graft] val copurchaseCte: String =
     """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -620,8 +620,7 @@ private[graft] object ExtTextQueries {
     QueryDef("x_graph_triangles",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        Graph.triangleStats(copurchaseEdges(spark, sfDir),
-          edgesDistinct = true)
+        Graph.triangleStatsFrom(copurchaseTriangleClosure(spark, sfDir))
           .withColumnRenamed("node", "part")
           .orderBy("part")
       },
@@ -746,8 +745,8 @@ private[graft] object ExtTextQueries {
     QueryDef("x_graph_edgesim",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        Graph.edgeStructuralSim(copurchaseEdges(spark, sfDir), k = 500,
-          edgesDistinct = true)
+        Graph.edgeStructuralSimFrom(
+          copurchaseTriangleClosure(spark, sfDir), k = 500)
       },
       Some(
         s"""WITH $copurchaseCte,

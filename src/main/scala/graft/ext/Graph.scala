@@ -171,7 +171,24 @@ object Graph {
     * point, bit-identical in any engine.
     */
   def triangleStats(edges: DataFrame,
-      edgesDistinct: Boolean = false): DataFrame = {
+      edgesDistinct: Boolean = false): DataFrame =
+    triangleStatsFrom(triangleClosure(edges, edgesDistinct))
+
+  /** The shared triangle BUILD artifact: the distinct edge relation,
+    * per-node degrees, and the enumerated closure (u, v, ws) — one
+    * (base edge, closing-vertices array) row per oriented edge with a
+    * non-empty intersection. [[triangleStatsFrom]] and
+    * [[edgeStructuralSimFrom]] both consume it, so a pipeline that
+    * wants node stats AND edge similarities pays the enumeration ONCE
+    * (the dedup-pair-artifact lifecycle — at 100 TB the closure is a
+    * persisted product of the graph build, not a per-query cost).
+    * All three frames are eagerly checkpointed.
+    */
+  final case class TriangleClosure(edges: DataFrame, deg: DataFrame,
+      tri: DataFrame)
+
+  def triangleClosure(edges: DataFrame,
+      edgesDistinct: Boolean = false): TriangleClosure = {
     // edgesDistinct: same contract as [[kcore]] — the caller asserts a
     // duplicate-free edge relation, skipping the defensive distinct's
     // full-relation shuffle (the persisted artifact case)
@@ -226,6 +243,13 @@ object Graph {
           col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
       .localCheckpoint(true)
+    TriangleClosure(e, deg, tri)
+  }
+
+  /** Per-node rollup over a prebuilt [[TriangleClosure]]. */
+  def triangleStatsFrom(tc: TriangleClosure): DataFrame = {
+    val deg = tc.deg
+    val tri = tc.tri
     // per-node credit: the found triangle (u, v, w) counts once for
     // each corner — u and v per closing w, each w once
     val perNode = tri.select(col("u").as("node"),
@@ -265,28 +289,14 @@ object Graph {
     * global sort materialization.
     */
   def edgeStructuralSim(edges: DataFrame, k: Int,
-      edgesDistinct: Boolean = false): DataFrame = {
-    val e = if (edgesDistinct) edges.select("src", "dst")
-      else edges.select("src", "dst").distinct()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
-    val oe = e
-      .join(deg.select(col("node").as("src"), col("d").as("du")), "src")
-      .join(deg.select(col("node").as("dst"), col("d").as("dv")), "dst")
-      .filter(col("du") < col("dv") ||
-        (col("du") === col("dv") && col("src") < col("dst")))
-      .select(col("src").as("u"), col("dst").as("v"))
-    graft.functions.IntersectFunctions.register(edges.sparkSession)
-    val adj = oe.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nbrs")).localCheckpoint(true)
-    val tri = adj
-      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
-      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-      .select(col("u"), col("v"),
-        graft.functions.IntersectFunctions.sorted_intersect(
-          col("nu"), col("nv")).as("ws"))
-      .filter(size(col("ws")) > 0)
-      .localCheckpoint(true)
+      edgesDistinct: Boolean = false): DataFrame =
+    edgeStructuralSimFrom(triangleClosure(edges, edgesDistinct), k)
+
+  /** Edge-similarity rollup over a prebuilt [[TriangleClosure]]. */
+  def edgeStructuralSimFrom(tc: TriangleClosure, k: Int): DataFrame = {
+    val e = tc.edges
+    val deg = tc.deg
+    val tri = tc.tri
     // each triangle (u,v,w) credits its three edges, normalized to
     // (min, max) so the undirected edge keys one row
     def norm(a: Column, b: Column, c: Column) =
