@@ -163,6 +163,23 @@ class PlanSpec extends AnyFunSuite {
     assert(windowNodes(df) == 0, s"containment grew a window:\n$p")
   }
 
+  test("edgesim rollup: no cartesian, no window, k-bounded TakeOrdered finish") {
+    // the rollup over the closure artifact must stay hash-join shaped
+    // (triangle credits keyed by (ea, eb)) and finish with a k-bounded
+    // TakeOrdered — a global Sort materialization here means the top-k
+    // regressed to sorting every edge
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("b", "c"), ("c", "b")).toDF("src", "dst")
+    val df = graft.ext.Graph.edgeStructuralSim(edges, k = 10)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"edgesim grew an unblocked pair join:\n$p")
+    assert(windowNodes(df) == 0, s"edgesim grew a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"edgesim lost the k-bounded top-k finish:\n$p")
+  }
+
   test("collocations: top-k heap, broadcast joins, persisted aggs scanned not rebuilt") {
     val df = graft.ext.TextAnalysis.collocations(docs, "text")
     val p = planOf(df)
