@@ -64,7 +64,14 @@ object Bench {
     // >2 is a diagnostic regime (JIT warm-up curves via
     // SPARK_GRAFT_TRACE); committed cuts use the default so
     // round-over-round numbers stay comparable. Stamped in `regime`.
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map { s =>
+      val n = try s.toInt catch {
+        case _: NumberFormatException =>
+          sys.error(s"SPARK_GRAFT_RUNS must be a positive integer, got '$s'")
+      }
+      require(n >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $n")
+      n
+    }.getOrElse(2)
 
     val setup = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (only.isEmpty) {
@@ -188,7 +195,16 @@ object Bench {
     val regimeJson = {
       val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"")
         .mkString("[", ",", "]")).getOrElse("null")
-      f"""{"heap_gb":${Runtime.getRuntime.maxMemory / 1e9}%.2f,"cpus":$cpus,"tmpdir":"${System.getProperty("java.io.tmpdir")}","max_partition_bytes":${spark.conf.get("spark.sql.files.maxPartitionBytes")},"cached_rdds":${stEnd.length},"cached_mem_gb":${stEnd.map(_.memSize).sum / 1e9}%.2f,"cached_disk_gb":${stEnd.map(_.diskSize).sum / 1e9}%.2f,"only":$onlyJson}"""
+      // quoted (ADVICE r11): Spark accepts byte-suffixed settings
+      // ("512k") which are valid config but not valid bare JSON
+      val mpb = "\"" + spark.conf.get("spark.sql.files.maxPartitionBytes") + "\""
+      // host load average at cut end (VERDICT r11 item 2): the
+      // contention axis that made the triangle kernel's 12.0-vs-26.8 s
+      // spread a prose argument — now machine-readable per artifact.
+      // -1.0 when the platform doesn't expose it.
+      val loadAvg = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      f"""{"heap_gb":${Runtime.getRuntime.maxMemory / 1e9}%.2f,"cpus":$cpus,"tmpdir":"${System.getProperty("java.io.tmpdir")}","max_partition_bytes":$mpb,"load_avg":$loadAvg%.2f,"cached_rdds":${stEnd.length},"cached_mem_gb":${stEnd.map(_.memSize).sum / 1e9}%.2f,"cached_disk_gb":${stEnd.map(_.diskSize).sum / 1e9}%.2f,"only":$onlyJson}"""
     }
     val total = results.values.sum
     val contrastTotal = contrastResults.values.sum

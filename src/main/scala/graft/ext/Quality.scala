@@ -972,6 +972,14 @@ object Quality {
     *
     * Signals (each an exact per-row integer, oracle-identical):
     * n_chars, whitespace-token count, distinct-token permille.
+    *
+    * EAGER at construction (ADVICE r11): the histogram pass RUNS as a
+    * Spark job inside this call — the percentile tables are frozen
+    * against the input as of now, so the returned plan does NOT
+    * recompute cutoffs if the input changes before execution, and
+    * construction itself can block or throw. This is the repo's
+    * bounded-collect artifact convention (codebooks, LSH planes,
+    * histogram tables build eagerly; the plan consumes the artifact).
     */
   def percentileEnsemble(docs: DataFrame, textCol: String,
       idCol: String = "doc_id"): DataFrame = {

@@ -136,6 +136,27 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kcore(edges, k = 3, rounds = 2).count() == 0L)
   }
 
+  test("kcoreRun: round-cap hit emits residual state, not an exception") {
+    // a 140-node path peels 2 endpoints per round at k=2, so the
+    // 64-round hard cap leaves a 12-node residual (the true 2-core is
+    // EMPTY) — the capped path must hand back the partial state with
+    // converged=false (VERDICT r11 item 6), never throw.
+    val path = sym((0 until 139).map(i => (f"n$i%03d", f"n${i + 1}%03d")))
+    val run = Graph.kcoreRun(path, k = 2, rounds = 1)
+    assert(!run.converged)
+    assert(run.roundsUsed == 64)
+    val residual = run.state.collect().map(r => r.getString(0)).sorted
+    // rounds peel symmetrically from both ends: survivors are the
+    // middle 140 - 2*64 = 12 nodes, each with residual degree ≥ 1
+    assert(residual.length == 12)
+    assert(residual.head == "n064" && residual.last == "n075")
+    // the converged path still reports converged and the same relation
+    val tri = sym(Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val ok = Graph.kcoreRun(tri, k = 2, rounds = 2)
+    assert(ok.converged && ok.roundsUsed <= 2)
+    assert(ok.state.count() == 3L)
+  }
+
   test("edgeStructuralSim: diamond — per-edge triangle credit and exact jaccard") {
     // diamond a-b, a-c, b-c, b-d, c-d (no a-d): triangles (a,b,c),(b,c,d).
     // tri per edge: b-c carries 2 (both), the other four carry 1 each.

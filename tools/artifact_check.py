@@ -68,19 +68,30 @@ def main():
             if not isinstance(obj, dict) or not obj:
                 bad.append(f"{name}: empty correctness map")
     # Citation resolution: prose-cited artifact filenames must be
-    # committed files (tracked in git — working-tree-only is exactly
-    # the failure mode this guards against).
-    tracked = set(subprocess.check_output(
-        ["git", "ls-files"], text=True).split())
+    # committed files. In --head mode both the prose CONTENT and the
+    # tracked set come from HEAD (ADVICE r11: reading working-tree
+    # prose against the index meant the gate could pass/fail on
+    # uncommitted edits despite --head meaning "what the judge sees").
+    head_mode = "--head" in sys.argv
+    if head_mode:
+        tracked = set(subprocess.check_output(
+            ["git", "ls-tree", "-r", "--name-only", "HEAD"], text=True).split())
+    else:
+        tracked = set(subprocess.check_output(
+            ["git", "ls-files"], text=True).split())
     prose = sorted(n for n in tracked
                    if re.fullmatch(r"(PLANS|NOTES)_r\d+\.md", n))
     cite_re = re.compile(r"\b((?:BENCH|CORRECTNESS)_[A-Za-z0-9_.]*?\.json)\b")
     for n in prose:
-        try:
-            with open(n, encoding="utf-8") as f:
-                text = f.read()
-        except FileNotFoundError:
-            continue  # tracked but deleted in tree; blobs checked at HEAD
+        if head_mode:
+            text = subprocess.check_output(
+                ["git", "show", f"HEAD:{n}"], text=True)
+        else:
+            try:
+                with open(n, encoding="utf-8") as f:
+                    text = f.read()
+            except FileNotFoundError:
+                continue  # tracked but deleted in tree
         for cited in sorted(set(cite_re.findall(text))):
             if cited not in tracked:
                 bad.append(f"{n}: cites {cited}, which is not a committed file")
