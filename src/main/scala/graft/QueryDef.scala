@@ -19,7 +19,15 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    contrast: Boolean = false
+    contrast: Boolean = false,
+    /** `fn` executes a real Structured Streaming job and returns a
+      * sink read — plan-shape sweeps must skip it (the returned frame
+      * is a trivial memory/parquet scan, and planning it would run
+      * the full streaming job). Derived here instead of a hand-list
+      * in PlanSpec (VERDICT r11 item 3: the hand-list drifted and
+      * five twins silently executed full jobs inside the sweep).
+      */
+    streaming: Boolean = false
 )
 
 object QueryDef {
