@@ -566,6 +566,37 @@ private[graft] object ExtPipeQueries {
           |FROM ranked WHERE sample_rank <= 20
           |ORDER BY lang, sample_rank""".stripMargin)),
 
+    // Weighted sampling without replacement (A-ES exponential-keys,
+    // log-free integer surrogate): fixed-size draw with odds ∝ per-doc
+    // weight (n_chars as the quality-weight stand-in) — rank =
+    // hash(id) on [0,2^40) DIV weight, bottom-k via ONE global
+    // TopKDesc bounded aggregate (map-side k-heaps → single
+    // partitions·k-row exchange; no window, no global sort). The
+    // oracle re-runs the identical rank formula in SQL.
+    QueryDef("x_pipe_weighted_sample",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.weightedSample(spark.table("documents"),
+            greatest(col("n_chars"), lit(1L)), k = 200)
+          .orderBy("sample_rank")
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT doc_id, GREATEST(n_chars, 1) AS w,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          |           % 1099511627776 AS hh
+          |  FROM documents
+          |),
+          |ranked AS (
+          |  SELECT doc_id, w,
+          |         row_number() OVER (ORDER BY hh // w, doc_id) AS sample_rank
+          |  FROM h
+          |)
+          |SELECT doc_id, CAST(w AS BIGINT) AS weight,
+          |       CAST(sample_rank AS BIGINT) AS sample_rank
+          |FROM ranked WHERE sample_rank <= 200
+          |ORDER BY sample_rank""".stripMargin)),
+
     // Blocklist screen: in-row token filter against an inlined term
     // set — pure map, no join, no shuffle.
     QueryDef("x_pipe_blocklist",

@@ -779,11 +779,27 @@ private[graft] object ExtTextQueries {
     QueryDef("x_text_mattr",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        TextAnalysis.mattr(spark.table("documents"), "text", window = 25)
+        // long-document augmentation (VERDICT r11 item 4): the fixture
+        // is Zipf-BOUNDED (few docs longer than the window), so every
+        // 13th doc also appears 8×-repeated — n_tokens ≫ window — and
+        // the sliding-window term is exercised by the ORACLE, not just
+        // the unit fixture. Same doc-id offset convention as augDocs.
+        val docs = spark.table("documents").select("doc_id", "text")
+        val longDocs = docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", array_repeat(col("text"), 8)).as("text"))
+        TextAnalysis.mattr(docs.unionByName(longDocs), "text", window = 25)
           .orderBy("doc_id")
       },
       Some(
-        s"""WITH toks AS (SELECT doc_id, ${ducktokens("text")} AS ts FROM documents),
+        s"""WITH docs2 AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |         repeat(coalesce(text, '') || ' ', 8) AS text
+           |  FROM documents WHERE doc_id % 13 = 0
+           |),
+           |toks AS (SELECT doc_id, ${ducktokens("text")} AS ts FROM docs2),
            |base AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
            |w AS (
            |  SELECT doc_id, ts, n, LEAST(25, n) AS wl,

@@ -465,6 +465,50 @@ object Pipeline {
         (col("__cum") - col("n_tokens")).as("token_offset"))
   }
 
+  /** Weighted sampling WITHOUT replacement (fixed size k, per-doc
+    * weights) — how quality-score-weighted corpus selection actually
+    * ships: "draw 10M docs, a doc's chance ∝ its quality weight". The
+    * A-ES / exponential-keys family (Efraimidis–Spirakis 2006: key =
+    * u^(1/w), top-k): this is its deterministic log-free integer
+    * surrogate — key = h DIV w with h a portable uniform hash of the
+    * id on [0, 2^40) — bottom-k by key is the weighted draw (selection
+    * odds scale with w; heavier docs hash to proportionally smaller
+    * keys), exactly the rank formula the oracle re-runs in SQL.
+    * Content-independent and reshuffle-proof: the draw depends only on
+    * (id, weight), never on partitioning or arrival order.
+    *
+    * Scale shape: one in-row map (hash, DIV) + ONE global
+    * [[graft.functions.TopKDesc]] bounded aggregate — map-side k-heaps
+    * cut every partition to ≤ k rows before the single exchange, so
+    * the reducer merges partitions·k heap entries, not the corpus
+    * (the classic distributed top-k; no window, no global sort).
+    * 2^40 hash resolution keeps every rank exact in the aggregate's
+    * double score (< 2^53) while leaving ~10^8 distinct ranks per
+    * unit weight.
+    *
+    * Weights must be ≥ 1 (clamped); ties (equal rank) break id ASC
+    * via the type-aware order-preserving tie key.
+    */
+  def weightedSample(docs: DataFrame, weightCol: Column,
+      idCol: String = "doc_id", k: Int = 200): DataFrame = {
+    graft.functions.TopKFunctions.register(docs.sparkSession)
+    val h = pmod(Dedup.portableHash(col(idCol).cast("string")),
+      lit(1099511627776L)) // 2^40
+    docs
+      .select(col(idCol), greatest(weightCol.cast("long"), lit(1L)).as("weight"),
+        h.as("__h"))
+      .withColumn("__rnk", expr("__h DIV weight"))
+      .groupBy()
+      .agg(graft.functions.TopKFunctions.topk_desc(
+        -col("__rnk").cast("double"),
+        graft.functions.TopKFunctions.tieKey(col(idCol),
+          docs.schema(idCol).dataType),
+        struct(col(idCol), col("weight")), k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__r", "__s")))
+      .select(col(s"__s.$idCol").as(idCol), col("__s.weight").as("weight"),
+        (col("__r") + 1).cast("long").as("sample_rank"))
+  }
+
   /** BPE merge learning (Sennrich et al.) — tokenizer training as
     * relational algebra. The key scale property: BPE trains on the
     * WORD-FREQUENCY table, not the corpus — the corpus is touched

@@ -522,14 +522,36 @@ object TextAnalysis {
     * index-tokenizer relation ([[graft.text.Tokenizer.tokensCol]] ↔
     * the shared `ducktokens` oracle form).
     *
-    * Scale shape: pure IN-ROW kernel — per doc O(n·window) slice +
-    * distinct work inside a fold, zero Exchange before the final
-    * ORDER BY; the corpus text never shuffles. (A last-seen-index
-    * O(n) sliding kernel is the compiled upgrade if the window ever
-    * grows hot — the Zipf-bounded fixture makes the HOF form cheap.)
+    * Scale shape: pure IN-ROW kernel, zero Exchange before the final
+    * ORDER BY; the corpus text never shuffles. The window sum runs in
+    * the compiled O(n) last-seen-index kernel
+    * ([[graft.functions.MattrStats]] — VERDICT r11 item 4: the HOF
+    * fold re-ran `array_distinct(slice(...))` per window position,
+    * O(n·window) per doc); [[mattrFold]] retains the fold form as the
+    * parity witness (ExtSpec pins value-equality on long docs).
     */
   def mattr(docs: DataFrame, textCol: String, idCol: String = "doc_id",
       window: Int = 25): DataFrame = {
+    graft.functions.MattrFunctions.register(docs.sparkSession)
+    val ts = graft.text.Tokenizer.tokensCol(col(textCol))
+    docs
+      .select(col(idCol),
+        graft.functions.MattrFunctions.mattr_stats_e(ts, window).as("__s"))
+      .filter(col("__s.n_tokens") > 0)
+      .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
+        col("__s.n_windows").as("n_windows"),
+        expr("__s.dsum * 1000 DIV (__s.n_windows * " +
+          "least(CAST(" + window + " AS BIGINT), __s.n_tokens))")
+          .as("mattr_permille"),
+        expr("__s.n_distinct * 1000 DIV __s.n_tokens").as("ttr_permille"))
+  }
+
+  /** The original HOF-fold MATTR (O(n·window) per document) — kept as
+    * the independent parity witness for the compiled kernel: same
+    * relation, same exact-BIGINT contract, different algorithm.
+    */
+  private[graft] def mattrFold(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id", window: Int = 25): DataFrame = {
     val ts = graft.text.Tokenizer.tokensCol(col(textCol))
     docs
       .select(col(idCol), ts.as("__ts"))

@@ -1331,6 +1331,53 @@ class ExtSpec extends AnyFunSuite {
       (2L, 1L, 1L, 1000L, 1000L)))
   }
 
+  test("mattr: compiled O(n) kernel == HOF fold on long docs (value parity)") {
+    import spark.implicits._
+    // randomized long docs (n ≫ window, small alphabet → heavy repeats
+    // at every window offset) + the degenerate shapes; seeded, so the
+    // case is reproducible. The fold is the independent witness: same
+    // contract, O(n·window) algorithm.
+    val rng = new scala.util.Random(20260815L)
+    val alphabet = Vector("a", "b", "c", "d", "aa", "bb", "x9", "the")
+    val docs = (1L to 40L).map { i =>
+      val n = 1 + rng.nextInt(400) // up to 16× the window
+      (i, Seq.fill(n)(alphabet(rng.nextInt(alphabet.length))).mkString(" "))
+    } ++ Seq((98L, "solo"), (99L, ""))
+    val d = docs.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val kernel = rows(TextAnalysis.mattr(d, "text", window = 25))
+    val fold = rows(TextAnalysis.mattrFold(d, "text", window = 25))
+    assert(kernel.nonEmpty && kernel == fold)
+  }
+
+  test("weightedSample: odds track weights; fixed size; reshuffle-proof") {
+    import spark.implicits._
+    // 4000 docs, half weight 400 / half weight 100 — the expected draw
+    // composition for rank = h DIV w bottom-k is ∝ group weight mass:
+    // 400·(2000·400)/(2000·500) = 320 heavy vs 80 light. The hash is
+    // fixed, so the observed counts are DETERMINISTIC; the wide bounds
+    // only document how much surrogate-vs-ideal slack we accept.
+    val docs = (1L to 4000L)
+      .map(i => (i, if (i % 2 == 0) 400L else 100L)).toDF("doc_id", "w")
+    val out = graft.ext.Pipeline.weightedSample(docs, col("w"), k = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 400)
+    assert(out.map(_._3).toSeq == (1L to 400L)) // dense ranks, no gaps
+    val heavy = out.count(_._2 == 400L)
+    val light = out.length - heavy
+    assert(heavy > 3 * light, s"heavy=$heavy light=$light — odds lost the weight")
+    assert(heavy >= 280 && heavy <= 360, s"heavy=$heavy outside ∝-band")
+    // reshuffle-proof: a different physical layout draws the same sample
+    val re = graft.ext.Pipeline.weightedSample(
+        docs.repartition(13, col("w")), col("w"), k = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.sortBy(_._3).toSeq == out.sortBy(_._3).toSeq)
+    // without-replacement: ids are unique
+    assert(out.map(_._1).distinct.length == 400)
+  }
+
   test("readability: hand-counted words, sentences, vowel-group syllables") {
     import spark.implicits._
     // "the table. it works! really?" → W=5, S=3 ([.][!][?]),
