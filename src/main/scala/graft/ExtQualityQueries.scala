@@ -12,6 +12,42 @@ private[graft] object ExtQualityQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Per-source χ² domain-drift audit: each source's unigram
+    // distribution vs the corpus, Pearson χ² in e6 fixed point —
+    // rational (no transcendental to pin), so every step is integer
+    // DIV and engine-exact. ONE corpus pass; the grid completion and
+    // the divergence run on the Zipf-bounded sources × vocab relation.
+    QueryDef("x_quality_chisq_drift",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.chiSquareDrift(spark.table("documents"), "text", "source")
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH toks AS (
+           |  SELECT source AS src, unnest(${ducktokens("text")}) AS token
+           |  FROM documents
+           |),
+           |st AS (SELECT src, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+           |src_totals AS (SELECT src, sum(cnt) AS n_src FROM st GROUP BY 1),
+           |vocab AS (SELECT token, sum(cnt) AS cnt_t FROM st GROUP BY 1),
+           |tot AS (SELECT sum(cnt_t) AS n_total FROM vocab),
+           |grid AS (
+           |  SELECT s.src, s.n_src,
+           |         coalesce(x.cnt, 0) * 1000000 // s.n_src AS p_e6,
+           |         v.cnt_t * 1000000 // t.n_total AS q_e6
+           |  FROM src_totals s
+           |  CROSS JOIN vocab v
+           |  CROSS JOIN tot t
+           |  LEFT JOIN st x ON x.src = s.src AND x.token = v.token
+           |)
+           |SELECT src AS source,
+           |       CAST(max(n_src) AS BIGINT) AS n_tokens,
+           |       CAST(sum((p_e6 - q_e6) * (p_e6 - q_e6)
+           |                // greatest(q_e6, 1)) AS BIGINT) AS chisq_e6
+           |FROM grid GROUP BY src
+           |ORDER BY source""".stripMargin)),
+
     // Gopher-style repetition/boilerplate profile: entirely in-row
     // (scan → project, zero shuffle). Line metrics are degenerate on
     // this single-line corpus (n_lines=1, dup/bullet/ellipsis 0) but

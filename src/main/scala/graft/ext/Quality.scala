@@ -494,6 +494,70 @@ object Quality {
         expr("1000000000 * sum_cnt DIV (n_tokens * total)").as("commonness_e9"))
   }
 
+  /** Per-source χ² domain-drift audit — "which source's token
+    * distribution moved away from the corpus": for each `byCol` group,
+    * Pearson's χ² divergence of its unigram distribution p from the
+    * corpus distribution q, Σ_t (p_t − q_t)²/q_t — the drift/shift
+    * screen run before a new crawl shard ships (a spiking source means
+    * boilerplate injection, language drift, or a scraper bug).
+    *
+    * The rational, integer-exact companion to [[sourceUnigramKl]]:
+    * KL needs a transcendental (pinned to quantized nano-nats there)
+    * and, summing only over tokens the source HAS, misses the
+    * missing-token mass; χ² covers the full sources × vocab grid —
+    * the (0−q)²/q term charges a source for vocabulary it LACKS,
+    * which is exactly what a topic-collapsed scraper looks like.
+    * χ² is RATIONAL, so there is no transcendental to pin: with
+    * shares quantized to e6 fixed point (p_e6 = cnt·1e6 DIV n_src,
+    * q_e6 = cnt·1e6 DIV N) every step is integer and the result is
+    * bit-identical in any engine. Per-token contribution
+    * (p_e6−q_e6)² DIV max(q_e6, 1) sums in e6 (the max-1 guard keeps
+    * source-exclusive ultra-rare tokens — q_e6 = 0 at the
+    * quantization — finite and conservatively LARGE, the right
+    * direction for a drift alarm). Tokens a source LACKS contribute
+    * q_e6 (the (0−q)²/q term), so the grid is completed with a
+    * sources × vocab left join before the final agg.
+    *
+    * Scale shape: ONE corpus pass (explode → (source, token) count agg
+    * with map-side combine); everything after runs on the
+    * Zipf-bounded (sources × distinct-token) relation — corpus text
+    * never shuffles twice, and the grid completion is dimension-sized
+    * (|sources| · |vocab|), never corpus-sized. Overflow headroom:
+    * (p_e6−q_e6)² ≤ 1e12 per token, Σ over a 1e7-type vocab ≤ 1e19…
+    * bounded by vocab·1e12 — sum in BIGINT holds to ~9·10^6 tokens of
+    * maximal drift; real vocabularies at e6 quantization sit orders
+    * below.
+    */
+  def chiSquareDrift(docs: DataFrame, textCol: String,
+      byCol: String = "source"): DataFrame = {
+    val toks = graft.text.Tokenizer.tokensCol(col(textCol))
+    // one corpus pass: (source, token) counts — materialized once
+    // (localCheckpoint, the containment-verify convention: eager, and
+    // the Zipf-bounded relation is scanned by three consumers below
+    // instead of re-running the corpus explode per consumer)
+    val st = docs.select(col(byCol).as("src"), explode(toks).as("token"))
+      .groupBy("src", "token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val srcTotals = st.groupBy("src").agg(sum(col("cnt")).as("n_src"))
+    val vocab = st.groupBy("token").agg(sum(col("cnt")).as("cnt_t"))
+    val total = vocab.agg(sum(col("cnt_t")).as("n_total"))
+    // complete the grid: every (source, token) cell, missing counts = 0
+    // (srcTotals is |sources|-row — broadcast pinned so the grid is a
+    // BroadcastNestedLoopJoin over the vocab relation, never a
+    // CartesianProduct exchange)
+    val grid = broadcast(srcTotals).crossJoin(vocab)
+      .join(st, Seq("src", "token"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("src"), col("n_src"),
+        expr("coalesce(cnt, CAST(0 AS BIGINT)) * 1000000 DIV n_src").as("p_e6"),
+        expr("cnt_t * 1000000 DIV n_total").as("q_e6"))
+    grid
+      .groupBy(col("src").as(byCol))
+      .agg(max(col("n_src")).as("n_tokens"),
+        sum(expr("(p_e6 - q_e6) * (p_e6 - q_e6) DIV greatest(q_e6, CAST(1 AS BIGINT))"))
+          .as("chisq_e6"))
+  }
+
   /** Text normalization screen — the canonical first pass of any crawl
     * pipeline: Unicode NFC (composed/decomposed spellings unify —
     * codegen'd [[graft.functions.NfcExpression]]; DuckDB's

@@ -344,6 +344,19 @@ class QualitySpec extends AnyFunSuite {
     assert(s1 > 0 && s3 > 0) // KL ≥ 0; both diverge from the mix
   }
 
+  test("chiSquareDrift: hand-computed grid incl. missing-token mass") {
+    import spark.implicits._
+    // srcA "a a b": a=2,b=1,n=3; srcB "b c": b=1,c=1,n=2.
+    // corpus: a=2,b=2,c=1, N=5 → q_e6 = 400000/400000/200000.
+    // A: p_e6 = 666666/333333/0 → contribs 177776 + 11111 + 200000
+    //    (the c term is the MISSING-token (0−q)²/q mass KL can't see)
+    // B: p_e6 = 0/500000/500000 → contribs 400000 + 25000 + 450000
+    val d = Seq(("A", "a a b"), ("B", "b c")).toDF("source", "text")
+    val r = Quality.chiSquareDrift(d, "text", "source").orderBy("source")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("A", 3L, 388887L), ("B", 2L, 875000L)))
+  }
+
   test("pplBuckets: exact tercile cutoffs, ties land low") {
     import spark.implicits._
     // three distinct avg-NLL groups: "a b"×3 (common bigram, lowest
