@@ -761,6 +761,66 @@ private[graft] object ExtStreamQueries {
            |JOIN sizes sd ON sd.doc_id = delta_id
            |JOIN sizes sc ON sc.doc_id = corpus_id
            |WHERE sd.n_sh >= 10 AND shared * 1000 // sd.n_sh >= 800
-           |ORDER BY delta_id, corpus_id""".stripMargin))
+           |ORDER BY delta_id, corpus_id""".stripMargin)),
+
+    // Streaming weighted sampling without replacement — the RESERVOIR
+    // twin of x_pipe_weighted_sample (the A-ES family's classic
+    // streaming use): hold a fixed-size weighted draw of an unbounded
+    // ingest with state bounded by shards·k slots, not history. The
+    // deterministic rank (portable-hash DIV weight) makes the fold a
+    // SET fold — order/batching-independent — so the 2-micro-batch
+    // run converges to the batch draw and shares its oracle VERBATIM
+    // (one contract, three implementations: batch aggregate,
+    // streaming reservoir, SQL). Global bottom-k assembled from the
+    // ≤ shards·k final slots — the two-level distributed reservoir.
+    QueryDef("x_stream_weighted_sample",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val srcDir = multiFileSourceDir(spark, sfDir, "documents.parquet", 4)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2").parquet(srcDir)
+          .select(col("doc_id"),
+            greatest(col("n_chars"), lit(1L)).as("weight"))
+        val q = graft.streaming.IncrementalIndexer
+          .weightedSampleStream(spark, stream, k = 200, shards = 64)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_weighted_sample_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // final value per (shard, slot) = its max-n_seen emission;
+        // global bottom-k over the ≤ shards·k final slots
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard", "slot").orderBy(col("n_seen").desc)
+        val wg = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rank_key"), col("doc_id"))
+        spark.table("x_stream_weighted_sample_sink")
+          .withColumn("__rn", row_number().over(wf)).filter(col("__rn") === 1)
+          .withColumn("sample_rank", row_number().over(wg).cast("long"))
+          .filter(col("sample_rank") <= 200)
+          .select("doc_id", "weight", "sample_rank")
+          .orderBy("sample_rank")
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT doc_id, GREATEST(n_chars, 1) AS w,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          |           % 1099511627776 AS hh
+          |  FROM documents
+          |),
+          |ranked AS (
+          |  SELECT doc_id, w,
+          |         row_number() OVER (ORDER BY hh // w, doc_id) AS sample_rank
+          |  FROM h
+          |)
+          |SELECT doc_id, CAST(w AS BIGINT) AS weight,
+          |       CAST(sample_rank AS BIGINT) AS sample_rank
+          |FROM ranked WHERE sample_rank <= 200
+          |ORDER BY sample_rank""".stripMargin))
   )
 }

@@ -682,6 +682,70 @@ object IncrementalIndexer {
       }
   }
 
+  /** Streaming weighted sampling without replacement — the RESERVOIR
+    * form of [[graft.ext.Pipeline.weightedSample]], the classic A-ES
+    * streaming use: hold a fixed-size weighted sample of an unbounded
+    * ingest with state bounded by k, not history. Same deterministic
+    * rank contract as the batch operator (rank = portable-hash(id) on
+    * [0,2^40) DIV weight, bottom-k by (rank, id)); the rank depends
+    * only on (id, weight), so the fold is a SET fold — order- and
+    * batching-independent — and the streamed reservoir converges to
+    * the batch draw exactly (the oracle is the batch SQL verbatim).
+    *
+    * Distributed shape: docs shard by `id % shards`; each shard's
+    * state is its local bottom-k (≤ k (rank, id, weight) slots — the
+    * shard-local reservoir), and the global bottom-k is assembled
+    * from the ≤ shards·k final slots in the consumer — the standard
+    * two-level distributed reservoir; no single task ever sees the
+    * stream, and state is shards·k rows however long it runs. Each
+    * batch re-emits a shard's current slots with a monotone `n_seen`
+    * marker; final value per (shard, slot) = its max-n_seen emission.
+    */
+  final case class WSampleRow(shard: Long, slot: Long, rank_key: Long,
+      doc_id: Long, weight: Long, n_seen: Long)
+  final case class WSampleCarry(ranks: Array[Long], ids: Array[Long],
+      ws: Array[Long], n_seen: Long)
+
+  def weightedSampleStream(spark: SparkSession, docs: DataFrame,
+      k: Int, shards: Int = 64): Dataset[WSampleRow] = {
+    import spark.implicits._
+    val h = pmod(graft.ext.Dedup.portableHash(col("doc_id").cast("string")),
+      lit(1099511627776L)) // 2^40 — the batch operator's exact hash
+    docs
+      .select(col("doc_id").cast("long"),
+        greatest(col("weight").cast("long"), lit(1L)).as("weight"))
+      .withColumn("__h", h)
+      .select(col("doc_id"), col("weight"),
+        expr("__h DIV weight").as("rank_key"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1 % shards)
+      .flatMapGroupsWithState[WSampleCarry, WSampleRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { case (shard, rows, state) =>
+        val prev = state.getOption
+        // ascending (rank, id) working list, never longer than k
+        var keep = prev.map(p => p.ranks.lazyZip(p.ids).lazyZip(p.ws).toList)
+          .getOrElse(List.empty[(Long, Long, Long)])
+        var n = prev.map(_.n_seen).getOrElse(0L)
+        def beats(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+          a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+        rows.foreach { case (id, w, r) =>
+          n += 1
+          val it = (r, id, w)
+          if (keep.size < k || beats(it, keep.last)) {
+            val (better, worse) = keep.span(beats(_, it))
+            keep = (better ::: it :: worse).take(k)
+          }
+        }
+        val arr = keep.toArray
+        state.update(WSampleCarry(arr.map(_._1), arr.map(_._2),
+          arr.map(_._3), n))
+        arr.iterator.zipWithIndex.map { case ((r, id, w), i) =>
+          WSampleRow(shard, i + 1L, r, id, w, n)
+        }
+      }
+  }
+
   def userStates(spark: SparkSession, events: DataFrame): Dataset[UserEventState] = {
     import spark.implicits._
     events.select(col("user_id").cast("long"), col("event_id").cast("long"),

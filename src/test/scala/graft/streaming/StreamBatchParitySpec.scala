@@ -257,6 +257,39 @@ class StreamBatchParitySpec extends AnyFunSuite {
       "stream emissions != batch delta screen")
   }
 
+  test("weightedSampleStream == batch weightedSample on random weights") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd2 = new scala.util.Random(47)
+    // 600 docs, weights on a skewed grid (1..500) — ties in rank_key
+    // are possible by construction, exercising the (rank, id) order
+    val docs = (1L to 600L).map(i => (i, 1L + rnd2.nextInt(500)))
+    val batch = graft.ext.Pipeline.weightedSample(
+        docs.toDF("doc_id", "w"), col("w"), k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val stream = MemoryStream[(Long, Long)]
+    val q = IncrementalIndexer.weightedSampleStream(spark,
+        stream.toDF().toDF("doc_id", "weight"), k = 50, shards = 16)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("parity_wsample").start()
+    // 3 batches in id order — the fold is a set fold, any split works
+    docs.grouped(200).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "slot").orderBy(col("n_seen").desc)
+    val wg = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank_key"), col("doc_id"))
+    val got = spark.table("parity_wsample")
+      .withColumn("__rn", row_number().over(wf)).filter(col("__rn") === 1)
+      .withColumn("sample_rank", row_number().over(wg).cast("long"))
+      .filter(col("sample_rank") <= 50)
+      .select("doc_id", "weight", "sample_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._3)
+    assert(batch.nonEmpty && got == batch.sortBy(_._3),
+      "streamed reservoir != batch weighted draw")
+  }
+
   test("containmentStream == relational delta containment on planted supersets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
