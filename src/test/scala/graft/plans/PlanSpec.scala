@@ -534,6 +534,33 @@ class PlanSpec extends AnyFunSuite {
       Seq("delta_id", "corpus_id", "shared", "n_d", "n_c", "jaccard"))
   }
 
+  test("weighted sample: bounded-heap selection, ZERO window nodes") {
+    // the global fixed-size draw must come from map-side k-heaps (one
+    // partitions·k-row exchange to a single merge), never a global
+    // sort or a window over the corpus
+    Corpus.registerSources(spark, sfDir)
+    val df = graft.ext.Pipeline.weightedSample(
+      spark.table("documents"), greatest(col("n_chars"), lit(1L)), k = 200)
+    val p = planOf(df)
+    assert(windowNodes(df) == 0, s"weighted sample grew a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"weighted sample lost its bounded-heap aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("\nSort"),
+      s"weighted sample plans a sort/join it doesn't need:\n$p")
+  }
+
+  test("chi-square drift: sources side broadcast, no corpus re-shuffle") {
+    // everything downstream of the one corpus pass runs on the
+    // Zipf-bounded grid; the |sources|-row totals side must broadcast
+    Corpus.registerSources(spark, sfDir)
+    val df = graft.ext.Quality.chiSquareDrift(
+      spark.table("documents"), "text", "source")
+    val p = planOf(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"chisq grid lost the sources broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"chisq plans a cartesian:\n$p")
+  }
+
   test("knn graph: heap selection, ZERO window nodes") {
     // the graph-curation input relation: per-vector top-k must come
     // from partial heaps (map-side ≤ k rows per partition), never a
