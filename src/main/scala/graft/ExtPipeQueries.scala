@@ -597,6 +597,35 @@ private[graft] object ExtPipeQueries {
           |FROM ranked WHERE sample_rank <= 200
           |ORDER BY sample_rank""".stripMargin)),
 
+    // Per-group weighted draw — the multilingual form ("per language,
+    // k docs with odds ∝ weight"): same rank contract as the global
+    // draw, per-stratum bounded-heap selection (map-side heaps, skew-
+    // immune — a giant stratum costs O(partitions·k) reduce work).
+    QueryDef("x_pipe_weighted_stratified",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.weightedSampleByGroup(spark.table("documents"), "lang",
+            greatest(col("n_chars"), lit(1L)), k = 20)
+          .orderBy("lang", "sample_rank")
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT lang, doc_id, GREATEST(n_chars, 1) AS w,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          |           % 1099511627776 AS hh
+          |  FROM documents
+          |),
+          |ranked AS (
+          |  SELECT lang, doc_id, w,
+          |         row_number() OVER (PARTITION BY lang
+          |                            ORDER BY hh // w, doc_id) AS sample_rank
+          |  FROM h
+          |)
+          |SELECT lang, doc_id, CAST(w AS BIGINT) AS weight,
+          |       CAST(sample_rank AS BIGINT) AS sample_rank
+          |FROM ranked WHERE sample_rank <= 20
+          |ORDER BY lang, sample_rank""".stripMargin)),
+
     // Blocklist screen: in-row token filter against an inlined term
     // set — pure map, no join, no shuffle.
     QueryDef("x_pipe_blocklist",

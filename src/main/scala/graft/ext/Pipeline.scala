@@ -509,6 +509,37 @@ object Pipeline {
         (col("__r") + 1).cast("long").as("sample_rank"))
   }
 
+  /** Per-group [[weightedSample]] — the form multilingual corpus
+    * selection actually ships ("per language, draw k docs with odds ∝
+    * quality weight"): identical rank contract (portable-hash DIV
+    * weight, bottom-k by (rank, id)), selection per `byCol` stratum.
+    * Same scale shape as [[stratifiedSampleHeap]]: the bounded
+    * aggregate's map-side heaps cut each (stratum, partition) to ≤ k
+    * rows before the exchange, so a giant stratum costs
+    * O(partitions·k) reduce work, never a stratum sort — and the
+    * draw stays reshuffle-proof.
+    */
+  def weightedSampleByGroup(docs: DataFrame, byCol: String,
+      weightCol: Column, idCol: String = "doc_id", k: Int = 20): DataFrame = {
+    graft.functions.TopKFunctions.register(docs.sparkSession)
+    val h = pmod(Dedup.portableHash(col(idCol).cast("string")),
+      lit(1099511627776L)) // 2^40 — the global draw's exact hash
+    docs
+      .select(col(byCol), col(idCol),
+        greatest(weightCol.cast("long"), lit(1L)).as("weight"), h.as("__h"))
+      .withColumn("__rnk", expr("__h DIV weight"))
+      .groupBy(col(byCol))
+      .agg(graft.functions.TopKFunctions.topk_desc(
+        -col("__rnk").cast("double"),
+        graft.functions.TopKFunctions.tieKey(col(idCol),
+          docs.schema(idCol).dataType),
+        struct(col(idCol), col("weight")), k).as("__top"))
+      .select(col(byCol), posexplode(col("__top")).as(Seq("__r", "__s")))
+      .select(col(byCol), col(s"__s.$idCol").as(idCol),
+        col("__s.weight").as("weight"),
+        (col("__r") + 1).cast("long").as("sample_rank"))
+  }
+
   /** BPE merge learning (Sennrich et al.) — tokenizer training as
     * relational algebra. The key scale property: BPE trains on the
     * WORD-FREQUENCY table, not the corpus — the corpus is touched

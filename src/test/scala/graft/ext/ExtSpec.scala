@@ -1378,6 +1378,46 @@ class ExtSpec extends AnyFunSuite {
     assert(out.map(_._1).distinct.length == 400)
   }
 
+  test("weightedSample: selection is monotone in weight; grouped == per-group global") {
+    import spark.implicits._
+    // monotonicity: raising ONE doc's weight (others fixed) never
+    // evicts it and never worsens its rank — rank_key = h DIV w is
+    // non-increasing in w while every other key is unchanged. Checked
+    // on the seeded fixture by quadrupling the weight of the LAST
+    // currently-selected doc and of one unselected doc.
+    val docs = (1L to 1000L).map(i => (i, 1L + (i % 7) * 50L))
+    val base = graft.ext.Pipeline.weightedSample(
+        docs.toDF("doc_id", "w"), col("w"), k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val lastSelected = base.maxBy(_._2)._1
+    val unselected = (1L to 1000L).find(!base.contains(_)).get
+    def bumped(target: Long) = graft.ext.Pipeline.weightedSample(
+        docs.map { case (i, w) => (i, if (i == target) w * 4 else w) }
+          .toDF("doc_id", "w"), col("w"), k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val b1 = bumped(lastSelected)
+    assert(b1.contains(lastSelected) &&
+      b1(lastSelected) <= base(lastSelected),
+      "bumped selected doc lost ground")
+    val b2 = bumped(unselected)
+    assert(!b2.contains(unselected) ||
+      b2.keySet.intersect(base.keySet).size >= 99,
+      "bump of one doc displaced more than one selection")
+    // grouped draw == the global draw run per stratum (same contract)
+    val g = (1L to 1000L).map(i => (i, if (i % 2 == 0) "even" else "odd",
+      1L + (i % 7) * 50L))
+    val grouped = graft.ext.Pipeline.weightedSampleByGroup(
+        g.toDF("doc_id", "grp", "w"), "grp", col("w"), k = 30)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val perGroup = Seq("even", "odd").flatMap { grp =>
+      graft.ext.Pipeline.weightedSample(
+          g.filter(_._2 == grp).map(t => (t._1, t._3)).toDF("doc_id", "w"),
+          col("w"), k = 30)
+        .collect().map(r => (grp, r.getLong(0), r.getLong(2)))
+    }.toSet
+    assert(grouped == perGroup)
+  }
+
   test("readability: hand-counted words, sentences, vowel-group syllables") {
     import spark.implicits._
     // "the table. it works! really?" → W=5, S=3 ([.][!][?]),
