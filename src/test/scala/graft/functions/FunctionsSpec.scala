@@ -342,4 +342,35 @@ class FunctionsSpec extends AnyFunSuite {
         .collect()
     }
   }
+
+  test("MattrImpl: kernel == brute-force window distincts on random arrays") {
+    // unit-level randomized check against the DEFINITION (per-window
+    // array-distinct), independent of Spark plans: 300 random token
+    // arrays over a small alphabet (heavy repeats), windows 1..12,
+    // lengths 0..60 — covers n < w, n == w, empty, and all-same runs.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = Vector("a", "b", "c", "ab", "x")
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(61)
+      val w = 1 + rnd.nextInt(12)
+      val toks = Vector.fill(n)(alphabet(rnd.nextInt(alphabet.size)))
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val row = graft.functions.MattrImpl.compute(arr, w)
+      if (n == 0) {
+        assert(row.getLong(0) == 0L && row.getLong(1) == 0L &&
+          row.getLong(2) == 0L && row.getLong(3) == 0L)
+      } else {
+        val wl = math.min(w, n)
+        val windows = toks.sliding(wl).filter(_.size == wl).toVector
+        val dsum = windows.map(_.distinct.size.toLong).sum
+        assert(row.getLong(0) == n.toLong, s"n: $row")
+        assert(row.getLong(1) == windows.size.toLong, s"nw: n=$n w=$w $row")
+        assert(row.getLong(2) == dsum, s"dsum: n=$n w=$w toks=$toks $row")
+        assert(row.getLong(3) == toks.distinct.size.toLong, s"ndist: $row")
+      }
+    }
+  }
 }
