@@ -435,7 +435,7 @@ private[graft] object ExtStreamQueries {
     // per distinct digest, exactly the relation the batch DISTINCT
     // shuffles. Emitting only the digest makes the result a SET —
     // batch-equal under any batching/arrival order, so the REAL
-    // 4-micro-batch run checks against the plain batch DISTINCT.
+    // multi-batch run checks against the plain batch DISTINCT.
     // Production bounds state with dropDuplicatesWithinWatermark; the
     // unbounded form here IS the batch-equality contract. 2
     // micro-batches: cross-batch suppression is exercised at half the
@@ -793,17 +793,11 @@ private[graft] object ExtStreamQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        // final value per (shard, slot) = its max-n_seen emission;
-        // global bottom-k over the ≤ shards·k final slots
-        val wf = org.apache.spark.sql.expressions.Window
-          .partitionBy("shard", "slot").orderBy(col("n_seen").desc)
-        val wg = org.apache.spark.sql.expressions.Window
-          .orderBy(col("rank_key"), col("doc_id"))
-        spark.table("x_stream_weighted_sample_sink")
-          .withColumn("__rn", row_number().over(wf)).filter(col("__rn") === 1)
-          .withColumn("sample_rank", row_number().over(wg).cast("long"))
-          .filter(col("sample_rank") <= 200)
-          .select("doc_id", "weight", "sample_rank")
+        // ONE assembly contract (shared with the parity spec):
+        // max-n_seen snapshot per (shard, slot) → global bottom-k
+        graft.streaming.IncrementalIndexer
+          .weightedSampleFinalize(
+            spark.table("x_stream_weighted_sample_sink"), k = 200)
           .orderBy("sample_rank")
       },
       Some(

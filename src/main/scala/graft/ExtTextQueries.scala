@@ -783,10 +783,13 @@ private[graft] object ExtTextQueries {
         // is Zipf-BOUNDED (few docs longer than the window), so every
         // 13th doc also appears 8×-repeated — n_tokens ≫ window — and
         // the sliding-window term is exercised by the ORACLE, not just
-        // the unit fixture. Same doc-id offset convention as augDocs.
+        // the unit fixture. Offset 1e10: scale_gen.py replicates ids
+        // at +1e6·i, so a 1e6 offset would COLLIDE with replica-1's
+        // real ids at sf ≥ 2 (duplicate doc_id rows); 1e10 clears the
+        // replica id space to sf ~10000.
         val docs = spark.table("documents").select("doc_id", "text")
         val longDocs = docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + 10000000000L).as("doc_id"),
             concat_ws(" ", array_repeat(col("text"), 8)).as("text"))
         TextAnalysis.mattr(docs.unionByName(longDocs), "text", window = 25)
           .orderBy("doc_id")
@@ -795,7 +798,7 @@ private[graft] object ExtTextQueries {
         s"""WITH docs2 AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
-           |  SELECT doc_id + 1000000 AS doc_id,
+           |  SELECT doc_id + 10000000000 AS doc_id,
            |         repeat(coalesce(text, '') || ' ', 8) AS text
            |  FROM documents WHERE doc_id % 13 = 0
            |),

@@ -490,23 +490,34 @@ object Pipeline {
     * via the type-aware order-preserving tie key.
     */
   def weightedSample(docs: DataFrame, weightCol: Column,
-      idCol: String = "doc_id", k: Int = 200): DataFrame = {
+      idCol: String = "doc_id", k: Int = 200): DataFrame =
+    weightedDraw(docs, Nil, weightCol, idCol, k)
+
+  /** The one weighted-draw implementation behind [[weightedSample]]
+    * (no grouping keys) and [[weightedSampleByGroup]] (one key) — the
+    * "identical rank contract" between the global and per-stratum
+    * forms is structural, not a convention to keep in sync.
+    */
+  private def weightedDraw(docs: DataFrame, groupCols: Seq[Column],
+      weightCol: Column, idCol: String, k: Int): DataFrame = {
     graft.functions.TopKFunctions.register(docs.sparkSession)
     val h = pmod(Dedup.portableHash(col(idCol).cast("string")),
-      lit(1099511627776L)) // 2^40
+      lit(1099511627776L)) // 2^40 — rank stays exact in a double score
     docs
-      .select(col(idCol), greatest(weightCol.cast("long"), lit(1L)).as("weight"),
-        h.as("__h"))
+      .select(groupCols ++ Seq(col(idCol),
+        greatest(weightCol.cast("long"), lit(1L)).as("weight"),
+        h.as("__h")): _*)
       .withColumn("__rnk", expr("__h DIV weight"))
-      .groupBy()
+      .groupBy(groupCols: _*)
       .agg(graft.functions.TopKFunctions.topk_desc(
         -col("__rnk").cast("double"),
         graft.functions.TopKFunctions.tieKey(col(idCol),
           docs.schema(idCol).dataType),
         struct(col(idCol), col("weight")), k).as("__top"))
-      .select(posexplode(col("__top")).as(Seq("__r", "__s")))
-      .select(col(s"__s.$idCol").as(idCol), col("__s.weight").as("weight"),
-        (col("__r") + 1).cast("long").as("sample_rank"))
+      .select(groupCols :+ posexplode(col("__top")).as(Seq("__r", "__s")): _*)
+      .select(groupCols ++ Seq(col(s"__s.$idCol").as(idCol),
+        col("__s.weight").as("weight"),
+        (col("__r") + 1).cast("long").as("sample_rank")): _*)
   }
 
   /** Per-group [[weightedSample]] — the form multilingual corpus
@@ -520,25 +531,8 @@ object Pipeline {
     * draw stays reshuffle-proof.
     */
   def weightedSampleByGroup(docs: DataFrame, byCol: String,
-      weightCol: Column, idCol: String = "doc_id", k: Int = 20): DataFrame = {
-    graft.functions.TopKFunctions.register(docs.sparkSession)
-    val h = pmod(Dedup.portableHash(col(idCol).cast("string")),
-      lit(1099511627776L)) // 2^40 — the global draw's exact hash
-    docs
-      .select(col(byCol), col(idCol),
-        greatest(weightCol.cast("long"), lit(1L)).as("weight"), h.as("__h"))
-      .withColumn("__rnk", expr("__h DIV weight"))
-      .groupBy(col(byCol))
-      .agg(graft.functions.TopKFunctions.topk_desc(
-        -col("__rnk").cast("double"),
-        graft.functions.TopKFunctions.tieKey(col(idCol),
-          docs.schema(idCol).dataType),
-        struct(col(idCol), col("weight")), k).as("__top"))
-      .select(col(byCol), posexplode(col("__top")).as(Seq("__r", "__s")))
-      .select(col(byCol), col(s"__s.$idCol").as(idCol),
-        col("__s.weight").as("weight"),
-        (col("__r") + 1).cast("long").as("sample_rank"))
-  }
+      weightCol: Column, idCol: String = "doc_id", k: Int = 20): DataFrame =
+    weightedDraw(docs, Seq(col(byCol)), weightCol, idCol, k)
 
   /** BPE merge learning (Sennrich et al.) — tokenizer training as
     * relational algebra. The key scale property: BPE trains on the

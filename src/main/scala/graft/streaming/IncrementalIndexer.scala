@@ -723,18 +723,26 @@ object IncrementalIndexer {
         org.apache.spark.sql.streaming.OutputMode.Update(),
         GroupStateTimeout.NoTimeout()) { case (shard, rows, state) =>
         val prev = state.getOption
-        // ascending (rank, id) working list, never longer than k
+        // ascending (rank, id) working list, never longer than k;
+        // size and the current worst tracked in vars so the common
+        // REJECT path (heap full, candidate loses) is O(1) per row —
+        // only accepted rows pay the O(k) ordered insert, and
+        // acceptance decays as the reservoir hardens
         var keep = prev.map(p => p.ranks.lazyZip(p.ids).lazyZip(p.ws).toList)
           .getOrElse(List.empty[(Long, Long, Long)])
+        var size = keep.size
+        var worst = if (keep.isEmpty) null else keep.last
         var n = prev.map(_.n_seen).getOrElse(0L)
         def beats(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
           a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
         rows.foreach { case (id, w, r) =>
           n += 1
           val it = (r, id, w)
-          if (keep.size < k || beats(it, keep.last)) {
+          if (size < k || beats(it, worst)) {
             val (better, worse) = keep.span(beats(_, it))
             keep = (better ::: it :: worse).take(k)
+            size = math.min(size + 1, k)
+            worst = keep.last
           }
         }
         val arr = keep.toArray
@@ -744,6 +752,29 @@ object IncrementalIndexer {
           WSampleRow(shard, i + 1L, r, id, w, n)
         }
       }
+  }
+
+  /** Assemble the FINAL global draw from a [[weightedSampleStream]]
+    * update-mode sink: final value per (shard, slot) = its max-n_seen
+    * emission (n_seen strictly increases and every invocation re-emits
+    * all current slots), then the global bottom-k over the ≤ shards·k
+    * final slots by the batch operator's exact order (rank_key, id).
+    * Lives HERE so the bench query and the parity spec consume ONE
+    * assembly contract instead of two copies.
+    */
+  def weightedSampleFinalize(sink: DataFrame, k: Int): DataFrame = {
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "slot").orderBy(col("n_seen").desc)
+    val wg = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank_key"), col("doc_id"))
+    sink
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(wf))
+      .filter(col("__rn") === 1)
+      .withColumn("sample_rank",
+        org.apache.spark.sql.functions.row_number().over(wg).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select("doc_id", "weight", "sample_rank")
   }
 
   def userStates(spark: SparkSession, events: DataFrame): Dataset[UserEventState] = {

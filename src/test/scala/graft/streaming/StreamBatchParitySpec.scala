@@ -275,15 +275,8 @@ class StreamBatchParitySpec extends AnyFunSuite {
     // 3 batches in id order — the fold is a set fold, any split works
     docs.grouped(200).foreach { b => stream.addData(b); q.processAllAvailable() }
     q.stop()
-    val wf = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard", "slot").orderBy(col("n_seen").desc)
-    val wg = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rank_key"), col("doc_id"))
-    val got = spark.table("parity_wsample")
-      .withColumn("__rn", row_number().over(wf)).filter(col("__rn") === 1)
-      .withColumn("sample_rank", row_number().over(wg).cast("long"))
-      .filter(col("sample_rank") <= 50)
-      .select("doc_id", "weight", "sample_rank")
+    val got = IncrementalIndexer
+      .weightedSampleFinalize(spark.table("parity_wsample"), k = 50)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       .sortBy(_._3)
     assert(batch.nonEmpty && got == batch.sortBy(_._3),
