@@ -4,7 +4,14 @@ import graft.core.Schema
 import graft.ext.{Dedup, Events, Pipeline, Quality, Similarity, TextAnalysis}
 import graft.index.IndexJob
 import org.apache.spark.sql.functions._
-/** Structured-Streaming family: the streaming twins (merge, user-state, dedup, sessions, rolling, funnel, as-of, and the stateless contamination screen) checked against their batch oracles.
+/** Structured-Streaming family: 19 streaming twins checked against
+  * their batch oracles — custom per-key state (user-state, dedup,
+  * sessions, threads, rolling, funnel, as-of, top-k), the built-in
+  * stateful classes (windowed agg in exact cents, streaming DISTINCT,
+  * stream-stream interval join, complete-mode count-min sketch), the
+  * stateless ingest screens (contamination, IVF assignment, near-dup
+  * and containment probes of persisted corpus indexes), the
+  * weighted-sampling reservoir, and the batch-as-stream merge.
   * Oracle-checked via CORRECTNESS_r* (see SURVEY §7.5).
   */
 private[graft] object ExtStreamQueries {
