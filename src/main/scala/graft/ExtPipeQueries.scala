@@ -761,6 +761,50 @@ private[graft] object ExtPipeQueries {
           |                               ELSE 1000 END
           |ORDER BY doc_id""".stripMargin)),
 
+    // k-anonymity release screen over the QID triple (source, lang,
+    // length bucket): generalization ladder fine bucket → coarse
+    // bucket → bucket dropped → row suppressed, each row reporting its
+    // settled level and anonymity-set size. ONE corpus histogram
+    // (levels 1–2 derive from it), three broadcast joins back — the
+    // count tables are QID-cardinality-bounded at any corpus size.
+    QueryDef("x_pipe_kanon",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.kAnonymize(spark.table("documents"), "text", k = 4)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH l AS (
+          |  SELECT doc_id, source, lang,
+          |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS BIGINT) AS len
+          |  FROM documents
+          |),
+          |b AS (
+          |  SELECT doc_id, source, lang,
+          |         len - (len % 25) AS b0, len - (len % 50) AS b1
+          |  FROM l
+          |),
+          |c0 AS (SELECT source, lang, b0, count(*) AS c0 FROM b GROUP BY 1, 2, 3),
+          |c1 AS (SELECT source, lang, b1, count(*) AS c1 FROM b GROUP BY 1, 2, 3),
+          |c2 AS (SELECT source, lang, count(*) AS c2 FROM b GROUP BY 1, 2)
+          |SELECT b.doc_id, b.source, b.lang,
+          |       CASE WHEN c0.c0 >= 4 THEN 'b' || b.b0
+          |            WHEN c1.c1 >= 4 THEN 'B' || b.b1
+          |            ELSE '*' END AS qid_bucket,
+          |       CAST(CASE WHEN c0.c0 >= 4 THEN 0
+          |                 WHEN c1.c1 >= 4 THEN 1
+          |                 WHEN c2.c2 >= 4 THEN 2
+          |                 ELSE 3 END AS BIGINT) AS anon_level,
+          |       CAST(CASE WHEN c0.c0 >= 4 THEN c0.c0
+          |                 WHEN c1.c1 >= 4 THEN c1.c1
+          |                 ELSE c2.c2 END AS BIGINT) AS group_size,
+          |       c2.c2 < 4 AS suppressed
+          |FROM b
+          |JOIN c0 USING (source, lang, b0)
+          |JOIN c1 USING (source, lang, b1)
+          |JOIN c2 USING (source, lang)
+          |ORDER BY doc_id""".stripMargin)),
+
     // Temperature-based mixture reweighting (mT5/XLM-R): sampling
     // weight per source ∝ (token share)^0.3 — the up-sample-the-tail
     // dial whose output feeds mixSample's permille knob. One corpus

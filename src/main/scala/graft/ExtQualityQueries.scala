@@ -48,6 +48,45 @@ private[graft] object ExtQualityQueries {
            |FROM grid GROUP BY src
            |ORDER BY source""".stripMargin)),
 
+    // Per-document token Shannon entropy — the information-density
+    // screen (low entropy = keyword stuffing / template spam that the
+    // distinct/total ratio under-reports on skewed mixes). Entirely
+    // in-row: sort + ONE run-length fold, zero Exchange; per-term
+    // nano-nat quantization then integer sums (the KL recipe), so the
+    // relational DuckDB oracle lands on identical integers.
+    QueryDef("x_quality_entropy",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.tokenEntropy(spark.table("documents"), "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS w
+          |  FROM documents
+          |),
+          |c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+          |n AS (SELECT doc_id, sum(c) AS n, count(*) AS nd FROM c GROUP BY 1),
+          |t AS (
+          |  SELECT c.doc_id,
+          |         CAST(floor(CAST(c.c AS DOUBLE) / n.n
+          |              * ln(CAST(n.n AS DOUBLE) / c.c) * 1e9 + 0.5) AS BIGINT) AS term_e9
+          |  FROM c JOIN n USING (doc_id)
+          |),
+          |agg AS (SELECT doc_id, sum(term_e9) AS ent FROM t GROUP BY 1)
+          |SELECT d.doc_id,
+          |       CAST(coalesce(n.n, 0) AS BIGINT) AS n_tokens,
+          |       CAST(coalesce(n.nd, 0) AS BIGINT) AS n_distinct,
+          |       CAST(coalesce(agg.ent, 0) AS BIGINT) AS entropy_e9,
+          |       CASE WHEN coalesce(n.nd, 0) > 1
+          |            THEN CAST(floor(ln(CAST(n.nd AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+          |            ELSE CAST(0 AS BIGINT) END AS max_entropy_e9
+          |FROM documents d
+          |LEFT JOIN n ON n.doc_id = d.doc_id
+          |LEFT JOIN agg ON agg.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)),
+
     // Gopher-style repetition/boilerplate profile: entirely in-row
     // (scan → project, zero shuffle). Line metrics are degenerate on
     // this single-line corpus (n_lines=1, dup/bullet/ellipsis 0) but
@@ -445,6 +484,60 @@ private[graft] object ExtQualityQueries {
           |       CAST(max(n_distinct_tokens) AS BIGINT) AS n_distinct_tokens,
           |       CAST(sum(term_e9) AS BIGINT) AS kl_e9
           |FROM terms GROUP BY src
+          |ORDER BY source""".stripMargin)),
+
+    // Per-source Kolmogorov–Smirnov drift on the doc token-length
+    // distribution (source vs REST) — the SHAPE monitor beside the two
+    // vocabulary monitors (KL, χ²): truncated pages / concatenated
+    // dumps move the length ECDF before the unigram mix shifts. Exact
+    // integers end-to-end: D's numerator is max |cum_s·n_rest −
+    // cum_rest·n_s| over the completed grid; everything after the one
+    // corpus histogram runs on the |sources| × |distinct lengths|
+    // relation.
+    QueryDef("x_stats_ks_drift",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.ksLengthDrift(spark.table("documents"), "text")
+          .orderBy("source")
+      },
+      Some(
+        """WITH l AS (
+          |  SELECT source AS src,
+          |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS BIGINT) AS len
+          |  FROM documents
+          |),
+          |sl AS (SELECT src, len, count(*) AS c_sl FROM l GROUP BY 1, 2),
+          |st AS (SELECT src, sum(c_sl) AS n_src FROM sl GROUP BY 1),
+          |lt AS (SELECT len, sum(c_sl) AS c_len FROM sl GROUP BY 1),
+          |tot AS (SELECT sum(c_len) AS n_all FROM lt),
+          |grid AS (
+          |  SELECT s.src, v.len, s.n_src, t.n_all - s.n_src AS n_rest,
+          |         coalesce(x.c_sl, 0) AS c_sl, v.c_len
+          |  FROM st s CROSS JOIN lt v CROSS JOIN tot t
+          |  LEFT JOIN sl x ON x.src = s.src AND x.len = v.len
+          |),
+          |cum AS (
+          |  SELECT src, len, n_src, n_rest,
+          |         sum(c_sl) OVER w AS cum_s,
+          |         sum(c_len) OVER w AS cum_all
+          |  FROM grid
+          |  WINDOW w AS (PARTITION BY src ORDER BY len
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |),
+          |d AS (
+          |  SELECT src, len, n_src, n_rest,
+          |         abs(cum_s * n_rest - (cum_all - cum_s) * n_src) AS d_num,
+          |         row_number() OVER (
+          |           PARTITION BY src
+          |           ORDER BY abs(cum_s * n_rest - (cum_all - cum_s) * n_src) DESC,
+          |                    len ASC) AS rn
+          |  FROM cum
+          |)
+          |SELECT src AS source,
+          |       CAST(n_src AS BIGINT) AS n_docs,
+          |       CAST(d_num * 1000000 // greatest(n_src * n_rest, 1) AS BIGINT) AS ks_e6,
+          |       CAST(len AS BIGINT) AS at_len
+          |FROM d WHERE rn = 1
           |ORDER BY source""".stripMargin)),
 
     // CCNet perplexity bucketing: head/middle/tail terciles of the

@@ -1217,4 +1217,69 @@ object Pipeline {
       .filter(col("cnt") * phiInv >= col("n_total_tokens"))
       .select(col("token"), col("cnt"), col("n_total_tokens"))
   }
+
+  /** k-anonymity suppression with a generalization ladder over the
+    * quasi-identifier triple (source, lang, token-length bucket) — the
+    * release screen a corpus passes before per-document metadata ships
+    * with it: any QID combination observed fewer than k times lets a
+    * row be re-identified by joining public side tables, so the bucket
+    * generalizes (fine → coarse → dropped) until its group reaches k,
+    * and rows whose (source, lang) pair is itself rarer than k are
+    * suppressed outright.
+    *
+    * Ladder: level 0 = (source, lang, len DIV fine · fine); level 1 =
+    * the coarse bucket (coarse must be a multiple of fine so level-1
+    * counts derive from level-0 counts WITHOUT a second corpus pass);
+    * level 2 = bucket dropped (`*`); level 3 = suppressed (the
+    * (source, lang) pair itself is < k). Each row reports the level it
+    * settled at and its anonymity-set size — all exact integers.
+    *
+    * Shapes: the length is an in-row map; ONE map-side-combinable
+    * corpus aggregation builds the level-0 histogram (checkpointed —
+    * three consumers); levels 1–2 are re-aggregations of that bounded
+    * relation; the three count tables broadcast back onto the corpus
+    * scan (QID cardinality ≤ |sources|·|langs|·buckets, never corpus-
+    * sized), so the whole screen is scan → agg → three broadcast hash
+    * joins at any corpus size.
+    */
+  def kAnonymize(docs: DataFrame, textCol: String, k: Int,
+      idCol: String = "doc_id", srcCol: String = "source",
+      langCol: String = "lang", fine: Int = 25,
+      coarse: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(fine >= 1 && coarse >= fine && coarse % fine == 0,
+      s"coarse ($coarse) must be a positive multiple of fine ($fine)")
+    val len = size(filter(
+      org.apache.spark.sql.functions.split(
+        coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")).cast("long")
+    val b0 = (len - pmod(len, lit(fine.toLong))).as("b0")
+    val c0 = docs
+      .select(col(srcCol).as("src"), col(langCol).as("lng"), b0)
+      .groupBy("src", "lng", "b0").agg(count(lit(1)).as("c0"))
+      .localCheckpoint(true)
+    val c1 = c0
+      .withColumn("b1", col("b0") - pmod(col("b0"), lit(coarse.toLong)))
+      .groupBy("src", "lng", "b1").agg(sum(col("c0")).as("c1"))
+    val c2 = c0.groupBy("src", "lng").agg(sum(col("c0")).as("c2"))
+    docs
+      .select(col(idCol), col(srcCol).as("src"), col(langCol).as("lng"),
+        b0)
+      .withColumn("b1", col("b0") - pmod(col("b0"), lit(coarse.toLong)))
+      .join(broadcast(c0), Seq("src", "lng", "b0"))
+      .join(broadcast(c1), Seq("src", "lng", "b1"))
+      .join(broadcast(c2), Seq("src", "lng"))
+      .select(col(idCol), col("src").as(srcCol), col("lng").as(langCol),
+        when(col("c0") >= k, concat(lit("b"), col("b0")))
+          .when(col("c1") >= k, concat(lit("B"), col("b1")))
+          .otherwise(lit("*")).as("qid_bucket"),
+        when(col("c0") >= k, lit(0L))
+          .when(col("c1") >= k, lit(1L))
+          .when(col("c2") >= k, lit(2L))
+          .otherwise(lit(3L)).as("anon_level"),
+        when(col("c0") >= k, col("c0"))
+          .when(col("c1") >= k, col("c1"))
+          .otherwise(col("c2")).as("group_size"),
+        (col("c2") < k).as("suppressed"))
+  }
 }

@@ -1090,4 +1090,114 @@ object Quality {
         col("distinct_permille"), col("pct_chars"), col("pct_tokens"),
         col("pct_distinct"), col("pct_ensemble"))
   }
+
+  /** Per-document token Shannon entropy — the information-density
+    * screen (low entropy = keyword stuffing, template spam, repeated
+    * boilerplate; complements [[gopherProfile]]'s distinct/total ratio,
+    * which is blind to SKEWED-but-not-identical token mixes, and
+    * [[TextAnalysis]]'s MATTR, which measures positional type variety
+    * rather than distributional mass). H = Σ_w (c_w/n)·ln(n/c_w).
+    *
+    * Shape: entirely in-row — sort the token array once, then ONE
+    * run-length fold over the sorted array accumulates each distinct
+    * token's entropy term; scan → project, zero Exchange at any corpus
+    * size (the relational (doc,token) groupBy would shuffle every
+    * corpus token for a per-doc statistic). Parity: each term
+    * quantizes once to integer nano-nats (floor(x·1e9 + 0.5), the
+    * [[sourceUnigramKl]] recipe) and the doc total is an integer sum —
+    * order-independent, engine-exact; the ln argument is a ratio of
+    * exact integers (< 2⁵³). `max_entropy_e9` = ln(n_distinct) in the
+    * same fixed point, so callers form the evenness ratio themselves
+    * from two exact integers.
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val term = // entropy term for a closed run of `run` copies, in e9
+      """IF(s.run > 0,
+        |   CAST(floor(CAST(s.run AS DOUBLE) / n
+        |              * ln(CAST(n AS DOUBLE) / s.run) * 1e9 + 0.5)
+        |        AS BIGINT),
+        |   CAST(0 AS BIGINT))""".stripMargin
+    docs
+      .select(col(idCol), array_sort(wsTokens(col(textCol))).as("ts"))
+      .withColumn("n", size(col("ts")).cast("long"))
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  ts,
+           |  struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+           |         CAST(0 AS BIGINT) AS ent, CAST(0 AS BIGINT) AS nd),
+           |  (s, x) -> IF(x = s.prev,
+           |    struct(s.prev AS prev, s.run + CAST(1 AS BIGINT) AS run,
+           |           s.ent AS ent, s.nd AS nd),
+           |    struct(x AS prev, CAST(1 AS BIGINT) AS run,
+           |           s.ent + $term AS ent,
+           |           s.nd + IF(s.run > 0, CAST(1 AS BIGINT),
+           |                     CAST(0 AS BIGINT)) AS nd)),
+           |  s -> struct(s.ent + $term AS ent,
+           |              s.nd + IF(s.run > 0, CAST(1 AS BIGINT),
+           |                        CAST(0 AS BIGINT)) AS nd))""".stripMargin))
+      .select(col(idCol),
+        col("n").as("n_tokens"),
+        col("st.nd").as("n_distinct"),
+        col("st.ent").as("entropy_e9"),
+        when(col("st.nd") > 1,
+          floor(log(col("st.nd").cast("double")) * lit(1e9) + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(0L)).as("max_entropy_e9"))
+  }
+
+  /** Per-source two-sample Kolmogorov–Smirnov drift over the document
+    * token-length distribution — source vs REST of corpus. The SHAPE
+    * drift monitor beside the two vocabulary monitors
+    * ([[sourceUnigramKl]], [[chiSquareDrift]]): a scraper that starts
+    * emitting truncated pages or concatenated dumps moves the length
+    * ECDF long before the unigram mix shifts. D = sup_x |F_s(x) −
+    * F_rest(x)|, reported exactly in integers: d_num = max |cum_s·
+    * n_rest − cum_rest·n_s| over the merged length grid, `ks_e6` =
+    * 10⁶·d_num DIV (n_s·n_rest), plus the length achieving the sup
+    * (ties → smallest length — deterministic in any engine).
+    *
+    * Shapes: lengths are an in-row map; the (source, len) histogram is
+    * ONE map-side-combinable corpus aggregation, checkpointed once for
+    * its three consumers (the [[chiSquareDrift]] convention);
+    * everything after — grid completion, the per-source cumulative
+    * window, the argmax — runs on the |sources| × |distinct lengths|
+    * relation, bounded by max document size, not corpus size. The
+    * |sources|-row totals broadcast so grid completion is a
+    * BroadcastNestedLoopJoin, never a CartesianProduct exchange.
+    */
+  def ksLengthDrift(docs: DataFrame, textCol: String,
+      byCol: String = "source"): DataFrame = {
+    val sl = docs
+      .select(col(byCol).as("src"),
+        size(wsTokens(col(textCol))).cast("long").as("len"))
+      .groupBy("src", "len").agg(count(lit(1)).as("c_sl"))
+      .localCheckpoint(true)
+    val srcTot = sl.groupBy("src").agg(sum(col("c_sl")).as("n_src"))
+    val lenTot = sl.groupBy("len").agg(sum(col("c_sl")).as("c_len"))
+    val total = lenTot.agg(sum(col("c_len")).as("n_all"))
+    val grid = broadcast(srcTot).crossJoin(lenTot)
+      .join(sl, Seq("src", "len"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("src"), col("len"), col("n_src"),
+        (col("n_all") - col("n_src")).as("n_rest"),
+        coalesce(col("c_sl"), lit(0L)).as("c_sl"), col("c_len"))
+    val w = Window.partitionBy("src").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cum_s", sum(col("c_sl")).over(w))
+      .withColumn("cum_all", sum(col("c_len")).over(w))
+      .withColumn("d_num",
+        abs(col("cum_s") * col("n_rest")
+          - (col("cum_all") - col("cum_s")) * col("n_src")))
+    val pick = Window.partitionBy("src")
+      .orderBy(col("d_num").desc, col("len").asc)
+    cum.withColumn("__rn", row_number().over(pick))
+      .where(col("__rn") === 1)
+      .select(col("src").as(byCol),
+        col("n_src").as("n_docs"),
+        expr("d_num * 1000000 DIV greatest(n_src * n_rest, CAST(1 AS BIGINT))")
+          .as("ks_e6"),
+        col("len").as("at_len"))
+  }
 }

@@ -1352,6 +1352,36 @@ class ExtSpec extends AnyFunSuite {
     assert(kernel.nonEmpty && kernel == fold)
   }
 
+  test("kAnonymize: ladder settles at the first level reaching k") {
+    import spark.implicits._
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // k=2, fine=2, coarse=4. (A,en): lens 2,3 share fine bucket 2
+    // (level 0); len 5 is alone at every bucket level but (A,en) has
+    // 3 rows (level 2). (B,fr): singleton pair → suppressed (level 3).
+    // (C,de): lens 1,3 split fine buckets 0/2 but share coarse bucket
+    // 0 (level 1).
+    val d = Seq(
+      (1L, "A", "en", doc(2)), (2L, "A", "en", doc(3)),
+      (3L, "A", "en", doc(5)),
+      (4L, "B", "fr", doc(2)),
+      (5L, "C", "de", doc(1)), (6L, "C", "de", doc(3))
+    ).toDF("doc_id", "source", "lang", "text")
+    val r = graft.ext.Pipeline
+      .kAnonymize(d, "text", k = 2, fine = 2, coarse = 4)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(3), x.getLong(4), x.getLong(5),
+        x.getBoolean(6)))
+    assert(r.toSeq == Seq(
+      (1L, "b2", 0L, 2L, false),
+      (2L, "b2", 0L, 2L, false),
+      (3L, "*", 2L, 3L, false),
+      (4L, "*", 3L, 1L, true),
+      (5L, "B0", 1L, 2L, false),
+      (6L, "B0", 1L, 2L, false)))
+    // every emitted non-suppressed group really reaches k
+    assert(r.filter(!_._5).forall(_._4 >= 2L))
+  }
+
   test("weightedSample: odds track weights; fixed size; reshuffle-proof") {
     import spark.implicits._
     // 4000 docs, half weight 400 / half weight 100 — the expected draw

@@ -357,6 +357,78 @@ class QualitySpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("A", 3L, 388887L), ("B", 2L, 875000L)))
   }
 
+  test("tokenEntropy: hand-computed terms; degenerate docs") {
+    import spark.implicits._
+    def e9(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    val d = Seq(
+      (1L, "a a b"),        // 2/3·ln(3/2) + 1/3·ln(3), nd=2
+      (2L, "x"),            // single token: H = 0, max = 0 (nd=1)
+      (3L, "c c c c"),      // uniform single type: H = 0
+      (4L, ""),             // empty: n=0, nd=0, H=0
+      (5L, "b a a b")       // unsorted input: sort-then-fold, H=ln 2
+    ).toDF("doc_id", "text")
+    val r = Quality.tokenEntropy(d, "text").orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    val h1 = e9(2.0 / 3 * math.log(1.5)) + e9(1.0 / 3 * math.log(3.0))
+    val h5 = e9(0.5 * math.log(2.0)) * 2
+    assert(r.toSeq == Seq(
+      (1L, 3L, 2L, h1, e9(math.log(2.0))),
+      (2L, 1L, 1L, 0L, 0L),
+      (3L, 4L, 1L, 0L, 0L),
+      (4L, 0L, 0L, 0L, 0L),
+      (5L, 4L, 2L, h5, e9(math.log(2.0)))))
+  }
+
+  test("tokenEntropy: in-row fold == relational definition (random docs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val docs = (0 until 120).map { i =>
+      val n = rnd.nextInt(40) // includes 0-token docs
+      (i.toLong, Seq.fill(n)("w" + rnd.nextInt(8)).mkString(" "))
+    }
+    val d = docs.toDF("doc_id", "text")
+    val got = Quality.tokenEntropy(d, "text").orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    def e9(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    val want = docs.map { case (id, text) =>
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      val n = ts.length
+      val counts = ts.groupBy(identity).values.map(_.length)
+      val ent = counts.map(c =>
+        e9(c.toDouble / n * math.log(n.toDouble / c))).sum
+      (id, n.toLong, counts.size.toLong, ent)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("ksLengthDrift: hand-computed two-source ECDF sup") {
+    import spark.implicits._
+    // srcA lens {1,1,2} (n=3), srcB lens {2,3,3,3} (n=4). Merged grid
+    // 1,2,3; cum_A = 2,3,3; cum_B = 0,1,4. d_num = |cum_A·4 − cum_B·3|
+    // = 8, 9, 0 → sup 9 at len 2 (both directions — symmetric).
+    // ks_e6 = 9·10⁶ // 12 = 750000.
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val d = Seq(
+      ("A", doc(1)), ("A", doc(1)), ("A", doc(2)),
+      ("B", doc(2)), ("B", doc(3)), ("B", doc(3)), ("B", doc(3))
+    ).toDF("source", "text")
+    val r = Quality.ksLengthDrift(d, "text").orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("A", 3L, 750000L, 2L), ("B", 4L, 750000L, 2L)))
+  }
+
+  test("ksLengthDrift: identical sources read zero drift") {
+    import spark.implicits._
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val d = Seq(
+      ("A", doc(2)), ("A", doc(5)), ("B", doc(2)), ("B", doc(5))
+    ).toDF("source", "text")
+    val r = Quality.ksLengthDrift(d, "text").orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(2)))
+    assert(r.toSeq == Seq(("A", 0L), ("B", 0L)))
+  }
+
   test("pplBuckets: exact tercile cutoffs, ties land low") {
     import spark.implicits._
     // three distinct avg-NLL groups: "a b"×3 (common bigram, lowest

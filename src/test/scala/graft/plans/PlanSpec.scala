@@ -59,6 +59,7 @@ class PlanSpec extends AnyFunSuite {
         graft.ext.TextAnalysis.readability(docs, "text"),
       "x_text_html" -> graft.ext.TextAnalysis.htmlStrip(docs, "text"),
       "x_text_pii_redact" -> graft.ext.Quality.redactPii(docs, "text"),
+      "x_quality_entropy" -> graft.ext.Quality.tokenEntropy(docs, "text"),
       "x_sim_binary(code)" -> docs.select(
         graft.ext.Similarity.binaryCode(
           org.apache.spark.sql.functions.array_repeat(
@@ -559,6 +560,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"chisq grid lost the sources broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"chisq plans a cartesian:\n$p")
+  }
+
+  test("ks drift: totals broadcast; windows only on the bounded grid") {
+    // one corpus histogram, then grid completion / cumulative ECDF /
+    // argmax all run on the |sources| × |distinct lengths| relation;
+    // the |sources|-row totals must broadcast (BNLJ, never a
+    // CartesianProduct) and no sort-merge join may touch the corpus
+    Corpus.registerSources(spark, sfDir)
+    val df = graft.ext.Quality.ksLengthDrift(
+      spark.table("documents"), "text", "source")
+    val p = planOf(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"ks grid lost the totals broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ks plans a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"ks grid join lost its broadcast:\n$p")
+  }
+
+  test("k-anonymity: ONE corpus histogram, ladder joins all broadcast") {
+    // levels 1-2 re-aggregate the level-0 histogram (no second corpus
+    // pass) and the three count tables broadcast back onto the scan
+    Corpus.registerSources(spark, sfDir)
+    val df = graft.ext.Pipeline.kAnonymize(
+      spark.table("documents"), "text", k = 4)
+    val p = planOf(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3,
+      s"expected 3 broadcast ladder joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"kanon ladder join lost its broadcast:\n$p")
+    assert(windowNodes(df) == 0, s"kanon grew a window:\n$p")
   }
 
   test("knn graph: heap selection, ZERO window nodes") {
