@@ -486,6 +486,95 @@ private[graft] object ExtQualityQueries {
           |FROM terms GROUP BY src
           |ORDER BY source""".stripMargin)),
 
+    // Per-source Zipf rank–frequency slope — the corpus-health fit
+    // (natural text: ln f ≈ a + s·ln r with s ≈ −1; machine-generated
+    // and template text bends the curve). One (source,word) agg; rank
+    // window + moment sums on the vocab-bounded relation; ln(rank)/
+    // ln(count) quantize once to milli-nats, the slope is the same
+    // double expression of exact integer sums on both engines.
+    QueryDef("x_quality_zipf",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.zipfFit(spark.table("documents"), "text", "source")
+          .orderBy("source")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT source AS src,
+          |         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS w
+          |  FROM documents
+          |),
+          |sw AS (SELECT src, w, count(*) AS c FROM tok GROUP BY 1, 2),
+          |rk AS (
+          |  SELECT src, c,
+          |         row_number() OVER (PARTITION BY src ORDER BY c DESC, w ASC) AS r
+          |  FROM sw
+          |),
+          |q AS (
+          |  SELECT src, c,
+          |         CAST(floor(ln(CAST(r AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS lx,
+          |         CAST(floor(ln(CAST(c AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS ly
+          |  FROM rk
+          |),
+          |s AS (
+          |  SELECT src, count(*) AS n_types, sum(c) AS n_tokens,
+          |         sum(lx) AS sx, sum(ly) AS sy,
+          |         sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+          |  FROM q GROUP BY 1
+          |)
+          |SELECT src AS source,
+          |       CAST(n_types AS BIGINT) AS n_types,
+          |       CAST(n_tokens AS BIGINT) AS n_tokens,
+          |       CASE WHEN CAST(n_types AS DOUBLE) * sxx
+          |                 - CAST(sx AS DOUBLE) * sx <> 0.0
+          |            THEN (CAST(n_types AS DOUBLE) * sxy
+          |                  - CAST(sx AS DOUBLE) * sy)
+          |               / (CAST(n_types AS DOUBLE) * sxx
+          |                  - CAST(sx AS DOUBLE) * sx)
+          |            ELSE 0.0 END AS zipf_slope
+          |FROM s
+          |ORDER BY source""".stripMargin)),
+
+    // Corpus concentration Gini per dimension (who owns the corpus):
+    // exact e6 fixed point over doc counts; per dimension ONE count
+    // agg, then rank + closing sum on the group-bounded relation.
+    QueryDef("x_stats_gini",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.concentrationGini(spark.table("documents"),
+            Seq("source", "lang"))
+          .orderBy("dim")
+      },
+      Some(
+        """WITH src AS (
+          |  SELECT CAST(source AS VARCHAR) AS grp, count(*) AS x
+          |  FROM documents GROUP BY 1
+          |),
+          |srcr AS (SELECT x, row_number() OVER (ORDER BY x ASC, grp ASC) AS i FROM src),
+          |s1 AS (
+          |  SELECT 'source' AS dim, count(*) AS n_groups, sum(x) AS n_docs,
+          |         sum(i * x) AS s1
+          |  FROM srcr
+          |),
+          |lng AS (
+          |  SELECT CAST(lang AS VARCHAR) AS grp, count(*) AS x
+          |  FROM documents GROUP BY 1
+          |),
+          |lngr AS (SELECT x, row_number() OVER (ORDER BY x ASC, grp ASC) AS i FROM lng),
+          |s2 AS (
+          |  SELECT 'lang' AS dim, count(*) AS n_groups, sum(x) AS n_docs,
+          |         sum(i * x) AS s1
+          |  FROM lngr
+          |),
+          |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+          |SELECT dim,
+          |       CAST(n_groups AS BIGINT) AS n_groups,
+          |       CAST(n_docs AS BIGINT) AS n_docs,
+          |       CAST((2 * s1 - (n_groups + 1) * n_docs) * 1000000
+          |            // greatest(n_groups * n_docs, 1) AS BIGINT) AS gini_e6
+          |FROM u
+          |ORDER BY dim""".stripMargin)),
+
     // Per-source Kolmogorov–Smirnov drift on the doc token-length
     // distribution (source vs REST) — the SHAPE monitor beside the two
     // vocabulary monitors (KL, χ²): truncated pages / concatenated

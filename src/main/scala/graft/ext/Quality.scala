@@ -1146,6 +1146,86 @@ object Quality {
           .otherwise(lit(0L)).as("max_entropy_e9"))
   }
 
+  /** Per-source Zipf rank–frequency fit — the corpus-health check that
+    * catches machine-generated and template text: natural language
+    * follows ln(freq) ≈ a + s·ln(rank) with slope s ≈ −1, while spam
+    * mills, log dumps, and lorem-ipsum generators bend the curve
+    * (flat s → uniform vocabulary; steep s → a few tokens dominating).
+    * Least-squares slope over the log–log rank/frequency points of
+    * each source's unigram table.
+    *
+    * Shapes: ONE (source, word) corpus aggregation; the rank window
+    * and the moment sums run on the Zipf/vocab-bounded relation.
+    * Parity: ranks and counts are exact integers; ln(rank)/ln(count)
+    * quantize ONCE each to integer milli-nats (floor(x·1e3 + 0.5)),
+    * the four moment sums are integer sums of integer products
+    * (|lx| ≤ 17e3 ⇒ per-term products ≤ 3e8 — safe to ~3×10¹⁰ types),
+    * and the closing slope is the SAME double expression of those
+    * exact sums on both engines (deterministic IEEE ops — the sums
+    * may exceed 2⁵³ at extreme vocab, where both engines round the
+    * identical way).
+    */
+  def zipfFit(docs: DataFrame, textCol: String,
+      byCol: String = "source"): DataFrame = {
+    val sw = docs
+      .select(col(byCol).as("src"), explode(wsTokens(col(textCol))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("c"))
+    val rankW = Window.partitionBy("src").orderBy(col("c").desc, col("w").asc)
+    sw.withColumn("r", row_number().over(rankW).cast("long"))
+      .withColumn("lx", floor(log(col("r").cast("double")) * lit(1e3)
+        + lit(0.5)).cast("long"))
+      .withColumn("ly", floor(log(col("c").cast("double")) * lit(1e3)
+        + lit(0.5)).cast("long"))
+      .groupBy(col("src").as(byCol))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      .select(col(byCol), col("n_types"), col("n_tokens"),
+        expr("""CASE WHEN CAST(n_types AS DOUBLE) * sxx
+               |          - CAST(sx AS DOUBLE) * sx <> 0.0
+               |       THEN (CAST(n_types AS DOUBLE) * sxy
+               |             - CAST(sx AS DOUBLE) * sy)
+               |          / (CAST(n_types AS DOUBLE) * sxx
+               |             - CAST(sx AS DOUBLE) * sx)
+               |       ELSE CAST(0.0 AS DOUBLE) END""".stripMargin)
+          .as("zipf_slope"))
+  }
+
+  /** Corpus concentration report — the Gini coefficient of the
+    * document-count distribution over each requested dimension (who
+    * owns the corpus: is it 50 balanced sources or one crawler wearing
+    * twenty hats?). The data-governance companion to
+    * [[datasetCard]]'s per-group counts: one number per dimension,
+    * comparable across snapshots. G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx) with xᵢ ascending, reported in exact e6 fixed point
+    * (numerator is provably ≥ 0, so positive-integer DIV truncation is
+    * engine-independent; exact while n_groups·n_docs·10⁶ < 2⁶³ — any
+    * real dimension qualifies).
+    *
+    * Shapes: per dimension, ONE map-side-combinable count aggregation,
+    * then the rank window and the closing sum run on the
+    * group-cardinality-bounded relation; dimensions union.
+    */
+  def concentrationGini(docs: DataFrame,
+      dims: Seq[String] = Seq("source", "lang")): DataFrame = {
+    require(dims.nonEmpty, "at least one dimension")
+    dims.map { d =>
+      val counts = docs.groupBy(col(d).cast("string").as("grp"))
+        .agg(count(lit(1)).as("x"))
+      val rk = Window.orderBy(col("x").asc, col("grp").asc)
+      counts.withColumn("i", row_number().over(rk).cast("long"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("x")).as("n_docs"),
+          sum(col("i") * col("x")).as("s1"))
+        .select(lit(d).as("dim"), col("n_groups"), col("n_docs"),
+          expr("""(2 * s1 - (n_groups + 1) * n_docs) * 1000000
+                 |DIV greatest(n_groups * n_docs, CAST(1 AS BIGINT))"""
+            .stripMargin).as("gini_e6"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-source two-sample Kolmogorov–Smirnov drift over the document
     * token-length distribution — source vs REST of corpus. The SHAPE
     * drift monitor beside the two vocabulary monitors

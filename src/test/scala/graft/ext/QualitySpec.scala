@@ -402,6 +402,39 @@ class QualitySpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("zipfFit: hand-computed moments; degenerate single-type source") {
+    import spark.implicits._
+    // Z: a=4 b=2 c=1 → ranks 1,2,3. S: one type → denom 0 → slope 0.
+    val d = Seq(("Z", "a a a a b b c"), ("S", "x x"))
+      .toDF("source", "text")
+    val r = Quality.zipfFit(d, "text").orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    def e3(v: Double): Long = math.floor(v * 1e3 + 0.5).toLong
+    val (lx, ly) = (Seq(1L, 2L, 3L).map(r => e3(math.log(r.toDouble))),
+      Seq(4L, 2L, 1L).map(c => e3(math.log(c.toDouble))))
+    val (sx, sy) = (lx.sum, ly.sum)
+    val sxy = lx.zip(ly).map { case (a, b) => a * b }.sum
+    val sxx = lx.map(a => a * a).sum
+    val slope = (3.0 * sxy - sx.toDouble * sy) /
+      (3.0 * sxx - sx.toDouble * sx)
+    assert(r.toSeq == Seq(("S", 1L, 2L, 0.0), ("Z", 3L, 7L, slope)))
+    assert(slope < -1.0 && slope > -1.5) // a Zipf-ish head fits near −1
+  }
+
+  test("concentrationGini: exact two-group value; balanced groups read 0") {
+    import spark.implicits._
+    val d = Seq(
+      ("A", "en"), ("B", "en"), ("B", "fr"), ("B", "fr")
+    ).toDF("source", "lang")
+    val r = Quality.concentrationGini(d, Seq("source", "lang"))
+      .orderBy("dim").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // source: x = [1,3] → G = (2·(1+6) − 3·4)/(2·4) = 0.25
+    // lang:   x = [2,2] → 0
+    assert(r.toSeq == Seq(
+      ("lang", 2L, 4L, 0L), ("source", 2L, 4L, 250000L)))
+  }
+
   test("ksLengthDrift: hand-computed two-source ECDF sup") {
     import spark.implicits._
     // srcA lens {1,1,2} (n=3), srcB lens {2,3,3,3} (n=4). Merged grid

@@ -578,6 +578,15 @@ class PlanSpec extends AnyFunSuite {
       s"ks grid join lost its broadcast:\n$p")
   }
 
+  test("zipf fit: one rank window on the vocab-bounded relation, no joins") {
+    Corpus.registerSources(spark, sfDir)
+    val df = graft.ext.Quality.zipfFit(
+      spark.table("documents"), "text", "source")
+    val p = planOf(df)
+    assert(windowNodes(df) == 1, s"zipf fit grew extra windows:\n$p")
+    assert(!p.contains("Join"), s"zipf fit plans a join it doesn't need:\n$p")
+  }
+
   test("k-anonymity: ONE corpus histogram, ladder joins all broadcast") {
     // levels 1-2 re-aggregate the level-0 histogram (no second corpus
     // pass) and the three count tables broadcast back onto the scan
