@@ -547,6 +547,89 @@ private[graft] object ExtTextQueries {
            |ORDER BY host""".stripMargin
       }),
 
+    // Personalized PageRank from the trusted seed set (TrustRank):
+    // teleport mass restarts only at the `www.` hosts, so the cdn
+    // hosts score by random-walk proximity to the trusted set —
+    // seed-based domain-quality propagation on the SAME host
+    // co-occurrence graph pagerank ranks globally. Two rounds, e9
+    // fixed point, every step integer — the oracle unrolls them.
+    QueryDef("x_graph_ppr",
+      (spark, sfDir) => {
+        val aug = augDocs(spark, sfDir)
+          .select(col("doc_id"), col("text_urls").as("text"))
+        val t = coalesce(col("text"), lit(""))
+        val urls = regexp_extract_all(t, lit("https?://[^\\s]+"), lit(0))
+        val hosts = transform(urls,
+          u => regexp_extract(u, "^https?://([^/\\s]+)", 1))
+        val docHosts = aug.select(col("doc_id"), explode(hosts).as("host"))
+        val edges = Graph.cooccurrenceEdges(docHosts, "doc_id", "host")
+        val seeds = edges.select(col("src").as("node"))
+          .unionByName(edges.select(col("dst").as("node")))
+          .distinct().filter(col("node").startsWith("www."))
+        Graph.personalizedPageRank(edges, seeds, iters = 2)
+          .withColumnRenamed("node", "host")
+          .withColumnRenamed("pr", "ppr_e9")
+          .orderBy(col("ppr_e9").desc, col("host"))
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, coalesce(text, '') ||
+          |         CASE WHEN doc_id % 3 = 0
+          |              THEN ' see https://www.site' || (doc_id % 11) ||
+          |                   '.example.com/page/' || doc_id ||
+          |                   ' and http://cdn' || (doc_id % 5) || '.example.net/x'
+          |              ELSE '' END AS t
+          |  FROM documents
+          |),
+          |hx AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(regexp_extract_all(t, 'https?://[^\s]+'),
+          |                u -> regexp_extract(u, '^https?://([^/\s]+)', 1))) AS host
+          |  FROM aug
+          |),
+          |dh AS (SELECT DISTINCT doc_id, host FROM hx),
+          |edges AS (
+          |  SELECT DISTINCT a.host AS src, b.host AS dst
+          |  FROM dh a JOIN dh b ON a.doc_id = b.doc_id AND a.host <> b.host
+          |),
+          |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+          |sd AS (
+          |  SELECT node,
+          |         CASE WHEN node LIKE 'www.%' THEN 1 ELSE 0 END AS is_seed
+          |  FROM nodes
+          |),
+          |kk AS (SELECT 1000000000 // greatest(sum(is_seed), 1) AS base FROM sd),
+          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          |pr0 AS (SELECT node, is_seed * (SELECT base FROM kk) AS pr FROM sd),
+          |c1 AS (
+          |  SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+          |  FROM edges e
+          |  JOIN pr0 p ON p.node = e.src
+          |  JOIN deg d ON d.src = e.src
+          |  GROUP BY e.dst
+          |),
+          |pr1 AS (
+          |  SELECT n.node,
+          |         CAST((15 * (SELECT base FROM kk) * n.is_seed
+          |               + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+          |  FROM sd n LEFT JOIN c1 c ON c.node = n.node
+          |),
+          |c2 AS (
+          |  SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+          |  FROM edges e
+          |  JOIN pr1 p ON p.node = e.src
+          |  JOIN deg d ON d.src = e.src
+          |  GROUP BY e.dst
+          |),
+          |pr2 AS (
+          |  SELECT n.node,
+          |         CAST((15 * (SELECT base FROM kk) * n.is_seed
+          |               + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+          |  FROM sd n LEFT JOIN c2 c ON c.node = n.node
+          |)
+          |SELECT node AS host, pr AS ppr_e9 FROM pr2
+          |ORDER BY ppr_e9 DESC, host""".stripMargin)),
+
     // HITS hubs & authorities over the DIRECTED source→cited-host
     // graph (which corpus sources cite the most-cited hosts — the
     // companion centrality to PageRank's host co-citation). Two

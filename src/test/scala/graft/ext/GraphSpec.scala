@@ -20,6 +20,24 @@ class GraphSpec extends AnyFunSuite {
       ("b", "c"), ("c", "b")))
   }
 
+  test("personalizedPageRank: trust stays near the seed; other component dark") {
+    import spark.implicits._
+    // A ↔ B, B ↔ C chain; D ↔ E a separate component. Seed {A},
+    // base = 1e9, damp 85. Hand-unrolled:
+    //   pr1: A = 15e7, B = 85e7, C = 0
+    //   pr2: A = (15·1e9 + 85·(85e7 DIV 2))·/100 = 511250000
+    //        B = 85·(15e7 DIV 1)/100 = 127500000
+    //        C = 85·(85e7 DIV 2)/100 = 361250000
+    //   D = E = 0 at every round — no trusted walk reaches them.
+    val edges = Seq(("A", "B"), ("B", "A"), ("B", "C"), ("C", "B"),
+      ("D", "E"), ("E", "D")).toDF("src", "dst")
+    val seeds = Seq("A").toDF("node")
+    val r = Graph.personalizedPageRank(edges, seeds, iters = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(r == Map("A" -> 511250000L, "B" -> 127500000L,
+      "C" -> 361250000L, "D" -> 0L, "E" -> 0L))
+  }
+
   test("pageRank: e9 fixed-point star ranks match the hand-unrolled rounds") {
     import spark.implicits._
     // star: hub h ↔ x, h ↔ y. N=3, base = 333333333.
