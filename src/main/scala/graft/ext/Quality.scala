@@ -1235,7 +1235,10 @@ object Quality {
     * F_rest(x)|, reported exactly in integers: d_num = max |cum_s·
     * n_rest − cum_rest·n_s| over the merged length grid, `ks_e6` =
     * 10⁶·d_num DIV (n_s·n_rest), plus the length achieving the sup
-    * (ties → smallest length — deterministic in any engine).
+    * (ties → smallest length — deterministic in any engine). Exact
+    * while n_s·n_rest < 2⁶³ — safe to ~6×10⁹ documents; past that,
+    * run per-shard and compare shard ECDFs, or widen the cum columns
+    * to decimal.
     *
     * Shapes: lengths are an in-row map; the (source, len) histogram is
     * ONE map-side-combinable corpus aggregation, checkpointed once for
