@@ -1382,6 +1382,42 @@ class ExtSpec extends AnyFunSuite {
     assert(r.filter(!_._5).forall(_._4 >= 2L))
   }
 
+  test("kAnonymize: matches brute-force ladder on random QIDs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val k = 3
+    val docs = (0L until 200L).map { i =>
+      (i, "S" + rnd.nextInt(4), if (rnd.nextBoolean()) "en" else "fr",
+        rnd.nextInt(13)) // token lengths 0..12
+    }
+    val d = docs.map { case (id, s, l, n) =>
+      (id, s, l, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "source", "lang", "text")
+    val got = graft.ext.Pipeline
+      .kAnonymize(d, "text", k = k, fine = 2, coarse = 4)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(3), x.getLong(4), x.getLong(5),
+        x.getBoolean(6)))
+    val b0 = docs.map { case (id, s, l, n) => (id, s, l, n - n % 2) }
+    val c0 = b0.groupBy(t => (t._2, t._3, t._4)).view.mapValues(_.size).toMap
+    val c1 = b0.groupBy(t => (t._2, t._3, t._4 - t._4 % 4)).view
+      .mapValues(_.size).toMap
+    val c2 = b0.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    val want = b0.map { case (id, s, l, b) =>
+      val (n0, n1, n2) =
+        (c0((s, l, b)), c1((s, l, b - b % 4)), c2((s, l)))
+      if (n0 >= k) (id, "b" + b, 0L, n0.toLong, false)
+      else if (n1 >= k) (id, "B" + (b - b % 4), 1L, n1.toLong, false)
+      else if (n2 >= k) (id, "*", 2L, n2.toLong, false)
+      else (id, "*", 3L, n2.toLong, true)
+    }
+    assert(got.toSeq == want)
+    // escalation is minimal: a doc settling at level L implies every
+    // finer level fell short of k (checked by construction above) and
+    // non-suppressed docs really have k-anonymity
+    assert(got.filter(!_._5).forall(_._4 >= k))
+  }
+
   test("weightedSample: odds track weights; fixed size; reshuffle-proof") {
     import spark.implicits._
     // 4000 docs, half weight 400 / half weight 100 — the expected draw

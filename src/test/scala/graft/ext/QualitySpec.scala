@@ -451,6 +451,35 @@ class QualitySpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("A", 3L, 750000L, 2L), ("B", 4L, 750000L, 2L)))
   }
 
+  test("ksLengthDrift: matches brute-force ECDF sup on random sources") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 150).map { i =>
+      val src = "s" + rnd.nextInt(3)
+      val n = rnd.nextInt(15) // includes 0-token docs
+      (src, Seq.fill(n)("w").mkString(" "))
+    }
+    val d = docs.toDF("source", "text")
+    val got = Quality.ksLengthDrift(d, "text").orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val lens = docs.map { case (s, t) =>
+      (s, t.split("\\s+").count(_.nonEmpty).toLong)
+    }
+    val grid = lens.map(_._2).distinct.sorted
+    val want = lens.map(_._1).distinct.sorted.map { s =>
+      val mine = lens.filter(_._1 == s).map(_._2)
+      val rest = lens.filter(_._1 != s).map(_._2)
+      val dnums = grid.map(l => (l,
+        math.abs(mine.count(_ <= l).toLong * rest.length
+          - rest.count(_ <= l).toLong * mine.length)))
+      val dMax = dnums.map(_._2).max
+      val atLen = dnums.filter(_._2 == dMax).map(_._1).min
+      (s, mine.length.toLong,
+        dMax * 1000000L / (mine.length.toLong * rest.length), atLen)
+    }
+    assert(got.toSeq == want)
+  }
+
   test("ksLengthDrift: identical sources read zero drift") {
     import spark.implicits._
     def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
