@@ -762,11 +762,13 @@ private[graft] object ExtPipeQueries {
           |ORDER BY doc_id""".stripMargin)),
 
     // k-anonymity release screen over the QID triple (source, lang,
-    // length bucket): generalization ladder fine bucket → coarse
-    // bucket → bucket dropped → row suppressed, each row reporting its
-    // settled level and anonymity-set size. ONE corpus histogram
-    // (levels 1–2 derive from it), three broadcast joins back — the
-    // count tables are QID-cardinality-bounded at any corpus size.
+    // length bucket): GLOBAL per-(source,lang) recoding — the group
+    // publishes at the finest ladder level (fine bucket → coarse
+    // bucket → dropped → suppressed) at which EVERY bucket reaches k,
+    // so every published label names ≥ k rows (per-row-minimal
+    // recoding would leak by exclusion). ONE corpus histogram (the
+    // rollups and the group verdict derive from it), three broadcast
+    // joins back — all QID-cardinality-bounded at any corpus size.
     QueryDef("x_pipe_kanon",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
@@ -775,7 +777,8 @@ private[graft] object ExtPipeQueries {
       },
       Some(
         """WITH l AS (
-          |  SELECT doc_id, source, lang,
+          |  SELECT doc_id, coalesce(source, '') AS source,
+          |         coalesce(lang, '') AS lang,
           |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS BIGINT) AS len
           |  FROM documents
           |),
@@ -786,23 +789,30 @@ private[graft] object ExtPipeQueries {
           |),
           |c0 AS (SELECT source, lang, b0, count(*) AS c0 FROM b GROUP BY 1, 2, 3),
           |c1 AS (SELECT source, lang, b1, count(*) AS c1 FROM b GROUP BY 1, 2, 3),
-          |c2 AS (SELECT source, lang, count(*) AS c2 FROM b GROUP BY 1, 2)
+          |g0 AS (SELECT source, lang, min(c0) AS min0, sum(c0) AS c2
+          |       FROM c0 GROUP BY 1, 2),
+          |g1 AS (SELECT source, lang, min(c1) AS min1 FROM c1 GROUP BY 1, 2),
+          |g AS (
+          |  SELECT g0.source, g0.lang, g0.c2,
+          |         CASE WHEN min0 >= 4 THEN 0
+          |              WHEN min1 >= 4 THEN 1
+          |              WHEN c2 >= 4 THEN 2
+          |              ELSE 3 END AS anon_level
+          |  FROM g0 JOIN g1 USING (source, lang)
+          |)
           |SELECT b.doc_id, b.source, b.lang,
-          |       CASE WHEN c0.c0 >= 4 THEN 'b' || b.b0
-          |            WHEN c1.c1 >= 4 THEN 'B' || b.b1
+          |       CASE WHEN g.anon_level = 0 THEN 'b' || b.b0
+          |            WHEN g.anon_level = 1 THEN 'B' || b.b1
           |            ELSE '*' END AS qid_bucket,
-          |       CAST(CASE WHEN c0.c0 >= 4 THEN 0
-          |                 WHEN c1.c1 >= 4 THEN 1
-          |                 WHEN c2.c2 >= 4 THEN 2
-          |                 ELSE 3 END AS BIGINT) AS anon_level,
-          |       CAST(CASE WHEN c0.c0 >= 4 THEN c0.c0
-          |                 WHEN c1.c1 >= 4 THEN c1.c1
-          |                 ELSE c2.c2 END AS BIGINT) AS group_size,
-          |       c2.c2 < 4 AS suppressed
+          |       CAST(g.anon_level AS BIGINT) AS anon_level,
+          |       CAST(CASE WHEN g.anon_level = 0 THEN c0.c0
+          |                 WHEN g.anon_level = 1 THEN c1.c1
+          |                 ELSE g.c2 END AS BIGINT) AS group_size,
+          |       g.anon_level = 3 AS suppressed
           |FROM b
+          |JOIN g USING (source, lang)
           |JOIN c0 USING (source, lang, b0)
           |JOIN c1 USING (source, lang, b1)
-          |JOIN c2 USING (source, lang)
           |ORDER BY doc_id""".stripMargin)),
 
     // Temperature-based mixture reweighting (mT5/XLM-R): sampling

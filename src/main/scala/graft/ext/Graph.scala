@@ -93,8 +93,13 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int, dampPct: Int = 85): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
+    // materialize the edge relation once (the hits convention): nodes,
+    // the seed mark, outdeg, and every round's contrib join all
+    // consume it — without this each consumer re-runs the caller's
+    // full edge lineage (for the host graph, a corpus-scale self-join)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
       .distinct()
     val marked = nodes
       .join(broadcast(seeds.select(col("node")).distinct()
@@ -103,10 +108,10 @@ object Graph {
       .persist()
     val k = marked.agg(sum(col("is_seed"))).head.getLong(0)
     val base = 1000000000L / math.max(k, 1L)
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var pr = marked.select(col("node"), (col("is_seed") * base).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = edges
+      val contrib = e
         .join(pr.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("pr DIV deg").as("c"))

@@ -1222,25 +1222,32 @@ object Pipeline {
     * quasi-identifier triple (source, lang, token-length bucket) — the
     * release screen a corpus passes before per-document metadata ships
     * with it: any QID combination observed fewer than k times lets a
-    * row be re-identified by joining public side tables, so the bucket
-    * generalizes (fine → coarse → dropped) until its group reaches k,
-    * and rows whose (source, lang) pair is itself rarer than k are
-    * suppressed outright.
+    * row be re-identified by joining public side tables.
     *
-    * Ladder: level 0 = (source, lang, len DIV fine · fine); level 1 =
-    * the coarse bucket (coarse must be a multiple of fine so level-1
-    * counts derive from level-0 counts WITHOUT a second corpus pass);
-    * level 2 = bucket dropped (`*`); level 3 = suppressed (the
-    * (source, lang) pair itself is < k). Each row reports the level it
-    * settled at and its anonymity-set size — all exact integers.
+    * Recoding is GLOBAL per (source, lang) group (Samarati-style): the
+    * whole group publishes at the finest ladder level at which EVERY
+    * bucket of the group reaches k — level 0 = fine bucket (len DIV
+    * fine · fine), level 1 = coarse bucket (coarse must be a multiple
+    * of fine so level-1 counts derive from level-0 counts WITHOUT a
+    * second corpus pass), level 2 = bucket dropped (`*`), level 3 =
+    * suppressed (the (source, lang) pair itself is < k). Global — not
+    * per-row-minimal — recoding is what makes the guarantee real: with
+    * mixed granularity inside a group, a row generalized to `*` beside
+    * rows publishing fine labels is re-identifiable by EXCLUSION (its
+    * published class is smaller than the count that justified it).
+    * Under global recoding every published (source, lang, bucket)
+    * label names ≥ k rows. NULL source/lang coalesce to '' and are
+    * screened like any value (never silently dropped). Each row
+    * reports its group's level and its published class size — exact
+    * integers.
     *
     * Shapes: the length is an in-row map; ONE map-side-combinable
     * corpus aggregation builds the level-0 histogram (checkpointed —
-    * three consumers); levels 1–2 are re-aggregations of that bounded
-    * relation; the three count tables broadcast back onto the corpus
-    * scan (QID cardinality ≤ |sources|·|langs|·buckets, never corpus-
-    * sized), so the whole screen is scan → agg → three broadcast hash
-    * joins at any corpus size.
+    * its level-1/2 rollups and the per-group level verdict all derive
+    * from it); the group-verdict and count tables broadcast back onto
+    * the corpus scan (QID cardinality ≤ |sources|·|langs|·buckets,
+    * never corpus-sized), so the whole screen is scan → agg → three
+    * broadcast hash joins at any corpus size.
     */
   def kAnonymize(docs: DataFrame, textCol: String, k: Int,
       idCol: String = "doc_id", srcCol: String = "source",
@@ -1249,37 +1256,42 @@ object Pipeline {
     require(k >= 1, s"k must be >= 1, got $k")
     require(fine >= 1 && coarse >= fine && coarse % fine == 0,
       s"coarse ($coarse) must be a positive multiple of fine ($fine)")
-    val len = size(filter(
-      org.apache.spark.sql.functions.split(
-        coalesce(col(textCol), lit("")), "\\s+"),
-      t => t =!= "")).cast("long")
+    val srcQ = coalesce(col(srcCol).cast("string"), lit(""))
+    val lngQ = coalesce(col(langCol).cast("string"), lit(""))
+    val len = size_long(filter(split_part_tokens(col(textCol)),
+      t => t =!= ""))
     val b0 = (len - pmod(len, lit(fine.toLong))).as("b0")
+    val toB1 = (b: Column) => b - pmod(b, lit(coarse.toLong))
     val c0 = docs
-      .select(col(srcCol).as("src"), col(langCol).as("lng"), b0)
+      .select(srcQ.as("src"), lngQ.as("lng"), b0)
       .groupBy("src", "lng", "b0").agg(count(lit(1)).as("c0"))
       .localCheckpoint(true)
     val c1 = c0
-      .withColumn("b1", col("b0") - pmod(col("b0"), lit(coarse.toLong)))
+      .withColumn("b1", toB1(col("b0")))
       .groupBy("src", "lng", "b1").agg(sum(col("c0")).as("c1"))
-    val c2 = c0.groupBy("src", "lng").agg(sum(col("c0")).as("c2"))
+    val g = c0.groupBy("src", "lng")
+      .agg(min(col("c0")).as("min0"), sum(col("c0")).as("c2"))
+      .join(c1.groupBy("src", "lng").agg(min(col("c1")).as("min1")),
+        Seq("src", "lng"))
+      .select(col("src"), col("lng"), col("c2"),
+        when(col("min0") >= k, lit(0L))
+          .when(col("min1") >= k, lit(1L))
+          .when(col("c2") >= k, lit(2L))
+          .otherwise(lit(3L)).as("anon_level"))
     docs
-      .select(col(idCol), col(srcCol).as("src"), col(langCol).as("lng"),
-        b0)
-      .withColumn("b1", col("b0") - pmod(col("b0"), lit(coarse.toLong)))
+      .select(col(idCol), srcQ.as("src"), lngQ.as("lng"), b0)
+      .withColumn("b1", toB1(col("b0")))
+      .join(broadcast(g), Seq("src", "lng"))
       .join(broadcast(c0), Seq("src", "lng", "b0"))
       .join(broadcast(c1), Seq("src", "lng", "b1"))
-      .join(broadcast(c2), Seq("src", "lng"))
       .select(col(idCol), col("src").as(srcCol), col("lng").as(langCol),
-        when(col("c0") >= k, concat(lit("b"), col("b0")))
-          .when(col("c1") >= k, concat(lit("B"), col("b1")))
+        when(col("anon_level") === 0L, concat(lit("b"), col("b0")))
+          .when(col("anon_level") === 1L, concat(lit("B"), col("b1")))
           .otherwise(lit("*")).as("qid_bucket"),
-        when(col("c0") >= k, lit(0L))
-          .when(col("c1") >= k, lit(1L))
-          .when(col("c2") >= k, lit(2L))
-          .otherwise(lit(3L)).as("anon_level"),
-        when(col("c0") >= k, col("c0"))
-          .when(col("c1") >= k, col("c1"))
+        col("anon_level"),
+        when(col("anon_level") === 0L, col("c0"))
+          .when(col("anon_level") === 1L, col("c1"))
           .otherwise(col("c2")).as("group_size"),
-        (col("c2") < k).as("suppressed"))
+        (col("anon_level") === 3L).as("suppressed"))
   }
 }

@@ -1235,10 +1235,14 @@ object Quality {
     * F_rest(x)|, reported exactly in integers: d_num = max |cum_s·
     * n_rest − cum_rest·n_s| over the merged length grid, `ks_e6` =
     * 10⁶·d_num DIV (n_s·n_rest), plus the length achieving the sup
-    * (ties → smallest length — deterministic in any engine). Exact
-    * while n_s·n_rest < 2⁶³ — safe to ~6×10⁹ documents; past that,
-    * run per-shard and compare shard ECDFs, or widen the cum columns
-    * to decimal.
+    * (ties → smallest length — deterministic in any engine). The
+    * 10⁶·d_num product runs in DECIMAL(38,0) (d_num can reach
+    * n_s·n_rest when the distributions are disjoint — exactly the
+    * drift the monitor exists to catch — so a BIGINT product would
+    * overflow at ~6×10⁶ docs); the remaining bound is the BIGINT cum
+    * products, n_s·n_rest < 2⁶³ — safe to ~6×10⁹ documents; past
+    * that, run per-shard and compare shard ECDFs, or widen the cum
+    * columns to decimal.
     *
     * Shapes: lengths are an in-row map; the (source, len) histogram is
     * ONE map-side-combinable corpus aggregation, checkpointed once for
@@ -1279,7 +1283,9 @@ object Quality {
       .where(col("__rn") === 1)
       .select(col("src").as(byCol),
         col("n_src").as("n_docs"),
-        expr("d_num * 1000000 DIV greatest(n_src * n_rest, CAST(1 AS BIGINT))")
+        expr("""CAST(CAST(d_num AS DECIMAL(38, 0)) * 1000000
+               |DIV CAST(greatest(n_src * n_rest, CAST(1 AS BIGINT))
+               |         AS DECIMAL(38, 0)) AS BIGINT)""".stripMargin)
           .as("ks_e6"),
         col("len").as("at_len"))
   }

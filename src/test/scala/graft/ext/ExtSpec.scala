@@ -1352,19 +1352,22 @@ class ExtSpec extends AnyFunSuite {
     assert(kernel.nonEmpty && kernel == fold)
   }
 
-  test("kAnonymize: ladder settles at the first level reaching k") {
+  test("kAnonymize: group publishes at the finest level where EVERY bucket reaches k") {
     import spark.implicits._
     def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
-    // k=2, fine=2, coarse=4. (A,en): lens 2,3 share fine bucket 2
-    // (level 0); len 5 is alone at every bucket level but (A,en) has
-    // 3 rows (level 2). (B,fr): singleton pair → suppressed (level 3).
-    // (C,de): lens 1,3 split fine buckets 0/2 but share coarse bucket
-    // 0 (level 1).
+    // k=2, fine=2, coarse=4. (A,en): lens {2,3,5} — fine buckets
+    // {b2:2, b4:1} and coarse {B0:2, B4:1} both hold a singleton, so
+    // the WHOLE group recodes to '*' (level 2, class size 3): per-row
+    // minimal recoding would publish b2,b2,* and leave the '*' row
+    // re-identifiable by exclusion. (B,fr): singleton pair →
+    // suppressed. (C,de): lens {1,3} split fine buckets but share
+    // coarse B0 → level 1. (D,es): lens {2,3} share fine b2 → level 0.
     val d = Seq(
       (1L, "A", "en", doc(2)), (2L, "A", "en", doc(3)),
       (3L, "A", "en", doc(5)),
       (4L, "B", "fr", doc(2)),
-      (5L, "C", "de", doc(1)), (6L, "C", "de", doc(3))
+      (5L, "C", "de", doc(1)), (6L, "C", "de", doc(3)),
+      (7L, "D", "es", doc(2)), (8L, "D", "es", doc(3))
     ).toDF("doc_id", "source", "lang", "text")
     val r = graft.ext.Pipeline
       .kAnonymize(d, "text", k = 2, fine = 2, coarse = 4)
@@ -1372,14 +1375,36 @@ class ExtSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getString(3), x.getLong(4), x.getLong(5),
         x.getBoolean(6)))
     assert(r.toSeq == Seq(
-      (1L, "b2", 0L, 2L, false),
-      (2L, "b2", 0L, 2L, false),
+      (1L, "*", 2L, 3L, false),
+      (2L, "*", 2L, 3L, false),
       (3L, "*", 2L, 3L, false),
       (4L, "*", 3L, 1L, true),
       (5L, "B0", 1L, 2L, false),
-      (6L, "B0", 1L, 2L, false)))
-    // every emitted non-suppressed group really reaches k
+      (6L, "B0", 1L, 2L, false),
+      (7L, "b2", 0L, 2L, false),
+      (8L, "b2", 0L, 2L, false)))
+    // every emitted non-suppressed published class really reaches k
     assert(r.filter(!_._5).forall(_._4 >= 2L))
+  }
+
+  test("kAnonymize: NULL QIDs are screened (coalesced), never dropped") {
+    import spark.implicits._
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val d = Seq(
+      (1L, null.asInstanceOf[String], "en", doc(2)),
+      (2L, null.asInstanceOf[String], "en", doc(2)),
+      (3L, "A", null.asInstanceOf[String], doc(4))
+    ).toDF("doc_id", "source", "lang", "text")
+    val r = graft.ext.Pipeline
+      .kAnonymize(d, "text", k = 2, fine = 2, coarse = 4)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getLong(4), x.getBoolean(6)))
+    // all three rows survive: the NULL-source pair k-anonymizes at
+    // level 0; the NULL-lang singleton is suppressed, not lost
+    assert(r.toSeq == Seq(
+      (1L, "", "en", 0L, false), (2L, "", "en", 0L, false),
+      (3L, "A", "", 3L, true)))
   }
 
   test("kAnonymize: matches brute-force ladder on random QIDs") {
@@ -1403,19 +1428,34 @@ class ExtSpec extends AnyFunSuite {
     val c1 = b0.groupBy(t => (t._2, t._3, t._4 - t._4 % 4)).view
       .mapValues(_.size).toMap
     val c2 = b0.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    // global recoding: the group's level is the finest at which EVERY
+    // bucket of the group reaches k
+    val lvl = b0.map(t => (t._2, t._3)).distinct.map { case (s, l) =>
+      val min0 = c0.collect { case ((`s`, `l`, _), n) => n }.min
+      val min1 = c1.collect { case ((`s`, `l`, _), n) => n }.min
+      val n2 = c2((s, l))
+      (s, l) -> (if (min0 >= k) 0L else if (min1 >= k) 1L
+                 else if (n2 >= k) 2L else 3L)
+    }.toMap
     val want = b0.map { case (id, s, l, b) =>
-      val (n0, n1, n2) =
-        (c0((s, l, b)), c1((s, l, b - b % 4)), c2((s, l)))
-      if (n0 >= k) (id, "b" + b, 0L, n0.toLong, false)
-      else if (n1 >= k) (id, "B" + (b - b % 4), 1L, n1.toLong, false)
-      else if (n2 >= k) (id, "*", 2L, n2.toLong, false)
-      else (id, "*", 3L, n2.toLong, true)
+      lvl((s, l)) match {
+        case 0L => (id, "b" + b, 0L, c0((s, l, b)).toLong, false)
+        case 1L => (id, "B" + (b - b % 4), 1L,
+          c1((s, l, b - b % 4)).toLong, false)
+        case 2L => (id, "*", 2L, c2((s, l)).toLong, false)
+        case _  => (id, "*", 3L, c2((s, l)).toLong, true)
+      }
     }
     assert(got.toSeq == want)
-    // escalation is minimal: a doc settling at level L implies every
-    // finer level fell short of k (checked by construction above) and
-    // non-suppressed docs really have k-anonymity
-    assert(got.filter(!_._5).forall(_._4 >= k))
+    // THE k-anonymity guarantee, checked on the published table
+    // itself: every non-suppressed published (source, lang, bucket)
+    // label names >= k rows, and group_size equals that class size
+    val byId = docs.map(t => t._1 -> (t._2, t._3)).toMap
+    val classes = got.filter(!_._5)
+      .groupBy(t => (byId(t._1), t._2)).view.mapValues(_.length).toMap
+    assert(classes.values.forall(_ >= k))
+    for (row <- got.filter(!_._5))
+      assert(row._4 == classes((byId(row._1), row._2)).toLong)
   }
 
   test("weightedSample: odds track weights; fixed size; reshuffle-proof") {

@@ -588,14 +588,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("k-anonymity: ONE corpus histogram, ladder joins all broadcast") {
-    // levels 1-2 re-aggregate the level-0 histogram (no second corpus
-    // pass) and the three count tables broadcast back onto the scan
+    // levels 1-2 and the per-group verdict re-aggregate the level-0
+    // histogram (no second corpus pass); the verdict + two count
+    // tables broadcast back onto the scan, and the verdict's internal
+    // min0⋈min1 join is itself a broadcast over the bounded histogram
+    // rollups — 4 BroadcastHashJoins total, zero sort-merge
     Corpus.registerSources(spark, sfDir)
     val df = graft.ext.Pipeline.kAnonymize(
       spark.table("documents"), "text", k = 4)
     val p = planOf(df)
-    assert("BroadcastHashJoin".r.findAllIn(p).length == 3,
-      s"expected 3 broadcast ladder joins:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 4,
+      s"expected 4 broadcast ladder joins:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"kanon ladder join lost its broadcast:\n$p")
     assert(windowNodes(df) == 0, s"kanon grew a window:\n$p")
