@@ -753,6 +753,43 @@ private[graft] object ExtEventQueries {
           |                               ORDER BY ts_us, event_id) AS BIGINT)
           |         AS version
           |FROM f
-          |ORDER BY user_id, version""".stripMargin))
+          |ORDER BY user_id, version""".stripMargin)),
+
+    // Lag-k autocorrelation of the daily event-count series — the
+    // TEMPORAL drift monitor beside KL/χ²/KS: lag-7 peaks = weekly
+    // seasonality a time split must respect. One corpus agg to the
+    // day histogram; all moments exact BIGINT (n²-scaled deviations),
+    // one IEEE divide of two exact integers per lag.
+    QueryDef("x_evt_autocorr",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Events.dailyAutocorr(spark.table("events")
+            .withColumn("ts_us", unix_micros(col("ts"))), maxLag = 7)
+          .orderBy("lag")
+      },
+      Some(
+        """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+          |d AS (SELECT day, count(*) AS x FROM e GROUP BY day),
+          |s AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+          |t AS (SELECT count(*) AS n, sum(x) AS s FROM s),
+          |v AS (SELECT rn, CAST(t.n * s.x - t.s AS BIGINT) AS dd FROM s, t),
+          |den AS (SELECT CAST(sum(dd * dd) AS BIGINT) AS den FROM v),
+          |lags AS (SELECT unnest(range(1, 8)) AS lag),
+          |nums AS (
+          |  SELECT l.lag, count(*) AS n_pairs,
+          |         CAST(sum(a.dd * b.dd) AS BIGINT) AS num
+          |  FROM lags l
+          |  JOIN v a ON true
+          |  JOIN v b ON b.rn = a.rn + l.lag
+          |  GROUP BY l.lag
+          |)
+          |SELECT CAST(lag AS BIGINT) AS lag,
+          |       CAST(n_pairs AS BIGINT) AS n_pairs,
+          |       num, den.den AS den,
+          |       CAST(CASE WHEN den.den <= 0 THEN 0
+          |            ELSE floor(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE)
+          |                       * 1e6 + 0.5) END AS BIGINT) AS ac_e6
+          |FROM nums, den
+          |ORDER BY lag""".stripMargin))
   )
 }

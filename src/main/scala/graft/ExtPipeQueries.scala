@@ -815,6 +815,64 @@ private[graft] object ExtPipeQueries {
           |JOIN c1 USING (source, lang, b1)
           |ORDER BY doc_id""".stripMargin)),
 
+    // Distinct l-diversity — the attribute-disclosure companion to
+    // the k-anon screen: every published (lang, bucket) class must
+    // contain >= l DISTINCT sources (class SIZE alone still leaks the
+    // sensitive value when the class is homogeneous). Same global
+    // Samarati ladder; the structural difference is that distinct
+    // counts don't sum, so the ladder rolls up from the bounded
+    // distinct-triple relation, not from level-0 counts.
+    QueryDef("x_pipe_ldiv",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.lDiversify(spark.table("documents"), "text", l = 2)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH l AS (
+          |  SELECT doc_id, coalesce(source, '') AS src,
+          |         coalesce(lang, '') AS lang,
+          |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS BIGINT) AS len
+          |  FROM documents
+          |),
+          |b AS (
+          |  SELECT doc_id, src, lang,
+          |         len - (len % 25) AS b0, len - (len % 50) AS b1
+          |  FROM l
+          |),
+          |h0 AS (SELECT DISTINCT lang, b0, src FROM b),
+          |d0 AS (SELECT lang, b0, count(*) AS div0 FROM h0 GROUP BY 1, 2),
+          |d1 AS (SELECT lang, b1, count(*) AS div1 FROM (
+          |         SELECT DISTINCT lang, b0 - (b0 % 50) AS b1, src FROM h0) z
+          |       GROUP BY 1, 2),
+          |d2 AS (SELECT lang, count(*) AS div2 FROM (
+          |         SELECT DISTINCT lang, src FROM h0) z GROUP BY 1),
+          |g AS (
+          |  SELECT m0.lang,
+          |         CASE WHEN m0.min0 >= 2 THEN 0
+          |              WHEN m1.min1 >= 2 THEN 1
+          |              WHEN d2.div2 >= 2 THEN 2
+          |              ELSE 3 END AS ldiv_level,
+          |         d2.div2
+          |  FROM (SELECT lang, min(div0) AS min0 FROM d0 GROUP BY 1) m0
+          |  JOIN (SELECT lang, min(div1) AS min1 FROM d1 GROUP BY 1) m1 USING (lang)
+          |  JOIN d2 USING (lang)
+          |)
+          |SELECT b.doc_id, b.lang,
+          |       CASE WHEN g.ldiv_level = 0 THEN 'b' || b.b0
+          |            WHEN g.ldiv_level = 1 THEN 'B' || b.b1
+          |            ELSE '*' END AS qid_bucket,
+          |       CAST(g.ldiv_level AS BIGINT) AS ldiv_level,
+          |       CAST(CASE WHEN g.ldiv_level = 0 THEN d0.div0
+          |                 WHEN g.ldiv_level = 1 THEN d1.div1
+          |                 ELSE g.div2 END AS BIGINT) AS class_distinct,
+          |       g.ldiv_level = 3 AS suppressed
+          |FROM b
+          |JOIN g USING (lang)
+          |JOIN d0 USING (lang, b0)
+          |JOIN d1 USING (lang, b1)
+          |ORDER BY doc_id""".stripMargin)),
+
     // Temperature-based mixture reweighting (mT5/XLM-R): sampling
     // weight per source ∝ (token share)^0.3 — the up-sample-the-tail
     // dial whose output feeds mixSample's permille knob. One corpus

@@ -1550,6 +1550,133 @@ private[graft] object ExtSimQueries {
           |       + coalesce(1000000000000 // (60 + v.vec_rank), 0) AS rrf_e12
           |FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id
           |ORDER BY rrf_e12 DESC, doc_id
-          |LIMIT 20""".stripMargin))
+          |LIMIT 20""".stripMargin)),
+
+    // Farthest-point k-center coreset (Gonzalez): 6 coverage-first
+    // picks under EXACT integer squared-L2 over e6 codes — the greedy
+    // trace is engine-identical with no float discipline at all. Each
+    // round is one scan (broadcast centers literal, in-row fold,
+    // TakeOrdered(1)); the oracle unrolls the 6 rounds as a CTE chain
+    // carrying the running min-distance (the kmeansIvfOracle
+    // precedent).
+    QueryDef("x_sim_kcenter",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.kcenterSelect(spark.table("embeddings"), k = 6)
+          .orderBy("center_rank")
+      },
+      Some(kcenterOracle(6))),
+
+    // Margin-based cross-set pair mining (CSLS / Artetxe & Schwenk
+    // ratio margin — the CCMatrix bitext scorer): pair cosine divided
+    // by the mean of both endpoints' own k-NN similarities, so hub
+    // vectors stop winning every pairing. Two corpus scans (broadcast
+    // query set, then broadcast candidate set), TopKDesc bounded
+    // selection, margin algebra on the |Q|·k candidate relation —
+    // integer-exact end-to-end (clamped e6 cosines, positive DIV).
+    QueryDef("x_sim_margin_mine",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Similarity.marginMine(spark.table("embeddings"),
+            queryEvery = 48, k = 4, topPairs = 3, benchMaxId = 500)
+          .orderBy("qid", "pair_rank")
+      },
+      Some(
+        """WITH qemb AS (
+          |  SELECT vec_id, list_transform(embedding,
+          |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e
+          |  FROM embeddings
+          |),
+          |n2 AS (SELECT vec_id, CAST(list_sum(list_transform(e, v -> v * v)) AS BIGINT) AS n2 FROM qemb),
+          |q AS (SELECT vec_id AS qid, e AS qe FROM qemb
+          |      WHERE vec_id % 2 = 0 AND vec_id % 48 = 0 AND vec_id < 500),
+          |bfw AS (
+          |  SELECT q.qid, b.vec_id AS cand_id,
+          |         CASE WHEN nb.n2 <= 0 OR nq.n2 <= 0 THEN 0
+          |              ELSE GREATEST(CAST(floor(
+          |                CAST(list_sum(list_transform(range(1, len(b.e) + 1),
+          |                       i -> b.e[i] * q.qe[i])) AS DOUBLE)
+          |                / (sqrt(CAST(nb.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE)))
+          |                * 1000000 + 0.5) AS BIGINT), 0) END AS cos_e6
+          |  FROM qemb b CROSS JOIN q
+          |  JOIN n2 nb ON nb.vec_id = b.vec_id
+          |  JOIN n2 nq ON nq.vec_id = q.qid
+          |  WHERE b.vec_id % 2 = 1
+          |),
+          |fk AS (SELECT qid, cand_id, cos_e6 FROM (
+          |  SELECT qid, cand_id, cos_e6,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cand_id) AS rn
+          |  FROM bfw) z WHERE rn <= 4),
+          |sq AS (SELECT qid, sum(cos_e6) AS sum_q FROM fk GROUP BY 1),
+          |cnds AS (SELECT DISTINCT cand_id FROM fk),
+          |rva AS (
+          |  SELECT c.cand_id, a.vec_id AS aid,
+          |         CASE WHEN na.n2 <= 0 OR nc.n2 <= 0 THEN 0
+          |              ELSE GREATEST(CAST(floor(
+          |                CAST(list_sum(list_transform(range(1, len(a.e) + 1),
+          |                       i -> a.e[i] * ce.e[i])) AS DOUBLE)
+          |                / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+          |                * 1000000 + 0.5) AS BIGINT), 0) END AS r_cos
+          |  FROM qemb a CROSS JOIN cnds c
+          |  JOIN qemb ce ON ce.vec_id = c.cand_id
+          |  JOIN n2 na ON na.vec_id = a.vec_id
+          |  JOIN n2 nc ON nc.vec_id = c.cand_id
+          |  WHERE a.vec_id % 2 = 0
+          |),
+          |rk AS (SELECT cand_id, r_cos FROM (
+          |  SELECT cand_id, r_cos,
+          |         row_number() OVER (PARTITION BY cand_id ORDER BY r_cos DESC, aid) AS rn
+          |  FROM rva) z WHERE rn <= 4),
+          |sc AS (SELECT cand_id, sum(r_cos) AS sum_c FROM rk GROUP BY 1),
+          |m AS (
+          |  SELECT f.qid, f.cand_id, f.cos_e6,
+          |         f.cos_e6 * 8 * 1000000 // GREATEST(sq.sum_q + sc.sum_c, 1) AS margin_e6
+          |  FROM fk f JOIN sq USING (qid) JOIN sc USING (cand_id)
+          |)
+          |SELECT qid, CAST(rn AS BIGINT) AS pair_rank, cand_id,
+          |       CAST(cos_e6 AS BIGINT) AS cos_e6,
+          |       CAST(margin_e6 AS BIGINT) AS margin_e6
+          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+          |        ORDER BY margin_e6 DESC, cand_id) AS rn FROM m) z
+          |WHERE rn <= 3
+          |ORDER BY qid, pair_rank""".stripMargin))
   )
+
+  /** DuckDB mirror of Similarity.kcenterSelect with `k` greedy rounds
+    * unrolled as a CTE chain (the kmeansIvfOracle precedent): p1 is
+    * the min-id seed, md_r carries the running min squared-L2 (e6²
+    * integer, exact) to the picks so far, p_r is the argmax with id
+    * tie-break over the not-yet-picked rows.
+    */
+  private def kcenterOracle(k: Int): String = {
+    def dist(x: String, c: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($x.e) + 1), " +
+        s"i -> ($x.e[i] - $c.e[i]) * ($x.e[i] - $c.e[i]))) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= "WITH qemb AS (\n"
+    sb ++= "  SELECT vec_id, list_transform(embedding,\n"
+    sb ++= "           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e\n"
+    sb ++= "  FROM embeddings\n),\n"
+    sb ++= "p1 AS (SELECT vec_id, e FROM qemb ORDER BY vec_id LIMIT 1),\n"
+    sb ++= s"md1 AS (SELECT x.vec_id, x.e, ${dist("x", "c")} AS d " +
+      "FROM qemb x CROSS JOIN p1 c)"
+    for (r <- 2 to k) {
+      val excl = (1 until r).map(j => s"SELECT vec_id FROM p$j")
+        .mkString(" UNION ALL ")
+      sb ++= s",\np$r AS (SELECT vec_id, e, d FROM md${r - 1} " +
+        s"WHERE vec_id NOT IN ($excl) ORDER BY d DESC, vec_id LIMIT 1)"
+      if (r < k)
+        sb ++= s",\nmd$r AS (SELECT x.vec_id, x.e, " +
+          s"LEAST(x.d, ${dist("x", "c")}) AS d " +
+          s"FROM md${r - 1} x CROSS JOIN p$r c)"
+    }
+    val rows =
+      ("SELECT CAST(1 AS BIGINT) AS center_rank, vec_id, " +
+        "CAST(0 AS BIGINT) AS sep_e12 FROM p1") +:
+        (2 to k).map(r =>
+          s"SELECT CAST($r AS BIGINT), vec_id, CAST(d AS BIGINT) FROM p$r")
+    sb ++= "\n" + rows.mkString("\nUNION ALL\n")
+    sb ++= "\nORDER BY center_rank"
+    sb.toString
+  }
 }

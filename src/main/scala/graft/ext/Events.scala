@@ -597,4 +597,57 @@ object Events {
         max(col("__late")).as("max_late_us"),
         sum(col("__late")).as("sum_late_us"))
   }
+
+  /** Lag-k autocorrelation of the daily ingest-volume series — the
+    * TEMPORAL drift monitor beside the three distributional ones
+    * (KL / χ² / KS): a strong lag-7 peak is weekly seasonality a
+    * time-based train/val split must respect; a slowly-decaying
+    * positive tail is volume drift that invalidates "shuffle by day"
+    * assumptions; white noise reads ≈ 0 everywhere.
+    *
+    * Estimator: the standard sample ACF — r_k = Σ_{t≤n−k}(x_t−x̄)
+    * (x_{t+k}−x̄) / Σ_t(x_t−x̄)² over the day-bucketed count series
+    * (µs DIV 86400e6; row-indexed, so a missing day contracts the
+    * series rather than contributing a synthetic zero). Multiplying
+    * both sums through by n² keeps every term INTEGER-EXACT
+    * (dd_t = n·x_t − S ∈ BIGINT); the only float step is the final
+    * num/den divide of two exact integers (the cosE6 chain — one
+    * correctly-rounded IEEE op + floor(·1e6 + 0.5)), so ac_e6 is
+    * engine-identical. BIGINT bound: Σdd² ≤ days·(days·max_daily)² —
+    * safe past 10⁸ events/day at a 10-year series; beyond that the
+    * products move to DECIMAL(38,0) (the ks_drift precedent).
+    *
+    * Scale shape: ONE map-side-combinable corpus aggregation collapses
+    * events to the day histogram (bounded by calendar days, not
+    * corpus size; checkpointed for its two consumers); everything
+    * after — row_number, the lag self-join, the moment sums — runs on
+    * that bounded relation with the 1-row totals broadcast.
+    */
+  def dailyAutocorr(events: DataFrame, maxLag: Int = 7,
+      tsCol: String = "ts_us"): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val spark = events.sparkSession
+    val daily = events
+      .groupBy(expr(s"$tsCol DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val ser = daily // bounded: one row per day
+      .withColumn("rn", row_number().over(Window.orderBy("day")).cast("long"))
+    val tot = ser.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val dev = ser.crossJoin(broadcast(tot))
+      .select(col("rn"), (col("n") * col("x") - col("s")).as("dd"))
+    val den = dev.agg(sum(col("dd") * col("dd")).as("den"))
+    val lags = spark.range(1, maxLag + 1L).select(col("id").as("lag"))
+    dev.crossJoin(broadcast(lags))
+      .join(dev.select(col("rn").as("rnb"), col("dd").as("ddb")),
+        col("rnb") === col("rn") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dd") * col("ddb")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"), col("num"), col("den"),
+        when(col("den") <= 0, lit(0L)).otherwise(
+          floor(col("num").cast("double") / col("den").cast("double") *
+            lit(1e6) + lit(0.5)).cast("long")).as("ac_e6"))
+  }
 }

@@ -1294,4 +1294,81 @@ object Pipeline {
           .otherwise(col("c2")).as("group_size"),
         (col("anon_level") === 3L).as("suppressed"))
   }
+
+  /** Distinct l-diversity screen (Machanavajjhala et al. 2007) — the
+    * attribute-disclosure companion to [[kAnonymize]]: k-anonymity
+    * only bounds CLASS SIZE, so a class of 50 rows that all share one
+    * sensitive value still leaks it to anyone who can place a row in
+    * the class. This screen requires every published equivalence
+    * class to contain at least `l` DISTINCT sensitive values. QID here
+    * is (lang, token-length bucket); the sensitive attribute is
+    * `source` (which scraper/feed a document came from — exactly the
+    * kind of provenance a released corpus must not let an adversary
+    * pin to a row).
+    *
+    * Recoding is GLOBAL per lang group on the same Samarati ladder as
+    * kAnonymize (level 0 fine bucket / 1 coarse / 2 bucket dropped /
+    * 3 suppressed), for the same exclusion-leak reason. The one
+    * structural difference from the k-anon ladder: DISTINCT COUNTS DO
+    * NOT SUM, so level-1/2 diversities cannot roll up from level-0
+    * counts — they roll up from the level-0 DISTINCT-TRIPLE relation
+    * (lang, bucket, source), which is bounded by |langs|·buckets·
+    * |sources| no matter the corpus size. NULL lang/source coalesce
+    * to '' and are screened like any value.
+    *
+    * Shapes: ONE map-side-combinable corpus aggregation builds the
+    * distinct-triple histogram (checkpointed — all three ladder
+    * levels and the group verdict derive from it); verdict + per-level
+    * diversity tables broadcast back onto the corpus scan. Scan →
+    * agg → three broadcast hash joins at any corpus size.
+    */
+  def lDiversify(docs: DataFrame, textCol: String, l: Int,
+      idCol: String = "doc_id", sensCol: String = "source",
+      langCol: String = "lang", fine: Int = 25,
+      coarse: Int = 50): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    require(fine >= 1 && coarse >= fine && coarse % fine == 0,
+      s"coarse ($coarse) must be a positive multiple of fine ($fine)")
+    val lngQ = coalesce(col(langCol).cast("string"), lit(""))
+    val srcQ = coalesce(col(sensCol).cast("string"), lit(""))
+    val len = size_long(filter(split_part_tokens(col(textCol)),
+      t => t =!= ""))
+    val b0 = (len - pmod(len, lit(fine.toLong))).as("b0")
+    val toB1 = (b: Column) => b - pmod(b, lit(coarse.toLong))
+    val h0 = docs.select(lngQ.as("lng"), srcQ.as("src"), b0)
+      .groupBy("lng", "b0", "src").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // rows of h0 are distinct (lng, b0, src), so per-group row counts
+    // ARE the distinct-source diversities
+    val div0 = h0.groupBy("lng", "b0").agg(count(lit(1)).as("div0"))
+    val div1 = h0.withColumn("b1", toB1(col("b0")))
+      .select("lng", "b1", "src").distinct()
+      .groupBy("lng", "b1").agg(count(lit(1)).as("div1"))
+    val div2 = h0.select("lng", "src").distinct()
+      .groupBy("lng").agg(count(lit(1)).as("div2"))
+    val g = div0.groupBy("lng").agg(min(col("div0")).as("min0"))
+      .join(div1.groupBy("lng").agg(min(col("div1")).as("min1")),
+        Seq("lng"))
+      .join(div2, Seq("lng"))
+      .select(col("lng"),
+        when(col("min0") >= l, lit(0L))
+          .when(col("min1") >= l, lit(1L))
+          .when(col("div2") >= l, lit(2L))
+          .otherwise(lit(3L)).as("ldiv_level"),
+        col("div2"))
+    docs.select(col(idCol), lngQ.as("lng"), b0)
+      .withColumn("b1", toB1(col("b0")))
+      .join(broadcast(g), Seq("lng"))
+      .join(broadcast(div0), Seq("lng", "b0"))
+      .join(broadcast(div1), Seq("lng", "b1"))
+      .select(col(idCol), col("lng").as(langCol),
+        when(col("ldiv_level") === 0L, concat(lit("b"), col("b0")))
+          .when(col("ldiv_level") === 1L, concat(lit("B"), col("b1")))
+          .otherwise(lit("*")).as("qid_bucket"),
+        col("ldiv_level"),
+        when(col("ldiv_level") === 0L, col("div0"))
+          .when(col("ldiv_level") === 1L, col("div1"))
+          .otherwise(col("div2")).as("class_distinct"),
+        (col("ldiv_level") === 3L).as("suppressed"))
+  }
 }

@@ -1513,6 +1513,160 @@ object Similarity {
       .limit(k)
   }
 
+  /** Farthest-point k-center selection (Gonzalez 1985) — the
+    * coverage-first coreset primitive of a data-selection stack: pick
+    * `k` vectors so that every corpus vector is near SOME pick (a
+    * 2-approximation of the optimal k-center radius), the complement
+    * of the density-first samplers (weighted draw, stratified) — this
+    * one guarantees the tails are represented, which is what seed
+    * sets for labeling, eval-suite construction and diverse few-shot
+    * pools actually need.
+    *
+    * Parity discipline: distance is the EXACT integer squared L2 over
+    * e6-quantized embeddings (BIGINT end-to-end; at unit-ish norms
+    * Σ(Δe6)² ≤ 64·(4e6)² ≈ 1e15 — no float step at all, so the greedy
+    * trace is engine-identical by construction). Seed = smallest id;
+    * each round picks argmax of min-distance-to-picked with id ASC
+    * tie-break; already-picked ids are excluded (coincident-duplicate
+    * corpora would otherwise re-pick at distance 0).
+    *
+    * Scale shape: round r is ONE corpus scan — the picked centers
+    * broadcast as a literal r×d array, min-distance is an in-row fold
+    * (codegen'd HOFs), selection is TakeOrderedAndProject(1); no
+    * shuffle, no window, no pairwise join. Total O(k²·n·d) work in k
+    * scans; driver state is k codes (the codebook discipline). The
+    * recompute-per-round form deliberately trades k× redundant fold
+    * work for statelessness — the alternative (materialized min-dist
+    * column updated per round) needs a checkpoint per round and k
+    * writes of an n-row relation, which loses below k ≈ 50.
+    *
+    * Returns (center_rank, id, sep_e12): sep_e12 is the squared-L2
+    * separation (e6² units) of the pick from the previously-picked
+    * set at selection time — a non-increasing sequence whose last
+    * value upper-bounds twice the optimal k-center radius; the seed
+    * row reports 0.
+    */
+  def kcenterSelect(vectors: DataFrame, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val codes = vectors.select(col(idCol), embE6.as("__e"))
+    val seed = codes.orderBy(col(idCol).asc).limit(1).collect()
+    require(seed.nonEmpty, "kcenterSelect needs at least one vector")
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Long])](
+      (seed(0).getLong(0), 0L, seed(0).getSeq[Long](1).toArray))
+    var exhausted = false
+    while (picks.size < k && !exhausted) {
+      val centersLit = array(picks.toSeq.map(p =>
+        array(p._3.toSeq.map(lit): _*)): _*)
+      val ids = picks.toSeq.map(_._1)
+      val far = codes
+        .filter(!col(idCol).isin(ids: _*))
+        .select(col(idCol), col("__e"),
+          array_min(transform(centersLit, c =>
+            aggregate(zip_with(col("__e"), c, (x, y) => (x - y) * (x - y)),
+              lit(0L), (s, v) => s + v))).as("__d"))
+        .orderBy(col("__d").desc, col(idCol).asc)
+        .limit(1).collect()
+      if (far.isEmpty) exhausted = true
+      else picks += ((far(0).getLong(0), far(0).getLong(2),
+        far(0).getSeq[Long](1).toArray))
+    }
+    picks.toSeq.zipWithIndex
+      .map { case ((id, d, _), i) => (i + 1L, id, d) }
+      .toDF("center_rank", idCol, "sep_e12")
+  }
+
+  /** Margin-based cross-set pair mining — the CSLS / ratio-margin
+    * scorer (Conneau et al. 2018; Artetxe & Schwenk 2019) behind
+    * large-scale bitext mining: raw cosine over-selects HUB vectors
+    * that sit near everything, so each candidate pair's cosine is
+    * divided by the mean similarity of both endpoints' own k-NN
+    * neighborhoods — a pair only scores high when the two vectors are
+    * closer to each other than to their respective local crowds.
+    * Sides here: even ids = side A, odd ids = side B (the two
+    * "languages" of the synthetic fixture); queries are the pinned
+    * benchmark subset of A (`% queryEvery`, the recall-probe
+    * convention).
+    *
+    * Integer contract: every cosine is the e6 fixed chain (exact
+    * integer dot/norms, one IEEE divide·mult·floor), clamped at 0 —
+    * mining only ranks attractive pairs, and the clamp keeps the DIV
+    * below positive-integer (truncation-mode-proof in any engine);
+    * margin_e6 = cos_e6 · 2k · 1e6 DIV max(sumNN_A + sumNN_B, 1),
+    * pure BIGINT.
+    *
+    * Scale shape: two corpus scans — side B scored against the
+    * BROADCAST query set, then side A scored against the BROADCAST
+    * candidate set (≤ |Q|·k codes) — each selection a
+    * [[graft.functions.TopKDesc]] bounded aggregate (map-side heaps,
+    * no window over corpus-sized data); the margin algebra and the
+    * final per-query rank run on the checkpointed |Q|·k candidate
+    * relation. No all-pairs join at any corpus size; at production
+    * scale the two exact NN scans swap for the IVF/LSH legs without
+    * touching the margin algebra.
+    */
+  def marginMine(vectors: DataFrame, queryEvery: Long = 48, k: Int = 4,
+      topPairs: Int = 3, benchMaxId: Long = Long.MaxValue,
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && topPairs >= 1, s"k/topPairs must be >= 1")
+    graft.functions.TopKFunctions.register(vectors.sparkSession)
+    val codes = vectors.select(col(idCol).as("id"), embE6.as("e"))
+      .withColumn("n2", dotI(col("e"), col("e")))
+    val sideA = codes.filter(pmod(col("id"), lit(2L)) === 0)
+    val sideB = codes.filter(pmod(col("id"), lit(2L)) === 1)
+    // `% queryEvery` + benchMaxId pins the query set (the recall-probe
+    // convention): the benchmark must NOT grow with the corpus, or the
+    // two normalizer scans scale as |Q|·n instead of n
+    val qs = sideA.filter(pmod(col("id"), lit(queryEvery)) === 0 &&
+        col("id") < benchMaxId)
+      .select(col("id").as("qid"), col("e").as("qe"), col("n2").as("qn"))
+    def cosE6Pos(num: Column, na: Column, nb: Column): Column =
+      when(na <= 0 || nb <= 0, lit(0L)).otherwise(greatest(
+        floor(num.cast("double") /
+          (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) *
+          lit(1e6) + lit(0.5)).cast("long"), lit(0L)))
+    val fwd = sideB.crossJoin(broadcast(qs))
+      .select(col("qid"), col("id"),
+        cosE6Pos(dotI(col("e"), col("qe")), col("n2"), col("qn"))
+          .as("cos_e6"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKFunctions.topk_desc(
+        col("cos_e6").cast("double"),
+        lpad(col("id").cast("string"), 20, "0"),
+        struct(col("id"), col("cos_e6")), k).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__s"))
+      .select(col("qid"), col("__s.id").as("cand_id"),
+        col("__s.cos_e6").as("cos_e6"))
+      .localCheckpoint(true) // bounded: |Q|·k rows, three consumers
+    val sumQ = fwd.groupBy("qid").agg(sum(col("cos_e6")).as("sum_q"))
+    val cands = fwd.select(col("cand_id").as("cid")).distinct()
+    val cCodes = sideB.join(broadcast(cands), col("id") === col("cid"))
+      .select(col("cid"), col("e").as("ce"), col("n2").as("cn"))
+    val sumC = sideA.crossJoin(broadcast(cCodes))
+      .select(col("cid"), col("id"),
+        cosE6Pos(dotI(col("e"), col("ce")), col("n2"), col("cn"))
+          .as("r_cos"))
+      .groupBy("cid")
+      .agg(graft.functions.TopKFunctions.topk_desc(
+        col("r_cos").cast("double"),
+        lpad(col("id").cast("string"), 20, "0"),
+        col("r_cos"), k).as("__top"))
+      .select(col("cid"), explode(col("__top")).as("__r"))
+      .groupBy("cid").agg(sum(col("__r")).as("sum_c"))
+    fwd.join(broadcast(sumQ), Seq("qid"))
+      .join(broadcast(sumC), col("cand_id") === col("cid"))
+      .select(col("qid"), col("cand_id"), col("cos_e6"),
+        expr(s"cos_e6 * ${2L * k} * 1000000 DIV " +
+          "greatest(sum_q + sum_c, 1)").as("margin_e6"))
+      .withColumn("pair_rank", row_number().over( // bounded: |Q|·k rows
+        Window.partitionBy("qid")
+          .orderBy(col("margin_e6").desc, col("cand_id").asc)).cast("long"))
+      .filter(col("pair_rank") <= topPairs)
+      .select("qid", "pair_rank", "cand_id", "cos_e6", "margin_e6")
+  }
+
   /** Reopen a persisted PQ index ([[writePqIndex]] layout). */
   def readPqIndex(spark: SparkSession, dir: String): PqIndex = {
     val rows = spark.read.parquet(s"$dir/codebook").collect()

@@ -296,4 +296,27 @@ class EventsSpec extends AnyFunSuite {
       (1L, 2L, 1L, 2000L, "view"),
       (2L, 1L, 1L, 50L, "view")))
   }
+
+  test("dailyAutocorr: alternating series hand values; constant series reads 0") {
+    import spark.implicits._
+    val day = 86400000000L
+    // counts per day: 1,3,1,3,1,3 → n=6, S=12, dd = 6x−12 = ±6,
+    // den = 6·36 = 216; lag 1: 5 pairs of −36 → −180/216 = −.8333…;
+    // lag 2: 4 pairs of +36 → +144/216 = +.6667…
+    val ev = (0 until 6).flatMap { d =>
+      val c = if (d % 2 == 0) 1 else 3
+      (0 until c).map(i => (d.toLong * 100 + i, d * day + i * 1000L))
+    }.toDF("event_id", "ts_us")
+    val got = Events.dailyAutocorr(ev, maxLag = 2).orderBy("lag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, -180L, 216L, -833333L),
+      (2L, 4L, 144L, 216L, 666667L)))
+    // constant series: den = 0 → ac_e6 pinned to 0, not NaN/div-zero
+    val flat = (0 until 5).flatMap(d =>
+      (0 until 2).map(i => (d.toLong * 10 + i, d * day + i))).toDF("event_id", "ts_us")
+    val g2 = Events.dailyAutocorr(flat, maxLag = 2).orderBy("lag").collect()
+    assert(g2.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
+  }
 }

@@ -1665,4 +1665,96 @@ class ExtSpec extends AnyFunSuite {
       out(1).getLong(2) == 0L && out(1).getString(1) == "")
     assert(out(2).getString(3) == "")
   }
+
+  test("kcenterSelect: greedy trace matches brute-force mirror on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val pts = (0L until 60L).map { i =>
+      (i, Seq.fill(4)((rnd.nextInt(2001) - 1000) / 1000.0f))
+    }
+    val got = Similarity.kcenterSelect(pts.toDF("vec_id", "embedding"), k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force mirror of the exact integer greedy
+    val codes = pts.map { case (i, v) =>
+      i -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long)]((0L, 0L))
+    while (picks.size < 6) {
+      val best = codes.keys.filter(id => !picks.exists(_._1 == id))
+        .map(id => (picks.map(p => d2(codes(id), codes(p._1))).min, id))
+        .reduce { (x, y) =>
+          if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x
+        }
+      picks += ((best._2, best._1))
+    }
+    val want = picks.zipWithIndex.map { case ((id, d), i) => (i + 1L, id, d) }
+    assert(got.toSeq == want.toSeq)
+    // seed is the min id at separation 0; separations never increase
+    assert(got.head == ((1L, 0L, 0L)))
+    assert(got.drop(1).map(_._3).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("kcenterSelect: stops early when the corpus has fewer than k points") {
+    import spark.implicits._
+    val pts = Seq(
+      (10L, Seq(0f, 0f)), (20L, Seq(1f, 0f)), (30L, Seq(0f, 1f)))
+    val got = Similarity.kcenterSelect(pts.toDF("vec_id", "embedding"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("marginMine: hub wins raw cosine, margin demotes it") {
+    import spark.implicits._
+    // Side A (even): q=[1,0,0,0], a2=[0,1,0,0], a4=[0,0,1,0].
+    // Side B (odd): hub=1 [0.8,0.6,0.6,0] — near EVERYTHING in A
+    // (cos to q ≈ .684, to a2/a4 ≈ .513); c=3 [0.6,0,0,0.8] — near q
+    // only (cos .6, 0 elsewhere). Raw cosine ranks hub first for q;
+    // the margin divides by each endpoint's own k-NN mass
+    // (hub ≈ .684+.513, c ≈ .6+0), which flips the order.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 1f, 0f)),
+      (1L, Seq(0.8f, 0.6f, 0.6f, 0f)), (3L, Seq(0.6f, 0f, 0f, 0.8f)))
+    val got = Similarity.marginMine(vecs.toDF("vec_id", "embedding"),
+        queryEvery = 48, k = 2, topPairs = 2)
+      .orderBy("qid", "pair_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 1L, 3L), (0L, 2L, 1L)))
+    // the flip is real: hub's raw cosine is HIGHER, its margin LOWER
+    val byCand = got.map(t => t._3 -> (t._4, t._5)).toMap
+    assert(byCand(1L)._1 > byCand(3L)._1, "hub should win raw cosine")
+    assert(byCand(3L)._2 > byCand(1L)._2, "margin should prefer c")
+  }
+
+  test("lDiversify: ladder levels per lang; homogeneous class recodes") {
+    import spark.implicits._
+    def txt(n: Int) = Seq.fill(n)("tok").mkString(" ")
+    // en: fine buckets {0: sources s1,s2 | 25: s1 only} → level-0 min
+    // diversity 1 < 2, but both buckets coarsen to B0 with {s1,s2} →
+    // level 1. de: every fine bucket has 2 sources → level 0.
+    // fr: one source everywhere → suppressed (level 3).
+    val docs = Seq(
+      (1L, txt(10), "en", "s1"), (2L, txt(12), "en", "s2"),
+      (3L, txt(30), "en", "s1"),
+      (4L, txt(10), "de", "sA"), (5L, txt(11), "de", "sB"),
+      (6L, txt(10), "fr", "sX"), (7L, txt(30), "fr", "sX")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Pipeline.lDiversify(docs, "text", l = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, "en", "B0", 1L, 2L, false),
+      (2L, "en", "B0", 1L, 2L, false),
+      (3L, "en", "B0", 1L, 2L, false),
+      (4L, "de", "b0", 0L, 2L, false),
+      (5L, "de", "b0", 0L, 2L, false),
+      (6L, "fr", "*", 3L, 1L, true),
+      (7L, "fr", "*", 3L, 1L, true)))
+  }
 }

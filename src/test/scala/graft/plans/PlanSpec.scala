@@ -604,6 +604,50 @@ class PlanSpec extends AnyFunSuite {
     assert(windowNodes(df) == 0, s"kanon grew a window:\n$p")
   }
 
+  test("l-diversity: distinct-triple rollups, ladder joins all broadcast") {
+    // same ladder discipline as kanon, but every rollup derives from
+    // the bounded distinct-triple relation: the corpus is scanned for
+    // ONE aggregation, then verdict + two diversity tables broadcast
+    // back (5 BroadcastHashJoins incl. the verdict's two internal
+    // bounded joins), zero sort-merge, zero windows
+    Corpus.registerSources(spark, sfDir)
+    val df = graft.ext.Pipeline.lDiversify(
+      spark.table("documents"), "text", l = 2)
+    val p = planOf(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 5,
+      s"expected 5 broadcast ladder joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"ldiv ladder join lost its broadcast:\n$p")
+    assert(windowNodes(df) == 0, s"ldiv grew a window:\n$p")
+  }
+
+  test("margin mining: heap selection both directions, no corpus sort-merge") {
+    // both NN legs are TopKDesc bounded aggregates against broadcast
+    // sides; the only window allowed is the final rank over the
+    // checkpointed |Q|·k candidate relation
+    Corpus.registerSources(spark, sfDir)
+    val df = graft.ext.Similarity.marginMine(
+      spark.table("embeddings"), queryEvery = 48, k = 4, topPairs = 3,
+      benchMaxId = 500)
+    val p = planOf(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"margin mine corpus leg lost its broadcast:\n$p")
+    assert(windowNodes(df) <= 1, s"margin mine grew corpus windows:\n$p")
+  }
+
+  test("daily autocorr: one corpus agg, bounded-relation algebra after") {
+    // the day histogram is the single corpus-sized aggregation; the
+    // lag self-join and totals run on the checkpointed bounded series
+    // with broadcast 1-row sides — no sort-merge, no cartesian
+    Corpus.registerSources(spark, sfDir)
+    val df = graft.ext.Events.dailyAutocorr(
+      spark.table("events").withColumn("ts_us", unix_micros(col("ts"))),
+      maxLag = 7)
+    val p = planOf(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"autocorr lost a broadcast:\n$p")
+  }
+
   test("knn graph: heap selection, ZERO window nodes") {
     // the graph-curation input relation: per-vector top-k must come
     // from partial heaps (map-side ≤ k rows per partition), never a
