@@ -790,6 +790,19 @@ private[graft] object ExtEventQueries {
           |            ELSE floor(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE)
           |                       * 1e6 + 0.5) END AS BIGINT) AS ac_e6
           |FROM nums, den
-          |ORDER BY lag""".stripMargin))
+          |ORDER BY lag""".stripMargin)),
+
+    // CUSUM change-point scan (Page): WHEN did daily volume shift.
+    // The max(0,·) recurrence runs as its prefix-min/max closed form —
+    // pure window algebra over the bounded day histogram, exact
+    // BIGINT end-to-end; the peak day flags the most likely change.
+    QueryDef("x_evt_cpd",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Events.cusumChangePoint(spark.table("events")
+            .withColumn("ts_us", unix_micros(col("ts"))))
+          .orderBy("day")
+      },
+      defsCpdOracle)
   )
 }

@@ -988,6 +988,51 @@ private[graft] object ExtQualityQueries {
            |JOIN pc ON pc.bin = s.b_chars
            |JOIN pt ON pt.bin = s.b_tokens
            |JOIN pd ON pd.bin = s.b_distinct
-           |ORDER BY s.doc_id""".stripMargin))
+           |ORDER BY s.doc_id""".stripMargin)),
+
+    // Poisson-bootstrap replicate means of doc token length — the
+    // at-scale error bar on a corpus statistic: 32 resamples in ONE
+    // scan (per-(row, replicate) Poisson(1) multiplicity from the
+    // portable-hash uniform through an exact 2^40 fixed-point CDF
+    // ladder; both engines draw the SAME resamples), map-side combine
+    // collapses the B-fold expansion before the one exchange.
+    QueryDef("x_stats_bootstrap",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Quality.poissonBootstrap(spark.table("documents"), "text", b = 32)
+          .orderBy("rep")
+      },
+      Some(
+        """WITH lens AS (
+          |  SELECT doc_id,
+          |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS BIGINT) AS len
+          |  FROM documents
+          |),
+          |reps AS (SELECT unnest(range(32)) AS rep),
+          |u AS (
+          |  SELECT r.rep, l.len,
+          |         CAST('0x' || substr(md5(CAST(r.rep AS VARCHAR) || ':' || CAST(l.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          |           % 1099511627776 AS u
+          |  FROM lens l CROSS JOIN reps r
+          |),
+          |w AS (
+          |  SELECT rep, len,
+          |         CASE WHEN u < 404487723187 THEN 0
+          |              WHEN u < 808975446375 THEN 1
+          |              WHEN u < 1011219307969 THEN 2
+          |              WHEN u < 1078633928500 THEN 3
+          |              WHEN u < 1095487583633 THEN 4
+          |              WHEN u < 1098858314660 THEN 5
+          |              WHEN u < 1099420103164 THEN 6
+          |              ELSE 7 END AS w
+          |  FROM u
+          |)
+          |SELECT CAST(rep AS BIGINT) AS rep,
+          |       CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_eff,
+          |       CAST(sum(w) AS BIGINT) AS sum_w,
+          |       CAST(sum(w * len) * 1000000 // GREATEST(sum(w), 1) AS BIGINT) AS mean_e6
+          |FROM w
+          |GROUP BY rep
+          |ORDER BY rep""".stripMargin))
   )
 }

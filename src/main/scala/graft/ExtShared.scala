@@ -1258,4 +1258,31 @@ private[graft] object ExtShared {
       |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
       |FROM g GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin)
+
+  /** CUSUM change-point oracle — shared VERBATIM by `x_evt_cpd` and
+    * its streaming twin `x_stream_cusum` (one contract, three
+    * implementations: batch scan, complete-mode streamed histogram,
+    * SQL). Mirrors Events.cusumChangePoint / cusumFromDaily.
+    */
+  private[graft] def defsCpdOracle: Option[String] = Some(
+    """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+      |d AS (SELECT day, count(*) AS x FROM e GROUP BY day),
+      |t AS (SELECT count(*) AS n, sum(x) AS s FROM d),
+      |v AS (SELECT day, x, CAST(t.n * d.x - t.s AS BIGINT) AS dd FROM d, t),
+      |p AS (SELECT day, x, dd,
+      |        sum(dd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p
+      |      FROM v),
+      |c AS (SELECT day, x, dd,
+      |        p - LEAST(min(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS cusum_pos,
+      |        GREATEST(max(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0) - p AS cusum_neg
+      |      FROM p),
+      |m AS (SELECT *, GREATEST(cusum_pos, cusum_neg) AS m FROM c),
+      |mx AS (SELECT max(m) AS mx FROM m),
+      |pk AS (SELECT min(day) AS peak_day FROM m, mx WHERE m.m = mx.mx)
+      |SELECT day, CAST(x AS BIGINT) AS x, dd,
+      |       CAST(cusum_pos AS BIGINT) AS cusum_pos,
+      |       CAST(cusum_neg AS BIGINT) AS cusum_neg,
+      |       day = pk.peak_day AS is_peak
+      |FROM m, pk
+      |ORDER BY day""".stripMargin)
 }

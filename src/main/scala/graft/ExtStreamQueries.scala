@@ -822,6 +822,33 @@ private[graft] object ExtStreamQueries {
           |SELECT doc_id, CAST(w AS BIGINT) AS weight,
           |       CAST(sample_rank AS BIGINT) AS sample_rank
           |FROM ranked WHERE sample_rank <= 200
-          |ORDER BY sample_rank""".stripMargin))
+          |ORDER BY sample_rank""".stripMargin)),
+
+    // Streaming CUSUM drift monitor — the production form of
+    // x_evt_cpd: the day histogram EXECUTES as an ordinary
+    // complete-mode streaming count over 2 micro-batches (cross-batch
+    // count merge is the state-class proof; state is the bounded
+    // calendar-day relation by construction), then the IDENTICAL
+    // batch window algebra (Events.cusumFromDaily) closes over the
+    // final state. Shares x_evt_cpd's oracle VERBATIM (one contract,
+    // three implementations: batch scan, streamed histogram, SQL).
+    QueryDef("x_stream_cusum",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val srcDir = multiFileSourceDir(spark, sfDir, "events.parquet", 4)
+        val stream = eventsStream(spark, srcDir, maxFilesPerTrigger = 2)
+        val q = stream
+          .groupBy(expr("ts_us DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("x_stream_cusum_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.ext.Events.cusumFromDaily(
+            spark.table("x_stream_cusum_sink").select("day", "x"))
+          .orderBy("day")
+      },
+      defsCpdOracle)
   )
 }

@@ -650,4 +650,59 @@ object Events {
           floor(col("num").cast("double") / col("den").cast("double") *
             lit(1e6) + lit(0.5)).cast("long")).as("ac_e6"))
   }
+
+  /** CUSUM change-point scan over the daily ingest-volume series
+    * (Page 1954) — the WHEN companion to [[dailyAutocorr]]'s "is
+    * there structure": a level shift in daily volume (a source went
+    * dark, a scraper doubled) shows as a ramp in the one-sided
+    * cumulative sums, and the ramp's peak marks the most likely
+    * change day. Zero-slack two-sided form over mean-centered counts.
+    *
+    * Integer contract: deviations are the n²-scaling trick
+    * (dd_t = n·x_t − S, exact BIGINT); the max(0, ·) recurrence is
+    * computed by its prefix closed form — S⁺_t = P_t − min(0,
+    * min_{j≤t} P_j), S⁻_t = max(0, max_{j≤t} P_j) − P_t, with P the
+    * running sum of dd — so the whole scan is window algebra on the
+    * BOUNDED day histogram, no sequential fold, no float anywhere.
+    * The flagged peak is the argmax of max(S⁺, S⁻), earliest day on
+    * ties.
+    *
+    * Scale shape: ONE map-side-combinable corpus aggregation to the
+    * day histogram (checkpointed); windows, the peak scalars and the
+    * flag join all run on the bounded relation with broadcast 1-row
+    * sides.
+    */
+  def cusumChangePoint(events: DataFrame,
+      tsCol: String = "ts_us"): DataFrame =
+    cusumFromDaily(events
+      .groupBy(expr(s"$tsCol DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true))
+
+  /** The CUSUM algebra half of [[cusumChangePoint]], split out so the
+    * streaming twin can apply the IDENTICAL window algebra to a
+    * stream-maintained day histogram (`day`, `x` count columns —
+    * bounded by calendar days). Same output contract.
+    */
+  def cusumFromDaily(daily: DataFrame): DataFrame = {
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = daily.crossJoin(broadcast(tot)) // bounded: one row per day
+      .withColumn("dd", col("n") * col("x") - col("s"))
+      .withColumn("p", sum(col("dd")).over(wCum))
+      .withColumn("cusum_pos",
+        col("p") - least(min(col("p")).over(wCum), lit(0L)))
+      .withColumn("cusum_neg",
+        greatest(max(col("p")).over(wCum), lit(0L)) - col("p"))
+      .withColumn("m", greatest(col("cusum_pos"), col("cusum_neg")))
+      .localCheckpoint(true)
+    val mx = dev.agg(max(col("m")).as("mx"))
+    val pk = dev.crossJoin(broadcast(mx)).filter(col("m") === col("mx"))
+      .agg(min(col("day")).as("peak_day"))
+    dev.crossJoin(broadcast(pk))
+      .select(col("day"), col("x"), col("dd"),
+        col("cusum_pos"), col("cusum_neg"),
+        (col("day") === col("peak_day")).as("is_peak"))
+  }
 }

@@ -1289,4 +1289,66 @@ object Quality {
           .as("ks_e6"),
         col("len").as("at_len"))
   }
+
+  /** Fixed-point Poisson(1) CDF ladder at 2^40 scale: a uniform on
+    * [0, 2^40) maps to a resample multiplicity 0..7 (P(w > 7|λ=1) ≈
+    * 1e-5 — the cap is the documented truncation). The constants are
+    * floor(CDF(k)·2^40); both engines share them literally.
+    */
+  private val PoissonT = Seq(404487723187L, 808975446375L,
+    1011219307969L, 1078633928500L, 1095487583633L, 1098858314660L,
+    1099420103164L)
+
+  /** Poisson-bootstrap replicate means of per-document token length —
+    * the at-scale uncertainty quantification for corpus statistics
+    * (the one-pass bootstrap of Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams": per (row, replicate) the
+    * resample multiplicity is an independent Poisson(1) draw, so all
+    * B resamples run in ONE corpus scan with no resample ever
+    * materialized). A corpus report that says "mean doc length 412"
+    * without an interval can't distinguish drift from noise; the
+    * spread of these B replicate means IS the interval.
+    *
+    * Determinism: the draw is the portable-hash uniform of
+    * (replicate, id) pushed through the exact 2^40 fixed-point
+    * Poisson CDF ladder ([[PoissonT]]) — both engines draw the SAME
+    * resamples, and each replicate mean is positive-integer algebra
+    * (Σw·len · 1e6 DIV Σw), so the output is engine-identical with
+    * no float anywhere.
+    *
+    * Scale shape: the B-fold row expansion feeds straight into a
+    * map-side-combinable aggregation — each partition collapses to
+    * ≤ B rows before the one exchange, so the shuffle carries
+    * O(partitions·B) rows at any corpus size. B is a constant (32),
+    * not a function of the data.
+    */
+  def poissonBootstrap(docs: DataFrame, textCol: String, b: Int = 32,
+      idCol: String = "doc_id"): DataFrame = {
+    require(b >= 1, s"b must be >= 1, got $b")
+    val spark = docs.sparkSession
+    val lens = docs.select(col(idCol).cast("string").as("id"),
+      size(wsTokens(col(textCol))).cast("long").as("len"))
+    val reps = spark.range(0, b).select(col("id").as("rep"))
+    val u = pmod(graft.ext.Dedup.portableHash(
+      concat(col("rep").cast("string"), lit(":"), col("id"))),
+      lit(1L << 40))
+    val w = PoissonT.zipWithIndex
+      .foldLeft(when(u < PoissonT.head, 0L)) { case (acc, (t, i)) =>
+        if (i == 0) acc else acc.when(u < t, i.toLong)
+      }
+      .otherwise(lit(7L))
+    lens.crossJoin(broadcast(reps))
+      .select(col("rep"), col("len"), w.as("w"))
+      .groupBy("rep")
+      .agg(sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_eff"),
+        sum(col("w")).as("sum_w"),
+        sum(col("w") * col("len")).as("wlen"))
+      .select(col("rep"), col("n_eff"), col("sum_w"),
+        // DECIMAL(38,0) for the ·1e6 product (the ks_e6 precedent):
+        // Σw·len·1e6 leaves BIGINT near ~10¹³ resampled tokens
+        expr("""CAST(CAST(wlen AS DECIMAL(38, 0)) * 1000000
+               |DIV CAST(greatest(sum_w, CAST(1 AS BIGINT))
+               |         AS DECIMAL(38, 0)) AS BIGINT)""".stripMargin)
+          .as("mean_e6"))
+  }
 }

@@ -319,4 +319,29 @@ class EventsSpec extends AnyFunSuite {
     val g2 = Events.dailyAutocorr(flat, maxLag = 2).orderBy("lag").collect()
     assert(g2.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
   }
+
+  test("cusumChangePoint: level shift ramps to a peak at the boundary day") {
+    import spark.implicits._
+    val day = 86400000000L
+    // 1,1,1,1 → 5,5,5,5: n=8, S=24, dd = 8x−24 = ∓16; P ramps to −64
+    // at day 3 then back to 0 — cusum_neg peaks at 64 on day 3 (the
+    // last pre-change day), cusum_pos mirrors it at day 7; earliest
+    // attainer wins the flag.
+    val ev = (0 until 8).flatMap { d =>
+      val c = if (d < 4) 1 else 5
+      (0 until c).map(i => (d.toLong * 100 + i, d * day + i * 1000L))
+    }.toDF("event_id", "ts_us")
+    val got = Events.cusumChangePoint(ev).orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, -16L, 0L, 16L, false),
+      (1L, 1L, -16L, 0L, 32L, false),
+      (2L, 1L, -16L, 0L, 48L, false),
+      (3L, 1L, -16L, 0L, 64L, true),
+      (4L, 5L, 16L, 16L, 48L, false),
+      (5L, 5L, 16L, 32L, 32L, false),
+      (6L, 5L, 16L, 48L, 16L, false),
+      (7L, 5L, 16L, 64L, 0L, false)))
+  }
 }

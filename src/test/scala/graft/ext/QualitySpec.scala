@@ -530,4 +530,40 @@ class QualitySpec extends AnyFunSuite {
     assert(r(2)._3 > r(0)._3 && r(0)._3 > r(1)._3)
     assert(r(3) == ((4L, 0L, 0L, false))) // no features → weight 0, not null
   }
+
+  test("poissonBootstrap: md5-ladder brute mirror; reshuffle-proof") {
+    import spark.implicits._
+    val docs = (1L to 200L)
+      .map(i => (i, Seq.fill((i % 13 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Quality.poissonBootstrap(docs, "text", b = 8)
+      .orderBy("rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent mirror: md5 → 15 hex chars → %2^40 → CDF ladder
+    val th = Seq(404487723187L, 808975446375L, 1011219307969L,
+      1078633928500L, 1095487583633L, 1098858314660L, 1099420103164L)
+    def u(rep: Long, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$rep:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % (1L << 40)
+    }
+    def w(uu: Long): Long = {
+      val i = th.indexWhere(uu < _); if (i < 0) 7L else i.toLong
+    }
+    val want = (0L until 8L).map { rep =>
+      val ws = (1L to 200L).map(id => (w(u(rep, id)), id % 13 + 1))
+      val sw = ws.map(_._1).sum
+      val wl = ws.map(t => t._1 * t._2).sum
+      (rep, ws.count(_._1 > 0).toLong, sw, wl * 1000000L / math.max(sw, 1L))
+    }
+    assert(got.toSeq == want)
+    // resample mass concentrates near n (Poisson(1) mean 1 per row)
+    assert(got.forall(t => t._3 > 100 && t._3 < 300))
+    // physical layout must not change the draw
+    val re = Quality.poissonBootstrap(docs.repartition(7), "text", b = 8)
+      .orderBy("rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSeq == got.toSeq)
+  }
 }

@@ -648,6 +648,29 @@ class PlanSpec extends AnyFunSuite {
       s"autocorr lost a broadcast:\n$p")
   }
 
+  test("cusum change-point: one corpus agg, windows on the bounded series only") {
+    // the day histogram is the only corpus-sized aggregation; prefix
+    // windows, peak scalars and the flag join run on the checkpointed
+    // bounded relation with broadcast 1-row sides
+    val df = graft.ext.Events.cusumChangePoint(events)
+    val p = planOf(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"cusum lost a broadcast:\n$p")
+  }
+
+  test("poisson bootstrap: B-fold expansion collapses map-side, one shuffle") {
+    // the corpus×B expansion feeds a partial aggregate — each
+    // partition reduces to <= B rows before the single rep-keyed
+    // exchange; no window, no sort-merge join
+    Corpus.registerSources(spark, sfDir)
+    val df = graft.ext.Quality.poissonBootstrap(
+      spark.table("documents"), "text", b = 32)
+    val p = planOf(df)
+    assert(shuffles(df) == 1, s"expected exactly 1 shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && windowNodes(df) == 0,
+      s"bootstrap grew a join/window:\n$p")
+  }
+
   test("knn graph: heap selection, ZERO window nodes") {
     // the graph-curation input relation: per-vector top-k must come
     // from partial heaps (map-side ≤ k rows per partition), never a

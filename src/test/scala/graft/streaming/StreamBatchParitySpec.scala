@@ -348,4 +348,28 @@ class StreamBatchParitySpec extends AnyFunSuite {
       batch.exceptAll(got).count() == 0,
       "stream emissions != relational delta containment")
   }
+
+  test("streamed day histogram + cusumFromDaily == batch cusumChangePoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000000L
+    val r = new scala.util.Random(23)
+    val evs = (1L to 300L).map { eid =>
+      (eid, r.nextInt(12) * day + r.nextInt(1000) * 1000L)
+    }
+    val batch = Events.cusumChangePoint(evs.toDF("event_id", "ts_us"))
+    val stream = MemoryStream[(Long, Long)]
+    val q = stream.toDF().toDF("event_id", "ts_us")
+      .groupBy(expr("ts_us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("parity_cusum").start()
+    // batch splits land mid-day: the complete-mode count state must
+    // merge per-day partial counts across micro-batches
+    evs.grouped(100).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = Events.cusumFromDaily(
+      spark.table("parity_cusum").select("day", "x"))
+    assert(rows(got) == rows(batch))
+  }
 }
