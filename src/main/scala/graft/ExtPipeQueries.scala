@@ -873,6 +873,44 @@ private[graft] object ExtPipeQueries {
           |JOIN d1 USING (lang, b1)
           |ORDER BY doc_id""".stripMargin)),
 
+    // t-closeness audit — the third privacy rung (size → diversity →
+    // SKEW): per (lang, bucket) class, the variational distance
+    // between the class's source distribution and the global one,
+    // over the completed class × source grid. Exact cross-multiplied
+    // integers in DECIMAL(38,0); one corpus agg, bounded grid after.
+    QueryDef("x_pipe_tclose",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        Pipeline.tCloseness(spark.table("documents"), "text",
+            tE6Max = 350000)
+          .orderBy("lang", "b0")
+      },
+      Some(
+        """WITH l AS (
+          |  SELECT coalesce(source, '') AS src, coalesce(lang, '') AS lang,
+          |         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS BIGINT) AS len
+          |  FROM documents
+          |),
+          |b AS (SELECT lang, src, len - (len % 25) AS b0 FROM l),
+          |h0 AS (SELECT lang, b0, src, count(*) AS c FROM b GROUP BY 1, 2, 3),
+          |gs AS (SELECT src, sum(c) AS n_src FROM h0 GROUP BY 1),
+          |tt AS (SELECT sum(c) AS n_all FROM h0),
+          |cl AS (SELECT lang, b0, sum(c) AS n_class FROM h0 GROUP BY 1, 2),
+          |grid AS (
+          |  SELECT cl.lang, cl.b0, cl.n_class, tt.n_all,
+          |         abs(coalesce(h0.c, 0) * tt.n_all - gs.n_src * cl.n_class) AS term
+          |  FROM cl CROSS JOIN gs CROSS JOIN tt
+          |  LEFT JOIN h0 ON h0.lang = cl.lang AND h0.b0 = cl.b0
+          |             AND h0.src = gs.src
+          |)
+          |SELECT lang, b0, CAST(n_class AS BIGINT) AS n_class,
+          |       CAST(sum(term) * 1000000 // (2 * n_class * n_all) AS BIGINT) AS t_e6,
+          |       CAST(sum(term) * 1000000 // (2 * n_class * n_all) AS BIGINT)
+          |         <= 350000 AS pass
+          |FROM grid
+          |GROUP BY lang, b0, n_class, n_all
+          |ORDER BY lang, b0""".stripMargin)),
+
     // Temperature-based mixture reweighting (mT5/XLM-R): sampling
     // weight per source ∝ (token share)^0.3 — the up-sample-the-tail
     // dial whose output feeds mixSample's permille knob. One corpus

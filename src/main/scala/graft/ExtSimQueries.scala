@@ -306,49 +306,7 @@ private[graft] object ExtSimQueries {
       },
       Some(
         s"""WITH $exCte,
-           |cx AS (
-           |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
-           |         unnest(range(len(embedding))) AS i
-           |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
-           |),
-           |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
-           |          FROM ex GROUP BY vec_id),
-           |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
-           |           FROM cx GROUP BY cell_id),
-           |allsims AS (
-           |  SELECT e.vec_id, c.cell_id,
-           |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
-           |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
-           |  FROM ex e JOIN cx c ON e.i = c.i
-           |  JOIN norms n ON n.vec_id = e.vec_id
-           |  JOIN cnorms cn ON cn.cell_id = c.cell_id
-           |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
-           |),
-           |assigned AS (
-           |  SELECT vec_id, cell_id FROM (
-           |    SELECT vec_id, cell_id,
-           |           row_number() OVER (PARTITION BY vec_id
-           |                              ORDER BY sim DESC, cell_id) AS rn
-           |    FROM allsims
-           |  ) r WHERE rn = 1
-           |),
-           |pairdots AS (
-           |  SELECT a.vec_id, b.vec_id AS nbr_id,
-           |         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
-           |  FROM ex a
-           |  JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
-           |  JOIN assigned aa ON aa.vec_id = a.vec_id
-           |  JOIN assigned ab ON ab.vec_id = b.vec_id AND ab.cell_id = aa.cell_id
-           |  GROUP BY 1, 2
-           |),
-           |scored AS (
-           |  SELECT p.vec_id, p.nbr_id,
-           |         CAST(floor(p.dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1e6 + 0.5)
-           |              AS BIGINT) AS cos_e6
-           |  FROM pairdots p
-           |  JOIN norms na ON na.vec_id = p.vec_id
-           |  JOIN norms nb ON nb.vec_id = p.nbr_id
-           |)
+           |$knnScoredCtes
            |SELECT vec_id, CAST(rn AS BIGINT) AS nbr_rank, nbr_id, cos_e6
            |FROM (
            |  SELECT vec_id, nbr_id, cos_e6,
@@ -1639,8 +1597,110 @@ private[graft] object ExtSimQueries {
           |FROM (SELECT *, row_number() OVER (PARTITION BY qid
           |        ORDER BY margin_e6 DESC, cand_id) AS rn FROM m) z
           |WHERE rn <= 3
-          |ORDER BY qid, pair_rank""".stripMargin))
+          |ORDER BY qid, pair_rank""".stripMargin)),
+
+    // Semantic clustering: connected components over the thresholded
+    // kNN graph (cell-blocked edges, cos >= 0.30, symmetrized) — the
+    // unsupervised corpus-organization step between dedup and mixing.
+    // Components via pointer-doubling min-label propagation; the
+    // oracle appends a RECURSIVE reachability to the shared kNN CTEs.
+    QueryDef("x_sim_clusters",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val idx = Corpus.ivfIndex(spark, sfDir)
+        Similarity.semanticClusters(idx.assigned, k = 3,
+            minCosE6 = 300000)
+          .orderBy("vec_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $exCte,
+           |$knnScoredCtes,
+           |knn AS (
+           |  SELECT vec_id, nbr_id, cos_e6,
+           |         row_number() OVER (PARTITION BY vec_id
+           |                            ORDER BY cos_e6 DESC, nbr_id) AS rn
+           |  FROM scored
+           |),
+           |qedges AS (
+           |  SELECT DISTINCT least(vec_id, nbr_id) AS id_a,
+           |         greatest(vec_id, nbr_id) AS id_b
+           |  FROM knn WHERE rn <= 3 AND cos_e6 >= 300000
+           |),
+           |-- MATERIALIZED: the recursive step references edges each
+           |-- iteration; inlined, DuckDB would re-evaluate the whole
+           |-- kNN chain per round (minutes at sf0.1 vs seconds)
+           |edges AS MATERIALIZED (
+           |  SELECT id_a AS src, id_b AS dst FROM qedges
+           |  UNION ALL
+           |  SELECT id_b, id_a FROM qedges
+           |),
+           |reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+           |),
+           |comp AS (
+           |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+           |  FROM reach GROUP BY src
+           |)
+           |SELECT c.vec_id, c.cluster_id,
+           |       CAST(s.cluster_size AS BIGINT) AS cluster_size
+           |FROM comp c
+           |JOIN (SELECT cluster_id, count(*) AS cluster_size
+           |      FROM comp GROUP BY 1) s USING (cluster_id)
+           |ORDER BY c.vec_id""".stripMargin))
   )
+
+  /** The cell-blocked kNN scoring CTE chain shared by the
+    * `x_sim_knn_graph` and `x_sim_clusters` oracles: IVF assignment
+    * (adaptive stride), within-cell pair dots, e6 cosine. Ends at
+    * `scored(vec_id, nbr_id, cos_e6)`; callers append their own
+    * ranking / recursion.
+    */
+  private def knnScoredCtes: String =
+    s"""cx AS (
+       |  SELECT vec_id AS cell_id, unnest(embedding) AS cv,
+       |         unnest(range(len(embedding))) AS i
+       |  FROM embeddings WHERE vec_id % $ivfStrideSql = 0
+       |),
+       |norms AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nn
+       |          FROM ex GROUP BY vec_id),
+       |cnorms AS (SELECT cell_id, sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS cn
+       |           FROM cx GROUP BY cell_id),
+       |allsims AS (
+       |  SELECT e.vec_id, c.cell_id,
+       |         round(sum(CAST(e.v AS DOUBLE) * CAST(c.cv AS DOUBLE))
+       |               / (sqrt(n.nn) * sqrt(cn.cn)), 6) AS sim
+       |  FROM ex e JOIN cx c ON e.i = c.i
+       |  JOIN norms n ON n.vec_id = e.vec_id
+       |  JOIN cnorms cn ON cn.cell_id = c.cell_id
+       |  GROUP BY e.vec_id, c.cell_id, n.nn, cn.cn
+       |),
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sim DESC, cell_id) AS rn
+       |    FROM allsims
+       |  ) r WHERE rn = 1
+       |),
+       |pairdots AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+       |  FROM ex a
+       |  JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  JOIN assigned aa ON aa.vec_id = a.vec_id
+       |  JOIN assigned ab ON ab.vec_id = b.vec_id AND ab.cell_id = aa.cell_id
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT p.vec_id, p.nbr_id,
+       |         CAST(floor(p.dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1e6 + 0.5)
+       |              AS BIGINT) AS cos_e6
+       |  FROM pairdots p
+       |  JOIN norms na ON na.vec_id = p.vec_id
+       |  JOIN norms nb ON nb.vec_id = p.nbr_id
+       |)""".stripMargin
 
   /** DuckDB mirror of Similarity.kcenterSelect with `k` greedy rounds
     * unrolled as a CTE chain (the kmeansIvfOracle precedent): p1 is

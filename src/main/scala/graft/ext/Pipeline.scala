@@ -1371,4 +1371,60 @@ object Pipeline {
           .otherwise(col("div2")).as("class_distinct"),
         (col("ldiv_level") === 3L).as("suppressed"))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy-release ladder after [[kAnonymize]] (class
+    * size) and [[lDiversify]] (distinct sensitive values): a class can
+    * be large AND diverse yet still leak by SKEW — 49 rows of source A
+    * and 1 of B tells an adversary the sensitive value with 98%
+    * confidence. This audit bounds, per equivalence class, the
+    * variational distance (the categorical t-closeness metric: ½ Σ
+    * |p_class − p_global|) between the class's sensitive-attribute
+    * distribution and the corpus-wide one. QID = (lang, fine length
+    * bucket); sensitive = source; a class passes iff t ≤ `tE6Max`.
+    *
+    * Integer contract: distances cross-multiply to integers
+    * (|c·N − n_src·n_class| summed over the COMPLETED class × source
+    * grid — absent cells charge their full global mass, the χ²-grid
+    * convention), products run in DECIMAL(38,0) so the audit is exact
+    * past 10⁹ docs, and t_e6 is one positive DECIMAL DIV.
+    *
+    * Shapes: ONE corpus aggregation to the (lang, bucket, source)
+    * histogram (checkpointed — classes, the global distribution and
+    * the total all derive from it); the completed grid is class-list
+    * × source-list with both sides bounded and the histogram joined
+    * back broadcast. Nothing after the first agg touches corpus-sized
+    * data.
+    */
+  def tCloseness(docs: DataFrame, textCol: String, tE6Max: Long = 350000,
+      sensCol: String = "source", langCol: String = "lang",
+      fine: Int = 25): DataFrame = {
+    require(fine >= 1, s"fine must be >= 1, got $fine")
+    require(tE6Max >= 0, s"tE6Max must be >= 0, got $tE6Max")
+    val lngQ = coalesce(col(langCol).cast("string"), lit(""))
+    val srcQ = coalesce(col(sensCol).cast("string"), lit(""))
+    val len = size_long(filter(split_part_tokens(col(textCol)),
+      t => t =!= ""))
+    val b0 = (len - pmod(len, lit(fine.toLong))).as("b0")
+    val h0 = docs.select(lngQ.as("lng"), srcQ.as("src"), b0)
+      .groupBy("lng", "b0", "src").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val gsrc = h0.groupBy("src").agg(sum(col("c")).as("n_src"))
+    val tot = h0.agg(sum(col("c")).as("n_all"))
+    val classes = h0.groupBy("lng", "b0").agg(sum(col("c")).as("n_class"))
+    classes.crossJoin(broadcast(gsrc))
+      .join(broadcast(h0), Seq("lng", "b0", "src"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lng"), col("b0"), col("n_class"), col("n_all"),
+        (abs(coalesce(col("c"), lit(0L)).cast("decimal(38,0)") * col("n_all")
+          - col("n_src").cast("decimal(38,0)") * col("n_class")))
+          .as("term"))
+      .groupBy("lng", "b0", "n_class", "n_all")
+      .agg(sum(col("term")).as("num"))
+      .select(col("lng").as(langCol), col("b0"), col("n_class"),
+        expr("""CAST(CAST(num AS DECIMAL(38, 0)) * 1000000
+               |DIV CAST(2 * n_class * n_all AS DECIMAL(38, 0))
+               |AS BIGINT)""".stripMargin).as("t_e6"))
+      .withColumn("pass", col("t_e6") <= tE6Max)
+  }
 }

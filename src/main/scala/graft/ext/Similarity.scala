@@ -492,6 +492,40 @@ object Similarity {
         col("col.id_b").as("nbr_id"), col("col.cos_e6").as("cos_e6"))
   }
 
+  /** Semantic clustering of the embedding corpus: connected
+    * components over the thresholded kNN graph — the unsupervised
+    * corpus-organization step (topic groups for mixing decisions,
+    * near-dup families beyond pairwise, cluster-balanced sampling
+    * pools). Edges are [[knnGraph]]'s cell-blocked k-nearest
+    * neighbors kept at `cos_e6 ≥ minCosE6`, symmetrized to
+    * (min, max) id pairs; components come from
+    * [[graft.ext.Dedup.duplicateComponents]]' pointer-doubling
+    * min-label propagation (O(log diameter) rounds). Returns one row
+    * per CLUSTERED vector — (id, cluster_id = min member id,
+    * cluster_size); vectors with no qualifying edge are singletons
+    * and are omitted (the components convention).
+    *
+    * Scale shape: the kNN leg is the IVF-cell-blocked join (never
+    * all-pairs), the edge list is ≤ n·k rows, and each propagation
+    * round is two hash joins + a groupBy on it; the size rollup is
+    * one component-keyed aggregation. No window over corpus-sized
+    * data anywhere.
+    */
+  def semanticClusters(assigned: DataFrame, k: Int, minCosE6: Long,
+      idCol: String = "vec_id"): DataFrame = {
+    val edges = knnGraph(assigned, k, idCol)
+      .filter(col("cos_e6") >= minCosE6)
+      .select(least(col(idCol), col("nbr_id")).as("id_a"),
+        greatest(col(idCol), col("nbr_id")).as("id_b"))
+      .distinct()
+    val comp = graft.ext.Dedup.duplicateComponents(edges)
+    comp.join(
+        comp.groupBy("component").agg(count(lit(1)).as("cluster_size")),
+        Seq("component"))
+      .select(col("doc_id").as(idCol), col("component").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   /** Coverage-preserving diversity sample: ONE representative per IVF
     * cell — the member most similar to its cell's centroid (the
     * medoid under the quantizer's own geometry), ties to the smaller

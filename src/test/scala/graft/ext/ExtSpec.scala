@@ -1757,4 +1757,45 @@ class ExtSpec extends AnyFunSuite {
       (6L, "fr", "*", 3L, 1L, true),
       (7L, "fr", "*", 3L, 1L, true)))
   }
+
+  test("tCloseness: global-mirroring class reads 0; homogeneous class reads skew") {
+    import spark.implicits._
+    def txt(n: Int) = Seq.fill(n)("tok").mkString(" ")
+    // global: s1 ×4, s2 ×4 (half/half). Classes mirroring the global
+    // distribution read 0; the two single-source classes read
+    // ½(|1−½| + |0−½|) = ½ → 500000 and fail the 350000 bound.
+    val docs = Seq(
+      (1L, txt(10), "en", "s1"), (2L, txt(12), "en", "s2"),
+      (3L, txt(30), "en", "s1"), (4L, txt(31), "de", "s2"),
+      (5L, txt(10), "de", "s1"), (6L, txt(11), "de", "s2"),
+      (7L, txt(12), "de", "s2"), (8L, txt(13), "de", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Pipeline.tCloseness(docs, "text", tE6Max = 350000)
+      .orderBy("lang", "b0").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("de", 0L, 4L, 0L, true),
+      ("de", 25L, 1L, 500000L, false),
+      ("en", 0L, 2L, 0L, true),
+      ("en", 25L, 1L, 500000L, false)))
+  }
+
+  test("semanticClusters: two cliques cluster, weak-edge singleton omitted") {
+    import spark.implicits._
+    // one cell; cliques {1,2} and {3,4} (cos ≈ .99), vector 5 at
+    // cos ≈ .71 to vector 1 — below the 0.8 bar, so it stays a
+    // singleton and is omitted (the components convention)
+    val assigned = Seq(
+      (0L, 1L, Seq(1f, 0f)), (0L, 2L, Seq(0.9f, 0.1f)),
+      (0L, 3L, Seq(0f, 1f)), (0L, 4L, Seq(0.1f, 0.9f)),
+      (0L, 5L, Seq(0.7f, -0.7f))
+    ).toDF("cell_id", "vec_id", "embedding")
+    val got = Similarity.semanticClusters(assigned, k = 2,
+        minCosE6 = 800000)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 2L), (4L, 3L, 2L)))
+  }
 }

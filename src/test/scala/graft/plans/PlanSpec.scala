@@ -621,6 +621,19 @@ class PlanSpec extends AnyFunSuite {
     assert(windowNodes(df) == 0, s"ldiv grew a window:\n$p")
   }
 
+  test("t-closeness: one corpus histogram, bounded grid, no sort-merge") {
+    // classes, the global distribution and the total all derive from
+    // the checkpointed histogram; the completed grid joins are all
+    // broadcast over bounded sides
+    Corpus.registerSources(spark, sfDir)
+    val df = graft.ext.Pipeline.tCloseness(
+      spark.table("documents"), "text", tE6Max = 350000)
+    val p = planOf(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"tclose grid lost a broadcast:\n$p")
+    assert(windowNodes(df) == 0, s"tclose grew a window:\n$p")
+  }
+
   test("margin mining: heap selection both directions, no corpus sort-merge") {
     // both NN legs are TopKDesc bounded aggregates against broadcast
     // sides; the only window allowed is the final rank over the
