@@ -803,6 +803,78 @@ private[graft] object ExtEventQueries {
             .withColumn("ts_us", unix_micros(col("ts"))))
           .orderBy("day")
       },
-      defsCpdOracle)
+      defsCpdOracle),
+
+    // Kleinberg two-state burst labeling over the daily series — the
+    // third temporal monitor (structure → level shift → per-day burst
+    // labels). Viterbi over nano-nat Poisson costs, quantized once;
+    // the fixture's daily volume is near-uniform (302-364), so the
+    // input is augmented with three deterministic 4× spike days (the
+    // mattr precedent: the burst branch must fire under the DRIVER
+    // gate, not just the unit fixture). Oracle carries the two
+    // Viterbi frontiers AND their backtraces through a recursive CTE.
+    QueryDef("x_evt_bursts",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val ev = spark.table("events")
+          .select(unix_micros(col("ts")).as("ts_us"))
+        val dmin = ev.agg(min(expr("ts_us DIV 86400000000")).as("d0"))
+        val spikes = ev.crossJoin(broadcast(dmin))
+          .filter(expr("ts_us DIV 86400000000 < d0 + 3"))
+          .crossJoin(spark.range(4).select(col("id").as("r")))
+          .select((col("ts_us") + lit(40L * 86400000000L)).as("ts_us"))
+        Events.burstDetect(ev.select("ts_us").unionByName(spikes))
+          .orderBy("day")
+      },
+      Some(
+        """WITH RECURSIVE ev AS (SELECT epoch_us(ts) AS ts_us FROM events),
+          |dm AS (SELECT min(ts_us // 86400000000) AS d0 FROM ev),
+          |aug AS (
+          |  SELECT ts_us FROM ev
+          |  UNION ALL
+          |  SELECT e.ts_us + 40 * 86400000000 AS ts_us
+          |  FROM ev e, dm, (SELECT unnest(range(4)) AS r) rs
+          |  WHERE e.ts_us // 86400000000 < dm.d0 + 3
+          |),
+          |d AS MATERIALIZED (
+          |  SELECT ts_us // 86400000000 AS day, count(*) AS x
+          |  FROM aug GROUP BY 1
+          |),
+          |srt AS MATERIALIZED (
+          |  SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d
+          |),
+          |t AS (SELECT count(*) AS n, sum(x) AS s FROM srt),
+          |k AS MATERIALIZED (
+          |  SELECT CAST(floor((CAST(s AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT) AS c0b,
+          |         CAST(floor((3.0 * (CAST(s AS DOUBLE) / n)) * 1e9 + 0.5) AS BIGINT) AS c1b,
+          |         CAST(floor(ln(CAST(s AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT) AS ln0,
+          |         CAST(floor(ln(3.0 * (CAST(s AS DOUBLE) / n)) * 1e9 + 0.5) AS BIGINT) AS ln1,
+          |         CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS gam
+          |  FROM t
+          |),
+          |rec AS (
+          |  SELECT s0.rn, k.c0b - s0.x * k.ln0 AS c0,
+          |         k.gam + k.c1b - s0.x * k.ln1 AS c1,
+          |         '0' AS p0, '1' AS p1
+          |  FROM srt s0, k WHERE s0.rn = 1
+          |  UNION ALL
+          |  SELECT s1.rn,
+          |         (CASE WHEN r.c0 <= r.c1 THEN r.c0 ELSE r.c1 END)
+          |           + k.c0b - s1.x * k.ln0,
+          |         (CASE WHEN r.c0 + k.gam <= r.c1 THEN r.c0 + k.gam ELSE r.c1 END)
+          |           + k.c1b - s1.x * k.ln1,
+          |         (CASE WHEN r.c0 <= r.c1 THEN r.p0 ELSE r.p1 END) || '0',
+          |         (CASE WHEN r.c0 + k.gam <= r.c1 THEN r.p0 ELSE r.p1 END) || '1'
+          |  FROM rec r, srt s1, k WHERE s1.rn = r.rn + 1
+          |),
+          |fin AS (SELECT * FROM rec ORDER BY rn DESC LIMIT 1),
+          |best AS (SELECT CASE WHEN c0 <= c1 THEN p0 ELSE p1 END AS path FROM fin)
+          |SELECT s.day, CAST(s.x AS BIGINT) AS x,
+          |       CAST(substr(b.path, CAST(s.rn AS INT), 1) AS BIGINT) AS burst_state,
+          |       (substr(b.path, CAST(s.rn AS INT), 1) = '1'
+          |        AND (s.rn = 1 OR substr(b.path, CAST(s.rn - 1 AS INT), 1) = '0'))
+          |         AS is_burst_start
+          |FROM srt s, best b
+          |ORDER BY s.day""".stripMargin))
   )
 }

@@ -705,4 +705,75 @@ object Events {
         col("cusum_pos"), col("cusum_neg"),
         (col("day") === col("peak_day")).as("is_peak"))
   }
+
+  /** Two-state burst detection over the daily event-count series
+    * (Kleinberg 2002, "Bursty and hierarchical structure in streams",
+    * the discrete/batched two-state automaton) — the third temporal
+    * monitor: autocorr says whether the series has structure, CUSUM
+    * says when the level shifted once, this one LABELS every bursty
+    * day (scraper storms, replayed feeds, event-loop bugs) even when
+    * bursts repeat. State 0 emits at the base rate λ₀ = S/n, state 1
+    * at λ₁ = s·λ₀; day cost is the Poisson negative log-likelihood
+    * λᵢ − x_t·ln λᵢ (per-day constants dropped — they cancel across
+    * states); entering the burst state costs γ·ln n. Minimum-cost
+    * state sequence by Viterbi.
+    *
+    * Parity discipline: the four cost constants (λᵢ·1e9, ln λᵢ·1e9,
+    * γ·ln n·1e9) quantize ONCE to nano-nat BIGINTs (the kn_lm/zipf
+    * convention — the only transcendental is a fixed ln of a ratio of
+    * exact integers, evaluated identically in both engines); every
+    * Viterbi cell is then pure BIGINT arithmetic with a ≤-prefers-
+    * state-0 tie rule, so the state sequence is engine-identical. The
+    * oracle unrolls the DP as a recursive CTE carrying the two
+    * frontier costs AND their backtraces as strings.
+    *
+    * Scale shape: ONE map-side-combinable corpus aggregation to the
+    * day histogram; the Viterbi runs driver-side on the COLLECTED
+    * series (bounded by calendar days — the codebook discipline, same
+    * as mmrRerank's pool), O(n) cells, two states. BIGINT bound:
+    * x_t·ln λ in nano-nats is safe past 10⁸ events/day; beyond that
+    * re-quantize the constants to e6.
+    */
+  def burstDetect(events: DataFrame, s: Long = 3,
+      gammaMilli: Long = 1000, tsCol: String = "ts_us"): DataFrame = {
+    require(s >= 2, s"burst multiplier s must be >= 2, got $s")
+    require(gammaMilli >= 0, s"gammaMilli must be >= 0, got $gammaMilli")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .groupBy(expr(s"$tsCol DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(daily.nonEmpty, "burstDetect needs at least one event")
+    val n = daily.length.toLong
+    val sum = daily.map(_._2).sum
+    val lam0 = sum.toDouble / n.toDouble
+    val lam1 = s.toDouble * lam0
+    def q9(v: Double): Long = math.floor(v * 1e9 + 0.5).toLong
+    val c0base = q9(lam0); val c1base = q9(lam1)
+    val ln0 = q9(math.log(lam0)); val ln1 = q9(math.log(lam1))
+    val gam = q9(gammaMilli.toDouble / 1000.0 * math.log(n.toDouble))
+    def dayCost(x: Long, base: Long, ln: Long): Long = base - x * ln
+    // Viterbi: c0/c1 = min cost ending in state 0/1; sequences start
+    // in state 0 (Kleinberg), so state 1 pays gam at entry
+    var c0 = dayCost(daily(0)._2, c0base, ln0)
+    var c1 = gam + dayCost(daily(0)._2, c1base, ln1)
+    var p0 = Vector(0); var p1 = Vector(1)
+    for (t <- 1 until daily.length) {
+      val (x0, x1) = (dayCost(daily(t)._2, c0base, ln0),
+        dayCost(daily(t)._2, c1base, ln1))
+      val (n0, q0) =
+        if (c0 <= c1) (c0 + x0, p0 :+ 0) else (c1 + x0, p1 :+ 0)
+      val (n1, q1) =
+        if (c0 + gam <= c1) (c0 + gam + x1, p0 :+ 1)
+        else (c1 + x1, p1 :+ 1)
+      c0 = n0; c1 = n1; p0 = q0; p1 = q1
+    }
+    val states = if (c0 <= c1) p0 else p1
+    daily.zip(states).zipWithIndex.map { case (((day, x), st), i) =>
+      val prev = if (i == 0) 0 else states(i - 1)
+      (day, x, st.toLong, st == 1 && prev == 0)
+    }.toSeq.toDF("day", "x", "burst_state", "is_burst_start")
+  }
 }

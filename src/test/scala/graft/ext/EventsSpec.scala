@@ -344,4 +344,43 @@ class EventsSpec extends AnyFunSuite {
       (6L, 5L, 16L, 48L, 16L, false),
       (7L, 5L, 16L, 64L, 0L, false)))
   }
+
+  test("burstDetect: planted spikes labeled; Viterbi cost == brute-force min") {
+    import spark.implicits._
+    val day = 86400000000L
+    // base ~3-4/day, spikes 20-22/day (λ0 = 8.7, λ1 = 26.1): days 3-4
+    // and 7 must label as bursts with starts at 3 and 7
+    val xs = Seq(3L, 4L, 3L, 20L, 22L, 3L, 4L, 21L, 3L, 4L)
+    val ev = xs.zipWithIndex.flatMap { case (c, d) =>
+      (0L until c).map(i => d * day + i)
+    }.toDF("ts_us")
+    val got = Events.burstDetect(ev).orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._2).toSeq == xs)
+    assert(got.map(_._3).toSeq ==
+      Seq(0L, 0L, 0L, 1L, 1L, 0L, 0L, 1L, 0L, 0L))
+    assert(got.map(_._4).toSeq == Seq(false, false, false, true, false,
+      false, false, true, false, false))
+    // the returned sequence achieves the brute-force minimum cost
+    // over ALL 2^n state sequences (independent cost mirror)
+    val n = xs.length; val s = xs.sum
+    def q9(v: Double) = math.floor(v * 1e9 + 0.5).toLong
+    val lam0 = s.toDouble / n.toDouble; val lam1 = 3.0 * lam0
+    val (c0b, c1b) = (q9(lam0), q9(lam1))
+    val (l0, l1) = (q9(math.log(lam0)), q9(math.log(lam1)))
+    val gam = q9(math.log(n.toDouble))
+    def cost(states: Seq[Int]): Long = {
+      var c = 0L; var prev = 0
+      for ((st, x) <- states.zip(xs)) {
+        if (st == 1 && prev == 0) c += gam
+        c += (if (st == 0) c0b - x * l0 else c1b - x * l1)
+        prev = st
+      }
+      c
+    }
+    val brute = (0 until (1 << n)).map { m =>
+      cost((0 until n).map(i => (m >> i) & 1))
+    }.min
+    assert(cost(got.map(_._3.toInt).toSeq) == brute)
+  }
 }
