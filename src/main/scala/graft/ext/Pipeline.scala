@@ -1249,6 +1249,22 @@ object Pipeline {
     * never corpus-sized), so the whole screen is scan → agg → three
     * broadcast hash joins at any corpus size.
     */
+  /** The QID/sensitive column triple shared by the three privacy
+    * rungs ([[kAnonymize]], [[lDiversify]], [[tCloseness]]): NULL-
+    * coalesced lang and source strings plus the fine token-length
+    * bucket. ONE definition so the ladder buckets every document
+    * identically across all three screens — a split or bucket change
+    * here moves the whole triad together.
+    */
+  private def qidCols(textCol: String, srcCol: String, langCol: String,
+      fine: Int): (Column, Column, Column) = {
+    val len = size_long(filter(split_part_tokens(col(textCol)),
+      t => t =!= ""))
+    (coalesce(col(langCol).cast("string"), lit("")),
+      coalesce(col(srcCol).cast("string"), lit("")),
+      len - pmod(len, lit(fine.toLong)))
+  }
+
   def kAnonymize(docs: DataFrame, textCol: String, k: Int,
       idCol: String = "doc_id", srcCol: String = "source",
       langCol: String = "lang", fine: Int = 25,
@@ -1256,11 +1272,8 @@ object Pipeline {
     require(k >= 1, s"k must be >= 1, got $k")
     require(fine >= 1 && coarse >= fine && coarse % fine == 0,
       s"coarse ($coarse) must be a positive multiple of fine ($fine)")
-    val srcQ = coalesce(col(srcCol).cast("string"), lit(""))
-    val lngQ = coalesce(col(langCol).cast("string"), lit(""))
-    val len = size_long(filter(split_part_tokens(col(textCol)),
-      t => t =!= ""))
-    val b0 = (len - pmod(len, lit(fine.toLong))).as("b0")
+    val (lngQ, srcQ, b0e) = qidCols(textCol, srcCol, langCol, fine)
+    val b0 = b0e.as("b0")
     val toB1 = (b: Column) => b - pmod(b, lit(coarse.toLong))
     val c0 = docs
       .select(srcQ.as("src"), lngQ.as("lng"), b0)
@@ -1329,11 +1342,8 @@ object Pipeline {
     require(l >= 1, s"l must be >= 1, got $l")
     require(fine >= 1 && coarse >= fine && coarse % fine == 0,
       s"coarse ($coarse) must be a positive multiple of fine ($fine)")
-    val lngQ = coalesce(col(langCol).cast("string"), lit(""))
-    val srcQ = coalesce(col(sensCol).cast("string"), lit(""))
-    val len = size_long(filter(split_part_tokens(col(textCol)),
-      t => t =!= ""))
-    val b0 = (len - pmod(len, lit(fine.toLong))).as("b0")
+    val (lngQ, srcQ, b0e) = qidCols(textCol, sensCol, langCol, fine)
+    val b0 = b0e.as("b0")
     val toB1 = (b: Column) => b - pmod(b, lit(coarse.toLong))
     val h0 = docs.select(lngQ.as("lng"), srcQ.as("src"), b0)
       .groupBy("lng", "b0", "src").agg(count(lit(1)).as("c"))
@@ -1401,11 +1411,8 @@ object Pipeline {
       fine: Int = 25): DataFrame = {
     require(fine >= 1, s"fine must be >= 1, got $fine")
     require(tE6Max >= 0, s"tE6Max must be >= 0, got $tE6Max")
-    val lngQ = coalesce(col(langCol).cast("string"), lit(""))
-    val srcQ = coalesce(col(sensCol).cast("string"), lit(""))
-    val len = size_long(filter(split_part_tokens(col(textCol)),
-      t => t =!= ""))
-    val b0 = (len - pmod(len, lit(fine.toLong))).as("b0")
+    val (lngQ, srcQ, b0e) = qidCols(textCol, sensCol, langCol, fine)
+    val b0 = b0e.as("b0")
     val h0 = docs.select(lngQ.as("lng"), srcQ.as("src"), b0)
       .groupBy("lng", "b0", "src").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)

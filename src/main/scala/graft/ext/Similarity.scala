@@ -1661,6 +1661,7 @@ object Similarity {
         floor(num.cast("double") /
           (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) *
           lit(1e6) + lit(0.5)).cast("long"), lit(0L)))
+    val idType = vectors.schema(idCol).dataType
     val fwd = sideB.crossJoin(broadcast(qs))
       .select(col("qid"), col("id"),
         cosE6Pos(dotI(col("e"), col("qe")), col("n2"), col("qn"))
@@ -1668,7 +1669,7 @@ object Similarity {
       .groupBy("qid")
       .agg(graft.functions.TopKFunctions.topk_desc(
         col("cos_e6").cast("double"),
-        lpad(col("id").cast("string"), 20, "0"),
+        graft.functions.TopKFunctions.tieKey(col("id"), idType),
         struct(col("id"), col("cos_e6")), k).as("__top"))
       .select(col("qid"), explode(col("__top")).as("__s"))
       .select(col("qid"), col("__s.id").as("cand_id"),
@@ -1685,7 +1686,7 @@ object Similarity {
       .groupBy("cid")
       .agg(graft.functions.TopKFunctions.topk_desc(
         col("r_cos").cast("double"),
-        lpad(col("id").cast("string"), 20, "0"),
+        graft.functions.TopKFunctions.tieKey(col("id"), idType),
         col("r_cos"), k).as("__top"))
       .select(col("cid"), explode(col("__top")).as("__r"))
       .groupBy("cid").agg(sum(col("__r")).as("sum_c"))
