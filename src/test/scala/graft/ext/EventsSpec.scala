@@ -383,4 +383,51 @@ class EventsSpec extends AnyFunSuite {
     }.min
     assert(cost(got.map(_._3.toInt).toSeq) == brute)
   }
+
+  test("cusumChangePoint: prefix closed form == direct recurrence on random series") {
+    import spark.implicits._
+    val day = 86400000000L
+    val r = new scala.util.Random(31)
+    val xs = Seq.fill(40)(1 + r.nextInt(9))
+    val ev = xs.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => d.toLong * day + i * 7L)
+    }.toDF("ts_us")
+    val got = Events.cusumChangePoint(ev).orderBy("day").collect()
+      .map(w => (w.getLong(0), w.getLong(1), w.getLong(2), w.getLong(3),
+        w.getLong(4), w.getBoolean(5)))
+    val n = xs.length.toLong; val s = xs.map(_.toLong).sum
+    var sp = 0L; var sn = 0L
+    val want = xs.zipWithIndex.map { case (x, d) =>
+      val dd = n * x - s
+      sp = math.max(0L, sp + dd); sn = math.max(0L, sn - dd)
+      (d.toLong, x.toLong, dd, sp, sn)
+    }
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq == want)
+    val ms = want.map(w => math.max(w._4, w._5))
+    val peak = ms.indexOf(ms.max).toLong
+    assert(got.count(_._6) == 1 && got.find(_._6).get._1 == peak)
+  }
+
+  test("dailyAutocorr: matches the direct formula on random series") {
+    import spark.implicits._
+    val day = 86400000000L
+    val r = new scala.util.Random(37)
+    val xs = Seq.fill(30)(1 + r.nextInt(12))
+    val ev = xs.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => d.toLong * day + i * 13L)
+    }.toDF("ts_us")
+    val got = Events.dailyAutocorr(ev, maxLag = 5).orderBy("lag").collect()
+      .map(w => (w.getLong(0), w.getLong(1), w.getLong(2), w.getLong(3),
+        w.getLong(4)))
+    val n = xs.length.toLong; val s = xs.map(_.toLong).sum
+    val dd = xs.map(x => n * x - s)
+    val den = dd.map(d => d * d).sum
+    val want = (1 to 5).map { k =>
+      val num = dd.dropRight(k).zip(dd.drop(k)).map { case (a, b) => a * b }.sum
+      val ac = if (den <= 0) 0L
+        else math.floor(num.toDouble / den.toDouble * 1e6 + 0.5).toLong
+      (k.toLong, (xs.length - k).toLong, num, den, ac)
+    }
+    assert(got.toSeq == want)
+  }
 }

@@ -1781,6 +1781,127 @@ class ExtSpec extends AnyFunSuite {
       ("en", 25L, 1L, 500000L, false)))
   }
 
+  test("lDiversify: matches brute-force ladder on random QIDs") {
+    import spark.implicits._
+    val r = new scala.util.Random(47)
+    val rows = (1L to 300L).map { i =>
+      (i, 1 + r.nextInt(120), "l" + r.nextInt(3), "s" + r.nextInt(4))
+    }
+    val docs = rows.map { case (i, n, lg, sr) =>
+      (i, Seq.fill(n)("t").mkString(" "), lg, sr)
+    }.toDF("doc_id", "text", "lang", "source")
+    val l = 3
+    val got = Pipeline.lDiversify(docs, "text", l)
+      .orderBy("doc_id").collect()
+      .map(w => (w.getLong(0), w.getString(1), w.getString(2),
+        w.getLong(3), w.getLong(4), w.getBoolean(5)))
+    // independent ladder mirror
+    def b0(n: Int) = (n - n % 25).toLong
+    def b1(n: Int) = { val b = b0(n); b - b % 50 }
+    val div0 = rows.groupBy(t => (t._3, b0(t._2)))
+      .view.mapValues(_.map(_._4).distinct.size.toLong).toMap
+    val div1 = rows.groupBy(t => (t._3, b1(t._2)))
+      .view.mapValues(_.map(_._4).distinct.size.toLong).toMap
+    val div2 = rows.groupBy(_._3)
+      .view.mapValues(_.map(_._4).distinct.size.toLong).toMap
+    val level = rows.map(_._3).distinct.map { lg =>
+      val m0 = div0.collect { case ((g, _), v) if g == lg => v }.min
+      val m1 = div1.collect { case ((g, _), v) if g == lg => v }.min
+      lg -> (if (m0 >= l) 0L else if (m1 >= l) 1L
+        else if (div2(lg) >= l) 2L else 3L)
+    }.toMap
+    val want = rows.map { case (i, n, lg, sr) =>
+      val lv = level(lg)
+      val (bucket, cd) = lv match {
+        case 0L => ("b" + b0(n), div0((lg, b0(n))))
+        case 1L => ("B" + b1(n), div1((lg, b1(n))))
+        case _  => ("*", div2(lg))
+      }
+      (i, lg, bucket, lv, cd, lv == 3L)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("tCloseness: matches brute-force variational distance on random QIDs") {
+    import spark.implicits._
+    val r = new scala.util.Random(53)
+    val rows = (1L to 300L).map { i =>
+      (i, 1 + r.nextInt(120), "l" + r.nextInt(3), "s" + r.nextInt(4))
+    }
+    val docs = rows.map { case (i, n, lg, sr) =>
+      (i, Seq.fill(n)("t").mkString(" "), lg, sr)
+    }.toDF("doc_id", "text", "lang", "source")
+    val got = Pipeline.tCloseness(docs, "text", tE6Max = 350000)
+      .orderBy("lang", "b0").collect()
+      .map(w => (w.getString(0), w.getLong(1), w.getLong(2), w.getLong(3),
+        w.getBoolean(4)))
+    def b0(n: Int) = (n - n % 25).toLong
+    val nAll = rows.size.toLong
+    val gsrc = rows.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val want = rows.groupBy(t => (t._3, b0(t._2))).toSeq
+      .sortBy { case ((lg, b), _) => (lg, b) }
+      .map { case ((lg, b), members) =>
+        val nc = members.size.toLong
+        val cs = members.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+        val num = gsrc.map { case (sr, ns) =>
+          math.abs(cs.getOrElse(sr, 0L) * nAll - ns * nc)
+        }.sum
+        val t6 = num * 1000000L / (2L * nc * nAll)
+        (lg, b, nc, t6, t6 <= 350000L)
+      }
+    assert(got.toSeq == want)
+  }
+
+  test("marginMine: matches a full brute-force mirror on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val dims = 6
+    val vecs = (0L until 80L).map { i =>
+      (i, Seq.fill(dims)((rnd.nextInt(2001) - 1000) / 1000.0f))
+    }
+    val k = 3; val topPairs = 2; val every = 16L
+    val got = Similarity.marginMine(vecs.toDF("vec_id", "embedding"),
+        queryEvery = every, k = k, topPairs = topPairs)
+      .orderBy("qid", "pair_rank").collect()
+      .map(w => (w.getLong(0), w.getLong(1), w.getLong(2), w.getLong(3),
+        w.getLong(4)))
+    // mirror: e6 codes, clamped cos chain, top-k sums, margin DIV
+    val codes = vecs.map { case (i, v) =>
+      i -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+    }.toMap
+    def n2(a: Array[Long]) = a.map(x => x * x).sum
+    def cosP(a: Array[Long], b: Array[Long]): Long = {
+      val (na, nb) = (n2(a), n2(b))
+      if (na <= 0 || nb <= 0) 0L
+      else math.max(0L, math.floor(
+        a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+          (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * 1e6 + 0.5)
+        .toLong)
+    }
+    val aIds = (0L until 80L).filter(_ % 2 == 0)
+    val bIds = (0L until 80L).filter(_ % 2 == 1)
+    val qIds = aIds.filter(_ % every == 0)
+    def topk(scores: Seq[(Long, Long)]): Seq[(Long, Long)] = // (id, cos)
+      scores.sortBy { case (id, c) => (-c, id) }.take(k)
+    val fwd = qIds.map { q =>
+      q -> topk(bIds.map(b => (b, cosP(codes(q), codes(b)))))
+    }.toMap
+    val sumQ = fwd.view.mapValues(_.map(_._2).sum).toMap
+    val sumC = fwd.values.flatten.map(_._1).toSeq.distinct.map { c =>
+      c -> topk(aIds.map(a => (a, cosP(codes(c), codes(a))))).map(_._2).sum
+    }.toMap
+    val want = qIds.sorted.flatMap { q =>
+      fwd(q).map { case (c, cos) =>
+        (q, c, cos, cos * (2L * k) * 1000000L /
+          math.max(sumQ(q) + sumC(c), 1L))
+      }.sortBy { case (_, c, _, m) => (-m, c) }.take(topPairs)
+        .zipWithIndex.map { case ((qq, c, cos, m), i) =>
+          (qq, i + 1L, c, cos, m)
+        }
+    }
+    assert(got.toSeq == want)
+  }
+
   test("semanticClusters: two cliques cluster, weak-edge singleton omitted") {
     import spark.implicits._
     // one cell; cliques {1,2} and {3,4} (cos ≈ .99), vector 5 at
