@@ -1697,6 +1697,26 @@ class ExtSpec extends AnyFunSuite {
       w.length < 2 || w(0) >= w(1)))
   }
 
+  test("kcenterSelect: coincident duplicates never re-picked, separations hit 0") {
+    import spark.implicits._
+    // three distinct locations, each duplicated: the greedy covers
+    // the locations first (sep 1e12 = (1e6)² L2), then is forced onto
+    // duplicates at sep 0 — ids stay unique because the exclusion is
+    // explicit, not distance-based
+    val pts = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)),
+      (3L, Seq(1f, 0f)), (4L, Seq(1f, 0f)),
+      (5L, Seq(0f, 1f)), (6L, Seq(0f, 1f)))
+    val got = Similarity.kcenterSelect(pts.toDF("vec_id", "embedding"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L),
+      (2L, 3L, 1000000000000L),
+      (3L, 5L, 1000000000000L),
+      (4L, 2L, 0L),
+      (5L, 4L, 0L)))
+  }
+
   test("kcenterSelect: stops early when the corpus has fewer than k points") {
     import spark.implicits._
     val pts = Seq(
