@@ -1564,15 +1564,24 @@ object Similarity {
     * tie-break; already-picked ids are excluded (coincident-duplicate
     * corpora would otherwise re-pick at distance 0).
     *
-    * Scale shape: round r is ONE corpus scan — the picked centers
-    * broadcast as a literal r×d array, min-distance is an in-row fold
-    * (codegen'd HOFs), selection is TakeOrderedAndProject(1); no
-    * shuffle, no window, no pairwise join. Total O(k²·n·d) work in k
-    * scans; driver state is k codes (the codebook discipline). The
-    * recompute-per-round form deliberately trades k× redundant fold
-    * work for statelessness — the alternative (materialized min-dist
-    * column updated per round) needs a checkpoint per round and k
-    * writes of an n-row relation, which loses below k ≈ 50.
+    * Scale shape: the standard running-min Gonzalez recurrence —
+    * the state is the not-yet-picked rows carrying a materialized
+    * `__d` = min squared-L2 to the picks so far; round r folds ONLY
+    * the one NEW center (an O(d) plan literal) into `__d` via
+    * `least`, localCheckpoints the updated state (the pageRank /
+    * kcore round discipline), and the argmax is a
+    * TakeOrderedAndProject(1) over the just-cached blocks — no
+    * shuffle, no window, no pairwise join, and no re-scoring against
+    * the full picked set. Total O(k·n·d) fold work plus k cached-size
+    * state writes; driver state is one code per round (the codebook
+    * discipline). This replaces the r12 recompute-per-round form,
+    * whose grow-with-k centers literal and all-centers rescore were
+    * O(k²·n·d) — fatal at production coreset sizes (k in the
+    * hundreds).
+    *
+    * Ids are used as opaque orderable values (collected, compared,
+    * re-emitted) — any Spark-orderable id type works, not just
+    * BIGINT.
     *
     * Returns (center_rank, id, sep_e12): sep_e12 is the squared-L2
     * separation (e6² units) of the pick from the previously-picked
@@ -1584,32 +1593,47 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = vectors.sparkSession
-    import spark.implicits._
-    val codes = vectors.select(col(idCol), embE6.as("__e"))
-    val seed = codes.orderBy(col(idCol).asc).limit(1).collect()
+    val idType = vectors.schema(idCol).dataType
+    val codes = vectors.select(col(idCol).as("__id"), embE6.as("__e"))
+    def d2To(center: Array[Long]): Column = {
+      val cLit = array(center.toSeq.map(lit): _*)
+      aggregate(zip_with(col("__e"), cLit, (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, v) => s + v)
+    }
+    val seed = codes.orderBy(col("__id").asc).limit(1).collect()
     require(seed.nonEmpty, "kcenterSelect needs at least one vector")
-    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Long])](
-      (seed(0).getLong(0), 0L, seed(0).getSeq[Long](1).toArray))
+    val picks = scala.collection.mutable.ArrayBuffer[(Any, Long)](
+      (seed(0).get(0), 0L))
+    var center = seed(0).getSeq[Long](1).toArray
+    // running-min state: seed __d at MaxValue so round 1's `least`
+    // against the seed's distance is the same fold as every later round
+    var state = codes.filter(col("__id") =!= lit(seed(0).get(0)))
+      .withColumn("__d", lit(Long.MaxValue))
     var exhausted = false
     while (picks.size < k && !exhausted) {
-      val centersLit = array(picks.toSeq.map(p =>
-        array(p._3.toSeq.map(lit): _*)): _*)
-      val ids = picks.toSeq.map(_._1)
-      val far = codes
-        .filter(!col(idCol).isin(ids: _*))
-        .select(col(idCol), col("__e"),
-          array_min(transform(centersLit, c =>
-            aggregate(zip_with(col("__e"), c, (x, y) => (x - y) * (x - y)),
-              lit(0L), (s, v) => s + v))).as("__d"))
-        .orderBy(col("__d").desc, col(idCol).asc)
+      state = state
+        .withColumn("__d", least(col("__d"), d2To(center)))
+        .localCheckpoint(true)
+      val far = state.orderBy(col("__d").desc, col("__id").asc)
         .limit(1).collect()
       if (far.isEmpty) exhausted = true
-      else picks += ((far(0).getLong(0), far(0).getLong(2),
-        far(0).getSeq[Long](1).toArray))
+      else {
+        picks += ((far(0).get(0), far(0).getLong(2)))
+        center = far(0).getSeq[Long](1).toArray
+        state = state.filter(col("__id") =!= lit(far(0).get(0)))
+      }
     }
-    picks.toSeq.zipWithIndex
-      .map { case ((id, d, _), i) => (i + 1L, id, d) }
-      .toDF("center_rank", idCol, "sep_e12")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("center_rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(idCol, idType),
+      org.apache.spark.sql.types.StructField("sep_e12",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = picks.toSeq.zipWithIndex.map { case ((id, d), i) =>
+      org.apache.spark.sql.Row(i + 1L, id, d)
+    }
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, outSchema)
   }
 
   /** Margin-based cross-set pair mining — the CSLS / ratio-margin

@@ -1717,6 +1717,23 @@ class ExtSpec extends AnyFunSuite {
       (5L, 4L, 0L)))
   }
 
+  test("kcenterSelect: honors non-long id columns (string ids)") {
+    import spark.implicits._
+    // same three locations as the early-stop case, string-keyed: the
+    // id is an opaque orderable — seed is the lexicographic min,
+    // tie-breaks are string ASC, and the output column keeps the type
+    val pts = Seq(
+      ("b", Seq(1f, 0f)), ("a", Seq(0f, 0f)), ("c", Seq(0f, 1f)))
+    val got = Similarity.kcenterSelect(pts.toDF("vec_id", "embedding"), k = 3)
+    assert(got.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val rows = got.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (1L, "a", 0L),
+      (2L, "b", 1000000000000L),
+      (3L, "c", 1000000000000L)))
+  }
+
   test("kcenterSelect: stops early when the corpus has fewer than k points") {
     import spark.implicits._
     val pts = Seq(
