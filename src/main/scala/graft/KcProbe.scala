@@ -41,9 +41,11 @@ object KcProbe {
     val times = ks.map(k => k -> timeK(k))
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val body = times.map { case (k, t) => f""""k$k":$t%.2f""" }.mkString(",")
+    val body = times.map { case (k, t) => f""""kcenter_k$k":$t%.3f""" }
+      .mkString(",")
+    val total = times.map(_._2).sum
     val r48 = times.last._2 / times.head._2
-    println(f"""{"metric":"kcenter_k_scaling","sf_dir":"$sfDir","unit":"sec",$body,"ratio_k48_over_k6":$r48%.2f,"linear_ratio":8.0,"load_avg":$loadAvg%.2f}""")
+    println(f"""{"metric":"kcenter_k_scaling","value":$total%.3f,"unit":"sec","queries":{$body},"runs_per_query":2,"agg":"min","errors":[],"ratio_k48_over_k6":$r48%.2f,"linear_ratio":8.0,"regime":{"heap_gb":${Runtime.getRuntime.maxMemory / 1e9}%.2f,"cpus":32,"load_avg":$loadAvg%.2f},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -72,6 +72,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The declared board as data (VERDICT r12 item 3): gate.sh copies
+    // this to DECLARED_QUERIES.json at the repo root so
+    // tools/artifact_check.py can fail a committed *final* bench cut
+    // that misses a declared non-contrast query — r12's final cut
+    // predated the last landing and x_evt_bursts went untimed.
+    val declared = SparkEntry.allDefs
+      .map(d => s"""{"name": ${q(d.name)}, "contrast": ${d.contrast}}""")
+      .mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/declared_queries.json"), declared)
     spark.stop()
   }
 

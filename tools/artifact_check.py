@@ -43,6 +43,7 @@ def main():
     src = blobs_at_head if "--head" in sys.argv else files_in_tree
     bad = []
     n_checked = 0
+    bench_objs = {}
     for name, data in src():
         n_checked += 1
         if not data.strip():
@@ -58,6 +59,7 @@ def main():
                 if obj.get("rc") != 0:
                     bad.append(f"{name}: driver bench rc={obj.get('rc')}")
             else:  # local graft.Bench one-line format
+                bench_objs[name] = obj
                 q = obj.get("queries")
                 if not isinstance(q, dict) or not q:
                     bad.append(f"{name}: no non-empty 'queries' map")
@@ -95,6 +97,42 @@ def main():
         for cited in sorted(set(cite_re.findall(text))):
             if cited not in tracked:
                 bad.append(f"{n}: cites {cited}, which is not a committed file")
+    # Final-cut coverage (VERDICT r12 item 3): a committed *final* full
+    # bench cut of the CURRENT round must time every declared
+    # non-contrast query (or list it under "errors") — r12's final cut
+    # was taken at a HEAD that predated the last query landing, so
+    # x_evt_bursts shipped with no entry in any full cut and the total
+    # stopped being comparable round-over-round. The declared set comes
+    # from DECLARED_QUERIES.json (written by gate.sh from graft.Verify's
+    # dump); the check is scoped to the current round so history stays
+    # green, and to "_final" cuts so mid-round partial boards don't
+    # force a 7-minute sf1 re-cut per landing.
+    def read(name):
+        if head_mode:
+            return subprocess.check_output(["git", "show", f"HEAD:{name}"])
+        with open(name, "rb") as f:
+            return f.read()
+    if "DECLARED_QUERIES.json" in tracked:
+        declared = json.loads(read("DECLARED_QUERIES.json"))
+        expected = {d["name"] for d in declared if not d.get("contrast")}
+        rounds = [int(m.group(1)) for n in tracked
+                  for m in [re.search(r"_r(\d+)[_.]", n)]
+                  if m and re.match(r"(BENCH|CORRECTNESS|PLANS|NOTES)_", n)]
+        cur = max(rounds) if rounds else 0
+        final_re = re.compile(rf"BENCH_[A-Za-z0-9]+_r{cur}_final\d*\.json")
+        for name, obj in sorted(bench_objs.items()):
+            if not final_re.fullmatch(name):
+                continue
+            if obj.get("regime", {}).get("only") is not None:
+                bad.append(f"{name}: a _final cut must be a full board "
+                           "(regime.only is set)")
+                continue
+            got = (set(obj.get("queries", {})) | set(obj.get("errors", []))
+                   | set(obj.get("contrast_queries", {})))
+            missing = sorted(expected - got)
+            if missing:
+                bad.append(f"{name}: final cut misses declared non-contrast "
+                           f"queries: {missing}")
     if bad:
         print("ARTIFACT CHECK FAILED:")
         for b in bad:

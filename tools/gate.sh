@@ -18,6 +18,10 @@ python3 tools/artifact_check.py --head
 echo "=== pass 1: shipped layout ($SF) ==="
 sbt -batch "runMain graft.Verify $SF $OUT"
 python3 tools/check.py "$SF" "$OUT"
+# Refresh the committed board manifest (VERDICT r12 item 3): the
+# final-cut coverage check in artifact_check.py reads this to learn
+# the declared non-contrast set without running sbt.
+cp "$OUT/declared_queries.json" DECLARED_QUERIES.json
 # VERDICT r9 item 4: the three DuckDB-inexpressible queries pin against
 # the reference's own stack (SQLite FTS5 porter) + a tolerance band
 python3 tools/golden_fts.py "$SF" "$OUT"
