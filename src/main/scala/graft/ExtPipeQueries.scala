@@ -53,6 +53,44 @@ private[graft] object ExtPipeQueries {
        |)""".stripMargin
   }
 
+  /** The v2 pipeline's gate-survivor + k-anon ladder CTEs, shared by
+    * the composed pipeline and its funnel receipt: surv2 = survivors
+    * of the four sequential gates (requires `sflag` before it), ksl /
+    * kb = survivor QID rows with the privacy token-length and the
+    * table-column weight, kc0 / kc1 / kg = the Samarati ladder and the
+    * per-(src, lng) verdict computed OVER THE SURVIVORS (mirrors
+    * Pipeline.kAnonGroupVerdict at k = 4, fine 25 / coarse 50).
+    */
+  private def curationKanonCtes: String =
+    """surv2 AS (
+      |  SELECT doc_id FROM sflag
+      |  WHERE NOT is_duplicate AND quality_score >= 0.5
+      |    AND predicted_lang = lang AND NOT is_nd
+      |),
+      |ksl AS (
+      |  SELECT d.doc_id, coalesce(d.source, '') AS src,
+      |         coalesce(d.lang, '') AS lng,
+      |         CAST(len(list_filter(string_split_regex(coalesce(d.text, ''), '\s+'), t -> t <> '')) AS BIGINT) AS klen,
+      |         GREATEST(d.n_chars, 1) AS w
+      |  FROM documents d JOIN surv2 USING (doc_id)
+      |),
+      |kb AS (
+      |  SELECT doc_id, src, lng, w,
+      |         klen - (klen % 25) AS b0, klen - (klen % 50) AS b1
+      |  FROM ksl
+      |),
+      |kc0 AS (SELECT src, lng, b0, count(*) AS c0 FROM kb GROUP BY 1, 2, 3),
+      |kc1 AS (SELECT src, lng, b1, count(*) AS c1 FROM kb GROUP BY 1, 2, 3),
+      |kg AS (
+      |  SELECT g0.src, g0.lng,
+      |         CASE WHEN g0.min0 >= 4 THEN 0
+      |              WHEN g1.min1 >= 4 THEN 1
+      |              WHEN g0.c2 >= 4 THEN 2
+      |              ELSE 3 END AS anon_level
+      |  FROM (SELECT src, lng, min(c0) AS min0, sum(c0) AS c2 FROM kc0 GROUP BY 1, 2) g0
+      |  JOIN (SELECT src, lng, min(c1) AS min1 FROM kc1 GROUP BY 1, 2) g1 USING (src, lng)
+      |)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // The composed curation pipeline — quality scoring, language ID and
@@ -93,6 +131,218 @@ private[graft] object ExtPipeQueries {
     // Filter-funnel audit over the SAME curation stages — the
     // observability table beside the survivor list: rows in / dropped /
     // out / drop-permille PER STAGE, a row charging to the FIRST stage
+    // The composed end-to-end curation story, v2 — the round-12 board
+    // chained the way a real 100 TB release run would: quality gates
+    // (score + language agreement) → exact dedup (digest window) →
+    // NEAR dedup consuming the PREBUILT component artifact (the
+    // pointer-doubled clusters over the shared verified-pair artifact
+    // — never recomputed per query) → the k-anonymity suppression
+    // verdict computed ON THE SURVIVORS and broadcast back (QID-
+    // bounded) → a fixed-size weighted draw (odds ∝ doc length, one
+    // bounded-heap aggregate) → the packing MANIFEST over the drawn
+    // docs (bounded id set broadcast back to the corpus for text, the
+    // enrichment-join discipline). Text never crosses an exchange:
+    // weight, privacy length and digest are all computed in-row at the
+    // scan, and the only corpus-sized exchanges are the digest window,
+    // the component key-join and the sample's single bounded-heap
+    // merge. Output = the dataloader read plan of the released sample.
+    QueryDef("x_pipeline_curation_v2",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val docs = spark.table("documents")
+        // __w/__klen/__digest BEFORE qualityScore: it overwrites
+        // n_chars with a recomputed double, and the weight contract is
+        // the TABLE's n_chars column (the x_pipe_weighted_sample
+        // precedent)
+        val pre = docs
+          .withColumn("__w", greatest(col("n_chars"), lit(1L)))
+          .withColumn("__klen", Pipeline.wsTokenLen(col("text")))
+          .withColumn("__digest", md5(col("text").cast("binary")))
+        val scored = TextAnalysis.qualityScore(
+            TextAnalysis.languageId(pre, "text"), "text")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("quality_score"), col("predicted_lang"),
+            col("__w"), col("__klen"), col("__digest"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__digest")).orderBy(col("doc_id"))
+        val comps = dupComponentsArtifact(spark, sfDir)
+          .withColumnRenamed("component", "__comp")
+        val gated = scored
+          .withColumn("is_duplicate", row_number().over(w) > 1)
+          .filter(!col("is_duplicate") && col("quality_score") >= 0.5 &&
+            col("predicted_lang") === col("lang"))
+          .join(comps, Seq("doc_id"), "left")
+          .filter(col("__comp").isNull || col("__comp") === col("doc_id"))
+        // ladder computed over the RELEASE CANDIDATES (the set whose
+        // QID histogram the adversary would see), not the raw corpus;
+        // textCol is unused because __klen was precomputed at the scan
+        val verdict = Pipeline.kAnonGroupVerdict(gated, "text", k = 4,
+          lenCol = Some(col("__klen")))
+        val surv = gated
+          .withColumn("__src", coalesce(col("source").cast("string"), lit("")))
+          .withColumn("__lng", coalesce(col("lang").cast("string"), lit("")))
+          .join(broadcast(verdict.filter(col("anon_level") < 3)
+            .select(col("src").as("__src"), col("lng").as("__lng"))),
+            Seq("__src", "__lng"))
+        val sampled = Pipeline.weightedSample(
+          surv.select(col("doc_id"), col("__w")), col("__w"), k = 150)
+        Pipeline.packManifest(
+            docs.join(broadcast(sampled.select("doc_id")), Seq("doc_id")),
+            "text", "source", seqLen = 256)
+          .orderBy("source", "seq_id", "doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE ${shinglesCte(3)},
+           |$minhashSigsCte,
+           |$bandsCte,
+           |$minhashComponentsCtes,
+           |$curationScoredCtes,
+           |sflag AS (
+           |  SELECT s.doc_id, s.lang, s.is_duplicate, s.quality_score,
+           |         s.predicted_lang,
+           |         c.doc_id IS NOT NULL AND c.component <> s.doc_id AS is_nd
+           |  FROM scored s LEFT JOIN comp c ON c.doc_id = s.doc_id
+           |),
+           |$curationKanonCtes,
+           |kh AS (
+           |  SELECT kb.doc_id, kb.w,
+           |         CAST('0x' || substr(md5(CAST(kb.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           |           % 1099511627776 AS hh
+           |  FROM kb JOIN kg USING (src, lng)
+           |  WHERE anon_level < 3
+           |),
+           |ranked AS (
+           |  SELECT doc_id,
+           |         row_number() OVER (ORDER BY hh // w, doc_id) AS sample_rank
+           |  FROM kh
+           |),
+           |samp AS (SELECT doc_id FROM ranked WHERE sample_rank <= 150),
+           |pt AS (
+           |  SELECT d.source, d.doc_id,
+           |         CAST(len(list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '')) AS BIGINT) AS n
+           |  FROM documents d JOIN samp USING (doc_id)
+           |),
+           |pb AS (
+           |  SELECT source, doc_id, n,
+           |         sum(n) OVER (PARTITION BY source ORDER BY doc_id
+           |                      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM pt
+           |),
+           |pb2 AS (
+           |  SELECT source, doc_id, CAST(cum - n AS BIGINT) AS s,
+           |         CAST(cum AS BIGINT) AS e
+           |  FROM pb WHERE n > 0
+           |),
+           |pm AS (
+           |  SELECT source, doc_id, s, e,
+           |         unnest(range(s // 256, (e - 1) // 256 + 1)) AS seq_id
+           |  FROM pb2
+           |)
+           |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           |       CAST(greatest(seq_id * 256 - s, 0) AS BIGINT) AS from_tok,
+           |       CAST(least(e, (seq_id + 1) * 256) - greatest(s, seq_id * 256) AS BIGINT) AS take_len
+           |FROM pm
+           |ORDER BY source, seq_id, doc_id""".stripMargin)),
+
+    // The v2 pipeline's per-stage rows receipt — the funnel audit over
+    // the SAME five sequential gates (exact dup → quality → language →
+    // near-dup component non-representative → k-anon suppressed), each
+    // row charging to the FIRST stage that drops it. The k-anon
+    // verdict is the survivor-population ladder broadcast back as a
+    // flag, exactly as the pipeline applies it; the flagged corpus
+    // relation is checkpointed once because the verdict and the funnel
+    // both consume it (the triangle lesson).
+    QueryDef("x_pipe_curation_v2_funnel",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        val docs = spark.table("documents")
+        val pre = docs
+          .withColumn("__klen", Pipeline.wsTokenLen(col("text")))
+          .withColumn("__digest", md5(col("text").cast("binary")))
+        val scored = TextAnalysis.qualityScore(
+            TextAnalysis.languageId(pre, "text"), "text")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("quality_score"), col("predicted_lang"),
+            col("__klen"), col("__digest"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__digest")).orderBy(col("doc_id"))
+        val comps = dupComponentsArtifact(spark, sfDir)
+          .withColumnRenamed("component", "__comp")
+        val flagged = scored
+          .withColumn("is_duplicate", row_number().over(w) > 1)
+          .join(comps, Seq("doc_id"), "left")
+          .withColumn("__nd",
+            col("__comp").isNotNull && col("__comp") =!= col("doc_id"))
+          .localCheckpoint(true)
+        val survGates = flagged.filter(!col("is_duplicate") &&
+          col("quality_score") >= 0.5 &&
+          col("predicted_lang") === col("lang") && !col("__nd"))
+        val verdict = Pipeline.kAnonGroupVerdict(survGates, "text", k = 4,
+          lenCol = Some(col("__klen")))
+        val withSup = flagged
+          .withColumn("__src", coalesce(col("source").cast("string"), lit("")))
+          .withColumn("__lng", coalesce(col("lang").cast("string"), lit("")))
+          .join(broadcast(verdict.select(col("src").as("__src"),
+            col("lng").as("__lng"), col("anon_level"))),
+            Seq("__src", "__lng"), "left")
+          .withColumn("__sup", coalesce(col("anon_level") === 3L, lit(false)))
+        Pipeline.filterFunnel(withSup, Seq(
+          "exact_dup" -> col("is_duplicate"),
+          "quality" -> (col("quality_score") < 0.5),
+          "lang_match" -> (col("predicted_lang") =!= col("lang")),
+          "near_dup" -> col("__nd"),
+          "kanon_suppressed" -> col("__sup")))
+      },
+      Some(
+        s"""WITH RECURSIVE ${shinglesCte(3)},
+           |$minhashSigsCte,
+           |$bandsCte,
+           |$minhashComponentsCtes,
+           |$curationScoredCtes,
+           |sflag AS (
+           |  SELECT s.doc_id, s.lang, s.is_duplicate, s.quality_score,
+           |         s.predicted_lang,
+           |         c.doc_id IS NOT NULL AND c.component <> s.doc_id AS is_nd
+           |  FROM scored s LEFT JOIN comp c ON c.doc_id = s.doc_id
+           |),
+           |$curationKanonCtes,
+           |f AS (
+           |  SELECT CASE WHEN sf.is_duplicate THEN 0
+           |              WHEN sf.quality_score < 0.5 THEN 1
+           |              WHEN sf.predicted_lang <> sf.lang THEN 2
+           |              WHEN sf.is_nd THEN 3
+           |              WHEN kg.anon_level = 3 THEN 4
+           |              ELSE -1 END AS fd
+           |  FROM sflag sf
+           |  JOIN documents d ON d.doc_id = sf.doc_id
+           |  LEFT JOIN kg ON kg.src = coalesce(d.source, '')
+           |              AND kg.lng = coalesce(d.lang, '')
+           |),
+           |a AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n0,
+           |         CAST(sum(CASE WHEN fd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+           |         CAST(sum(CASE WHEN fd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+           |         CAST(sum(CASE WHEN fd = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+           |         CAST(sum(CASE WHEN fd = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+           |         CAST(sum(CASE WHEN fd = 4 THEN 1 ELSE 0 END) AS BIGINT) AS d4
+           |  FROM f
+           |),
+           |s AS (
+           |  SELECT 1 AS stage_idx, 'exact_dup' AS stage, n0 AS n_in, d0 AS n_dropped FROM a
+           |  UNION ALL
+           |  SELECT 2, 'quality', n0 - d0, d1 FROM a
+           |  UNION ALL
+           |  SELECT 3, 'lang_match', n0 - d0 - d1, d2 FROM a
+           |  UNION ALL
+           |  SELECT 4, 'near_dup', n0 - d0 - d1 - d2, d3 FROM a
+           |  UNION ALL
+           |  SELECT 5, 'kanon_suppressed', n0 - d0 - d1 - d2 - d3, d4 FROM a
+           |)
+           |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_in, n_dropped,
+           |       n_in - n_dropped AS n_out,
+           |       CAST(n_dropped * 1000 // greatest(n_in, 1) AS BIGINT) AS drop_permille
+           |FROM s ORDER BY stage_idx""".stripMargin)),
+
     // that drops it (the sequential-chain semantics). One scan, one
     // 1-row agg, stage rows unfold in-row — "which filter ate my
     // corpus" without a 100 TB rerun.
@@ -1147,8 +1397,7 @@ private[graft] object ExtPipeQueries {
     QueryDef("x_pipe_split_leakproof",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        val comp = Dedup.duplicateComponents(
-          minhashPairs(spark, sfDir).select("id_a", "id_b"))
+        val comp = dupComponentsArtifact(spark, sfDir)
         val withRep = spark.table("documents").select("doc_id")
           .join(comp, Seq("doc_id"), "left")
           .select(col("doc_id"),

@@ -57,6 +57,23 @@ private[graft] object ExtShared {
     sigsCache.getOrElseUpdate(sfDir,
       Dedup.minhashSignatures(docShingles(spark, sfDir), K, preHashed = true).persist())
 
+  // Near-dup component artifact — the pointer-doubled (doc_id,
+  // component) relation over the verified pair artifact, memoized per
+  // scale dir: the composed curation pipeline consumes the CLUSTERS,
+  // not the pairs, and a 100 TB run computes components once and
+  // reuses them across every downstream release step. persist() (not
+  // localCheckpoint) so the consuming plan shows the
+  // InMemoryTableScan the PlanSpec pin asserts. x_dedup_components
+  // deliberately does NOT read this cache — it TIMES the component
+  // computation itself.
+  private[graft] val compCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private[graft] def dupComponentsArtifact(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    compCache.getOrElseUpdate(sfDir,
+      Dedup.duplicateComponents(minhashPairs(spark, sfDir)
+        .select("id_a", "id_b")).persist())
+
   // SimHash near-dup pair artifact (60-bit, 4 bands, hamming ≤ 8):
   // consumed by both the pair listing and the method-overlap matrix —
   // one signature build + banded candidate pass per scale dir.
@@ -421,6 +438,7 @@ private[graft] object ExtShared {
     minhashSigs(spark, sfDir).count()
     dupSpans(spark, sfDir).count()
     simhashPairs(spark, sfDir).count()
+    dupComponentsArtifact(spark, sfDir).count()
   }
 
   // Trained tokenizer models memoized per sfDir — the serving model:
@@ -520,6 +538,49 @@ private[graft] object ExtShared {
     }
     s"banded AS (\n${branches.mkString("\nUNION ALL\n")}\n)"
   }
+
+  /** The banded-candidate → verified-pair → connected-component CTE
+    * chain (cands/sizes/verified/pairs/edges/reach/comp), mirroring
+    * Dedup.minhashNearDupsFromArtifacts + Dedup.duplicateComponents —
+    * requires shinglesCte(3), minhashSigsCte and bandsCte before it,
+    * and WITH RECURSIVE for `reach`. Shared by the composed curation
+    * pipeline's oracles (the x_dedup_components oracle predates this
+    * helper and carries its own verbatim copy).
+    */
+  private[graft] def minhashComponentsCtes: String =
+    """cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS shared
+      |  FROM cands c
+      |  JOIN sh x ON x.doc_id = c.id_a
+      |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM verified
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.4
+      |),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs
+      |),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+      |),
+      |comp AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS component
+      |  FROM reach GROUP BY src
+      |)""".stripMargin
 
   /** The delta-vs-corpus near-dup oracle, shared VERBATIM by the batch
     * screen (x_dedup_delta) and its streaming twin (x_stream_neardup):

@@ -238,6 +238,17 @@ object Events {
 
   private val WeekUs = 7L * 86400 * 1000000
 
+  /** FLOOR-division day bucket of a µs timestamp — engine-identical to
+    * the DuckDB oracles' `//` for NEGATIVE (pre-epoch) timestamps too,
+    * where Spark's DIV truncates toward zero and would both bucket
+    * ts_us = −1 and +1 into day 0 and disagree with the oracle
+    * (ADVICE r12). For ts_us ≥ 0 the correction term is 0, so every
+    * existing oracle hash is unchanged.
+    */
+  private def dayBucket(tsCol: String): org.apache.spark.sql.Column =
+    expr(s"$tsCol DIV 86400000000" +
+      s" - (CASE WHEN $tsCol % 86400000000 < 0 THEN 1 ELSE 0 END)")
+
   /** Rolling event-rate features: for every event, the count and value
     * sum of the SAME user's events in the trailing `windowUs` (event
     * included) — the per-entity rate/velocity feature every abuse or
@@ -628,7 +639,7 @@ object Events {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val spark = events.sparkSession
     val daily = events
-      .groupBy(expr(s"$tsCol DIV 86400000000").as("day"))
+      .groupBy(dayBucket(tsCol).as("day"))
       .agg(count(lit(1)).as("x"))
       .localCheckpoint(true)
     val ser = daily // bounded: one row per day
@@ -675,7 +686,7 @@ object Events {
   def cusumChangePoint(events: DataFrame,
       tsCol: String = "ts_us"): DataFrame =
     cusumFromDaily(events
-      .groupBy(expr(s"$tsCol DIV 86400000000").as("day"))
+      .groupBy(dayBucket(tsCol).as("day"))
       .agg(count(lit(1)).as("x"))
       .localCheckpoint(true))
 
@@ -741,7 +752,7 @@ object Events {
     val spark = events.sparkSession
     import spark.implicits._
     val daily = events
-      .groupBy(expr(s"$tsCol DIV 86400000000").as("day"))
+      .groupBy(dayBucket(tsCol).as("day"))
       .agg(count(lit(1)).as("x"))
       .orderBy("day")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -1258,25 +1258,39 @@ object Pipeline {
     */
   private def qidCols(textCol: String, srcCol: String, langCol: String,
       fine: Int): (Column, Column, Column) = {
-    val len = size_long(filter(split_part_tokens(col(textCol)),
-      t => t =!= ""))
+    val len = wsTokenLen(col(textCol))
     (coalesce(col(langCol).cast("string"), lit("")),
       coalesce(col(srcCol).cast("string"), lit("")),
       len - pmod(len, lit(fine.toLong)))
   }
 
-  def kAnonymize(docs: DataFrame, textCol: String, k: Int,
-      idCol: String = "doc_id", srcCol: String = "source",
-      langCol: String = "lang", fine: Int = 25,
-      coarse: Int = 50): DataFrame = {
+  /** The privacy ladder's token-length convention (whitespace tokens
+    * of the NULL-coalesced text), exposed so a composed pipeline can
+    * precompute it in-row at the scan and never carry text across an
+    * exchange (the curation-v2 composition).
+    */
+  private[graft] def wsTokenLen(textCol: Column): Column =
+    size_long(filter(split_part_tokens(textCol), t => t =!= ""))
+
+  /** The k-anon ladder's internal relations — level-0 histogram (c0,
+    * checkpointed), level-1 rollup (c1), and the per-(src, lng) group
+    * verdict (g: c2 total + anon_level) — factored out so the verdict
+    * alone can feed a composed pipeline's suppression gate without
+    * materializing per-row labels (see [[kAnonGroupVerdict]]).
+    */
+  private def kAnonLadder(docs: DataFrame, textCol: String, k: Int,
+      srcCol: String, langCol: String, fine: Int, coarse: Int,
+      lenCol: Option[Column]): (DataFrame, DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(fine >= 1 && coarse >= fine && coarse % fine == 0,
       s"coarse ($coarse) must be a positive multiple of fine ($fine)")
-    val (lngQ, srcQ, b0e) = qidCols(textCol, srcCol, langCol, fine)
-    val b0 = b0e.as("b0")
+    val len = lenCol.getOrElse(wsTokenLen(col(textCol)))
+    val b0c = len - pmod(len, lit(fine.toLong))
+    val srcQ = coalesce(col(srcCol).cast("string"), lit(""))
+    val lngQ = coalesce(col(langCol).cast("string"), lit(""))
     val toB1 = (b: Column) => b - pmod(b, lit(coarse.toLong))
     val c0 = docs
-      .select(srcQ.as("src"), lngQ.as("lng"), b0)
+      .select(srcQ.as("src"), lngQ.as("lng"), b0c.as("b0"))
       .groupBy("src", "lng", "b0").agg(count(lit(1)).as("c0"))
       .localCheckpoint(true)
     val c1 = c0
@@ -1291,6 +1305,32 @@ object Pipeline {
           .when(col("min1") >= k, lit(1L))
           .when(col("c2") >= k, lit(2L))
           .otherwise(lit(3L)).as("anon_level"))
+    (c0, c1, g)
+  }
+
+  /** Just the bounded per-(src, lng) verdict of the k-anon ladder —
+    * (src, lng, c2, anon_level), QID-bounded rows — for pipelines that
+    * gate on "is this group suppressed" and don't need per-row labels:
+    * broadcast it back onto the survivor scan (one BHJ) instead of the
+    * full three-join labeling pass. `lenCol` (when given) replaces the
+    * text-derived token length so the caller can precompute it in-row
+    * and drop text before any exchange.
+    */
+  def kAnonGroupVerdict(docs: DataFrame, textCol: String, k: Int,
+      srcCol: String = "source", langCol: String = "lang",
+      fine: Int = 25, coarse: Int = 50,
+      lenCol: Option[Column] = None): DataFrame =
+    kAnonLadder(docs, textCol, k, srcCol, langCol, fine, coarse, lenCol)._3
+
+  def kAnonymize(docs: DataFrame, textCol: String, k: Int,
+      idCol: String = "doc_id", srcCol: String = "source",
+      langCol: String = "lang", fine: Int = 25,
+      coarse: Int = 50): DataFrame = {
+    val (c0, c1, g) =
+      kAnonLadder(docs, textCol, k, srcCol, langCol, fine, coarse, None)
+    val (lngQ, srcQ, b0e) = qidCols(textCol, srcCol, langCol, fine)
+    val b0 = b0e.as("b0")
+    val toB1 = (b: Column) => b - pmod(b, lit(coarse.toLong))
     docs
       .select(col(idCol), srcQ.as("src"), lngQ.as("lng"), b0)
       .withColumn("b1", toB1(col("b0")))

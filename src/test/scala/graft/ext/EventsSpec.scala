@@ -320,6 +320,18 @@ class EventsSpec extends AnyFunSuite {
     assert(g2.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
   }
 
+  test("day bucketing FLOORS pre-epoch timestamps (ts_us = -1 lands in day -1, not 0)") {
+    import spark.implicits._
+    // ADVICE r12: Spark DIV truncates toward zero, so ts_us = -1 and
+    // +1 both bucketed to day 0 while the DuckDB oracles' // floors —
+    // the temporal trio now floors too. Two events a µs either side of
+    // the epoch must land in DIFFERENT days.
+    val ev = Seq((1L, -1L), (2L, 1L)).toDF("event_id", "ts_us")
+    val days = Events.cusumChangePoint(ev).select("day").orderBy("day")
+      .collect().map(_.getLong(0))
+    assert(days.toSeq == Seq(-1L, 0L))
+  }
+
   test("cusumChangePoint: level shift ramps to a peak at the boundary day") {
     import spark.implicits._
     val day = 86400000000L

@@ -1717,6 +1717,74 @@ class ExtSpec extends AnyFunSuite {
       (5L, 4L, 0L)))
   }
 
+  test("curation v2 funnel: every stage fires on a hand fixture, incl. kanon suppression") {
+    import spark.implicits._
+    // 10 rows, one casualty per sequential gate: r1 exact dup, r2 low
+    // quality, r3 language disagreement, r4 near-dup non-rep; of the 6
+    // survivors, 5 share QID group (a, en) in one fine bucket (passes
+    // k = 4 at level 0) and 1 sits alone in group (rare, en) → the
+    // k-anon verdict suppresses it (level 3), so the fifth stage drops
+    // exactly that row — the arm the sf fixtures never exercise.
+    val rows = Seq(
+      (1L, "a", "en", true, 0.9, "en", 10L, false),
+      (2L, "a", "en", false, 0.3, "en", 10L, false),
+      (3L, "a", "en", false, 0.9, "de", 10L, false),
+      (4L, "a", "en", false, 0.9, "en", 10L, true),
+      (5L, "a", "en", false, 0.9, "en", 10L, false),
+      (6L, "a", "en", false, 0.9, "en", 11L, false),
+      (7L, "a", "en", false, 0.9, "en", 12L, false),
+      (8L, "a", "en", false, 0.9, "en", 13L, false),
+      (9L, "a", "en", false, 0.9, "en", 14L, false),
+      (10L, "rare", "en", false, 0.9, "en", 10L, false)
+    ).toDF("doc_id", "source", "lang", "is_duplicate", "quality_score",
+      "predicted_lang", "__klen", "__nd")
+    val survGates = rows.filter(!col("is_duplicate") &&
+      col("quality_score") >= 0.5 &&
+      col("predicted_lang") === col("lang") && !col("__nd"))
+    val verdict = Pipeline.kAnonGroupVerdict(survGates, "text", k = 4,
+      lenCol = Some(col("__klen")))
+    val withSup = rows
+      .withColumn("__src", coalesce(col("source").cast("string"), lit("")))
+      .withColumn("__lng", coalesce(col("lang").cast("string"), lit("")))
+      .join(broadcast(verdict.select(col("src").as("__src"),
+        col("lng").as("__lng"), col("anon_level"))),
+        Seq("__src", "__lng"), "left")
+      .withColumn("__sup", coalesce(col("anon_level") === 3L, lit(false)))
+    val got = Pipeline.filterFunnel(withSup, Seq(
+      "exact_dup" -> col("is_duplicate"),
+      "quality" -> (col("quality_score") < 0.5),
+      "lang_match" -> (col("predicted_lang") =!= col("lang")),
+      "near_dup" -> col("__nd"),
+      "kanon_suppressed" -> col("__sup")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, "exact_dup", 10L, 1L, 9L, 100L),
+      (2L, "quality", 9L, 1L, 8L, 111L),
+      (3L, "lang_match", 8L, 1L, 7L, 125L),
+      (4L, "near_dup", 7L, 1L, 6L, 142L),
+      (5L, "kanon_suppressed", 6L, 1L, 5L, 166L)))
+  }
+
+  test("curation v2 manifest: every non-final sequence is exactly full") {
+    // the packing invariant a dataloader asserts before training:
+    // Σ take_len per (source, seq_id) == seqLen (256) for every
+    // sequence except each source's last
+    val df = graft.SparkEntry.queries("x_pipeline_curation_v2")(
+      spark, "/root/testdata/sf0.001")
+    val sums = df.groupBy("source", "seq_id")
+      .agg(sum(col("take_len")).as("tot"))
+      .withColumn("is_last", col("seq_id") ===
+        max(col("seq_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))))
+      .collect()
+    assert(sums.nonEmpty)
+    sums.filter(!_.getBoolean(3)).foreach { r =>
+      assert(r.getLong(2) == 256L,
+        s"non-final sequence ${r.get(0)}/${r.getLong(1)} not full: ${r.getLong(2)}")
+    }
+  }
+
   test("kcenterSelect: honors non-long id columns (string ids)") {
     import spark.implicits._
     // same three locations as the early-stop case, string-keyed: the

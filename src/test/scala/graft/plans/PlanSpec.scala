@@ -604,6 +604,28 @@ class PlanSpec extends AnyFunSuite {
     assert(windowNodes(df) == 0, s"kanon grew a window:\n$p")
   }
 
+  test("curation v2: consumes the component ARTIFACT — no pair/shingle recompute") {
+    // The composed pipeline must read the persisted near-dup component
+    // relation (InMemoryTableScan), never re-run the shingle kernel /
+    // minhash chain inside its own plan (VERDICT r12 item 4's
+    // "artifact-consuming shape"); the k-anon verdict and the bounded
+    // sample id set broadcast back onto their scans; exactly two
+    // windows (digest dedup + pack-manifest cumsum) and no cartesian.
+    Corpus.registerSources(spark, sfDir)
+    val df = SparkEntry.queries("x_pipeline_curation_v2")(spark, sfDir)
+    val p = planOf(df)
+    assert(p.contains("InMemoryTableScan"),
+      s"curation v2 lost the persisted component artifact:\n$p")
+    assert(!p.contains("shingle_hashes_e"),
+      s"curation v2 recomputes shingles instead of consuming the artifact:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"curation v2 grew a cartesian:\n$p")
+    assert(windowNodes(df) == 2,
+      s"curation v2 window count (want digest + pack cumsum only):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"curation v2 verdict/sample joins lost their broadcast:\n$p")
+  }
+
   test("l-diversity: distinct-triple rollups, ladder joins all broadcast") {
     // same ladder discipline as kanon, but every rollup derives from
     // the bounded distinct-triple relation: the corpus is scanned for
