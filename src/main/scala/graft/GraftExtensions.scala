@@ -61,7 +61,12 @@ object GraftExtensions {
     ("might_contain",
       "might_contain(bloom, value) - true if the bloom-filter binary may contain the LONG value.",
       exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        exprs(0), exprs(1)))
+        exprs(0), exprs(1))),
+    ("token_pipe_e",
+      "token_pipe_e(text, mode) - fused tokenize + per-token transform " +
+        "(0 = porter stem, 1 = diacritic fold, 2 = ascii casefold).",
+      exprs => graft.functions.TokenPipe(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]))
   )
 
   /** Register the same functions on an ALREADY-RUNNING session (builder

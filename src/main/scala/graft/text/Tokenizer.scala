@@ -76,9 +76,6 @@ object Tokenizer {
   def tokensCol(c: Column): Column =
     filter(split(lower(coalesce(c, lit(""))), splitPattern), t => t =!= "")
 
-  private def unicodeTokensCol(c: Column): Column =
-    filter(split(lower(coalesce(c, lit(""))), unicodeSplitPattern), t => t =!= "")
-
   /** unicode61 `remove_diacritics` equivalent: NFD-decompose and strip
     * combining marks ("café" → "cafe").
     */
@@ -92,31 +89,31 @@ object Tokenizer {
   // against adversarial vocabularies)
   @transient private lazy val stemCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def cachedStem(t: String): String = {
+  private[graft] def cachedStem(t: String): String = {
     if (stemCache.size > 1000000) stemCache.clear()
     stemCache.computeIfAbsent(t, u => PorterStemmer.stem(foldDiacritics(u)))
   }
 
-  private val stemSeqUdf =
-    udf((ts: Seq[String]) => if (ts == null) Seq.empty[String] else ts.map(cachedStem))
-
-  private val foldSeqUdf =
-    udf((ts: Seq[String]) =>
-      if (ts == null) Seq.empty[String] else ts.map(foldDiacritics))
-
-  private val asciiLowerSeqUdf =
-    udf((ts: Seq[String]) =>
-      if (ts == null) Seq.empty[String] else ts.map(asciiLower))
-
-  private def asciiTokensCol(c: Column): Column =
-    asciiLowerSeqUdf(
-      filter(split(coalesce(c, lit("")), asciiSplitPattern), t => t =!= ""))
-
+  /** Column-side tokenize pipeline. Porter/Unicode61/Ascii run the
+    * fused codegen'd [[graft.functions.TokenPipe]] kernel (split +
+    * per-token transform in one static call, no ScalaUDF converter
+    * round-trip — r12 verdict item 6a); case folding for the porter /
+    * fold modes stays Spark's own `lower` so fold semantics are
+    * unchanged from the seq-UDF pipeline this replaced. Requires
+    * [[graft.functions.TokenFunctions.register]] on the session (done
+    * by Corpus.registerSources and the index entry points).
+    */
   def tokens(c: Column, mode: Tokenize.Value): Column = mode match {
     case Tokenize.None_     => tokensCol(c)
-    case Tokenize.Porter    => stemSeqUdf(unicodeTokensCol(c))
-    case Tokenize.Unicode61 => foldSeqUdf(unicodeTokensCol(c))
-    case Tokenize.Ascii     => asciiTokensCol(c)
+    case Tokenize.Porter    =>
+      graft.functions.TokenFunctions.token_pipe(
+        lower(coalesce(c, lit(""))), graft.functions.TokenPipeImpl.Porter)
+    case Tokenize.Unicode61 =>
+      graft.functions.TokenFunctions.token_pipe(
+        lower(coalesce(c, lit(""))), graft.functions.TokenPipeImpl.Fold)
+    case Tokenize.Ascii     =>
+      graft.functions.TokenFunctions.token_pipe(
+        coalesce(c, lit("")), graft.functions.TokenPipeImpl.Ascii)
   }
 
   /** Driver-side tokenization of a query string — must agree exactly

@@ -19,6 +19,10 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // the engine's native functions (porter_stem, token_pipe_e, ...) —
+    // production paths get these from Corpus.registerSources; suites
+    // that build DataFrames directly need them on the session too
+    GraftExtensions.register(s)
     s
   }
 }
