@@ -91,6 +91,31 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(rows(fin) == rows(batch))
   }
 
+  test("dropDuplicatesWithinWatermark == batch DISTINCT when dups arrive within the delay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production streaming-distinct form (x_stream_distinct_wm):
+    // duplicates of (user_id, event_type) are dense and cross the
+    // batch boundaries by construction; the whole ts range sits inside
+    // the delay, so the emitted set must equal the batch DISTINCT
+    val stream = MemoryStream[(Long, Long, Long, Double, String)]
+    val q = stream.toDF()
+      .toDF("user_id", "event_id", "ts_us", "value", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_distinct_parity").start()
+    val sorted = events.sortBy(e => (e._3, e._2))
+    sorted.grouped((sorted.size + 2) / 3).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    assert(rows(spark.table("wm_distinct_parity")) ==
+      rows(batchDf.select("user_id", "event_type").distinct()))
+  }
+
   test("topkStream == batch TopKDesc top-k on random tied data") {
     // values sit on a 0.1 grid, so score ties are common — the id
     // tie-break must agree between the k-slot stream state and the
