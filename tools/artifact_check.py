@@ -115,10 +115,16 @@ def main():
     if "DECLARED_QUERIES.json" in tracked:
         declared = json.loads(read("DECLARED_QUERIES.json"))
         expected = {d["name"] for d in declared if not d.get("contrast")}
-        rounds = [int(m.group(1)) for n in tracked
-                  for m in [re.search(r"_r(\d+)[_.]", n)]
-                  if m and re.match(r"(BENCH|CORRECTNESS|PLANS|NOTES)_", n)]
-        cur = max(rounds) if rounds else 0
+        # scope to the NEWEST round that actually has a _final cut —
+        # not to prose round numbers: NOTES_r{N+1} is committed at the
+        # END of round N (same HEAD as round N's finals), and keying on
+        # it would retire the coverage check the moment the round's
+        # notes land
+        final_rounds = [int(m.group(1)) for n in tracked
+                        for m in [re.fullmatch(
+                            r"BENCH_[A-Za-z0-9]+_r(\d+)_final\d*\.json", n)]
+                        if m]
+        cur = max(final_rounds) if final_rounds else 0
         final_re = re.compile(rf"BENCH_[A-Za-z0-9]+_r{cur}_final\d*\.json")
         for name, obj in sorted(bench_objs.items()):
             if not final_re.fullmatch(name):
