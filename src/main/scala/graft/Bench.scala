@@ -47,6 +47,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Host load average at cut START (VERDICT r13 item 4): the end-only
+    // stamp measured the bench's OWN 32-thread load and contradicted
+    // "quiet-window" prose on an artifact whose host really was idle at
+    // launch. Both stamps go in the regime block; "quiet window" is a
+    // DERIVED property (start load <= 4.0), never a prose label.
+    val loadAvgStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
       f
@@ -198,13 +206,16 @@ object Bench {
       // quoted (ADVICE r11): Spark accepts byte-suffixed settings
       // ("512k") which are valid config but not valid bare JSON
       val mpb = "\"" + spark.conf.get("spark.sql.files.maxPartitionBytes") + "\""
-      // host load average at cut end (VERDICT r11 item 2): the
-      // contention axis that made the triangle kernel's 12.0-vs-26.8 s
-      // spread a prose argument — now machine-readable per artifact.
-      // -1.0 when the platform doesn't expose it.
-      val loadAvg = java.lang.management.ManagementFactory
+      // host load average at cut START and END (VERDICT r11 item 2 +
+      // r13 item 4): start is the ambient-contention axis (the cut's
+      // admission state), end mostly measures the bench's own 32-thread
+      // run; `load_avg` keeps the legacy end-stamp name so prior-round
+      // artifacts stay comparable. -1.0 when the platform doesn't
+      // expose it. `quiet_window` is derived from the START stamp.
+      val loadAvgEnd = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
-      f"""{"heap_gb":${Runtime.getRuntime.maxMemory / 1e9}%.2f,"cpus":$cpus,"tmpdir":"${System.getProperty("java.io.tmpdir")}","max_partition_bytes":$mpb,"load_avg":$loadAvg%.2f,"cached_rdds":${stEnd.length},"cached_mem_gb":${stEnd.map(_.memSize).sum / 1e9}%.2f,"cached_disk_gb":${stEnd.map(_.diskSize).sum / 1e9}%.2f,"only":$onlyJson}"""
+      val quiet = loadAvgStart >= 0 && loadAvgStart <= 4.0
+      f"""{"heap_gb":${Runtime.getRuntime.maxMemory / 1e9}%.2f,"cpus":$cpus,"tmpdir":"${System.getProperty("java.io.tmpdir")}","max_partition_bytes":$mpb,"load_avg":$loadAvgEnd%.2f,"load_avg_start":$loadAvgStart%.2f,"load_avg_end":$loadAvgEnd%.2f,"quiet_window":$quiet,"cached_rdds":${stEnd.length},"cached_mem_gb":${stEnd.map(_.memSize).sum / 1e9}%.2f,"cached_disk_gb":${stEnd.map(_.diskSize).sum / 1e9}%.2f,"only":$onlyJson}"""
     }
     val total = results.values.sum
     val contrastTotal = contrastResults.values.sum

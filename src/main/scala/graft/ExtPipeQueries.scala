@@ -173,6 +173,16 @@ private[graft] object ExtPipeQueries {
             col("predicted_lang") === col("lang"))
           .join(comps, Seq("doc_id"), "left")
           .filter(col("__comp").isNull || col("__comp") === col("doc_id"))
+          // persisted because TWO consumers read it (the verdict and
+          // the survivor scan) and the verdict's eager ladder
+          // checkpoint would otherwise execute the expensive scored/
+          // gated subtree a second time when the returned plan runs
+          // (ADVICE r13): the checkpoint's construction-time run now
+          // fills this cache, and surv reads the InMemoryTableScan —
+          // the funnel twin's triangle lesson applied here. Text never
+          // enters the cached relation (dropped at the scan), so the
+          // cache is survivor-metadata-sized at any corpus scale.
+          .persist()
         // ladder computed over the RELEASE CANDIDATES (the set whose
         // QID histogram the adversary would see), not the raw corpus;
         // textCol is unused because __klen was precomputed at the scan

@@ -66,7 +66,7 @@ object GraftExtensions {
       "token_pipe_e(text, mode) - fused tokenize + per-token transform " +
         "(0 = porter stem, 1 = diacritic fold, 2 = ascii casefold).",
       exprs => graft.functions.TokenPipe(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]))
+        graft.functions.TokenFunctions.resolveMode(exprs(1))))
   )
 
   /** Register the same functions on an ALREADY-RUNNING session (builder

@@ -2,7 +2,7 @@ package graft
 
 import graft.query.SearchEngine
 import graft.query.SearchEngine.Request
-import graft.text.{FtsQuery, Tokenize, Tokenizer, PorterStemmer}
+import graft.text.{FtsQuery, Tokenize, Tokenizer}
 import org.apache.spark.sql.functions._
 
 /** The FTS/BM25 search surface as declared queries (SURVEY §2.2 P4-P6,
@@ -184,11 +184,15 @@ object SearchQueries {
       (spark, sfDir) => {
         import spark.implicits._
         val arts = Corpus.textArtifacts(spark, sfDir, Tokenize.None_)
-        val stemUdf = udf((t: String) => PorterStemmer.stem(t))
+        // the registered Catalyst porter_stem expression, not a
+        // ScalaUDF — keeps "zero ScalaUDF in src/main" a checkable
+        // invariant (VERDICT r13 item 5); same PorterStemmer.stem
+        // underneath, golden pin unchanged
+        GraftExtensions.register(spark)
         arts.docTokens
           .select(explode(col("tokens_s1")).as("token"))
           .distinct()
-          .withColumn("stem", stemUdf(col("token")))
+          .withColumn("stem", call_function("porter_stem", col("token")))
           .orderBy("token")
       },
       None),

@@ -1610,10 +1610,26 @@ object Similarity {
     var state = codes.filter(col("__id") =!= lit(seed(0).get(0)))
       .withColumn("__d", lit(Long.MaxValue))
     var exhausted = false
+    // Bound checkpoint residency to TWO state copies (ADVICE r13): the
+    // eager localCheckpoint otherwise leaves every superseded round's
+    // blocks in the block manager until GC/ContextCleaner gets to them
+    // — O(k·n·d) storage growth at production coreset k. A checkpointed
+    // Dataset exposes no public handle to its internal RDD, so the
+    // superseded round is found by diffing `getPersistentRDDs` ids
+    // around the checkpoint call (single-threaded loop: the diff is
+    // exactly this round's blocks) and unpersisted once the NEW
+    // checkpoint has materialized (eager=true).
+    val sc = spark.sparkContext
+    var prevCkptIds: Set[Int] = Set.empty
     while (picks.size < k && !exhausted) {
+      val beforeIds = sc.getPersistentRDDs.keySet.toSet
       state = state
         .withColumn("__d", least(col("__d"), d2To(center)))
         .localCheckpoint(true)
+      val newIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
+      prevCkptIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkptIds = newIds
       val far = state.orderBy(col("__d").desc, col("__id").asc)
         .limit(1).collect()
       if (far.isEmpty) exhausted = true

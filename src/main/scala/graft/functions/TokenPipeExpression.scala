@@ -90,15 +90,44 @@ case class TokenPipe(child: Expression, mode: Int) extends UnaryExpression {
 
 object TokenFunctions {
 
+  /** Resolve the `mode` argument to an Int at analysis time. SQL
+    * integer literals arrive as Int, but `2L`-style BIGINT literals
+    * (java.lang.Long), SMALLINT/TINYINT casts, and foldable arithmetic
+    * are all legitimate ways to spell a constant — widen numerically
+    * instead of a raw `asInstanceOf[Int]` (which threw
+    * ClassCastException on Long and NPE'd on NULL, ADVICE r13). A
+    * non-foldable or non-integral mode is a clear analysis error, not
+    * an opaque eval failure.
+    */
+  def resolveMode(e: Expression): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def fromValue(v: Any): Int = v match {
+      case i: Int   => i
+      case l: Long  => Math.toIntExact(l)
+      case s: Short => s.toInt
+      case b: Byte  => b.toInt
+      case _ => throw modeError(e)
+    }
+    e match {
+      case Literal(null, _) => throw modeError(e)
+      case Literal(v, _) => fromValue(v)
+      case other if other.foldable =>
+        other.eval() match { case null => throw modeError(e)
+                             case v => fromValue(v) }
+      case _ => throw modeError(e)
+    }
+  }
+
+  private def modeError(e: Expression) =
+    new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_TEMP_3000",
+      Map("message" ->
+        s"token_pipe_e: mode must be a non-NULL foldable integer literal, got ${e.sql}"))
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_pipe_e", exprs => {
-        val mode = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Int]
-        }
-        TokenPipe(exprs(0), mode)
-      }, "built-in")
+      "token_pipe_e",
+      exprs => TokenPipe(exprs(0), resolveMode(exprs(1))), "built-in")
 
   /** Column API (requires [[register]] on the session). */
   def token_pipe(text: Column, mode: Int): Column =
