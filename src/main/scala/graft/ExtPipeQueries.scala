@@ -15,7 +15,7 @@ private[graft] object ExtPipeQueries {
     * shared by x_pipeline_curation (the survivor list) and
     * x_pipe_filter_funnel (the per-stage audit over the SAME stages).
     */
-  private def curationScoredCtes: String = {
+  private[graft] def curationScoredCtes: String = {
     val langs = TextAnalysis.stopwords.keys.toSeq.sorted
     val hitCols = langs.map { l =>
       val cond = TextAnalysis.stopwords(l).map(w => s"t = '$w'").mkString(" OR ")

@@ -4,14 +4,16 @@ import graft.core.Schema
 import graft.ext.{Dedup, Events, Pipeline, Quality, Similarity, TextAnalysis}
 import graft.index.IndexJob
 import org.apache.spark.sql.functions._
-/** Structured-Streaming family: 19 streaming twins checked against
+/** Structured-Streaming family: 22 streaming twins checked against
   * their batch oracles — custom per-key state (user-state, dedup,
   * sessions, threads, rolling, funnel, as-of, top-k), the built-in
-  * stateful classes (windowed agg in exact cents, streaming DISTINCT,
-  * stream-stream interval join, complete-mode count-min sketch), the
-  * stateless ingest screens (contamination, IVF assignment, near-dup
-  * and containment probes of persisted corpus indexes), the
-  * weighted-sampling reservoir, and the batch-as-stream merge.
+  * stateful classes (windowed agg in exact cents, streaming DISTINCT
+  * both unbounded and watermark-bounded, stream-stream interval join,
+  * complete-mode count-min sketch), the stateless ingest screens
+  * (contamination, IVF assignment, near-dup and containment probes of
+  * persisted corpus indexes), the composed ingest curation screen
+  * (quality/language gates + artifact probe + stateful exact dedup),
+  * the weighted-sampling reservoir, and the batch-as-stream merge.
   * Oracle-checked via CORRECTNESS_r* (see SURVEY §7.5).
   */
 private[graft] object ExtStreamQueries {
@@ -506,6 +508,77 @@ private[graft] object ExtStreamQueries {
       Some(
         """SELECT DISTINCT user_id, event_type
           |FROM events ORDER BY user_id, event_type""".stripMargin)),
+
+    // Streaming ingest CURATION screen — the composed streaming twin
+    // of x_pipeline_curation_v2's gate chain (VERDICT r13 item 7's
+    // candidate: compose the stream twins the way v2 composed the
+    // batch board). Arriving documents pass the quality + language
+    // gates IN THE STREAM (stateless projections — a doc's verdict
+    // depends only on itself), probe the corpus's PREBUILT near-dup
+    // component artifact with a stream-static left join (zero
+    // streaming state: the serving model, same as x_stream_neardup /
+    // x_stream_contam), and fold cross-batch EXACT dedup in per-digest
+    // state (the dedupStream min-id fold — arrival-order-free, so the
+    // REAL 2-micro-batch run converges to the batch answer). Output =
+    // the release-candidate relation: one row per surviving content
+    // digest with its keeper id and gate-surviving copy count. The
+    // corpus-level tail of v2 (k-anon verdict over the COMPLETE
+    // survivor population, weighted draw, packing) is deliberately
+    // batch-only — a verdict over a half-arrived population is not the
+    // population's verdict; this twin is the production ingest path
+    // that FEEDS that batch release job.
+    QueryDef("x_stream_curation",
+      (spark, sfDir) => {
+        Corpus.registerSources(spark, sfDir)
+        import org.apache.spark.sql.types._
+        val comps = dupComponentsArtifact(spark, sfDir)
+          .withColumnRenamed("component", "__comp")
+        val srcDir = multiFileSourceDir(spark, sfDir, "documents.parquet", 4)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2").parquet(srcDir)
+        val gated = TextAnalysis.qualityScore(
+            TextAnalysis.languageId(stream, "text"), "text")
+          .filter(col("quality_score") >= 0.5 &&
+            col("predicted_lang") === col("lang"))
+          .join(comps, Seq("doc_id"), "left_outer")
+          .filter(col("__comp").isNull || col("__comp") === col("doc_id"))
+        val q = graft.streaming.IncrementalIndexer.dedupStream(spark, gated)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("x_stream_curation_sink")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // final value per digest = the emission with the highest count
+        // (n_copies only grows), the x_stream_dedup convention
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("digest").orderBy(col("n_copies").desc)
+        spark.table("x_stream_curation_sink")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("digest", "keep_id", "n_copies")
+          .orderBy("digest")
+      },
+      Some(
+        s"""WITH RECURSIVE ${shinglesCte(3)},
+           |$minhashSigsCte,
+           |$bandsCte,
+           |$minhashComponentsCtes,
+           |${ExtPipeQueries.curationScoredCtes},
+           |gated AS (
+           |  SELECT s.doc_id
+           |  FROM scored s LEFT JOIN comp c ON c.doc_id = s.doc_id
+           |  WHERE s.quality_score >= 0.5 AND s.predicted_lang = s.lang
+           |    AND (c.doc_id IS NULL OR c.component = s.doc_id)
+           |)
+           |SELECT md5(coalesce(d.text, '')) AS digest,
+           |       CAST(min(d.doc_id) AS BIGINT) AS keep_id,
+           |       CAST(count(*) AS BIGINT) AS n_copies
+           |FROM documents d JOIN gated g ON g.doc_id = d.doc_id
+           |GROUP BY 1
+           |ORDER BY digest""".stripMargin)),
 
     // Streaming per-user top-k leaderboard — the streaming twin of
     // the TopKDesc bounded aggregate (x_evt_topk): state per user is

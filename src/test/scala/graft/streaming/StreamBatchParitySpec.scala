@@ -397,4 +397,60 @@ class StreamBatchParitySpec extends AnyFunSuite {
       spark.table("parity_cusum").select("day", "x"))
     assert(rows(got) == rows(batch))
   }
+
+  test("stream curation screen == batch gates + keep-first with cross-batch dups") {
+    // the x_stream_curation composition on a hand fixture that fires
+    // EVERY stage: a quality/language gate drop, a near-dup component
+    // suppression (non-representative member), an IN-batch exact dup
+    // and a CROSS-batch exact dup folding into one digest's state
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox and the lazy dog were there with " +
+      "many of those words that they have from this good long text it " +
+      "is a fine day and the people are happy with their work"
+    val docs = Seq(
+      (1L, good + " one", "en"),
+      (2L, good + " two", "en"),
+      (3L, good + " one", "en"),         // in-batch exact dup of 1
+      (4L, "12345 67890 !!!", "en"),     // fails quality AND language gates
+      (5L, good + " five", "en"),        // near-dup component representative
+      (6L, good + " six", "en"),         // same component, suppressed
+      (7L, good + " one", "en"))         // CROSS-batch exact dup of 1
+    val comps = Seq((5L, 5L), (6L, 5L)).toDF("doc_id", "__comp")
+    def gate(df: DataFrame): DataFrame =
+      TextAnalysis.qualityScore(TextAnalysis.languageId(df, "text"), "text")
+        .filter(col("quality_score") >= 0.5 &&
+          col("predicted_lang") === col("lang"))
+        .join(comps, Seq("doc_id"), "left_outer")
+        .filter(col("__comp").isNull || col("__comp") === col("doc_id"))
+    val stream = MemoryStream[(Long, String, String)]
+    val q = IncrementalIndexer.dedupStream(spark,
+        gate(stream.toDF().toDF("doc_id", "text", "lang")))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("parity_curation").start()
+    docs.grouped(3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("digest").orderBy(col("n_copies").desc)
+    val got = spark.table("parity_curation")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("digest", "keep_id", "n_copies")
+    val batch = gate(docs.toDF("doc_id", "text", "lang"))
+      .groupBy(md5(coalesce(col("text"), lit("")).cast("binary")).as("digest"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+    val gotRows = got.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batchRows = batch.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotRows == batchRows, s"stream $gotRows != batch $batchRows")
+    // every stage fired: gate drop (4 survives nowhere), suppression
+    // (6's digest absent, 5's present), the dup digest folded 3 copies
+    // across two micro-batches under keeper id 1
+    assert(!gotRows.exists(_._2 == 4L) && !gotRows.exists(_._2 == 6L))
+    assert(gotRows.exists(_._2 == 5L))
+    assert(gotRows.exists(r => r._2 == 1L && r._3 == 3L))
+    assert(gotRows.size == 3) // digests of one/two/five, nothing else
+  }
 }
