@@ -105,7 +105,12 @@ def main():
         except Exception as e:
             bad.append(f"{name}: unparsable JSON ({e})")
             continue
-        if name.startswith("BENCH_"):
+        if name == "BENCH_HISTORY.json":
+            # derived per-query history index (tools/bench_history.py),
+            # not a cut — no 'queries' map by design
+            if not isinstance(obj, dict) or not obj:
+                bad.append(f"{name}: empty history index")
+        elif name.startswith("BENCH_"):
             if "rc" in obj:  # driver-written wrapper format
                 if obj.get("rc") != 0:
                     bad.append(f"{name}: driver bench rc={obj.get('rc')}")
