@@ -27,6 +27,12 @@ object KcProbe {
     spark.sparkContext.setLogLevel("ERROR")
     Corpus.registerSources(spark, sfDir)
     val emb = spark.table("embeddings")
+    // Residency receipt (ADVICE r13 / r14 fix): the running-min loop
+    // unpersists each superseded round's checkpoint and the final one
+    // on return, so persisted-RDD count after ANY k must be the
+    // pre-call baseline — before the fix it grew by ~k blocks per call.
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    val residencyBaseline = persisted()
     def timeK(k: Int): Double = {
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -39,13 +45,14 @@ object KcProbe {
     timeK(6) // warm-up: codegen + footer reads out of the curve
     val ks = Seq(6, 12, 24, 48)
     val times = ks.map(k => k -> timeK(k))
+    val residencyAfter = persisted()
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val body = times.map { case (k, t) => f""""kcenter_k$k":$t%.3f""" }
       .mkString(",")
     val total = times.map(_._2).sum
     val r48 = times.last._2 / times.head._2
-    println(f"""{"metric":"kcenter_k_scaling","value":$total%.3f,"unit":"sec","queries":{$body},"runs_per_query":2,"agg":"min","errors":[],"ratio_k48_over_k6":$r48%.2f,"linear_ratio":8.0,"regime":{"heap_gb":${Runtime.getRuntime.maxMemory / 1e9}%.2f,"cpus":32,"load_avg":$loadAvg%.2f},"sf":"$sfDir"}""")
+    println(f"""{"metric":"kcenter_k_scaling","value":$total%.3f,"unit":"sec","queries":{$body},"runs_per_query":2,"agg":"min","errors":[],"ratio_k48_over_k6":$r48%.2f,"linear_ratio":8.0,"persisted_rdds_before":$residencyBaseline,"persisted_rdds_after_all_runs":$residencyAfter,"regime":{"heap_gb":${Runtime.getRuntime.maxMemory / 1e9}%.2f,"cpus":32,"load_avg":$loadAvg%.2f},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1639,6 +1639,10 @@ object Similarity {
         state = state.filter(col("__id") =!= lit(far(0).get(0)))
       }
     }
+    // the picks are already collected — the final round's checkpoint
+    // has no consumer; release it so the call leaves ZERO blocks behind
+    prevCkptIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("center_rank",
         org.apache.spark.sql.types.LongType, nullable = false),
