@@ -562,11 +562,18 @@ private[graft] object ExtTextQueries {
         val hosts = transform(urls,
           u => regexp_extract(u, "^https?://([^/\\s]+)", 1))
         val docHosts = aug.select(col("doc_id"), explode(hosts).as("host"))
+        // r14 OPTIMIZATION (guide §2.4): edges feed BOTH the walk and
+        // the seed derivation — materialize the co-occurrence self-join
+        // once instead of twice; released after construction (the
+        // returned plan reads only the final round's checkpoint)
         val edges = Graph.cooccurrenceEdges(docHosts, "doc_id", "host")
+          .localCheckpoint(true)
         val seeds = edges.select(col("src").as("node"))
           .unionByName(edges.select(col("dst").as("node")))
           .distinct().filter(col("node").startsWith("www."))
-        Graph.personalizedPageRank(edges, seeds, iters = 2)
+        val out = Graph.personalizedPageRank(edges, seeds, iters = 2)
+        graft.ext.Dedup.releaseCheckpoint(edges)
+        out
           .withColumnRenamed("node", "host")
           .withColumnRenamed("pr", "ppr_e9")
           .orderBy(col("ppr_e9").desc, col("host"))

@@ -512,7 +512,6 @@ object Dedup {
   def containmentPairs(shingles: DataFrame, dfMax: Int = 8,
       minShingles: Int = 10, thresholdPermille: Int = 800): DataFrame = {
     val sh = shingles.select(col("doc_id"), col("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= dfMax)
       .select("shingle")
@@ -522,13 +521,31 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       .localCheckpoint(true)
+    // r14 OPTIMIZATION (guide §2.3 — shuffle fewer bytes): the verify
+    // stage used to re-join the candidate pairs against the FULL
+    // (doc, shingle) relation twice (per-pair row expansion of
+    // Σ n_sh(a) rows through two exchanges, then an (id, shingle)-keyed
+    // count agg). The shingle relation collapses ONCE to per-doc sorted
+    // arrays (doc-sized rows; sizes ride the same agg), the pair join
+    // touches only candidate docs' single rows, and `shared` is the
+    // compiled two-pointer merge count (SortedIntersect — the n-gram
+    // hot-shingle / triangle-closure kernel). Inputs are per-doc
+    // duplicate-free by the shingle producers' contract
+    // ([[shingles]] is `.distinct()`, [[shingleHashes]] distinct
+    // in-row), so the merge count equals the join count exactly.
+    graft.functions.IntersectFunctions.register(sh.sparkSession)
+    val arrs = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("__arr"),
+        count(lit(1)).as("n_sh"))
     val shared = cands
-      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .join(arrs.select(col("doc_id").as("id_a"), col("__arr").as("__aa"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("__arr").as("__ab"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("shared",
+        size(graft.functions.IntersectFunctions
+          .sorted_intersect(col("__aa"), col("__ab"))).cast("long"))
+      .select("id_a", "id_b", "shared", "n_a", "n_b")
     val dirA = shared.select(col("id_a").as("contained_id"),
       col("id_b").as("container_id"), col("n_a").as("n_contained"),
       col("n_b").as("n_container"), col("shared"))
@@ -897,9 +914,14 @@ object Dedup {
   /** Best-effort release of an eager localCheckpoint's blocks: the
     * checkpointed frame wraps a LogicalRDD whose RDD holds the blocks.
     * Only call on frames nothing references anymore (a localCheckpoint
-    * cannot be recomputed once its blocks are gone).
+    * cannot be recomputed once its blocks are gone). Shared across the
+    * iterative operators (components, PageRank family, kcore/BFS,
+    * BPE, k-means, power iteration) — r14 OPTIMIZATION: every round
+    * loop releases its superseded round so checkpoint residency is
+    * bounded to two state copies instead of O(rounds) (guide §5;
+    * the ADVICE r13 kcenter finding applied engine-wide).
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)

@@ -48,19 +48,30 @@ object Graph {
     * the graph has at least one out-edge).
     */
   def pageRank(edges: DataFrame, iters: Int, dampPct: Int = 85): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
+    // r14 OPTIMIZATION (guide §2.4/§5): materialize the edge relation
+    // ONCE — nodes, outdeg and every round's contrib join used to
+    // re-run the caller's full edge lineage (for the host graph, a
+    // regex-extract + explode + per-doc self-join) 2·iters + 2 times
+    // per call; the per-call cross-run speed the old form showed came
+    // from the leaked `nodes` persist being plan-matched by the cache
+    // manager across bench runs — an accidental result cache, not a
+    // plan property. Now the lineage runs once, the loop reads blocks,
+    // and every temporary is released on exit (bounded residency).
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
       .distinct().persist()
     val n = nodes.count() // ONE driver scalar — the bounded-collect contract
     val base = 1000000000L / math.max(n, 1L)
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var pr = nodes.withColumn("pr", lit(base))
-    for (_ <- 1 to iters) {
-      val contrib = edges
+    for (round <- 1 to iters) {
+      val contrib = e
         .join(pr.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("pr DIV deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
+      val prev = pr
       pr = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           // every literal BIGINT: (100−damp)·base overflows INT for
@@ -69,7 +80,12 @@ object Graph {
             s"CAST($dampPct AS BIGINT) * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
             .as("pr"))
         .localCheckpoint(true)
+      // bounded residency (guide §5): the superseded round's blocks
+      // have no consumer once the new checkpoint materialized (eager)
+      if (round > 1) Dedup.releaseCheckpoint(prev)
     }
+    nodes.unpersist()
+    if (iters >= 1) Dedup.releaseCheckpoint(e)
     pr
   }
 
@@ -110,18 +126,27 @@ object Graph {
     val base = 1000000000L / math.max(k, 1L)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var pr = marked.select(col("node"), (col("is_seed") * base).as("pr"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val contrib = e
         .join(pr.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("pr DIV deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
+      val prev = pr
       pr = marked.join(contrib, Seq("node"), "left")
         .select(col("node"),
           expr(s"(CAST(${100 - dampPct} AS BIGINT) * CAST($base AS BIGINT)" +
             s" * is_seed + CAST($dampPct AS BIGINT) *" +
             s" coalesce(s, CAST(0 AS BIGINT))) DIV 100").as("pr"))
         .localCheckpoint(true)
+      // bounded residency (guide §5): superseded round released
+      if (round > 1) Dedup.releaseCheckpoint(prev)
+    }
+    if (iters >= 1) {
+      // the returned frame is the final round's checkpoint: neither
+      // marked's cache nor e's blocks have a consumer anymore
+      marked.unpersist()
+      Dedup.releaseCheckpoint(e)
     }
     pr
   }
@@ -149,15 +174,19 @@ object Graph {
     val dsts = e.select(col("dst").as("node")).distinct()
     var hub = srcs.withColumn("hub", lit(s))
     var auth = dsts.withColumn("auth", lit(0L))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val authRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
+      val prevAuth = auth
       auth = normalize(authRaw, s).withColumnRenamed("score", "auth")
         .localCheckpoint(true)
+      if (round > 1) Dedup.releaseCheckpoint(prevAuth) // guide §5
       val hubRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
+      val prevHub = hub
       hub = normalize(hubRaw, s).withColumnRenamed("score", "hub")
         .localCheckpoint(true)
+      if (round > 1) Dedup.releaseCheckpoint(prevHub)
     }
     srcs.unionByName(dsts).distinct()
       .join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
@@ -189,7 +218,8 @@ object Graph {
     val e = edges.select("src", "dst").distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node")).distinct()
     var lab = nodes.withColumn("lab", col("node"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
+      val prev = lab
       lab = e.join(lab.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("lab"))
         .agg(count(lit(1)).as("c"))
@@ -198,7 +228,11 @@ object Graph {
           .as("best"))
         .select(col("node"), col("best.l").as("lab"))
         .localCheckpoint(true)
+      if (round > 1) Dedup.releaseCheckpoint(prev) // guide §5
     }
+    // the returned labels are the final round's checkpoint (iters >= 1
+    // in every caller); e feeds only the rounds
+    if (iters >= 1) Dedup.releaseCheckpoint(e)
     lab.select(col("node"), col("lab").as("community"))
   }
 
@@ -475,10 +509,15 @@ object Graph {
         .select(col("node"),
           (col("deg") - coalesce(col("__d"), lit(0L))).as("deg"))
       val (st, l) = materialize(next, iters + 1)
+      Dedup.releaseCheckpoint(state) // superseded round (guide §5)
       state = st
       low = l
       iters += 1
     }
+    // the returned state is its own checkpoint; the defensive distinct's
+    // blocks (when built here) have no consumer anymore. releaseCheckpoint
+    // no-ops on the edgesDistinct=true pass-through (not a LogicalRDD).
+    Dedup.releaseCheckpoint(e)
     KcoreRun(state.select(col("node"), col("deg").as("core_deg")),
       converged = low == 0, roundsUsed = iters)
   }
@@ -547,10 +586,12 @@ object Graph {
         .join(state.select("node"), Seq("node"), "left_anti")
         .select(col("node"), col("__b.d").as("dist"), col("__b.h").as("hub"))
       val (st, f) = materialize(state.unionByName(settled), i + 1)
+      Dedup.releaseCheckpoint(state) // superseded round (guide §5)
       state = st
       fresh = f
       i += 1
     }
+    Dedup.releaseCheckpoint(e) // defensive-distinct blocks (kcore note)
     state
   }
 

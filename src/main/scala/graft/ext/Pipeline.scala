@@ -581,6 +581,7 @@ object Pipeline {
         .withColumn("step", lit(step.toLong))
         .localCheckpoint(true) // 1 row; reused by the merge AND the output
       merges += top.select("step", "left_sym", "right_sym", "pair_count")
+      val prevSyms = syms
       syms = syms
         .crossJoin(broadcast(top.select(col("left_sym").as("__a"),
           col("right_sym").as("__b"))))
@@ -592,7 +593,13 @@ object Pipeline {
             |    ELSE concat(acc, array(x)) END)""".stripMargin))
         .select("word", "cnt", "syms")
         .localCheckpoint(true)
+      // superseded symbol state: the new checkpoint is materialized
+      // and the output references only the per-step `top` frames
+      // (guide §5 — bounded checkpoint residency)
+      Dedup.releaseCheckpoint(prevSyms)
     }
+    // the FINAL syms state has no consumer either (output = the tops)
+    if (steps >= 1) Dedup.releaseCheckpoint(syms)
     merges.reduce(_.unionByName(_)).orderBy("step")
   }
 
@@ -684,13 +691,17 @@ object Pipeline {
     val chars = seed.filter(length(col("piece")) === 1).select("piece")
       .localCheckpoint(true)
     var vocab = seed
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       val usage = viterbiUsage(words, pieceCosts(vocab), maxPieceLen)
+      val prev = vocab
       vocab = usage
         .join(chars.withColumn("__ch", lit(1L)), Seq("piece"), "full_outer")
         .select(col("piece"),
           (coalesce(col("c"), lit(0L)) + coalesce(col("__ch"), lit(0L))).as("c"))
         .localCheckpoint(true)
+      // superseded round (guide §5); round 1's prev is `seed`, which
+      // the chars relation was checkpointed FROM — still safe to keep
+      if (round > 1) Dedup.releaseCheckpoint(prev)
     }
     val tot = vocab.agg(sum(col("c")).as("__tot"))
     vocab.crossJoin(broadcast(tot))

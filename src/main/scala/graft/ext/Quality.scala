@@ -965,9 +965,19 @@ object Quality {
           (a, b) => concat(a, lit(" "), b))).as("f"))
       .select(col(idCol), col("y"),
         (Dedup.portableHash(col("f")) % lit(buckets.toLong)).as("b"))
-    val counts = feats.groupBy("b").agg(
-      sum(when(col("y"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+    // r14 OPTIMIZATION (guide §1.2-1/§2.3): `feats` used to be computed
+    // TWICE — once under the model aggregation and once under the
+    // scoring join — i.e. two full corpus scans + tokenize + bigram
+    // explodes. Collapse the explode ONCE into per-(doc, bucket)
+    // counts (map-side combined; ≤ min(n_feats, buckets) rows per doc)
+    // and materialize THAT; both the model and the scoring derive from
+    // it by exact integer sums, so every emitted number is unchanged.
+    val dbf = feats.groupBy(col(idCol), col("y"), col("b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val counts = dbf.groupBy("b").agg(
+      sum(when(col("y"), col("__c")).otherwise(0L)).as("ct"),
+      sum(col("__c")).as("cr"))
     val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     val model = counts.crossJoin(broadcast(tot))
       .withColumn("llr_e6", floor(
@@ -977,9 +987,10 @@ object Quality {
             (col("tr") + lit(buckets)).cast("double"))) * lit(1e6) + lit(0.5))
         .cast("long"))
       .select("b", "llr_e6")
-    val scored = feats.join(broadcast(model), "b")
+    val scored = dbf.join(broadcast(model), "b")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"), sum(col("llr_e6")).as("llr_sum_e6"))
+      .agg(sum(col("__c")).as("n_feats"),
+        sum(col("__c") * col("llr_e6")).as("llr_sum_e6"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),

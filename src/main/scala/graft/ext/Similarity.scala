@@ -334,8 +334,9 @@ object Similarity {
       .withColumn("nv", dotD(col("ve"), col("ve")))
     var centroids = vecs.filter(col("vec_id") % sampleEvery === 0)
       .select(col("vec_id").as("cell_id"), col("ve").as("ce"))
-    for (_ <- 1 to iters) {
+    for (rnd <- 1 to iters) {
       val assigned = assign(vecs, centroids)
+      val prev = centroids
       centroids = vecs.join(assigned, "vec_id")
         .select(col("cell_id"), posexplode(col("ve")).as(Seq("i", "v")))
         .groupBy("cell_id", "i")
@@ -348,6 +349,9 @@ object Similarity {
         // (the Dedup.duplicateComponents lesson — persist alone leaves
         // the analysis-time plan doubling with the round count)
         .localCheckpoint(true)
+      // superseded round's centroid blocks (guide §5); round 1's prev
+      // is the un-checkpointed seed selection (release is a no-op)
+      if (rnd > 1) Dedup.releaseCheckpoint(prev)
     }
     centroids
   }
@@ -761,7 +765,8 @@ object Similarity {
     val m = corrMatrixE6(vectors, vecCol).localCheckpoint(true)
     var v = m.select(col("dim_i").as("dim")).distinct()
       .withColumn("v_e6", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
+      val prev = v
       val w = m.join(broadcast(v.select(col("dim").as("dim_j"),
           col("v_e6").as("vj"))), "dim_j")
         .groupBy(col("dim_i").as("dim"))
@@ -773,7 +778,12 @@ object Similarity {
           (when(col("raw") < 0, lit(-1L)).otherwise(lit(1L)) *
             expr("abs(raw) DIV mxd")).as("v_e6"))
         .localCheckpoint(true)
+      // superseded round's d-row vector (guide §5); round 1's prev
+      // references m (not a LogicalRDD root) — release is a no-op there
+      if (round > 1) Dedup.releaseCheckpoint(prev)
     }
+    // the d²-row matrix has no consumer once the final v is checkpointed
+    if (iters >= 1) Dedup.releaseCheckpoint(m)
     v.select(col("dim").cast("long").as("dim"), col("v_e6").as("pc_e6"))
   }
 

@@ -219,4 +219,38 @@ class GraphSpec extends AnyFunSuite {
     assert(run(6) == Map("h" -> 0L, "1" -> 1L, "2" -> 1L, "3" -> 1L,
       "c1" -> 2L, "c2" -> 3L, "c3" -> 4L))
   }
+
+  test("iterative loops: bounded checkpoint residency across repeated calls") {
+    // r14 optimization invariant (the ADVICE r13 kcenter finding applied
+    // engine-wide): every round loop releases its superseded round's
+    // localCheckpoint blocks and unpersists its temporaries, so repeated
+    // calls leave AT MOST the returned frame's own checkpoint behind —
+    // before the fix each pageRank call leaked iters checkpoints + the
+    // nodes persist (O(rounds·n) block-manager growth at production
+    // iteration counts, and the leaked persists were plan-matched by the
+    // cache manager across bench runs: accidental result caching).
+    import spark.implicits._
+    val edges = Seq(("h", "x"), ("x", "h"), ("h", "y"), ("y", "h"))
+      .toDF("src", "dst")
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    val calls = 3
+    val base = persisted()
+    for (_ <- 1 to calls)
+      Graph.pageRank(edges, iters = 4).collect(): Unit
+    assert(persisted() - base <= calls,
+      s"pageRank leaked ${persisted() - base} persisted RDDs over $calls " +
+        s"calls (allowed: 1 returned checkpoint per call)")
+    val base2 = persisted()
+    for (_ <- 1 to calls)
+      Graph.personalizedPageRank(edges, Seq("h").toDF("node"), iters = 4)
+        .collect(): Unit
+    assert(persisted() - base2 <= calls,
+      s"personalizedPageRank leaked ${persisted() - base2} persisted RDDs " +
+        s"over $calls calls")
+    val base3 = persisted()
+    for (_ <- 1 to calls)
+      Graph.kcoreRun(edges, k = 2, rounds = 8).state.collect(): Unit
+    assert(persisted() - base3 <= calls,
+      s"kcoreRun leaked ${persisted() - base3} persisted RDDs over $calls calls")
+  }
 }
