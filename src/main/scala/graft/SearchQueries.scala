@@ -212,6 +212,13 @@ object SearchQueries {
         import spark.implicits._
         val arts = Corpus.textArtifacts(spark, sfDir, Tokenize.None_)
         arts.postings
+          // r14 OPTIMIZATION (guide §6 — make the predicate reach the
+          // scan): the literal term set rides an isin filter so the
+          // cached postings scan batch-prunes on term min/max stats
+          // (the engine's own termPruned recipe); the broadcast join —
+          // the declared FTS-rowid-join shape — is unchanged and the
+          // filter is implied by it, so results are identical.
+          .where(col("term").isin("urgent", "building"))
           .join(broadcast(Seq("urgent", "building").toDF("term")), "term")
           .select("term", "type", "key", "tf_title", "tf_s1")
           .orderBy("term", "type", "key")

@@ -768,7 +768,8 @@ object Dedup {
     * artifact it audits.
     */
   def dedupImpact(docs: DataFrame, pairs: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      components: Option[DataFrame] = None): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       size(graft.text.Tokenizer.tokensCol(col(textCol))).cast("long").as("__nt"))
     val dig = docs.select(col(idCol).as("doc_id"),
@@ -777,7 +778,13 @@ object Dedup {
       .join(dig.groupBy("__d").agg(min(col("doc_id")).as("__k")), "__d")
       .select(col("doc_id"), (col("doc_id") === col("__k")).as("keep"),
         lit("exact").as("method"))
-    val comp = duplicateComponents(pairs)
+    // r14 OPTIMIZATION: callers holding the PREBUILT component artifact
+    // (ExtShared.dupComponentsArtifact, warmed in dedup_build — the
+    // pointer-doubled fixpoint over the same pair artifact) pass it in
+    // instead of re-running label propagation here; content-identical
+    // by construction, so the impact accounting is unchanged (the
+    // split_leakproof / curation-v2 artifact-consumption precedent).
+    val comp = components.getOrElse(duplicateComponents(pairs))
     val mhKeep = docs.select(col(idCol).as("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
