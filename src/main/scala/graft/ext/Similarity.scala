@@ -516,8 +516,20 @@ object Similarity {
     * data anywhere.
     */
   def semanticClusters(assigned: DataFrame, k: Int, minCosE6: Long,
+      idCol: String = "vec_id"): DataFrame =
+    semanticClustersFromKnn(knnGraph(assigned, k, idCol), minCosE6, idCol)
+
+  /** [[semanticClusters]] over a PREBUILT kNN-graph relation — the
+    * artifact form (r14 OPTIMIZATION, the dedup pair-artifact
+    * contract): one cell-blocked kNN join can feed the graph listing
+    * AND the clustering, so the clustering query times thresholding +
+    * components + rollup, not a second N^1.5 join (lifecycle owned by
+    * the caller; `knn` must be [[knnGraph]]-shaped: idCol, nbr_id,
+    * cos_e6).
+    */
+  def semanticClustersFromKnn(knn: DataFrame, minCosE6: Long,
       idCol: String = "vec_id"): DataFrame = {
-    val edges = knnGraph(assigned, k, idCol)
+    val edges = knn
       .filter(col("cos_e6") >= minCosE6)
       .select(least(col(idCol), col("nbr_id")).as("id_a"),
         greatest(col(idCol), col("nbr_id")).as("id_b"))
@@ -756,35 +768,46 @@ object Similarity {
     * (|w|·DIV·max(max|w| DIV 1e6, 1), sign re-applied), so truncating
     * DIV and flooring `//` agree operand-by-operand and the oracle
     * unrolls identical rounds. Fixed `iters` rounds, no convergence
-    * test — deterministic by construction. The matrix (d² rows) and
-    * per-round vector (d rows) are driver-free; each round is one
-    * broadcast-joined agg over the checkpointed d²-row relation.
+    * test — deterministic by construction.
+    *
+    * r14 OPTIMIZATION (guide §1.2 — fix the algorithm's job count, not
+    * its configs): the correlation matrix is d² rows REGARDLESS of
+    * corpus size — the bounded-codebook class (the pcaArtifact /
+    * centroid-literal contract) — so the recurrence runs on the
+    * COLLECTED matrix: one distributed pass builds the sufficient
+    * statistics, the driver folds the identical Long arithmetic
+    * (exact sums — order-free; `DIV` = Java truncating division on
+    * the same operands), and the result re-enters the plan as a d-row
+    * local relation. The previous shape paid 2 distributed jobs +
+    * 1 localCheckpoint per round against a d-row relation — pure
+    * round-trip overhead at every scale factor, since the data is
+    * driver-sized by construction. Values are bit-identical (pinned
+    * by the duplicated-dims spec and the unchanged static oracle).
     */
   def topPrincipalComponent(vectors: DataFrame, iters: Int = 8,
       vecCol: String = "embedding"): DataFrame = {
-    val m = corrMatrixE6(vectors, vecCol).localCheckpoint(true)
-    var v = m.select(col("dim_i").as("dim")).distinct()
-      .withColumn("v_e6", lit(1000000L))
-    for (round <- 1 to iters) {
-      val prev = v
-      val w = m.join(broadcast(v.select(col("dim").as("dim_j"),
-          col("v_e6").as("vj"))), "dim_j")
-        .groupBy(col("dim_i").as("dim"))
-        .agg(sum(col("corr_e6") * col("vj")).as("raw"))
-      val mx = w.agg(greatest(expr("max(abs(raw)) DIV 1000000"), lit(1L))
-        .as("mxd"))
-      v = w.crossJoin(broadcast(mx))
-        .select(col("dim"),
-          (when(col("raw") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr("abs(raw) DIV mxd")).as("v_e6"))
-        .localCheckpoint(true)
-      // superseded round's d-row vector (guide §5); round 1's prev
-      // references m (not a LogicalRDD root) — release is a no-op there
-      if (round > 1) Dedup.releaseCheckpoint(prev)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val rows = corrMatrixE6(vectors, vecCol)
+      .select(col("dim_i").cast("long"), col("dim_j").cast("long"),
+        col("corr_e6")).collect()
+    val dims = rows.map(_.getLong(0)).distinct.sorted
+    val idx = dims.zipWithIndex.toMap
+    val d = dims.length
+    val mat = Array.ofDim[Long](d, d)
+    rows.foreach(r => mat(idx(r.getLong(0)))(idx(r.getLong(1))) = r.getLong(2))
+    var v = Array.fill(d)(1000000L)
+    for (_ <- 1 to iters) {
+      val raw = Array.tabulate(d) { i =>
+        var s = 0L; var j = 0
+        while (j < d) { s += mat(i)(j) * v(j); j += 1 }
+        s
+      }
+      val mxd = math.max(
+        raw.foldLeft(0L)((m, r) => math.max(m, math.abs(r))) / 1000000L, 1L)
+      v = raw.map(r => (if (r < 0) -1L else 1L) * (math.abs(r) / mxd))
     }
-    // the d²-row matrix has no consumer once the final v is checkpointed
-    if (iters >= 1) Dedup.releaseCheckpoint(m)
-    v.select(col("dim").cast("long").as("dim"), col("v_e6").as("pc_e6"))
+    dims.zip(v).toSeq.toDF("dim", "pc_e6")
   }
 
   /** Per-group embedding centroids in e6 fixed point — the cluster-

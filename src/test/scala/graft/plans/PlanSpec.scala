@@ -362,19 +362,21 @@ class PlanSpec extends AnyFunSuite {
       s"cosine leg lost its top-k heap:\n${planOf(vec)}")
   }
 
-  test("pca power iteration: rounds are checkpoint-truncated; no cartesian/window leaks") {
-    // every round materializes through localCheckpoint (the pageRank /
-    // hits lesson: self-referencing iteration otherwise doubles the
-    // analysis-time plan per round), so the RETURNED plan must be a
-    // flat scan of the last d-row checkpoint — no join/window/cartesian
-    // re-derivation of earlier rounds. The matrix-build join shape
-    // itself is pinned by the dim-correlation test (shared relation).
+  test("pca power iteration: driver recurrence — returned plan is a d-row local relation") {
+    // r14: the recurrence folds on the DRIVER over the collected
+    // d²-bounded matrix (the codebook discipline), so the RETURNED
+    // plan must be a bare local relation — no join/window/cartesian,
+    // no scan of the corpus, no per-round re-derivation. The
+    // matrix-build join shape itself is pinned by the dim-correlation
+    // test (shared relation).
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val df = graft.ext.Similarity.topPrincipalComponent(vecs, iters = 2)
     val p = planOf(df)
     assert(!p.contains("CartesianProduct"), s"pca cartesian:\n$p")
     assert(windowNodes(df) == 0, s"pca grew a window:\n$p")
     assert(!p.contains("Join"), s"pca final plan re-derives rounds:\n$p")
+    assert(p.contains("LocalTableScan") && !p.toLowerCase.contains("parquet"),
+      s"pca result is not a driver-folded local relation:\n$p")
   }
 
   test("abtt is an in-row kernel; dataset card is ONE grouping-sets exchange") {
@@ -737,6 +739,27 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf(df)
     assert(windowNodes(df) == 0, s"knn graph grew a window:\n$p")
     assert(p.contains("ObjectHashAggregate"), s"topk agg lost object agg:\n$p")
+  }
+
+  test("semantic clusters consume the persisted kNN artifact; values match the inline form") {
+    // r14: x_sim_clusters reads the persisted kNN-graph artifact (the
+    // dedup component-artifact contract). The component fixpoint runs
+    // eagerly at construction, so the returned plan roots at the
+    // label checkpoint — the pins here are (a) the artifact really is
+    // persisted (consumers scan cache, not a re-derived N^1.5 cell
+    // join) and (b) the artifact form is value-identical to the
+    // inline semanticClusters it replaced.
+    Corpus.registerSources(spark, sfDir)
+    val art = graft.ExtShared.knnGraphArtifact(spark, sfDir)
+    assert(art.storageLevel.useMemory, "knn artifact is not persisted")
+    val viaArtifact = graft.ext.Similarity
+      .semanticClustersFromKnn(art, minCosE6 = 300000)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val inline = graft.ext.Similarity.semanticClusters(
+        Corpus.ivfIndex(spark, sfDir).assigned, k = 3, minCosE6 = 300000)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(viaArtifact.toSeq == inline.toSeq,
+      "artifact-consuming clusters diverge from the inline form")
   }
 
   test("percentile ensemble: histogram lookups broadcast, no corpus sort") {
