@@ -497,11 +497,22 @@ object Graph {
       }
       (st, low)
     }
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    var t0 = System.nanoTime()
     var (state, low) = materialize(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")), 0)
+    log.info(f"kcore: degree init low=$low (${(System.nanoTime() - t0) / 1e9}%.2f s)")
     var iters = 0
     while (low > 0 && iters < cap) {
+      t0 = System.nanoTime()
       val removed = state.filter(col("deg") < k).select("node")
+      // (r14: a union+agg form — fold the decrement and the state
+      // update into one node-keyed exchange — was built and measured:
+      // 38 → 28 jobs/call but wall time within the noise band locally,
+      // and it re-shuffles the FULL state every round where this join
+      // broadcasts the frontier-sized decrement into the state's
+      // existing layout — strictly worse at scale once the frontier
+      // shrinks below the state. Kept as-was.)
       val dec = e.join(removed.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(count(lit(1)).as("__d"))
       val next = state.filter(col("deg") >= k)
@@ -513,6 +524,7 @@ object Graph {
       state = st
       low = l
       iters += 1
+      log.info(f"kcore: round $iters low=$low (${(System.nanoTime() - t0) / 1e9}%.2f s)")
     }
     // the returned state is its own checkpoint; the defensive distinct's
     // blocks (when built here) have no consumer anymore. releaseCheckpoint
