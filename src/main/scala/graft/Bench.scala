@@ -230,6 +230,15 @@ object Bench {
     val skippedJson = SparkEntry.allDefs.filter(d => d.contrast && !timeContrast)
       .map("\"" + _.name + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(results)},"runs_per_query":$runs,"agg":"min","errors":$errJson,"contrast_queries":${toJson(contrastResults)},"contrast_total":$contrastTotal%.3f,"total_with_contrast":$totalWith%.3f,"contrast_skipped":$skippedJson,"setup":${toJson(setup)},"setup_runs":1,"setup_total":$setupTotal%.3f,"regime":$regimeJson,"sf":"$sfDir"}""")
+    // Compact summary as the LAST stdout line (VERDICT r14 item 2): the
+    // driver stores only a ~2000-char tail of stdout, so the full
+    // per-query line above (~8 KB for 250+ queries) has NEVER parsed —
+    // PERF_*.json carried parsed:null since r01. This line (~400 B)
+    // always fits any tail window; the full line stays first so local
+    // tooling (tools/bench_history.py, A/B scripts) keeps its per-query
+    // data. Same "metric":"total" contract: `value` and regime fields
+    // are byte-identical to the full line's.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"agg":"min","n_errors":${errors.size},"contrast_total":$contrastTotal%.3f,"total_with_contrast":$totalWith%.3f,"setup_total":$setupTotal%.3f,"compact":true,"regime":$regimeJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

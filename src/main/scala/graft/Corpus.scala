@@ -184,10 +184,12 @@ object Corpus {
   // batches then carry tight min/max term stats, so every per-term
   // probe (match, BM25, phrase adjacency legs) prunes batches instead
   // of scanning the whole cached relation — the in-memory analogue of
-  // the on-disk term-partitioned layout (TextIndex.writeTermPartitioned)
+  // the on-disk term-partitioned layout (TextIndex.writeTermPartitioned).
+  // r15: the term repartition lives INSIDE TextIndex.positions /
+  // stemPositions (their per-(term, doc, field) rollup rides it), so
+  // the persist here only adds the in-partition term sort.
   private def byTerm(df: DataFrame): DataFrame =
-    df.repartition(org.apache.spark.sql.functions.col("term"))
-      .sortWithinPartitions("term").persist()
+    df.sortWithinPartitions("term").persist()
 
   /** Memoized text-index artifacts (docTokens + postings) per
     * (scale factor, tokenizer mode).

@@ -106,9 +106,7 @@ private[graft] object ExtPipeQueries {
         // never the corpus text — the composition order that matters at
         // 100 TB. Same semantics as scoring after the window: the
         // metrics are per-row and is_duplicate is corpus-wide either way.
-        val scored = TextAnalysis.qualityScore(
-            TextAnalysis.languageId(spark.table("documents"), "text"),
-            "text")
+        val scored = TextAnalysis.curationGate(spark.table("documents"), "text")
           .select(col("doc_id"), col("lang"), col("quality_score"),
             col("predicted_lang"),
             md5(col("text").cast("binary")).as("__digest"))
@@ -158,8 +156,7 @@ private[graft] object ExtPipeQueries {
           .withColumn("__w", greatest(col("n_chars"), lit(1L)))
           .withColumn("__klen", Pipeline.wsTokenLen(col("text")))
           .withColumn("__digest", md5(col("text").cast("binary")))
-        val scored = TextAnalysis.qualityScore(
-            TextAnalysis.languageId(pre, "text"), "text")
+        val scored = TextAnalysis.curationGate(pre, "text")
           .select(col("doc_id"), col("source"), col("lang"),
             col("quality_score"), col("predicted_lang"),
             col("__w"), col("__klen"), col("__digest"))
@@ -269,8 +266,7 @@ private[graft] object ExtPipeQueries {
         val pre = docs
           .withColumn("__klen", Pipeline.wsTokenLen(col("text")))
           .withColumn("__digest", md5(col("text").cast("binary")))
-        val scored = TextAnalysis.qualityScore(
-            TextAnalysis.languageId(pre, "text"), "text")
+        val scored = TextAnalysis.curationGate(pre, "text")
           .select(col("doc_id"), col("source"), col("lang"),
             col("quality_score"), col("predicted_lang"),
             col("__klen"), col("__digest"))
@@ -359,9 +355,7 @@ private[graft] object ExtPipeQueries {
     QueryDef("x_pipe_filter_funnel",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        val scored = TextAnalysis.qualityScore(
-            TextAnalysis.languageId(spark.table("documents"), "text"),
-            "text")
+        val scored = TextAnalysis.curationGate(spark.table("documents"), "text")
           .select(col("doc_id"), col("lang"), col("quality_score"),
             col("predicted_lang"),
             md5(col("text").cast("binary")).as("__digest"))

@@ -81,11 +81,16 @@ private[graft] object ExtShared {
   // deliberately does NOT read this cache — it TIMES the graph build
   // itself (the x_dedup_components convention), while x_sim_clusters
   // times thresholding + components + rollup over the artifact.
+  // keyed on (session, sfDir) — ADVICE r14 #1: an sfDir-only key would
+  // permanently bind the frame built against the FIRST SparkSession, so
+  // a later session in the same JVM would receive a stale (possibly
+  // stopped-session) frame
   private[graft] val knnCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+    scala.collection.concurrent.TrieMap.empty[
+      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
   private[graft] def knnGraphArtifact(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
-    knnCache.getOrElseUpdate(sfDir,
+    knnCache.getOrElseUpdate((spark, sfDir),
       graft.ext.Similarity.knnGraph(
         Corpus.ivfIndex(spark, sfDir).assigned, k = 3).persist())
 

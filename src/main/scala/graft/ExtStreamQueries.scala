@@ -540,8 +540,11 @@ private[graft] object ExtStreamQueries {
           StructField("n_chars", LongType)))
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "2").parquet(srcDir)
-        val gated = TextAnalysis.qualityScore(
-            TextAnalysis.languageId(stream, "text"), "text")
+        // r15: the fused one-kernel-pass gate (TextAnalysis.curationGate)
+        // — identical predicted_lang/quality_score expressions, one
+        // text_gate_e pass instead of two (CurProbe: gates were 12.4 s
+        // of the 14.6 s sf1 stream)
+        val gated = TextAnalysis.curationGate(stream, "text")
           .filter(col("quality_score") >= 0.5 &&
             col("predicted_lang") === col("lang"))
           .join(comps, Seq("doc_id"), "left_outer")

@@ -820,20 +820,22 @@ object Dedup {
     // symmetrized edge list materializes in ONE pass (in-row explode
     // instead of persist + two-branch union — the old p0 cache froze
     // its compile-time partition count, so every round scanned 2×32
-    // KB-sized partitions) through an AQE-sized repartition on `src`:
-    // locally the checkpointed state collapses to data-sized tasks
-    // (measured: the 8-round fixpoint's per-round stages drop from
-    // ~32-task scans to data-sized ones), at scale AQE gives
-    // advisory-sized partitions AND the hash layout is the one each
-    // round's groupBy("src"/"doc_id") needs, so the min-neighbor agg
-    // reuses the exchange instead of re-shuffling the edge relation
-    // every round.
+    // KB-sized partitions) through an AQE-sized repartition, giving
+    // data-sized tasks locally and advisory-sized partitions at scale.
+    // r15 (ADVICE r14 #2): the repartition keys on `dst`, NOT `src` —
+    // each round's join keys on dst (edges ⋈ labels-as-dst), and a
+    // localCheckpoint PRESERVES the captured hash layout, so the
+    // per-round join reuses the edges' partitioning and only the
+    // (node-sized) labels relation shuffles each round; the r14 `src`
+    // layout satisfied neither the join (keyed dst) nor the
+    // post-join groupBy (which re-shuffles the joined rows anyway) —
+    // its measured benefit was only the data-sizing.
     val edges = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-      .repartition(col("src"))
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id")).localCheckpoint(true)

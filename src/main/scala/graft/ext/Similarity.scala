@@ -783,6 +783,11 @@ object Similarity {
     * round-trip overhead at every scale factor, since the data is
     * driver-sized by construction. Values are bit-identical (pinned
     * by the duplicated-dims spec and the unchanged static oracle).
+    *
+    * EAGER (ADVICE r14 #4): constructing the returned DataFrame runs
+    * the distributed collect of the d²-row matrix AT CALL TIME — this
+    * is not a lazy plan-only builder; callers that only want to build
+    * plans without executing should not call it.
     */
   def topPrincipalComponent(vectors: DataFrame, iters: Int = 8,
       vecCol: String = "embedding"): DataFrame = {
@@ -1646,23 +1651,23 @@ object Similarity {
     // Bound checkpoint residency to TWO state copies (ADVICE r13): the
     // eager localCheckpoint otherwise leaves every superseded round's
     // blocks in the block manager until GC/ContextCleaner gets to them
-    // — O(k·n·d) storage growth at production coreset k. A checkpointed
-    // Dataset exposes no public handle to its internal RDD, so the
-    // superseded round is found by diffing `getPersistentRDDs` ids
-    // around the checkpoint call (single-threaded loop: the diff is
-    // exactly this round's blocks) and unpersisted once the NEW
-    // checkpoint has materialized (eager=true).
-    val sc = spark.sparkContext
-    var prevCkptIds: Set[Int] = Set.empty
+    // — O(k·n·d) storage growth at production coreset k. r15 (VERDICT
+    // r14 item 6): the superseded round is released via the
+    // checkpointed frame's OWN LogicalRDD handle
+    // (Dedup.releaseCheckpoint, the convention every other iterative
+    // loop uses) instead of a getPersistentRDDs set-diff, which assumed
+    // no concurrent persist activity on the session and would have
+    // freed a concurrent query's blocks.
+    var prevCkpt: Option[org.apache.spark.sql.DataFrame] = None
     while (picks.size < k && !exhausted) {
-      val beforeIds = sc.getPersistentRDDs.keySet.toSet
-      state = state
+      val ckpt = state
         .withColumn("__d", least(col("__d"), d2To(center)))
         .localCheckpoint(true)
-      val newIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
-      prevCkptIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevCkptIds = newIds
+      // eager=true: the new round is materialized, so the superseded
+      // round's blocks have no remaining consumer
+      prevCkpt.foreach(Dedup.releaseCheckpoint)
+      prevCkpt = Some(ckpt)
+      state = ckpt
       val far = state.orderBy(col("__d").desc, col("__id").asc)
         .limit(1).collect()
       if (far.isEmpty) exhausted = true
@@ -1674,8 +1679,7 @@ object Similarity {
     }
     // the picks are already collected — the final round's checkpoint
     // has no consumer; release it so the call leaves ZERO blocks behind
-    prevCkptIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    prevCkpt.foreach(Dedup.releaseCheckpoint)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("center_rank",
         org.apache.spark.sql.types.LongType, nullable = false),

@@ -24,17 +24,24 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "bu", "le", "wo", "you")
   )
 
-  private def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit): _*)))
-
   /** Language prediction per document. Output keeps the per-language hit
     * counts so downstream filters can threshold on confidence.
     */
   def languageId(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = Tokenizer.tokensCol(col(textCol))
+    // r15 OPTIMIZATION (guide §1.2 per-task work / expressions+codegen):
+    // all token-derived gate statistics come from ONE compiled pass
+    // (text_gate_e) instead of a tokenize + 5 interpreted HOF filters —
+    // hit counts are element_at picks over the kernel's hits array;
+    // values are bit-identical (the kernel reproduces tokensCol's
+    // maximal-[a-z0-9]-run tokens; pinned by the unchanged oracles).
     val langs = stopwords.keys.toSeq.sorted
-    val withHits = langs.foldLeft(docs.withColumn("__toks", toks)) { (df, l) =>
-      df.withColumn(s"hits_$l", hitCount(col("__toks"), stopwords(l)))
+    graft.functions.TextGateFunctions.register(
+      docs.sparkSession, langs.map(stopwords))
+    val withG = docs.withColumn("__g",
+      graft.functions.TextGateFunctions.text_gate_e(
+        coalesce(col(textCol), lit(""))))
+    val withHits = langs.zipWithIndex.foldLeft(withG) { case (df, (l, i)) =>
+      df.withColumn(s"hits_$l", element_at(col("__g").getField("hits"), i + 1))
     }
     // argmax with alphabetical tie-break: fold over (hits, lang) pairs
     val best = langs.map(l => struct(col(s"hits_$l").as("h"), lit(l).as("l")))
@@ -43,7 +50,7 @@ object TextAnalysis {
       .withColumn("predicted_lang",
         when(greatest(langs.map(l => col(s"hits_$l")): _*) === 0, lit("und"))
           .otherwise(best.getField("l")))
-      .drop("__toks")
+      .drop("__g")
   }
 
   /** Quality metrics + composite score: length, alpha ratio, stopword
@@ -53,19 +60,34 @@ object TextAnalysis {
     */
   def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = Tokenizer.tokensCol(t)
+    // r15 OPTIMIZATION (guide §1.2 per-task work / expressions+codegen):
+    // the four token-derived metrics previously re-inlined the tokenize
+    // expression (regex split + HOF filter) and ran interpreted HOFs
+    // (filter / aggregate) per metric — ~4 regex tokenizations + 4
+    // array traversals per row, none of it codegen'd. One compiled
+    // text_gate_e pass now produces the integer counts; the metric
+    // columns derive from them with the SAME casts and IEEE divisions
+    // in the same order, so values are bit-identical (unchanged
+    // oracles pin this). n_chars / alpha_ratio never touched tokens
+    // and keep their original codegen expressions.
+    val langs = stopwords.keys.toSeq.sorted
+    graft.functions.TextGateFunctions.register(
+      docs.sparkSession, langs.map(stopwords))
+    val enIdx = langs.indexOf("en") + 1
+    val g = col("__g")
     val nChars = length(t).cast("double")
-    val nToks = size(toks).cast("double")
+    val nToks = g.getField("n_tokens").cast("double")
     val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
-    val nStop = size(filter(toks,
-      x => x.isin(stopwords("en").map(lit): _*))).cast("double")
-    val nDistinct = size(array_distinct(toks)).cast("double")
-    val tokCharSum = aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double")
+    val nStop = element_at(g.getField("hits"), enIdx).cast("double")
+    val nDistinct = g.getField("n_distinct").cast("double")
+    val tokCharSum = g.getField("tok_char_sum").cast("double")
     // Parity note: every metric is a single IEEE division/multiply-add of
     // per-row integers — deterministic and bit-identical across engines,
     // so NO rounding (round() would introduce decimal half-boundary
     // disagreements, e.g. ratios with denominator 2^k·5^m).
     docs
+      .withColumn("__g", graft.functions.TextGateFunctions.text_gate_e(
+        coalesce(t, lit(""))))
       .withColumn("n_chars", nChars)
       .withColumn("n_tokens", nToks)
       .withColumn("alpha_ratio", nAlpha / greatest(nChars, lit(1.0)))
@@ -77,6 +99,48 @@ object TextAnalysis {
           + col("alpha_ratio") * 0.25
           + least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.25
           + col("distinct_ratio") * 0.25)
+      .drop("__g")
+  }
+
+  /** One-pass fusion of [[languageId]] + [[qualityScore]] for gate
+    * consumers that read ONLY `predicted_lang` + `quality_score` (the
+    * curation screens): one compiled text_gate_e pass feeds both — the
+    * two-operator composition pays the kernel twice because each
+    * operator drops its own `__g`. Every output column is the SAME
+    * expression the two operators produce (the score inlines the ratio
+    * arithmetic in the identical order — column materialization does
+    * not change IEEE values), so `f.filter(quality_score >= 0.5 &&
+    * predicted_lang === lang)` is verbatim-equivalent; pinned by the
+    * unchanged curation oracles.
+    */
+  def curationGate(docs: DataFrame, textCol: String): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    graft.functions.TextGateFunctions.register(
+      docs.sparkSession, langs.map(stopwords))
+    val t = col(textCol)
+    val g = col("__g")
+    def hits(l: String): Column =
+      element_at(g.getField("hits"), langs.indexOf(l) + 1)
+    val best = langs.map(l => struct(hits(l).as("h"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("h") > a.getField("h"), b).otherwise(a))
+    val nChars = length(t).cast("double")
+    val nToks = g.getField("n_tokens").cast("double")
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    val nStop = element_at(g.getField("hits"),
+      langs.indexOf("en") + 1).cast("double")
+    val nDistinct = g.getField("n_distinct").cast("double")
+    docs
+      .withColumn("__g", graft.functions.TextGateFunctions.text_gate_e(
+        coalesce(t, lit(""))))
+      .withColumn("predicted_lang",
+        when(greatest(langs.map(hits): _*) === 0, lit("und"))
+          .otherwise(best.getField("l")))
+      .withColumn("quality_score",
+        least(nToks / 100.0, lit(1.0)) * 0.25
+          + (nAlpha / greatest(nChars, lit(1.0))) * 0.25
+          + least((nStop / greatest(nToks, lit(1.0))) * 5.0, lit(1.0)) * 0.25
+          + (nDistinct / greatest(nToks, lit(1.0))) * 0.25)
+      .drop("__g")
   }
 
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation

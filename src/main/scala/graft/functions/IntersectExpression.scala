@@ -48,6 +48,28 @@ object SortedIntersectImpl {
     else new GenericArrayData(java.util.Arrays.copyOf(out, k))
   }
 
+  /** Int variant (r15): same merge walk over primitive ints — the FTS
+    * position lists ([[graft.index.TextIndex.positions]]) are sorted
+    * duplicate-free array<int>.
+    */
+  def intersectInt(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new Array[Int](if (na < nb) na else nb)
+    var i = 0
+    var j = 0
+    var k = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { out(k) = x; k += 1; i += 1; j += 1 }
+    }
+    if (k == out.length) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
   /** String variant: same merge walk over UTF8String binary order —
     * the order `sort_array` produces under the default UTF8_BINARY
     * collation.
@@ -82,18 +104,23 @@ case class SortedIntersect(left: Expression, right: Expression)
 
   private def elemOk(t: DataType): Boolean = t match {
     case ArrayType(LongType, _) => true
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
     case ArrayType(_: org.apache.spark.sql.types.StringType, _) => true
     case _ => false
   }
 
-  private def isLong: Boolean =
-    left.dataType.asInstanceOf[ArrayType].elementType == LongType
+  private def elemKind: String =
+    left.dataType.asInstanceOf[ArrayType].elementType match {
+      case LongType => "intersect"
+      case org.apache.spark.sql.types.IntegerType => "intersectInt"
+      case _ => "intersectStr"
+    }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemOk(left.dataType) && left.dataType == right.dataType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect expects two array<bigint> or two array<string> " +
+      s"sorted_intersect expects two array<bigint>/array<int>/array<string> " +
         s"columns of the same type, got ${left.dataType.simpleString} " +
         s"and ${right.dataType.simpleString}")
 
@@ -101,14 +128,17 @@ case class SortedIntersect(left: Expression, right: Expression)
     left.dataType.asInstanceOf[ArrayType].elementType, containsNull = false)
   override def prettyName: String = "sorted_intersect"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    if (isLong) SortedIntersectImpl.intersect(
+  override protected def nullSafeEval(a: Any, b: Any): Any = elemKind match {
+    case "intersect" => SortedIntersectImpl.intersect(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    else SortedIntersectImpl.intersectStr(
+    case "intersectInt" => SortedIntersectImpl.intersectInt(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case _ => SortedIntersectImpl.intersectStr(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = if (isLong) "intersect" else "intersectStr"
+    val fn = elemKind
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.SortedIntersectImpl.$fn($a, $b)")
   }

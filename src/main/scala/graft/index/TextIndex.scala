@@ -54,12 +54,23 @@ object TextIndex {
         sum(when(col("tok.f") === 0, 1.0).otherwise(0.0)).as("tf_title"),
         sum(when(col("tok.f") === 1, 1.0).otherwise(0.0)).as("tf_s1"))
 
-  /** Positional postings (term, type, key, field, pos) — the FTS5-style
-    * position lists that make PHRASE queries fully indexed: a phrase is
-    * an adjacency join of its terms' position lists (SearchEngine
-    * .exactViaPostings), no token-array scan. One row per token
-    * occurrence; at 100 TB this is written bucketed by term exactly
-    * like the tf postings.
+  /** Positional postings (term, type, key, field, poss) — the FTS5-style
+    * position lists that make PHRASE queries fully indexed: ONE row per
+    * (term, doc, field) carrying the SORTED array of 0-based token
+    * positions (r15 layout; before r15 this was one row per token
+    * OCCURRENCE, which made every phrase/NEAR leg shuffle occurrence
+    * rows — the p4_fts_near trio's dominant cost at sf1). A phrase is
+    * now a doc-level join of its terms' rows with an in-row intersect
+    * of shifted position lists (SearchEngine.phraseOccurrences), no
+    * token-array scan. At 100 TB this is written bucketed by term
+    * exactly like the tf postings.
+    *
+    * The output is CLUSTERED BY TERM: the one occurrence-level shuffle
+    * (the explode) repartitions on `term`, and the per-(term, doc,
+    * field) rollup rides that clustering (HashPartitioning(term)
+    * satisfies the grouping's clustered distribution) — same
+    * single-exchange build as the pre-r15 layout, and consumers get the
+    * term-pruned persist/scan layout for free.
     */
   def positions(docTokens: DataFrame): DataFrame = {
     def field(fieldCol: String, tag: Int) =
@@ -67,7 +78,12 @@ object TextIndex {
           posexplode(col(fieldCol)).as(Seq("pos", "term")))
         .withColumn("field", lit(tag))
     field("tokens_title", 0).unionByName(field("tokens_s1", 1))
-      .select("term", "type", "key", "field", "pos")
+      .repartition(col("term"))
+      .groupBy("term", "type", "key", "field")
+      // sort_array: arrival order within the group is partition-order,
+      // not token order — the sorted list is the canonical form the
+      // in-row adjacency intersect relies on
+      .agg(sort_array(collect_list(col("pos"))).as("poss"))
   }
 
   /** Tf postings DERIVED from the positional postings — the single-pass
@@ -84,8 +100,10 @@ object TextIndex {
     positions
       .groupBy(col("term"), col("type"), col("key"))
       .agg(
-        sum(when(col("field") === 0, 1.0).otherwise(0.0)).as("tf_title"),
-        sum(when(col("field") === 1, 1.0).otherwise(0.0)).as("tf_s1"))
+        sum(when(col("field") === 0, size(col("poss"))).otherwise(0))
+          .cast("double").as("tf_title"),
+        sum(when(col("field") === 1, size(col("poss"))).otherwise(0))
+          .cast("double").as("tf_s1"))
 
   /** True if any indexed field contains a non-ASCII codepoint — the
     * gate for [[stemTokens]]/[[stemPositions]]: one scan, partial-max
@@ -120,13 +138,20 @@ object TextIndex {
   }
 
   /** Positional postings stem-mapped term-by-term (same ASCII-only
-    * contract as [[stemTokens]]); positions are per-occurrence and
-    * stemming is 1:1, so only the term column changes. The output needs
-    * re-clustering by (stemmed) term before probing.
+    * contract as [[stemTokens]]). Stemming is many-to-one, so two
+    * source terms in the SAME doc/field can collide on one stem
+    * ("running"/"runs" → "run"); colliding rows MERGE their position
+    * lists into one sorted array, keeping the one-row-per-(term, doc,
+    * field) invariant. The merge rollup rides the re-cluster by
+    * (stemmed) term — one exchange, and the output comes back
+    * term-clustered like [[positions]].
     */
   def stemPositions(positions: DataFrame): DataFrame =
     positions.withColumn("term",
-      stem(positions.sparkSession)(col("term")))
+        stem(positions.sparkSession)(col("term")))
+      .repartition(col("term"))
+      .groupBy("term", "type", "key", "field")
+      .agg(sort_array(flatten(collect_list(col("poss")))).as("poss"))
 
   /** Per-term document frequency (docs containing the term in either
     * indexed field).

@@ -201,23 +201,40 @@ object SearchEngine {
     case _                                                      => None
   }
 
-  /** Fully-indexed PHRASE match over positional postings: an adjacency
-    * join of the phrase terms' position lists — occurrence of term i at
-    * position p is a candidate phrase start at `p - i`; a (doc, field,
-    * start) shared by every term is a contiguous match (the FTS5
-    * position-list design). Each leg is term-pruned; no token arrays.
+  /** Fully-indexed PHRASE match over positional postings: a DOC-LEVEL
+    * join of the phrase terms' position-list rows with an in-row
+    * two-pointer intersect of shifted lists (the FTS5 position-list
+    * design; r15 — before, each leg shuffled one row per token
+    * OCCURRENCE and the adjacency join keyed on (doc, field, start),
+    * so hot terms moved millions of occurrence rows per leg). Each leg
+    * is term-pruned; no token arrays.
     */
   private def phraseViaPositions(arts: TextArtifacts, ts: Seq[String],
       field: Option[String]): DataFrame =
-    phraseOccurrences(arts, ts, field).select("type", "key").distinct()
+    phraseOccurrences(arts, ts, field)
+      .filter(size(col("__ps")) > 0).select("type", "key").distinct()
 
-  /** All occurrences of a phrase as (type, key, field, __p0) start rows
-    * — the adjacency join over positional postings that phrase, `^`,
-    * and NEAR resolution all share. Each leg is term-pruned.
+  /** All occurrences of a phrase as (type, key, field, __ps) rows where
+    * `__ps` is the sorted array of 0-based start positions — the
+    * doc-level adjacency intersect that phrase, `^`, and NEAR
+    * resolution all share. Occurrence of token j at position p is a
+    * candidate start at `p - j`; the intersect of every token's
+    * shifted list is the phrase's start set, computed IN-ROW with the
+    * compiled two-pointer merge (`sorted_intersect` — the
+    * triangle-closure kernel; lists are sorted at build) after a
+    * doc-level join. Each leg is term-pruned; the positions layout
+    * guarantees one row per (term, doc, field), so the joins are 1:1
+    * — no row explosion. (A fused one-aggregation alternative — all
+    * legs collected per doc in one groupBy — measured WORSE at sf1:
+    * collect_list over millions of (doc, field) groups forces
+    * ObjectHashAggregate into its sort-based fallback on both sides
+    * of the exchange; the pre-grouped artifact rows + join need no
+    * re-aggregation at all.)
     */
   private def phraseOccurrences(arts: TextArtifacts, ts: Seq[String],
       field: Option[String]): DataFrame = {
     val all = arts.positions.get
+    graft.functions.IntersectFunctions.register(all.sparkSession)
     val pos = field match {
       case Some("title") => all.filter(col("field") === 0)
       case Some(_)       => all.filter(col("field") === 1)
@@ -225,42 +242,66 @@ object SearchEngine {
     }
     ts.zipWithIndex.map { case (t, i) =>
       // starred anchor token (prefix in NEAR / ^): a term-RANGE prune —
-      // same file/row-group skip as prefixSet, just on positions
+      // same file/row-group skip as prefixSet, just on positions. A
+      // prefix can hit MANY terms in one doc-field: union their lists
+      // into one sorted occurrence set per (doc, field).
       val leg =
         if (t.endsWith("*")) {
           val p = t.dropRight(1)
           pos.filter(col("term") >= p && col("term") < p + "\uffff")
+            .groupBy("type", "key", "field")
+            .agg(sort_array(flatten(collect_list(col("poss")))).as("__ps"))
         } else termPrune(pos, Seq(t))
-      leg.select(col("type"), col("key"), col("field"), (col("pos") - i).as("__p0"))
-    }.reduce((a, b) => a.join(b, Seq("type", "key", "field", "__p0")))
+          .select(col("type"), col("key"), col("field"), col("poss").as("__ps"))
+      leg.select(col("type"), col("key"), col("field"),
+        transform(col("__ps"), p => p - i).as("__ps"))
+    }.reduce { (a, b) =>
+      a.join(b.withColumnRenamed("__ps", "__psR"), Seq("type", "key", "field"))
+        .withColumn("__ps", graft.functions.IntersectFunctions
+          .sorted_intersect(col("__ps"), col("__psR")))
+        .drop("__psR")
+        // dead candidates drop out between legs, keeping the fold's
+        // intermediate sets (and any downstream join) minimal
+        .filter(size(col("__ps")) > 0)
+    }
   }
 
   /** `^phrase`: occurrences anchored at the field's first token. */
   private def firstViaPositions(arts: TextArtifacts, ts: Seq[String],
       field: Option[String]): DataFrame =
-    phraseOccurrences(arts, ts, field).filter(col("__p0") === 0)
+    phraseOccurrences(arts, ts, field)
+      .filter(array_contains(col("__ps"), 0))
       .select("type", "key").distinct()
 
-  /** Indexed NEAR: join each phrase's occurrence set on (doc, field) and
+  /** Indexed NEAR: join each phrase's start-set row on (doc, field) and
     * keep docs where some instance combination has max(start) −
-    * min(end) ≤ n (the FTS5 rule). The per-doc-per-field occurrence
-    * cross-product is bounded by per-document phrase frequency, never
-    * corpus size, and every leg is term-pruned — no token-array scan.
+    * min(end) ≤ n + 1 (the FTS5 rule) — evaluated IN-ROW over the
+    * position arrays in the same ∃-anchor form as the token-array
+    * [[nearCondition]] (equivalent: take m = the minimum chosen end;
+    * pinned against SQLite FTS5). Per-doc work is bounded by
+    * per-document phrase frequency, never corpus size, and the
+    * (doc, field) join is 1:1 (one start-set row per phrase per
+    * doc-field).
     */
   private def nearViaPositions(arts: TextArtifacts, ps: Seq[Seq[String]],
       n: Int, field: Option[String]): DataFrame = {
     val occs = ps.zipWithIndex.map { case (ts, i) =>
       phraseOccurrences(arts, ts, field)
-        .select(col("type"), col("key"), col("field"),
-          col("__p0").as(s"__s$i"),
-          (col("__p0") + lit(ts.size - 1)).as(s"__e$i"))
+        .filter(size(col("__ps")) > 0)
+        .select(col("type"), col("key"), col("field"), col("__ps").as(s"__s$i"))
     }
     val joined = occs.reduce((a, b) => a.join(b, Seq("type", "key", "field")))
-    val starts = ps.indices.map(i => col(s"__s$i"))
-    val ends = ps.indices.map(i => col(s"__e$i"))
     val cond =
       if (ps.size == 1) lit(true) // one phrase: NEAR degenerates to presence
-      else greatest(starts: _*) - least(ends: _*) <= n + 1
+      else {
+        val ends = ps.zipWithIndex.map { case (ts, i) =>
+          transform(col(s"__s$i"), a => a + lit(ts.size - 1))
+        }.reduce(concat(_, _))
+        exists(ends, m => ps.zipWithIndex.map { case (ts, i) =>
+          exists(col(s"__s$i"), a =>
+            a + lit(ts.size - 1) >= m && a <= m + lit(n + 1))
+        }.reduce(_ && _))
+      }
     joined.filter(cond).select("type", "key").distinct()
   }
 

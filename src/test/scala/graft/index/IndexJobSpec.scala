@@ -81,7 +81,6 @@ class IndexJobSpec extends AnyFunSuite {
 
   test("postings derived from positions equal the direct build; no second exchange") {
     import graft.text.Tokenize
-    import org.apache.spark.sql.functions.col
     val toks = TextIndex.docTokens(dogsIndex, Tokenize.Porter)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("term", "type", "key", "tf_title", "tf_s1")
@@ -90,14 +89,17 @@ class IndexJobSpec extends AnyFunSuite {
           r.getDouble(3), r.getDouble(4)))
         .sortBy(t => (t._1, t._2, t._3)).toSeq
     val direct = rows(TextIndex.postings(toks))
-    val posByTerm = TextIndex.positions(toks).repartition(col("term"))
-    val derived = TextIndex.postingsFromPositions(posByTerm)
+    // r15 layout: positions() repartitions on term INTERNALLY and rolls
+    // occurrences up to per-(term, doc, field) sorted arrays riding that
+    // clustering; postingsFromPositions rides the same clustering — the
+    // WHOLE two-artifact build must contain exactly ONE exchange (the
+    // term repartition)
+    val derived = TextIndex.postingsFromPositions(TextIndex.positions(toks))
     assert(rows(derived) == direct)
     assert(direct.nonEmpty)
-    // the rollup rides the positions' term clustering: between the
-    // aggregate (plan top) and the term repartition there must be NO
-    // other exchange — the plan prints top-down, so the string above
-    // REPARTITION_BY_COL holds everything between them
+    // count exchanges from the plan top down to (and including) the
+    // term repartition: exactly one — the input-building subtree below
+    // it (the index window) has its own exchange, which isn't ours
     val plan = derived.queryExecution.executedPlan.toString
     val aboveRepartition = plan.substring(0,
       plan.indexOf("REPARTITION_BY_COL").max(0))
@@ -105,6 +107,7 @@ class IndexJobSpec extends AnyFunSuite {
       "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
         .findAllIn(aboveRepartition).length
     assert(plan.contains("REPARTITION_BY_COL") && exchanges == 1,
-      s"derived postings grew an exchange above the term repartition:\n$plan")
+      s"positions rollup + postings rollup grew an exchange above the " +
+        s"term repartition:\n$plan")
   }
 }

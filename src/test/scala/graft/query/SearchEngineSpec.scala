@@ -258,13 +258,17 @@ class SearchEngineSpec extends AnyFunSuite {
         s"indexed vs fallback disagree for: $q")
     // pinned: ^hey anchors to emails:1's 'hey there...' title only
     assert(setOf(posArts, "^hey") == Set(emails1))
-    // NEAR/^ indexed plans are pure postings algebra — no token arrays
+    // NEAR/^ indexed plans are pure postings algebra — no token-array
+    // scanning. The fallback matchCondition's markers are `instr` (the
+    // phrase fast path) and `sequence(` (phraseStartsCol's position
+    // enumeration over token arrays); the r15 positional path runs
+    // in-row HOFs (exists/array_contains) over doc-level POSITION
+    // LISTS, which is the indexed form, so those are not banned.
     for (q <- Seq("NEAR(email things, 3)", "^hey")) {
       val node = FtsQuery.parseOrEscape(q, Tokenize.Porter).get
       val plan = SearchEngine.matchSet(posArts, node)
         .queryExecution.optimizedPlan.toString
-      assert(!plan.contains("instr") && !plan.contains("array_contains") &&
-        !plan.contains("exists("),
+      assert(!plan.contains("instr") && !plan.contains("sequence("),
         s"$q still scans token arrays:\n$plan")
     }
   }
