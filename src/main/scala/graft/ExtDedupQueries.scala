@@ -241,18 +241,20 @@ private[graft] object ExtDedupQueries {
     QueryDef("x_dedup_delta",
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
-        // the production form: shingles + signatures come from the
-        // persisted dedup index (the memoized artifact pair), split by
-        // side — a doc's signature depends only on its own shingles,
-        // so the per-side filter of the all-docs artifact IS the
-        // per-side build. Only the (small) delta side would run fresh
-        // at ingestion.
-        val sh = docShingles(spark, sfDir)
+        // the production form: per-doc shingle arrays + signatures come
+        // from the persisted dedup index (the memoized artifact pair),
+        // split by side — a doc's array/signature row depends only on
+        // its own shingles, so the per-side filter of the all-docs
+        // artifact IS the per-side build. Only the (small) delta side
+        // would run fresh at ingestion. r15: the verify consumes the
+        // doc-level array layout (compiled two-pointer merge) instead
+        // of expanding candidates through the exploded relation.
+        val arrs = docShingleArrs(spark, sfDir)
         val sigs = minhashSigs(spark, sfDir)
-        Dedup.deltaNearDupsFromArtifacts(
-            sh.filter(col("doc_id") % 5 =!= 0),
+        Dedup.deltaNearDupsFromDocArrs(
+            arrs.filter(col("doc_id") % 5 =!= 0),
             sigs.filter(col("doc_id") % 5 =!= 0),
-            sh.filter(col("doc_id") % 5 === 0),
+            arrs.filter(col("doc_id") % 5 === 0),
             sigs.filter(col("doc_id") % 5 === 0),
             k = K, bands = BANDS, threshold = 0.4)
           .orderBy("delta_id", "corpus_id")

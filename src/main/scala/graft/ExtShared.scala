@@ -35,7 +35,7 @@ private[graft] object ExtShared {
   private[graft] def minhashPairs(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
     pairsCache.getOrElseUpdate(sfDir,
-      Dedup.minhashNearDupsFromArtifacts(docShingles(spark, sfDir),
+      Dedup.minhashNearDupsFromDocArrs(docShingleArrs(spark, sfDir),
         minhashSigs(spark, sfDir), k = K, bands = BANDS, threshold = 0.4).persist())
 
   // the dedup artifact pair (VERDICT r3: deliberate sharing, not the
@@ -50,12 +50,44 @@ private[graft] object ExtShared {
     shCache.getOrElseUpdate(sfDir,
       // narrow form: (doc_id, shingle BIGINT) from the compiled kernel
       Dedup.shingleHashes(spark.table("documents"), "text", "doc_id", 3).persist())
+  // The PER-DOC array form of the shingle artifact: (doc_id, __arr
+  // sorted array<bigint>, n_sh) — one rollup of the exploded relation,
+  // persisted beside it (r15, VERDICT item 4). Feeds the minhash
+  // SIGNATURE build (in-row kernel — no aggregation) and the pair
+  // VERIFY (two 1:1 array joins + compiled two-pointer merge instead
+  // of re-joining the exploded relation per candidate pair). The
+  // exploded form stays persisted for the consumers whose operators
+  // are row-shaped (ngram blocking, containment, delta, the CTE
+  // mirrors); at 100 TB both are views of ONE on-disk dedup index,
+  // and the verify/signature paths reading the doc-level layout move
+  // one row per doc instead of one per shingle.
+  private[graft] val shArrCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private[graft] def docShingleArrs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    shArrCache.getOrElseUpdate(sfDir,
+      docShingles(spark, sfDir).groupBy("doc_id")
+        .agg(sort_array(collect_list(col("shingle"))).as("__arr"),
+          count(lit(1)).as("n_sh")).persist())
   private[graft] val sigsCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private[graft] def minhashSigs(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
-    sigsCache.getOrElseUpdate(sfDir,
-      Dedup.minhashSignatures(docShingles(spark, sfDir), K, preHashed = true).persist())
+    sigsCache.getOrElseUpdate(sfDir, {
+      // in-row kernel over the per-doc arrays: a signature depends only
+      // on its own doc's shingles, so the former groupBy over the
+      // exploded relation (one exchange + k min-aggregates per shingle
+      // row) is a pure projection here — bit-identical mins
+      // (MinhashSigsSpec pins kernel == relational aggregate)
+      graft.functions.MinhashFunctions.register(spark)
+      val mh = graft.functions.MinhashFunctions
+        .minhash_sigs_e(org.apache.spark.sql.functions.col("__arr"), K)
+      docShingleArrs(spark, sfDir)
+        .select(col("doc_id"), mh.as("__mh"))
+        .select(col("doc_id") +:
+          (0 until K).map(i => col("__mh")(i).as(s"mh_$i")): _*)
+        .persist()
+    })
 
   // Near-dup component artifact — the pointer-doubled (doc_id,
   // component) relation over the verified pair artifact, memoized per
@@ -455,6 +487,7 @@ private[graft] object ExtShared {
       sfDir: String): Unit = {
     Corpus.registerSources(spark, sfDir)
     docShingles(spark, sfDir).count()
+    docShingleArrs(spark, sfDir).count()
     minhashSigs(spark, sfDir).count()
     dupSpans(spark, sfDir).count()
     simhashPairs(spark, sfDir).count()

@@ -765,16 +765,17 @@ private[graft] object ExtStreamQueries {
       (spark, sfDir) => {
         Corpus.registerSources(spark, sfDir)
         import org.apache.spark.sql.types._
-        val sh = docShingles(spark, sfDir)
         val sigs = minhashSigs(spark, sfDir)
         val corpusBanded = graft.ext.Dedup
           .bandedKeys(sigs.filter(col("doc_id") % 5 =!= 0), K, BANDS)
           .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
-        val corpusArrs = sh.filter(col("doc_id") % 5 =!= 0)
-          .groupBy("doc_id")
-          .agg(sort_array(collect_list(col("shingle"))).as("__hc"),
-            count(lit(1)).as("n_c"))
-          .select(col("doc_id").as("corpus_id"), col("__hc"), col("n_c"))
+        // per-side filter of the persisted per-doc array artifact (r15)
+        // — identical content to the former per-query groupBy rollup
+        // (grouping is per doc, so filter and rollup commute)
+        val corpusArrs = docShingleArrs(spark, sfDir)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id").as("corpus_id"), col("__arr").as("__hc"),
+            col("n_sh").as("n_c"))
         val srcDir = multiFileSourceDir(spark, sfDir, "documents.parquet", 4)
         val schema = StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType),
@@ -822,10 +823,11 @@ private[graft] object ExtStreamQueries {
           .join(shC.groupBy("shingle").agg(count(lit(1)).as("__df"))
             .filter(col("__df") <= 8).select("shingle"), "shingle")
           .select(col("shingle"), col("doc_id").as("corpus_id"))
-        val corpusArrs = shC.groupBy("doc_id")
-          .agg(sort_array(collect_list(col("shingle"))).as("__hc"),
-            count(lit(1)).as("n_c"))
-          .select(col("doc_id").as("corpus_id"), col("__hc"), col("n_c"))
+        // per-side filter of the persisted per-doc array artifact (r15)
+        val corpusArrs = docShingleArrs(spark, sfDir)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id").as("corpus_id"), col("__arr").as("__hc"),
+            col("n_sh").as("n_c"))
         val srcDir = multiFileSourceDir(spark, sfDir, "documents.parquet", 4)
         val schema = StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType),

@@ -383,6 +383,42 @@ object Dedup {
       .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
   }
 
+  /** [[minhashNearDupsFromArtifacts]] over the PER-DOC ARRAY form of
+    * the shingle artifact — (doc_id, __arr sorted array<bigint>, n_sh)
+    * — instead of the exploded relation (r15, VERDICT item 4; the
+    * [[containmentPairs]] r14 verify shape). The exploded verify
+    * re-joined candidates against the full (doc, shingle) relation
+    * twice: Σ n_sh(a) rows expanded per candidate pair through two
+    * exchanges, then an (id_a, id_b)-keyed count plus a separate
+    * doc-size aggregation over the whole exploded relation. Here the
+    * pair join touches only candidate docs' SINGLE array rows, `shared`
+    * is the compiled two-pointer merge count (`sorted_intersect`), and
+    * sizes ride the same rows — at sf1 this was ~14.6 s of the 20 s
+    * pair-artifact build (DedupBuildProbe). Inputs are per-doc
+    * duplicate-free by the shingle producers' contract, so the merge
+    * count equals the join count exactly; the explicit `shared > 0`
+    * filter reproduces the exploded form's inner-join row set for ANY
+    * threshold (with threshold > 0 it is already implied).
+    */
+  def minhashNearDupsFromDocArrs(arrs: DataFrame, sigs: DataFrame,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
+    val cands = lshCandidates(sigs, k, bands)
+    graft.functions.IntersectFunctions.register(arrs.sparkSession)
+    cands
+      .join(arrs.select(col("doc_id").as("id_a"), col("__arr").as("__aa"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("__arr").as("__ab"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("shared",
+        size(graft.functions.IntersectFunctions
+          .sorted_intersect(col("__aa"), col("__ab"))).cast("long"))
+      .filter(col("shared") > 0)
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+  }
+
   /** Incremental delta-vs-corpus near-dup screen — the production
     * ingestion path: dedup a NEWLY ARRIVED batch against the existing
     * corpus without ever comparing corpus×corpus. Both sides get the
@@ -478,6 +514,44 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** [[deltaNearDupsFromArtifacts]] over the PER-DOC ARRAY form of the
+    * shingle artifact, split by side — the same r15 verify reshape as
+    * [[minhashNearDupsFromDocArrs]] (two 1:1 array joins + compiled
+    * two-pointer merge instead of expanding every candidate pair
+    * through the exploded relation twice plus two doc-size
+    * aggregations). A doc's array row depends only on its own
+    * shingles, so the per-side FILTER of the all-docs array artifact
+    * IS the per-side build (the x_dedup_delta convention). The
+    * `shared > 0` filter reproduces the exploded form's inner-join
+    * row set for ANY threshold.
+    */
+  def deltaNearDupsFromDocArrs(arrsC: DataFrame, sigC: DataFrame,
+      arrsD: DataFrame, sigD: DataFrame, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    def banded(sigs: DataFrame, side: String): DataFrame =
+      bandedKeys(sigs, k, bands).select(col("doc_id").as(side),
+        col("band"), col("band_key"))
+    val cands = banded(sigC, "corpus_id")
+      .join(broadcast(banded(sigD, "delta_id")), Seq("band", "band_key"))
+      .select("delta_id", "corpus_id").distinct()
+      .localCheckpoint(true)
+    graft.functions.IntersectFunctions.register(arrsC.sparkSession)
+    cands
+      .join(arrsD.select(col("doc_id").as("delta_id"), col("__arr").as("__da"),
+        col("n_sh").as("n_d")), "delta_id")
+      .join(arrsC.select(col("doc_id").as("corpus_id"), col("__arr").as("__ca"),
+        col("n_sh").as("n_c")), "corpus_id")
+      .withColumn("shared",
+        size(graft.functions.IntersectFunctions
+          .sorted_intersect(col("__da"), col("__ca"))).cast("long"))
+      .filter(col("shared") > 0)
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_d") + col("n_c") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("delta_id", "corpus_id", "shared", "n_d", "n_c", "jaccard")
+      .localCheckpoint(true)
+  }
+
   /** Asymmetric CONTAINMENT screen — superset/quote detection, the
     * measure Jaccard near-dup misses by construction: when a short
     * document A sits verbatim inside a much larger B (a quoted post, a
@@ -559,12 +633,32 @@ object Dedup {
         col("containment_permille") >= thresholdPermille)
   }
 
-  /** 60-bit SimHash from portable token hashes: per-bit majority vote of
-    * token-hash bits, computed as 60 conditional sums in one groupBy
-    * pass (no UDF, stays codegen'd).
+  /** 60-bit SimHash from portable token hashes: per-bit majority vote
+    * of token-hash bits, computed by the compiled in-row kernel
+    * `simhash_e` — one projection over the doc row, no explode and no
+    * exchanges (r15, guide §1.2/§2.4; value parity with
+    * [[simhashAgg]], the former two-aggregation relational form, is
+    * pinned by SimhashKernelSpec and by the x_dedup_simhash DuckDB
+    * oracle, which still computes the relational SQL). Docs with no
+    * tokens emit no row in either form.
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String,
       bits: Int = 60): DataFrame = {
+    graft.functions.SimhashFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.SimhashFunctions.simhash_e(
+          lower(col(textCol)), bits).as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** The RELATIONAL SimHash build — [[simhash]]'s former
+    * implementation (token explode → groupBy(doc, token) weights →
+    * groupBy(doc) with `bits` conditional sums), kept as the parity
+    * reference the kernel is tested against (SimhashKernelSpec); the
+    * production path is the kernel.
+    */
+  private[graft] def simhashAgg(docs: DataFrame, textCol: String,
+      idCol: String, bits: Int = 60): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(Tokenizer.tokensCol(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
